@@ -1,0 +1,217 @@
+package graft
+
+/** DuckDB-dialect oracle SQL for every oracle-checkable query in
+  * [[SparkEntry.queries]]. The driver runs these over the same parquet tables
+  * and hash-compares with the Spark result (columns sorted by name).
+  *
+  * Determinism rules shared with the Spark side:
+  *  - money/value sums are computed in DECIMAL(18,2) and cast to DOUBLE at the
+  *    edge (double sums would be order-dependent);
+  *  - `events.ts` is micro-second precision in both engines (DuckDB truncates
+  *    ns→µs on read; Spark side truncates identically in Tables.events);
+  *  - every aggregate output column is aliased identically on both sides;
+  *  - count-like columns are BIGINT on both sides (DuckDB hugeint sums are
+  *    cast down; Spark row_number int is cast up in the oracle).
+  */
+object Oracles {
+
+  private val moneySum = "cast(sum(cast(%s as decimal(18,2))) as double)"
+
+  val sql: Map[String, String] = Map(
+
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sum_qty,
+        | cast(sum(cast(l_extendedprice as decimal(18,2))) as double) AS sum_base_price,
+        | cast(sum(cast(l_extendedprice as decimal(18,2)) * (1 - cast(l_discount as decimal(18,2)))) as double) AS sum_disc_price,
+        | cast(sum(cast(l_quantity as decimal(18,2))) as double) / count(*) AS avg_qty,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+        |FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'""".stripMargin,
+
+    "q03_star_enrichment" ->
+      """SELECT r_name, n_name, count(*) AS order_ct,
+        | cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS total_revenue,
+        | count(distinct o_custkey) AS cust_ct
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+
+    "q04_order_lines_join" ->
+      """SELECT o_orderstatus, count(*) AS line_ct,
+        | cast(sum(cast(l_extendedprice as decimal(18,2))) as double) AS amount
+        |FROM lineitem JOIN orders
+        | ON l_orderkey = o_orderkey
+        | AND l_shipdate BETWEEN o_orderdate AND o_orderdate + INTERVAL 30 DAY
+        |GROUP BY o_orderstatus""".stripMargin,
+
+    "q05_tumbling_window" ->
+      """SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS stt,
+        | strftime(time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes', '%Y-%m-%d %H:%M:%S') AS edt,
+        | event_type, count(*) AS pv_ct,
+        | cast(sum(cast(value as decimal(18,2))) as double) AS value_sum
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+
+    "q06_daily_distinct" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS dt,
+        | count(distinct user_id) AS uv, count(*) AS pv,
+        | count(*) FILTER (WHERE event_type = 'purchase') AS purchase_ct,
+        | cast(sum(CASE WHEN event_type = 'purchase' THEN cast(value as decimal(18,2)) ELSE cast(0 as decimal(18,2)) END) as double) AS purchase_amount
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q07_uv_dedup" ->
+      """SELECT dt, user_id, event_id AS first_event_id FROM (
+        | SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS dt, user_id, event_id,
+        |  row_number() OVER (PARTITION BY date_trunc('day', ts), user_id ORDER BY ts, event_id) AS rn
+        | FROM events) WHERE rn = 1""".stripMargin,
+
+    "q08_is_new_repair" ->
+      """WITH f AS (SELECT user_id, min(date_trunc('day', ts)) AS first_day FROM events GROUP BY 1)
+        |SELECT strftime(date_trunc('day', e.ts), '%Y-%m-%d') AS dt,
+        | count(*) FILTER (WHERE date_trunc('day', e.ts) = f.first_day) AS new_ct,
+        | count(*) FILTER (WHERE date_trunc('day', e.ts) <> f.first_day) AS old_ct
+        |FROM events e JOIN f USING (user_id) GROUP BY 1""".stripMargin,
+
+    "q09_bounce_detect" ->
+      """WITH s AS (SELECT user_id, ts, event_id,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt FROM events)
+        |SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS dt, count(*) AS bounce_ct
+        |FROM s WHERE nxt IS NULL OR nxt > ts + INTERVAL '30 minutes' GROUP BY 1""".stripMargin,
+
+    "q10_union_stats" ->
+      """WITH u AS (
+        | SELECT 'interaction' AS stream, event_type, value FROM events WHERE event_type IN ('view', 'click')
+        | UNION ALL
+        | SELECT 'conversion' AS stream, event_type, value FROM events WHERE event_type = 'purchase')
+        |SELECT stream, event_type, count(*) AS ct,
+        | cast(sum(cast(value as decimal(18,2))) as double) AS value_sum
+        |FROM u GROUP BY 1, 2""".stripMargin,
+
+    "q11_keyword_tokens" ->
+      """SELECT keyword, count(*) AS ct, count(distinct doc_id) AS doc_ct FROM (
+        | SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS keyword FROM documents)
+        |GROUP BY keyword""".stripMargin,
+
+    "q12_unpivot_metrics" ->
+      """WITH u AS (
+        | SELECT l_returnflag, 'qty' AS metric, cast(l_quantity as decimal(18,2)) AS val FROM lineitem
+        | UNION ALL SELECT l_returnflag, 'price', cast(l_extendedprice as decimal(18,2)) FROM lineitem
+        | UNION ALL SELECT l_returnflag, 'disc', cast(l_discount as decimal(18,2)) FROM lineitem)
+        |SELECT l_returnflag, metric, cast(sum(val) as double) AS total, count(*) AS ct
+        |FROM u WHERE val > 0 GROUP BY 1, 2""".stripMargin,
+
+    "q13_config_router" ->
+      """SELECT sink_type, sink_table, count(*) AS ct, count(distinct user_id) AS user_ct
+        |FROM events e JOIN (VALUES
+        |  ('signup', 'dim_users', 'hbase'), ('purchase', 'fact_orders', 'kafka'),
+        |  ('click', 'fact_traffic', 'kafka'), ('view', 'fact_traffic', 'kafka'),
+        |  ('error', 'side_errors', 'kafka')) cfg(event_type, sink_table, sink_type)
+        | ON e.event_type = cfg.event_type
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q14_topn_per_nation" ->
+      """WITH rev AS (
+        | SELECT c_nationkey, o_custkey,
+        |  cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS revenue, count(*) AS order_ct
+        | FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY c_nationkey ORDER BY revenue DESC, o_custkey) AS rn FROM rev)
+        |SELECT n_name, o_custkey AS custkey, revenue, order_ct, cast(rn as int) AS rn
+        |FROM rk JOIN nation ON c_nationkey = n_nationkey WHERE rn <= 3""".stripMargin,
+
+    "q15_json_props" ->
+      """SELECT cast(regexp_extract(props, '[0-9]+') as int) % 10 AS k_bucket, count(*) AS ct,
+        | cast(sum(cast(value as decimal(18,2))) as double) AS value_sum
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q16_purchase_view_pairs" ->
+      """SELECT strftime(date_trunc('day', p.ts), '%Y-%m-%d') AS dt,
+        | count(*) AS pair_ct, count(distinct p.event_id) AS purchase_ct
+        |FROM events p JOIN events v
+        | ON p.user_id = v.user_id AND p.event_type = 'purchase' AND v.event_type = 'view'
+        | AND v.ts BETWEEN p.ts - INTERVAL '30 minutes' AND p.ts
+        |GROUP BY 1""".stripMargin,
+
+    "q17_province_stats" ->
+      """SELECT n_name AS province_name, count(distinct o_orderkey) AS order_count,
+        | cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS order_amount
+        |FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1""".stripMargin,
+
+    "q18_dedup_exact" ->
+      """SELECT md5(text) AS fingerprint, count(*) AS dup_ct, min(doc_id) AS keeper_doc_id
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q19_ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents WHERE doc_id < 500),
+        |s AS (SELECT doc_id, unnest(list_distinct(
+        |   [array_to_string(toks[i:i+2], ' ') FOR i IN generate_series(1, greatest(len(toks) - 2, 0))])) AS sh
+        |  FROM t),
+        |sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY 1),
+        |p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+        |  FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT da, db, cast(inter as double) / (x.n + y.n - inter) AS jac
+        |FROM p JOIN sz x ON p.da = x.doc_id JOIN sz y ON p.db = y.doc_id
+        |WHERE cast(inter as double) / (x.n + y.n - inter) >= 0.5""".stripMargin,
+
+    "q20_lang_id" ->
+      """WITH t AS (SELECT lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+        |  len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS zh_ct FROM documents),
+        |s AS (SELECT lang, zh_ct,
+        |  len(list_filter(toks, t -> t IN ('the','a','of','and','is','to','in'))) AS en_ct,
+        |  len(list_filter(toks, t -> t IN ('el','la','de','los','que','y'))) AS es_ct,
+        |  len(list_filter(toks, t -> t IN ('der','die','das','und','ist'))) AS de_ct,
+        |  len(list_filter(toks, t -> t IN ('le','les','et','est','une'))) AS fr_ct
+        | FROM t)
+        |SELECT lang, CASE WHEN zh_ct > 0 THEN 'zh'
+        |  WHEN en_ct >= es_ct AND en_ct >= de_ct AND en_ct >= fr_ct THEN 'en'
+        |  WHEN es_ct >= de_ct AND es_ct >= fr_ct THEN 'es'
+        |  WHEN de_ct >= fr_ct THEN 'de' ELSE 'fr' END AS predicted, count(*) AS ct
+        |FROM s GROUP BY 1, 2""".stripMargin,
+
+    "q21_quality_score" ->
+      """WITH t AS (SELECT source,
+        |  len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token_ct,
+        |  CASE WHEN len(regexp_extract_all(lower(text), '[a-z0-9]+')) = 0 THEN 0.0
+        |   ELSE cast(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+        |          t -> t IN ('the','a','of','and','is','to','in'))) as double)
+        |        / len(regexp_extract_all(lower(text), '[a-z0-9]+')) END AS stop_ratio
+        | FROM documents)
+        |SELECT source, count(*) AS docs, cast(sum(token_ct) as bigint) AS total_tokens,
+        | count(*) FILTER (WHERE token_ct BETWEEN 30 AND 400 AND stop_ratio <= 0.5) AS good_ct,
+        | cast(sum(token_ct) as double) / count(*) AS avg_tokens
+        |FROM t GROUP BY 1""".stripMargin,
+
+    "q22_token_count" ->
+      """SELECT lang, count(*) AS docs,
+        | cast(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) as bigint) AS total_bpe_tokens,
+        | cast(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) as double) / count(*) AS avg_bpe_tokens
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q23_knn_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+        |s AS (SELECT query_id, neighbor_id,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY list_cosine_similarity(qv, cv) DESC, neighbor_id) AS rnk
+        | FROM q, c WHERE query_id <> neighbor_id)
+        |SELECT query_id, neighbor_id, cast(rnk as int) AS rnk FROM s WHERE rnk <= 5""".stripMargin,
+
+    "q24_cosine_neardup" ->
+      """SELECT a.vec_id AS va, b.vec_id AS vb
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id < b.vec_id AND list_cosine_similarity(a.embedding, b.embedding) > 0.4""".stripMargin,
+
+    "q25_multimodal_meta" ->
+      """SELECT source, count(*) AS n_docs,
+        | cast(sum(octet_length(encode(text))) as bigint) AS total_bytes,
+        | cast(max(octet_length(encode(text))) as bigint) AS max_bytes
+        |FROM documents GROUP BY 1""".stripMargin,
+  )
+}

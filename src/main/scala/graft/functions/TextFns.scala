@@ -1,0 +1,207 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text primitives for the training-data pipeline operators: tokenization,
+  * shingling, language ID, quality scoring, rolling-hash fingerprinting,
+  * MinHash and SimHash.
+  *
+  * Design stance: everything that CAN be a native (codegen'd) column expression
+  * is — `tokensCol`/`shinglesCol` compile to whole-stage-codegen regexp/array
+  * ops. Scala UDFs exist only where Spark has no built-in equivalent (CJK-aware
+  * tokenization, 64-bit MinHash/SimHash signatures, winnowing) and each of those
+  * operates on already-tokenized arrays so the UDF stays out of scan/filter
+  * pushdown paths.
+  *
+  * Reference tie-in: the reference tokenizes search phrases with the IK analyzer
+  * (app/func/KeywordUDTF.java:16-28, utils/KeywordUtil.java:18-41). IK is not
+  * public-knowledge-required; we implement ASCII word splitting + CJK bigram
+  * segmentation, the standard IK-"smart-mode" approximation.
+  */
+object TextFns {
+
+  // ---------------- native column helpers (codegen'd) ----------------
+
+  /** Lowercased alnum tokens — the ASCII fast path, equivalent to the UDF below
+    * on ASCII-only text. Mirrors DuckDB `regexp_extract_all(lower(x),'[a-z0-9]+')`. */
+  def tokensCol(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
+
+  /** n-word shingles of a token array, joined by single spaces.
+    * size < n ⇒ empty array (Spark's `sequence(1,0)` would count DOWN, so guard). */
+  def shinglesCol(tokens: Column, n: Int): Column =
+    when(size(tokens) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(tokens) - lit(n - 1)),
+        i => concat_ws(" ", slice(tokens, i, lit(n)))))
+
+  /** BPE-ish token count: letter runs, digit runs, and single punctuation marks
+    * each count as one token. */
+  def bpeTokenCountCol(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  // ---------------- CJK-aware tokenizer (UDF; B1) ----------------
+
+  /** ASCII words + CJK bigrams (unigram for isolated CJK chars). */
+  def tokenize(s: String): Seq[String] = {
+    if (s == null) return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val ascii = new StringBuilder
+    val cjkRun = new StringBuilder
+    def flushAscii(): Unit = if (ascii.nonEmpty) { out += ascii.result(); ascii.clear() }
+    def flushCjk(): Unit = {
+      val r = cjkRun.result(); cjkRun.clear()
+      if (r.length == 1) out += r
+      else if (r.length > 1) (0 until r.length - 1).foreach(i => out += r.substring(i, i + 2))
+    }
+    s.toLowerCase.foreach { c =>
+      if (c >= '一' && c <= '鿿') { flushAscii(); cjkRun += c }
+      else if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) { flushCjk(); ascii += c }
+      else { flushAscii(); flushCjk() }
+    }
+    flushAscii(); flushCjk()
+    out.toSeq
+  }
+
+  val tokenizeUdf = udf(tokenize _)
+
+  // ---------------- 64-bit hashing primitives ----------------
+
+  /** FNV-1a 64-bit over UTF-8 bytes — stable across JVMs/platforms. */
+  def fnv64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    val bytes = s.getBytes("UTF-8")
+    while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** SplitMix64 — used to derive deterministic per-permutation constants. */
+  def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Polynomial rolling hash (Rabin–Karp, base 1000003) of a string. */
+  def rollingHash(s: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) { h = h * 1000003L + s.charAt(i); i += 1 }
+    h
+  }
+
+  // ---------------- MinHash ----------------
+
+  val MinHashPerms = 64
+
+  /** (a_i, b_i) permutation constants, derived deterministically from SplitMix64.
+    * a_i forced odd so x -> a*x+b is a bijection on Z/2^64. */
+  private val perms: Array[(Long, Long)] =
+    Array.tabulate(MinHashPerms)(i => (splitmix64(2L * i) | 1L, splitmix64(2L * i + 1)))
+
+  /** 64-permutation MinHash signature over a shingle set. Empty set ⇒ all
+    * Long.MaxValue (never collides with a real signature band). */
+  def minhash(shingles: Seq[String]): Array[Long] = {
+    val sig = Array.fill(MinHashPerms)(Long.MaxValue)
+    shingles.foreach { sh =>
+      val h = fnv64(sh)
+      var i = 0
+      while (i < MinHashPerms) {
+        val (a, b) = perms(i)
+        val v = a * h + b
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+    }
+    sig
+  }
+
+  val minhashUdf = udf(minhash _)
+
+  /** Fraction of agreeing signature positions — unbiased Jaccard estimate. */
+  def sigSimilarity(x: Seq[Long], y: Seq[Long]): Double = {
+    var agree = 0
+    var i = 0
+    while (i < x.length) { if (x(i) == y(i)) agree += 1; i += 1 }
+    agree.toDouble / x.length
+  }
+
+  val sigSimilarityUdf = udf(sigSimilarity _)
+
+  // ---------------- SimHash ----------------
+
+  /** 64-bit SimHash over tokens (weight = term frequency). */
+  def simhash(tokens: Seq[String]): Long = {
+    val votes = new Array[Int](64)
+    tokens.foreach { tok =>
+      val h = fnv64(tok)
+      var b = 0
+      while (b < 64) { if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1; b += 1 }
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) fp |= (1L << b); b += 1 }
+    fp
+  }
+
+  val simhashUdf = udf(simhash _)
+
+  // ---------------- Winnowing fingerprints ----------------
+
+  /** Winnowing (Schleimer et al., SIGMOD'03): k-gram rolling hashes, min per
+    * window of w — a compact document fingerprint set for near-dup detection. */
+  def winnow(text: String, k: Int = 8, w: Int = 16): Seq[Long] = {
+    if (text == null || text.length < k) return Seq.empty
+    val grams = Array.tabulate(text.length - k + 1)(i => rollingHash(text.substring(i, i + k)))
+    if (grams.length <= w) return Seq(grams.min).distinct
+    val out = scala.collection.mutable.LinkedHashSet.empty[Long]
+    var i = 0
+    while (i + w <= grams.length) {
+      var m = grams(i); var j = i + 1
+      while (j < i + w) { if (grams(j) < m) m = grams(j); j += 1 }
+      out += m
+      i += 1
+    }
+    out.toSeq
+  }
+
+  val winnowUdf = udf((s: String) => winnow(s))
+
+  // ---------------- Language ID + quality (native columns) ----------------
+
+  val StopwordsEn = Seq("the", "a", "of", "and", "is", "to", "in")
+  val MarkersEs = Seq("el", "la", "de", "los", "que", "y")
+  val MarkersDe = Seq("der", "die", "das", "und", "ist")
+  val MarkersFr = Seq("le", "les", "et", "est", "une")
+
+  private def markerCt(tokens: Column, markers: Seq[String]): Column = {
+    val set = markers.map(m => s"'$m'").mkString(", ")
+    size(filter(tokens, tk => tk.isin(markers.map(lit(_)): _*)))
+  }
+
+  /** Marker-token counts per language; CJK presence short-circuits to zh.
+    * Deterministic tiebreak order en > es > de > fr (mirrored in the oracle SQL). */
+  def langIdCol(text: Column): Column = {
+    val toks = tokensCol(text)
+    val en = markerCt(toks, StopwordsEn)
+    val es = markerCt(toks, MarkersEs)
+    val de = markerCt(toks, MarkersDe)
+    val fr = markerCt(toks, MarkersFr)
+    val zh = length(regexp_replace(text, lit("[^\\u4e00-\\u9fff]"), lit("")))
+    when(zh > 0, "zh")
+      .when(en >= es && en >= de && en >= fr, "en")
+      .when(es >= de && es >= fr, "es")
+      .when(de >= fr, "de")
+      .otherwise("fr")
+  }
+
+  /** Stopword ratio over tokens (0 for empty docs). */
+  def stopwordRatioCol(text: Column): Column = {
+    val toks = tokensCol(text)
+    when(size(toks) === 0, 0.0)
+      .otherwise(markerCt(toks, StopwordsEn).cast("double") / size(toks))
+  }
+}

@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector primitives over `array<float>` embedding columns, built from
+  * Spark's higher-order functions (`zip_with`/`aggregate`/`transform`) so they
+  * stay inside whole-stage codegen — no UDF deserialization in the hot path.
+  *
+  * Accumulation is element-order-deterministic (left fold over the array), and
+  * every element is widened to double BEFORE multiplication so results are
+  * reproducible and match a float64 oracle.
+  */
+object VectorFns {
+
+  def dotCol(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  def normSqCol(a: Column): Column =
+    aggregate(transform(a, x => x.cast("double") * x.cast("double")), lit(0.0), (acc, v) => acc + v)
+
+  def normCol(a: Column): Column = sqrt(normSqCol(a))
+
+  def cosineCol(a: Column, b: Column): Column =
+    dotCol(a, b) / (normCol(a) * normCol(b))
+
+  /** Random-hyperplane LSH bucket id: `nPlanes` sign bits packed into an int.
+    * Hyperplane components are deterministic pseudo-randoms derived from
+    * SplitMix64(plane, dim) — identical on every executor without shipping
+    * plane matrices around.
+    */
+  def hyperplaneSig(v: Seq[Float], nPlanes: Int): Int = {
+    var sig = 0
+    var p = 0
+    while (p < nPlanes) {
+      var dot = 0.0
+      var d = 0
+      while (d < v.length) {
+        // map SplitMix64 output to [-1, 1) deterministically
+        val r = TextFns.splitmix64(p.toLong * 100003L + d).toDouble / Long.MaxValue.toDouble
+        dot += v(d) * r
+        d += 1
+      }
+      if (dot >= 0) sig |= (1 << p)
+      p += 1
+    }
+    sig
+  }
+
+  def hyperplaneSigUdf(nPlanes: Int) = udf((v: Seq[Float]) => hyperplaneSig(v, nPlanes))
+}

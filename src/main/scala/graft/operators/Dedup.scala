@@ -1,0 +1,113 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFns._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the training-data pipeline: exact (hash groupBy),
+  * n-gram Jaccard, MinHash+LSH, and SimHash.
+  *
+  * Scale design (100 TB): exact dedup is a single hash shuffle on a 128-bit
+  * fingerprint (never on the full text). Near-dup paths never materialize the
+  * O(n²) pair space — MinHash/LSH banding and SimHash segment-blocking both
+  * bound candidate generation to same-bucket pairs; the exact-Jaccard verifier
+  * then runs only on candidates. The quadratic `ngramJaccard` exists as the
+  * correctness oracle and is key-capped.
+  */
+object Dedup {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+
+  /** Exact dedup via 128-bit content fingerprint: one shuffle on md5(text),
+    * keeper = lowest doc_id per group. */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy(md5(col("text").cast("binary")).as("fingerprint"))
+      .agg(count(lit(1)).as("dup_ct"), min(col("doc_id")).as("keeper_doc_id"))
+
+  /** Exact pairwise 3-gram-shingle Jaccard ≥ 0.5 (capped at doc_id < 500: this
+    * is the oracle/verifier path; the scale path is [[minhashLsh]]). */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .filter(col("doc_id") < 500)
+      .select(col("doc_id"), tokensCol(col("text")).as("toks"))
+    val sh = toks
+      .select(col("doc_id"), explode(array_distinct(shinglesCol(col("toks"), 3))).as("sh"))
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sz.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .withColumn("jac", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jac") >= 0.5)
+      .select(col("da"), col("db"), col("jac"))
+  }
+
+  /** Near-dup candidate pairs that band-collide under MinHash LSH (64 perms,
+    * 16 bands × 4 rows ⇒ S-curve threshold ≈ (1/16)^(1/4) ≈ 0.5), then verified
+    * with exact shingle Jaccard ≥ 0.5 so every emitted pair is a true near-dup.
+    * Cost: one shuffle on (band, bandHash) + verification on candidates only. */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val bands = 16
+    val rows = MinHashPerms / bands
+    val base = docs(spark, dir)
+      .select(col("doc_id"), array_distinct(shinglesCol(tokensCol(col("text")), 3)).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+    val sig = base.withColumn("sig", minhashUdf(col("shingles")))
+    val banded = sig.select(
+      col("doc_id"), col("shingles"),
+      posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat(lit("band"), b, slice(col("sig"), b * rows + 1, lit(rows)).cast("string"))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.shingles").as("sha"), col("b.shingles").as("shb"))
+      .dropDuplicates("da", "db")
+    cand
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jac",
+        col("inter").cast("double") / (size(col("sha")) + size(col("shb")) - col("inter")))
+      .filter(col("jac") >= 0.5)
+      .select(col("da"), col("db"), col("jac"))
+  }
+
+  /** SimHash near-dup: 64-bit fingerprints, candidates blocked on 4×16-bit
+    * segments (guaranteed recall for hamming ≤ 3), emitted with their hamming
+    * distance ≤ 16 after verification on candidates. */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val fp = docs(spark, dir)
+      .select(col("doc_id"), simhashUdf(tokensCol(col("text"))).as("fp"))
+    val segments = array((0 until 4).map(i =>
+      shiftrightunsigned(col("fp"), i * 16).bitwiseAND(lit(0xffffL))): _*)
+    val seg = fp.select(col("doc_id"), col("fp"), posexplode(segments))
+      .withColumnRenamed("pos", "seg").withColumnRenamed("col", "seg_val")
+    val cand = seg.as("a")
+      .join(seg.as("b"),
+        col("a.seg") === col("b.seg") && col("a.seg_val") === col("b.seg_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.fp").as("fpa"), col("b.fp").as("fpb"))
+      .dropDuplicates("da", "db")
+    cand
+      .withColumn("hamming", bit_count(col("fpa").bitwiseXOR(col("fpb"))))
+      .filter(col("hamming") <= 16)
+      .select(col("da"), col("db"), col("hamming"))
+  }
+
+  /** Winnowing document fingerprints (rolling hash; Schleimer et al. SIGMOD'03):
+    * per-doc compact fingerprint set for copy detection. */
+  def winnowFingerprints(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), winnowUdf(col("text")).as("fps"))
+      .select(col("doc_id"), size(col("fps")).as("n_fps"),
+        array_min(col("fps")).as("min_fp"), array_max(col("fps")).as("max_fp"))
+}

@@ -1,0 +1,236 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Core relational / dataflow operators of the reference engine, re-expressed as
+  * idiomatic Spark batch plans over the driver's star schema.
+  *
+  * Mapping to SURVEY.md §2 inventory (reference: SunZhipengBigData/gmall-realtime2021):
+  *  - pricingSummary      → A23 windowless keyed agg + C sums (VisitorStatsApp.java:163-201 shape)
+  *  - filterProject       → A11/A12 predicate filters (BaseDBApp.java:44-48), A13 pruning
+  *  - starEnrichment      → A21 dim enrichment joins (OrderWideApp.java:114-167), broadcast dims
+  *  - orderLinesWindowJoin→ A19 interval join (OrderWideApp.java:101-112) batch analog
+  *  - tumblingWindowStats → A23 keyed tumbling window agg (VisitorStatsApp.java:163-201)
+  *  - dailyDistinct       → A24/A25 exact distinct per window (ProductStatsApp.java:218-265)
+  *  - uvDedup             → A17 daily first-visit dedup (UniqueVisitApp.java:41-74) batch analog
+  *  - isNewRepair         → A16 new-visitor flag repair (BaseLogApp.java:156-204) batch analog
+  *  - bounceDetect        → A18 CEP bounce/jump detection (UserJumpDetailApp.java:51-92) batch analog
+  *  - unionStats          → A22 multi-stream union (ProductStatsApp.java:202-209)
+  *  - configRouter        → A15 config-driven router (TableProcessFunction.java:160-199)
+  *  - topnPerNation       → ADS top-N extension (SURVEY §2E)
+  *  - jsonProps           → A9 JSON projection (BaseLogApp.java:140-148)
+  *  - purchaseViewPairs   → A20 payment⋈order interval join (PaymentWideApp.java:65-75) analog
+  *  - provinceStats       → A25 SQL agg with count(distinct) (ProvinceStatsApp.java:39-55)
+  *
+  * Numeric discipline for oracle parity: money/value aggregates are computed in
+  * DecimalType (exact, order-insensitive) and only cast to Double at the output
+  * edge — a Double `sum()` would be partition-order dependent and nondeterministic
+  * at scale. Timestamps are micro-second precision on both engines (Tables.events).
+  */
+object Relational {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  /** TPC-H Q1-shaped pricing summary: filter → hash agg with decimal sums.
+    * Partial aggregation (map-side combine) + filter pushdown to the parquet scan
+    * happen automatically; verified via .explain in RelationalSpec. */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        expr("cast(sum(cast(l_quantity as decimal(18,2))) as double)").as("sum_qty"),
+        expr("cast(sum(cast(l_extendedprice as decimal(18,2))) as double)").as("sum_base_price"),
+        expr("cast(sum(cast(l_extendedprice as decimal(18,2)) * (1 - cast(l_discount as decimal(18,2)))) as double)")
+          .as("sum_disc_price"),
+        expr("cast(sum(cast(l_quantity as decimal(18,2))) as double) / count(*)").as("avg_qty"),
+        count(lit(1)).as("count_order"))
+
+  /** Predicate filter + column pruning: only 5 of 16 lineitem columns should reach
+    * the scan (ReadSchema) and both predicates should be in PushedFilters. */
+  def filterProject(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_quantity") > 45 && col("l_returnflag") === "R")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
+
+  /** Star-schema enrichment: fact ⋈ dims with explicit broadcast of the small
+    * dimension tables — the Spark-native replacement for the reference's
+    * async Redis/Phoenix dim lookup chain (A21). */
+  def starEnrichment(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val customer = t(spark, dir, "customer")
+    val nation = t(spark, dir, "nation")
+    val region = t(spark, dir, "region")
+    orders
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(
+        count(lit(1)).as("order_ct"),
+        expr("cast(sum(cast(o_totalprice as decimal(18,2))) as double)").as("total_revenue"),
+        countDistinct(col("o_custkey")).as("cust_ct"))
+  }
+
+  /** Equi-join with a time-range band — the batch analog of the reference's
+    * stream-stream interval join (order_info ⋈ order_detail ±5ms, A19).
+    * The equi key keeps it a shuffled hash join; the range predicate is a
+    * post-join filter, not a nested-loop. */
+  def orderLinesWindowJoin(spark: SparkSession, dir: String): DataFrame = {
+    val l = t(spark, dir, "lineitem")
+    val o = t(spark, dir, "orders")
+    l.join(o, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate").between(col("o_orderdate"), col("o_orderdate") + expr("interval 30 days")))
+      .groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).as("line_ct"),
+        expr("cast(sum(cast(l_extendedprice as decimal(18,2))) as double)").as("amount"))
+  }
+
+  /** 10-minute tumbling-window stats per event_type over the events stream table —
+    * the VisitorStats window agg (A23/D4) with string-formatted window bounds,
+    * exactly as the reference formats stt/edt. */
+  def tumblingWindowStats(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(window(col("event_time"), "10 minutes"), col("event_type"))
+      .agg(
+        count(lit(1)).as("pv_ct"),
+        expr("cast(sum(cast(value as decimal(18,2))) as double)").as("value_sum"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
+        date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),
+        col("event_type"), col("pv_ct"), col("value_sum"))
+
+  /** Daily exact-distinct visitor counts + conditional aggregates (A24/A25). */
+  def dailyDistinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(date_format(date_trunc("day", col("event_time")), "yyyy-MM-dd").as("dt"))
+      .agg(
+        countDistinct(col("user_id")).as("uv"),
+        count(lit(1)).as("pv"),
+        count(when(col("event_type") === "purchase", 1)).as("purchase_ct"),
+        expr("cast(sum(case when event_type = 'purchase' then cast(value as decimal(18,2)) else cast(0 as decimal(18,2)) end) as double)")
+          .as("purchase_amount"))
+
+  /** Daily first visit per user (UV dedup, A17): keep only each user's first
+    * event per day. Deterministic tiebreak (event_time, event_id). */
+  def uvDedup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("dt"), col("user_id"))
+      .orderBy(col("event_time"), col("event_id"))
+    t(spark, dir, "events")
+      .withColumn("dt", date_format(date_trunc("day", col("event_time")), "yyyy-MM-dd"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("dt"), col("user_id"), col("event_id").as("first_event_id"))
+  }
+
+  /** New-visitor flag repair (A16): an event is genuinely "new" only if it falls
+    * on the user's first-ever active day. */
+  def isNewRepair(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+      .withColumn("day", date_trunc("day", col("event_time")))
+    val firstDay = e.groupBy("user_id").agg(min(col("day")).as("first_day"))
+    e.join(firstDay, "user_id")
+      .groupBy(date_format(col("day"), "yyyy-MM-dd").as("dt"))
+      .agg(
+        count(when(col("day") === col("first_day"), 1)).as("new_ct"),
+        count(when(col("day") =!= col("first_day"), 1)).as("old_ct"))
+  }
+
+  /** Bounce/jump detection (A18 batch analog): an event is a bounce if the same
+    * user produces no further event within 30 minutes. The streaming twin
+    * (event-time timeout state machine) lives in graft.streaming.Stateful. */
+  def bounceDetect(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_time"), col("event_id"))
+    t(spark, dir, "events")
+      .withColumn("nxt", lead(col("event_time"), 1).over(w))
+      .filter(col("nxt").isNull || col("nxt") > col("event_time") + expr("interval 30 minutes"))
+      .groupBy(date_format(date_trunc("day", col("event_time")), "yyyy-MM-dd").as("dt"))
+      .agg(count(lit(1)).as("bounce_ct"))
+  }
+
+  /** Multi-stream union (A22): two homogeneous derived streams unioned then
+    * aggregated, the ProductStats 7-way-union shape. */
+  def unionStats(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    val interactions = e.filter(col("event_type").isin("view", "click"))
+      .select(lit("interaction").as("stream"), col("event_type"), col("value"))
+    val conversions = e.filter(col("event_type") === "purchase")
+      .select(lit("conversion").as("stream"), col("event_type"), col("value"))
+    interactions.unionByName(conversions)
+      .groupBy("stream", "event_type")
+      .agg(
+        count(lit(1)).as("ct"),
+        expr("cast(sum(cast(value as decimal(18,2))) as double)").as("value_sum"))
+  }
+
+  /** Config-driven router (A15): route each record by joining against a small
+    * config table (the reference's MySQL table_process), broadcast so routing
+    * adds no shuffle. */
+  def configRouter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cfg = Seq(
+      ("signup", "dim_users", "hbase"),
+      ("purchase", "fact_orders", "kafka"),
+      ("click", "fact_traffic", "kafka"),
+      ("view", "fact_traffic", "kafka"),
+      ("error", "side_errors", "kafka"))
+      .toDF("event_type", "sink_table", "sink_type")
+    t(spark, dir, "events")
+      .join(broadcast(cfg), "event_type")
+      .groupBy("sink_type", "sink_table")
+      .agg(count(lit(1)).as("ct"), countDistinct(col("user_id")).as("user_ct"))
+  }
+
+  /** Top-3 customers by revenue per nation (rank/top-N, ADS extension §2E). */
+  def topnPerNation(spark: SparkSession, dir: String): DataFrame = {
+    val rev = t(spark, dir, "orders")
+      .join(t(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_nationkey", "o_custkey")
+      .agg(
+        expr("cast(sum(cast(o_totalprice as decimal(18,2))) as double)").as("revenue"),
+        count(lit(1)).as("order_ct"))
+    val w = Window.partitionBy(col("c_nationkey")).orderBy(col("revenue").desc, col("o_custkey"))
+    rev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .join(broadcast(t(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("o_custkey").as("custkey"), col("revenue"), col("order_ct"), col("rn"))
+  }
+
+  /** JSON projection (A9): parse the props JSON payload, extract + bucket a field. */
+  def jsonProps(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy((col("k") % 10).as("k_bucket"))
+      .agg(
+        count(lit(1)).as("ct"),
+        expr("cast(sum(cast(value as decimal(18,2))) as double)").as("value_sum"))
+
+  /** Payment⋈order-shaped interval join (A20): purchases matched to the same
+    * user's views in the preceding 30 minutes. */
+  def purchaseViewPairs(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_time").as("p_time"), col("event_id").as("p_id"))
+    val v = e.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_time").as("v_time"))
+    p.join(v, col("user_id") === col("v_user") &&
+        col("v_time").between(col("p_time") - expr("interval 30 minutes"), col("p_time")))
+      .groupBy(date_format(date_trunc("day", col("p_time")), "yyyy-MM-dd").as("dt"))
+      .agg(count(lit(1)).as("pair_ct"), countDistinct(col("p_id")).as("purchase_ct"))
+  }
+
+  /** ProvinceStats (A25): per-nation order_count = exact count(distinct) + sum. */
+  def provinceStats(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .join(t(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("province_name"))
+      .agg(
+        countDistinct(col("o_orderkey")).as("order_count"),
+        expr("cast(sum(cast(o_totalprice as decimal(18,2))) as double)").as("order_amount"))
+}

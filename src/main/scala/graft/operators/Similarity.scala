@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.VectorFns._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over the `embeddings` table (`array<float>` columns).
+  *
+  * Scale design: the brute-force path broadcasts the (small) QUERY set against
+  * the (huge) candidate corpus — a map-side-only scan with no shuffle of the
+  * corpus; per-query top-k then shuffles only k·|queries| rows. The LSH path
+  * buckets candidates by random-hyperplane signature so each query only scans
+  * its own bucket — the 100 TB ANN strategy (IVF-style, deterministic planes).
+  */
+object Similarity {
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "embeddings")
+
+  /** Exact top-5 cosine neighbors for queries vec_id < 10 (broadcast queries,
+    * scan corpus once, rank per query). */
+  def knnBruteForce(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosineCol(col("qv"), col("cv")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"))
+  }
+
+  /** All embedding pairs with cosine > 0.4 (embedding near-dup detection).
+    * Quadratic verifier path, kept for the oracle; [[annLsh]] is the scale path. */
+  def cosineNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val a = emb(spark, dir).select(col("vec_id").as("va"), col("embedding").as("ea"))
+    val b = emb(spark, dir).select(col("vec_id").as("vb"), col("embedding").as("eb"))
+    a.join(b, col("va") < col("vb"))
+      .withColumn("cos", cosineCol(col("ea"), col("eb")))
+      .filter(col("cos") > 0.4)
+      .select(col("va"), col("vb"))
+  }
+
+  /** Approximate top-3 neighbors via random-hyperplane LSH: candidates must
+    * share the 8-bit signature bucket with the query; exact cosine re-ranks
+    * within the bucket. Recall measured against [[knnBruteForce]] in ScalaTest. */
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sigU = hyperplaneSigUdf(8)
+    val e = emb(spark, dir).withColumn("bucket", sigU(col("embedding")))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("bucket"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"), col("bucket"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosineCol(col("qv"), col("cv")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"))
+  }
+}

@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFns._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table: keyword extraction
+  * (the reference's KeywordStatsApp tokenize→explode→agg shape, B1/A26),
+  * language ID, quality scoring, and token counting — the text half of the
+  * training-data pipeline operator set.
+  */
+object TextOps {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+
+  /** Keyword stats (B1 + A26): tokenize → explode → count per token.
+    * Uses the native regexp tokenizer (codegen'd); the CJK-aware UDF variant is
+    * exercised in ScalaTest (ASCII-equal on this corpus). */
+  def keywordTokens(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), explode(tokensCol(col("text"))).as("keyword"))
+      .groupBy("keyword")
+      .agg(count(lit(1)).as("ct"), countDistinct(col("doc_id")).as("doc_ct"))
+
+  /** Unpivot (B2/A27, the keywordProductC2R column-to-row UDTF) via `stack`. */
+  def unpivotMetrics(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .selectExpr(
+        "l_returnflag",
+        """stack(3,
+             'qty',   cast(l_quantity      as decimal(18,2)),
+             'price', cast(l_extendedprice as decimal(18,2)),
+             'disc',  cast(l_discount      as decimal(18,2))) as (metric, val)""")
+      .filter(col("val") > 0)
+      .groupBy("l_returnflag", "metric")
+      .agg(expr("cast(sum(val) as double)").as("total"), count(lit(1)).as("ct"))
+
+  /** n-gram-heuristic language ID vs the labeled lang column. */
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("predicted", langIdCol(col("text")))
+      .groupBy("lang", "predicted")
+      .agg(count(lit(1)).as("ct"))
+
+  /** Quality scoring: token counts, stopword ratio, length-based accept flag. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val scored = docs(spark, dir)
+      .withColumn("token_ct", size(tokensCol(col("text"))))
+      .withColumn("stop_ratio", stopwordRatioCol(col("text")))
+      .withColumn("good",
+        col("token_ct").between(30, 400) && col("stop_ratio") <= lit(0.5))
+    scored.groupBy("source")
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(col("token_ct")).as("total_tokens"),
+        count(when(col("good"), 1)).as("good_ct"),
+        expr("cast(sum(token_ct) as double) / count(*)").as("avg_tokens"))
+  }
+
+  /** BPE-ish token counting per language. */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("bpe_ct", bpeTokenCountCol(col("text")))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(col("bpe_ct")).as("total_bpe_tokens"),
+        expr("cast(sum(bpe_ct) as double) / count(*)").as("avg_bpe_tokens"))
+
+  /** Multimodal column plumbing, SQL-visible part: treat the payload as opaque
+    * bytes and aggregate size metadata. The binary decode/feature pipeline
+    * (deterministic stub, batched mapPartitions) is graft.operators.Multimodal. */
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(octet_length(col("text"))).as("total_bytes"),
+        max(octet_length(col("text"))).cast("long").as("max_bytes"))
+}
