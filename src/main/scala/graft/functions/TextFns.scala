@@ -121,6 +121,106 @@ object TextFns {
 
   val minhashUdf = udf(minhash _)
 
+  /** LSH band hashes computed in ONE pass (signature + per-band FNV fold).
+    * Returning the band hashes directly keeps the signature computation from
+    * being duplicated by projection collapse (one UDF call per row, not one
+    * per band expression). */
+  def minhashBands(shingles: Seq[String], bands: Int): Array[Long] = {
+    val sig = minhash(shingles)
+    val rows = MinHashPerms / bands
+    Array.tabulate(bands) { b =>
+      var h = 0xcbf29ce484222325L ^ b.toLong
+      var i = b * rows
+      while (i < (b + 1) * rows) { h ^= sig(i); h *= 0x100000001b3L; i += 1 }
+      h
+    }
+  }
+
+  def minhashBandsUdf(bands: Int) = udf((s: Seq[String]) => minhashBands(s, bands))
+
+  // ------- single-pass text → shingle-hash / band-hash kernels -------
+  //
+  // The composable path (tokensCol → shinglesCol → array_distinct → minhash)
+  // is semantically clean but slow in practice: Spark's higher-order array
+  // functions are CodegenFallback (interpreted) and each shingle materializes
+  // a string. These kernels do ONE pass over the text per document: regex
+  // tokenize, incremental FNV over "t0 t1 t2" (char-identical to
+  // fnv64(concat) for ASCII tokens), dedup into a hash set. Near-dup
+  // detection then operates on 64-bit shingle hashes — Jaccard over hashes
+  // equals Jaccard over strings up to 2^-64 collisions.
+
+  private val TokenPattern = java.util.regex.Pattern.compile("[a-z0-9]+")
+
+  private def fnvMix(h0: Long, s: String): Long = {
+    var h = h0
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** Distinct 3-gram shingle hashes of a document, one pass, no shingle strings. */
+  def shingleHashes(text: String, n: Int = 3): Array[Long] = {
+    if (text == null) return Array.empty
+    val toks = scala.collection.mutable.ArrayBuffer.empty[String]
+    val m = TokenPattern.matcher(text.toLowerCase)
+    while (m.find()) toks += m.group()
+    if (toks.length < n) return Array.empty
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i + n <= toks.length) {
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < n) {
+        if (j > 0) { h ^= ' '.toLong; h *= 0x100000001b3L }
+        h = fnvMix(h, toks(i + j))
+        j += 1
+      }
+      seen.add(h)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    out
+  }
+
+  val shingleHashesUdf = udf((s: String) => shingleHashes(s))
+
+  /** MinHash signature from pre-hashed shingles. */
+  def minhashFromHashes(hashes: Array[Long]): Array[Long] = {
+    val sig = Array.fill(MinHashPerms)(Long.MaxValue)
+    var k = 0
+    while (k < hashes.length) {
+      val h = hashes(k)
+      var i = 0
+      while (i < MinHashPerms) {
+        val (a, b) = perms(i)
+        val v = a * h + b
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+      k += 1
+    }
+    sig
+  }
+
+  /** text → LSH band hashes, one pass (tokenize + shingle-hash + minhash + fold). */
+  def textBands(text: String, bands: Int): Array[Long] = {
+    val hashes = shingleHashes(text)
+    if (hashes.isEmpty) return Array.empty
+    val sig = minhashFromHashes(hashes)
+    val rows = MinHashPerms / bands
+    Array.tabulate(bands) { b =>
+      var h = 0xcbf29ce484222325L ^ b.toLong
+      var i = b * rows
+      while (i < (b + 1) * rows) { h ^= sig(i); h *= 0x100000001b3L; i += 1 }
+      h
+    }
+  }
+
+  def textBandsUdf(bands: Int) = udf((s: String) => textBands(s, bands))
+
   /** Fraction of agreeing signature positions — unbiased Jaccard estimate. */
   def sigSimilarity(x: Seq[Long], y: Seq[Long]): Double = {
     var agree = 0
@@ -177,15 +277,13 @@ object TextFns {
   val MarkersDe = Seq("der", "die", "das", "und", "ist")
   val MarkersFr = Seq("le", "les", "et", "est", "une")
 
-  private def markerCt(tokens: Column, markers: Seq[String]): Column = {
-    val set = markers.map(m => s"'$m'").mkString(", ")
+  def markerCt(tokens: Column, markers: Seq[String]): Column =
     size(filter(tokens, tk => tk.isin(markers.map(lit(_)): _*)))
-  }
 
-  /** Marker-token counts per language; CJK presence short-circuits to zh.
+  /** Marker-token counts per language over a pre-tokenized column (tokenize
+    * once, score many); CJK presence in the raw text short-circuits to zh.
     * Deterministic tiebreak order en > es > de > fr (mirrored in the oracle SQL). */
-  def langIdCol(text: Column): Column = {
-    val toks = tokensCol(text)
+  def langIdFromToks(toks: Column, text: Column): Column = {
     val en = markerCt(toks, StopwordsEn)
     val es = markerCt(toks, MarkersEs)
     val de = markerCt(toks, MarkersDe)
@@ -198,10 +296,12 @@ object TextFns {
       .otherwise("fr")
   }
 
-  /** Stopword ratio over tokens (0 for empty docs). */
-  def stopwordRatioCol(text: Column): Column = {
-    val toks = tokensCol(text)
+  def langIdCol(text: Column): Column = langIdFromToks(tokensCol(text), text)
+
+  /** Stopword ratio over a pre-tokenized column (0 for empty docs). */
+  def stopwordRatioFromToks(toks: Column): Column =
     when(size(toks) === 0, 0.0)
       .otherwise(markerCt(toks, StopwordsEn).cast("double") / size(toks))
-  }
+
+  def stopwordRatioCol(text: Column): Column = stopwordRatioFromToks(tokensCol(text))
 }

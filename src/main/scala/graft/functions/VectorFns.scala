@@ -27,6 +27,14 @@ object VectorFns {
   def cosineCol(a: Column, b: Column): Column =
     dotCol(a, b) / (normCol(a) * normCol(b))
 
+  // ---- codegen'd fast path (graft.plans.DotProductF; register first) ----
+
+  /** Requires VectorExpressions.register(spark) (or the GraftExtensions
+    * session extension). Bit-identical to [[dotCol]], no per-row allocation. */
+  def dotFastCol(a: Column, b: Column): Column = call_function("dot_f", a, b)
+
+  def normFastCol(a: Column): Column = sqrt(call_function("dot_f", a, a))
+
   /** Random-hyperplane LSH bucket id: `nPlanes` sign bits packed into an int.
     * Hyperplane components are deterministic pseudo-randoms derived from
     * SplitMix64(plane, dim) — identical on every executor without shipping

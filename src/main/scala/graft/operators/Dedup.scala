@@ -54,25 +54,25 @@ object Dedup {
     * Cost: one shuffle on (band, bandHash) + verification on candidates only. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val bands = 16
-    val rows = MinHashPerms / bands
-    val base = docs(spark, dir)
-      .select(col("doc_id"), array_distinct(shinglesCol(tokensCol(col("text")), 3)).as("shingles"))
-      .filter(size(col("shingles")) > 0)
-    val sig = base.withColumn("sig", minhashUdf(col("shingles")))
-    val banded = sig.select(
-      col("doc_id"), col("shingles"),
-      posexplode(transform(
-        sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat(lit("band"), b, slice(col("sig"), b * rows + 1, lit(rows)).cast("string"))))))
+    // Single-pass kernels (TextFns.textBands / shingleHashes): the banding side
+    // shuffles only (doc_id, band, band_hash); the verification side joins
+    // 64-bit shingle-hash arrays back for surviving candidates only, so the
+    // expensive text processing runs O(n) times, never per candidate pair.
+    val banded = docs(spark, dir)
+      .select(col("doc_id"), posexplode(textBandsUdf(bands)(col("text"))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
-        col("a.shingles").as("sha"), col("b.shingles").as("shb"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .dropDuplicates("da", "db")
+    val hashes = docs(spark, dir)
+      .select(col("doc_id"), shingleHashesUdf(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
     cand
+      .join(hashes.select(col("doc_id").as("da"), col("sh").as("sha")), "da")
+      .join(hashes.select(col("doc_id").as("db"), col("sh").as("shb")), "db")
       .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
       .withColumn("jac",
         col("inter").cast("double") / (size(col("sha")) + size(col("shb")) - col("inter")))

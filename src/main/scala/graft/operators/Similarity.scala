@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.VectorFns._
+import graft.plans.VectorExpressions
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -13,22 +14,32 @@ import org.apache.spark.sql.expressions.Window
   * corpus; per-query top-k then shuffles only k·|queries| rows. The LSH path
   * buckets candidates by random-hyperplane signature so each query only scans
   * its own bucket — the 100 TB ANN strategy (IVF-style, deterministic planes).
+  *
+  * Hot-path arithmetic uses the codegen'd `dot_f` Catalyst expression
+  * (graft.plans.DotProductF); row norms are computed ONCE per row before any
+  * pairwise join, never per pair. `cos = dot/(sqrt(dot(a,a))*sqrt(dot(b,b)))`
+  * keeps the exact operation order of the composed VectorFns version, so
+  * results stay bit-identical to the DuckDB oracle comparison.
   */
 object Similarity {
 
-  private def emb(spark: SparkSession, dir: String): DataFrame =
+  private def emb(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
     Tables.load(spark, dir, "embeddings")
+  }
 
   /** Exact top-5 cosine neighbors for queries vec_id < 10 (broadcast queries,
     * scan corpus once, rank per query). */
   def knnBruteForce(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
     val q = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        normFastCol(col("embedding")).as("qn"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+      normFastCol(col("embedding")).as("cn"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
     c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosineCol(col("qv"), col("cv")))
+      .withColumn("cos", dotFastCol(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5)
       .select(col("query_id"), col("neighbor_id"), col("rnk"))
@@ -37,11 +48,12 @@ object Similarity {
   /** All embedding pairs with cosine > 0.4 (embedding near-dup detection).
     * Quadratic verifier path, kept for the oracle; [[annLsh]] is the scale path. */
   def cosineNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val a = emb(spark, dir).select(col("vec_id").as("va"), col("embedding").as("ea"))
-    val b = emb(spark, dir).select(col("vec_id").as("vb"), col("embedding").as("eb"))
+    val e = emb(spark, dir)
+      .select(col("vec_id"), col("embedding"), normFastCol(col("embedding")).as("nrm"))
+    val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("nrm").as("nb"))
     a.join(b, col("va") < col("vb"))
-      .withColumn("cos", cosineCol(col("ea"), col("eb")))
-      .filter(col("cos") > 0.4)
+      .filter(dotFastCol(col("ea"), col("eb")) / (col("na") * col("nb")) > 0.4)
       .select(col("va"), col("vb"))
   }
 
@@ -50,14 +62,18 @@ object Similarity {
     * within the bucket. Recall measured against [[knnBruteForce]] in ScalaTest. */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     val sigU = hyperplaneSigUdf(8)
-    val e = emb(spark, dir).withColumn("bucket", sigU(col("embedding")))
+    val e = emb(spark, dir)
+      .withColumn("bucket", sigU(col("embedding")))
+      .withColumn("nrm", normFastCol(col("embedding")))
     val q = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("bucket"))
-    val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"), col("bucket"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qn"), col("bucket"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+      col("nrm").as("cn"), col("bucket"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
     c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosineCol(col("qv"), col("cv")))
+      .withColumn("cos", dotFastCol(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 3)
       .select(col("query_id"), col("neighbor_id"), col("rnk"))

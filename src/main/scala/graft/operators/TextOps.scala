@@ -37,18 +37,21 @@ object TextOps {
       .groupBy("l_returnflag", "metric")
       .agg(expr("cast(sum(val) as double)").as("total"), count(lit(1)).as("ct"))
 
-  /** n-gram-heuristic language ID vs the labeled lang column. */
+  /** n-gram-heuristic language ID vs the labeled lang column.
+    * Tokenizes once into a materialized column, then scores all marker sets. */
   def langId(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
-      .withColumn("predicted", langIdCol(col("text")))
+      .withColumn("toks", tokensCol(col("text")))
+      .withColumn("predicted", langIdFromToks(col("toks"), col("text")))
       .groupBy("lang", "predicted")
       .agg(count(lit(1)).as("ct"))
 
   /** Quality scoring: token counts, stopword ratio, length-based accept flag. */
   def qualityScore(spark: SparkSession, dir: String): DataFrame = {
     val scored = docs(spark, dir)
-      .withColumn("token_ct", size(tokensCol(col("text"))))
-      .withColumn("stop_ratio", stopwordRatioCol(col("text")))
+      .withColumn("toks", tokensCol(col("text")))
+      .withColumn("token_ct", size(col("toks")))
+      .withColumn("stop_ratio", stopwordRatioFromToks(col("toks")))
       .withColumn("good",
         col("token_ct").between(30, 400) && col("stop_ratio") <= lit(0.5))
     scored.groupBy("source")
