@@ -1,0 +1,45 @@
+package graft.streaming
+
+/** Typed event model for the streaming operators — the subset of the
+  * reference's app-log JSON (FIXTURES.md §1, documented at
+  * app/dwd/BaseLogApp.java:32-110) that the stateful operators key on.
+  * `ts` is epoch millis, as in the reference.
+  */
+case class LogEvent(
+    mid: String,
+    uid: String,
+    ar: String,
+    ch: String,
+    vc: String,
+    is_new: String,
+    page_id: Option[String],
+    last_page_id: Option[String],
+    during_time: Option[Long],
+    ts: Long)
+
+/** Order fact (reference bean/OrderInfo.java, trimmed): `create_ts` millis. */
+case class OrderInfo(
+    id: Long,
+    user_id: Long,
+    province_id: Long,
+    total_amount: BigDecimal,
+    create_ts: Long)
+
+/** Order line fact (reference bean/OrderDetail.java, trimmed). */
+case class OrderDetail(
+    id: Long,
+    order_id: Long,
+    sku_id: Long,
+    order_price: BigDecimal,
+    sku_num: Long,
+    split_total_amount: BigDecimal,
+    create_ts: Long)
+
+/** Payment fact (reference bean/PaymentInfo.java, trimmed): event time is the
+  * callback time, as in app/dwm/PaymentWideApp.java:48-54. */
+case class PaymentInfo(
+    id: Long,
+    order_id: Long,
+    payment_type: String,
+    total_amount: BigDecimal,
+    callback_ts: Long)

@@ -1,0 +1,129 @@
+package graft.streaming
+
+import java.time.{Instant, LocalDate, ZoneOffset}
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** The reference's keyed-state operators, re-expressed with
+  * `flatMapGroupsWithState` — the only pieces of the gmall pipelines with no
+  * declarative Spark equivalent (SURVEY.md §4):
+  *
+  *  - [[repairIsNew]]   ← A16, BaseLogApp.java:156-204 (ValueState firstVisitDate)
+  *  - [[dailyUv]]       ← A17, UniqueVisitApp.java:41-74 (ValueState + 1-day TTL)
+  *  - [[detectBounces]] ← A18, UserJumpDetailApp.java:51-92 (CEP within-10s timeout)
+  *
+  * All three key by `mid` (device id) — at scale the state shuffle partitions by
+  * device, state per key is O(1) (a date string / one buffered event), and
+  * event-time timeouts bound state growth exactly like the reference's
+  * StateTtlConfig / CEP `within`.
+  *
+  * Semantics are event-time per-group; within a micro-batch the group iterator
+  * is processed in `ts` order (events of one key may arrive unsorted in a
+  * batch — the reference sees them one at a time in arrival order, but sorts
+  * implicitly by single-event processing; we sort explicitly for determinism).
+  */
+object Stateful {
+
+  private def dayOf(tsMillis: Long): String =
+    LocalDate.ofInstant(Instant.ofEpochMilli(tsMillis), ZoneOffset.UTC).toString
+
+  // ---------------- A16: new-visitor flag repair ----------------
+
+  /** Per-mid ValueState[firstVisitDate]: an event claiming `is_new=1` on a later
+    * day than the device's first-visit date is rewritten to `is_new=0`. */
+  def repairIsNew(events: Dataset[LogEvent]): Dataset[LogEvent] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.mid)
+      .flatMapGroupsWithState[String, LogEvent](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, it: Iterator[LogEvent], state: GroupState[String]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts, e.page_id))
+          val out = sorted.map { e =>
+            val day = dayOf(e.ts)
+            val first = state.getOption
+            if (first.isEmpty) { state.update(day); e }
+            else if (e.is_new == "1" && first.get != day) e.copy(is_new = "0")
+            else e
+          }
+          out.iterator
+      }
+  }
+
+  // ---------------- A17: daily unique-visitor dedup ----------------
+
+  /** Per-mid ValueState[lastVisitDate] with a 1-day event-time TTL: keep only
+    * each device's first session-entry event (`last_page_id` empty) per day.
+    * Requires a watermark on the input for the timeout clock. */
+  def dailyUv(events: Dataset[LogEvent]): Dataset[LogEvent] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(e => e.last_page_id.isEmpty || e.last_page_id.contains(""))
+      .groupByKey(_.mid)
+      .flatMapGroupsWithState[String, LogEvent](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: String, it: Iterator[LogEvent], state: GroupState[String]) =>
+          if (state.hasTimedOut) { // TTL expired: evict, exactly StateTtlConfig(1d)
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = it.toSeq.sortBy(_.ts)
+            val out = scala.collection.mutable.ArrayBuffer.empty[LogEvent]
+            sorted.foreach { e =>
+              val day = dayOf(e.ts)
+              if (!state.getOption.contains(day)) { state.update(day); out += e }
+            }
+            // TTL parity with StateTtlConfig(1 day): evict at last event + 24h
+            state.setTimeoutTimestamp(sorted.last.ts + 86400000L)
+            out.iterator
+          }
+      }
+  }
+
+  // ---------------- A18: bounce (jump) detection ----------------
+
+  /** CEP port: a session-entry event (`last_page_id` empty) with NO follow-up
+    * page view for the same mid within `gapMillis` is a bounce. Matched pairs
+    * are discarded; the timed-out entry event is the result — exactly the
+    * reference's timeout-branch semantics. Emission happens either when a
+    * later event proves the gap (in-batch) or via event-time timeout once the
+    * watermark passes entry_ts + gap. */
+  def detectBounces(events: Dataset[LogEvent], gapMillis: Long = 10000L): Dataset[LogEvent] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.mid)
+      .flatMapGroupsWithState[BounceState, LogEvent](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: String, it: Iterator[LogEvent], state: GroupState[BounceState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed pending.ts + gap with no follow-up: bounce
+            val out = state.getOption.map(_.pending).toList
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = it.toSeq.sortBy(_.ts)
+            val out = scala.collection.mutable.ArrayBuffer.empty[LogEvent]
+            var pending = state.getOption.map(_.pending)
+            sorted.foreach { e =>
+              pending match {
+                case Some(p) =>
+                  if (e.ts > p.ts + gapMillis) { out += p; pending = None }
+                  else pending = None // follow-up within gap: not a bounce
+                case None =>
+              }
+              if (e.last_page_id.forall(_.isEmpty)) pending = Some(e)
+            }
+            pending match {
+              case Some(p) =>
+                state.update(BounceState(p))
+                state.setTimeoutTimestamp(p.ts + gapMillis)
+              case None => state.remove()
+            }
+            out.iterator
+          }
+      }
+  }
+
+  case class BounceState(pending: LogEvent)
+}

@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.SparkSuite
+import graft.functions.VectorFns
+import graft.plans.VectorExpressions
+import org.apache.spark.sql.functions._
+
+/** The LSH/signature scale paths have no SQL oracle (their output depends on
+  * our hash constants), so this spec IS their correctness gate: each is checked
+  * against the exact, oracled verifier path on real testdata.
+  */
+class DedupSimilaritySpec extends SparkSuite {
+
+  test("minhashLsh finds the exact-Jaccard pair set with full precision and high recall") {
+    val exact = Dedup.ngramJaccard(spark, sf001)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLsh(spark, sf001)
+      .filter(col("da") < 500 && col("db") < 500) // align with the capped exact path
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain near-dup pairs")
+    // post-verification makes every emitted pair a true pair
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh -- exact}")
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall (found ${lsh.size} of ${exact.size})")
+  }
+
+  test("simhashPairs: emitted pairs verified, hamming<=3 ground truth fully recalled") {
+    import graft.functions.TextFns
+    // ground truth in the driver: 500 docs, all-pairs hamming over fingerprints
+    val fps = graft.Tables.load(spark, sf001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> TextFns.simhash(TextFns.tokenize(r.getString(1))))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val within3 = (for {
+      (da, fa) <- fps; (db, fb) <- fps
+      if da < db && ham(fa, fb) <= 3
+    } yield (da, db)).toSet
+    val out = Dedup.simhashPairs(spark, sf001)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Int]("hamming"))).toMap
+    // 4x16-bit segment blocking GUARANTEES recall for hamming <= 3
+    assert(within3.forall(out.contains), s"missed guaranteed pairs: ${within3 -- out.keySet}")
+    // every emitted pair honestly reports a verified distance within the radius
+    assert(out.values.forall(_ <= 16))
+    out.foreach { case ((da, db), h) =>
+      val fa = fps.find(_._1 == da).get._2
+      val fb = fps.find(_._1 == db).get._2
+      assert(ham(fa, fb) == h, s"pair ($da,$db) distance mismatch")
+    }
+  }
+
+  test("exact dedup groups by full-content fingerprint") {
+    val d = Dedup.exact(spark, sf001)
+    val total = d.agg(sum("dup_ct")).collect().head.getLong(0)
+    val docs = graft.Tables.load(spark, sf001, "documents").count()
+    assert(total == docs, "every doc lands in exactly one fingerprint group")
+  }
+
+  test("annLsh returns a subset of true neighbors with decent recall") {
+    val exact = Similarity.knnBruteForce(spark, sf001)
+      .filter(col("rnk") <= 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.annLsh(spark, sf001)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ann.intersect(exact).size.toDouble / exact.size
+    // multi-probe 4-bit LSH on random 64-dim data: modest recall by design;
+    // the point is bucketing correctness, not parity with brute force.
+    assert(recall >= 0.2, s"ann recall $recall vs exact top-3")
+    assert(ann.nonEmpty)
+  }
+
+  test("dot_f Catalyst expression is bit-identical to the composed column version") {
+    VectorExpressions.register(spark)
+    val e = graft.Tables.load(spark, sf0001, "embeddings").limit(200)
+    val both = e.select(
+      VectorFns.dotCol(col("embedding"), col("embedding")).as("slow"),
+      VectorFns.dotFastCol(col("embedding"), col("embedding")).as("fast"))
+    assert(both.filter(col("slow") =!= col("fast")).count() == 0)
+  }
+
+  test("dot_f participates in whole-stage codegen") {
+    VectorExpressions.register(spark)
+    val e = graft.Tables.load(spark, sf0001, "embeddings")
+    val plan = e.select(VectorFns.dotFastCol(col("embedding"), col("embedding")))
+      .queryExecution.executedPlan.toString
+    // the "*(n)" prefix marks operators inside a WholeStageCodegen stage
+    assert(plan.linesIterator.next().trim.startsWith("*(1) Project [dot_f"), plan)
+  }
+}

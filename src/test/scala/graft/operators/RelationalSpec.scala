@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.SparkSuite
+
+/** Plan-shape assertions: at 100 TB the *plan* is the product — these tests pin
+  * the properties that make the queries scale (pushdown, pruning, broadcast),
+  * plus smoke row counts at sf0.001.
+  */
+class RelationalSpec extends SparkSuite {
+
+  private def physicalPlan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  /** Full (un-elided) formatted explain — plain toString truncates PushedFilters. */
+  private def formatted(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("pricingSummary pushes the shipdate filter to the parquet scan") {
+    val plan = formatted(Relational.pricingSummary(spark, sf0001))
+    assert(plan.contains("LessThanOrEqual(l_shipdate"), plan)
+  }
+
+  test("filterProject prunes the scan to the 5 selected columns") {
+    val plan = formatted(Relational.filterProject(spark, sf0001))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"), readSchema)
+    assert(!readSchema.contains("l_shipdate") && !readSchema.contains("l_partkey"),
+      s"scan must not read unused columns: $readSchema")
+    assert(plan.contains("GreaterThan(l_quantity,45.0)") && plan.contains("EqualTo(l_returnflag,R)"),
+      plan)
+  }
+
+  test("starEnrichment broadcasts every dimension side") {
+    val plan = physicalPlan(Relational.starEnrichment(spark, sf0001))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(broadcasts >= 3, s"customer/nation/region joins should broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), "no shuffle join expected at dim sizes")
+  }
+
+  test("orderLinesWindowJoin keeps the equi-key hash join with the band as post-filter") {
+    val plan = physicalPlan(Relational.orderLinesWindowJoin(spark, sf0001))
+    assert(plan.contains("Join") && !plan.contains("CartesianProduct"),
+      s"banded equi-join must not degrade to a cartesian:\n$plan")
+  }
+
+  test("smoke: every SparkEntry query runs and returns rows at sf0.001") {
+    graft.SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf0001).count()
+      assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("entry flagship query returns rows") {
+    assert(graft.SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracleSql keys are a subset of queries keys") {
+    val missing = graft.SparkEntry.oracleSql.keySet -- graft.SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle entries without a query: $missing")
+  }
+}

@@ -1,0 +1,121 @@
+package graft.streaming
+
+import graft.SparkSuite
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class PipelinesSpec extends SparkSuite {
+
+  private val logSchema = StructType(Seq(
+    StructField("common", StructType(Seq(
+      StructField("ar", StringType), StructField("ch", StringType),
+      StructField("vc", StringType), StructField("is_new", StringType),
+      StructField("mid", StringType)))),
+    StructField("page", StructType(Seq(
+      StructField("page_id", StringType), StructField("last_page_id", StringType),
+      StructField("during_time", LongType)))),
+    StructField("start", StructType(Seq(
+      StructField("entry", StringType), StructField("loading_time", LongType)))),
+    StructField("displays", ArrayType(StructType(Seq(
+      StructField("display_type", StringType), StructField("item", StringType),
+      StructField("page_id", StringType))))),
+    StructField("ts", LongType)))
+
+  test("splitLog routes start/page/display with page_id injection") {
+    val rows = Seq(
+      Row(Row("110000", "web", "v1", "1", "m1"), null, Row("icon", 1200L), null, 1L),
+      Row(Row("110000", "web", "v1", "1", "m1"),
+        Row("good_detail", "home", 30L), null,
+        Seq(Row("promo", "sku_9", null), Row("query", "sku_7", null)), 2L),
+      Row(Row("120000", "app", "v2", "0", "m2"), Row("home", null, 10L), null, null, 3L))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), logSchema)
+    val (start, page, display) = Pipelines.splitLog(df)
+    assert(start.count() == 1)
+    assert(page.count() == 2)
+    val d = display.collect()
+    assert(d.length == 2)
+    // page_id of the hosting page event is injected into each display row
+    assert(d.forall(_.getStruct(d.head.fieldIndex("display"))
+      .getAs[String]("page_id") == "good_detail"))
+  }
+
+  test("visitorStats closes 10s windows under watermark (streaming)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(String, String, String, String, Long, Long, Long, Long, Long, Long)]
+    val deltas = ms.toDF().toDF(
+      "ar", "ch", "vc", "is_new", "pv_ct", "sv_ct", "uv_ct", "uj_ct", "dur_sum", "ts")
+      .withColumn("event_time", timestamp_millis(col("ts")))
+    val out = Pipelines.visitorStats(deltas)
+    val q = out.writeStream.format("memory").queryName("vs_out").outputMode("append").start()
+    try {
+      val t0 = 1700000000000L // aligned enough: windows are [t0 floor 10s, +10s)
+      ms.addData(
+        ("110000", "web", "v1", "1", 1L, 0L, 1L, 0L, 30L, t0),
+        ("110000", "web", "v1", "1", 1L, 1L, 0L, 0L, 40L, t0 + 1000))
+      q.processAllAvailable()
+      ms.addData(("110000", "web", "v1", "1", 1L, 0L, 0L, 0L, 5L, t0 + 60000)) // advance wm
+      q.processAllAvailable()
+      val res = spark.table("vs_out").collect()
+      assert(res.length == 1, s"one closed window expected, got ${res.toSeq}")
+      val r = res.head
+      assert(r.getAs[Long]("pv_ct") == 2L)
+      assert(r.getAs[Long]("sv_ct") == 1L)
+      assert(r.getAs[Long]("dur_sum") == 70L)
+      assert(r.getAs[String]("stt") == "2023-11-14 22:13:20") // 1700000000 epoch, 10s-aligned
+    } finally q.stop()
+  }
+
+  test("orderWide stream-stream interval join matches within the time band") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val msI = MemoryStream[OrderInfo]
+    val msD = MemoryStream[OrderDetail]
+    val joined = Pipelines.orderWide(msI.toDS(), msD.toDS(), slackMillis = 5L)
+    val q = joined.writeStream.format("memory").queryName("ow_out").outputMode("append").start()
+    try {
+      val t0 = 1700000000000L
+      msI.addData(OrderInfo(1L, 10L, 110L, BigDecimal("99.50"), t0))
+      msD.addData(
+        OrderDetail(100L, 1L, 7L, BigDecimal("99.50"), 1L, BigDecimal("99.50"), t0 + 3),
+        OrderDetail(101L, 1L, 8L, BigDecimal("1.00"), 1L, BigDecimal("1.00"), t0 + 60000))
+      q.processAllAvailable()
+      // close watermarks
+      msI.addData(OrderInfo(99L, 1L, 1L, BigDecimal("0.01"), t0 + 300000))
+      msD.addData(OrderDetail(999L, 99L, 1L, BigDecimal("0.01"), 1L, BigDecimal("0.01"), t0 + 300001))
+      q.processAllAvailable()
+      val res = spark.table("ow_out").collect()
+      val pairs = res.map(r => (r.getAs[Long]("id"), r.getAs[Long]("detail_id"))).toSet
+      assert(pairs.contains((1L, 100L)), s"in-band detail should join: ${pairs}")
+      assert(!pairs.contains((1L, 101L)), "out-of-band detail must not join")
+    } finally q.stop()
+  }
+
+  test("paymentWide joins payments to orders within preceding 30 minutes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val msP = MemoryStream[PaymentInfo]
+    val msI = MemoryStream[OrderInfo]
+    val msD = MemoryStream[OrderDetail]
+    val ow = Pipelines.orderWide(msI.toDS(), msD.toDS())
+    val joined = Pipelines.paymentWide(msP.toDS(), ow)
+    val q = joined.writeStream.format("memory").queryName("pw_out").outputMode("append").start()
+    try {
+      val t0 = 1700000000000L
+      msI.addData(OrderInfo(1L, 10L, 110L, BigDecimal("99.50"), t0))
+      msD.addData(OrderDetail(100L, 1L, 7L, BigDecimal("99.50"), 1L, BigDecimal("99.50"), t0))
+      msP.addData(PaymentInfo(500L, 1L, "1102", BigDecimal("99.50"), t0 + 600000)) // +10 min
+      q.processAllAvailable()
+      msI.addData(OrderInfo(98L, 1L, 1L, BigDecimal("0.01"), t0 + 7200000))
+      msD.addData(OrderDetail(998L, 98L, 1L, BigDecimal("0.01"), 1L, BigDecimal("0.01"), t0 + 7200000))
+      msP.addData(PaymentInfo(999L, 98L, "1101", BigDecimal("0.01"), t0 + 7200000))
+      q.processAllAvailable()
+      val res = spark.table("pw_out").collect()
+      assert(res.exists(r => r.getAs[Long]("payment_id") == 500L && r.getAs[Long]("detail_id") == 100L),
+        s"payment 500 should enrich with order 1 lines: ${res.toSeq}")
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import graft.SparkSuite
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming semantics of the flatMapGroupsWithState operators, driven through
+  * MemoryStream micro-batches so cross-batch state and event-time timeouts are
+  * actually exercised (not the degenerate single-batch path).
+  */
+class StatefulSpec extends SparkSuite {
+
+  import scala.language.implicitConversions
+
+  private def ev(mid: String, ts: Long, isNew: String = "1",
+                 lastPage: Option[String] = None, page: Option[String] = Some("home")): LogEvent =
+    LogEvent(mid, s"u_$mid", "110000", "web", "v1", isNew, page, lastPage, Some(1000L), ts)
+
+  private def withWatermarkDs(ms: MemoryStream[LogEvent]): Dataset[LogEvent] = {
+    import spark.implicits._
+    ms.toDS()
+      .withColumn("event_time", timestamp_millis(col("ts")))
+      .withWatermark("event_time", "0 seconds")
+      .as[LogEvent]
+  }
+
+  test("repairIsNew rewrites stale is_new=1 claims across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[LogEvent]
+    val q = Stateful.repairIsNew(ms.toDS()).writeStream
+      .format("memory").queryName("repair_out").outputMode("append").start()
+    try {
+      val day1 = 1700000000000L // 2023-11-14
+      val day2 = day1 + 86400000L
+      ms.addData(ev("m1", day1, "1"), ev("m2", day1, "1"))
+      q.processAllAvailable()
+      ms.addData(ev("m1", day2, "1"), ev("m3", day2, "1")) // m1 is now a known device
+      q.processAllAvailable()
+      val out = spark.table("repair_out").as[LogEvent].collect()
+      val byMidTs = out.map(e => (e.mid, e.ts) -> e.is_new).toMap
+      assert(byMidTs(("m1", day1)) == "1") // first sighting keeps claim
+      assert(byMidTs(("m1", day2)) == "0") // later-day claim repaired
+      assert(byMidTs(("m2", day1)) == "1")
+      assert(byMidTs(("m3", day2)) == "1")
+    } finally q.stop()
+  }
+
+  test("dailyUv keeps only first session-entry per device per day") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[LogEvent]
+    val q = Stateful.dailyUv(withWatermarkDs(ms)).writeStream
+      .format("memory").queryName("uv_out").outputMode("append").start()
+    try {
+      val t0 = 1700000000000L
+      ms.addData(
+        ev("m1", t0),                                  // first entry: kept
+        ev("m1", t0 + 1000),                           // same day: dropped
+        ev("m1", t0 + 2000, lastPage = Some("home")))  // not an entry: dropped
+      q.processAllAvailable()
+      ms.addData(ev("m1", t0 + 5000), ev("m2", t0 + 5000)) // m1 dup (cross-batch), m2 new
+      q.processAllAvailable()
+      val out = spark.table("uv_out").as[LogEvent].collect()
+      assert(out.map(e => (e.mid, e.ts)).toSet == Set(("m1", t0), ("m2", t0 + 5000)))
+    } finally q.stop()
+  }
+
+  test("detectBounces emits entries with no follow-up within gap, incl. via timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[LogEvent]
+    val q = Stateful.detectBounces(withWatermarkDs(ms), gapMillis = 10000L).writeStream
+      .format("memory").queryName("bounce_out").outputMode("append").start()
+    try {
+      val t0 = 1700000000000L
+      ms.addData(
+        ev("m1", t0),                                        // entry…
+        ev("m1", t0 + 3000, lastPage = Some("home")),        // …followed within 10 s: no bounce
+        ev("m2", t0))                                        // entry, nothing after (yet)
+      q.processAllAvailable()
+      // advance the watermark far past m2's gap via another device's event
+      ms.addData(ev("m3", t0 + 60000))
+      q.processAllAvailable()
+      ms.addData(ev("m4", t0 + 120000))
+      q.processAllAvailable()
+      val out = spark.table("bounce_out").as[LogEvent].collect()
+      assert(out.exists(e => e.mid == "m2" && e.ts == t0), s"m2 should bounce, got ${out.toSeq}")
+      assert(!out.exists(_.mid == "m1"), "m1 had a follow-up within gap")
+    } finally q.stop()
+  }
+}
