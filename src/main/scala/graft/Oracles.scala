@@ -213,5 +213,14 @@ object Oracles {
         | cast(sum(octet_length(encode(text))) as bigint) AS total_bytes,
         | cast(max(octet_length(encode(text))) as bigint) AS max_bytes
         |FROM documents GROUP BY 1""".stripMargin,
+
+    // the stub "decode" reads the first 4 payload bytes as the header; for the
+    // ASCII corpus that is exactly the first 4 characters, so distinct-header
+    // counting is SQL-expressible without replicating the hex encoding
+    "q30_media_features" ->
+      """SELECT 'text' AS media_type, count(*) AS n_media,
+        | cast(sum(octet_length(encode(text))) as bigint) AS total_bytes,
+        | count(distinct substr(text, 1, 4)) AS distinct_headers
+        |FROM documents GROUP BY 1""".stripMargin,
   )
 }

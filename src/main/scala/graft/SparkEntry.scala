@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, Relational, Similarity, TextOps}
+import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -50,6 +50,7 @@ object SparkEntry {
     "q27_simhash_pairs"     -> Dedup.simhashPairs _,
     "q28_ann_lsh"           -> Similarity.annLsh _,
     "q29_winnow_fingerprint" -> Dedup.winnowFingerprints _,
+    "q30_media_features"    -> Multimodal.mediaFeatures _,
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

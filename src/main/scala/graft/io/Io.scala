@@ -1,0 +1,103 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink factories — the engine's edge (SURVEY §2 A1–A8), bound either
+  * to Kafka (production; needs the spark-sql-kafka connector on the classpath,
+  * not present in this container) or to files/memory (tests, this repo's
+  * verification). Pipelines are written against DataFrames only, so the
+  * binding is a deployment choice, not a code change — the same decoupling the
+  * reference gets from MyKafkaUtil (utils/MyKafkaUtil.java:17-55).
+  */
+object Io {
+
+  // ---------------- sources ----------------
+
+  /** A1/A4: Kafka topic as a streaming DataFrame of (key, value strings).
+    * `startingOffsets` mirrors the reference's latest-offset default. */
+  def kafkaStream(spark: SparkSession, servers: String, topic: String,
+                  groupId: String, startingOffsets: String = "latest"): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("subscribe", topic)
+      .option("kafka.group.id", groupId)
+      .option("startingOffsets", startingOffsets)
+      .load()
+      .selectExpr("cast(key as string) as key", "cast(value as string) as value")
+
+  /** File-backed stand-in for a topic: a directory of JSONL files. */
+  def jsonFileStream(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).json(dir)
+
+  /** A9: parse a raw (key, value) stream into typed columns. */
+  def parseJson(raw: DataFrame, schema: StructType): DataFrame =
+    raw.select(from_json(col("value"), schema).as("j")).select("j.*")
+
+  // ---------------- sinks ----------------
+
+  /** A2: fixed-topic Kafka sink (JSON-encoded rows). */
+  def kafkaSink(df: DataFrame, servers: String, topic: String,
+                checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+      .writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+
+  /** A3: dynamic per-record topic — Spark's Kafka sink honors a `topic`
+    * COLUMN natively, so the reference's custom serializer
+    * (BaseDBApp.java:54-67) collapses to a projection. The caller provides a
+    * DataFrame with (topic, value) columns. */
+  def kafkaDynamicSink(df: DataFrame, servers: String,
+                       checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("checkpointLocation", checkpoint)
+
+  /** File-backed dynamic-topic emulation used by tests: rows partitioned into
+    * one directory per topic — observable equivalent of per-topic delivery. */
+  def fileDynamicTopicSink(df: DataFrame, outDir: String, checkpoint: String): StreamingQuery =
+    df.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").partitionBy("topic").json(outDir)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** A6/A7: idempotent dim upsert ("MERGE") into a parquet dim table keyed by
+    * `pk`: per micro-batch, last-writer-wins against existing rows. At cluster
+    * scale this is the Delta/Iceberg MERGE; the parquet rewrite emulation keeps
+    * identical upsert semantics observable in tests. */
+  def upsertDim(spark: SparkSession, batch: DataFrame, path: String, pk: String): Unit = {
+    val target = new java.io.File(path)
+    val merged =
+      if (target.exists()) {
+        val existing = spark.read.parquet(path)
+        existing.join(batch, existing(pk) === batch(pk), "left_anti")
+          .unionByName(batch)
+      } else batch
+    val tmp = path + ".tmp"
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    // atomic-ish swap (single-process test scope; table formats own this in prod)
+    val tmpFile = new java.io.File(tmp)
+    org.apache.commons.io.FileUtils.deleteDirectory(target)
+    tmpFile.renameTo(target)
+    ()
+  }
+
+  /** A5: JDBC-ish batch sink shape — foreachBatch with transient-column drop,
+    * bound to parquet here (ClickHouse JDBC in production). */
+  def statsSink(df: DataFrame, outDir: String, checkpoint: String,
+                transientCols: Seq[String] = Nil): StreamingQuery =
+    df.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.drop(transientCols: _*).write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+}
