@@ -222,5 +222,12 @@ object Oracles {
         | cast(sum(octet_length(encode(text))) as bigint) AS total_bytes,
         | count(distinct substr(text, 1, 4)) AS distinct_headers
         |FROM documents GROUP BY 1""".stripMargin,
+
+    // the oracle is the UNSALTED query: passing proves the two-stage salted
+    // aggregation is value-identical to the plain groupBy
+    "q31_salted_agg" ->
+      """SELECT event_type, count(*) AS ct,
+        | cast(sum(cast(value as decimal(18,2))) as double) AS value_sum
+        |FROM events GROUP BY 1""".stripMargin,
   )
 }

@@ -51,6 +51,8 @@ object SparkEntry {
     "q28_ann_lsh"           -> Similarity.annLsh _,
     "q29_winnow_fingerprint" -> Dedup.winnowFingerprints _,
     "q30_media_features"    -> Multimodal.mediaFeatures _,
+    "q31_salted_agg"        -> ((s, d) => Relational.saltedAgg(s, d)),
+    "q32_neardup_clusters"  -> Dedup.nearDupClusters _,
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

@@ -103,6 +103,47 @@ object Dedup {
       .select(col("da"), col("db"), col("hamming"))
   }
 
+  /** Connected components over near-dup pairs → dedup clusters: every doc gets
+    * the min doc_id reachable through the pair graph as its cluster id (the
+    * "keeper"). Alternating min-label propagation, driver-bounded iterations —
+    * near-dup components are shallow (duplicates of one source), so this
+    * converges in O(component diameter) rounds; at 100 TB swap in the
+    * large-star/small-star formulation (same join shape, better skew behavior).
+    */
+  def clusters(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges = pairs.select(col("da").as("a"), col("db").as("b"))
+      .unionByName(pairs.select(col("db").as("a"), col("da").as("b")))
+      .localCheckpoint()
+    var labels = edges.select(col("a").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      // each node adopts the min label among itself and its neighbors
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("doc_id", "b2"), col("b") === col("b2"))
+        .groupBy(col("a").as("doc_id"))
+        .agg(min(col("cluster_id")).as("n_label"))
+      val next = labels.join(viaNeighbors, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("n_label"), col("cluster_id"))).as("cluster_id"))
+        .localCheckpoint()
+      changed = next.as("n").join(labels.as("o"), Seq("doc_id"))
+        .filter(col("n.cluster_id") =!= col("o.cluster_id")).count()
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /** Dedup clusters of the MinHash-LSH near-dup graph: (doc_id, cluster_id)
+    * for every doc in at least one near-dup pair; keeper = cluster_id. */
+  def nearDupClusters(spark: SparkSession, dir: String): DataFrame =
+    clusters(minhashLsh(spark, dir))
+
   /** Winnowing document fingerprints (rolling hash; Schleimer et al. SIGMOD'03):
     * per-doc compact fingerprint set for copy detection. */
   def winnowFingerprints(spark: SparkSession, dir: String): DataFrame =

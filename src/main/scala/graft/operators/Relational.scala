@@ -224,6 +224,24 @@ object Relational {
       .agg(count(lit(1)).as("pair_ct"), countDistinct(col("p_id")).as("purchase_ct"))
   }
 
+  /** Skew-safe two-stage aggregation: pre-aggregate on (key, salt) to spread a
+    * hot key over `salts` reducers, then combine per key. Result is EXACTLY the
+    * plain groupBy (decimal partials re-sum associatively) — proven by the
+    * DuckDB oracle, which runs the unsalted query. At 100 TB this is the
+    * pattern for power-law keys where AQE's skew handling doesn't apply
+    * (single-stage agg); here the salt column derives from a stable row id. */
+  def saltedAgg(spark: SparkSession, dir: String, salts: Int = 16): DataFrame =
+    t(spark, dir, "events")
+      .withColumn("salt", pmod(col("event_id"), lit(salts)))
+      .groupBy("event_type", "salt")
+      .agg(
+        count(lit(1)).as("p_ct"),
+        expr("sum(cast(value as decimal(18,2)))").as("p_sum"))
+      .groupBy("event_type")
+      .agg(
+        sum(col("p_ct")).as("ct"),
+        expr("cast(sum(p_sum) as double)").as("value_sum"))
+
   /** ProvinceStats (A25): per-nation order_count = exact count(distinct) + sum. */
   def provinceStats(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders")

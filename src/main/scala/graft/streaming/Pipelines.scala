@@ -47,6 +47,37 @@ object Pipelines {
         col("ar"), col("ch"), col("vc"), col("is_new"),
         col("pv_ct"), col("sv_ct"), col("uv_ct"), col("uj_ct"), col("dur_sum"))
 
+  /** KeywordStats (A26 + B1, KeywordStatsApp.java:49-61): filter search pages,
+    * tokenize the search phrase (CJK-aware UDF — the ik_analyze port), explode,
+    * 10 s windowed count per keyword with constant source tag 'SEARCH'.
+    * Input columns: item (search phrase), page_id, event_time. */
+  def keywordStats(pages: DataFrame,
+                   watermark: String = "2 seconds",
+                   windowLen: String = "10 seconds"): DataFrame =
+    pages
+      .filter(col("page_id") === "good_list" && col("item").isNotNull)
+      .withWatermark("event_time", watermark)
+      .select(col("event_time"), explode(graft.functions.TextFns.tokenizeUdf(col("item"))).as("keyword"))
+      .groupBy(window(col("event_time"), windowLen), col("keyword"))
+      .agg(count(lit(1)).as("ct"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
+        date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),
+        col("keyword"), col("ct"), lit("SEARCH").as("source"))
+
+  /** KeywordStats4Product (A27 + B1/B2, KeywordStats4ProductApp.java:44-55):
+    * the double-UDTF shape — tokenize spu_name × unpivot the three count
+    * columns (zeros skipped), a cross of two generators per row. Input columns:
+    * spu_name, click_ct, cart_ct, order_ct, stt, edt. */
+  def keywordStatsForProduct(productStats: DataFrame): DataFrame =
+    productStats
+      .select(col("stt"), col("edt"),
+        explode(graft.functions.TextFns.tokenizeUdf(col("spu_name"))).as("keyword"),
+        col("click_ct"), col("cart_ct"), col("order_ct"))
+      .selectExpr("stt", "edt", "keyword",
+        "stack(3, click_ct, 'CLICK', cart_ct, 'CART', order_ct, 'ORDER') as (ct, source)")
+      .filter(col("ct") > 0)
+
   /** OrderWide interval join (A19, OrderWideApp.java:101-112): order_info ⋈
     * order_detail on order id with |Δt| ≤ `slackMillis` — a stream-stream
     * equi-join whose time band bounds both sides' state; watermarks let Spark

@@ -70,6 +70,22 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(ann.nonEmpty)
   }
 
+  test("nearDupClusters matches driver-side union-find on the pair graph") {
+    val pairs = Dedup.minhashLsh(spark, sf001)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // reference union-find in the driver
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = { val p = parent.getOrElse(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = pairs.flatMap(p => Seq(p._1, p._2)).distinct.map(x => x -> find(x)).toMap
+    val got = Dedup.nearDupClusters(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, s"diff: ${got.toSet -- want.toSet} / ${want.toSet -- got.toSet}")
+  }
+
   test("dot_f Catalyst expression is bit-identical to the composed column version") {
     VectorExpressions.register(spark)
     val e = graft.Tables.load(spark, sf0001, "embeddings").limit(200)

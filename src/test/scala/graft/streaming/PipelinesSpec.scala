@@ -69,6 +69,41 @@ class PipelinesSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("keywordStats tokenizes search phrases into windowed counts (streaming)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(String, String, Long)]
+    val pages = ms.toDF().toDF("page_id", "item", "ts")
+      .withColumn("event_time", timestamp_millis(col("ts")))
+    val q = Pipelines.keywordStats(pages).writeStream
+      .format("memory").queryName("kw_out").outputMode("append").start()
+    try {
+      val t0 = 1700000000000L
+      ms.addData(("good_list", "spark 数据 engine", t0), ("good_list", "spark fast", t0 + 1000),
+        ("home", "ignored", t0 + 2000))
+      q.processAllAvailable()
+      ms.addData(("good_list", "later", t0 + 60000))
+      q.processAllAvailable()
+      val res = spark.table("kw_out").collect()
+        .map(r => r.getAs[String]("keyword") -> r.getAs[Long]("ct")).toMap
+      assert(res("spark") == 2L)
+      assert(res("数据") == 1L) // CJK bigram from the UDF tokenizer
+      assert(res.values.forall(_ > 0) && !res.contains("ignored"))
+    } finally q.stop()
+  }
+
+  test("keywordStatsForProduct crosses tokenizer with count unpivot, skipping zeros") {
+    import spark.implicits._
+    val ps = Seq(("w1", "w2", "super widget", 3L, 0L, 2L))
+      .toDF("stt", "edt", "spu_name", "click_ct", "cart_ct", "order_ct")
+    val out = Pipelines.keywordStatsForProduct(ps).collect()
+      .map(r => (r.getAs[String]("keyword"), r.getAs[String]("source"), r.getAs[Long]("ct")))
+    assert(out.toSet == Set(
+      ("super", "CLICK", 3L), ("super", "ORDER", 2L),
+      ("widget", "CLICK", 3L), ("widget", "ORDER", 2L)),
+      s"zeros (CART) skipped, 2 tokens x 2 nonzero sources: ${out.toSeq}")
+  }
+
   test("orderWide stream-stream interval join matches within the time band") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
