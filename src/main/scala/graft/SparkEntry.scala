@@ -53,6 +53,8 @@ object SparkEntry {
     "q30_media_features"    -> Multimodal.mediaFeatures _,
     "q31_salted_agg"        -> ((s, d) => Relational.saltedAgg(s, d)),
     "q32_neardup_clusters"  -> Dedup.nearDupClusters _,
+    "q33_ivf_ann"           -> ((s, d) => Similarity.ivfAnn(s, d)),
+    "q34_approx_distinct"   -> Relational.approxDistinctDaily _,
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

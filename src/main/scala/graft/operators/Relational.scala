@@ -242,6 +242,18 @@ object Relational {
         sum(col("p_ct")).as("ct"),
         expr("cast(sum(p_sum) as double)").as("value_sum"))
 
+  /** Scale fallback for exact distinct (SURVEY §7.3 documented divergence):
+    * HyperLogLog++ daily uniques — sketch state is O(1) per group vs O(uniques)
+    * for the exact HashSet port; relative error ≤ 2% at the default rsd.
+    * No SQL oracle (HLL implementations differ across engines); the tolerance
+    * gate vs the exact count lives in RelationalSpec. */
+  def approxDistinctDaily(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(date_format(date_trunc("day", col("event_time")), "yyyy-MM-dd").as("dt"))
+      .agg(
+        approx_count_distinct(col("user_id")).as("uv_approx"),
+        count(lit(1)).as("pv"))
+
   /** ProvinceStats (A25): per-nation order_count = exact count(distinct) + sum. */
   def provinceStats(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders")

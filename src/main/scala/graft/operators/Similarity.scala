@@ -57,6 +57,73 @@ object Similarity {
       .select(col("va"), col("vb"))
   }
 
+  // ---------------- IVF (inverted-file) ANN ----------------
+
+  /** Deterministic Lloyd's k-means over a driver-side sample — the coarse
+    * quantizer. Real systems train the quantizer on a small sample centrally
+    * (CPU/GPU) and only ASSIGN + SEARCH distributed; at 100 TB the sample stays
+    * O(k·dim·1000) no matter the corpus size. Pure Scala double arithmetic in
+    * fixed iteration order ⇒ bit-deterministic. */
+  def trainCentroids(sample: Array[Array[Float]], k: Int, iters: Int): Array[Array[Double]] = {
+    val dim = sample.head.length
+    // deterministic init: evenly strided sample points
+    var centroids = Array.tabulate(k)(i => sample(i * sample.length / k).map(_.toDouble))
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var d = 0.0; var i = 0
+          while (i < dim) { val t = v(i) - centroids(c)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      centroids = Array.tabulate(k)(c =>
+        if (counts(c) == 0) centroids(c) else sums(c).map(_ / counts(c)))
+    }
+    centroids
+  }
+
+  private def nearestCentroids(v: Seq[Float], centroids: Array[Array[Double]], n: Int): Seq[Int] =
+    centroids.indices.sortBy { c =>
+      var d = 0.0; var i = 0
+      while (i < v.length) { val t = v(i) - centroids(c)(i); d += t * t; i += 1 }
+      (d, c)
+    }.take(n)
+
+  /** IVF ANN: corpus bucketed by nearest coarse centroid (one assignment scan);
+    * each query probes its `nprobe` nearest cells and exact-cosine reranks only
+    * those candidates — scanning nprobe/k of the corpus instead of all of it. */
+  def ivfAnn(spark: SparkSession, dir: String, k: Int = 16, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb(spark, dir)
+    val sample = e.filter(col("vec_id") < 1024).orderBy("vec_id")
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    val centroids = trainCentroids(sample, k, iters = 5)
+    val assignU = udf((v: Seq[Float]) => nearestCentroids(v, centroids, 1).head)
+    val probeU = udf((v: Seq[Float]) => nearestCentroids(v, centroids, nprobe))
+    val corpus = e
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+        normFastCol(col("embedding")).as("cn"), assignU(col("embedding")).as("cell"))
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        normFastCol(col("embedding")).as("qn"),
+        explode(probeU(col("embedding"))).as("cell"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    corpus.join(broadcast(queries), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", dotFastCol(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"))
+  }
+
   /** Approximate top-3 neighbors via random-hyperplane LSH with multi-probe:
     * the corpus is bucketed by a 4-bit signature; each query probes its own
     * bucket plus the 4 hamming-1 buckets, and exact cosine re-ranks within the

@@ -86,6 +86,37 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(got == want, s"diff: ${got.toSet -- want.toSet} / ${want.toSet -- got.toSet}")
   }
 
+  test("ivfAnn probes nprobe cells and recovers most true neighbors") {
+    val exact = Similarity.knnBruteForce(spark, sf001)
+      .filter(col("rnk") <= 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfAnn(spark, sf001)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.4, s"ivf recall $recall vs exact top-3 (nprobe/k = 4/16)")
+    // deterministic across invocations
+    val again = Similarity.ivfAnn(spark, sf001)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == ivf)
+  }
+
+  test("approxDistinctDaily stays within HLL tolerance of the exact count") {
+    val approx = Relational.approxDistinctDaily(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("uv_approx")).toMap
+    val exact = graft.Tables.load(spark, sf0001, "events")
+      .groupBy(date_format(date_trunc("day", col("event_time")), "yyyy-MM-dd").as("dt"))
+      .agg(countDistinct(col("user_id")).as("uv"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (dt, ex) =>
+      val ap = approx(dt)
+      assert(math.abs(ap - ex).toDouble / ex <= 0.1, s"$dt: approx $ap vs exact $ex")
+    }
+  }
+
   test("dot_f Catalyst expression is bit-identical to the composed column version") {
     VectorExpressions.register(spark)
     val e = graft.Tables.load(spark, sf0001, "embeddings").limit(200)
