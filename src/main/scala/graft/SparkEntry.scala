@@ -55,6 +55,7 @@ object SparkEntry {
     "q32_neardup_clusters"  -> Dedup.nearDupClusters _,
     "q33_ivf_ann"           -> ((s, d) => Similarity.ivfAnn(s, d)),
     "q34_approx_distinct"   -> Relational.approxDistinctDaily _,
+    "q35_winnow_pairs"      -> ((s, d) => Dedup.winnowPairs(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

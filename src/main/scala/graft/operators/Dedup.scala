@@ -151,4 +151,26 @@ object Dedup {
       .select(col("doc_id"), winnowUdf(col("text")).as("fps"))
       .select(col("doc_id"), size(col("fps")).as("n_fps"),
         array_min(col("fps")).as("min_fp"), array_max(col("fps")).as("max_fp"))
+
+  /** Copy detection via winnowing: pairs whose fingerprint sets overlap by
+    * ≥ `minOverlap` of the smaller set — the MOSS-style containment measure,
+    * which (unlike Jaccard) also catches a short doc embedded in a long one.
+    * Same candidate-bounding shape as the other near-dup paths: explode on
+    * fingerprint, equi-join, verify on candidates only. */
+  def winnowPairs(spark: SparkSession, dir: String, minOverlap: Double = 0.5): DataFrame = {
+    val fps = docs(spark, dir)
+      .select(col("doc_id"), array_distinct(winnowUdf(col("text"))).as("fps"))
+      .filter(size(col("fps")) > 0)
+    val exploded = fps.select(col("doc_id"), explode(col("fps")).as("fp"))
+    val shared = exploded.as("a")
+      .join(exploded.as("b"), col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(fps.select(col("doc_id").as("da"), size(col("fps")).as("na")), "da")
+      .join(fps.select(col("doc_id").as("db"), size(col("fps")).as("nb")), "db")
+      .withColumn("containment", col("shared").cast("double") / least(col("na"), col("nb")))
+      .filter(col("containment") >= minOverlap)
+      .select(col("da"), col("db"), col("containment"))
+  }
 }

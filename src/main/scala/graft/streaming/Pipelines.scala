@@ -9,6 +9,36 @@ import org.apache.spark.sql.functions._
   */
 object Pipelines {
 
+  import org.apache.spark.sql.types._
+
+  /** Schema of the raw gmall app-log JSON (FIXTURES.md §1; samples embedded at
+    * BaseLogApp.java:32-110). `from_json` in permissive mode reproduces the
+    * reference's missing-field→null fastjson behavior. */
+  val rawLogSchema: StructType = StructType(Seq(
+    StructField("common", StructType(Seq(
+      StructField("ar", StringType), StructField("uid", StringType),
+      StructField("os", StringType), StructField("ch", StringType),
+      StructField("is_new", StringType), StructField("md", StringType),
+      StructField("mid", StringType), StructField("vc", StringType),
+      StructField("ba", StringType)))),
+    StructField("page", StructType(Seq(
+      StructField("page_id", StringType), StructField("last_page_id", StringType),
+      StructField("during_time", LongType), StructField("item", StringType),
+      StructField("item_type", StringType), StructField("source_type", StringType)))),
+    StructField("start", StructType(Seq(
+      StructField("entry", StringType), StructField("open_ad_skip_ms", LongType),
+      StructField("open_ad_ms", LongType), StructField("loading_time", LongType),
+      StructField("open_ad_id", LongType)))),
+    StructField("displays", ArrayType(StructType(Seq(
+      StructField("display_type", StringType), StructField("item", StringType),
+      StructField("item_type", StringType), StructField("pos_id", LongType),
+      StructField("order", LongType), StructField("page_id", StringType))))),
+    StructField("ts", LongType)))
+
+  /** A9: raw (value: String) topic rows → typed log rows. */
+  def parseRawLog(raw: DataFrame): DataFrame =
+    raw.select(from_json(col("value"), rawLogSchema).as("j")).select("j.*")
+
   /** BaseLog 3-way split (A14, BaseLogApp.java:213-257): one parsed log stream
     * → (start, page, display) derivatives. Spark has no side outputs; three
     * filtered plans over one source cost one scan each in streaming mode and

@@ -70,6 +70,18 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(ann.nonEmpty)
   }
 
+  test("winnowPairs recovers the strongest near-duplicates with verified containment") {
+    val strong = Dedup.ngramJaccard(spark, sf001)
+      .filter(col("jac") >= 0.9).select("da", "db")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wp = Dedup.winnowPairs(spark, sf001)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Double]("containment"))).toMap
+    assert(wp.nonEmpty)
+    assert(wp.values.forall(c => c >= 0.5 && c <= 1.0))
+    val recall = strong.count(wp.contains).toDouble / strong.size
+    assert(recall >= 0.8, s"winnow should catch jac>=0.9 pairs: recall $recall")
+  }
+
   test("nearDupClusters matches driver-side union-find on the pair graph") {
     val pairs = Dedup.minhashLsh(spark, sf001)
       .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1)))

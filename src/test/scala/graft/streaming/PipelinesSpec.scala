@@ -69,6 +69,26 @@ class PipelinesSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("parseRawLog: real reference-shaped JSON strings through the full split") {
+    import spark.implicits._
+    // shapes from the samples embedded at BaseLogApp.java:32-110
+    val raw = Seq(
+      """{"common":{"ar":"110000","uid":"47","os":"Android 9.0","ch":"oppo","is_new":"1","md":"m1","mid":"mid_10","vc":"v2.0.1","ba":"Xiaomi"},"start":{"entry":"icon","open_ad_skip_ms":0,"open_ad_ms":8632,"loading_time":4339,"open_ad_id":16},"ts":1608259485000}""",
+      """{"common":{"ar":"110000","uid":"47","os":"Android 9.0","ch":"oppo","is_new":"1","md":"m1","mid":"mid_10","vc":"v2.0.1","ba":"Xiaomi"},"page":{"page_id":"good_detail","last_page_id":"home","during_time":11622,"item":"9","item_type":"sku_id","source_type":"promotion"},"displays":[{"display_type":"recommend","item":"3","item_type":"sku_id","pos_id":1,"order":1},{"display_type":"query","item":"5","item_type":"sku_id","pos_id":2,"order":2}],"ts":1608259490000}""",
+      """not even json""")
+      .toDF("value")
+    val parsed = Pipelines.parseRawLog(raw)
+    val (start, page, display) = Pipelines.splitLog(parsed)
+    assert(start.count() == 1)
+    // permissive mode: the garbage row parses to all-null → lands in "page" side
+    assert(page.filter(col("common").isNotNull).count() == 1)
+    val d = display.collect()
+    assert(d.length == 2)
+    assert(d.forall(_.getStruct(d.head.fieldIndex("display"))
+      .getAs[String]("page_id") == "good_detail"))
+    assert(start.select("common.mid").head.getString(0) == "mid_10")
+  }
+
   test("keywordStats tokenizes search phrases into windowed counts (streaming)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
