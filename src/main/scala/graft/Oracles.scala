@@ -15,8 +15,6 @@ package graft
   */
 object Oracles {
 
-  private val moneySum = "cast(sum(cast(%s as decimal(18,2))) as double)"
-
   val sql: Map[String, String] = Map(
 
     "q01_pricing_summary" ->

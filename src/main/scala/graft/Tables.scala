@@ -26,8 +26,10 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // `div` = integer division; `/` would promote to double and lose precision
+    // beyond 2^53 nanos, shifting ~2% of rows by 1µs.
     spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("event_time", timestamp_micros(col("ts") / lit(1000L) cast "long"))
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Register every table as a temp view named after itself. */

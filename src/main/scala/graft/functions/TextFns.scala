@@ -119,25 +119,6 @@ object TextFns {
     sig
   }
 
-  val minhashUdf = udf(minhash _)
-
-  /** LSH band hashes computed in ONE pass (signature + per-band FNV fold).
-    * Returning the band hashes directly keeps the signature computation from
-    * being duplicated by projection collapse (one UDF call per row, not one
-    * per band expression). */
-  def minhashBands(shingles: Seq[String], bands: Int): Array[Long] = {
-    val sig = minhash(shingles)
-    val rows = MinHashPerms / bands
-    Array.tabulate(bands) { b =>
-      var h = 0xcbf29ce484222325L ^ b.toLong
-      var i = b * rows
-      while (i < (b + 1) * rows) { h ^= sig(i); h *= 0x100000001b3L; i += 1 }
-      h
-    }
-  }
-
-  def minhashBandsUdf(bands: Int) = udf((s: Seq[String]) => minhashBands(s, bands))
-
   // ------- single-pass text → shingle-hash / band-hash kernels -------
   //
   // The composable path (tokensCol → shinglesCol → array_distinct → minhash)
@@ -228,8 +209,6 @@ object TextFns {
     while (i < x.length) { if (x(i) == y(i)) agree += 1; i += 1 }
     agree.toDouble / x.length
   }
-
-  val sigSimilarityUdf = udf(sigSimilarity _)
 
   // ---------------- SimHash ----------------
 

@@ -69,17 +69,24 @@ object Io {
       .start()
 
   /** A6/A7: idempotent dim upsert ("MERGE") into a parquet dim table keyed by
-    * `pk`: per micro-batch, last-writer-wins against existing rows. At cluster
-    * scale this is the Delta/Iceberg MERGE; the parquet rewrite emulation keeps
-    * identical upsert semantics observable in tests. */
-  def upsertDim(spark: SparkSession, batch: DataFrame, path: String, pk: String): Unit = {
+    * `pk`: per micro-batch, last-writer-wins against existing rows AND within
+    * the batch (two CDC records for one key in a micro-batch keep only the
+    * latest by `orderCol`). At cluster scale this is the Delta/Iceberg MERGE;
+    * the parquet rewrite emulation keeps identical upsert semantics observable
+    * in tests. */
+  def upsertDim(spark: SparkSession, batch: DataFrame, path: String, pk: String,
+                orderCol: Option[String] = None): Unit = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(pk))
+      .orderBy(orderCol.map(col(_).desc).getOrElse(monotonically_increasing_id().desc))
+    val deduped = batch.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
     val target = new java.io.File(path)
     val merged =
       if (target.exists()) {
         val existing = spark.read.parquet(path)
-        existing.join(batch, existing(pk) === batch(pk), "left_anti")
-          .unionByName(batch)
-      } else batch
+        existing.join(deduped, existing(pk) === deduped(pk), "left_anti")
+          .unionByName(deduped)
+      } else deduped
     val tmp = path + ".tmp"
     merged.coalesce(1).write.mode("overwrite").parquet(tmp)
     // atomic-ish swap (single-process test scope; table formats own this in prod)

@@ -136,6 +136,10 @@ object Dedup {
       labels = next
       iter += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"clusters() did not converge after $iter rounds ($changed labels still moving) — " +
+          "component diameter exceeds the bound; raise maxIters or use large-star/small-star")
     labels
   }
 

@@ -68,7 +68,7 @@ object CdcRouter {
         coalesce(col("sink_pk"), lit("id")).as("sink_pk"),
         col("sink_table").as("topic"),
         to_json(col("kv_pruned")).as("value"),
-        col("kv_pruned"))
+        col("kv_pruned"), col("ts"))
   }
 
   /** End-to-end streaming router: facts → dynamic-topic sink dir, dims →
@@ -88,8 +88,9 @@ object CdcRouter {
           tables.foreach { r =>
             val (tbl, pk) = (r.getString(0), r.getString(1))
             val slice = dims.filter(col("sink_table") === tbl)
-              .select(col("kv_pruned")(pk).as(pk), col("value"))
-            Io.upsertDim(spark, slice, s"$dimDir/$tbl", pk)
+              .select(col("kv_pruned")(pk).as(pk), col("value"), col("ts"))
+            // envelope ts orders same-key records within the batch (last wins)
+            Io.upsertDim(spark, slice, s"$dimDir/$tbl", pk, orderCol = Some("ts"))
           }
         } finally routed.unpersist()
         ()

@@ -109,10 +109,18 @@ object Stateful {
               pending match {
                 case Some(p) =>
                   if (e.ts > p.ts + gapMillis) { out += p; pending = None }
-                  else pending = None // follow-up within gap: not a bounce
+                  else if (e.ts > p.ts && e.page_id.exists(_.nonEmpty)) {
+                    // strictly-later page view within the gap: the reference's
+                    // next("next").where(page_id != null) match — not a bounce.
+                    // (Out-of-order e.ts <= p.ts must NOT cancel; non-page
+                    // events don't satisfy the CEP next-condition either.)
+                    pending = None
+                  }
                 case None =>
               }
-              if (e.last_page_id.forall(_.isEmpty)) pending = Some(e)
+              // session entry = a PAGE event with no predecessor page
+              if (pending.isEmpty && e.page_id.exists(_.nonEmpty) &&
+                  e.last_page_id.forall(_.isEmpty)) pending = Some(e)
             }
             pending match {
               case Some(p) =>

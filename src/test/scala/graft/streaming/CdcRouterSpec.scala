@@ -34,6 +34,22 @@ class CdcRouterSpec extends SparkSuite {
     assert(!dim.getAs[String]("value").contains("phone"))
   }
 
+  test("same-key records within ONE micro-batch keep only the latest (by ts)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("cdc-dup").toString
+    val ms = MemoryStream[(String, String, String, Long, String)]
+    ms.addData(
+      ("gmall", "user_info", "insert", 1L, """{"id":"5","name":"first"}"""),
+      ("gmall", "user_info", "update", 2L, """{"id":"5","name":"second"}"""))
+    val q = CdcRouter.run(spark, ms.toDF().toDF("database", "table", "type", "ts", "data"),
+      cfg _, s"$tmp/facts", s"$tmp/dims", s"$tmp/ckpt")
+    q.awaitTermination()
+    val rows = spark.read.parquet(s"$tmp/dims/dim_user_info").collect()
+    assert(rows.length == 1, s"one row per pk after intra-batch dedup: ${rows.toSeq}")
+    assert(rows.head.getAs[String]("value").contains("second"), "latest ts wins")
+  }
+
   test("end-to-end: facts land per-topic, dims upsert with last-writer-wins") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
