@@ -56,6 +56,7 @@ object SparkEntry {
     "q33_ivf_ann"           -> ((s, d) => Similarity.ivfAnn(s, d)),
     "q34_approx_distinct"   -> Relational.approxDistinctDaily _,
     "q35_winnow_pairs"      -> ((s, d) => Dedup.winnowPairs(s, d)),
+    "q36_clean_corpus"      -> TextOps.cleanCorpus _,
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

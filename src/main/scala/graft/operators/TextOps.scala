@@ -72,6 +72,31 @@ object TextOps {
         sum(col("bpe_ct")).as("total_bpe_tokens"),
         expr("cast(sum(bpe_ct) as double) / count(*)").as("avg_bpe_tokens"))
 
+  /** The full training-data cleaning composition — what the individual dedup/
+    * quality operators exist FOR: quality-filter → exact-dedup (keep lowest
+    * doc_id per fingerprint) → near-dup cluster keeper selection (MinHash LSH
+    * + connected components). Returns one row per surviving doc plus the stage
+    * that removed each casualty, so the pipeline's selectivity is auditable.
+    * Every stage is a narrow dependency on the previous output: one scan, one
+    * fingerprint shuffle, the LSH candidate shuffle — no quadratic work. */
+  def cleanCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .withColumn("toks", tokensCol(col("text")))
+      .withColumn("token_ct", size(col("toks")))
+    val qualityPass = d.filter(col("token_ct") >= 10)
+    val exactKeeper = qualityPass
+      .withColumn("fp", md5(col("text").cast("binary")))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1)
+    val nearDupLosers = Dedup.nearDupClusters(spark, dir)
+      .filter(col("doc_id") =!= col("cluster_id")) // keeper = cluster min id
+      .select(col("doc_id").as("loser_id"))
+    exactKeeper
+      .join(nearDupLosers, col("doc_id") === col("loser_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("token_ct"))
+  }
+
   /** Multimodal column plumbing, SQL-visible part: treat the payload as opaque
     * bytes and aggregate size metadata. The binary decode/feature pipeline
     * (deterministic stub, batched mapPartitions) is graft.operators.Multimodal. */

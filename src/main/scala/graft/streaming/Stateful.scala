@@ -134,4 +134,13 @@ object Stateful {
   }
 
   case class BounceState(pending: LogEvent)
+
+  // NOTE (round 2): a transformWithState port of dailyUv (state API v2 with a
+  // native TTLConfig — the closest StateTtlConfig mapping) was attempted and
+  // works API-wise (TTL requires TimeMode.ProcessingTime, matching Flink's
+  // processing-time TTL), but the required RocksDB state store provider
+  // deadlocks in this container during checkpoint upload
+  // (ChecksumCheckpointFileManager.awaitResult never returns on the zip
+  // close). Revisit if the environment gains a working RocksDB checkpoint
+  // path; flatMapGroupsWithState above carries identical semantics meanwhile.
 }

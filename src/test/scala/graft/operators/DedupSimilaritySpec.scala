@@ -82,6 +82,24 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(recall >= 0.8, s"winnow should catch jac>=0.9 pairs: recall $recall")
   }
 
+  test("cleanCorpus composition: survivors = quality ∧ exact-keeper ∧ near-dup-keeper") {
+    val survivors = TextOps.cleanCorpus(spark, sf001)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val total = graft.Tables.load(spark, sf001, "documents").count()
+    assert(survivors.nonEmpty && survivors.size < total,
+      s"${survivors.size} of $total should survive (near-dups exist in fixture)")
+    // no near-dup loser survives
+    val losers = Dedup.nearDupClusters(spark, sf001)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors.intersect(losers).isEmpty)
+    // every cluster keeper that passes quality survives
+    val keepers = Dedup.nearDupClusters(spark, sf001)
+      .filter(col("doc_id") === col("cluster_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(keepers.subsetOf(survivors))
+  }
+
   test("nearDupClusters matches driver-side union-find on the pair graph") {
     val pairs = Dedup.minhashLsh(spark, sf001)
       .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1)))
