@@ -15,7 +15,8 @@ case class LogEvent(
     page_id: Option[String],
     last_page_id: Option[String],
     during_time: Option[Long],
-    ts: Long)
+    ts: Long,
+    item: Option[String] = None)
 
 /** Order fact (reference bean/OrderInfo.java, trimmed): `create_ts` millis. */
 case class OrderInfo(
