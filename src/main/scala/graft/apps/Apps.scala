@@ -26,27 +26,47 @@ object Apps {
       col("page.item").as("item")).as[LogEvent]
   }
 
+  /** When the input is a stream, derive the event-time column + watermark the
+    * stateful operators' event-time timeouts require; batch inputs pass
+    * through (watermarks are meaningless there). */
+  private def watermarked(events: Dataset[LogEvent],
+                          delay: String = "3 seconds"): Dataset[LogEvent] = {
+    if (!events.isStreaming) events
+    else {
+      val spark = events.sparkSession
+      import spark.implicits._
+      events.withColumn("event_time", timestamp_millis(col("ts")))
+        .withWatermark("event_time", delay).as[LogEvent]
+    }
+  }
+
   /** BaseLogApp (app/dwd/BaseLogApp.java): raw ods_base_log → parse → 3-way
-    * split → is_new repair on the page stream. */
+    * split → is_new repair on the page stream. Unparseable records (null
+    * common/ts after permissive from_json) route to the dirty output instead
+    * of crashing the typed stream — the reference's dirty side-output. */
   def baseLog(inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
     val parsed = Pipelines.parseRawLog(inputs("ods_base_log"))
-    val (start, page, display) = Pipelines.splitLog(parsed)
+    val dirty = parsed.filter(col("common").isNull || col("ts").isNull)
+    val clean = parsed.filter(col("common").isNotNull && col("ts").isNotNull)
+    val (start, page, display) = Pipelines.splitLog(clean)
     val repaired = Stateful.repairIsNew(toLogEvents(page)).toDF()
-    Map("dwd_start_log" -> start, "dwd_page_log" -> repaired, "dwd_display_log" -> display)
+    Map("dwd_start_log" -> start, "dwd_page_log" -> repaired,
+      "dwd_display_log" -> display, "dwd_dirty_log" -> dirty)
   }
 
   /** UniqueVisitApp (app/dwm/UniqueVisitApp.java): daily first visit per mid. */
   def uniqueVisit(inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
     val page = inputs("dwd_page_log")
     import page.sparkSession.implicits._
-    Map("dwm_unique_visit" -> Stateful.dailyUv(page.as[LogEvent]).toDF())
+    Map("dwm_unique_visit" -> Stateful.dailyUv(watermarked(page.as[LogEvent])).toDF())
   }
 
   /** UserJumpDetailApp (app/dwm/UserJumpDetailApp.java): bounce sessions. */
   def userJumpDetail(inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
     val page = inputs("dwd_page_log")
     import page.sparkSession.implicits._
-    Map("dwm_user_jump_detail" -> Stateful.detectBounces(page.as[LogEvent]).toDF())
+    Map("dwm_user_jump_detail" ->
+      Stateful.detectBounces(watermarked(page.as[LogEvent])).toDF())
   }
 
   /** OrderWideApp (app/dwm/OrderWideApp.java): order ⋈ detail interval join +
@@ -117,13 +137,18 @@ object Apps {
     * (reference's is missing FROM and misspells province_name, SURVEY §7.4):
     * 10 s tumble per province, count(distinct order_id), sum(split_total_amount). */
   def provinceStats(inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
-    val ow = inputs("dwm_order_wide")
+    val raw = inputs("dwm_order_wide")
+    // streaming: exact count(distinct) is unsupported inside a streaming agg →
+    // approx_count_distinct, the documented divergence (SURVEY §7.3); batch
+    // keeps the exact count (and is what the DuckDB-style oracle checks).
+    val ow = if (raw.isStreaming) raw.withWatermark("i_time", "3 seconds") else raw
+    val orderCount =
+      if (raw.isStreaming) approx_count_distinct(col("id")).as("order_count")
+      else countDistinct(col("id")).as("order_count")
     Map("dws_province_stats" -> ow
       .groupBy(window(col("i_time"), "10 seconds"),
         col("province_id"), col("province_name"), col("area_code"), col("iso_code"))
-      .agg(
-        countDistinct(col("id")).as("order_count"),
-        sum(col("split_total_amount")).as("order_amount"))
+      .agg(orderCount, sum(col("split_total_amount")).as("order_amount"))
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
         date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),

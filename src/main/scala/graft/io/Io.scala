@@ -75,17 +75,22 @@ object Io {
     * the parquet rewrite emulation keeps identical upsert semantics observable
     * in tests. */
   def upsertDim(spark: SparkSession, batch: DataFrame, path: String, pk: String,
-                orderCol: Option[String] = None): Unit = {
+                orderCol: String): Unit = {
+    // orderCol is REQUIRED: "last writer" must be defined by an explicit
+    // ordering column (e.g. the CDC envelope ts) — any positional fallback
+    // (monotonically_increasing_id etc.) is partition-layout dependent and
+    // nondeterministic after a shuffle.
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col(pk))
-      .orderBy(orderCol.map(col(_).desc).getOrElse(monotonically_increasing_id().desc))
+      .orderBy(col(orderCol).desc)
     val deduped = batch.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
     val target = new java.io.File(path)
     val merged =
       if (target.exists()) {
         val existing = spark.read.parquet(path)
+        // allowMissingColumns: tolerate stores written before a schema widened
         existing.join(deduped, existing(pk) === deduped(pk), "left_anti")
-          .unionByName(deduped)
+          .unionByName(deduped, allowMissingColumns = true)
       } else deduped
     val tmp = path + ".tmp"
     merged.coalesce(1).write.mode("overwrite").parquet(tmp)

@@ -52,13 +52,20 @@ object Dedup {
     * 16 bands × 4 rows ⇒ S-curve threshold ≈ (1/16)^(1/4) ≈ 0.5), then verified
     * with exact shingle Jaccard ≥ 0.5 so every emitted pair is a true near-dup.
     * Cost: one shuffle on (band, bandHash) + verification on candidates only. */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    minhashLshFrom(docs(spark, dir))
+
+  /** MinHash-LSH near-dup pairs over any (doc_id, text) DataFrame — lets
+    * pipeline stages (e.g. [[graft.operators.TextOps.cleanCorpus]]) run
+    * near-dup detection on an already-filtered corpus instead of rescanning
+    * everything. */
+  def minhashLshFrom(corpus: DataFrame): DataFrame = {
     val bands = 16
     // Single-pass kernels (TextFns.textBands / shingleHashes): the banding side
     // shuffles only (doc_id, band, band_hash); the verification side joins
     // 64-bit shingle-hash arrays back for surviving candidates only, so the
     // expensive text processing runs O(n) times, never per candidate pair.
-    val banded = docs(spark, dir)
+    val banded = corpus
       .select(col("doc_id"), posexplode(textBandsUdf(bands)(col("text"))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
     val cand = banded.as("a")
@@ -67,7 +74,7 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .dropDuplicates("da", "db")
-    val hashes = docs(spark, dir)
+    val hashes = corpus
       .select(col("doc_id"), shingleHashesUdf(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
     cand
@@ -110,7 +117,7 @@ object Dedup {
     * converges in O(component diameter) rounds; at 100 TB swap in the
     * large-star/small-star formulation (same join shape, better skew behavior).
     */
-  def clusters(pairs: DataFrame): DataFrame = {
+  def clusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
     val edges = pairs.select(col("da").as("a"), col("db").as("b"))
@@ -121,7 +128,10 @@ object Dedup {
       .localCheckpoint()
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < 20) {
+    // loop runs until a round with ZERO changes confirms convergence (a round
+    // that still changes labels may itself be the final one — only the
+    // following all-quiet round proves it), or maxIters rounds elapsed
+    while (changed > 0 && iter < maxIters) {
       // each node adopts the min label among itself and its neighbors
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("doc_id", "b2"), col("b") === col("b2"))
@@ -139,7 +149,7 @@ object Dedup {
     if (changed > 0)
       throw new IllegalStateException(
         s"clusters() did not converge after $iter rounds ($changed labels still moving) — " +
-          "component diameter exceeds the bound; raise maxIters or use large-star/small-star")
+          "component diameter exceeds maxIters; pass a larger maxIters or use large-star/small-star")
     labels
   }
 

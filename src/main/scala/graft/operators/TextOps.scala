@@ -75,10 +75,11 @@ object TextOps {
   /** The full training-data cleaning composition — what the individual dedup/
     * quality operators exist FOR: quality-filter → exact-dedup (keep lowest
     * doc_id per fingerprint) → near-dup cluster keeper selection (MinHash LSH
-    * + connected components). Returns one row per surviving doc plus the stage
-    * that removed each casualty, so the pipeline's selectivity is auditable.
-    * Every stage is a narrow dependency on the previous output: one scan, one
-    * fingerprint shuffle, the LSH candidate shuffle — no quadratic work. */
+    * + connected components). Each stage runs ON THE PREVIOUS STAGE'S
+    * SURVIVORS — in particular, near-dup clustering runs on the quality+exact
+    * survivors, so a cluster whose raw-corpus keeper was quality-rejected
+    * still keeps its best remaining member (no silently vanishing clusters),
+    * and the LSH/label-propagation work never touches already-removed docs. */
   def cleanCorpus(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
       .withColumn("toks", tokensCol(col("text")))
@@ -89,7 +90,8 @@ object TextOps {
       .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
       .filter(col("rn") === 1)
-    val nearDupLosers = Dedup.nearDupClusters(spark, dir)
+    val nearDupLosers = Dedup
+      .clusters(Dedup.minhashLshFrom(exactKeeper.select(col("doc_id"), col("text"))))
       .filter(col("doc_id") =!= col("cluster_id")) // keeper = cluster min id
       .select(col("doc_id").as("loser_id"))
     exactKeeper

@@ -45,5 +45,10 @@ case class TokenizeGenerator(child: Expression)
 object TokenizeGenerator {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "tokenize_gen", exprs => TokenizeGenerator(exprs.head), "built-in")
+      "tokenize_gen", exprs => {
+        if (exprs.length != 1)
+          throw new IllegalArgumentException(
+            s"tokenize_gen expects exactly 1 argument, got ${exprs.length}")
+        TokenizeGenerator(exprs.head)
+      }, "built-in")
 }

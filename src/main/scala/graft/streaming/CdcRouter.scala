@@ -90,7 +90,7 @@ object CdcRouter {
             val slice = dims.filter(col("sink_table") === tbl)
               .select(col("kv_pruned")(pk).as(pk), col("value"), col("ts"))
             // envelope ts orders same-key records within the batch (last wins)
-            Io.upsertDim(spark, slice, s"$dimDir/$tbl", pk, orderCol = Some("ts"))
+            Io.upsertDim(spark, slice, s"$dimDir/$tbl", pk, orderCol = "ts")
           }
         } finally routed.unpersist()
         ()

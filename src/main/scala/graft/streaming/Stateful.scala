@@ -109,11 +109,13 @@ object Stateful {
               pending match {
                 case Some(p) =>
                   if (e.ts > p.ts + gapMillis) { out += p; pending = None }
-                  else if (e.ts > p.ts && e.page_id.exists(_.nonEmpty)) {
-                    // strictly-later page view within the gap: the reference's
+                  else if (e.ts >= p.ts && e.page_id.exists(_.nonEmpty)) {
+                    // later-or-equal page view within the gap: the reference's
                     // next("next").where(page_id != null) match — not a bounce.
-                    // (Out-of-order e.ts <= p.ts must NOT cancel; non-page
-                    // events don't satisfy the CEP next-condition either.)
+                    // Equal timestamps count (coarse client clocks emit the
+                    // follow-up in the same millisecond); genuinely earlier
+                    // out-of-order events (e.ts < p.ts) must NOT cancel, and
+                    // non-page events don't satisfy the CEP next-condition.
                     pending = None
                   }
                 case None =>

@@ -17,16 +17,19 @@ class AppsSpec extends SparkSuite {
     Seq(
       s"""{"common":{"ar":"110000","uid":"1","ch":"web","is_new":"1","mid":"m1","vc":"v1"},"start":{"entry":"icon","loading_time":100},"ts":$t0}""",
       s"""{"common":{"ar":"110000","uid":"1","ch":"web","is_new":"1","mid":"m1","vc":"v1"},"page":{"page_id":"good_list","item":"spark engine","item_type":"keyword","during_time":30},"ts":${t0 + 1000}}""",
-      s"""{"common":{"ar":"120000","uid":"2","ch":"app","is_new":"0","mid":"m2","vc":"v1"},"page":{"page_id":"home","during_time":10},"displays":[{"display_type":"promo","item":"7","item_type":"sku_id"}],"ts":${t0 + 2000}}""")
+      s"""{"common":{"ar":"120000","uid":"2","ch":"app","is_new":"0","mid":"m2","vc":"v1"},"page":{"page_id":"home","during_time":10},"displays":[{"display_type":"promo","item":"7","item_type":"sku_id"}],"ts":${t0 + 2000}}""",
+      """garbage not json at all""")
       .toDF("value")
   }
 
   test("BaseLog → UniqueVisit → KeywordStats chain composes through topic maps") {
     val dwd = Apps.baseLog(Map("ods_base_log" -> rawLog))
-    assert(dwd.keySet == Set("dwd_start_log", "dwd_page_log", "dwd_display_log"))
+    assert(dwd.keySet ==
+      Set("dwd_start_log", "dwd_page_log", "dwd_display_log", "dwd_dirty_log"))
     assert(dwd("dwd_start_log").count() == 1)
     assert(dwd("dwd_page_log").count() == 2)
     assert(dwd("dwd_display_log").count() == 1)
+    assert(dwd("dwd_dirty_log").count() == 1, "malformed line routes to dirty, not a crash")
 
     val uv = Apps.uniqueVisit(Map("dwd_page_log" -> dwd("dwd_page_log")))
     // both page events are session entries (no last_page_id) from distinct mids

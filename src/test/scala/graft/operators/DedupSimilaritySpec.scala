@@ -82,22 +82,19 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(recall >= 0.8, s"winnow should catch jac>=0.9 pairs: recall $recall")
   }
 
-  test("cleanCorpus composition: survivors = quality ∧ exact-keeper ∧ near-dup-keeper") {
-    val survivors = TextOps.cleanCorpus(spark, sf001)
-      .collect().map(_.getAs[Long]("doc_id")).toSet
-    val total = graft.Tables.load(spark, sf001, "documents").count()
-    assert(survivors.nonEmpty && survivors.size < total,
-      s"${survivors.size} of $total should survive (near-dups exist in fixture)")
-    // no near-dup loser survives
-    val losers = Dedup.nearDupClusters(spark, sf001)
-      .filter(col("doc_id") =!= col("cluster_id"))
-      .collect().map(_.getLong(0)).toSet
-    assert(survivors.intersect(losers).isEmpty)
-    // every cluster keeper that passes quality survives
-    val keepers = Dedup.nearDupClusters(spark, sf001)
-      .filter(col("doc_id") === col("cluster_id"))
-      .collect().map(_.getLong(0)).toSet
-    assert(keepers.subsetOf(survivors))
+  test("cleanCorpus output contract: quality floor, no exact dups, no near-dup pairs") {
+    val out = TextOps.cleanCorpus(spark, sf001)
+    val survivors = out.collect().map(_.getAs[Long]("doc_id")).toSet
+    val all = graft.Tables.load(spark, sf001, "documents")
+    assert(survivors.nonEmpty && survivors.size < all.count(),
+      s"${survivors.size} should survive (near-dups exist in fixture)")
+    // 1. every survivor meets the quality floor
+    assert(out.filter(col("token_ct") < 10).count() == 0)
+    // 2. no two survivors share identical text
+    val survivorDocs = all.filter(col("doc_id").isin(survivors.toSeq: _*))
+    assert(survivorDocs.groupBy("text").count().filter(col("count") > 1).count() == 0)
+    // 3. the cleaned corpus contains NO near-dup pair (the pipeline's contract)
+    assert(Dedup.minhashLshFrom(survivorDocs.select("doc_id", "text")).count() == 0)
   }
 
   test("nearDupClusters matches driver-side union-find on the pair graph") {
