@@ -82,14 +82,20 @@ object TextOps {
     * and the LSH/label-propagation work never touches already-removed docs. */
   def cleanCorpus(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-      .withColumn("toks", tokensCol(col("text")))
-      .withColumn("token_ct", size(col("toks")))
+      .withColumn("token_ct", size(tokensCol(col("text"))))
     val qualityPass = d.filter(col("token_ct") >= 10)
+    // materialize the quality+exact survivor set ONCE: the near-dup stage
+    // references it from several plan branches (banding, hash verification,
+    // final anti-join) and would otherwise recompute the fingerprint-window
+    // shuffle per branch — at cluster scale this boundary is a persisted
+    // intermediate table between pipeline stages.
     val exactKeeper = qualityPass
       .withColumn("fp", md5(col("text").cast("binary")))
       .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
       .filter(col("rn") === 1)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("token_ct"))
+      .localCheckpoint()
     val nearDupLosers = Dedup
       .clusters(Dedup.minhashLshFrom(exactKeeper.select(col("doc_id"), col("text"))))
       .filter(col("doc_id") =!= col("cluster_id")) // keeper = cluster min id
