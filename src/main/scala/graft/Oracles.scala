@@ -227,5 +227,30 @@ object Oracles {
       """SELECT event_type, count(*) AS ct,
         | cast(sum(cast(value as decimal(18,2))) as double) AS value_sum
         |FROM events GROUP BY 1""".stripMargin,
+
+    // gaps-and-islands twin of Spark's session_window: new session iff the
+    // inactivity gap is >= 30 min (session end exclusive); edt = last + gap
+    "q37_sessionize" ->
+      """WITH s AS (
+        | SELECT user_id, ts, event_id, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |        OR ts - lag(ts) OVER w >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (
+        | SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS UNBOUNDED PRECEDING) AS sid
+        | FROM s)
+        |SELECT user_id,
+        | strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS stt,
+        | strftime(max(ts) + INTERVAL '30 minutes', '%Y-%m-%d %H:%M:%S') AS edt,
+        | count(*) AS events,
+        | cast(sum(cast(value as decimal(18,2))) as double) AS value_sum
+        |FROM g GROUP BY user_id, sid""".stripMargin,
+
+    "q38_rollup_revenue" ->
+      """SELECT c_mktsegment, o_orderstatus, count(*) AS order_ct,
+        | cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY ROLLUP (c_mktsegment, o_orderstatus)""".stripMargin,
   )
 }

@@ -57,6 +57,8 @@ object SparkEntry {
     "q34_approx_distinct"   -> Relational.approxDistinctDaily _,
     "q35_winnow_pairs"      -> ((s, d) => Dedup.winnowPairs(s, d)),
     "q36_clean_corpus"      -> TextOps.cleanCorpus _,
+    "q37_sessionize"        -> Relational.sessionize _,
+    "q38_rollup_revenue"    -> Relational.rollupRevenue _,
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

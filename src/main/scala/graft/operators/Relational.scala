@@ -254,6 +254,37 @@ object Relational {
         approx_count_distinct(col("user_id")).as("uv_approx"),
         count(lit(1)).as("pv"))
 
+  /** Session windows (beyond the reference — SURVEY §2E notes it has tumbling
+    * only): per-user sessions closed by a 30-minute inactivity gap, using
+    * Spark's native `session_window` (dynamic-gap state merge in streaming,
+    * plain agg in batch). Oracle = the classic gaps-and-islands SQL, proving
+    * the semantics equivalence: new session iff gap ≥ 30 min (session end is
+    * exclusive), edt = last event + gap. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(session_window(col("event_time"), "30 minutes"), col("user_id"))
+      .agg(
+        count(lit(1)).as("events"),
+        expr("cast(sum(cast(value as decimal(18,2))) as double)").as("value_sum"))
+      .select(
+        col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
+        date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),
+        col("events"), col("value_sum"))
+
+  /** ROLLUP subtotals (beyond the reference; Spark built-in, §2E): order counts
+    * and revenue per (mktsegment, orderstatus) with segment and grand totals. */
+  def rollupRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders").as("o")
+    val c = t(spark, dir, "customer").as("c")
+    o.join(c, col("o.o_custkey") === col("c.c_custkey"))
+      .rollup(col("c.c_mktsegment").as("c_mktsegment"),
+        col("o.o_orderstatus").as("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("order_ct"),
+        expr("cast(sum(cast(o_totalprice as decimal(18,2))) as double)").as("revenue"))
+  }
+
   /** ProvinceStats (A25): per-nation order_count = exact count(distinct) + sum. */
   def provinceStats(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders")
