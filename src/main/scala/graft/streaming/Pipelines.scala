@@ -113,7 +113,7 @@ object Pipelines {
     * equi-join whose time band bounds both sides' state; watermarks let Spark
     * evict join state exactly like Flink's interval-join buffers. */
   def orderWide(info: Dataset[OrderInfo], detail: Dataset[OrderDetail],
-                slackMillis: Long = 5L): DataFrame = {
+                slackMillis: Long = 5L, joinType: String = "inner"): DataFrame = {
     val i = info.toDF()
       .withColumn("i_time", timestamp_millis(col("create_ts")))
       .withWatermark("i_time", "3 seconds")
@@ -122,11 +122,15 @@ object Pipelines {
       .withColumn("d_time", timestamp_millis(col("create_ts")))
       .drop("create_ts")
       .withWatermark("d_time", "3 seconds")
+    // joinType "left_outer" gives the A28 shape (Demo2_join.java:59-69):
+    // unmatched left rows emit with null right side once the watermark proves
+    // no in-band match can still arrive.
     i.join(d,
       col("id") === col("order_id") &&
         col("d_time").between(
           col("i_time") - expr(s"interval $slackMillis milliseconds"),
-          col("i_time") + expr(s"interval $slackMillis milliseconds")))
+          col("i_time") + expr(s"interval $slackMillis milliseconds")),
+      joinType)
   }
 
   /** PaymentWide interval join (A20, PaymentWideApp.java:65-75): payment ⋈

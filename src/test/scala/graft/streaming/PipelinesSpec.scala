@@ -149,6 +149,57 @@ class PipelinesSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("orderWide left-outer emits unmatched orders with null details at watermark (A28)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val msI = MemoryStream[OrderInfo]
+    val msD = MemoryStream[OrderDetail]
+    val joined = Pipelines.orderWide(msI.toDS(), msD.toDS(), slackMillis = 5L,
+      joinType = "left_outer")
+    val q = joined.writeStream.format("memory").queryName("owl_out").outputMode("append").start()
+    try {
+      val t0 = 1700000000000L
+      msI.addData(
+        OrderInfo(1L, 10L, 110L, BigDecimal("99.50"), t0),  // will match
+        OrderInfo(2L, 11L, 111L, BigDecimal("5.00"), t0))   // never matches
+      msD.addData(OrderDetail(100L, 1L, 7L, BigDecimal("99.50"), 1L, BigDecimal("99.50"), t0 + 3))
+      q.processAllAvailable()
+      msI.addData(OrderInfo(99L, 1L, 1L, BigDecimal("0.01"), t0 + 600000))
+      msD.addData(OrderDetail(999L, 99L, 1L, BigDecimal("0.01"), 1L, BigDecimal("0.01"), t0 + 600000))
+      q.processAllAvailable()
+      val res = spark.table("owl_out").collect()
+      val byId = res.groupBy(_.getAs[Long]("id"))
+      assert(byId(1L).head.getAs[Long]("detail_id") == 100L)
+      assert(byId.contains(2L), s"unmatched order must emit: ${res.toSeq}")
+      assert(byId(2L).head.isNullAt(res.head.fieldIndex("detail_id")),
+        "unmatched left row carries null right side")
+    } finally q.stop()
+  }
+
+  test("session_window works in streaming with watermark-closed sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, Double, Long)]
+    val events = ms.toDF().toDF("user_id", "value", "ts")
+      .withColumn("event_time", timestamp_millis(col("ts")))
+      .withWatermark("event_time", "0 seconds")
+    val out = events
+      .groupBy(session_window(col("event_time"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("events"))
+      .select(col("user_id"), col("session_window.start").as("stt"), col("events"))
+    val q = out.writeStream.format("memory").queryName("sess_out").outputMode("append").start()
+    try {
+      val t0 = 1700000000000L
+      ms.addData((1L, 1.0, t0), (1L, 2.0, t0 + 60000), (1L, 3.0, t0 + 5400000)) // 2 sessions
+      q.processAllAvailable()
+      ms.addData((2L, 9.9, t0 + 90000000L)) // advance watermark far
+      q.processAllAvailable()
+      val res = spark.table("sess_out").filter(col("user_id") === 1L).collect()
+      assert(res.map(_.getAs[Long]("events")).sorted.toSeq == Seq(1L, 2L),
+        s"one 2-event session + one 1-event session: ${res.toSeq}")
+    } finally q.stop()
+  }
+
   test("paymentWide joins payments to orders within preceding 30 minutes") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
