@@ -252,5 +252,13 @@ object Oracles {
         | cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY ROLLUP (c_mktsegment, o_orderstatus)""".stripMargin,
+
+    "q39_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+        | strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+        | cast(sum(cast(o_totalprice as decimal(18,2))) OVER (
+        |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as double) AS run_revenue
+        |FROM orders WHERE o_custkey < 500""".stripMargin,
   )
 }

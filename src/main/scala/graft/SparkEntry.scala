@@ -59,6 +59,7 @@ object SparkEntry {
     "q36_clean_corpus"      -> TextOps.cleanCorpus _,
     "q37_sessionize"        -> Relational.sessionize _,
     "q38_rollup_revenue"    -> Relational.rollupRevenue _,
+    "q39_running_total"     -> Relational.runningTotal _,
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

@@ -285,6 +285,22 @@ object Relational {
         expr("cast(sum(cast(o_totalprice as decimal(18,2))) as double)").as("revenue"))
   }
 
+  /** Analytic window frame (beyond the reference, §2E): per-customer running
+    * revenue in order-date order. The cumulative sum runs in DecimalType so
+    * every prefix is exact, then casts at the edge — a running double sum
+    * would accumulate order-dependent error. */
+  def runningTotal(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, dir, "orders")
+      .filter(col("o_custkey") < 500) // bounded output for the gate
+      .withColumn("run_revenue",
+        sum(expr("cast(o_totalprice as decimal(18,2))")).over(w).cast("double"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"), col("run_revenue"))
+  }
+
   /** ProvinceStats (A25): per-nation order_count = exact count(distinct) + sum. */
   def provinceStats(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders")
