@@ -253,6 +253,11 @@ object Oracles {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY ROLLUP (c_mktsegment, o_orderstatus)""".stripMargin,
 
+    // oracle = plain count(distinct): proves the typed HashSet Aggregator path
+    "q40_exact_distinct_agg" ->
+      """SELECT event_type, count(distinct user_id) AS distinct_users, count(*) AS ct
+        |FROM events GROUP BY 1""".stripMargin,
+
     "q39_running_total" ->
       """SELECT o_custkey, o_orderkey,
         | strftime(o_orderdate, '%Y-%m-%d') AS o_date,

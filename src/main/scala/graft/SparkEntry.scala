@@ -60,6 +60,7 @@ object SparkEntry {
     "q37_sessionize"        -> Relational.sessionize _,
     "q38_rollup_revenue"    -> Relational.rollupRevenue _,
     "q39_running_total"     -> Relational.runningTotal _,
+    "q40_exact_distinct_agg" -> Relational.exactDistinctAgg _,
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

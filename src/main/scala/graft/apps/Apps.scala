@@ -137,13 +137,16 @@ object Apps {
     * (reference's is missing FROM and misspells province_name, SURVEY §7.4):
     * 10 s tumble per province, count(distinct order_id), sum(split_total_amount). */
   def provinceStats(inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
-    val raw = inputs("dwm_order_wide")
+    val ow = inputs("dwm_order_wide")
     // streaming: exact count(distinct) is unsupported inside a streaming agg →
     // approx_count_distinct, the documented divergence (SURVEY §7.3); batch
     // keeps the exact count (and is what the DuckDB-style oracle checks).
-    val ow = if (raw.isStreaming) raw.withWatermark("i_time", "3 seconds") else raw
+    // The [[orderWide]] app's output already carries the i_time watermark
+    // (re-defining one is illegal); a raw externally-sourced stream must
+    // arrive watermarked or Spark rejects the append-mode window with a
+    // clear error.
     val orderCount =
-      if (raw.isStreaming) approx_count_distinct(col("id")).as("order_count")
+      if (ow.isStreaming) approx_count_distinct(col("id")).as("order_count")
       else countDistinct(col("id")).as("order_count")
     Map("dws_province_stats" -> ow
       .groupBy(window(col("i_time"), "10 seconds"),

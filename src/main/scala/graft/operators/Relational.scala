@@ -301,6 +301,17 @@ object Relational {
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"), col("run_revenue"))
   }
 
+  /** Exact distinct via the typed HashSet Aggregator (A24's faithful port,
+    * graft.functions.Aggregators) — single-shuffle partial aggregation instead
+    * of count(distinct)'s expand+double shuffle. The oracle runs plain
+    * count(distinct), proving value-identity of the custom aggregation path. */
+  def exactDistinctAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        graft.functions.Aggregators.exactDistinct(col("user_id")).as("distinct_users"),
+        count(lit(1)).as("ct"))
+
   /** ProvinceStats (A25): per-nation order_count = exact count(distinct) + sum. */
   def provinceStats(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders")

@@ -75,6 +75,33 @@ class AppsSpec extends SparkSuite {
       .compareTo(new java.math.BigDecimal("99.50")) == 0)
   }
 
+  test("provinceStats streaming branch: approx distinct + watermark, windows close") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val msI = MemoryStream[graft.streaming.OrderInfo]
+    val msD = MemoryStream[graft.streaming.OrderDetail]
+    val ow = Apps.orderWide(Map(
+      "dwd_order_info" -> msI.toDF(), "dwd_order_detail" -> msD.toDF()))("dwm_order_wide")
+      .withColumn("province_name", lit("P")).withColumn("area_code", lit("1"))
+      .withColumn("iso_code", lit("CN-1"))
+    val q = Apps.provinceStats(Map("dwm_order_wide" -> ow))("dws_province_stats")
+      .writeStream.format("memory").queryName("pstats_out").outputMode("append").start()
+    try {
+      msI.addData(graft.streaming.OrderInfo(1L, 10L, 110L, BigDecimal("99.50"), t0))
+      msD.addData(graft.streaming.OrderDetail(100L, 1L, 7L, BigDecimal("99.50"), 1L,
+        BigDecimal("99.50"), t0))
+      q.processAllAvailable()
+      msI.addData(graft.streaming.OrderInfo(99L, 1L, 1L, BigDecimal("0.01"), t0 + 600000))
+      msD.addData(graft.streaming.OrderDetail(999L, 99L, 1L, BigDecimal("0.01"), 1L,
+        BigDecimal("0.01"), t0 + 600000))
+      q.processAllAvailable()
+      val res = spark.table("pstats_out").filter(col("province_id") === 110L).collect()
+      assert(res.length == 1, s"one closed pane: ${res.toSeq}")
+      assert(res.head.getAs[Long]("order_count") == 1L) // HLL exact at cardinality 1
+    } finally q.stop()
+  }
+
   test("BaseDB app splits facts (dynamic topic) from dims") {
     import spark.implicits._
     val cdc = Seq(
