@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.functions.{Aggregators, VectorFns}
+import graft.plans.VectorExpressions
+
+/** Dev tool: measure the custom kernels against their composable baselines on
+  * sf0.1 — the numbers backing the "custom Expression beats HOF beats UDF"
+  * claims. Results are appended manually to PLANS.md. */
+object Microbench {
+  def time(label: String, reps: Int = 3)(f: => Long): Unit = {
+    f // warmup
+    val times = (1 to reps).map { _ =>
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    println(f"MICRO $label%-46s median ${times.sorted.apply(reps / 2)}%.3f s")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    VectorExpressions.register(spark)
+    val dir = "/root/testdata/sf0.1"
+    val e = Tables.load(spark, dir, "embeddings")
+    val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"))
+    val pairs = a.join(b, col("va") < col("vb")) // ~2M pairs at sf0.1
+
+    time("pairwise dot: zip_with+aggregate (interpreted HOF)") {
+      pairs.select(VectorFns.dotCol(col("ea"), col("eb")).as("d"))
+        .agg(count(when(col("d") > 0, 1))).head.getLong(0)
+    }
+    time("pairwise dot: dot_f custom expression (codegen)") {
+      pairs.select(VectorFns.dotFastCol(col("ea"), col("eb")).as("d"))
+        .agg(count(when(col("d") > 0, 1))).head.getLong(0)
+    }
+
+    val ev = Tables.load(spark, dir, "events")
+    time("distinct users: count(distinct) built-in") {
+      ev.groupBy("event_type").agg(countDistinct(col("user_id"))).count()
+    }
+    time("distinct users: typed HashSet Aggregator") {
+      ev.groupBy("event_type").agg(Aggregators.exactDistinct(col("user_id"))).count()
+    }
+
+    import graft.functions.TextFns._
+    val docs = Tables.load(spark, dir, "documents")
+    time("shingle sets: composed HOF columns") {
+      docs.select(array_distinct(shinglesCol(tokensCol(col("text")), 3)).as("s"))
+        .agg(sum(size(col("s")))).head.get(0); 0L
+    }
+    time("shingle sets: single-pass hash kernel UDF") {
+      docs.select(shingleHashesUdf(col("text")).as("s"))
+        .agg(sum(size(col("s")))).head.get(0); 0L
+    }
+    spark.stop()
+  }
+}

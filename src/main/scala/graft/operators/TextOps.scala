@@ -17,12 +17,17 @@ object TextOps {
 
   /** Keyword stats (B1 + A26): tokenize → explode → count per token.
     * Uses the native regexp tokenizer (codegen'd); the CJK-aware UDF variant is
-    * exercised in ScalaTest (ASCII-equal on this corpus). */
+    * exercised in ScalaTest (ASCII-equal on this corpus).
+    * doc_ct is computed by pre-aggregating per (keyword, doc) — two narrow
+    * shuffles — instead of count(distinct)'s Expand (which doubles the
+    * exploded row volume before the shuffle). */
   def keywordTokens(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .select(col("doc_id"), explode(tokensCol(col("text"))).as("keyword"))
+      .groupBy("keyword", "doc_id")
+      .agg(count(lit(1)).as("ct_in_doc"))
       .groupBy("keyword")
-      .agg(count(lit(1)).as("ct"), countDistinct(col("doc_id")).as("doc_ct"))
+      .agg(sum(col("ct_in_doc")).as("ct"), count(lit(1)).as("doc_ct"))
 
   /** Unpivot (B2/A27, the keywordProductC2R column-to-row UDTF) via `stack`. */
   def unpivotMetrics(spark: SparkSession, dir: String): DataFrame =
