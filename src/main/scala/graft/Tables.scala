@@ -13,10 +13,17 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (name == "events") events(spark, dir)
-    else spark.read.parquet(s"$dir/$name.parquet")
-  }
+  // Plan-level cache: re-loading the same table re-lists files and re-reads
+  // footers per query; reusing the DataFrame reuses its InMemoryFileIndex.
+  // Keyed by session so a stopped session's entries can't leak across runs.
+  private val loaded =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    loaded.computeIfAbsent((spark, dir, name), { _ =>
+      if (name == "events") events(spark, dir)
+      else spark.read.parquet(s"$dir/$name.parquet")
+    })
 
   /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's vectorized
     * reader rejects. Read it as raw Long nanos (legacy conf) and derive an
