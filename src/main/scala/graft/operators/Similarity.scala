@@ -108,9 +108,14 @@ object Similarity {
     val centroids = trainCentroids(sample, k, iters = 5)
     val assignU = udf((v: Seq[Float]) => nearestCentroids(v, centroids, 1).head)
     val probeU = udf((v: Seq[Float]) => nearestCentroids(v, centroids, nprobe))
+    // materialize the assigned corpus once: it feeds both join sides and the
+    // assignment UDF scan would otherwise run per branch (the cluster-scale
+    // analog is writing the IVF index — assignment is a build step, not a
+    // per-query cost)
     val corpus = e
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
         normFastCol(col("embedding")).as("cn"), assignU(col("embedding")).as("cell"))
+      .localCheckpoint()
     val queries = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         normFastCol(col("embedding")).as("qn"),

@@ -200,6 +200,48 @@ class PipelinesSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark: declarative UV-dedup alternative (A17/D7)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(String, Long)] // (mid, ts)
+    val events = ms.toDF().toDF("mid", "ts")
+      .withColumn("event_time", timestamp_millis(col("ts")))
+      .withWatermark("event_time", "10 seconds")
+      .withColumn("dt", date_format(col("event_time"), "yyyy-MM-dd"))
+    val out = events.dropDuplicatesWithinWatermark("mid", "dt")
+    val q = out.writeStream.format("memory").queryName("ddw_out").outputMode("append").start()
+    try {
+      val t0 = 1700000000000L
+      ms.addData(("m1", t0), ("m1", t0 + 1000), ("m2", t0 + 2000))
+      q.processAllAvailable()
+      ms.addData(("m1", t0 + 3000)) // still duplicate within watermark
+      q.processAllAvailable()
+      val res = spark.table("ddw_out").collect().map(_.getAs[String]("mid"))
+      assert(res.sorted.toSeq == Seq("m1", "m2"), s"one row per (mid, day): ${res.toSeq}")
+    } finally q.stop()
+  }
+
+  test("stream-static dim join (A29): streaming facts enriched from a batch dim") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((110L, "Beijing"), (120L, "Shanghai")).toDF("id", "province_name")
+    val ms = MemoryStream[(Long, Long, Long)] // order_id, province_id, ts
+    val facts = ms.toDF().toDF("order_id", "province_id", "ts")
+    // stream-static join = temporal join AS OF processing time: the dim
+    // snapshot is re-read per micro-batch (SURVEY A29 verdict)
+    val joined = facts.join(broadcast(dim), col("province_id") === col("id"), "left")
+    val q = joined.writeStream.format("memory").queryName("ssj_out").outputMode("append").start()
+    try {
+      ms.addData((1L, 110L, 1L), (2L, 999L, 2L))
+      q.processAllAvailable()
+      val res = spark.table("ssj_out").collect()
+      assert(res.find(_.getAs[Long]("order_id") == 1L).get
+        .getAs[String]("province_name") == "Beijing")
+      assert(res.find(_.getAs[Long]("order_id") == 2L).get
+        .isNullAt(res.head.fieldIndex("province_name")), "unknown dim key → null enrichment")
+    } finally q.stop()
+  }
+
   test("paymentWide joins payments to orders within preceding 30 minutes") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
