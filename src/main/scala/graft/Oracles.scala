@@ -258,6 +258,15 @@ object Oracles {
       """SELECT event_type, count(distinct user_id) AS distinct_users, count(*) AS ct
         |FROM events GROUP BY 1""".stripMargin,
 
+    // deterministic content-hash sampling: identical md5 on both engines makes
+    // the sample membership bit-reproducible (keep ≈ 0x199a/0x10000 ≈ 10%)
+    "q41_hash_sample" ->
+      """SELECT lang, count(*) AS sampled_docs,
+        | cast(sum(n_chars) as bigint) AS sampled_chars
+        |FROM documents
+        |WHERE substr(md5(cast(doc_id as varchar)), 1, 4) < '199a'
+        |GROUP BY 1""".stripMargin,
+
     "q39_running_total" ->
       """SELECT o_custkey, o_orderkey,
         | strftime(o_orderdate, '%Y-%m-%d') AS o_date,

@@ -61,6 +61,7 @@ object SparkEntry {
     "q38_rollup_revenue"    -> Relational.rollupRevenue _,
     "q39_running_total"     -> Relational.runningTotal _,
     "q40_exact_distinct_agg" -> Relational.exactDistinctAgg _,
+    "q41_hash_sample"       -> ((s, d) => TextOps.hashSample(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

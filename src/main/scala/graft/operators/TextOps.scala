@@ -110,6 +110,19 @@ object TextOps {
       .select(col("doc_id"), col("lang"), col("source"), col("token_ct"))
   }
 
+  /** Deterministic content-hash sampling — the stable way to cut train/eval
+    * splits or down-sample a 100 TB corpus: membership depends only on the
+    * key's md5, so it is reproducible across engines, runs, and cluster
+    * layouts (unlike Bernoulli `sample()`, whose RNG is partition-dependent).
+    * Keep ≈ keepNum/65536 of rows by the first 4 hex digits of md5(doc_id). */
+  def hashSample(spark: SparkSession, dir: String, keepNum: Int = 6554): DataFrame = {
+    val threshold = f"$keepNum%04x"
+    docs(spark, dir)
+      .filter(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4) < threshold)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("sampled_docs"), sum(col("n_chars")).as("sampled_chars"))
+  }
+
   /** Multimodal column plumbing, SQL-visible part: treat the payload as opaque
     * bytes and aggregate size metadata. The binary decode/feature pipeline
     * (deterministic stub, batched mapPartitions) is graft.operators.Multimodal. */
