@@ -15,15 +15,20 @@ object Tables {
 
   // Plan-level cache: re-loading the same table re-lists files and re-reads
   // footers per query; reusing the DataFrame reuses its InMemoryFileIndex.
-  // Keyed by session so a stopped session's entries can't leak across runs.
+  // Assumes the driver-contract invariant that the testdata parquet dirs are
+  // immutable (a cached file index would serve stale listings otherwise).
+  // Entries of stopped sessions are evicted on the next load so a JVM cycling
+  // through sessions doesn't pin dead SparkContexts.
   private val loaded =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    loaded.keySet.removeIf(k => k._1.sparkContext.isStopped)
     loaded.computeIfAbsent((spark, dir, name), { _ =>
       if (name == "events") events(spark, dir)
       else spark.read.parquet(s"$dir/$name.parquet")
     })
+  }
 
   /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's vectorized
     * reader rejects. Read it as raw Long nanos (legacy conf) and derive an

@@ -137,14 +137,18 @@ object Apps {
     * (reference's is missing FROM and misspells province_name, SURVEY §7.4):
     * 10 s tumble per province, count(distinct order_id), sum(split_total_amount). */
   def provinceStats(inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
-    val ow = inputs("dwm_order_wide")
+    val raw = inputs("dwm_order_wide")
     // streaming: exact count(distinct) is unsupported inside a streaming agg →
     // approx_count_distinct, the documented divergence (SURVEY §7.3); batch
     // keeps the exact count (and is what the DuckDB-style oracle checks).
-    // The [[orderWide]] app's output already carries the i_time watermark
-    // (re-defining one is illegal); a raw externally-sourced stream must
-    // arrive watermarked or Spark rejects the append-mode window with a
-    // clear error.
+    // Watermark: the chained [[orderWide]] output already carries one on
+    // i_time (re-defining is illegal), but a standalone deployment fed from a
+    // raw Kafka topic does not — apply one only if absent.
+    val hasWatermark = raw.queryExecution.analyzed.output
+      .exists(_.metadata.contains("spark.watermarkDelayMs"))
+    val ow =
+      if (raw.isStreaming && !hasWatermark) raw.withWatermark("i_time", "3 seconds")
+      else raw
     val orderCount =
       if (ow.isStreaming) approx_count_distinct(col("id")).as("order_count")
       else countDistinct(col("id")).as("order_count")

@@ -116,6 +116,8 @@ object TextOps {
     * layouts (unlike Bernoulli `sample()`, whose RNG is partition-dependent).
     * Keep ≈ keepNum/65536 of rows by the first 4 hex digits of md5(doc_id). */
   def hashSample(spark: SparkSession, dir: String, keepNum: Int = 6554): DataFrame = {
+    require(keepNum >= 0 && keepNum <= 0xFFFF,
+      s"keepNum must be in [0, 65535] (fraction = keepNum/65536), got $keepNum")
     val threshold = f"$keepNum%04x"
     docs(spark, dir)
       .filter(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4) < threshold)
