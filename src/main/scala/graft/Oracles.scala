@@ -267,6 +267,12 @@ object Oracles {
         |WHERE substr(md5(cast(doc_id as varchar)), 1, 4) < '199a'
         |GROUP BY 1""".stripMargin,
 
+    // quantile_cont shares percentile()'s linear interpolation bit-for-bit
+    "q42_percentiles" ->
+      """SELECT event_type, quantile_cont(value, 0.5) AS p50,
+        | quantile_cont(value, 0.9) AS p90, quantile_cont(value, 0.99) AS p99
+        |FROM events GROUP BY 1""".stripMargin,
+
     "q39_running_total" ->
       """SELECT o_custkey, o_orderkey,
         | strftime(o_orderdate, '%Y-%m-%d') AS o_date,

@@ -62,6 +62,7 @@ object SparkEntry {
     "q39_running_total"     -> Relational.runningTotal _,
     "q40_exact_distinct_agg" -> Relational.exactDistinctAgg _,
     "q41_hash_sample"       -> ((s, d) => TextOps.hashSample(s, d)),
+    "q42_percentiles"       -> Relational.percentiles _,
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

@@ -312,6 +312,19 @@ object Relational {
         graft.functions.Aggregators.exactDistinct(col("user_id")).as("distinct_users"),
         count(lit(1)).as("ct"))
 
+  /** Exact interpolated percentiles per key (beyond the reference, §2E):
+    * Spark's `percentile` and DuckDB's `quantile_cont` share the linear-
+    * interpolation definition and agree bit-for-bit (verified incl. float
+    * artifacts), so this is oracle-checkable despite double outputs. At scale
+    * the documented fallback is `approx_percentile` (t-digest sketch). */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.9)").as("p90"),
+        expr("percentile(value, 0.99)").as("p99"))
+
   /** ProvinceStats (A25): per-nation order_count = exact count(distinct) + sum. */
   def provinceStats(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders")
