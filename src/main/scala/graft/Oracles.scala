@@ -273,6 +273,17 @@ object Oracles {
         | quantile_cont(value, 0.9) AS p90, quantile_cont(value, 0.99) AS p99
         |FROM events GROUP BY 1""".stripMargin,
 
+    "q43_grouping_sets" ->
+      """SELECT c_mktsegment, o_orderstatus, count(*) AS order_ct,
+        | cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY GROUPING SETS ((c_mktsegment), (o_orderstatus))""".stripMargin,
+
+    "q44_except_customers" ->
+      """SELECT DISTINCT o_custkey AS custkey FROM orders
+        |EXCEPT
+        |SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
+
     "q39_running_total" ->
       """SELECT o_custkey, o_orderkey,
         | strftime(o_orderdate, '%Y-%m-%d') AS o_date,

@@ -63,6 +63,8 @@ object SparkEntry {
     "q40_exact_distinct_agg" -> Relational.exactDistinctAgg _,
     "q41_hash_sample"       -> ((s, d) => TextOps.hashSample(s, d)),
     "q42_percentiles"       -> Relational.percentiles _,
+    "q43_grouping_sets"     -> Relational.groupingSets _,
+    "q44_except_customers"  -> Relational.exceptCustomers _,
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

@@ -325,6 +325,24 @@ object Relational {
         expr("percentile(value, 0.9)").as("p90"),
         expr("percentile(value, 0.99)").as("p99"))
 
+  /** Explicit GROUPING SETS (independent rollups per dimension, §2E). */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT c_mktsegment, o_orderstatus, count(*) AS order_ct,
+        | cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY GROUPING SETS ((c_mktsegment), (o_orderstatus))""".stripMargin)
+  }
+
+  /** Set difference (EXCEPT, §2E): customers with orders but none in 'F' status. */
+  def exceptCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    o.select(col("o_custkey").as("custkey")).distinct()
+      .except(o.filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("custkey")).distinct())
+  }
+
   /** ProvinceStats (A25): per-nation order_count = exact count(distinct) + sum. */
   def provinceStats(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders")
