@@ -64,9 +64,11 @@ object ProductStats {
           .as("payment_amount"),
         sum(coalesce(col("refund_amount"), lit(BigDecimal(0)).cast("decimal(16,2)")))
           .as("refund_amount"),
-        size(collect_set(col("order_id"))).as("order_ct"),          // nulls skipped
-        size(collect_set(col("paid_order_id"))).as("paid_order_ct"),
-        size(collect_set(col("refund_order_id"))).as("refund_order_ct"))
+        // long like every other count (size() is int; downstream unpivot
+        // requires homogeneous types across stacked count columns)
+        size(collect_set(col("order_id"))).cast("long").as("order_ct"), // nulls skipped
+        size(collect_set(col("paid_order_id"))).cast("long").as("paid_order_ct"),
+        size(collect_set(col("refund_order_id"))).cast("long").as("refund_order_ct"))
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
         date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),

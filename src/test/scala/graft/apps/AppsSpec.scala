@@ -102,6 +102,44 @@ class AppsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("VisitorStats / ProductStats / KeywordStats4Product app wrappers compose") {
+    import spark.implicits._
+    val deltas = Seq(
+      ("110000", "web", "v1", "1", 1L, 1L, 0L, 0L, 30L, t0),
+      ("110000", "web", "v1", "1", 1L, 0L, 1L, 0L, 40L, t0 + 1000))
+      .toDF("ar", "ch", "vc", "is_new", "pv_ct", "sv_ct", "uv_ct", "uj_ct", "dur_sum", "ts")
+      .withColumn("event_time", timestamp_millis(col("ts"))).drop("ts")
+    val vs = Apps.visitorStats(Map("pv" -> deltas))("dws_visitor_stats").collect()
+    assert(vs.length == 1 && vs.head.getAs[Long]("pv_ct") == 2L)
+
+    val clicks = Seq((7L, 1L, t0)).toDF("sku_id", "click_ct", "ts")
+      .withColumn("event_time", timestamp_millis(col("ts"))).drop("ts")
+    val sku = Seq((7L, "super widget", 3L, 4L, 5L))
+      .toDF("id", "sku_name", "spu_id", "tm_id", "category3_id")
+    val spu = Seq((3L, "super widget line")).toDF("id", "spu_name")
+    val tm = Seq((4L, "acme")).toDF("id", "tm_name")
+    val c3 = Seq((5L, "gadgets")).toDF("id", "name")
+    val ps = Apps.productStats(Map(
+      "dwd_click" -> clicks, "dim_sku_info" -> sku, "dim_spu_info" -> spu,
+      "dim_base_trademark" -> tm, "dim_base_category3" -> c3))("dws_product_stats")
+    val psRow = ps.collect().head
+    assert(psRow.getAs[String]("spu_name") == "super widget line")
+
+    val kw = Apps.keywordStats4Product(Map("dws_product_stats" -> ps))
+    val kws = kw("dws_keyword_stats_product").collect()
+      .map(r => (r.getAs[String]("keyword"), r.getAs[String]("source"))).toSet
+    assert(kws.contains(("super", "CLICK")) && kws.contains(("widget", "CLICK")),
+      s"spu_name tokens cross the nonzero count sources: $kws")
+  }
+
+  test("UserJumpDetail app wrapper detects in-batch bounces") {
+    val dwd = Apps.baseLog(Map("ods_base_log" -> rawLog))
+    val uj = Apps.userJumpDetail(Map("dwd_page_log" -> dwd("dwd_page_log")))
+    // batch mode: only gap-proven bounces emit (no timeout); both fixture page
+    // events are single-visit entries with no follow-up -> none provable in-batch
+    assert(uj("dwm_user_jump_detail").count() == 0)
+  }
+
   test("BaseDB app splits facts (dynamic topic) from dims") {
     import spark.implicits._
     val cdc = Seq(

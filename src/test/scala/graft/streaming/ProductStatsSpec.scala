@@ -36,7 +36,7 @@ class ProductStatsSpec extends SparkSuite {
       val r = res.head
       assert(r.getAs[Long]("click_ct") == 2L)
       assert(r.getAs[Long]("order_sku_num") == 4L)
-      assert(r.getAs[Int]("order_ct") == 2, "order 100 counted once despite 2 lines")
+      assert(r.getAs[Long]("order_ct") == 2L, "order 100 counted once despite 2 lines")
       assert(r.getAs[java.math.BigDecimal]("order_amount").compareTo(
         new java.math.BigDecimal("16.75")) == 0)
     } finally q.stop()
