@@ -101,6 +101,20 @@ object Io {
     ()
   }
 
+  /** Date/key-partitioned parquet layout — the warehouse persistence pattern
+    * at scale: one directory per partition value so downstream readers prune
+    * entire partitions (PartitionFilters) instead of scanning files. */
+  def writePartitioned(df: DataFrame, outDir: String, partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(outDir)
+
+  /** Bucketed table pair — pre-shuffled layout so equi-joins on the bucket key
+    * are map-side co-located (no Exchange at join time); the 100 TB answer to
+    * repeatedly-joined fact tables. Requires saveAsTable (bucket metadata
+    * lives in the catalog). */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String, buckets: Int): Unit =
+    df.write.mode("overwrite").bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol).format("parquet").saveAsTable(table)
+
   /** A5: JDBC-ish batch sink shape — foreachBatch with transient-column drop,
     * bound to parquet here (ClickHouse JDBC in production). */
   def statsSink(df: DataFrame, outDir: String, checkpoint: String,

@@ -1,0 +1,51 @@
+package graft.io
+
+import graft.{SparkSuite, Tables}
+import org.apache.spark.sql.functions._
+
+/** Data-layout features that carry the 100 TB design: partition pruning and
+  * bucketed (pre-shuffled) joins. These are plan assertions — the point is
+  * what the scan/join DOESN'T do (read other partitions; shuffle). */
+class ScaleLayoutSpec extends SparkSuite {
+
+  test("partitioned write → partition-pruned read (PartitionFilters, not a scan filter)") {
+    val tmp = java.nio.file.Files.createTempDirectory("part").toString
+    val events = Tables.load(spark, sf0001, "events")
+      .withColumn("dt", date_format(col("event_time"), "yyyy-MM-dd"))
+    Io.writePartitioned(events, s"$tmp/events_by_dt", Seq("dt"))
+
+    val dirs = new java.io.File(s"$tmp/events_by_dt").listFiles()
+      .filter(_.getName.startsWith("dt=")).map(_.getName)
+    assert(dirs.length > 1, s"one directory per day expected: ${dirs.toSeq}")
+
+    val read = spark.read.parquet(s"$tmp/events_by_dt").filter(col("dt") === "2024-01-02")
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(dt"), plan)
+    val expected = events.filter(col("dt") === "2024-01-02").count()
+    assert(read.count() == expected && expected > 0)
+  }
+
+  test("bucketed tables join without an Exchange (co-located join)") {
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    Io.writeBucketed(Tables.load(spark, sf0001, "orders"), "orders_b", "o_orderkey", 4)
+    Io.writeBucketed(
+      Tables.load(spark, sf0001, "lineitem").select("l_orderkey", "l_quantity"),
+      "lineitem_b", "l_orderkey", 4)
+    try {
+      // merge hint on the join SIDE forces sort-merge, so the bucket layout
+      // (not a broadcast) is what eliminates the shuffle
+      val joined = spark.table("orders_b").hint("merge")
+        .join(spark.table("lineitem_b"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderstatus").count()
+      assert(joined.count() > 0) // materialize so AQE's final plan is available
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange hashpartitioning(o_orderkey") &&
+        !plan.contains("Exchange hashpartitioning(l_orderkey"),
+        s"bucketed join must not shuffle either side:\n$plan")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
+}
