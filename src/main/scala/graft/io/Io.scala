@@ -32,6 +32,13 @@ object Io {
   def jsonFileStream(spark: SparkSession, dir: String, schema: StructType): DataFrame =
     spark.readStream.schema(schema).json(dir)
 
+  /** CSV directory source (batch or streaming) with an explicit schema —
+    * header-less, the bulk-export format dims/config tables often arrive in. */
+  def csvSource(spark: SparkSession, dir: String, schema: StructType,
+                streaming: Boolean = false): DataFrame =
+    if (streaming) spark.readStream.schema(schema).csv(dir)
+    else spark.read.schema(schema).csv(dir)
+
   /** A9: parse a raw (key, value) stream into typed columns. */
   def parseJson(raw: DataFrame, schema: StructType): DataFrame =
     raw.select(from_json(col("value"), schema).as("j")).select("j.*")

@@ -25,6 +25,20 @@ class ScaleLayoutSpec extends SparkSuite {
     assert(read.count() == expected && expected > 0)
   }
 
+  test("csvSource round-trips a config table with explicit schema") {
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("csv").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$tmp/cfg.csv"),
+      "order_info,insert,kafka,dwd_order_info,id,\nuser_info,insert,hbase,dim_user_info,\"id,name\",id\n")
+    val schema = StructType(Seq("source_table", "operate_type", "sink_type",
+      "sink_table", "sink_columns", "sink_pk").map(StructField(_, StringType)))
+    val cfg = Io.csvSource(spark, tmp, schema)
+    assert(cfg.count() == 2)
+    val dim = cfg.filter(col("sink_type") === "hbase").head
+    assert(dim.getAs[String]("sink_columns") == "id,name", "quoted CSV field parses")
+    assert(dim.getAs[String]("sink_pk") == "id")
+  }
+
   test("bucketed tables join without an Exchange (co-located join)") {
     spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
     Io.writeBucketed(Tables.load(spark, sf0001, "orders"), "orders_b", "o_orderkey", 4)

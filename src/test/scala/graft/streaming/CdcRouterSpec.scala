@@ -50,6 +50,33 @@ class CdcRouterSpec extends SparkSuite {
     assert(rows.head.getAs[String]("value").contains("second"), "latest ts wins")
   }
 
+  test("config hot-reload: a batch sees the config as of ITS trigger (5s-timer parity)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("cdc-reload").toString
+    // mutable provider — the per-batch re-read that replaces the reference's
+    // MySQL polling Timer (TableProcessFunction.java:51-60)
+    var sinkTable = "dwd_order_info_v1"
+    def provider() = Seq(
+      ("order_info", "insert", "kafka", sinkTable, "id", null.asInstanceOf[String]))
+      .toDF("source_table", "operate_type", "sink_type", "sink_table", "sink_columns", "sink_pk")
+
+    val ms1 = MemoryStream[(String, String, String, Long, String)]
+    ms1.addData(("gmall", "order_info", "insert", 1L, """{"id":"1"}"""))
+    CdcRouter.run(spark, ms1.toDF().toDF("database", "table", "type", "ts", "data"),
+      provider _, s"$tmp/facts", s"$tmp/dims", s"$tmp/ckpt1").awaitTermination()
+
+    sinkTable = "dwd_order_info_v2" // config change between triggers
+    val ms2 = MemoryStream[(String, String, String, Long, String)]
+    ms2.addData(("gmall", "order_info", "insert", 2L, """{"id":"2"}"""))
+    CdcRouter.run(spark, ms2.toDF().toDF("database", "table", "type", "ts", "data"),
+      provider _, s"$tmp/facts", s"$tmp/dims", s"$tmp/ckpt2").awaitTermination()
+
+    val topics = spark.read.json(s"$tmp/facts").select("topic").collect().map(_.getString(0)).sorted
+    assert(topics.toSeq == Seq("dwd_order_info_v1", "dwd_order_info_v2"),
+      s"each batch must route by its trigger-time config: ${topics.toSeq}")
+  }
+
   test("end-to-end: facts land per-topic, dims upsert with last-writer-wins") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
