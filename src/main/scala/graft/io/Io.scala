@@ -45,10 +45,15 @@ object Io {
 
   // ---------------- sinks ----------------
 
+  /** Row → JSON `value` column, the wire encoding every topic edge uses
+    * (the reference JSON-encodes all inter-layer records). */
+  def jsonValue(df: DataFrame): DataFrame =
+    df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+
   /** A2: fixed-topic Kafka sink (JSON-encoded rows). */
   def kafkaSink(df: DataFrame, servers: String, topic: String,
                 checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
-    df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+    jsonValue(df)
       .writeStream.format("kafka")
       .option("kafka.bootstrap.servers", servers)
       .option("topic", topic)

@@ -39,6 +39,18 @@ class ScaleLayoutSpec extends SparkSuite {
     assert(dim.getAs[String]("sink_pk") == "id")
   }
 
+  test("jsonValue wire encoding round-trips through from_json (A2 serialization)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val rows = Seq((1L, "a", Some(2.5)), (2L, "b", None)).toDF("id", "name", "score")
+    val encoded = Io.jsonValue(rows)
+    assert(encoded.columns.toSeq == Seq("value"))
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType), StructField("score", DoubleType)))
+    val decoded = encoded.select(from_json(col("value"), schema).as("j")).select("j.*")
+    assert(decoded.collect().toSet == rows.collect().toSet, "lossless round-trip incl. nulls")
+  }
+
   test("bucketed tables join without an Exchange (co-located join)") {
     spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
     Io.writeBucketed(Tables.load(spark, sf0001, "orders"), "orders_b", "o_orderkey", 4)
