@@ -284,6 +284,19 @@ object Oracles {
         |EXCEPT
         |SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
 
+    "q45_cube_orders" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS order_ct,
+        | cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS revenue
+        |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)""".stripMargin,
+
+    "q46_ranking_functions" ->
+      """SELECT c_mktsegment, c_custkey,
+        | cast(rank() OVER w as int) AS rnk,
+        | cast(dense_rank() OVER w as int) AS drnk,
+        | cast(ntile(4) OVER w as int) AS quartile
+        |FROM customer WHERE c_custkey <= 200
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)""".stripMargin,
+
     "q39_running_total" ->
       """SELECT o_custkey, o_orderkey,
         | strftime(o_orderdate, '%Y-%m-%d') AS o_date,

@@ -65,6 +65,8 @@ object SparkEntry {
     "q42_percentiles"       -> Relational.percentiles _,
     "q43_grouping_sets"     -> Relational.groupingSets _,
     "q44_except_customers"  -> Relational.exceptCustomers _,
+    "q45_cube_orders"       -> Relational.cubeOrders _,
+    "q46_ranking_functions" -> Relational.rankingFunctions _,
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

@@ -343,6 +343,27 @@ object Relational {
         .select(col("o_custkey").as("custkey")).distinct())
   }
 
+  /** CUBE (all grouping combinations, §2E) over order priority × status. */
+  def cubeOrders(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .cube("o_orderpriority", "o_orderstatus")
+      .agg(count(lit(1)).as("order_ct"),
+        expr("cast(sum(cast(o_totalprice as decimal(18,2))) as double)").as("revenue"))
+
+  /** Ranking analytics sampler (§2E): rank / dense_rank / ntile over customer
+    * account balances per market segment — deterministic with the acctbal,
+    * custkey tiebreak. */
+  def rankingFunctions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    t(spark, dir, "customer")
+      .filter(col("c_custkey") <= 200)
+      .select(col("c_mktsegment"), col("c_custkey"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"))
+  }
+
   /** ProvinceStats (A25): per-nation order_count = exact count(distinct) + sum. */
   def provinceStats(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders")
