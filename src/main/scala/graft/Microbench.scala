@@ -45,6 +45,39 @@ object Microbench {
     time("distinct users: typed HashSet Aggregator") {
       ev.groupBy("event_type").agg(Aggregators.exactDistinct(col("user_id"))).count()
     }
+    // ADVICE (round 1): the Kryo HashSet buffer round-trips on every partial
+    // merge — measure at HIGH per-group cardinality (group by day: ~5k uniques
+    // per group at sf0.1), not just the 5-group event_type split
+    val byDay = ev.withColumn("dt", to_date(col("event_time")))
+    time("distinct users/day (high card): count(distinct)") {
+      byDay.groupBy("dt").agg(countDistinct(col("user_id"))).count()
+    }
+    time("distinct users/day (high card): typed Aggregator") {
+      byDay.groupBy("dt").agg(Aggregators.exactDistinct(col("user_id"))).count()
+    }
+
+    // hyperplane LSH signature: per-(row,plane,dim) splitmix derivation vs the
+    // memoized plane matrix (VectorFns.hyperplanePlanes)
+    val sigU = VectorFns.hyperplaneSigUdf(16)
+    time("hyperplane sig(16 planes): memoized plane matrix") {
+      e.select(sigU(col("embedding")).as("s")).agg(sum(col("s"))).head.get(0); 0L
+    }
+    val inlineSig = udf { (v: Seq[Float]) =>
+      var sig = 0; var p = 0
+      while (p < 16) {
+        var dot = 0.0; var d = 0
+        while (d < v.length) {
+          dot += v(d) * (graft.functions.TextFns.splitmix64(p.toLong * 100003L + d).toDouble /
+            Long.MaxValue.toDouble)
+          d += 1
+        }
+        if (dot >= 0) sig |= (1 << p); p += 1
+      }
+      sig
+    }
+    time("hyperplane sig(16 planes): per-row splitmix derivation") {
+      e.select(inlineSig(col("embedding")).as("s")).agg(sum(col("s"))).head.get(0); 0L
+    }
 
     import graft.functions.TextFns._
     val docs = Tables.load(spark, dir, "documents")

@@ -122,8 +122,11 @@ object Oracles {
         |SELECT n_name, o_custkey AS custkey, revenue, order_ct, cast(rn as int) AS rn
         |FROM rk JOIN nation ON c_nationkey = n_nationkey WHERE rn <= 3""".stripMargin,
 
+    // real JSON field extraction on both sides (Spark get_json_object $.k ↔
+    // DuckDB json_extract), not a regex stand-in that only works while the
+    // props fixture contains a single number
     "q15_json_props" ->
-      """SELECT cast(regexp_extract(props, '[0-9]+') as int) % 10 AS k_bucket, count(*) AS ct,
+      """SELECT cast(json_extract_string(props, '$.k') as int) % 10 AS k_bucket, count(*) AS ct,
         | cast(sum(cast(value as decimal(18,2))) as double) AS value_sum
         |FROM events GROUP BY 1""".stripMargin,
 
@@ -204,7 +207,8 @@ object Oracles {
     "q24_cosine_neardup" ->
       """SELECT a.vec_id AS va, b.vec_id AS vb
         |FROM embeddings a, embeddings b
-        |WHERE a.vec_id < b.vec_id AND list_cosine_similarity(a.embedding, b.embedding) > 0.4""".stripMargin,
+        |WHERE a.vec_id < 500 AND b.vec_id < 500
+        | AND a.vec_id < b.vec_id AND list_cosine_similarity(a.embedding, b.embedding) > 0.4""".stripMargin,
 
     "q25_multimodal_meta" ->
       """SELECT source, count(*) AS n_docs,

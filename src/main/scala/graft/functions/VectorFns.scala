@@ -35,21 +35,33 @@ object VectorFns {
 
   def normFastCol(a: Column): Column = sqrt(call_function("dot_f", a, a))
 
+  /** Deterministic hyperplane matrix: component (p, d) is SplitMix64(p·100003+d)
+    * mapped to [-1, 1). Derived (not shipped) on every executor, but computed
+    * ONCE per (nPlanes, dim) — not per row per element — and memoized; the
+    * signature loop then reads a flat double array. */
+  def hyperplanePlanes(nPlanes: Int, dim: Int): Array[Array[Double]] =
+    planeCache.computeIfAbsent((nPlanes, dim), { key: (Int, Int) =>
+      Array.tabulate(key._1, key._2)((p, d) =>
+        TextFns.splitmix64(p.toLong * 100003L + d).toDouble / Long.MaxValue.toDouble)
+    })
+
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+
   /** Random-hyperplane LSH bucket id: `nPlanes` sign bits packed into an int.
-    * Hyperplane components are deterministic pseudo-randoms derived from
-    * SplitMix64(plane, dim) — identical on every executor without shipping
-    * plane matrices around.
+    * Bit-identical to deriving each component inline (same SplitMix64 stream,
+    * same accumulation order) — asserted by SimilaritySpec's determinism test.
     */
   def hyperplaneSig(v: Seq[Float], nPlanes: Int): Int = {
+    val planes = hyperplanePlanes(nPlanes, v.length)
     var sig = 0
     var p = 0
     while (p < nPlanes) {
+      val plane = planes(p)
       var dot = 0.0
       var d = 0
-      while (d < v.length) {
-        // map SplitMix64 output to [-1, 1) deterministically
-        val r = TextFns.splitmix64(p.toLong * 100003L + d).toDouble / Long.MaxValue.toDouble
-        dot += v(d) * r
+      while (d < plane.length) {
+        dot += v(d) * plane(d)
         d += 1
       }
       if (dot >= 0) sig |= (1 << p)

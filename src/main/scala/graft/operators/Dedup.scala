@@ -110,47 +110,136 @@ object Dedup {
       .select(col("da"), col("db"), col("hamming"))
   }
 
+  /** Large-star round (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14 §3): every node u links each STRICTLY LARGER neighbor to
+    * the minimum of its closed neighborhood — long chains collapse
+    * geometrically, and a hot hub's edges spread over the reducers of its
+    * neighbors instead of one key. Output may contain duplicates; the round's
+    * single `distinct` runs after [[smallStar]]. */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("a"), col("b"))
+      .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+    val mins = sym.groupBy("a").agg(least(min(col("b")), col("a")).as("m"))
+    sym.join(mins, "a")
+      .filter(col("b") > col("a"))
+      .select(col("b").as("a"), col("m").as("b"))
+  }
+
+  /** Small-star round: edges are directed high→low; each high node links all
+    * its smaller neighbors (and itself) to the smallest one. */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val dir = edges.select(
+      greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+    val mins = dir.groupBy("u").agg(min(col("v")).as("m"))
+    dir.join(mins, "u")
+      .filter(col("v") =!= col("m"))
+      .select(col("v").as("a"), col("m").as("b"))
+      .unionByName(mins.select(col("u").as("a"), col("m").as("b")))
+      .distinct()
+  }
+
   /** Connected components over near-dup pairs → dedup clusters: every doc gets
     * the min doc_id reachable through the pair graph as its cluster id (the
-    * "keeper"). Alternating min-label propagation, driver-bounded iterations —
-    * near-dup components are shallow (duplicates of one source), so this
-    * converges in O(component diameter) rounds; at 100 TB swap in the
-    * large-star/small-star formulation (same join shape, better skew behavior).
+    * "keeper"). Two regimes, both fault-tolerant (no `localCheckpoint`, no
+    * driver-side iteration bookkeeping jobs):
+    *
+    *  - **Small pair sets** (≤ `collectThreshold`, default 2²⁰ pairs ≈ 16 MB):
+    *    one bounded collect + driver union-find with path compression. The
+    *    LSH candidate-pair set is orders of magnitude smaller than the corpus,
+    *    so this is the common case and — like the IVF quantizer's driver-side
+    *    k-means — a legitimate bounded index-build step, not a scan.
+    *  - **Large pair sets**: alternating large-star/small-star (Kiveris et al.
+    *    SoCC'14): O(log n) rounds regardless of component diameter,
+    *    skew-resistant (a hub's edge list is never reduced on one key). Each
+    *    round runs exactly ONE Spark action — the aggregate that materializes
+    *    the persisted new edge set ALSO returns the fixed-point test
+    *    (edge count + order-insensitive xxhash64 set digest unchanged, valid
+    *    because the per-node attachment min only decreases), so there is no
+    *    separate per-round convergence job. Rounds chain persisted DataFrames;
+    *    at 100 TB swap the per-round persist for a stage-boundary write every
+    *    few rounds — round count is O(log n), so lineage stays shallow.
+    *
+    * Both regimes are gated against each other and against a reference
+    * union-find in DedupSimilaritySpec.
     */
-  def clusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+  def clusters(pairs: DataFrame, maxIters: Int = 16,
+               collectThreshold: Long = 1L << 20): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    val edges = pairs.select(col("da").as("a"), col("db").as("b"))
-      .unionByName(pairs.select(col("db").as("a"), col("da").as("b")))
-      .localCheckpoint()
-    var labels = edges.select(col("a").as("doc_id")).distinct()
-      .withColumn("cluster_id", col("doc_id"))
-      .localCheckpoint()
-    var changed = 1L
+    var edges = pairs.select(col("da").as("a"), col("db").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .persist()
+    var cached = edges // the persisted handle backing `edges`
+    val init = edges.agg(
+      count(lit(1)).as("n"),
+      coalesce(sum(xxhash64(col("a"), col("b")).cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)")).as("dig")).head()
+    var edgeCount = init.getLong(0)
+    var digest = init.getDecimal(1)
+
+    if (edgeCount <= collectThreshold) {
+      // driver union-find over the (bounded) candidate pairs
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      val local = edges.as[(Long, Long)].collect()
+      local.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val labels = local.iterator.flatMap { case (a, b) => Iterator(a, b) }
+        .toSet[Long].toSeq.map(n => (n, find(n)))
+      cached.unpersist()
+      return labels.toDF("doc_id", "cluster_id")
+    }
+
+    var converged = false
     var iter = 0
-    // loop runs until a round with ZERO changes confirms convergence (a round
-    // that still changes labels may itself be the final one — only the
-    // following all-quiet round proves it), or maxIters rounds elapsed
-    while (changed > 0 && iter < maxIters) {
-      // each node adopts the min label among itself and its neighbors
-      val viaNeighbors = edges
-        .join(labels.withColumnRenamed("doc_id", "b2"), col("b") === col("b2"))
-        .groupBy(col("a").as("doc_id"))
-        .agg(min(col("cluster_id")).as("n_label"))
-      val next = labels.join(viaNeighbors, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("cluster_id"), coalesce(col("n_label"), col("cluster_id"))).as("cluster_id"))
-        .localCheckpoint()
-      changed = next.as("n").join(labels.as("o"), Seq("doc_id"))
-        .filter(col("n.cluster_id") =!= col("o.cluster_id")).count()
-      labels = next
+    while (!converged && iter < maxIters) {
+      // each star references `edges` several times, so chaining raw plans
+      // would grow the logical tree ~5× per round; rebuilding the round result
+      // as a fresh LogicalRDD over the CACHED rows keeps the plan O(1) per
+      // round while staying recomputable (unlike localCheckpoint, nothing is
+      // pinned to live executors — a lost block recomputes through the RDD
+      // chain; at 100 TB, additionally checkpoint() to reliable storage every
+      // few rounds to also bound that chain)
+      val next = smallStar(largeStar(edges)).persist()
+      // ONE action: materializes `next` into the cache AND returns the
+      // fixed-point test. (count, sum-of-hashes) identical to the previous
+      // round ⟺ identical sets here: attachments only ever decrease, so a
+      // changed set with a colliding digest would need an exact hash-sum
+      // collision inside a monotone step — not a practical concern, and the
+      // final labels are additionally spec-gated against union-find.
+      val stats = next.agg(
+        count(lit(1)).as("n"),
+        coalesce(sum(xxhash64(col("a"), col("b")).cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")).as("dig")).head()
+      val n = stats.getLong(0)
+      val dig = stats.getDecimal(1)
+      converged = n == edgeCount && dig == digest
+      cached.unpersist()
+      cached = next
+      edges = spark.createDataFrame(next.rdd, next.schema) // plan cut, cache-backed
+      edgeCount = n
+      digest = dig
       iter += 1
     }
-    if (changed > 0)
+    if (!converged)
       throw new IllegalStateException(
-        s"clusters() did not converge after $iter rounds ($changed labels still moving) — " +
-          "component diameter exceeds maxIters; pass a larger maxIters or use large-star/small-star")
-    labels
+        s"clusters() did not reach a star forest after $iter rounds — " +
+          "pass a larger maxIters (rounds needed grow with log of the largest component)")
+    // star forest → labels: attached nodes point at their root; roots label themselves
+    val nodes = edges.select(col("a")).unionByName(edges.select(col("b").as("a"))).distinct()
+    val attached = edges.groupBy(col("a").as("doc_id")).agg(min(col("b")).as("cluster_id"))
+    nodes.select(col("a").as("doc_id"))
+      .join(attached, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
   }
 
   /** Dedup clusters of the MinHash-LSH near-dup graph: (doc_id, cluster_id)

@@ -46,9 +46,13 @@ object Similarity {
   }
 
   /** All embedding pairs with cosine > 0.4 (embedding near-dup detection).
-    * Quadratic verifier path, kept for the oracle; [[annLsh]] is the scale path. */
+    * Quadratic VERIFIER path, key-capped at vec_id < 500 exactly like the other
+    * all-pairs oracle paths (Dedup.ngramJaccard / winnowPairs) so no oracled
+    * query carries an unbounded cartesian; [[annLsh]]/[[ivfAnn]] are the
+    * bucketed scale paths for the full corpus. */
   def cosineNearDup(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
+      .filter(col("vec_id") < 500)
       .select(col("vec_id"), col("embedding"), normFastCol(col("embedding")).as("nrm"))
     val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"), col("nrm").as("na"))
     val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("nrm").as("nb"))

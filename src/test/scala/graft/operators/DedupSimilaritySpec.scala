@@ -111,6 +111,27 @@ class DedupSimilaritySpec extends SparkSuite {
     val got = Dedup.nearDupClusters(spark, sf001)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == want, s"diff: ${got.toSet -- want.toSet} / ${want.toSet -- got.toSet}")
+    // force the DISTRIBUTED regime (large-star/small-star) on the same graph:
+    // identical labels from a path that never collects the edge list
+    val distributed = Dedup.clusters(Dedup.minhashLsh(spark, sf001), collectThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(distributed == want,
+      s"large-star/small-star diff: ${distributed.toSet -- want.toSet} / ${want.toSet -- distributed.toSet}")
+  }
+
+  test("large-star/small-star handles chains, hubs and singleton pairs") {
+    import spark.implicits._
+    // a 6-node chain (worst diameter), a star hub, and an isolated pair
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), // chain 1..6
+      (10L, 11L), (10L, 12L), (10L, 13L),               // hub rooted at 10
+      (20L, 21L))                                        // pair
+      .toDF("da", "db")
+    val got = Dedup.clusters(pairs, collectThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = (1L to 6L).map(_ -> 1L).toMap ++
+      Seq(10L, 11L, 12L, 13L).map(_ -> 10L).toMap ++ Map(20L -> 20L, 21L -> 20L)
+    assert(got == want, s"got $got")
   }
 
   test("ivfAnn probes nprobe cells and recovers most true neighbors") {
@@ -164,6 +185,29 @@ class DedupSimilaritySpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(gen == viaUdf, "generator and udf+explode must produce identical rows in order")
     assert(gen.nonEmpty)
+  }
+
+  test("hyperplaneSig with the memoized plane matrix is bit-identical to inline derivation") {
+    // the round-2 optimization (compute the SplitMix64 plane matrix once per
+    // (nPlanes, dim), not per row per element) must not move a single bucket id
+    def inlineSig(v: Seq[Float], nPlanes: Int): Int = {
+      var sig = 0; var p = 0
+      while (p < nPlanes) {
+        var dot = 0.0; var d = 0
+        while (d < v.length) {
+          dot += v(d) * (graft.functions.TextFns.splitmix64(p.toLong * 100003L + d).toDouble /
+            Long.MaxValue.toDouble)
+          d += 1
+        }
+        if (dot >= 0) sig |= (1 << p); p += 1
+      }
+      sig
+    }
+    val vecs = graft.Tables.load(spark, sf0001, "embeddings").limit(300)
+      .select("embedding").collect().map(_.getSeq[Float](0))
+    assert(vecs.nonEmpty)
+    for (nPlanes <- Seq(4, 16); v <- vecs)
+      assert(VectorFns.hyperplaneSig(v, nPlanes) == inlineSig(v, nPlanes))
   }
 
   test("dot_f participates in whole-stage codegen") {
