@@ -40,17 +40,20 @@ object Apps {
     }
   }
 
-  /** BaseLogApp (app/dwd/BaseLogApp.java): raw ods_base_log → parse → 3-way
-    * split → is_new repair on the page stream. Unparseable records (null
+  /** BaseLogApp (app/dwd/BaseLogApp.java): raw ods_base_log → parse → is_new
+    * repair on the WHOLE stream → 3-way split, the reference's operator order
+    * (repair at :156-204 precedes the split at :213-257), so the start and
+    * display outputs carry the repaired flag too. Unparseable records (null
     * common/ts after permissive from_json) route to the dirty output instead
     * of crashing the typed stream — the reference's dirty side-output. */
   def baseLog(inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
     val parsed = Pipelines.parseRawLog(inputs("ods_base_log"))
+    import parsed.sparkSession.implicits._
     val dirty = parsed.filter(col("common").isNull || col("ts").isNull)
     val clean = parsed.filter(col("common").isNotNull && col("ts").isNotNull)
-    val (start, page, display) = Pipelines.splitLog(clean)
-    val repaired = Stateful.repairIsNew(toLogEvents(page)).toDF()
-    Map("dwd_start_log" -> start, "dwd_page_log" -> repaired,
+    val repaired = Stateful.repairIsNewRaw(clean.as[graft.streaming.RawLog]).toDF()
+    val (start, page, display) = Pipelines.splitLog(repaired)
+    Map("dwd_start_log" -> start, "dwd_page_log" -> toLogEvents(page).toDF(),
       "dwd_display_log" -> display, "dwd_dirty_log" -> dirty)
   }
 

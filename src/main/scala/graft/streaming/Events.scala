@@ -18,6 +18,34 @@ case class LogEvent(
     ts: Long,
     item: Option[String] = None)
 
+/** Typed twin of Pipelines.rawLogSchema — the FULL parsed log row (common +
+  * page + start + displays), so the is_new repair can run BEFORE the 3-way
+  * split exactly as the reference does (BaseLogApp.java:156-204 repairs the
+  * whole stream; the split at :213-257 then sees repaired flags everywhere).
+  */
+case class RawCommon(
+    ar: String, uid: String, os: String, ch: String, is_new: String,
+    md: String, mid: String, vc: String, ba: String)
+
+case class RawPage(
+    page_id: String, last_page_id: String, during_time: Option[Long],
+    item: String, item_type: String, source_type: String)
+
+case class RawStart(
+    entry: String, open_ad_skip_ms: Option[Long], open_ad_ms: Option[Long],
+    loading_time: Option[Long], open_ad_id: Option[Long])
+
+case class RawDisplay(
+    display_type: String, item: String, item_type: String,
+    pos_id: Option[Long], order: Option[Long], page_id: String)
+
+case class RawLog(
+    common: RawCommon,
+    page: Option[RawPage],
+    start: Option[RawStart],
+    displays: Option[Seq[RawDisplay]],
+    ts: Long)
+
 /** Order fact (reference bean/OrderInfo.java, trimmed): `create_ts` millis. */
 case class OrderInfo(
     id: Long,

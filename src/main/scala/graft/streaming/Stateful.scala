@@ -51,6 +51,30 @@ object Stateful {
       }
   }
 
+  /** [[repairIsNew]] over the FULL parsed log row, run BEFORE the 3-way split —
+    * the reference's operator order (BaseLogApp.java:156-204 repairs, :213-257
+    * splits), so start and display outputs also carry the repaired flag.
+    * Same per-mid ValueState[firstVisitDate] semantics as the LogEvent twin. */
+  def repairIsNewRaw(logs: Dataset[RawLog]): Dataset[RawLog] = {
+    import logs.sparkSession.implicits._
+    logs
+      .groupByKey(_.common.mid)
+      .flatMapGroupsWithState[String, RawLog](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, it: Iterator[RawLog], state: GroupState[String]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts, e.page.flatMap(p => Option(p.page_id))))
+          val out = sorted.map { e =>
+            val day = dayOf(e.ts)
+            val first = state.getOption
+            if (first.isEmpty) { state.update(day); e }
+            else if (e.common.is_new == "1" && first.get != day)
+              e.copy(common = e.common.copy(is_new = "0"))
+            else e
+          }
+          out.iterator
+      }
+  }
+
   // ---------------- A17: daily unique-visitor dedup ----------------
 
   /** Per-mid ValueState[lastVisitDate] with a 1-day event-time TTL: keep only
@@ -137,12 +161,49 @@ object Stateful {
 
   case class BounceState(pending: LogEvent)
 
-  // NOTE (round 2): a transformWithState port of dailyUv (state API v2 with a
-  // native TTLConfig — the closest StateTtlConfig mapping) was attempted and
-  // works API-wise (TTL requires TimeMode.ProcessingTime, matching Flink's
-  // processing-time TTL), but the required RocksDB state store provider
-  // deadlocks in this container during checkpoint upload
-  // (ChecksumCheckpointFileManager.awaitResult never returns on the zip
-  // close). Revisit if the environment gains a working RocksDB checkpoint
-  // path; flatMapGroupsWithState above carries identical semantics meanwhile.
+  // ---------------- transformWithState ports (state API v2) ----------------
+
+  /** [[repairIsNew]] on the arbitrary-state API v2 (`transformWithState`,
+    * Spark 4's successor to flatMapGroupsWithState — typed state handles, the
+    * closest analog to the reference's Flink `ValueState` at
+    * BaseLogApp.java:156-204). Requires the RocksDB state store provider.
+    *
+    * Round-1 note: this deadlocked in this container during RocksDB checkpoint
+    * upload inside ChecksumCheckpointFileManager. Round 2: disabling the
+    * checkpoint-file checksums (`spark.sql.streaming.checkpoint.fileChecksum
+    * .enabled=false`, verified by StatefulSpec) avoids that path; equivalence
+    * with [[repairIsNew]] is spec-gated cross-batch.
+    */
+  class RepairIsNewProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, LogEvent, LogEvent] {
+    import org.apache.spark.sql.streaming.{TimerValues, TTLConfig, ValueState}
+
+    @transient private var firstDay: ValueState[String] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      firstDay = getHandle.getValueState[String](
+        "firstDay", org.apache.spark.sql.Encoders.STRING, TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[LogEvent],
+                                 timerValues: TimerValues): Iterator[LogEvent] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts, e.page_id))
+      sorted.map { e =>
+        val day = dayOf(e.ts)
+        if (!firstDay.exists()) { firstDay.update(day); e }
+        else if (e.is_new == "1" && firstDay.get() != day) e.copy(is_new = "0")
+        else e
+      }.iterator
+    }
+  }
+
+  /** [[repairIsNew]] via transformWithState — semantics-identical twin, gated
+    * against the flatMapGroupsWithState version in StatefulSpec. */
+  def repairIsNewTws(events: Dataset[LogEvent]): Dataset[LogEvent] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.mid)
+      .transformWithState(new RepairIsNewProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
 }

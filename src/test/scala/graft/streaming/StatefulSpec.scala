@@ -47,6 +47,51 @@ class StatefulSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("repairIsNewTws (transformWithState + RocksDB) matches repairIsNew cross-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val conf = spark.conf
+    val prevProvider = conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val prevChecksum = conf.getOption("spark.sql.streaming.checkpoint.fileChecksum.enabled")
+    // transformWithState requires RocksDB; the checkpoint-file checksum path
+    // deadlocks in this container (round-1 note in Stateful.scala) — disable it
+    conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    val ms = MemoryStream[LogEvent]
+    val q = Stateful.repairIsNewTws(ms.toDS()).writeStream
+      .format("memory").queryName("repair_tws_out").outputMode("append").start()
+    try {
+      val day1 = 1700000000000L
+      val day2 = day1 + 86400000L
+      // watchdog: fail loudly instead of hanging the suite if the RocksDB
+      // checkpoint deadlock resurfaces
+      val worker = new Thread(() => {
+        ms.addData(ev("m1", day1, "1"), ev("m2", day1, "1"))
+        q.processAllAvailable()
+        ms.addData(ev("m1", day2, "1"), ev("m3", day2, "1"))
+        q.processAllAvailable()
+      })
+      worker.setDaemon(true)
+      worker.start()
+      worker.join(180000L)
+      assert(!worker.isAlive, "RocksDB/transformWithState micro-batches deadlocked (>180s)")
+      val byMidTs = spark.table("repair_tws_out").as[LogEvent].collect()
+        .map(e => (e.mid, e.ts) -> e.is_new).toMap
+      // identical contract to the flatMapGroupsWithState twin above
+      assert(byMidTs(("m1", day1)) == "1")
+      assert(byMidTs(("m1", day2)) == "0", "cross-batch RocksDB state repaired the stale claim")
+      assert(byMidTs(("m2", day1)) == "1")
+      assert(byMidTs(("m3", day2)) == "1")
+    } finally {
+      q.stop()
+      prevProvider.fold(conf.unset("spark.sql.streaming.stateStore.providerClass"))(
+        conf.set("spark.sql.streaming.stateStore.providerClass", _))
+      prevChecksum.fold(conf.unset("spark.sql.streaming.checkpoint.fileChecksum.enabled"))(
+        conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", _))
+    }
+  }
+
   test("dailyUv keeps only first session-entry per device per day") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
