@@ -106,10 +106,21 @@ object Io {
       } else deduped
     val tmp = path + ".tmp"
     merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-    // atomic-ish swap (single-process test scope; table formats own this in prod)
+    // swap via rename-aside (single-process test scope; table formats own this
+    // in prod): the live table is moved out of the way — not deleted — before
+    // the new version lands, so a failed rename can't silently lose the store,
+    // and every rename result is checked instead of ignored.
     val tmpFile = new java.io.File(tmp)
-    org.apache.commons.io.FileUtils.deleteDirectory(target)
-    tmpFile.renameTo(target)
+    val aside = new java.io.File(path + ".old")
+    if (aside.exists()) org.apache.commons.io.FileUtils.deleteDirectory(aside)
+    if (target.exists() && !target.renameTo(aside))
+      throw new java.io.IOException(s"upsertDim: failed to move live table $path aside")
+    if (!tmpFile.renameTo(target)) {
+      // restore the previous version so the store survives the failed swap
+      aside.renameTo(target)
+      throw new java.io.IOException(s"upsertDim: failed to publish $tmp as $path")
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(aside)
     ()
   }
 

@@ -1,0 +1,139 @@
+package graft.apps
+
+import java.nio.file.Files
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Runnable-app layer: end-to-end file-bound jobs through [[Mains.start]],
+  * including the D8/D10 recovery contract — stop a streaming app, restart it
+  * from its checkpoint, and observe exactly-once output AND keyed-state
+  * continuity across the restart.
+  */
+class MainsSpec extends SparkSuite {
+
+  private val day1 = 1700000000000L // 2023-11-14
+  private val day2 = day1 + 86400000L // next day
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def logLine(mid: String, isNew: String, ts: Long, pageId: String = "home"): String =
+    s"""{"common":{"ar":"110000","uid":"u-$mid","ch":"web","is_new":"$isNew","mid":"$mid","vc":"v1"},"page":{"page_id":"$pageId","during_time":30},"ts":$ts}"""
+
+  test("base_log restarts from checkpoint: exactly-once output + state continuity") {
+    val inDir = tmp("mains-in"); val outDir = tmp("mains-out"); val ckptDir = tmp("mains-ckpt")
+    val srcDir = new java.io.File(s"$inDir/ods_base_log"); srcDir.mkdirs()
+
+    // ---- run 1: m1's first-ever visit on day1 (is_new=1 is genuine) ----
+    Files.write(new java.io.File(srcDir, "batch1.txt").toPath,
+      java.util.Arrays.asList(
+        logLine("m1", "1", day1),
+        logLine("m2", "0", day1 + 1000L)))
+    Mains.start(spark, "base_log", inDir, outDir, ckptDir).foreach(_.awaitTermination())
+
+    val pageAfterRun1 = spark.read.json(s"$outDir/dwd_page_log")
+    assert(pageAfterRun1.count() == 2)
+    assert(pageAfterRun1.filter(col("mid") === "m1").head.getAs[String]("is_new") == "1",
+      "day1 first visit keeps its genuine is_new=1")
+
+    // ---- kill + restart: new file, same checkpoints ----
+    // m1 claims is_new=1 again on day2 — only the CHECKPOINTED state (first
+    // visit day1) can prove the claim stale; a fresh state store would trust it.
+    Files.write(new java.io.File(srcDir, "batch2.txt").toPath,
+      java.util.Arrays.asList(logLine("m1", "1", day2)))
+    Mains.start(spark, "base_log", inDir, outDir, ckptDir).foreach(_.awaitTermination())
+
+    val page = spark.read.json(s"$outDir/dwd_page_log")
+    assert(page.count() == 3, s"exactly-once: batch1 rows are NOT reprocessed (${page.count()})")
+    val m1ByTs = page.filter(col("mid") === "m1").collect()
+      .map(r => r.getAs[Long]("ts") -> r.getAs[String]("is_new")).toMap
+    assert(m1ByTs == Map(day1 -> "1", day2 -> "0"),
+      s"state survived the restart: day2 claim repaired to 0 (got $m1ByTs)")
+  }
+
+  test("base_log repairs is_new BEFORE the split: start events carry it too") {
+    val inDir = tmp("mains-in"); val outDir = tmp("mains-out"); val ckptDir = tmp("mains-ckpt")
+    val srcDir = new java.io.File(s"$inDir/ods_base_log"); srcDir.mkdirs()
+    val startLine =
+      s"""{"common":{"ar":"1","uid":"u","ch":"web","is_new":"1","mid":"m9","vc":"v1"},"start":{"entry":"icon","loading_time":10},"ts":$day2}"""
+    Files.write(new java.io.File(srcDir, "b1.txt").toPath,
+      java.util.Arrays.asList(logLine("m9", "1", day1), startLine))
+    Mains.start(spark, "base_log", inDir, outDir, ckptDir).foreach(_.awaitTermination())
+    val start = spark.read.json(s"$outDir/dwd_start_log")
+    assert(start.count() == 1)
+    assert(start.head.getAs[org.apache.spark.sql.Row]("common").getAs[String]("is_new") == "0",
+      "the day2 start event's stale is_new=1 is repaired pre-split (BaseLogApp order)")
+  }
+
+  test("visitor_stats windows close across drain runs (watermark from checkpoint)") {
+    val inDir = tmp("vs-in"); val outDir = tmp("vs-out"); val ckptDir = tmp("vs-ckpt")
+    val pv = new java.io.File(s"$inDir/pv"); pv.mkdirs()
+    def delta(ts: Long, pvCt: Long): String =
+      s"""{"ar":"110000","ch":"web","vc":"v1","is_new":"1","pv_ct":$pvCt,"sv_ct":0,"uv_ct":0,"uj_ct":0,"dur_sum":5,"event_time":"${java.time.Instant.ofEpochMilli(ts)}"}"""
+    Files.write(new java.io.File(pv, "b1.jsonl").toPath,
+      java.util.Arrays.asList(delta(day1, 1), delta(day1 + 1000, 1)))
+    Mains.start(spark, "visitor_stats", inDir, outDir, ckptDir).foreach(_.awaitTermination())
+    // pane [day1, day1+10s) is still open: nothing may emit yet (append mode)
+    val afterRun1 = spark.read.schema("stt string, pv_ct long").json(s"$outDir/dws_visitor_stats")
+    assert(afterRun1.count() == 0, "open pane must not emit in append mode")
+
+    // second run: an event 30 s later pushes the checkpointed watermark past the pane
+    Files.write(new java.io.File(pv, "b2.jsonl").toPath,
+      java.util.Arrays.asList(delta(day1 + 30000, 1)))
+    Mains.start(spark, "visitor_stats", inDir, outDir, ckptDir).foreach(_.awaitTermination())
+    val closed = spark.read.json(s"$outDir/dws_visitor_stats")
+    assert(closed.count() == 1, "exactly the first pane closed")
+    assert(closed.head.getAs[Long]("pv_ct") == 2L, "both day1 rows aggregated once")
+  }
+
+  test("base_db main routes facts to per-topic dirs and upserts dim stores") {
+    val inDir = tmp("db-in"); val outDir = tmp("db-out"); val ckptDir = tmp("db-ckpt")
+    val cdc = new java.io.File(s"$inDir/ods_base_db_m"); cdc.mkdirs()
+    val cfg = new java.io.File(s"$inDir/table_process"); cfg.mkdirs()
+    Files.write(new java.io.File(cdc, "b1.jsonl").toPath, java.util.Arrays.asList(
+      """{"database":"gmall","table":"order_info","type":"insert","ts":1,"data":"{\"id\":\"1\",\"user_id\":\"7\",\"total_amount\":\"9.9\"}"}""",
+      """{"database":"gmall","table":"user_info","type":"insert","ts":2,"data":"{\"id\":\"5\",\"name\":\"a\"}"}""",
+      """{"database":"gmall","table":"user_info","type":"update","ts":3,"data":"{\"id\":\"5\",\"name\":\"b\"}"}"""))
+    Files.write(new java.io.File(cfg, "cfg.jsonl").toPath, java.util.Arrays.asList(
+      """{"source_table":"order_info","operate_type":"insert","sink_type":"kafka","sink_table":"dwd_order_info","sink_columns":"id,user_id,total_amount"}""",
+      """{"source_table":"user_info","operate_type":"insert","sink_type":"hbase","sink_table":"dim_user_info","sink_columns":"id,name","sink_pk":"id"}""",
+      """{"source_table":"user_info","operate_type":"update","sink_type":"hbase","sink_table":"dim_user_info","sink_columns":"id,name","sink_pk":"id"}"""))
+    Mains.start(spark, "base_db", inDir, outDir, ckptDir).foreach(_.awaitTermination())
+    val facts = spark.read.json(s"$outDir/kafka_facts")
+    assert(facts.filter(col("topic") === "dwd_order_info").count() == 1)
+    val dim = spark.read.parquet(s"$outDir/hbase_dims/dim_user_info")
+    assert(dim.count() == 1, "same-key records collapse to one upserted row")
+    assert(dim.head.getAs[String]("value").contains("\"name\":\"b\""),
+      "last writer (ts=3) wins inside the micro-batch")
+  }
+
+  test("order_wide → payment_wide chain runs file-bound with derived wire schemas") {
+    val inDir = tmp("ow-in"); val outDir = tmp("ow-out"); val ckptDir = tmp("ow-ckpt")
+    def writeTopic(topic: String, lines: String*): Unit = {
+      val d = new java.io.File(s"$inDir/$topic"); d.mkdirs()
+      Files.write(new java.io.File(d, "b.jsonl").toPath, java.util.Arrays.asList(lines: _*))
+    }
+    writeTopic("dwd_order_info",
+      s"""{"id":1,"user_id":10,"province_id":110,"total_amount":99.50,"create_ts":$day1}""")
+    writeTopic("dwd_order_detail",
+      s"""{"id":100,"order_id":1,"sku_id":7,"order_price":99.50,"sku_num":1,"split_total_amount":99.50,"create_ts":$day1}""")
+    writeTopic("dim_base_province",
+      """{"id":110,"name":"Beijing","area_code":"110000","iso_code":"CN-11"}""")
+    Mains.start(spark, "order_wide", inDir, outDir, ckptDir).foreach(_.awaitTermination())
+    val ow = spark.read.schema(Mains.Wire.orderWide(spark)).json(s"$outDir/dwm_order_wide")
+    assert(ow.count() == 1 && ow.head.getAs[String]("province_name") == "Beijing")
+
+    // chain layer to layer the way the reference chains topics: the payment
+    // app's input dir IS the order app's output dir (the file-sink manifest
+    // binds entries to their own directory, so the topic dir must be consumed
+    // in place — no copies or symlinks, exactly like a Kafka topic)
+    val pwOut = tmp("pw-out")
+    val payDir = new java.io.File(s"$outDir/dwd_payment_info"); payDir.mkdirs()
+    Files.write(new java.io.File(payDir, "b.jsonl").toPath, java.util.Arrays.asList(
+      s"""{"id":500,"order_id":1,"payment_type":"1102","total_amount":99.50,"callback_ts":${day1 + 60000}}"""))
+    Mains.start(spark, "payment_wide", outDir, pwOut, ckptDir).foreach(_.awaitTermination())
+    val pw = spark.read.json(s"$pwOut/dwm_payment_wide")
+    assert(pw.count() == 1, "payment matched its order within the 30-minute band")
+  }
+}
