@@ -301,6 +301,59 @@ object Oracles {
         |FROM customer WHERE c_custkey <= 200
         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)""".stripMargin,
 
+    // duplicate-2-gram (Gopher-style repetition) rollup: long sums + one
+    // double division at the edge on both engines
+    "q47_repetition_score" ->
+      """WITH t AS (SELECT lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+        |g AS (SELECT lang,
+        |  [array_to_string(toks[i:i+1], ' ') FOR i IN generate_series(1, greatest(len(toks) - 1, 0))] AS grams
+        | FROM t),
+        |m AS (SELECT lang, len(grams) AS total, len(list_distinct(grams)) AS uniq
+        | FROM g WHERE len(grams) > 0)
+        |SELECT lang, count(*) AS docs,
+        | cast(sum(total) as bigint) AS total_2grams,
+        | cast(sum(uniq) as bigint) AS uniq_2grams,
+        | count(*) FILTER (WHERE cast(uniq as double) / total < 0.6) AS repetitive_ct,
+        | 1.0 - cast(sum(uniq) as double) / cast(sum(total) as bigint) AS dup_fraction
+        |FROM m GROUP BY 1""".stripMargin,
+
+    // deterministic 3-way split: same md5-threshold membership as q41
+    "q48_split_assign" ->
+      """SELECT lang,
+        | CASE WHEN substr(md5(cast(doc_id as varchar)), 1, 4) < '1999' THEN 'val'
+        |      WHEN substr(md5(cast(doc_id as varchar)), 1, 4) < '3333' THEN 'test'
+        |      ELSE 'train' END AS split,
+        | count(*) AS docs, cast(sum(n_chars) as bigint) AS chars
+        |FROM documents GROUP BY 1, 2""".stripMargin,
+
+    // sliding 10min/5min: every event covered by exactly the two panes the
+    // unnest enumerates (stt = its 5-min bucket and the one before)
+    "q49_sliding_window" ->
+      """WITH s AS (
+        | SELECT unnest([time_bucket(INTERVAL '5 minutes', ts),
+        |                time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes']) AS w,
+        |  event_type, value
+        | FROM events)
+        |SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS stt,
+        | strftime(w + INTERVAL '10 minutes', '%Y-%m-%d %H:%M:%S') AS edt,
+        | event_type, count(*) AS pv_ct,
+        | cast(sum(cast(value as decimal(18,2))) as double) AS value_sum
+        |FROM s GROUP BY 1, 2, 3""".stripMargin,
+
+    // contamination vs the doc_id<20 stand-in benchmark: distinct 5-gram
+    // overlap per corpus doc
+    "q50_contamination" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(
+        |   [array_to_string(toks[i:i+4], ' ') FOR i IN generate_series(1, greatest(len(toks) - 4, 0))])) AS g
+        | FROM t),
+        |b AS (SELECT DISTINCT g FROM g WHERE doc_id < 20)
+        |SELECT g.doc_id, count(*) AS contaminated_grams
+        |FROM g JOIN b USING (g)
+        |WHERE g.doc_id >= 20
+        |GROUP BY 1
+        |HAVING count(*) >= 1""".stripMargin,
+
     "q39_running_total" ->
       """SELECT o_custkey, o_orderkey,
         | strftime(o_orderdate, '%Y-%m-%d') AS o_date,

@@ -67,6 +67,13 @@ object SparkEntry {
     "q44_except_customers"  -> Relational.exceptCustomers _,
     "q45_cube_orders"       -> Relational.cubeOrders _,
     "q46_ranking_functions" -> Relational.rankingFunctions _,
+    "q47_repetition_score"  -> TextOps.repetitionScore _,
+    "q48_split_assign"      -> TextOps.splitAssign _,
+    "q49_sliding_window"    -> Relational.slidingWindowStats _,
+    "q50_contamination"     -> ((s, d) => TextOps.contamination(s, d)),
+    // quantized-cosine ranking has no SQL oracle (per-vector int8 rounding);
+    // recall vs the exact knnBruteForce is gated in DedupSimilaritySpec.
+    "q51_quantized_knn"     -> Similarity.knnQuantized _,
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

@@ -168,6 +168,59 @@ object TextFns {
 
   val shingleHashesUdf = udf((s: String) => shingleHashes(s))
 
+  private def asciiTokens(text: String): scala.collection.mutable.ArrayBuffer[String] = {
+    val toks = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (text != null) {
+      val m = TokenPattern.matcher(text.toLowerCase)
+      while (m.find()) toks += m.group()
+    }
+    toks
+  }
+
+  /** (total, distinct) n-gram counts of a document in ONE pass — the
+    * repetition-score kernel. Distinctness is by exact gram STRING (not hash),
+    * so the counts are bit-comparable to a SQL oracle that builds the grams. */
+  def gramStats(text: String, n: Int): (Long, Long) = {
+    val toks = asciiTokens(text)
+    if (toks.length < n) (0L, 0L)
+    else {
+      val seen = new java.util.HashSet[String]()
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i + n <= toks.length) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+        seen.add(sb.toString)
+        i += 1
+      }
+      ((toks.length - n + 1).toLong, seen.size.toLong)
+    }
+  }
+
+  def gramStatsUdf(n: Int) = udf((s: String) => gramStats(s, n))
+
+  /** Distinct n-gram shingle STRINGS of a document, one pass, first-seen order
+    * — the contamination kernel (string grams so the overlap join is
+    * oracle-comparable; the hash variant is [[shingleHashes]]). */
+  def distinctShingles(text: String, n: Int): Array[String] = {
+    val toks = asciiTokens(text)
+    if (toks.length < n) return Array.empty
+    val seen = new java.util.LinkedHashSet[String]()
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i + n <= toks.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+      seen.add(sb.toString)
+      i += 1
+    }
+    seen.toArray(new Array[String](seen.size))
+  }
+
+  def distinctShinglesUdf(n: Int) = udf((s: String) => distinctShingles(s, n))
+
   /** MinHash signature from pre-hashed shingles. */
   def minhashFromHashes(hashes: Array[Long]): Array[Long] = {
     val sig = Array.fill(MinHashPerms)(Long.MaxValue)

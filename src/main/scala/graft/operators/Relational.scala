@@ -364,6 +364,21 @@ object Relational {
         ntile(4).over(w).as("quartile"))
   }
 
+  /** Sliding windows (beyond the reference's tumbling-only §2E): 10-minute
+    * windows sliding every 5 — each event lands in exactly two panes. Same
+    * stt/edt string formatting as the tumbling twin; the oracle enumerates the
+    * two covering panes per event explicitly. */
+  def slidingWindowStats(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(window(col("event_time"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(
+        count(lit(1)).as("pv_ct"),
+        expr("cast(sum(cast(value as decimal(18,2))) as double)").as("value_sum"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
+        date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),
+        col("event_type"), col("pv_ct"), col("value_sum"))
+
   /** ProvinceStats (A25): per-nation order_count = exact count(distinct) + sum. */
   def provinceStats(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders")

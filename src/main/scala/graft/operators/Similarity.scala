@@ -61,6 +61,38 @@ object Similarity {
       .select(col("va"), col("vb"))
   }
 
+  /** Top-3 neighbors on int8-QUANTIZED embeddings — the memory-scale path: a
+    * 64-dim float32 vector is 256 B, its int8 twin 64 B, so a 100 TB corpus's
+    * ANN working set shrinks 4× (the standard IVF-PQ-lite move). Per-vector
+    * symmetric scale = 127/max|x|; ranking uses the quantized cosine
+    * (int dot / int norms), which preserves neighbor order up to quantization
+    * error — recall vs [[knnBruteForce]] is gated in DedupSimilaritySpec.
+    * Quantization and dot run as higher-order functions here (corpus × 10
+    * broadcast queries — not a hot path; a codegen'd int-dot Expression is the
+    * upgrade if |Q| grows). */
+  def knnQuantized(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+      .withColumn("scale",
+        expr("127.0 / greatest(aggregate(embedding, cast(0.0 as double), " +
+          "(a, x) -> greatest(a, abs(cast(x as double)))), cast(1e-9 as double))"))
+      .withColumn("qv", expr("transform(embedding, x -> cast(round(x * scale) as int))"))
+      .withColumn("qn", expr(
+        "sqrt(aggregate(zip_with(qv, qv, (x, y) -> cast(x as double) * y), " +
+          "cast(0.0 as double), (a, v) -> a + v))"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("qv").as("qq"), col("qn").as("qqn"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("qv").as("cv"), col("qn").as("cn"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("qcos").desc, col("neighbor_id"))
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("qdot", expr(
+        "aggregate(zip_with(qq, cv, (x, y) -> cast(x as double) * y), " +
+          "cast(0.0 as double), (a, v) -> a + v)"))
+      .withColumn("qcos", col("qdot") / (col("qqn") * col("cn")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"))
+  }
+
   // ---------------- IVF (inverted-file) ANN ----------------
 
   /** Deterministic Lloyd's k-means over a driver-side sample — the coarse

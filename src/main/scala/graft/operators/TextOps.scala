@@ -100,7 +100,7 @@ object TextOps {
         org.apache.spark.sql.expressions.Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("text"), col("lang"), col("source"), col("token_ct"))
-      .localCheckpoint()
+      .persist()
     val nearDupLosers = Dedup
       .clusters(Dedup.minhashLshFrom(exactKeeper.select(col("doc_id"), col("text"))))
       .filter(col("doc_id") =!= col("cluster_id")) // keeper = cluster min id
@@ -123,6 +123,62 @@ object TextOps {
       .filter(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4) < threshold)
       .groupBy("lang")
       .agg(count(lit(1)).as("sampled_docs"), sum(col("n_chars")).as("sampled_chars"))
+  }
+
+  /** Repetition scoring (the Gopher-style quality signal: repetitive docs are
+    * low-value training data): per-document duplicate-2-gram fraction, rolled
+    * up per language with a count of repetitive docs (unique/total < 0.6).
+    * Sums are LONG counts with one double division at the edge, so the rollup
+    * is partition-order deterministic (an avg of per-doc double ratios would
+    * not be). */
+  def repetitionScore(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      // single-pass (total, distinct) kernel — the HOF chain
+      // (shinglesCol → array_distinct → size) is interpreted per token and
+      // materializes every gram string; this is one scan per doc
+      .withColumn("gs", gramStatsUdf(2)(col("text")))
+      .withColumn("total", col("gs._1"))
+      .withColumn("uniq", col("gs._2"))
+      .filter(col("total") > 0)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(col("total")).as("total_2grams"),
+        sum(col("uniq")).as("uniq_2grams"),
+        count(when(col("uniq").cast("double") / col("total") < 0.6, 1)).as("repetitive_ct"),
+        (lit(1.0) - expr("cast(sum(uniq) as double)") / sum(col("total"))).as("dup_fraction"))
+
+  /** Deterministic multi-way split assignment (train/test/val) — [[hashSample]]
+    * generalized to the standard corpus-cut shape: membership is a pure
+    * function of md5(doc_id), so the same doc lands in the same split across
+    * engines, runs, and cluster layouts, and the splits are disjoint by
+    * construction. ~10% val, ~10% test, rest train. */
+  def splitAssign(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("h", substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4))
+      .withColumn("split",
+        when(col("h") < "1999", "val")
+          .when(col("h") < "3333", "test")
+          .otherwise("train"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"))
+
+  /** Benchmark-contamination detection: corpus documents sharing verbatim
+    * 5-gram shingles with a benchmark set (stand-in here: doc_id < 20 — in a
+    * real pipeline, the eval suites). The benchmark n-gram set is tiny and
+    * BROADCAST, so the corpus side is one scan + explode with no shuffle of
+    * text and no pair blowup — the shape that stays linear at 100 TB. */
+  def contamination(spark: SparkSession, dir: String,
+                    benchMaxId: Long = 20L, minOverlap: Long = 1L): DataFrame = {
+    val grams = docs(spark, dir)
+      .select(col("doc_id"),
+        explode(distinctShinglesUdf(5)(col("text"))).as("g"))
+    val bench = grams.filter(col("doc_id") < benchMaxId).select("g").distinct()
+    grams.filter(col("doc_id") >= benchMaxId)
+      .join(broadcast(bench), "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("contaminated_grams")) // grams are distinct per doc
+      .filter(col("contaminated_grams") >= minOverlap)
   }
 
   /** Multimodal column plumbing, SQL-visible part: treat the payload as opaque

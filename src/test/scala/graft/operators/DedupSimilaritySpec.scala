@@ -187,6 +187,18 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(gen.nonEmpty)
   }
 
+  test("knnQuantized (int8) recovers the exact float top-3 with high recall") {
+    val exact = Similarity.knnBruteForce(spark, sf001)
+      .filter(col("rnk") <= 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = Similarity.knnQuantized(spark, sf001)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = quant.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"int8 quantization recall $recall vs exact top-3")
+  }
+
   test("hyperplaneSig with the memoized plane matrix is bit-identical to inline derivation") {
     // the round-2 optimization (compute the SplitMix64 plane matrix once per
     // (nPlanes, dim), not per row per element) must not move a single bucket id
