@@ -87,6 +87,37 @@ class MainsSpec extends SparkSuite {
     assert(closed.head.getAs[Long]("pv_ct") == 2L, "both day1 rows aggregated once")
   }
 
+  test("base_log output chains into unique_visit and keyword_stats through files") {
+    val inDir = tmp("chain-in"); val outDir = tmp("chain-out"); val ckptDir = tmp("chain-ckpt")
+    val srcDir = new java.io.File(s"$inDir/ods_base_log"); srcDir.mkdirs()
+    val searchLine =
+      s"""{"common":{"ar":"1","uid":"u1","ch":"web","is_new":"1","mid":"mA","vc":"v1"},"page":{"page_id":"good_list","item":"spark engine","item_type":"keyword","during_time":30},"ts":$day1}"""
+    Files.write(new java.io.File(srcDir, "b.txt").toPath, java.util.Arrays.asList(
+      logLine("mA", "1", day1 - 1000L), searchLine, logLine("mB", "0", day1 + 1000L)))
+    Mains.start(spark, "base_log", inDir, outDir, ckptDir).foreach(_.awaitTermination())
+
+    // the DWD page topic (file dir) IS the next layer's source — same as Kafka
+    val uvOut = tmp("uv-out")
+    Mains.start(spark, "unique_visit", outDir, uvOut, ckptDir).foreach(_.awaitTermination())
+    val uv = spark.read.json(s"$uvOut/dwm_unique_visit")
+    assert(uv.select("mid").collect().map(_.getString(0)).toSet == Set("mA", "mB"),
+      "one first-visit row per device")
+
+    val kwOut = tmp("kw-out")
+    Mains.start(spark, "keyword_stats", outDir, kwOut, ckptDir).foreach(_.awaitTermination())
+    // windowed agg: the pane is still open after one drain (watermark
+    // semantics); only SEARCH events advance keywordStats' watermark (the
+    // page filter precedes it), so run 2 feeds a later search event
+    val srcDir2 = new java.io.File(s"$inDir/ods_base_log")
+    Files.write(new java.io.File(srcDir2, "b2.txt").toPath, java.util.Arrays.asList(
+      s"""{"common":{"ar":"1","uid":"u9","ch":"web","is_new":"0","mid":"mC","vc":"v1"},"page":{"page_id":"good_list","item":"later probe","item_type":"keyword","during_time":5},"ts":${day1 + 600000L}}"""))
+    Mains.start(spark, "base_log", inDir, outDir, ckptDir).foreach(_.awaitTermination())
+    Mains.start(spark, "keyword_stats", outDir, kwOut, ckptDir).foreach(_.awaitTermination())
+    val kw = spark.read.json(s"$kwOut/dws_keyword_stats")
+    val kws = kw.collect().map(r => r.getAs[String]("keyword")).toSet
+    assert(kws == Set("spark", "engine"), s"tokenized search keywords in closed pane: $kws")
+  }
+
   test("base_db main routes facts to per-topic dirs and upserts dim stores") {
     val inDir = tmp("db-in"); val outDir = tmp("db-out"); val ckptDir = tmp("db-ckpt")
     val cdc = new java.io.File(s"$inDir/ods_base_db_m"); cdc.mkdirs()
@@ -106,6 +137,17 @@ class MainsSpec extends SparkSuite {
     assert(dim.count() == 1, "same-key records collapse to one upserted row")
     assert(dim.head.getAs[String]("value").contains("\"name\":\"b\""),
       "last writer (ts=3) wins inside the micro-batch")
+
+    // restart leg: a later CDC update for the same key in a new file — the
+    // checkpointed offsets skip batch 1, the upsert applies only the delta
+    Files.write(new java.io.File(cdc, "b2.jsonl").toPath, java.util.Arrays.asList(
+      """{"database":"gmall","table":"user_info","type":"update","ts":9,"data":"{\"id\":\"5\",\"name\":\"c\"}"}"""))
+    Mains.start(spark, "base_db", inDir, outDir, ckptDir).foreach(_.awaitTermination())
+    val facts2 = spark.read.json(s"$outDir/kafka_facts")
+    assert(facts2.count() == facts.count(), "fact batch 1 NOT re-emitted after restart")
+    val dim2 = spark.read.parquet(s"$outDir/hbase_dims/dim_user_info")
+    assert(dim2.count() == 1 && dim2.head.getAs[String]("value").contains("\"name\":\"c\""),
+      "restart applied only the new update; key still single-rowed")
   }
 
   test("order_wide → payment_wide chain runs file-bound with derived wire schemas") {

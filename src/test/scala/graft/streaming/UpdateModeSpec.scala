@@ -41,6 +41,26 @@ class UpdateModeSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("complete mode re-emits the WHOLE result each batch (the full-retract twin)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(String, Long)]
+    val counts = ms.toDF().toDF("word", "n").groupBy("word").agg(count(lit(1)).as("ct"))
+    val q = counts.writeStream.format("memory").queryName("cmp_out")
+      .outputMode("complete").start()
+    try {
+      ms.addData(("hello", 1L), ("world", 1L))
+      q.processAllAvailable()
+      ms.addData(("hello", 1L))
+      q.processAllAvailable()
+      // complete mode REPLACES the memory table: final state only, world kept
+      val all = spark.table("cmp_out").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toSet
+      assert(all == Set("hello" -> 2L, "world" -> 1L),
+        s"complete mode shows the whole latest result incl. unchanged keys: $all")
+    } finally q.stop()
+  }
+
   test("update mode works with the stateful operators' non-windowed aggregations") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
