@@ -67,27 +67,23 @@ object Similarity {
     * symmetric scale = 127/max|x|; ranking uses the quantized cosine
     * (int dot / int norms), which preserves neighbor order up to quantization
     * error — recall vs [[knnBruteForce]] is gated in DedupSimilaritySpec.
-    * Quantization and dot run as higher-order functions here (corpus × 10
-    * broadcast queries — not a hot path; a codegen'd int-dot Expression is the
-    * upgrade if |Q| grows). */
+    * Quantization runs once per ROW (higher-order transform); the per-PAIR
+    * kernel is the codegen'd `dot_i` Catalyst expression (exact long
+    * arithmetic: 127²·dim ≪ 2⁶³), mirroring the float path's `dot_f`. */
   def knnQuantized(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
       .withColumn("scale",
         expr("127.0 / greatest(aggregate(embedding, cast(0.0 as double), " +
           "(a, x) -> greatest(a, abs(cast(x as double)))), cast(1e-9 as double))"))
       .withColumn("qv", expr("transform(embedding, x -> cast(round(x * scale) as int))"))
-      .withColumn("qn", expr(
-        "sqrt(aggregate(zip_with(qv, qv, (x, y) -> cast(x as double) * y), " +
-          "cast(0.0 as double), (a, v) -> a + v))"))
+      .withColumn("qn", sqrt(call_function("dot_i", col("qv"), col("qv")).cast("double")))
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("qv").as("qq"), col("qn").as("qqn"))
     val c = e.select(col("vec_id").as("neighbor_id"), col("qv").as("cv"), col("qn").as("cn"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("qcos").desc, col("neighbor_id"))
     c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("qdot", expr(
-        "aggregate(zip_with(qq, cv, (x, y) -> cast(x as double) * y), " +
-          "cast(0.0 as double), (a, v) -> a + v)"))
-      .withColumn("qcos", col("qdot") / (col("qqn") * col("cn")))
+      .withColumn("qcos",
+        call_function("dot_i", col("qq"), col("cv")).cast("double") / (col("qqn") * col("cn")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 3)
       .select(col("query_id"), col("neighbor_id"), col("rnk"))

@@ -71,21 +71,82 @@ case class DotProductF(left: Expression, right: Expression)
   override def prettyName: String = "dot_f"
 }
 
+/** [[DotProductF]]'s int-array twin for the int8-quantized ANN path
+  * (`graft.operators.Similarity.knnQuantized`): long dot over two
+  * `array<int>` buffers — exact (127²·dim ≪ 2⁶³, no rounding), allocation-free,
+  * inside WholeStageCodegen. */
+case class DotProductI(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def isIntArray(dt: DataType): Boolean = dt match {
+      case ArrayType(org.apache.spark.sql.types.IntegerType, _) => true
+      case _ => false
+    }
+    if (isIntArray(left.dataType) && isIntArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"dot_i expects (array<int>, array<int>), got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s += x.getInt(i).toLong * y.getInt(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (long)$x.getInt($i) * (long)$y.getInt($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductI = copy(newLeft, newRight)
+
+  override def prettyName: String = "dot_i"
+}
+
 object VectorExpressions {
   /** Idempotent session-level registration; lets callers use
     * `call_function("dot_f", a, b)` without configuring extensions. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_f", exprs => DotProductF(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_i", exprs => DotProductI(exprs(0), exprs(1)), "built-in")
+  }
 }
 
 /** `SparkSessionExtensions` entry point:
   * `spark.sql.extensions=graft.plans.GraftExtensions` registers every custom
   * expression at session build time. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("dot_f"),
       new ExpressionInfo(classOf[DotProductF].getName, "dot_f"),
       (exprs: Seq[Expression]) => DotProductF(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("dot_i"),
+      new ExpressionInfo(classOf[DotProductI].getName, "dot_i"),
+      (exprs: Seq[Expression]) => DotProductI(exprs(0), exprs(1))))
+  }
 }

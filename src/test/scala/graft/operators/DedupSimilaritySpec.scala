@@ -222,6 +222,21 @@ class DedupSimilaritySpec extends SparkSuite {
       assert(VectorFns.hyperplaneSig(v, nPlanes) == inlineSig(v, nPlanes))
   }
 
+  test("dot_i matches the HOF int dot bit-for-bit and stays in codegen") {
+    VectorExpressions.register(spark)
+    val e = graft.Tables.load(spark, sf0001, "embeddings").limit(200)
+      .withColumn("qv", expr("transform(embedding, x -> cast(round(x * 100) as int))"))
+    val both = e.select(
+      expr("aggregate(zip_with(qv, qv, (x, y) -> cast(x as bigint) * y), " +
+        "cast(0 as bigint), (a, v) -> a + v)").as("slow"),
+      call_function("dot_i", col("qv"), col("qv")).as("fast"))
+    assert(both.filter(col("slow") =!= col("fast")).count() == 0)
+    val plan = e.select(call_function("dot_i", col("qv"), col("qv")))
+      .queryExecution.executedPlan.toString
+    // the dot_i projection must sit inside a WholeStageCodegen stage ("*(n)")
+    assert(plan.linesIterator.exists(l => l.contains(") Project [dot_i") && l.contains("*(")), plan)
+  }
+
   test("dot_f participates in whole-stage codegen") {
     VectorExpressions.register(spark)
     val e = graft.Tables.load(spark, sf0001, "embeddings")
