@@ -118,6 +118,76 @@ class MainsSpec extends SparkSuite {
     assert(kws == Set("spark", "engine"), s"tokenized search keywords in closed pane: $kws")
   }
 
+  test("remaining apps launch file-bound: user_jump, product_stats chain, province_stats") {
+    // --- user_jump_detail over a directly-written page topic ---
+    val ujIn = tmp("uj-in"); val ujOut = tmp("uj-out"); val ujCk = tmp("uj-ck")
+    val pageDir = new java.io.File(s"$ujIn/dwd_page_log"); pageDir.mkdirs()
+    def pageRow(mid: String, ts: Long, lastPage: String): String = {
+      val lp = if (lastPage == null) "null" else s""""$lastPage""""
+      s"""{"mid":"$mid","uid":"u-$mid","ar":"1","ch":"web","vc":"v1","is_new":"0","page_id":"home","last_page_id":$lp,"during_time":10,"ts":$ts}"""
+    }
+    Files.write(new java.io.File(pageDir, "b.jsonl").toPath, java.util.Arrays.asList(
+      pageRow("mJ", day1, null),                   // entry, no follow-up → bounce via timeout
+      pageRow("mK", day1, null),                   // entry…
+      pageRow("mK", day1 + 3000L, "home"),         // …followed within 10 s: not a bounce
+      pageRow("mW", day1 + 60000L, "home")))       // watermark driver past mJ's gap
+    Mains.start(spark, "user_jump_detail", ujIn, ujOut, ujCk).foreach(_.awaitTermination())
+    // the timeout fires once a LATER batch advances the watermark
+    Files.write(new java.io.File(pageDir, "b2.jsonl").toPath, java.util.Arrays.asList(
+      pageRow("mW", day1 + 120000L, "home")))
+    Mains.start(spark, "user_jump_detail", ujIn, ujOut, ujCk).foreach(_.awaitTermination())
+    val uj = spark.read.json(s"$ujOut/dwm_user_jump_detail")
+    assert(uj.select("mid").collect().map(_.getString(0)).toSet == Set("mJ"),
+      "only the unanswered session entry bounces")
+
+    // --- product_stats (delta + dims) chained into keyword_stats_product ---
+    val psIn = tmp("ps-in"); val psOut = tmp("ps-out"); val psCk = tmp("ps-ck")
+    val clickDir = new java.io.File(s"$psIn/dwd_click"); clickDir.mkdirs()
+    def delta(ts: Long): String =
+      s"""{"sku_id":7,"click_ct":1,"event_time":"${java.time.Instant.ofEpochMilli(ts)}"}"""
+    Files.write(new java.io.File(clickDir, "b.jsonl").toPath,
+      java.util.Arrays.asList(delta(day1), delta(day1 + 1000L)))
+    def dim(topic: String, rows: String*): Unit = {
+      val d = new java.io.File(s"$psIn/$topic"); d.mkdirs()
+      Files.write(new java.io.File(d, "d.jsonl").toPath, java.util.Arrays.asList(rows: _*))
+    }
+    dim("dim_sku_info", """{"id":7,"sku_name":"widget","spu_id":3,"tm_id":4,"category3_id":5}""")
+    dim("dim_spu_info", """{"id":3,"spu_name":"super widget"}""")
+    dim("dim_base_trademark", """{"id":4,"tm_name":"acme"}""")
+    dim("dim_base_category3", """{"id":5,"name":"gadgets"}""")
+    Mains.start(spark, "product_stats", psIn, psOut, psCk).foreach(_.awaitTermination())
+    Files.write(new java.io.File(clickDir, "b2.jsonl").toPath,
+      java.util.Arrays.asList(delta(day1 + 60000L))) // closes the first pane
+    Mains.start(spark, "product_stats", psIn, psOut, psCk).foreach(_.awaitTermination())
+    val ps = spark.read.schema(Mains.Wire.productStats(spark)).json(s"$psOut/dws_product_stats")
+    val psRow = ps.collect()
+    assert(psRow.length == 1 && psRow.head.getAs[String]("spu_name") == "super widget" &&
+      psRow.head.getAs[Long]("click_ct") == 2L, s"enriched closed pane: ${psRow.toSeq}")
+
+    val kwOut = tmp("kwp-out")
+    Mains.start(spark, "keyword_stats_product", psOut, kwOut, psCk).foreach(_.awaitTermination())
+    val kw = spark.read.json(s"$kwOut/dws_keyword_stats_product")
+    assert(kw.collect().map(r => (r.getAs[String]("keyword"), r.getAs[String]("source"))).toSet
+      .contains(("widget", "CLICK")), "spu tokens crossed the unpivot")
+
+    // --- province_stats over a directly-written order-wide topic ---
+    val pvIn = tmp("pv-in"); val pvOut = tmp("pv-out"); val pvCk = tmp("pv-ck")
+    val owDir = new java.io.File(s"$pvIn/dwm_order_wide"); owDir.mkdirs()
+    def owRow(id: Long, ts: Long): String =
+      s"""{"id":$id,"user_id":10,"province_id":110,"total_amount":9.90,"create_ts":$ts,"i_time":"${java.time.Instant.ofEpochMilli(ts)}","detail_id":${id * 100},"order_id":$id,"sku_id":7,"order_price":9.90,"sku_num":1,"split_total_amount":9.90,"province_name":"Beijing","area_code":"110000","iso_code":"CN-11"}"""
+    Files.write(new java.io.File(owDir, "b.jsonl").toPath,
+      java.util.Arrays.asList(owRow(1L, day1), owRow(2L, day1 + 1000L)))
+    Mains.start(spark, "province_stats", pvIn, pvOut, pvCk).foreach(_.awaitTermination())
+    Files.write(new java.io.File(owDir, "b2.jsonl").toPath,
+      java.util.Arrays.asList(owRow(3L, day1 + 60000L)))
+    Mains.start(spark, "province_stats", pvIn, pvOut, pvCk).foreach(_.awaitTermination())
+    val pv = spark.read.json(s"$pvOut/dws_province_stats")
+    val pvRow = pv.collect()
+    assert(pvRow.length == 1 && pvRow.head.getAs[String]("province_name") == "Beijing" &&
+      pvRow.head.getAs[Long]("order_count") == 2L,
+      s"closed pane with approx-exact distinct at low cardinality: ${pvRow.toSeq}")
+  }
+
   test("base_db main routes facts to per-topic dirs and upserts dim stores") {
     val inDir = tmp("db-in"); val outDir = tmp("db-out"); val ckptDir = tmp("db-ckpt")
     val cdc = new java.io.File(s"$inDir/ods_base_db_m"); cdc.mkdirs()
