@@ -83,11 +83,18 @@ object Io {
   /** A6/A7: idempotent dim upsert ("MERGE") into a parquet dim table keyed by
     * `pk`: per micro-batch, last-writer-wins against existing rows AND within
     * the batch (two CDC records for one key in a micro-batch keep only the
-    * latest by `orderCol`). At cluster scale this is the Delta/Iceberg MERGE;
-    * the parquet rewrite emulation keeps identical upsert semantics observable
-    * in tests. */
+    * latest by `orderCol`).
+    *
+    * Scale design: the store is laid out in `buckets` hash-buckets of the key
+    * (`path/__bucket=N/`), and a batch rewrites ONLY the buckets its keys
+    * fall in — write amplification is batch-proportional, not
+    * table-proportional, so the store survives a dim table 100× this size
+    * (raise `buckets` with table size). At cluster scale the same layout
+    * maps onto Delta/Iceberg MERGE with a bucketed table; the per-bucket
+    * rename-aside swap below is the single-process emulation of their commit.
+    * Read the store with [[readDim]] (drops the layout column). */
   def upsertDim(spark: SparkSession, batch: DataFrame, path: String, pk: String,
-                orderCol: String): Unit = {
+                orderCol: String, buckets: Int = 8): Unit = {
     // orderCol is REQUIRED: "last writer" must be defined by an explicit
     // ordering column (e.g. the CDC envelope ts) — any positional fallback
     // (monotonically_increasing_id etc.) is partition-layout dependent and
@@ -96,32 +103,48 @@ object Io {
       .orderBy(col(orderCol).desc)
     val deduped = batch.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
-    val target = new java.io.File(path)
-    val merged =
-      if (target.exists()) {
-        val existing = spark.read.parquet(path)
-        // allowMissingColumns: tolerate stores written before a schema widened
-        existing.join(deduped, existing(pk) === deduped(pk), "left_anti")
-          .unionByName(deduped, allowMissingColumns = true)
-      } else deduped
-    val tmp = path + ".tmp"
-    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-    // swap via rename-aside (single-process test scope; table formats own this
-    // in prod): the live table is moved out of the way — not deleted — before
-    // the new version lands, so a failed rename can't silently lose the store,
-    // and every rename result is checked instead of ignored.
-    val tmpFile = new java.io.File(tmp)
-    val aside = new java.io.File(path + ".old")
+      .withColumn("__bucket", pmod(xxhash64(col(pk).cast("string")), lit(buckets.toLong)))
+      .persist()
+    try {
+      val touched = deduped.select("__bucket").distinct().collect().map(_.getLong(0)).sorted
+      touched.foreach { b =>
+        val slice = deduped.filter(col("__bucket") === b).drop("__bucket")
+        val bucketDir = new java.io.File(s"$path/__bucket=$b")
+        val merged =
+          if (bucketDir.exists()) {
+            val existing = spark.read.parquet(bucketDir.getPath)
+            // allowMissingColumns: tolerate stores written before a schema widened
+            existing.join(slice, existing(pk) === slice(pk), "left_anti")
+              .unionByName(slice, allowMissingColumns = true)
+          } else slice
+        val tmp = new java.io.File(s"$path/.tmp__bucket=$b")
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+        swapDir(tmp, bucketDir)
+      }
+    } finally deduped.unpersist()
+    ()
+  }
+
+  /** Read a dim store written by [[upsertDim]] (hides the bucket layout). */
+  def readDim(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).drop("__bucket")
+
+  /** Publish `tmp` as `target` via rename-aside (single-process test scope;
+    * table formats own this in prod): the live version is moved out of the
+    * way — not deleted — before the new one lands, so a failed rename can't
+    * silently lose data, and every rename result is checked. */
+  private def swapDir(tmp: java.io.File, target: java.io.File): Unit = {
+    // dot-prefixed so a crash-leftover aside dir is invisible to readers
+    val aside = new java.io.File(target.getParentFile, "." + target.getName + ".old")
     if (aside.exists()) org.apache.commons.io.FileUtils.deleteDirectory(aside)
     if (target.exists() && !target.renameTo(aside))
-      throw new java.io.IOException(s"upsertDim: failed to move live table $path aside")
-    if (!tmpFile.renameTo(target)) {
+      throw new java.io.IOException(s"upsertDim: failed to move live $target aside")
+    if (!tmp.renameTo(target)) {
       // restore the previous version so the store survives the failed swap
       aside.renameTo(target)
-      throw new java.io.IOException(s"upsertDim: failed to publish $tmp as $path")
+      throw new java.io.IOException(s"upsertDim: failed to publish $tmp as $target")
     }
     org.apache.commons.io.FileUtils.deleteDirectory(aside)
-    ()
   }
 
   /** Date/key-partitioned parquet layout — the warehouse persistence pattern

@@ -143,11 +143,12 @@ object Similarity {
     // materialize the assigned corpus once: it feeds both join sides and the
     // assignment UDF scan would otherwise run per branch (the cluster-scale
     // analog is writing the IVF index — assignment is a build step, not a
-    // per-query cost)
+    // per-query cost). persist, not localCheckpoint: recomputable lineage,
+    // nothing pinned to live executors.
     val corpus = e
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
         normFastCol(col("embedding")).as("cn"), assignU(col("embedding")).as("cell"))
-      .localCheckpoint()
+      .persist()
     val queries = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         normFastCol(col("embedding")).as("qn"),

@@ -39,6 +39,35 @@ class ScaleLayoutSpec extends SparkSuite {
     assert(dim.getAs[String]("sink_pk") == "id")
   }
 
+  test("upsertDim rewrites ONLY the hash-buckets the batch touches") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dim-bucket").toString + "/store"
+    // seed: keys spread over buckets
+    val seed = (1 to 40).map(i => (i.toString, s"v$i", 1L)).toDF("id", "value", "ts")
+    Io.upsertDim(spark, seed, dir, "id", "ts")
+    val bucketDirs = new java.io.File(dir).listFiles().filter(_.getName.startsWith("__bucket="))
+    assert(bucketDirs.length > 1, "keys spread across multiple buckets")
+    def filesOf(d: java.io.File): Set[String] =
+      d.listFiles().map(f => f.getName + ":" + f.lastModified()).toSet
+    val before = bucketDirs.map(d => d.getName -> filesOf(d)).toMap
+
+    // update ONE key — only its bucket may change
+    val touchedBucket = spark.sql(
+      "select pmod(xxhash64(cast('7' as string)), 8L)").head.getLong(0)
+    Io.upsertDim(spark, Seq(("7", "v7b", 2L)).toDF("id", "value", "ts"), dir, "id", "ts")
+    val after = new java.io.File(dir).listFiles().filter(_.getName.startsWith("__bucket="))
+      .map(d => d.getName -> filesOf(d)).toMap
+    assert(after(s"__bucket=$touchedBucket") != before(s"__bucket=$touchedBucket"),
+      "the touched bucket was rewritten")
+    (before.keySet - s"__bucket=$touchedBucket").foreach { b =>
+      assert(after(b) == before(b), s"untouched bucket $b must not be rewritten")
+    }
+    // content contract unchanged: last writer wins, other keys intact
+    val rows = Io.readDim(spark, dir).collect()
+      .map(r => r.getAs[String]("id") -> r.getAs[String]("value")).toMap
+    assert(rows.size == 40 && rows("7") == "v7b" && rows("8") == "v8")
+  }
+
   test("jsonValue wire encoding round-trips through from_json (A2 serialization)") {
     import spark.implicits._
     import org.apache.spark.sql.types._
