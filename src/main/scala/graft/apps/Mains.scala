@@ -106,9 +106,13 @@ object Mains {
 
   // ---------------- bindings ----------------
 
+  /** Extra options for the streaming file sources (e.g. `maxFilesPerTrigger`
+    * for rate-limited backfills); applied by [[start]] to every source it
+    * binds. Set per call, not global state. */
   private def streamJson(spark: SparkSession, inDir: String, topic: String,
-                         schema: StructType): DataFrame =
-    spark.readStream.schema(schema).json(s"$inDir/$topic")
+                         schema: StructType,
+                         options: Map[String, String]): DataFrame =
+    spark.readStream.options(options).schema(schema).json(s"$inDir/$topic")
 
   private def staticJson(spark: SparkSession, inDir: String, topic: String,
                          schema: StructType): Option[(String, DataFrame)] = {
@@ -139,11 +143,15 @@ object Mains {
   /** Bind and launch one app's queries. Returns the started queries so callers
     * (and the checkpoint-restart spec) own their lifecycle; [[main]] awaits. */
   def start(spark: SparkSession, app: String, inDir: String, outDir: String,
-            ckptDir: String, trigger: Trigger = Trigger.AvailableNow()): Seq[StreamingQuery] = {
+            ckptDir: String, trigger: Trigger = Trigger.AvailableNow(),
+            sourceOptions: Map[String, String] = Map.empty): Seq[StreamingQuery] = {
     def sink(outputs: Map[String, DataFrame]) = sinkAll(outputs, outDir, ckptDir, trigger)
+    def streamJson(spark: SparkSession, inDir: String, topic: String, schema: StructType) =
+      Mains.streamJson(spark, inDir, topic, schema, sourceOptions)
     app match {
       case "base_log" =>
-        sink(Apps.baseLog(Map("ods_base_log" -> spark.readStream.text(s"$inDir/ods_base_log"))))
+        sink(Apps.baseLog(Map("ods_base_log" ->
+          spark.readStream.options(sourceOptions).text(s"$inDir/ods_base_log"))))
       case "unique_visit" =>
         sink(Apps.uniqueVisit(Map(
           "dwd_page_log" -> streamJson(spark, inDir, "dwd_page_log", Wire.logEvent))))

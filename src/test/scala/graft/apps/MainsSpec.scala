@@ -52,6 +52,33 @@ class MainsSpec extends SparkSuite {
       s"state survived the restart: day2 claim repaired to 0 (got $m1ByTs)")
   }
 
+  test("kill MID-stream: stop with input still unprocessed, restart finishes exactly-once") {
+    val inDir = tmp("kill-in"); val outDir = tmp("kill-out"); val ckptDir = tmp("kill-ckpt")
+    val srcDir = new java.io.File(s"$inDir/ods_base_log"); srcDir.mkdirs()
+    val n = 12
+    (0 until n).foreach { i =>
+      Files.write(new java.io.File(srcDir, f"f$i%02d.txt").toPath,
+        java.util.Arrays.asList(logLine(s"k$i", "0", day1 + i * 1000L)))
+    }
+    // one file per micro-batch → the run is a sequence of 12 batches per query;
+    // stop() the moment the first batches commit, leaving most files pending
+    val qs = Mains.start(spark, "base_log", inDir, outDir, ckptDir,
+      sourceOptions = Map("maxFilesPerTrigger" -> "1"))
+    try {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (!qs.exists(q => Option(q.lastProgress).exists(_.batchId >= 1)) &&
+        System.nanoTime() < deadline) Thread.sleep(20)
+    } finally qs.foreach(_.stop())
+    val partial = spark.read.schema(Mains.Wire.logEvent).json(s"$outDir/dwd_page_log").count()
+    assert(partial < n, s"killed mid-stream: only $partial of $n files processed")
+
+    // restart from the same checkpoints: remaining files drain, nothing twice
+    Mains.start(spark, "base_log", inDir, outDir, ckptDir).foreach(_.awaitTermination())
+    val page = spark.read.json(s"$outDir/dwd_page_log")
+    assert(page.count() == n, s"all $n events present after restart")
+    assert(page.select("mid").distinct().count() == n, "no event delivered twice")
+  }
+
   test("base_log repairs is_new BEFORE the split: start events carry it too") {
     val inDir = tmp("mains-in"); val outDir = tmp("mains-out"); val ckptDir = tmp("mains-ckpt")
     val srcDir = new java.io.File(s"$inDir/ods_base_log"); srcDir.mkdirs()
