@@ -79,6 +79,22 @@ object Microbench {
       e.select(inlineSig(col("embedding")).as("s")).agg(sum(col("s"))).head.get(0); 0L
     }
 
+    // int8-quantized dot: codegen'd dot_i vs the interpreted HOF chain
+    val qe = e.selectExpr("vec_id",
+      "transform(embedding, x -> cast(round(x * 100) as int)) as qv")
+    val qa = qe.select(col("vec_id").as("va"), col("qv").as("qa"))
+    val qb = qe.select(col("vec_id").as("vb"), col("qv").as("qb"))
+    val qpairs = qa.join(qb, col("va") < col("vb"))
+    time("pairwise int8 dot: zip_with+aggregate (interpreted HOF)") {
+      qpairs.selectExpr(
+        "aggregate(zip_with(qa, qb, (x, y) -> cast(x as bigint) * y), cast(0 as bigint), (a, v) -> a + v) as d")
+        .agg(count(when(col("d") > 0, 1))).head.getLong(0)
+    }
+    time("pairwise int8 dot: dot_i custom expression (codegen)") {
+      qpairs.select(call_function("dot_i", col("qa"), col("qb")).as("d"))
+        .agg(count(when(col("d") > 0, 1))).head.getLong(0)
+    }
+
     import graft.functions.TextFns._
     val docs = Tables.load(spark, dir, "documents")
     time("shingle sets: composed HOF columns") {
