@@ -99,11 +99,20 @@ object Io {
     // ordering column (e.g. the CDC envelope ts) — any positional fallback
     // (monotonically_increasing_id etc.) is partition-layout dependent and
     // nondeterministic after a shuffle.
+    // the bucket count is a LAYOUT property: once a store exists, its marker
+    // file wins over the parameter — an upsert with a different `buckets`
+    // would route existing keys to the wrong bucket and duplicate them
+    val markerPath = java.nio.file.Paths.get(path, "_buckets")
+    val effectiveBuckets =
+      if (java.nio.file.Files.exists(markerPath))
+        java.nio.file.Files.readString(markerPath).trim.toInt
+      else buckets
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col(pk))
       .orderBy(col(orderCol).desc)
     val deduped = batch.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
-      .withColumn("__bucket", pmod(xxhash64(col(pk).cast("string")), lit(buckets.toLong)))
+      .withColumn("__bucket",
+        pmod(xxhash64(col(pk).cast("string")), lit(effectiveBuckets.toLong)))
       .persist()
     try {
       val touched = deduped.select("__bucket").distinct().collect().map(_.getLong(0)).sorted
@@ -121,6 +130,8 @@ object Io {
         merged.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
         swapDir(tmp, bucketDir)
       }
+      if (!java.nio.file.Files.exists(markerPath))
+        java.nio.file.Files.writeString(markerPath, effectiveBuckets.toString)
     } finally deduped.unpersist()
     ()
   }

@@ -66,6 +66,16 @@ class ScaleLayoutSpec extends SparkSuite {
     val rows = Io.readDim(spark, dir).collect()
       .map(r => r.getAs[String]("id") -> r.getAs[String]("value")).toMap
     assert(rows.size == 40 && rows("7") == "v7b" && rows("8") == "v8")
+
+    // the bucket count is pinned by the store's marker: an upsert configured
+    // with a DIFFERENT count must still route by the original layout (a
+    // mis-routed key would land in a second bucket and duplicate)
+    Io.upsertDim(spark, Seq(("7", "v7c", 3L)).toDF("id", "value", "ts"), dir, "id", "ts",
+      buckets = 3)
+    val rows2 = Io.readDim(spark, dir).collect()
+      .map(r => r.getAs[String]("id") -> r.getAs[String]("value")).toMap
+    assert(rows2.size == 40 && rows2("7") == "v7c",
+      "marker-pinned layout: no duplicate key despite the mismatched buckets param")
   }
 
   test("jsonValue wire encoding round-trips through from_json (A2 serialization)") {
