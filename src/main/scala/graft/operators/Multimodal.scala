@@ -11,10 +11,18 @@ import org.apache.spark.sql.types._
   * one batch through the decoder, so a real decoder amortizes model/codec init
   * per partition instead of per row).
   *
-  * The actual byte→pixels/samples decode is NOT implementable in this
-  * container (no image/audio libraries) — [[decodeStub]] is a clearly-marked
-  * deterministic fake. Everything around it is real and tested: the schema
-  * contract, the partition batching, null passthrough, and metadata extraction.
+  * Decode status by modality:
+  *  - **image** — REAL ([[decodeMedia]]): JDK `javax.imageio` (PNG/JPEG/BMP/
+  *    GIF) → width/height, mean luminance, and an average-pooled grayscale
+  *    grid as the feature vector (pooling IS the resize step: content-true,
+  *    deterministic, no external libs). Gated by MultimodalAggSpec on
+  *    images synthesized in-test.
+  *  - **audio** — REAL ([[decodeMedia]]): JDK `javax.sound.sampled`
+  *    (WAV/AIFF PCM) → sample rate, duration, overall RMS, and a temporal
+  *    RMS-energy profile as the feature vector.
+  *  - **video** — STUB ([[decodeStub]] fallback): no video codec exists in
+  *    the JDK or this container; the deterministic fake keeps the plumbing
+  *    testable and is clearly marked.
   */
 object Multimodal {
 
@@ -60,6 +68,116 @@ object Multimodal {
       }
     }
     spark.createDataFrame(out, featureSchema)
+  }
+
+  /** Unified decoded-media schema: per-modality metadata columns are null for
+    * the other modalities; `feature` is the modality's embedding-ready vector. */
+  val decodedSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("media_type", StringType),
+    StructField("n_bytes", LongType),
+    StructField("decode_ok", BooleanType, nullable = false),
+    StructField("width", IntegerType),          // image
+    StructField("height", IntegerType),         // image
+    StructField("sample_rate", DoubleType),     // audio
+    StructField("duration_s", DoubleType),      // audio
+    StructField("feature", ArrayType(DoubleType))))
+
+  /** REAL decoder for image + audio payloads (JDK codecs, no external libs),
+    * batched per partition. Images: pixels → mean-pooled grayscale `gridH×gridW`
+    * feature (the resize step). Audio: PCM samples → `bins`-slot temporal RMS
+    * energy profile. Undecodable/foreign payloads → `decode_ok=false` with
+    * metadata only — a bad byte string must quarantine, not kill the job. */
+  def decodeMedia(media: DataFrame, gridH: Int = 2, gridW: Int = 4,
+                  bins: Int = 8): DataFrame = {
+    val spark = media.sparkSession
+    val out = media.select("media_id", "payload", "media_type").rdd.mapPartitions { rows =>
+      // per-partition batch: codec lookup tables initialize once per JVM; a
+      // model-based featurizer would init HERE (once per partition, not per row)
+      rows.map { r =>
+        val mediaId = r.getLong(0)
+        val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        val mediaType = if (r.isNullAt(2)) null else r.getString(2)
+        if (payload == null) Row(mediaId, mediaType, 0L, false, null, null, null, null, null)
+        else {
+          val n = payload.length.toLong
+          mediaType match {
+            case "image" =>
+              try {
+                val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+                if (img == null) Row(mediaId, mediaType, n, false, null, null, null, null, null)
+                else {
+                  val (w, h) = (img.getWidth, img.getHeight)
+                  // average-pool luminance into gridH×gridW cells (resize)
+                  val sums = new Array[Double](gridH * gridW)
+                  val counts = new Array[Long](gridH * gridW)
+                  var y = 0
+                  while (y < h) {
+                    val gy = math.min(y * gridH / h, gridH - 1)
+                    var x = 0
+                    while (x < w) {
+                      val gx = math.min(x * gridW / w, gridW - 1)
+                      val rgb = img.getRGB(x, y)
+                      val luma = (0.299 * ((rgb >> 16) & 0xff) +
+                        0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)) / 255.0
+                      val c = gy * gridW + gx
+                      sums(c) += luma; counts(c) += 1
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  val feature = Array.tabulate(gridH * gridW)(c =>
+                    if (counts(c) == 0) 0.0 else sums(c) / counts(c))
+                  Row(mediaId, mediaType, n, true, w, h, null, null, feature.toSeq)
+                }
+              } catch {
+                case _: Exception =>
+                  Row(mediaId, mediaType, n, false, null, null, null, null, null)
+              }
+            case "audio" =>
+              try {
+                val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                  new java.io.BufferedInputStream(new java.io.ByteArrayInputStream(payload)))
+                val fmt = in.getFormat
+                val bytes = in.readAllBytes()
+                val bytesPerSample = math.max(fmt.getSampleSizeInBits / 8, 1)
+                val frameSize = math.max(fmt.getFrameSize, bytesPerSample)
+                val nFrames = bytes.length / frameSize
+                // first channel, PCM-signed little/big endian → [-1, 1]
+                val samples = new Array[Double](nFrames)
+                var i = 0
+                while (i < nFrames) {
+                  val off = i * frameSize
+                  val v: Int =
+                    if (bytesPerSample == 2) {
+                      if (fmt.isBigEndian) (bytes(off) << 8) | (bytes(off + 1) & 0xff)
+                      else (bytes(off + 1) << 8) | (bytes(off) & 0xff)
+                    } else bytes(off).toInt
+                  samples(i) = v.toDouble / (if (bytesPerSample == 2) 32768.0 else 128.0)
+                  i += 1
+                }
+                val rmsBins = Array.tabulate(bins) { b =>
+                  val from = b * nFrames / bins
+                  val until = math.max((b + 1) * nFrames / bins, from + 1)
+                  var s = 0.0
+                  var j = from
+                  while (j < math.min(until, nFrames)) { s += samples(j) * samples(j); j += 1 }
+                  math.sqrt(s / math.max(math.min(until, nFrames) - from, 1))
+                }
+                val dur = nFrames.toDouble / fmt.getSampleRate
+                Row(mediaId, mediaType, n, true, null, null,
+                  fmt.getSampleRate.toDouble, dur, rmsBins.toSeq)
+              } catch {
+                case _: Exception =>
+                  Row(mediaId, mediaType, n, false, null, null, null, null, null)
+              }
+            case _ => // video & friends: no JDK codec — metadata only
+              Row(mediaId, mediaType, n, false, null, null, null, null, null)
+          }
+        }
+      }
+    }
+    spark.createDataFrame(out, decodedSchema)
   }
 
   /** Build a media table from documents (payload = utf-8 bytes) — the fixture
