@@ -354,6 +354,16 @@ object Oracles {
         |GROUP BY 1
         |HAVING count(*) >= 1""".stripMargin,
 
+    // the oracle is DuckDB's NATIVE ASOF JOIN — proving the composed Spark
+    // plan (union + forward-fill window) implements real as-of semantics;
+    // views are deduped per (user, ts) so the pick is deterministic
+    "q52_asof_join" ->
+      """WITH v AS (SELECT user_id, ts, max(event_id) AS view_id FROM events
+        |  WHERE event_type = 'view' GROUP BY 1, 2),
+        |p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase')
+        |SELECT p.user_id, p.event_id AS purchase_id, v.view_id AS asof_view_id
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts""".stripMargin,
+
     "q39_running_total" ->
       """SELECT o_custkey, o_orderkey,
         | strftime(o_orderdate, '%Y-%m-%d') AS o_date,

@@ -74,6 +74,7 @@ object SparkEntry {
     // quantized-cosine ranking has no SQL oracle (per-vector int8 rounding);
     // recall vs the exact knnBruteForce is gated in DedupSimilaritySpec.
     "q51_quantized_knn"     -> Similarity.knnQuantized _,
+    "q52_asof_join"         -> Relational.asofJoin _,
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

@@ -379,6 +379,36 @@ object Relational {
         date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),
         col("event_type"), col("pv_ct"), col("value_sum"))
 
+  /** AS-OF join (beyond the reference, §2E — an operator Spark has no native
+    * node for): every purchase matched to the same user's LATEST view at or
+    * before the purchase time. Composed from existing operators per the
+    * custom-operator preference order: tag + union both sides, one sort-within
+    * -key window with a forward-filled `last(ignoreNulls)`, filter the left
+    * tag — ONE shuffle on the key, no range-join pair blowup, the same
+    * merge-scan shape a native as-of join executes. Views are pre-deduped to
+    * one per (user, ts) so the as-of pick is deterministic on both engines
+    * (DuckDB's native ASOF JOIN is the oracle). */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    val views = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("event_time").as("ts"))
+      .agg(max(col("event_id")).as("view_id"))
+      .select(col("user_id"), col("ts"), col("view_id"), lit(0).as("tag"),
+        lit(null).cast("long").as("purchase_id"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_time").as("ts"),
+        lit(null).cast("long").as("view_id"), lit(1).as("tag"),
+        col("event_id").as("purchase_id"))
+    // views sort before purchases at equal ts (tag order) ⇒ same-instant views
+    // are visible to the purchase, matching ASOF's v.ts <= p.ts
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("tag"), col("purchase_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    views.unionByName(purchases)
+      .withColumn("asof_view_id", last(col("view_id"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("user_id"), col("purchase_id"), col("asof_view_id"))
+  }
+
   /** ProvinceStats (A25): per-nation order_count = exact count(distinct) + sum. */
   def provinceStats(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders")

@@ -83,7 +83,10 @@ object Stateful {
   def dailyUv(events: Dataset[LogEvent]): Dataset[LogEvent] = {
     import events.sparkSession.implicits._
     events
-      .filter(e => e.last_page_id.isEmpty || e.last_page_id.contains(""))
+      // column predicate (not a typed lambda): stays in codegen before the shuffle
+      .filter(org.apache.spark.sql.functions.col("last_page_id").isNull ||
+        org.apache.spark.sql.functions.col("last_page_id") === "")
+      .as[LogEvent]
       .groupByKey(_.mid)
       .flatMapGroupsWithState[String, LogEvent](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
@@ -242,7 +245,9 @@ object Stateful {
                  ttl: java.time.Duration = java.time.Duration.ofDays(1)): Dataset[LogEvent] = {
     import events.sparkSession.implicits._
     events
-      .filter(e => e.last_page_id.isEmpty || e.last_page_id.contains(""))
+      .filter(org.apache.spark.sql.functions.col("last_page_id").isNull ||
+        org.apache.spark.sql.functions.col("last_page_id") === "")
+      .as[LogEvent]
       .groupByKey(_.mid)
       .transformWithState(new DailyUvProcessor(ttl),
         org.apache.spark.sql.streaming.TimeMode.ProcessingTime(), OutputMode.Append())
