@@ -364,6 +364,14 @@ object Oracles {
         |SELECT p.user_id, p.event_id AS purchase_id, v.view_id AS asof_view_id
         |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts""".stripMargin,
 
+    // the oracle is the UNSALTED join: passing proves the salt-and-replicate
+    // join is row-identical to the plain equi-join
+    "q53_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS line_ct,
+        | cast(sum(cast(l_extendedprice as decimal(18,2))) as double) AS amount
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
+
     "q39_running_total" ->
       """SELECT o_custkey, o_orderkey,
         | strftime(o_orderdate, '%Y-%m-%d') AS o_date,

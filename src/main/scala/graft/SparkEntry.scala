@@ -75,6 +75,7 @@ object SparkEntry {
     // recall vs the exact knnBruteForce is gated in DedupSimilaritySpec.
     "q51_quantized_knn"     -> Similarity.knnQuantized _,
     "q52_asof_join"         -> Relational.asofJoin _,
+    "q53_salted_join"       -> ((s, d) => Relational.saltedJoin(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

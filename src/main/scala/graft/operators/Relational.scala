@@ -242,6 +242,27 @@ object Relational {
         sum(col("p_ct")).as("ct"),
         expr("cast(sum(p_sum) as double)").as("value_sum"))
 
+  /** Skew-safe big×big JOIN — [[saltedAgg]]'s join twin, the manual pattern
+    * for power-law join keys where one key's rows overflow a reducer and AQE's
+    * skew split can't apply (e.g. the join feeds a co-partitioned downstream
+    * op). The big (probe) side salts each row deterministically into one of
+    * `salts` sub-keys; the other side replicates each row across ALL salts, so
+    * the hot key's work spreads over `salts` reducers. Result is EXACTLY the
+    * plain join — proven by the DuckDB oracle, which runs unsalted. */
+  def saltedJoin(spark: SparkSession, dir: String, salts: Int = 8): DataFrame = {
+    val l = t(spark, dir, "lineitem")
+      // deterministic uniform salt from stable row identity (NOT rand(): a
+      // task retry must re-derive the same salt or rows are lost/duplicated)
+      .withColumn("salt", pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(salts.toLong)))
+    val o = t(spark, dir, "orders")
+      .withColumn("salt", explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
+    l.join(o, col("l_orderkey") === col("o_orderkey") && l("salt") === o("salt"))
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("line_ct"),
+        expr("cast(sum(cast(l_extendedprice as decimal(18,2))) as double)").as("amount"))
+  }
+
   /** Scale fallback for exact distinct (SURVEY §7.3 documented divergence):
     * HyperLogLog++ daily uniques — sketch state is O(1) per group vs O(uniques)
     * for the exact HashSet port; relative error ≤ 2% at the default rsd.
