@@ -161,6 +161,40 @@ class StatefulSpec extends SparkSuite {
     } finally if (q != null) q.stop()
   }
 
+  test("repairIsNewTws restarts from a RocksDB checkpoint with state intact") {
+    import spark.implicits._
+    val inDir = java.nio.file.Files.createTempDirectory("tws-in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("tws-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("tws-ckpt").toString
+    val day1 = 1700000000000L
+    val day2 = day1 + 86400000L
+    def logLine(mid: String, isNew: String, ts: Long): String =
+      s"""{"mid":"$mid","uid":"u","ar":"1","ch":"web","vc":"v1","is_new":"$isNew","page_id":"home","during_time":1,"ts":$ts}"""
+    def runOnce(): Unit = withRocksDbTws {
+      val src = spark.readStream
+        .schema(org.apache.spark.sql.Encoders.product[LogEvent].schema)
+        .json(inDir).as[LogEvent]
+      val q = Stateful.repairIsNewTws(src).toDF()
+        .writeStream.format("json")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(inDir, "b1.jsonl"),
+      java.util.Arrays.asList(logLine("t1", "1", day1)))
+    runOnce()
+    // restart: the day-2 claim can only be repaired if the RocksDB state
+    // (firstVisitDate=day1) survived the checkpoint round-trip
+    java.nio.file.Files.write(java.nio.file.Paths.get(inDir, "b2.jsonl"),
+      java.util.Arrays.asList(logLine("t1", "1", day2)))
+    runOnce()
+    val out = spark.read.json(outDir).collect()
+      .map(r => r.getAs[Long]("ts") -> r.getAs[String]("is_new")).toMap
+    assert(out == Map(day1 -> "1", day2 -> "0"),
+      s"exactly-once + RocksDB state continuity across restart: $out")
+  }
+
   test("dailyUv keeps only first session-entry per device per day") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
