@@ -103,6 +103,16 @@ object Io {
     // file wins over the parameter — an upsert with a different `buckets`
     // would route existing keys to the wrong bucket and duplicate them
     val markerPath = java.nio.file.Paths.get(path, "_buckets")
+    val storeDir = new java.io.File(path)
+    // refuse to upsert into a pre-bucket flat store: merging would miss the
+    // top-level files and silently duplicate keys — migrate loudly instead
+    if (!java.nio.file.Files.exists(markerPath) && storeDir.isDirectory &&
+        Option(storeDir.listFiles()).exists(_.exists(f =>
+          f.isFile && f.getName.endsWith(".parquet"))))
+      throw new IllegalStateException(
+        s"upsertDim: $path holds a flat (un-bucketed) store; migrate it first " +
+          "(read it, delete the dir, upsert the rows once) — merging in place would " +
+          "leave stale top-level rows next to bucketed ones")
     val effectiveBuckets =
       if (java.nio.file.Files.exists(markerPath))
         java.nio.file.Files.readString(markerPath).trim.toInt
