@@ -8,9 +8,9 @@ import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextOps}
   * Every entry in [[queries]] is one operator family from SURVEY.md §2 (mapping
   * documented on each implementation); entries in [[oracleSql]] are the
   * DuckDB-equivalent SQL the driver hash-compares against. Queries without an
-  * oracle entry (q26–q29) are the LSH/signature paths whose exact output depends
-  * on our hash constants — they are instead verified in ScalaTest against the
-  * exact (oracled) verifier paths.
+  * oracle entry (q26–q29, q32–q36 partly, q51) are the LSH/signature/approx
+  * paths whose exact output depends on our hash constants or quantization —
+  * each is instead gated in ScalaTest against an exact (oracled) twin.
   */
 object SparkEntry {
 
