@@ -116,7 +116,13 @@ object Io {
     val effectiveBuckets =
       if (java.nio.file.Files.exists(markerPath))
         java.nio.file.Files.readString(markerPath).trim.toInt
-      else buckets
+      else {
+        // marker FIRST, buckets after: a crash between bucket writes then a
+        // retry with a different `buckets` value must not re-hash the keys
+        java.nio.file.Files.createDirectories(markerPath.getParent)
+        java.nio.file.Files.writeString(markerPath, buckets.toString)
+        buckets
+      }
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col(pk))
       .orderBy(col(orderCol).desc)
     val deduped = batch.withColumn("__rn", row_number().over(w))
@@ -140,15 +146,17 @@ object Io {
         merged.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
         swapDir(tmp, bucketDir)
       }
-      if (!java.nio.file.Files.exists(markerPath))
-        java.nio.file.Files.writeString(markerPath, effectiveBuckets.toString)
     } finally deduped.unpersist()
     ()
   }
 
-  /** Read a dim store written by [[upsertDim]] (hides the bucket layout). */
+  /** Read a dim store written by [[upsertDim]] (hides the bucket layout).
+    * mergeSchema: buckets are rewritten independently, so after a
+    * schema-widening batch the buckets legitimately carry different schemas
+    * until every bucket is next touched — the union of footers is the store's
+    * schema, not one sampled footer. */
   def readDim(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path).drop("__bucket")
+    spark.read.option("mergeSchema", "true").parquet(path).drop("__bucket")
 
   /** Publish `tmp` as `target` via rename-aside (single-process test scope;
     * table formats own this in prod): the live version is moved out of the
@@ -161,9 +169,14 @@ object Io {
     if (target.exists() && !target.renameTo(aside))
       throw new java.io.IOException(s"upsertDim: failed to move live $target aside")
     if (!tmp.renameTo(target)) {
-      // restore the previous version so the store survives the failed swap
-      aside.renameTo(target)
-      throw new java.io.IOException(s"upsertDim: failed to publish $tmp as $target")
+      // restore the previous version so the store survives the failed swap —
+      // and say so truthfully if even the restore fails (data then sits in
+      // the aside dir; nothing is deleted)
+      val restored = !aside.exists() || aside.renameTo(target)
+      throw new java.io.IOException(
+        s"upsertDim: failed to publish $tmp as $target" +
+          (if (restored) " (previous version restored)"
+           else s" AND failed to restore the previous version — recover it manually from $aside"))
     }
     org.apache.commons.io.FileUtils.deleteDirectory(aside)
   }

@@ -237,9 +237,13 @@ object Dedup {
     // star forest → labels: attached nodes point at their root; roots label themselves
     val nodes = edges.select(col("a")).unionByName(edges.select(col("b").as("a"))).distinct()
     val attached = edges.groupBy(col("a").as("doc_id")).agg(min(col("b")).as("cluster_id"))
-    nodes.select(col("a").as("doc_id"))
+    val labels = nodes.select(col("a").as("doc_id"))
       .join(attached, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .persist()
+    labels.count() // materialize so the round cache below can be released
+    cached.unpersist()
+    labels // cached result; callers running many cluster jobs unpersist when done
   }
 
   /** Dedup clusters of the MinHash-LSH near-dup graph: (doc_id, cluster_id)

@@ -139,6 +139,13 @@ object Multimodal {
                 val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
                   new java.io.BufferedInputStream(new java.io.ByteArrayInputStream(payload)))
                 val fmt = in.getFormat
+                val enc = fmt.getEncoding
+                // only PCM is decoded here (ULAW/ALAW would read as garbage
+                // with decode_ok=true — quarantine them instead)
+                if (enc != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+                    enc != javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED)
+                  throw new javax.sound.sampled.UnsupportedAudioFileException(enc.toString)
+                val unsigned = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
                 val bytes = in.readAllBytes()
                 val bytesPerSample = math.max(fmt.getSampleSizeInBits / 8, 1)
                 val frameSize = math.max(fmt.getFrameSize, bytesPerSample)
@@ -150,9 +157,14 @@ object Multimodal {
                   val off = i * frameSize
                   val v: Int =
                     if (bytesPerSample == 2) {
-                      if (fmt.isBigEndian) (bytes(off) << 8) | (bytes(off + 1) & 0xff)
-                      else (bytes(off + 1) << 8) | (bytes(off) & 0xff)
-                    } else bytes(off).toInt
+                      val raw =
+                        if (fmt.isBigEndian) ((bytes(off) & 0xff) << 8) | (bytes(off + 1) & 0xff)
+                        else ((bytes(off + 1) & 0xff) << 8) | (bytes(off) & 0xff)
+                      if (unsigned) raw - 32768 else raw.toShort.toInt
+                    } else {
+                      // 8-bit WAV is unsigned per the format spec
+                      if (unsigned) (bytes(off) & 0xff) - 128 else bytes(off).toInt
+                    }
                   samples(i) = v.toDouble / (if (bytesPerSample == 2) 32768.0 else 128.0)
                   i += 1
                 }

@@ -82,8 +82,13 @@ object Similarity {
     val c = e.select(col("vec_id").as("neighbor_id"), col("qv").as("cv"), col("qn").as("cn"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("qcos").desc, col("neighbor_id"))
     c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      // zero-norm guard: an all-zero embedding would make qcos = 0/0 = NaN,
+      // and NaN sorts ABOVE every real cosine in descending order — pin such
+      // rows to the bottom instead of the top of every ranking
       .withColumn("qcos",
-        call_function("dot_i", col("qq"), col("cv")).cast("double") / (col("qqn") * col("cn")))
+        when(col("qqn") * col("cn") > 0,
+          call_function("dot_i", col("qq"), col("cv")).cast("double") / (col("qqn") * col("cn")))
+          .otherwise(lit(-2.0)))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 3)
       .select(col("query_id"), col("neighbor_id"), col("rnk"))

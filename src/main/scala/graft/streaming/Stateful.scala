@@ -41,11 +41,15 @@ object Stateful {
         (_: String, it: Iterator[LogEvent], state: GroupState[String]) =>
           val sorted = it.toSeq.sortBy(e => (e.ts, e.page_id))
           val out = sorted.map { e =>
-            val day = dayOf(e.ts)
-            val first = state.getOption
-            if (first.isEmpty) { state.update(day); e }
-            else if (e.is_new == "1" && first.get != day) e.copy(is_new = "0")
-            else e
+            // EXACT reference machine (BaseLogApp.java:177-201): only
+            // is_new=1 events read or write the state — an is_new=0 event
+            // passes through untouched and does NOT mark the device as seen
+            if (e.is_new != "1") e
+            else state.getOption match {
+              case Some(first) if first != dayOf(e.ts) => e.copy(is_new = "0")
+              case Some(_) => e
+              case None => state.update(dayOf(e.ts)); e
+            }
           }
           out.iterator
       }
@@ -64,12 +68,13 @@ object Stateful {
         (_: String, it: Iterator[RawLog], state: GroupState[String]) =>
           val sorted = it.toSeq.sortBy(e => (e.ts, e.page.flatMap(p => Option(p.page_id))))
           val out = sorted.map { e =>
-            val day = dayOf(e.ts)
-            val first = state.getOption
-            if (first.isEmpty) { state.update(day); e }
-            else if (e.common.is_new == "1" && first.get != day)
-              e.copy(common = e.common.copy(is_new = "0"))
-            else e
+            if (e.common.is_new != "1") e
+            else state.getOption match {
+              case Some(first) if first != dayOf(e.ts) =>
+                e.copy(common = e.common.copy(is_new = "0"))
+              case Some(_) => e
+              case None => state.update(dayOf(e.ts)); e
+            }
           }
           out.iterator
       }
@@ -192,9 +197,9 @@ object Stateful {
                                  timerValues: TimerValues): Iterator[LogEvent] = {
       val sorted = rows.toSeq.sortBy(e => (e.ts, e.page_id))
       sorted.map { e =>
-        val day = dayOf(e.ts)
-        if (!firstDay.exists()) { firstDay.update(day); e }
-        else if (e.is_new == "1" && firstDay.get() != day) e.copy(is_new = "0")
+        if (e.is_new != "1") e
+        else if (!firstDay.exists()) { firstDay.update(dayOf(e.ts)); e }
+        else if (firstDay.get() != dayOf(e.ts)) e.copy(is_new = "0")
         else e
       }.iterator
     }

@@ -30,7 +30,7 @@ class KafkaEdgeSpec extends SparkSuite {
     fields.foreach { f =>
       f.setAccessible(true)
       f.get(w) match {
-        case s: String if fields.indexOf(f) >= 0 && f.getName.contains("source") => source = s
+        case s: String if f.getName.contains("source") => source = s
         case m: scala.collection.Map[_, _]
             if m.keys.forall(_.isInstanceOf[String]) &&
               m.values.forall(_.isInstanceOf[String]) =>

@@ -95,6 +95,28 @@ class MultimodalAggSpec extends SparkSuite {
     assert(!out(2L).getAs[Boolean]("decode_ok"))
   }
 
+  test("decodeMedia handles UNSIGNED 8-bit WAV: silence is silent, not full-scale") {
+    import spark.implicits._
+    // 8-bit WAV is PCM_UNSIGNED by spec: silence = 0x80; a signed read would
+    // see -128 and report RMS ≈ 1.0 for a silent clip
+    def wav8(rate: Float = 8000f, seconds: Double = 0.5): Array[Byte] = {
+      val n = (rate * seconds).toInt
+      val pcm = Array.fill(n)(0x80.toByte) // digital silence, unsigned midpoint
+      val fmt = new javax.sound.sampled.AudioFormat(rate, 8, 1, false, false) // signed=false
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val media = Seq((1L, wav8(), "audio")).toDF("media_id", "payload", "media_type")
+    val row = Multimodal.decodeMedia(media).collect().head
+    assert(row.getAs[Boolean]("decode_ok"))
+    val rms = row.getSeq[Double](row.fieldIndex("feature"))
+    assert(rms.forall(_ < 0.01), s"silence decodes to ~zero energy: $rms")
+  }
+
   test("exactDistinct aggregator matches count(distinct) on real data") {
     val e = graft.Tables.load(spark, sf0001, "events")
     val got = e.groupBy("event_type")

@@ -47,6 +47,32 @@ class StatefulSpec extends SparkSuite {
     } finally if (q != null) q.stop()
   }
 
+  test("repairIsNew: is_new=0 events never touch state (exact reference machine)") {
+    // BaseLogApp.java:177-201 reads/writes firstVisitDateState ONLY inside the
+    // is_new=="1" branch: a device first seen with is_new=0 is NOT marked, so
+    // a later-day is_new=1 claim must be TRUSTED (it sets the state then)
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[LogEvent]
+    val q = Stateful.repairIsNew(ms.toDS()).writeStream
+      .format("memory").queryName("repair_zero_out").outputMode("append").start()
+    try {
+      val day1 = 1700000000000L
+      val day2 = day1 + 86400000L
+      ms.addData(ev("mz", day1, "0"))
+      q.processAllAvailable()
+      ms.addData(ev("mz", day2, "1")) // state still empty → claim trusted
+      q.processAllAvailable()
+      ms.addData(ev("mz", day2 + 86400000L, "1")) // now state=day2 → repaired
+      q.processAllAvailable()
+      val byTs = spark.table("repair_zero_out").as[LogEvent].collect()
+        .map(e => e.ts -> e.is_new).toMap
+      assert(byTs(day1) == "0")
+      assert(byTs(day2) == "1", "is_new=0 must not have marked the device as seen")
+      assert(byTs(day2 + 86400000L) == "0", "the trusted claim set the state")
+    } finally q.stop()
+  }
+
   /** transformWithState needs the RocksDB provider; the checkpoint-file
     * checksum path deadlocks in this container (round-1 note in
     * Stateful.scala) — run `body` with the provider on and checksums off,
