@@ -372,6 +372,29 @@ object Oracles {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1""".stripMargin,
 
+    "q54_intersect_customers" ->
+      """SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT
+        |SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'""".stripMargin,
+
+    "q55_order_gaps" ->
+      """SELECT o_custkey, o_orderkey,
+        | strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+        | cast(date_diff('day', lag(o_orderdate) OVER (
+        |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), o_orderdate) as int) AS gap_days
+        |FROM orders WHERE o_custkey < 500""".stripMargin,
+
+    // conditional-aggregation twin of Spark's pivot with explicit values —
+    // identical static output schema on both engines
+    "q56_pivot_events" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS dt,
+        | cast(sum(cast(value as decimal(18,2))) FILTER (WHERE event_type = 'view') as double) AS view,
+        | cast(sum(cast(value as decimal(18,2))) FILTER (WHERE event_type = 'click') as double) AS click,
+        | cast(sum(cast(value as decimal(18,2))) FILTER (WHERE event_type = 'purchase') as double) AS purchase,
+        | cast(sum(cast(value as decimal(18,2))) FILTER (WHERE event_type = 'signup') as double) AS signup,
+        | cast(sum(cast(value as decimal(18,2))) FILTER (WHERE event_type = 'error') as double) AS error
+        |FROM events GROUP BY 1""".stripMargin,
+
     "q39_running_total" ->
       """SELECT o_custkey, o_orderkey,
         | strftime(o_orderdate, '%Y-%m-%d') AS o_date,

@@ -76,6 +76,9 @@ object SparkEntry {
     "q51_quantized_knn"     -> Similarity.knnQuantized _,
     "q52_asof_join"         -> Relational.asofJoin _,
     "q53_salted_join"       -> ((s, d) => Relational.saltedJoin(s, d)),
+    "q54_intersect_customers" -> Relational.intersectCustomers _,
+    "q55_order_gaps"        -> Relational.orderGaps _,
+    "q56_pivot_events"      -> Relational.pivotEvents _,
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

@@ -364,6 +364,39 @@ object Relational {
         .select(col("o_custkey").as("custkey")).distinct())
   }
 
+  /** Set intersection (INTERSECT, §2E): customers holding BOTH a finished and
+    * an open order — [[exceptCustomers]]'s dual. */
+  def intersectCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    o.filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("custkey")).distinct()
+      .intersect(o.filter(col("o_orderstatus") === "O")
+        .select(col("o_custkey").as("custkey")).distinct())
+  }
+
+  /** Inter-order gap analysis (lag + date arithmetic, §2E): per customer, the
+    * days since their previous order — the classic churn/recency feature. */
+  def orderGaps(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(spark, dir, "orders")
+      .filter(col("o_custkey") < 500) // bounded output for the gate
+      .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+        datediff(col("o_orderdate"), col("prev_date")).as("gap_days"))
+  }
+
+  /** PIVOT (§2E): per-day event matrix — one column per event type, decimal
+    * sums cast at the edge. Explicit pivot values keep the output schema
+    * static (required for both the oracle and any downstream contract). */
+  def pivotEvents(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .withColumn("dt", date_format(date_trunc("day", col("event_time")), "yyyy-MM-dd"))
+      .groupBy("dt")
+      .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
+      .agg(expr("cast(sum(cast(value as decimal(18,2))) as double)"))
+
   /** CUBE (all grouping combinations, §2E) over order priority × status. */
   def cubeOrders(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders")
