@@ -395,6 +395,36 @@ object Oracles {
         | cast(sum(cast(value as decimal(18,2))) FILTER (WHERE event_type = 'error') as double) AS error
         |FROM events GROUP BY 1""".stripMargin,
 
+    "q57_profile_documents" ->
+      """WITH a AS (SELECT count(*) AS n,
+        |  count(text) AS text_nonnull, count(distinct text) AS text_distinct,
+        |  cast(min(length(text)) as int) AS text_min_len, cast(max(length(text)) as int) AS text_max_len,
+        |  count(lang) AS lang_nonnull, count(distinct lang) AS lang_distinct,
+        |  cast(min(length(lang)) as int) AS lang_min_len, cast(max(length(lang)) as int) AS lang_max_len,
+        |  count(source) AS source_nonnull, count(distinct source) AS source_distinct,
+        |  cast(min(length(source)) as int) AS source_min_len, cast(max(length(source)) as int) AS source_max_len
+        | FROM documents)
+        |SELECT 'text' AS column_name, n AS n_rows, text_nonnull AS n_nonnull,
+        |  text_distinct AS n_distinct, text_min_len AS min_len, text_max_len AS max_len FROM a
+        |UNION ALL SELECT 'lang', n, lang_nonnull, lang_distinct, lang_min_len, lang_max_len FROM a
+        |UNION ALL SELECT 'source', n, source_nonnull, source_distinct, source_min_len, source_max_len FROM a""".stripMargin,
+
+    // mean/variance from EXACT decimal sums cast to double before dividing —
+    // identical IEEE arithmetic on both engines, so the z>3 cut is bit-stable
+    "q58_value_outliers" ->
+      """WITH st AS (
+        | SELECT event_type, count(*) AS n,
+        |  sum(cast(value as decimal(18,2))) AS s,
+        |  sum(cast(value as decimal(18,2)) * cast(value as decimal(18,2))) AS s2
+        | FROM events GROUP BY 1),
+        |m AS (SELECT event_type, cast(s as double) / n AS mean,
+        |  cast(s2 as double) / n - (cast(s as double) / n) * (cast(s as double) / n) AS variance
+        | FROM st)
+        |SELECT e.event_type, count(*) AS outlier_ct, count(distinct e.user_id) AS outlier_users
+        |FROM events e JOIN m ON e.event_type = m.event_type
+        |WHERE abs((cast(cast(e.value as decimal(18,2)) as double) - m.mean) / sqrt(m.variance)) > 3.0
+        |GROUP BY 1""".stripMargin,
+
     "q39_running_total" ->
       """SELECT o_custkey, o_orderkey,
         | strftime(o_orderdate, '%Y-%m-%d') AS o_date,

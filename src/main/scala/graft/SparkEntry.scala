@@ -79,6 +79,8 @@ object SparkEntry {
     "q54_intersect_customers" -> Relational.intersectCustomers _,
     "q55_order_gaps"        -> Relational.orderGaps _,
     "q56_pivot_events"      -> Relational.pivotEvents _,
+    "q57_profile_documents" -> TextOps.profileDocuments _,
+    "q58_value_outliers"    -> ((s, d) => Relational.valueOutliers(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

@@ -397,6 +397,31 @@ object Relational {
       .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
       .agg(expr("cast(sum(cast(value as decimal(18,2))) as double)"))
 
+  /** Outlier flagging via per-group z-scores (the numeric quality filter for
+    * training pipelines). Determinism discipline: mean and variance derive
+    * from DECIMAL sums (order-insensitive); only the final z arithmetic runs
+    * in double, so the flag is bit-stable across partitionings and engines. */
+  def valueOutliers(spark: SparkSession, dir: String, z: Double = 3.0): DataFrame = {
+    val e = t(spark, dir, "events")
+      .withColumn("v", col("value").cast("decimal(18,2)"))
+    val stats = e.groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("v")).as("s"),
+        sum(col("v") * col("v")).as("s2"))
+      // cast the EXACT decimal sums to double FIRST, divide after: decimal
+      // division scale rules differ between engines, double division doesn't
+      .withColumn("mean", col("s").cast("double") / col("n"))
+      .withColumn("variance",
+        col("s2").cast("double") / col("n") - col("mean") * col("mean"))
+    e.join(broadcast(stats.select("event_type", "mean", "variance")), "event_type")
+      .withColumn("zscore",
+        (col("v").cast("double") - col("mean")) / sqrt(col("variance")))
+      .filter(abs(col("zscore")) > z)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("outlier_ct"), countDistinct(col("user_id")).as("outlier_users"))
+  }
+
   /** CUBE (all grouping combinations, §2E) over order priority × status. */
   def cubeOrders(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders")

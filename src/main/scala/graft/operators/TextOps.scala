@@ -181,6 +181,34 @@ object TextOps {
       .filter(col("contaminated_grams") >= minOverlap)
   }
 
+  /** Column profiling over the documents table — the pre-training data-QA
+    * sweep (null rates, cardinalities, length ranges) as one unpivoted frame:
+    * one row per profiled column, computed in a single scan (all aggregates in
+    * one pass, then stacked). */
+  def profileDocuments(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val agg = d.agg(
+      count(lit(1)).as("n"),
+      count(col("text")).as("text_nonnull"),
+      countDistinct(col("text")).as("text_distinct"),
+      min(length(col("text"))).as("text_min_len"),
+      max(length(col("text"))).as("text_max_len"),
+      count(col("lang")).as("lang_nonnull"),
+      countDistinct(col("lang")).as("lang_distinct"),
+      min(length(col("lang"))).as("lang_min_len"),
+      max(length(col("lang"))).as("lang_max_len"),
+      count(col("source")).as("source_nonnull"),
+      countDistinct(col("source")).as("source_distinct"),
+      min(length(col("source"))).as("source_min_len"),
+      max(length(col("source"))).as("source_max_len"))
+    agg.selectExpr(
+      """stack(3,
+           'text',   n, text_nonnull,   text_distinct,   text_min_len,   text_max_len,
+           'lang',   n, lang_nonnull,   lang_distinct,   lang_min_len,   lang_max_len,
+           'source', n, source_nonnull, source_distinct, source_min_len, source_max_len
+         ) as (column_name, n_rows, n_nonnull, n_distinct, min_len, max_len)""")
+  }
+
   /** Multimodal column plumbing, SQL-visible part: treat the payload as opaque
     * bytes and aggregate size metadata. The binary decode/feature pipeline
     * (deterministic stub, batched mapPartitions) is graft.operators.Multimodal. */
