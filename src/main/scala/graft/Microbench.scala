@@ -95,6 +95,31 @@ object Microbench {
         .agg(count(when(col("d") > 0, 1))).head.getLong(0)
     }
 
+    // connected components at 1M edges (far beyond any LSH candidate set in
+    // the fixtures): distributed large-star/small-star vs driver union-find.
+    // Deterministic splitmix graph over 400k nodes: ~mix of chains and hubs.
+    {
+      import spark.implicits._
+      val edges1m = spark.range(1000000).select(
+        (pmod(expr("xxhash64(id)"), lit(400000L))).as("da"),
+        (pmod(expr("xxhash64(id + 1000000)"), lit(400000L))).as("db"))
+        .filter(col("da") =!= col("db"))
+        .cache()
+      edges1m.count()
+      time("connected components 1M edges: driver union-find", reps = 1) {
+        graft.operators.Dedup.clusters(edges1m).count()
+      }
+      time("connected components 1M edges: large-star/small-star", reps = 1) {
+        graft.operators.Dedup.clusters(edges1m, collectThreshold = 0L).count()
+      }
+      val a = graft.operators.Dedup.clusters(edges1m)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val b = graft.operators.Dedup.clusters(edges1m, collectThreshold = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      println(s"MICRO cc-1m regimes agree: ${a == b} (${a.size} nodes)")
+      edges1m.unpersist()
+    }
+
     import graft.functions.TextFns._
     val docs = Tables.load(spark, dir, "documents")
     time("shingle sets: composed HOF columns") {
