@@ -31,11 +31,11 @@ object Microbench {
 
     time("pairwise dot: zip_with+aggregate (interpreted HOF)") {
       pairs.select(VectorFns.dotCol(col("ea"), col("eb")).as("d"))
-        .agg(count(when(col("d") > 0, 1))).head.getLong(0)
+        .agg(count(when(col("d") > 0, 1))).head().getLong(0)
     }
     time("pairwise dot: dot_f custom expression (codegen)") {
       pairs.select(VectorFns.dotFastCol(col("ea"), col("eb")).as("d"))
-        .agg(count(when(col("d") > 0, 1))).head.getLong(0)
+        .agg(count(when(col("d") > 0, 1))).head().getLong(0)
     }
 
     val ev = Tables.load(spark, dir, "events")
@@ -60,7 +60,7 @@ object Microbench {
     // memoized plane matrix (VectorFns.hyperplanePlanes)
     val sigU = VectorFns.hyperplaneSigUdf(16)
     time("hyperplane sig(16 planes): memoized plane matrix") {
-      e.select(sigU(col("embedding")).as("s")).agg(sum(col("s"))).head.get(0); 0L
+      e.select(sigU(col("embedding")).as("s")).agg(sum(col("s"))).head().get(0); 0L
     }
     val inlineSig = udf { (v: Seq[Float]) =>
       var sig = 0; var p = 0
@@ -76,7 +76,7 @@ object Microbench {
       sig
     }
     time("hyperplane sig(16 planes): per-row splitmix derivation") {
-      e.select(inlineSig(col("embedding")).as("s")).agg(sum(col("s"))).head.get(0); 0L
+      e.select(inlineSig(col("embedding")).as("s")).agg(sum(col("s"))).head().get(0); 0L
     }
 
     // int8-quantized dot: codegen'd dot_i vs the interpreted HOF chain
@@ -88,11 +88,11 @@ object Microbench {
     time("pairwise int8 dot: zip_with+aggregate (interpreted HOF)") {
       qpairs.selectExpr(
         "aggregate(zip_with(qa, qb, (x, y) -> cast(x as bigint) * y), cast(0 as bigint), (a, v) -> a + v) as d")
-        .agg(count(when(col("d") > 0, 1))).head.getLong(0)
+        .agg(count(when(col("d") > 0, 1))).head().getLong(0)
     }
     time("pairwise int8 dot: dot_i custom expression (codegen)") {
       qpairs.select(call_function("dot_i", col("qa"), col("qb")).as("d"))
-        .agg(count(when(col("d") > 0, 1))).head.getLong(0)
+        .agg(count(when(col("d") > 0, 1))).head().getLong(0)
     }
 
     // connected components at 1M edges (far beyond any LSH candidate set in
@@ -124,11 +124,11 @@ object Microbench {
     val docs = Tables.load(spark, dir, "documents")
     time("shingle sets: composed HOF columns") {
       docs.select(array_distinct(shinglesCol(tokensCol(col("text")), 3)).as("s"))
-        .agg(sum(size(col("s")))).head.get(0); 0L
+        .agg(sum(size(col("s")))).head().get(0); 0L
     }
     time("shingle sets: single-pass hash kernel UDF") {
       docs.select(shingleHashesUdf(col("text")).as("s"))
-        .agg(sum(size(col("s")))).head.get(0); 0L
+        .agg(sum(size(col("s")))).head().get(0); 0L
     }
     spark.stop()
   }
