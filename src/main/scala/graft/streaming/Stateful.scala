@@ -321,4 +321,50 @@ object Stateful {
       .transformWithState(new BounceProcessor(gapMillis),
         org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
   }
+
+  // ---------------- streaming AS-OF join ----------------
+
+  /** One side of the streaming as-of input: `view_id` set for view events,
+    * `purchase_id` set for purchases (mirrors the batch asofJoin's tag). */
+  case class AsofEvent(user_id: Long, ts: Long,
+                       view_id: Option[Long], purchase_id: Option[Long])
+
+  case class AsofMatch(user_id: Long, purchase_id: Long, asof_view_id: Option[Long])
+
+  /** Streaming twin of `Relational.asofJoin` (q52): per-user ValueState holds
+    * the latest view at or before "now"; each purchase emits its as-of match
+    * IMMEDIATELY — O(1) state per user, no buffering of the purchase side.
+    * This is the production real-time shape of an as-of join: the batch twin
+    * proves the semantics against DuckDB's native ASOF JOIN, this one carries
+    * them at streaming latency (same-batch events are processed in ts order;
+    * a view and purchase at the SAME ts match, as in the batch tie rule). */
+  def streamingAsof(events: Dataset[AsofEvent]): Dataset[AsofMatch] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long), AsofMatch](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[AsofEvent], state: GroupState[(Long, Long)]) =>
+          // state = (latest view ts, latest view id); views sort before
+          // purchases at equal ts so same-instant views are visible
+          val sorted = it.toSeq.sortBy(e => (e.ts, e.purchase_id.isDefined, e.view_id, e.purchase_id))
+          val out = scala.collection.mutable.ArrayBuffer.empty[AsofMatch]
+          var last = state.getOption
+          sorted.foreach { e =>
+            e.view_id.foreach { v =>
+              // keep max view id at equal ts (the batch dedup rule)
+              if (last.forall(l => e.ts > l._1 || (e.ts == l._1 && v > l._2)))
+                last = Some((e.ts, v))
+            }
+            e.purchase_id.foreach { p =>
+              out += AsofMatch(user, p, last.map(_._2))
+            }
+          }
+          last match {
+            case Some(l) => state.update(l)
+            case None =>
+          }
+          out.iterator
+      }
+  }
 }

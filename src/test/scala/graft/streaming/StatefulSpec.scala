@@ -187,6 +187,36 @@ class StatefulSpec extends SparkSuite {
     } finally if (q != null) q.stop()
   }
 
+  test("streamingAsof matches the batch as-of join semantics cross-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Stateful.AsofEvent]
+    val q = Stateful.streamingAsof(ms.toDS()).writeStream
+      .format("memory").queryName("asof_out").outputMode("append").start()
+    try {
+      val t0 = 1700000000000L
+      def view(u: Long, ts: Long, id: Long) = Stateful.AsofEvent(u, ts, Some(id), None)
+      def buy(u: Long, ts: Long, id: Long) = Stateful.AsofEvent(u, ts, None, Some(id))
+      ms.addData(
+        view(1L, t0, 10L),
+        view(1L, t0 + 1000, 11L),
+        buy(1L, t0 + 2000, 100L),  // matches view 11
+        buy(2L, t0, 200L),         // no prior view: null match
+        view(3L, t0 + 500, 30L),
+        buy(3L, t0 + 500, 300L))   // same-instant view matches (tie rule)
+      q.processAllAvailable()
+      // cross-batch: the latest-view STATE carries over
+      ms.addData(buy(1L, t0 + 9000, 101L)) // still view 11
+      ms.addData(view(1L, t0 + 10000, 12L), buy(1L, t0 + 11000, 102L))
+      q.processAllAvailable()
+      val got = spark.table("asof_out").as[Stateful.AsofMatch].collect()
+        .map(m => m.purchase_id -> m.asof_view_id).toMap
+      assert(got == Map(
+        100L -> Some(11L), 200L -> None, 300L -> Some(30L),
+        101L -> Some(11L), 102L -> Some(12L)), s"got $got")
+    } finally q.stop()
+  }
+
   test("repairIsNewTws restarts from a RocksDB checkpoint with state intact") {
     import spark.implicits._
     val inDir = java.nio.file.Files.createTempDirectory("tws-in").toString
