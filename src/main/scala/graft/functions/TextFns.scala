@@ -221,6 +221,24 @@ object TextFns {
 
   def distinctShinglesUdf(n: Int) = udf((s: String) => distinctShingles(s, n))
 
+  /** Per-document token frequency map in ONE pass — the keyword-stats kernel:
+    * emitting (token → in-doc count) lets the aggregation explode one row per
+    * DISTINCT token per doc (not per occurrence) and pre-aggregates map-side
+    * for free, removing a whole shuffle from the two-stage count. */
+  def tokenCounts(text: String): Map[String, Int] = {
+    val m = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    if (text != null) {
+      val it = TokenPattern.matcher(text.toLowerCase)
+      while (it.find()) {
+        val t = it.group()
+        m.update(t, m.getOrElse(t, 0) + 1)
+      }
+    }
+    m.toMap
+  }
+
+  val tokenCountsUdf = udf((s: String) => tokenCounts(s))
+
   /** MinHash signature from pre-hashed shingles. */
   def minhashFromHashes(hashes: Array[Long]): Array[Long] = {
     val sig = Array.fill(MinHashPerms)(Long.MaxValue)

@@ -15,17 +15,16 @@ object TextOps {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
 
-  /** Keyword stats (B1 + A26): tokenize → explode → count per token.
-    * Uses the native regexp tokenizer (codegen'd); the CJK-aware UDF variant is
-    * exercised in ScalaTest (ASCII-equal on this corpus).
-    * doc_ct is computed by pre-aggregating per (keyword, doc) — two narrow
-    * shuffles — instead of count(distinct)'s Expand (which doubles the
-    * exploded row volume before the shuffle). */
+  /** Keyword stats (B1 + A26): per-doc token-frequency kernel → explode one
+    * row per DISTINCT token per doc → single shuffle. The in-doc counting that
+    * the previous two-shuffle version did with a (keyword, doc) groupBy now
+    * happens inside the one-pass kernel (TextFns.tokenCounts) — a map-side
+    * combine the planner could never derive from an explode. doc_ct avoids
+    * count(distinct)'s Expand entirely (one row per doc per token by
+    * construction). */
   def keywordTokens(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
-      .select(col("doc_id"), explode(tokensCol(col("text"))).as("keyword"))
-      .groupBy("keyword", "doc_id")
-      .agg(count(lit(1)).as("ct_in_doc"))
+      .select(col("doc_id"), explode(tokenCountsUdf(col("text"))).as(Seq("keyword", "ct_in_doc")))
       .groupBy("keyword")
       .agg(sum(col("ct_in_doc")).as("ct"), count(lit(1)).as("doc_ct"))
 
