@@ -39,6 +39,17 @@ object Io {
     if (streaming) spark.readStream.schema(schema).csv(dir)
     else spark.read.schema(schema).csv(dir)
 
+  /** ORC directory source (batch or streaming) — the second columnar
+    * interchange format Spark carries natively (the spark-avro connector, like
+    * spark-sql-kafka, is not on this classpath; ORC is in-core). Schema
+    * optional for batch (ORC is self-describing), required for streaming. */
+  def orcSource(spark: SparkSession, dir: String, schema: Option[StructType] = None,
+                streaming: Boolean = false): DataFrame =
+    if (streaming)
+      spark.readStream.schema(schema.getOrElse(
+        throw new IllegalArgumentException("streaming ORC needs an explicit schema"))).orc(dir)
+    else schema.fold(spark.read.orc(dir))(s => spark.read.schema(s).orc(dir))
+
   /** A9: parse a raw (key, value) stream into typed columns. */
   def parseJson(raw: DataFrame, schema: StructType): DataFrame =
     raw.select(from_json(col("value"), schema).as("j")).select("j.*")

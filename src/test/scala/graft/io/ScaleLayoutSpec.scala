@@ -78,6 +78,21 @@ class ScaleLayoutSpec extends SparkSuite {
       "marker-pinned layout: no duplicate key despite the mismatched buckets param")
   }
 
+  test("orcSource round-trips batch and streaming (native second columnar format)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("orc-src").toString + "/t"
+    val rows = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "name", "v")
+    rows.write.orc(dir)
+    val back = Io.orcSource(spark, dir)
+    assert(back.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    // streaming read with explicit schema through the same binding
+    val q = Io.orcSource(spark, dir, Some(rows.schema), streaming = true)
+      .writeStream.format("memory").queryName("orc_stream_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("orc_stream_out").count() == 2)
+  }
+
   test("jsonValue wire encoding round-trips through from_json (A2 serialization)") {
     import spark.implicits._
     import org.apache.spark.sql.types._
