@@ -19,9 +19,10 @@ object Bench {
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
     // a failed query reports -1 (never a fast-looking elapsed time) and is
     // loudly visible on stderr — a regression must not flatter the benchmark
+    val rt = Runtime.getRuntime
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try {
+      val timed = try {
         fn(spark, sfDir).count()
         name -> (System.nanoTime() - t0) / 1e9
       } catch {
@@ -29,6 +30,17 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           name -> -1.0
       }
+      // Queries are independent runs: release anything this one persisted.
+      // Operators that cache a build-step intermediate (clusters() labels,
+      // ivfAnn's assigned corpus, cleanCorpus's survivor boundary) return
+      // plans backed by those caches; without this, every later query runs
+      // with that storage pinned — measured in round 2 as a uniform 2.5-3×
+      // slowdown on the whole post-q32 block (BENCH_r02 vs r01).
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      val usedMb = (rt.totalMemory() - rt.freeMemory()) >> 20
+      System.err.println(f"[bench] ${timed._1} ${timed._2}%.2fs heapUsed=${usedMb}MB")
+      timed
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

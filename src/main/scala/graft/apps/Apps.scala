@@ -14,6 +14,15 @@ import org.apache.spark.sql.functions._
   */
 object Apps {
 
+  /** State-API selector (D6): `spark.graft.stateApi` = `v1`
+    * (flatMapGroupsWithState, default) or `v2` (transformWithState — the
+    * Stateful tws twins; needs the RocksDB state-store provider, which
+    * [[Mains.start]] configures when this key says v2). One conf key switches
+    * the whole keyed-state trio, so a deployment can roll the state API
+    * forward without touching app code. */
+  private def stateApiV2(df: DataFrame): Boolean =
+    df.sparkSession.conf.get("spark.graft.stateApi", "v1") == "v2"
+
   /** Parsed log DF (Pipelines.rawLogSchema shape) → typed LogEvent view. */
   def toLogEvents(parsed: DataFrame): Dataset[LogEvent] = {
     import parsed.sparkSession.implicits._
@@ -51,7 +60,10 @@ object Apps {
     import parsed.sparkSession.implicits._
     val dirty = parsed.filter(col("common").isNull || col("ts").isNull)
     val clean = parsed.filter(col("common").isNotNull && col("ts").isNotNull)
-    val repaired = Stateful.repairIsNewRaw(clean.as[graft.streaming.RawLog]).toDF()
+    val typed = clean.as[graft.streaming.RawLog]
+    val repaired =
+      (if (stateApiV2(parsed)) Stateful.repairIsNewRawTws(typed)
+       else Stateful.repairIsNewRaw(typed)).toDF()
     val (start, page, display) = Pipelines.splitLog(repaired)
     Map("dwd_start_log" -> start, "dwd_page_log" -> toLogEvents(page).toDF(),
       "dwd_display_log" -> display, "dwd_dirty_log" -> dirty)
@@ -61,15 +73,20 @@ object Apps {
   def uniqueVisit(inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
     val page = inputs("dwd_page_log")
     import page.sparkSession.implicits._
-    Map("dwm_unique_visit" -> Stateful.dailyUv(watermarked(page.as[LogEvent])).toDF())
+    val events = watermarked(page.as[LogEvent])
+    Map("dwm_unique_visit" ->
+      (if (stateApiV2(page)) Stateful.dailyUvTws(events)
+       else Stateful.dailyUv(events)).toDF())
   }
 
   /** UserJumpDetailApp (app/dwm/UserJumpDetailApp.java): bounce sessions. */
   def userJumpDetail(inputs: Map[String, DataFrame]): Map[String, DataFrame] = {
     val page = inputs("dwd_page_log")
     import page.sparkSession.implicits._
+    val events = watermarked(page.as[LogEvent])
     Map("dwm_user_jump_detail" ->
-      Stateful.detectBounces(watermarked(page.as[LogEvent])).toDF())
+      (if (stateApiV2(page)) Stateful.detectBouncesTws(events)
+       else Stateful.detectBounces(events)).toDF())
   }
 
   /** OrderWideApp (app/dwm/OrderWideApp.java): order ⋈ detail interval join +

@@ -145,6 +145,15 @@ object Mains {
   def start(spark: SparkSession, app: String, inDir: String, outDir: String,
             ckptDir: String, trigger: Trigger = Trigger.AvailableNow(),
             sourceOptions: Map[String, String] = Map.empty): Seq[StreamingQuery] = {
+    // state API v2 (transformWithState twins, selected by spark.graft.stateApi)
+    // requires the RocksDB provider; the checkpoint-file checksum writer
+    // deadlocks in some containers (round-1 finding, StatefulSpec) — disable.
+    // Set BEFORE any query starts: provider choice binds at query start.
+    if (spark.conf.get("spark.graft.stateApi", "v1") == "v2") {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      spark.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    }
     def sink(outputs: Map[String, DataFrame]) = sinkAll(outputs, outDir, ckptDir, trigger)
     def streamJson(spark: SparkSession, inDir: String, topic: String, schema: StructType) =
       Mains.streamJson(spark, inDir, topic, schema, sourceOptions)

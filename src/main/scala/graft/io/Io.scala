@@ -143,19 +143,38 @@ object Io {
       .persist()
     try {
       val touched = deduped.select("__bucket").distinct().collect().map(_.getLong(0)).sorted
-      touched.foreach { b =>
-        val slice = deduped.filter(col("__bucket") === b).drop("__bucket")
-        val bucketDir = new java.io.File(s"$path/__bucket=$b")
+      if (touched.nonEmpty) {
+        // ONE write job for ALL touched buckets (a per-bucket loop of write
+        // jobs serializes on the driver once a batch touches many buckets):
+        // read every touched bucket in one scan (basePath keeps the __bucket
+        // partition column so existing rows remember their bucket), merge
+        // once, and let partitionBy split the tmp output back into per-bucket
+        // dirs. repartition on __bucket puts each bucket's rows in a single
+        // task, so every bucket dir still holds exactly one file — the same
+        // layout the old per-bucket coalesce(1) produced. The publish step
+        // stays the per-bucket checked rename-aside (driver metadata ops, not
+        // Spark jobs); untouched buckets are never opened.
+        val existingDirs = touched.map(b => new java.io.File(s"$path/__bucket=$b"))
+          .filter(_.exists())
         val merged =
-          if (bucketDir.exists()) {
-            val existing = spark.read.parquet(bucketDir.getPath)
-            // allowMissingColumns: tolerate stores written before a schema widened
-            existing.join(slice, existing(pk) === slice(pk), "left_anti")
-              .unionByName(slice, allowMissingColumns = true)
-          } else slice
-        val tmp = new java.io.File(s"$path/.tmp__bucket=$b")
-        merged.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
-        swapDir(tmp, bucketDir)
+          if (existingDirs.isEmpty) deduped
+          else {
+            // mergeSchema: touched buckets may carry pre-widening schemas
+            val existing = spark.read
+              .option("mergeSchema", "true").option("basePath", path)
+              .parquet(existingDirs.map(_.getPath): _*)
+            existing.join(deduped, existing(pk) === deduped(pk), "left_anti")
+              .unionByName(deduped, allowMissingColumns = true)
+          }
+        val tmpRoot = new java.io.File(path, ".tmp_upsert")
+        if (tmpRoot.exists()) org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot)
+        merged.repartition(touched.length, col("__bucket"))
+          .write.mode("overwrite").partitionBy("__bucket").parquet(tmpRoot.getPath)
+        touched.foreach { b =>
+          swapDir(new java.io.File(tmpRoot, s"__bucket=$b"),
+            new java.io.File(s"$path/__bucket=$b"))
+        }
+        org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot)
       }
     } finally deduped.unpersist()
     ()

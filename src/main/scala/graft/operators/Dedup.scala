@@ -28,21 +28,24 @@ object Dedup {
       .agg(count(lit(1)).as("dup_ct"), min(col("doc_id")).as("keeper_doc_id"))
 
   /** Exact pairwise 3-gram-shingle Jaccard ≥ 0.5 (capped at doc_id < 500: this
-    * is the oracle/verifier path; the scale path is [[minhashLsh]]). */
+    * is the oracle/verifier path; the scale path is [[minhashLsh]]).
+    *
+    * Shingling is the single-pass [[graft.functions.TextFns.distinctShingles]]
+    * kernel (the tokensCol→shinglesCol→array_distinct HOF chain is
+    * CodegenFallback-interpreted and materializes every gram twice), and each
+    * doc's set size rides along the exploded rows — max(n) inside the pair
+    * aggregation replaces the separate per-doc count shuffle plus two joins
+    * the previous shape paid. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val toks = docs(spark, dir)
+    val sh = docs(spark, dir)
       .filter(col("doc_id") < 500)
-      .select(col("doc_id"), tokensCol(col("text")).as("toks"))
-    val sh = toks
-      .select(col("doc_id"), explode(array_distinct(shinglesCol(col("toks"), 3))).as("sh"))
-    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val pairs = sh.as("a")
+      .select(col("doc_id"), distinctShinglesUdf(3)(col("text")).as("shs"))
+      .select(col("doc_id"), size(col("shs")).as("n"), explode(col("shs")).as("sh"))
+    sh.as("a")
       .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(sz.select(col("doc_id").as("da"), col("n").as("na")), "da")
-      .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .agg(count(lit(1)).as("inter"),
+        max(col("a.n")).as("na"), max(col("b.n")).as("nb"))
       .withColumn("jac", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jac") >= 0.5)
       .select(col("da"), col("db"), col("jac"))

@@ -20,9 +20,13 @@ import org.apache.spark.sql.types._
   *  - **audio** — REAL ([[decodeMedia]]): JDK `javax.sound.sampled`
   *    (WAV/AIFF PCM) → sample rate, duration, overall RMS, and a temporal
   *    RMS-energy profile as the feature vector.
-  *  - **video** — STUB ([[decodeStub]] fallback): no video codec exists in
-  *    the JDK or this container; the deterministic fake keeps the plumbing
-  *    testable and is clearly marked.
+  *  - **video** — REAL for raw containers ([[decodeY4m]]): YUV4MPEG2 (y4m) is
+  *    a plain-text header plus uncompressed planar YUV frames, parseable in
+  *    pure JVM with no codec — width/height/fps/frame count plus a per-frame
+  *    mean-luminance temporal profile (the video mirror of the audio RMS
+  *    profile). Compressed codecs (H.264/VP9/…) have no JDK decoder and no
+  *    container library here: those payloads fail the y4m magic check and
+  *    quarantine as `decode_ok=false`, documented-unsupported.
   */
 object Multimodal {
 
@@ -183,13 +187,93 @@ object Multimodal {
                 case _: Exception =>
                   Row(mediaId, mediaType, n, false, null, null, null, null, null)
               }
-            case _ => // video & friends: no JDK codec — metadata only
+            case "video" =>
+              decodeY4m(payload, bins) match {
+                case Some((w, h, fps, nFrames, profile)) =>
+                  // sample_rate carries fps, duration_s = frames/fps — the
+                  // temporal metadata pair, same slots the audio branch uses
+                  Row(mediaId, mediaType, n, true, w, h, fps, nFrames / fps,
+                    profile.toSeq)
+                case None => // compressed codec or malformed stream: quarantine
+                  Row(mediaId, mediaType, n, false, null, null, null, null, null)
+              }
+            case _ => // unknown modality — metadata only
               Row(mediaId, mediaType, n, false, null, null, null, null, null)
           }
         }
       }
     }
     spark.createDataFrame(out, decodedSchema)
+  }
+
+  /** Pure-JVM YUV4MPEG2 (y4m) parse: `YUV4MPEG2 W<w> H<h> F<n>:<d> [C<cs>]\n`
+    * then per frame a `FRAME…\n` line followed by raw planar YUV. Only the Y
+    * (luminance) plane is read — the chroma planes are SKIPPED by size, which
+    * is exactly the cheap sampling a 100 TB feature sweep wants. Returns
+    * (width, height, fps, n_frames, per-frame mean-luma pooled into `bins`
+    * temporal slots); None for anything malformed — a compressed codec
+    * payload, a truncated frame, an unknown colorspace — so callers quarantine
+    * instead of emitting garbage features. */
+  private[operators] def decodeY4m(payload: Array[Byte],
+                                   bins: Int): Option[(Int, Int, Double, Int, Array[Double])] = {
+    def lineEnd(from: Int): Int = {
+      var i = from
+      while (i < payload.length && payload(i) != '\n'.toByte) i += 1
+      if (i < payload.length) i else -1
+    }
+    val nl = lineEnd(0)
+    if (nl < 0) return None
+    val header = new String(payload, 0, nl, java.nio.charset.StandardCharsets.US_ASCII)
+    val toks = header.split(' ')
+    if (toks.head != "YUV4MPEG2") return None
+    var w = -1; var h = -1; var fpsN = -1; var fpsD = 1; var cs = "420" // C420 is the spec default
+    try toks.tail.filter(_.nonEmpty).foreach { t =>
+      t.charAt(0) match {
+        case 'W' => w = t.substring(1).toInt
+        case 'H' => h = t.substring(1).toInt
+        case 'F' => val p = t.substring(1).split(':'); fpsN = p(0).toInt; fpsD = p(1).toInt
+        case 'C' => cs = t.substring(1)
+        case _   => () // I (interlace), A (aspect), X (extensions): irrelevant here
+      }
+    } catch { case _: RuntimeException => return None }
+    if (w <= 0 || h <= 0 || fpsN <= 0 || fpsD <= 0) return None
+    val ySize = w * h
+    val chromaSize = // subsampled plane sizes round UP per the spec
+      if (cs.startsWith("420")) 2 * ((w + 1) / 2) * ((h + 1) / 2) // incl. jpeg/paldv/mpeg2 tags
+      else if (cs.startsWith("422")) 2 * ((w + 1) / 2) * h
+      else if (cs.startsWith("444")) 2 * ySize
+      else if (cs == "mono") 0
+      else return None
+    val lumas = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var pos = nl + 1
+    while (pos < payload.length) {
+      val fnl = lineEnd(pos)
+      if (fnl < 0) return None
+      val fline = new String(payload, pos, fnl - pos, java.nio.charset.StandardCharsets.US_ASCII)
+      if (!fline.startsWith("FRAME")) return None
+      val dataStart = fnl + 1
+      if (dataStart + ySize + chromaSize > payload.length) return None // truncated frame
+      var s = 0.0
+      var i = dataStart
+      val end = dataStart + ySize
+      while (i < end) { s += (payload(i) & 0xff); i += 1 }
+      lumas += s / ySize / 255.0
+      pos = dataStart + ySize + chromaSize
+    }
+    if (lumas.isEmpty) return None // a frameless stream carries no signal — quarantine
+    val nFrames = lumas.length
+    // pool per-frame lumas into `bins` temporal slots — same binning as the
+    // audio RMS profile, so downstream feature consumers see one shape
+    val profile = Array.tabulate(bins) { b =>
+      val from = b * nFrames / bins
+      val until = math.max((b + 1) * nFrames / bins, from + 1)
+      var s = 0.0
+      var j = from
+      val stop = math.min(until, nFrames)
+      while (j < stop) { s += lumas(j); j += 1 }
+      s / math.max(stop - from, 1)
+    }
+    Some((w, h, fpsN.toDouble / fpsD, nFrames, profile))
   }
 
   /** Build a media table from documents (payload = utf-8 bytes) — the fixture

@@ -181,31 +181,29 @@ object TextOps {
   }
 
   /** Column profiling over the documents table — the pre-training data-QA
-    * sweep (null rates, cardinalities, length ranges) as one unpivoted frame:
-    * one row per profiled column, computed in a single scan (all aggregates in
-    * one pass, then stacked). */
+    * sweep (null rates, cardinalities, length ranges) as one unpivoted frame,
+    * one row per profiled column. One aggregate PER column, not one aggregate
+    * with three `count(distinct)`: multiple distinct aggregates in a single
+    * Aggregate compile to an Expand that replicates every scanned row once per
+    * distinct group (×4 here) — fine at sf0.1, a full extra corpus of shuffle
+    * input at 100 TB. A per-column aggregate has exactly one distinct group,
+    * which Spark plans through its no-Expand one-distinct path, and the scan
+    * prunes to that single column, so the three jobs together read the same
+    * bytes the fused scan did — without the ×4 row blowup. Exact counts are
+    * kept (the hash oracle needs them); a cardinality-only sweep at 100 TB
+    * would use approx_count_distinct instead (the A25 divergence pattern). */
   def profileDocuments(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-    val agg = d.agg(
-      count(lit(1)).as("n"),
-      count(col("text")).as("text_nonnull"),
-      countDistinct(col("text")).as("text_distinct"),
-      min(length(col("text"))).as("text_min_len"),
-      max(length(col("text"))).as("text_max_len"),
-      count(col("lang")).as("lang_nonnull"),
-      countDistinct(col("lang")).as("lang_distinct"),
-      min(length(col("lang"))).as("lang_min_len"),
-      max(length(col("lang"))).as("lang_max_len"),
-      count(col("source")).as("source_nonnull"),
-      countDistinct(col("source")).as("source_distinct"),
-      min(length(col("source"))).as("source_min_len"),
-      max(length(col("source"))).as("source_max_len"))
-    agg.selectExpr(
-      """stack(3,
-           'text',   n, text_nonnull,   text_distinct,   text_min_len,   text_max_len,
-           'lang',   n, lang_nonnull,   lang_distinct,   lang_min_len,   lang_max_len,
-           'source', n, source_nonnull, source_distinct, source_min_len, source_max_len
-         ) as (column_name, n_rows, n_nonnull, n_distinct, min_len, max_len)""")
+    def one(c: String): DataFrame = d.select(col(c))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col(c)).as("n_nonnull"),
+        countDistinct(col(c)).as("n_distinct"),
+        min(length(col(c))).as("min_len"),
+        max(length(col(c))).as("max_len"))
+      .select(lit(c).as("column_name"), col("n_rows"), col("n_nonnull"),
+        col("n_distinct"), col("min_len"), col("max_len"))
+    one("text").unionByName(one("lang")).unionByName(one("source"))
   }
 
   /** Multimodal column plumbing, SQL-visible part: treat the payload as opaque

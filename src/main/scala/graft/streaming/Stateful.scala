@@ -215,6 +215,42 @@ object Stateful {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
   }
 
+  /** [[repairIsNewRaw]] on state API v2 — the tws twin of the FULL-row repair
+    * [[Apps.baseLog]] runs before the 3-way split (the reference's operator
+    * order). Same only-is_new=1-touches-state machine as the LogEvent twin. */
+  class RepairIsNewRawProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, RawLog, RawLog] {
+    import org.apache.spark.sql.streaming.{TimerValues, TTLConfig, ValueState}
+
+    @transient private var firstDay: ValueState[String] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      firstDay = getHandle.getValueState[String](
+        "firstDay", org.apache.spark.sql.Encoders.STRING, TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[RawLog],
+                                 timerValues: TimerValues): Iterator[RawLog] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts, e.page.flatMap(p => Option(p.page_id))))
+      sorted.map { e =>
+        if (e.common.is_new != "1") e
+        else if (!firstDay.exists()) { firstDay.update(dayOf(e.ts)); e }
+        else if (firstDay.get() != dayOf(e.ts)) e.copy(common = e.common.copy(is_new = "0"))
+        else e
+      }.iterator
+    }
+  }
+
+  /** [[repairIsNewRaw]] via transformWithState; requires the RocksDB provider.
+    * Gated end-to-end (checkpoint restart included) in MainsSpec. */
+  def repairIsNewRawTws(logs: Dataset[RawLog]): Dataset[RawLog] = {
+    import logs.sparkSession.implicits._
+    logs
+      .groupByKey(_.common.mid)
+      .transformWithState(new RepairIsNewRawProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
   /** [[dailyUv]] on state API v2 with a NATIVE state TTL — the exact
     * StateTtlConfig(1 day) mapping (UniqueVisitApp.java:47-53 configures a
     * processing-time TTL, which is what TTLConfig implements; the

@@ -78,6 +78,44 @@ class ScaleLayoutSpec extends SparkSuite {
       "marker-pinned layout: no duplicate key despite the mismatched buckets param")
   }
 
+  test("upsertDim writes ALL touched buckets in ONE job (no per-bucket job loop)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dim-onejob").toString + "/store"
+    val seed = (1 to 40).map(i => (i.toString, s"v$i", 1L)).toDF("id", "value", "ts")
+    Io.upsertDim(spark, seed, dir, "id", "ts")
+    val bucketDirs = new java.io.File(dir).listFiles().filter(_.getName.startsWith("__bucket="))
+    assert(bucketDirs.length > 4, "the batch spreads over most buckets")
+
+    // Job count must NOT grow with the touched-bucket count: the old shape ran
+    // ≥1 read + 1 write job PER bucket; the one-job merge runs a constant set
+    // (dedup/touched collect, mergeSchema footer read, ONE partitioned write,
+    // plus fixed AQE stage jobs) whether the batch hits 1 bucket or all 8.
+    val sc = spark.sparkContext
+    def countJobs(group: String)(f: => Unit): Int = {
+      sc.setJobGroup(group, group)
+      try f finally sc.clearJobGroup()
+      sc.statusTracker.getJobIdsForGroup(group).length
+    }
+    val jobsOne = countJobs("upsert-1bucket") {
+      Io.upsertDim(spark, Seq(("7", "w7", 2L)).toDF("id", "value", "ts"), dir, "id", "ts")
+    }
+    val jobsAll = countJobs("upsert-8buckets") {
+      Io.upsertDim(spark, (1 to 40).map(i => (i.toString, s"w$i", 3L)).toDF("id", "value", "ts"),
+        dir, "id", "ts")
+    }
+    assert(jobsAll <= jobsOne + 1,
+      s"job count must be constant in touched buckets: 1-bucket=$jobsOne, 8-bucket=$jobsAll")
+
+    // layout preserved: still one parquet file per bucket dir, values updated
+    new java.io.File(dir).listFiles().filter(_.getName.startsWith("__bucket=")).foreach { d =>
+      assert(d.listFiles().count(_.getName.endsWith(".parquet")) == 1,
+        s"one file per bucket expected in ${d.getName}")
+    }
+    val rows = Io.readDim(spark, dir).collect()
+      .map(r => r.getAs[String]("id") -> r.getAs[String]("value")).toMap
+    assert(rows.size == 40 && rows("7") == "w7" && rows("40") == "w40")
+  }
+
   test("orcSource round-trips batch and streaming (native second columnar format)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("orc-src").toString + "/t"
