@@ -42,10 +42,14 @@ object Bench {
       System.err.println(f"[bench] ${timed._1} ${timed._2}%.2fs heapUsed=${usedMb}MB")
       timed
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal values keep the whole line under ~1600 chars: the driver
+    // captures only the last 2000 chars of stdout, and rounds 1-3 proved a
+    // full-precision line (~2100 chars) gets its head cut off → parsed: null
+    def s3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => s""""$k":${s3(v)}""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,53 @@
+#!/usr/bin/env python3
+"""Per-query bench regression gate against the committed floor.
+
+Usage: check_bench.py <bench_json_file> [floor_json]
+
+<bench_json_file> holds the Bench main's JSON line ({"metric":"total",...,
+"queries":{...}}), or a driver BENCH_r*.json whose "tail" contains that line.
+
+A query regresses when it is BOTH >1.5x its floor AND >0.4s absolute over it —
+the absolute guard keeps sub-0.3s queries from flagging on timer noise.
+Exit 1 on any regression (or any query missing from the bench run).
+"""
+import json
+import re
+import sys
+
+RATIO = 1.5
+ABS_SLACK = 0.4
+
+
+def load_line(path: str) -> dict:
+    raw = open(path).read()
+    d = json.loads(raw) if raw.lstrip().startswith("{") else {}
+    if "queries" in d:
+        return d
+    # driver-format file: the JSON line is embedded in "tail"
+    m = re.search(r'"queries":({[^}]*})', d.get("tail", raw))
+    if not m:
+        sys.exit(f"no bench queries found in {path}")
+    return {"queries": json.loads(m.group(1))}
+
+
+def main(bench_path: str, floor_path: str = "BENCH_FLOOR.json") -> int:
+    bench = load_line(bench_path)["queries"]
+    floor = {k: v for k, v in json.load(open(floor_path)).items()
+             if not k.startswith("_")}
+    bad = []
+    for name, f in sorted(floor.items()):
+        got = bench.get(name)
+        if got is None or got < 0:
+            bad.append(f"{name}: missing/failed in bench run")
+        elif got > f * RATIO and got - f > ABS_SLACK:
+            bad.append(f"{name}: {got:.2f}s vs floor {f:.2f}s ({got / f:.1f}x)")
+        else:
+            print(f"OK   {name}: {got:.2f}s (floor {f:.2f}s)")
+    for b in bad:
+        print(f"SLOW {b}")
+    print(f"\n{len(floor) - len(bad)} ok, {len(bad)} regressed")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(*sys.argv[1:]))
