@@ -30,6 +30,14 @@ import org.apache.spark.sql.types._
   * consequence: windowed aggregates only emit panes the WATERMARK has closed,
   * so the last windows of a drain run emit on the next run (state is in the
   * checkpoint) — the same behavior as the reference's event-time windows.
+  *
+  * One state-API-v2 exception to drain-and-exit: `unique_visit` on tws uses a
+  * NATIVE processing-time TTL (the StateTtlConfig contract), and a
+  * ProcessingTime-mode transformWithState keeps scheduling micro-batches
+  * under AvailableNow while TTL timers are pending — it runs as a SERVICE.
+  * Callers poll the sink and `stop()` when drained (MainsSpec shows the
+  * pattern); `awaitTermination` on it never returns. The v1
+  * (flatMapGroupsWithState) binding drains and exits like every other app.
   */
 object Mains {
 

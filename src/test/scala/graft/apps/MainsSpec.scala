@@ -101,7 +101,22 @@ class MainsSpec extends SparkSuite {
       }
       Files.write(new java.io.File(pageDir, "b.jsonl").toPath, java.util.Arrays.asList(
         pageRow("mT", day1, null), pageRow("mT", day1 + 5000L, null)))
-      Mains.start(spark, "unique_visit", uvIn, uvOut, uvCk).foreach(_.awaitTermination())
+      // the tws uniqueVisit runs in ProcessingTime mode (native TTL contract),
+      // and a ProcessingTime transformWithState does NOT self-terminate under
+      // Trigger.AvailableNow — it keeps scheduling micro-batches while TTL
+      // timers are pending. Poll the sink and stop, exactly like the
+      // StatefulTws specs; awaitTermination would hang forever here.
+      val uvQs = Mains.start(spark, "unique_visit", uvIn, uvOut, uvCk)
+      try {
+        val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+        def uvRows(): Long =
+          try spark.read.json(s"$uvOut/dwm_unique_visit")
+            .filter(col("mid").isNotNull).count()
+          catch { case _: org.apache.spark.sql.AnalysisException => 0L } // sink not created yet
+        while (uvRows() < 1 && uvQs.forall(_.exception.isEmpty) &&
+          System.nanoTime() < deadline) Thread.sleep(100)
+        uvQs.flatMap(_.exception).foreach(throw _)
+      } finally uvQs.foreach(_.stop())
       val uv = spark.read.json(s"$uvOut/dwm_unique_visit")
       assert(uv.collect().map(_.getAs[String]("mid")).toSeq == Seq("mT"),
         "native-TTL tws dedup: one row per device-day")
