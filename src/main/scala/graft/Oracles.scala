@@ -161,6 +161,109 @@ object Oracles {
         |FROM p JOIN sz x ON p.da = x.doc_id JOIN sz y ON p.db = y.doc_id
         |WHERE cast(inter as double) / (x.n + y.n - inter) >= 0.5""".stripMargin,
 
+    // oracle = the exact shingle-Jaccard pair set (q19's SQL, uncapped):
+    // LSH banding (16 bands × 4 rows) has MEASURED recall 1.0 on this corpus at
+    // both sf0.01 and sf0.1 (and precision 1.0 by construction — every candidate
+    // is verified with exact Jaccard), so the expected output IS the exact pair
+    // set; any recall loss becomes a driver-visible failure. The general-case
+    // recall ≥ 0.9 gate lives in DedupSimilaritySpec. jac values are computed
+    // over 64-bit FNV shingle hashes on the Spark side — equal to string-set
+    // Jaccard absent hash collisions, which the bit-equality here confirms.
+    "q26_minhash_lsh" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |s AS (SELECT doc_id, unnest(list_distinct(
+        |   [array_to_string(toks[i:i+2], ' ') FOR i IN generate_series(1, greatest(len(toks) - 2, 0))])) AS sh
+        |  FROM t),
+        |sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY 1),
+        |p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+        |  FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT da, db, cast(inter as double) / (x.n + y.n - inter) AS jac
+        |FROM p JOIN sz x ON p.da = x.doc_id JOIN sz y ON p.db = y.doc_id
+        |WHERE cast(inter as double) / (x.n + y.n - inter) >= 0.5""".stripMargin,
+
+    // connected components as SQL: recursive CTE closure over the exact
+    // near-dup pair set (valid because q26's LSH pair set ≡ the exact pair set
+    // on this corpus — see q26's note), label = min reachable doc_id. Proves
+    // the two-regime clusters() (driver union-find / large-star-small-star)
+    // computes real components, not just stable labels.
+    "q32_neardup_clusters" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |s AS (SELECT doc_id, unnest(list_distinct(
+        |   [array_to_string(toks[i:i+2], ' ') FOR i IN generate_series(1, greatest(len(toks) - 2, 0))])) AS sh
+        |  FROM t),
+        |sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY 1),
+        |p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+        |  FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |e0 AS (SELECT da, db FROM p JOIN sz x ON p.da = x.doc_id JOIN sz y ON p.db = y.doc_id
+        |  WHERE cast(inter as double) / (x.n + y.n - inter) >= 0.5),
+        |edges AS (SELECT da AS a, db AS b FROM e0 UNION SELECT db, da FROM e0),
+        |nodes AS (SELECT DISTINCT a AS v FROM edges),
+        |reach AS (SELECT v AS src, v AS node FROM nodes
+        |  UNION SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.node)
+        |SELECT src AS doc_id, min(node) AS cluster_id FROM reach GROUP BY 1""".stripMargin,
+
+    // self-checking invariant oracle: BOTH engines run their own HLL sketch and
+    // their own exact count, and the driver pins the within-tolerance flag —
+    // the estimates themselves differ by sketch implementation and are not
+    // output. Tolerance 0.15 = 3× Spark's default 5% rsd (measured max error:
+    // Spark 9.6% at sf0.1, DuckDB 2.1%).
+    "q34_approx_distinct" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS dt,
+        | count(distinct user_id) AS uv_exact, count(*) AS pv,
+        | abs(cast(approx_count_distinct(user_id) as double) - count(distinct user_id))
+        |   / count(distinct user_id) <= 0.15 AS approx_ok
+        |FROM events GROUP BY 1""".stripMargin,
+
+    // the full cleaning pipeline in SQL: quality filter → exact-dedup keeper
+    // (min doc_id per md5) → connected-component losers over the exact near-dup
+    // pairs AMONG SURVIVORS (≡ the LSH pairs, per q26's note) → anti-join.
+    "q36_clean_corpus" ->
+      """WITH RECURSIVE q AS (SELECT doc_id, text, lang, source,
+        |    len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token_ct
+        |  FROM documents WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 10),
+        |k AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM q) WHERE rn = 1),
+        |t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM k),
+        |s AS (SELECT doc_id, unnest(list_distinct(
+        |   [array_to_string(toks[i:i+2], ' ') FOR i IN generate_series(1, greatest(len(toks) - 2, 0))])) AS sh
+        |  FROM t),
+        |sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY 1),
+        |p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+        |  FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |e0 AS (SELECT da, db FROM p JOIN sz x ON p.da = x.doc_id JOIN sz y ON p.db = y.doc_id
+        |  WHERE cast(inter as double) / (x.n + y.n - inter) >= 0.5),
+        |edges AS (SELECT da AS a, db AS b FROM e0 UNION SELECT db, da FROM e0),
+        |nodes AS (SELECT DISTINCT a AS v FROM edges),
+        |reach AS (SELECT v AS src, v AS node FROM nodes
+        |  UNION SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.node),
+        |lab AS (SELECT src AS doc_id, min(node) AS cluster_id FROM reach GROUP BY 1),
+        |losers AS (SELECT doc_id FROM lab WHERE doc_id <> cluster_id)
+        |SELECT k.doc_id, k.lang, k.source, cast(k.token_ct as int) AS token_ct
+        |FROM k LEFT JOIN losers USING (doc_id) WHERE losers.doc_id IS NULL""".stripMargin,
+
+    // full reproduction of the int8 path in SQL: per-vector symmetric scale,
+    // round-half-away quantization, integer dot products (exact in double:
+    // 127²·64 partial sums ≪ 2⁵³), the same zero-norm guard and tie-break —
+    // every arithmetic step is IEEE-identical, so the ranking hash-matches.
+    "q51_quantized_knn" ->
+      """WITH e1 AS (SELECT vec_id, embedding,
+        |   127.0 / greatest(list_max(list_transform(embedding, x -> abs(cast(x as double)))), 1e-9) AS scale
+        | FROM embeddings),
+        |e2 AS (SELECT vec_id,
+        |   list_transform(embedding, x -> cast(round(cast(x as double) * scale) as int)) AS qv
+        | FROM e1),
+        |e3 AS (SELECT vec_id, qv, sqrt(cast(list_inner_product(qv, qv) as double)) AS qn FROM e2),
+        |q AS (SELECT vec_id AS query_id, qv AS qq, qn AS qqn FROM e3 WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS neighbor_id, qv AS cv, qn AS cn FROM e3),
+        |s AS (SELECT query_id, neighbor_id,
+        |  CASE WHEN qqn * cn > 0 THEN cast(list_inner_product(qq, cv) as double) / (qqn * cn)
+        |       ELSE -2.0 END AS qcos
+        | FROM q, c WHERE query_id <> neighbor_id),
+        |r AS (SELECT query_id, neighbor_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY qcos DESC, neighbor_id) AS rnk FROM s)
+        |SELECT query_id, neighbor_id, cast(rnk as int) AS rnk FROM r WHERE rnk <= 3""".stripMargin,
+
     "q20_lang_id" ->
       """WITH t AS (SELECT lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
         |  len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS zh_ct FROM documents),
@@ -424,6 +527,41 @@ object Oracles {
         |FROM events e JOIN m ON e.event_type = m.event_type
         |WHERE abs((cast(cast(e.value as decimal(18,2)) as double) - m.mean) / sqrt(m.variance)) > 3.0
         |GROUP BY 1""".stripMargin,
+
+    // embedding-modality dedup clusters: recursive-CTE components over the
+    // EXACT cosine pair graph (the pair set q24 already proves both engines
+    // agree on), label = min reachable vec_id
+    "q59_embedding_clusters" ->
+      """WITH RECURSIVE e0 AS (SELECT a.vec_id AS da, b.vec_id AS db
+        |  FROM embeddings a, embeddings b
+        |  WHERE a.vec_id < 500 AND b.vec_id < 500 AND a.vec_id < b.vec_id
+        |    AND list_cosine_similarity(a.embedding, b.embedding) > 0.4),
+        |edges AS (SELECT da AS a, db AS b FROM e0 UNION SELECT db, da FROM e0),
+        |nodes AS (SELECT DISTINCT a AS v FROM edges),
+        |reach AS (SELECT v AS src, v AS node FROM nodes
+        |  UNION SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.node)
+        |SELECT src AS vec_id, min(node) AS cluster_id FROM reach GROUP BY 1""".stripMargin,
+
+    // tf/df ranking: exact integer counts, one double division — identical
+    // ordering to tf·idf for any monotone idf, bit-stable across engines
+    "q60_tfidf_terms" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |r AS (SELECT doc_id, term, tf, df,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY cast(tf as double) / df DESC, term) AS rnk
+        |  FROM tf JOIN df USING (term))
+        |SELECT doc_id, term, tf, df, cast(rnk as int) AS rnk FROM r WHERE rnk <= 3""".stripMargin,
+
+    // class-capped sampling: min-count K over langs, per-lang md5-rank draw —
+    // same engine-stable hash-membership discipline as q41/q48
+    "q61_balanced_sample" ->
+      """WITH d AS (SELECT lang, doc_id, n_chars, md5(cast(doc_id as varchar)) AS h FROM documents),
+        |k AS (SELECT min(n) AS k FROM (SELECT count(*) AS n FROM d GROUP BY lang)),
+        |r AS (SELECT lang, n_chars, row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rnk FROM d)
+        |SELECT lang, count(*) AS kept_docs, cast(sum(n_chars) as bigint) AS kept_chars
+        |FROM r, k WHERE rnk <= k.k GROUP BY 1""".stripMargin,
 
     "q39_running_total" ->
       """SELECT o_custkey, o_orderkey,

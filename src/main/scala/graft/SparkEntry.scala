@@ -7,10 +7,11 @@ import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextOps}
   *
   * Every entry in [[queries]] is one operator family from SURVEY.md §2 (mapping
   * documented on each implementation); entries in [[oracleSql]] are the
-  * DuckDB-equivalent SQL the driver hash-compares against. Queries without an
-  * oracle entry (q26–q29, q32–q36 partly, q51) are the LSH/signature/approx
-  * paths whose exact output depends on our hash constants or quantization —
-  * each is instead gated in ScalaTest against an exact (oracled) twin.
+  * DuckDB-equivalent SQL the driver hash-compares against. The five queries
+  * without an oracle entry (q27–q29, q33, q35) are the signature paths whose
+  * exact output depends on repo-local hash constants or trained centroids —
+  * each is gated in ScalaTest against an exact (oracled) twin AND
+  * invariant-checked against DuckDB by tools/check_correctness.py.
   */
 object SparkEntry {
 
@@ -44,8 +45,13 @@ object SparkEntry {
     "q23_knn_bruteforce"    -> Similarity.knnBruteForce _,
     "q24_cosine_neardup"    -> Similarity.cosineNearDup _,
     "q25_multimodal_meta"   -> TextOps.multimodalMeta _,
-    // LSH / signature paths — no SQL oracle (hash-constant dependent); verified
-    // against the exact paths in ScalaTest, driver records rows-only.
+    // q26/q32/q36 carry full oracles: the LSH pair set has measured recall 1.0
+    // on this corpus (sf0.01 + sf0.1) and precision 1.0 by construction, so
+    // the exact-Jaccard SQL pair set / its connected components / the cleaned
+    // corpus are the expected outputs (see Oracles notes). q27–q29, q33, q35
+    // stay hash-constant dependent: spec-gated + invariant-checked by
+    // tools/check_correctness.py (recall vs DuckDB brute-force, thresholds
+    // re-verified against raw text).
     "q26_minhash_lsh"       -> Dedup.minhashLsh _,
     "q27_simhash_pairs"     -> Dedup.simhashPairs _,
     "q28_ann_lsh"           -> Similarity.annLsh _,
@@ -71,8 +77,9 @@ object SparkEntry {
     "q48_split_assign"      -> TextOps.splitAssign _,
     "q49_sliding_window"    -> Relational.slidingWindowStats _,
     "q50_contamination"     -> ((s, d) => TextOps.contamination(s, d)),
-    // quantized-cosine ranking has no SQL oracle (per-vector int8 rounding);
-    // recall vs the exact knnBruteForce is gated in DedupSimilaritySpec.
+    // the int8 quantization pipeline is reproduced step-by-step in the oracle
+    // SQL (exact integer arithmetic ⇒ bit-identical ranking); recall vs the
+    // exact knnBruteForce is additionally gated in DedupSimilaritySpec.
     "q51_quantized_knn"     -> Similarity.knnQuantized _,
     "q52_asof_join"         -> Relational.asofJoin _,
     "q53_salted_join"       -> ((s, d) => Relational.saltedJoin(s, d)),
@@ -81,6 +88,9 @@ object SparkEntry {
     "q56_pivot_events"      -> Relational.pivotEvents _,
     "q57_profile_documents" -> TextOps.profileDocuments _,
     "q58_value_outliers"    -> ((s, d) => Relational.valueOutliers(s, d)),
+    "q59_embedding_clusters" -> Similarity.embeddingClusters _,
+    "q60_tfidf_terms"       -> TextOps.tfidfTopTerms _,
+    "q61_balanced_sample"   -> TextOps.balancedSample _,
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

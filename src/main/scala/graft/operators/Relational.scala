@@ -268,12 +268,24 @@ object Relational {
     * for the exact HashSet port; relative error ≤ 2% at the default rsd.
     * No SQL oracle (HLL implementations differ across engines); the tolerance
     * gate vs the exact count lives in RelationalSpec. */
+  /** Daily UV via HLL++ `approx_count_distinct` — the 100 TB stand-in for exact
+    * distinct counting — as a SELF-CHECKING query: both engines run their own
+    * sketch AND their own exact count, and the oracle pins the
+    * within-tolerance flag (the raw estimates differ by sketch implementation
+    * and are not part of the output). Tolerance 0.15 = 3× the default 5% rsd;
+    * measured max relative error is 9.6% (Spark, sf0.1) / 2.1% (DuckDB). The
+    * production form drops the exact column — it exists here so estimate
+    * quality is a driver-visible gate instead of a bare row count. */
   def approxDistinctDaily(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")
       .groupBy(date_format(date_trunc("day", col("event_time")), "yyyy-MM-dd").as("dt"))
       .agg(
         approx_count_distinct(col("user_id")).as("uv_approx"),
+        countDistinct(col("user_id")).as("uv_exact"),
         count(lit(1)).as("pv"))
+      .select(col("dt"), col("uv_exact"), col("pv"),
+        (abs(col("uv_approx").cast("double") - col("uv_exact")) / col("uv_exact") <= 0.15)
+          .as("approx_ok"))
 
   /** Session windows (beyond the reference — SURVEY §2E notes it has tumbling
     * only): per-user sessions closed by a 30-minute inactivity gap, using

