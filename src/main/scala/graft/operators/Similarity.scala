@@ -61,6 +61,19 @@ object Similarity {
       .select(col("va"), col("vb"))
   }
 
+  /** Embedding near-dup CLUSTERS: connected components over the verified
+    * cosine pair graph — the vector-modality twin of
+    * [[graft.operators.Dedup.nearDupClusters]], closing the embedding dedup
+    * loop (pairs → clusters → keeper = min vec_id). Runs on the capped
+    * verifier pair set; at scale the pair source swaps to [[annLsh]]/[[ivfAnn]]
+    * candidates with the same clustering, and clusters() itself is the
+    * two-regime (bounded union-find / large-star-small-star) implementation.
+    * Oracle: recursive-CTE components over DuckDB's exact cosine pairs. */
+  def embeddingClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.clusters(
+      cosineNearDup(spark, dir).select(col("va").as("da"), col("vb").as("db")))
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+
   /** Top-3 neighbors on int8-QUANTIZED embeddings — the memory-scale path: a
     * 64-dim float32 vector is 256 B, its int8 twin 64 B, so a 100 TB corpus's
     * ANN working set shrinks 4× (the standard IVF-PQ-lite move). Per-vector

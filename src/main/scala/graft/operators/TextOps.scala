@@ -41,12 +41,14 @@ object TextOps {
       .groupBy("l_returnflag", "metric")
       .agg(expr("cast(sum(val) as double)").as("total"), count(lit(1)).as("ct"))
 
-  /** n-gram-heuristic language ID vs the labeled lang column.
-    * Tokenizes once into a materialized column, then scores all marker sets. */
+  /** n-gram-heuristic language ID vs the labeled lang column. Uses the
+    * single-pass [[graft.functions.TextFns.langIdFast]] kernel (the composable
+    * column version pays four interpreted marker-filter HOF passes plus a
+    * full-text regexp_replace per doc — 2.5 s vs 0.2 s at sf0.1); kernel ≡
+    * column version is spec-gated in TextOpsSpec. */
   def langId(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
-      .withColumn("toks", tokensCol(col("text")))
-      .withColumn("predicted", langIdFromToks(col("toks"), col("text")))
+      .withColumn("predicted", langIdFastUdf(col("text")))
       .groupBy("lang", "predicted")
       .agg(count(lit(1)).as("ct"))
 
@@ -178,6 +180,52 @@ object TextOps {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("contaminated_grams")) // grams are distinct per doc
       .filter(col("contaminated_grams") >= minOverlap)
+  }
+
+  /** Per-document top-3 distinguishing terms by tf/df score — the tf-idf-shaped
+    * keyword extractor over a corpus. Ranking uses `tf/df` (exact integer
+    * counts, ONE double division) rather than a log-idf so the score is
+    * bit-comparable across engines; the ordering is identical to tf·idf for
+    * any monotone idf.
+    *
+    * Scale shape: per-doc tf comes from the single-pass
+    * [[graft.functions.TextFns.tokenCounts]] kernel (NO shuffle — the map is
+    * built map-side per document); df is one vocabulary-sized shuffle; the
+    * df join is BROADCAST (vocabulary ≪ corpus); the only corpus-sized
+    * shuffle is the per-doc top-k window. */
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    val tf = docs(spark, dir)
+      .select(col("doc_id"), explode(tokenCountsUdf(col("text"))).as(Seq("term", "tf_i")))
+      .select(col("doc_id"), col("term"), col("tf_i").cast("long").as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy((col("tf").cast("double") / col("df")).desc, col("term"))
+    tf.join(broadcast(df), "term")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rnk"))
+  }
+
+  /** Balanced (class-capped) corpus sampling: every language keeps at most K
+    * docs where K = the minority language's count — the standard move to stop
+    * a dominant language swamping a training mix. Selection within a language
+    * is by md5(doc_id) rank, so membership is engine/run/layout-stable like
+    * [[hashSample]], and sorted-by-hash = a uniform random draw that needs no
+    * RNG state. One window shuffle on lang + one broadcast of the per-lang
+    * counts; the global K is a 5-row aggregate. */
+  def balancedSample(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .withColumn("h", md5(col("doc_id").cast("string").cast("binary")))
+    val k = d.groupBy("lang").agg(count(lit(1)).as("n"))
+      .agg(min(col("n")).as("k"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("h"), col("doc_id"))
+    d.withColumn("rnk", row_number().over(w))
+      .crossJoin(broadcast(k))
+      .filter(col("rnk") <= col("k"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("kept_docs"), sum(col("n_chars")).as("kept_chars"))
   }
 
   /** Column profiling over the documents table — the pre-training data-QA
