@@ -20,6 +20,20 @@ class TextOpsSpec extends SparkSuite {
     assert(mismatches == 0, s"$mismatches docs where kernel != column langId")
   }
 
+  test("tfidfTopTerms broadcasts the vocabulary side of the df join") {
+    val plan = TextOps.tfidfTopTerms(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"df (vocabulary) join must broadcast, not shuffle the corpus:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("balancedSample caps every language at the minority count") {
+    val rows = TextOps.balancedSample(spark, sf001).collect()
+    val kept = rows.map(_.getAs[Long]("kept_docs")).toSet
+    assert(kept.size == 1, s"every lang keeps exactly K docs: $rows")
+  }
+
   test("langIdFast CJK short-circuit and tiebreak order") {
     assert(langIdFast("今天 the weather") == "zh") // any CJK char wins
     assert(langIdFast("the le la") == "en")        // en >= others wins ties
