@@ -563,6 +563,60 @@ object Oracles {
         |SELECT lang, count(*) AS kept_docs, cast(sum(n_chars) as bigint) AS kept_chars
         |FROM r, k WHERE rnk <= k.k GROUP BY 1""".stripMargin,
 
+    // eval-integrity check: near-dup clusters spanning train/test/val splits
+    // (q32's recursive-CTE components + q48's split CASE)
+    "q62_split_leakage" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |s AS (SELECT doc_id, unnest(list_distinct(
+        |   [array_to_string(toks[i:i+2], ' ') FOR i IN generate_series(1, greatest(len(toks) - 2, 0))])) AS sh
+        |  FROM t),
+        |sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY 1),
+        |p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+        |  FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |e0 AS (SELECT da, db FROM p JOIN sz x ON p.da = x.doc_id JOIN sz y ON p.db = y.doc_id
+        |  WHERE cast(inter as double) / (x.n + y.n - inter) >= 0.5),
+        |edges AS (SELECT da AS a, db AS b FROM e0 UNION SELECT db, da FROM e0),
+        |nodes AS (SELECT DISTINCT a AS v FROM edges),
+        |reach AS (SELECT v AS src, v AS node FROM nodes
+        |  UNION SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.node),
+        |lab AS (SELECT src AS doc_id, min(node) AS cluster_id FROM reach GROUP BY 1),
+        |sp AS (SELECT doc_id,
+        |  CASE WHEN substr(md5(cast(doc_id as varchar)), 1, 4) < '1999' THEN 'val'
+        |       WHEN substr(md5(cast(doc_id as varchar)), 1, 4) < '3333' THEN 'test'
+        |       ELSE 'train' END AS split
+        | FROM documents)
+        |SELECT cluster_id, count(*) AS n_docs, count(distinct split) AS n_splits
+        |FROM lab JOIN sp USING (doc_id)
+        |GROUP BY 1 HAVING count(distinct split) > 1""".stripMargin,
+
+    // strict ordered funnel: stage N+1 = first qualifying event at or after
+    // the joined stage-N time; identical conditional-min chain on both engines
+    "q63_session_funnel" ->
+      """WITH s AS (
+        | SELECT user_id, ts, event_id, event_type,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |        OR ts - lag(ts) OVER w >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS UNBOUNDED PRECEDING) AS sid FROM s),
+        |a1 AS (SELECT user_id, sid, min(ts) AS s_start,
+        |        min(ts) FILTER (WHERE event_type = 'view') AS v
+        |       FROM g GROUP BY 1, 2),
+        |a2 AS (SELECT g.user_id, g.sid,
+        |        min(g.ts) FILTER (WHERE g.event_type = 'click' AND g.ts >= a1.v) AS c
+        |       FROM g JOIN a1 USING (user_id, sid) GROUP BY 1, 2),
+        |a3 AS (SELECT g.user_id, g.sid,
+        |        min(g.ts) FILTER (WHERE g.event_type = 'purchase' AND g.ts >= a2.c) AS p
+        |       FROM g JOIN a2 USING (user_id, sid) GROUP BY 1, 2)
+        |SELECT strftime(date_trunc('day', a1.s_start), '%Y-%m-%d') AS dt,
+        | count(*) AS sessions,
+        | count(a1.v) AS view_sessions,
+        | count(a2.c) AS view_click_sessions,
+        | count(a3.p) AS funnel_sessions
+        |FROM a1 JOIN a2 USING (user_id, sid) JOIN a3 USING (user_id, sid)
+        |GROUP BY 1""".stripMargin,
+
     "q39_running_total" ->
       """SELECT o_custkey, o_orderkey,
         | strftime(o_orderdate, '%Y-%m-%d') AS o_date,

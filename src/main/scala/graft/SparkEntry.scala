@@ -91,6 +91,8 @@ object SparkEntry {
     "q59_embedding_clusters" -> Similarity.embeddingClusters _,
     "q60_tfidf_terms"       -> TextOps.tfidfTopTerms _,
     "q61_balanced_sample"   -> TextOps.balancedSample _,
+    "q62_split_leakage"     -> TextOps.splitLeakage _,
+    "q63_session_funnel"    -> Relational.sessionFunnel _,
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

@@ -305,6 +305,49 @@ object Relational {
         date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),
         col("events"), col("value_sum"))
 
+  /** Ordered funnel over inactivity sessions (the ADS-layer shape the
+    * reference's e-commerce domain reports on): per session, the STRICT
+    * view → click → purchase progression — each stage's timestamp is the
+    * first qualifying event AT OR AFTER the previous stage's, computed as a
+    * chain of conditional-min aggregates (stage N+1's filter references the
+    * joined stage-N time). Daily rollup of sessions reaching each stage.
+    *
+    * Scale shape: the session tag is one window pass on user_id; the three
+    * stage aggregates and their joins all key on (user_id, sid), so after the
+    * first shuffle the chain stays co-partitioned (exchange reuse); the final
+    * rollup is a small daily aggregate. Gap comparison is in MICROSECONDS
+    * (unix_micros) to match the oracle's exact interval arithmetic. */
+  def sessionFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("event_time"), col("event_id"))
+    val g = t(spark, dir, "events")
+      .withColumn("prev", lag(col("event_time"), 1).over(w))
+      .withColumn("brk",
+        when(col("prev").isNull ||
+          unix_micros(col("event_time")) - unix_micros(col("prev")) >= 1800L * 1000 * 1000, 1)
+          .otherwise(0))
+      .withColumn("sid",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("user_id", "sid", "event_time", "event_type")
+    val a1 = g.groupBy("user_id", "sid").agg(
+      min(col("event_time")).as("s_start"),
+      min(when(col("event_type") === "view", col("event_time"))).as("v"))
+    val a2 = g.join(a1, Seq("user_id", "sid"))
+      .groupBy("user_id", "sid")
+      .agg(min(when(col("event_type") === "click" && col("event_time") >= col("v"),
+        col("event_time"))).as("c"))
+    val a3 = g.join(a2, Seq("user_id", "sid"))
+      .groupBy("user_id", "sid")
+      .agg(min(when(col("event_type") === "purchase" && col("event_time") >= col("c"),
+        col("event_time"))).as("p"))
+    a1.join(a2, Seq("user_id", "sid")).join(a3, Seq("user_id", "sid"))
+      .groupBy(date_format(date_trunc("day", col("s_start")), "yyyy-MM-dd").as("dt"))
+      .agg(
+        count(lit(1)).as("sessions"),
+        count(col("v")).as("view_sessions"),
+        count(col("c")).as("view_click_sessions"),
+        count(col("p")).as("funnel_sessions"))
+  }
+
   /** ROLLUP subtotals (beyond the reference; Spark built-in, §2E): order counts
     * and revenue per (mktsegment, orderstatus) with segment and grand totals. */
   def rollupRevenue(spark: SparkSession, dir: String): DataFrame = {

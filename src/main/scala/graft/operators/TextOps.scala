@@ -228,6 +228,28 @@ object TextOps {
       .agg(count(lit(1)).as("kept_docs"), sum(col("n_chars")).as("kept_chars"))
   }
 
+  /** Train/test-split LEAKAGE detection: near-dup clusters whose members land
+    * in different splits — the eval-integrity check every LLM data pipeline
+    * needs (a test doc with a near-duplicate in train silently inflates eval).
+    * Composes two already-verified pieces: the [[splitAssign]] hash membership
+    * and [[graft.operators.Dedup.nearDupClusters]]; one broadcast-sized join
+    * (only clustered docs — a tiny fraction of the corpus) plus one
+    * cluster-keyed aggregate. Oracle: the q32 recursive-CTE components with
+    * the q48 split CASE, HAVING distinct-split > 1. */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val split = docs(spark, dir)
+      .withColumn("h", substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4))
+      .select(col("doc_id"),
+        when(col("h") < "1999", "val")
+          .when(col("h") < "3333", "test")
+          .otherwise("train").as("split"))
+    Dedup.nearDupClusters(spark, dir)
+      .join(split, "doc_id")
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("split")).as("n_splits"))
+      .filter(col("n_splits") > 1)
+  }
+
   /** Column profiling over the documents table — the pre-training data-QA
     * sweep (null rates, cardinalities, length ranges) as one unpivoted frame,
     * one row per profiled column. One aggregate PER column, not one aggregate
