@@ -61,10 +61,21 @@ object Apps {
     val dirty = parsed.filter(col("common").isNull || col("ts").isNull)
     val clean = parsed.filter(col("common").isNotNull && col("ts").isNotNull)
     val typed = clean.as[graft.streaming.RawLog]
-    val repaired =
+    // Build a FRESH repaired stream per output branch: the three sink queries
+    // each re-execute the plan with their own state store anyway, but a tws
+    // plan embeds its StatefulProcessor INSTANCE, and concurrent query starts
+    // race on that shared instance's driver-side handle (setHandle/init
+    // interleave → one query registers its state variable on another's handle
+    // → STATEFUL_PROCESSOR_DUPLICATE_STATE_VARIABLE_DEFINED). One instance
+    // per branch makes each query's driver init self-contained. The fMGWS
+    // path has no per-instance handle but gets the same treatment for
+    // uniformity.
+    def repaired(): DataFrame =
       (if (stateApiV2(parsed)) Stateful.repairIsNewRawTws(typed)
        else Stateful.repairIsNewRaw(typed)).toDF()
-    val (start, page, display) = Pipelines.splitLog(repaired)
+    val (start, _, _) = Pipelines.splitLog(repaired())
+    val (_, page, _) = Pipelines.splitLog(repaired())
+    val (_, _, display) = Pipelines.splitLog(repaired())
     Map("dwd_start_log" -> start, "dwd_page_log" -> toLogEvents(page).toDF(),
       "dwd_display_log" -> display, "dwd_dirty_log" -> dirty)
   }
