@@ -617,6 +617,23 @@ object Oracles {
         |FROM a1 JOIN a2 USING (user_id, sid) JOIN a3 USING (user_id, sid)
         |GROUP BY 1""".stripMargin,
 
+    // postings emitted as a joined string (array cells hash differently across
+    // engines' parquet readers); numeric sort BEFORE the string cast
+    "q64_inverted_index" ->
+      """SELECT term, count(*) AS df,
+        | array_to_string(list(doc_id ORDER BY doc_id)[1:10], ',') AS postings
+        |FROM (SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS term
+        |      FROM documents)
+        |GROUP BY term""".stripMargin,
+
+    "q65_vocab_top_terms" ->
+      """WITH c AS (
+        | SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents),
+        |a AS (SELECT lang, term, count(*) AS ct FROM c GROUP BY 1, 2),
+        |r AS (SELECT lang, term, ct,
+        |  row_number() OVER (PARTITION BY lang ORDER BY ct DESC, term) AS rnk FROM a)
+        |SELECT lang, term, ct, cast(rnk as int) AS rnk FROM r WHERE rnk <= 5""".stripMargin,
+
     "q39_running_total" ->
       """SELECT o_custkey, o_orderkey,
         | strftime(o_orderdate, '%Y-%m-%d') AS o_date,

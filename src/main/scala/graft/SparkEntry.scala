@@ -93,6 +93,8 @@ object SparkEntry {
     "q61_balanced_sample"   -> TextOps.balancedSample _,
     "q62_split_leakage"     -> TextOps.splitLeakage _,
     "q63_session_funnel"    -> Relational.sessionFunnel _,
+    "q64_inverted_index"    -> ((s, d) => TextOps.invertedIndex(s, d)),
+    "q65_vocab_top_terms"   -> TextOps.vocabTopTerms _,
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

@@ -228,6 +228,44 @@ object TextOps {
       .agg(count(lit(1)).as("kept_docs"), sum(col("n_chars")).as("kept_chars"))
   }
 
+  /** Inverted-index construction (term → posting list). On a real corpus the
+    * df band drops hapaxes and stopword-frequency terms; the synthetic
+    * fixture's vocabulary is ~31 terms, so the default band keeps all of it.
+    * Postings are numerically sorted and truncated to the first 10 doc ids,
+    * emitted as a joined STRING: a cross-engine-stable encoding (array cells
+    * hash differently between engines' readers), and collect_list's
+    * partition-order nondeterminism is neutralized by sort_array BEFORE the
+    * cast/join. One explode + one term-keyed shuffle — the classic index
+    * build, linear at any corpus size. */
+  def invertedIndex(spark: SparkSession, dir: String,
+                    minDf: Long = 1L, maxDf: Long = Long.MaxValue): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), explode(tokenCountsUdf(col("text"))).as(Seq("term", "tf")))
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"),
+        concat_ws(",",
+          transform(slice(sort_array(collect_list(col("doc_id"))), 1, 10),
+            x => x.cast("string"))).as("postings"))
+      .filter(col("df").between(minDf, maxDf))
+
+  /** Per-language vocabulary induction: the top-5 most frequent tokens per
+    * language by total occurrence count — the first step of any
+    * language-specific tokenizer/BPE training sweep. Token counting reuses
+    * the map-side [[graft.functions.TextFns.tokenCounts]] kernel, so the only
+    * corpus-sized shuffle is the (lang, term) aggregate; the top-k window
+    * runs on the small aggregated vocabulary. */
+  def vocabTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("ct").desc, col("term"))
+    docs(spark, dir)
+      .select(col("lang"), explode(tokenCountsUdf(col("text"))).as(Seq("term", "tf_i")))
+      .groupBy("lang", "term")
+      .agg(sum(col("tf_i").cast("long")).as("ct"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("lang"), col("term"), col("ct"), col("rnk"))
+  }
+
   /** Train/test-split LEAKAGE detection: near-dup clusters whose members land
     * in different splits — the eval-integrity check every LLM data pipeline
     * needs (a test doc with a near-duplicate in train silently inflates eval).

@@ -49,6 +49,25 @@ class AdaptiveScaleSpec extends SparkSuite {
     }
   }
 
+  test("runtime bloom filter prunes the big side of a selective shuffle join") {
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      // shrink the production thresholds (10MB creation side / big scan side)
+      // so the injection triggers at test data sizes
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10GB",
+      "spark.sql.optimizer.runtimeFilter.number.threshold" -> "10",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0") {
+      val lineitem = graft.Tables.load(spark, sf001, "lineitem")
+      val orders = graft.Tables.load(spark, sf001, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val joined = lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("bloom_filter") || plan.contains("BloomFilter"),
+        s"selective orders filter should inject a bloom filter on the lineitem scan:\n$plan")
+    }
+  }
+
   test("dynamic partition pruning: dim filter prunes fact partitions at runtime") {
     val dir = java.nio.file.Files.createTempDirectory("dpp").toString
     val fact = graft.Tables.load(spark, sf001, "orders")
