@@ -634,6 +634,62 @@ object Oracles {
         |  row_number() OVER (PARTITION BY lang ORDER BY ct DESC, term) AS rnk FROM a)
         |SELECT lang, term, ct, cast(rnk as int) AS rnk FROM r WHERE rnk <= 5""".stripMargin,
 
+    // every rule is exact-integer arithmetic on both engines (mean word
+    // length as 3·words ≤ chars ≤ 10·words; repetition as 2·uniq ≥ total)
+    "q66_c4_rule_filter" ->
+      """WITH t AS (SELECT doc_id, lower(text) AS lt,
+        |   regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+        |s AS (SELECT doc_id, lt, toks,
+        |   cast(len(toks) as bigint) AS word_ct,
+        |   cast(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) as bigint) AS char_sum,
+        |   [array_to_string(toks[i:i+1], ' ') FOR i IN generate_series(1, greatest(len(toks) - 1, 0))] AS grams
+        | FROM t),
+        |m AS (SELECT doc_id, word_ct, char_sum,
+        |   cast(len(grams) as bigint) AS total2,
+        |   cast(len(list_distinct(grams)) as bigint) AS uniq2,
+        |   (list_contains(toks, 'the') OR list_contains(toks, 'a') OR list_contains(toks, 'of')
+        |    OR list_contains(toks, 'to') OR list_contains(toks, 'and')) AS has_stop,
+        |   (contains(lt, 'lorem ipsum') OR contains(lt, '{')) AS blocked
+        | FROM s)
+        |SELECT doc_id, word_ct,
+        | word_ct >= 30 AS rule_min_words,
+        | (char_sum >= word_ct * 3 AND char_sum <= word_ct * 10) AS rule_word_len,
+        | has_stop AS rule_stopword,
+        | (total2 = 0 OR uniq2 * 2 >= total2) AS rule_low_repetition,
+        | NOT blocked AS rule_no_blocklist,
+        | (word_ct >= 30 AND char_sum >= word_ct * 3 AND char_sum <= word_ct * 10
+        |  AND has_stop AND (total2 = 0 OR uniq2 * 2 >= total2) AND NOT blocked) AS keep
+        |FROM m""".stripMargin,
+
+    // same RE2-compatible pattern strings as TextOps.Pii*; md5 agrees across
+    // engines on identical input strings
+    "q67_pii_scrub" ->
+      """SELECT c_custkey,
+        | cast(len(regexp_extract_all(lower(c_name), '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) as bigint) AS n_email,
+        | cast(len(regexp_extract_all(lower(c_name), '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) as bigint) AS n_ip,
+        | cast(len(regexp_extract_all(lower(c_name), '[0-9]{6,}')) as bigint) AS n_id,
+        | regexp_replace(regexp_replace(regexp_replace(lower(c_name),
+        |   '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+        |   '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '[IP]', 'g'),
+        |   '[0-9]{6,}', '[ID]', 'g') AS redacted,
+        | substr(md5(c_name), 1, 12) AS pseudonym
+        |FROM customer""".stripMargin,
+
+    // the oracle IS the single-partition window version the distributed
+    // two-pass prefix sum replaces (same token regex as q22)
+    "q68_sequence_packing" ->
+      """WITH t AS (SELECT doc_id,
+        |   cast(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) as bigint) AS n_tokens
+        | FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |   coalesce(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_before
+        | FROM t)
+        |SELECT doc_id, n_tokens,
+        | cast(tok_before // 512 as bigint) AS seq_id,
+        | cast(tok_before % 512 as bigint) AS seq_offset,
+        | (tok_before % 512) + n_tokens > 512 AS spans_boundary
+        |FROM c""".stripMargin,
+
     "q39_running_total" ->
       """SELECT o_custkey, o_orderkey,
         | strftime(o_orderdate, '%Y-%m-%d') AS o_date,

@@ -95,6 +95,9 @@ object SparkEntry {
     "q63_session_funnel"    -> Relational.sessionFunnel _,
     "q64_inverted_index"    -> ((s, d) => TextOps.invertedIndex(s, d)),
     "q65_vocab_top_terms"   -> TextOps.vocabTopTerms _,
+    "q66_c4_rule_filter"    -> TextOps.c4RuleFilter _,
+    "q67_pii_scrub"         -> TextOps.piiScrub _,
+    "q68_sequence_packing"  -> ((s, d) => TextOps.sequencePacking(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

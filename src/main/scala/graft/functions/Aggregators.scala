@@ -35,4 +35,46 @@ object Aggregators {
 
   /** Column form: `exactDistinct(col("order_id"))` — usable in untyped agg. */
   def exactDistinct(c: Column): Column = udaf(exactDistinctLong).apply(c)
+
+  /** One (value, id) candidate for [[topK]]; id is the deterministic
+    * tiebreak so results are engine/run-stable. */
+  case class Scored(v: Double, id: Long)
+
+  /** Bounded top-k per group: keeps the k largest (v DESC, id ASC) pairs.
+    *
+    * The scale story vs `row_number() OVER (PARTITION BY g ORDER BY v DESC)`:
+    * the window shuffles EVERY row to its group's partition and sorts there;
+    * this aggregator partially aggregates map-side, so each mapper forwards at
+    * most k rows per group it saw — shuffled bytes drop from O(rows) to
+    * O(groups·k·mappers), and no sort ever runs over the full data. State is
+    * O(k) per group (a k-bounded insertion buffer — at k ≤ a few hundred,
+    * linear insert beats a heap's constant factor).
+    */
+  def topKAgg(k: Int): Aggregator[(Double, Long), scala.collection.mutable.ArrayBuffer[(Double, Long)], Seq[Scored]] =
+    new Aggregator[(Double, Long), scala.collection.mutable.ArrayBuffer[(Double, Long)], Seq[Scored]] {
+      type Buf = scala.collection.mutable.ArrayBuffer[(Double, Long)]
+      // buffer invariant: sorted by (v DESC, id ASC), length ≤ k
+      private def lt(a: (Double, Long), b: (Double, Long)): Boolean =
+        a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+      private def insert(s: Buf, x: (Double, Long)): Buf = {
+        if (s.length == k && !lt(x, s.last)) return s
+        var i = 0
+        while (i < s.length && lt(s(i), x)) i += 1
+        s.insert(i, x)
+        if (s.length > k) s.remove(k)
+        s
+      }
+      def zero: Buf = scala.collection.mutable.ArrayBuffer.empty
+      def reduce(s: Buf, v: (Double, Long)): Buf = insert(s, v)
+      def merge(a: Buf, b: Buf): Buf = { b.foreach(insert(a, _)); a }
+      def finish(s: Buf): Seq[Scored] = s.toSeq.map(t => Scored(t._1, t._2))
+      def bufferEncoder: Encoder[Buf] = Encoders.kryo[Buf]
+      def outputEncoder: Encoder[Seq[Scored]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
+    }
+
+  /** Column form: `topK(3, col("price"), col("id"))` → array<struct<v,id>>. */
+  def topK(k: Int, value: Column, id: Column): Column =
+    udaf(topKAgg(k), Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
+      .apply(value, id)
 }

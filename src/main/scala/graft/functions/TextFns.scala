@@ -200,6 +200,48 @@ object TextFns {
 
   def gramStatsUdf(n: Int) = udf((s: String) => gramStats(s, n))
 
+  /** The C4 stopword-presence set (a tiny high-frequency subset is enough:
+    * the rule asks "does ANY stopword appear", not a ratio). */
+  val C4Stopwords: Set[String] = Set("the", "a", "of", "to", "and")
+
+  /** Doc-level stats feeding the C4-style rule filter, in ONE pass over the
+    * tokens (word count, character sum, stopword presence, 2-gram
+    * total/distinct) plus one substring scan for the blocklist — the
+    * composable-column version would pay five interpreted HOF passes per doc.
+    * All counts are exact integers so every downstream rule comparison is
+    * bit-stable against a SQL oracle (no floating-point thresholds). */
+  def c4Stats(text: String): (Long, Long, Boolean, Long, Long, Boolean) = {
+    val toks = asciiTokens(text)
+    var charSum = 0L
+    var hasStop = false
+    var i = 0
+    while (i < toks.length) {
+      charSum += toks(i).length
+      if (!hasStop && C4Stopwords.contains(toks(i))) hasStop = true
+      i += 1
+    }
+    var total2 = 0L
+    var uniq2 = 0L
+    if (toks.length >= 2) {
+      val seen = new java.util.HashSet[String]()
+      val sb = new java.lang.StringBuilder
+      i = 0
+      while (i + 2 <= toks.length) {
+        sb.setLength(0)
+        sb.append(toks(i)).append(' ').append(toks(i + 1))
+        seen.add(sb.toString)
+        i += 1
+      }
+      total2 = (toks.length - 1).toLong
+      uniq2 = seen.size.toLong
+    }
+    val lt = if (text == null) "" else text.toLowerCase
+    val blocked = lt.contains("lorem ipsum") || lt.contains("{")
+    (toks.length.toLong, charSum, hasStop, total2, uniq2, blocked)
+  }
+
+  val c4StatsUdf = udf((s: String) => c4Stats(s))
+
   /** Distinct n-gram shingle STRINGS of a document, one pass, first-seen order
     * — the contamination kernel (string grams so the overlap join is
     * oracle-comparable; the hash variant is [[shingleHashes]]). */
