@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked program's stdout through RAW (no "[info] " logger prefix):
+// the driver parses the Bench main's JSON line from the last 2 KB of stdout
+// and a line that doesn't start with '{' never parses (rounds 1-4 all
+// recorded parsed: null; round 4's line was intact in the tail but prefixed).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -42,14 +42,17 @@ object Bench {
       System.err.println(f"[bench] ${timed._1} ${timed._2}%.2fs heapUsed=${usedMb}MB")
       timed
     }
-    // 3-decimal values keep the whole line under ~1600 chars: the driver
-    // captures only the last 2000 chars of stdout, and rounds 1-3 proved a
-    // full-precision line (~2100 chars) gets its head cut off → parsed: null
-    def s3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => s""""$k":${s3(v)}""" }
+    // The driver captures only the last 2000 chars of stdout and parses the
+    // JSON from there. Two measures keep the line parseable forever:
+    // build.sbt's run/outputStrategy := StdoutOutput drops sbt's "[info] "
+    // prefix (the line must start with '{'), and the queries map uses the
+    // short qNN prefix of each query name (full names are in BENCH_FLOOR.json
+    // and SparkEntry.queries) so the line stays ~1 KB even as queries grow.
+    def s2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val qs = results.map { case (k, v) => s""""${k.takeWhile(_ != '_')}":${s2(v)}""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${s2(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

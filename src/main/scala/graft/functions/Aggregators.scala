@@ -36,11 +36,15 @@ object Aggregators {
   /** Column form: `exactDistinct(col("order_id"))` — usable in untyped agg. */
   def exactDistinct(c: Column): Column = udaf(exactDistinctLong).apply(c)
 
-  /** One (value, id) candidate for [[topK]]; id is the deterministic
-    * tiebreak so results are engine/run-stable. */
-  case class Scored(v: Double, id: Long)
+  /** One (value, id, payload) candidate for [[topK]]; id is the deterministic
+    * tiebreak so results are engine/run-stable; p rides along un-ordered (a
+    * detail column the caller wants back WITHOUT a join-back to the scored
+    * relation — re-deriving the scored subtree twice is what a join-back
+    * costs, since different column pruning on the two branches defeats
+    * exchange reuse). */
+  case class Scored(v: Double, id: Long, p: Long)
 
-  /** Bounded top-k per group: keeps the k largest (v DESC, id ASC) pairs.
+  /** Bounded top-k per group: keeps the k largest (v DESC, id ASC) entries.
     *
     * The scale story vs `row_number() OVER (PARTITION BY g ORDER BY v DESC)`:
     * the window shuffles EVERY row to its group's partition and sorts there;
@@ -50,13 +54,13 @@ object Aggregators {
     * O(k) per group (a k-bounded insertion buffer — at k ≤ a few hundred,
     * linear insert beats a heap's constant factor).
     */
-  def topKAgg(k: Int): Aggregator[(Double, Long), scala.collection.mutable.ArrayBuffer[(Double, Long)], Seq[Scored]] =
-    new Aggregator[(Double, Long), scala.collection.mutable.ArrayBuffer[(Double, Long)], Seq[Scored]] {
-      type Buf = scala.collection.mutable.ArrayBuffer[(Double, Long)]
+  def topKAgg(k: Int): Aggregator[(Double, Long, Long), scala.collection.mutable.ArrayBuffer[(Double, Long, Long)], Seq[Scored]] =
+    new Aggregator[(Double, Long, Long), scala.collection.mutable.ArrayBuffer[(Double, Long, Long)], Seq[Scored]] {
+      type Buf = scala.collection.mutable.ArrayBuffer[(Double, Long, Long)]
       // buffer invariant: sorted by (v DESC, id ASC), length ≤ k
-      private def lt(a: (Double, Long), b: (Double, Long)): Boolean =
+      private def lt(a: (Double, Long, Long), b: (Double, Long, Long)): Boolean =
         a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
-      private def insert(s: Buf, x: (Double, Long)): Buf = {
+      private def insert(s: Buf, x: (Double, Long, Long)): Buf = {
         if (s.length == k && !lt(x, s.last)) return s
         var i = 0
         while (i < s.length && lt(s(i), x)) i += 1
@@ -65,16 +69,18 @@ object Aggregators {
         s
       }
       def zero: Buf = scala.collection.mutable.ArrayBuffer.empty
-      def reduce(s: Buf, v: (Double, Long)): Buf = insert(s, v)
+      def reduce(s: Buf, v: (Double, Long, Long)): Buf = insert(s, v)
       def merge(a: Buf, b: Buf): Buf = { b.foreach(insert(a, _)); a }
-      def finish(s: Buf): Seq[Scored] = s.toSeq.map(t => Scored(t._1, t._2))
+      def finish(s: Buf): Seq[Scored] = s.toSeq.map(t => Scored(t._1, t._2, t._3))
       def bufferEncoder: Encoder[Buf] = Encoders.kryo[Buf]
       def outputEncoder: Encoder[Seq[Scored]] =
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
     }
 
-  /** Column form: `topK(3, col("price"), col("id"))` → array<struct<v,id>>. */
-  def topK(k: Int, value: Column, id: Column): Column =
-    udaf(topKAgg(k), Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
-      .apply(value, id)
+  /** Column form: `topK(3, col("price"), col("id"), col("ct"))` →
+    * array<struct<v,id,p>> sorted by (v DESC, id ASC). */
+  def topK(k: Int, value: Column, id: Column, payload: Column): Column =
+    udaf(topKAgg(k),
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong, Encoders.scalaLong))
+      .apply(value, id, payload)
 }

@@ -186,7 +186,17 @@ object Relational {
       .agg(count(lit(1)).as("ct"), countDistinct(col("user_id")).as("user_ct"))
   }
 
-  /** Top-3 customers by revenue per nation (rank/top-N, ADS extension §2E). */
+  /** Top-3 customers by revenue per nation (rank/top-N, ADS extension §2E).
+    *
+    * Uses [[graft.functions.Aggregators.topK]] instead of a
+    * `row_number() OVER (...)` window: the window shuffles every (nation,
+    * customer) row to its nation's partition and sorts there; the bounded
+    * aggregator partially aggregates map-side so each mapper forwards at most
+    * k rows per nation — O(groups·k·mappers) shuffled instead of O(rows), and
+    * no per-partition sort. (v DESC, id ASC) in the buffer ≡ the window's
+    * ORDER BY revenue DESC, o_custkey — the DuckDB oracle still uses
+    * row_number, proving the equivalence on every run. order_ct rides in the
+    * payload slot, so no join-back to the scored relation is needed. */
   def topnPerNation(spark: SparkSession, dir: String): DataFrame = {
     val rev = t(spark, dir, "orders")
       .join(t(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
@@ -194,11 +204,13 @@ object Relational {
       .agg(
         expr("cast(sum(cast(o_totalprice as decimal(18,2))) as double)").as("revenue"),
         count(lit(1)).as("order_ct"))
-    val w = Window.partitionBy(col("c_nationkey")).orderBy(col("revenue").desc, col("o_custkey"))
-    rev.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
+    rev.groupBy("c_nationkey")
+      .agg(graft.functions.Aggregators
+        .topK(3, col("revenue"), col("o_custkey"), col("order_ct")).as("top"))
+      .select(col("c_nationkey"), posexplode(col("top")).as(Seq("pos", "s")))
       .join(broadcast(t(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
-      .select(col("n_name"), col("o_custkey").as("custkey"), col("revenue"), col("order_ct"), col("rn"))
+      .select(col("n_name"), col("s.id").as("custkey"), col("s.v").as("revenue"),
+        col("s.p").as("order_ct"), (col("pos") + 1).cast("int").as("rn"))
   }
 
   /** JSON projection (A9): parse the props JSON payload, extract + bucket a field. */

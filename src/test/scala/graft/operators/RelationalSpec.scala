@@ -43,6 +43,25 @@ class RelationalSpec extends SparkSuite {
       s"banded equi-join must not degrade to a cartesian:\n$plan")
   }
 
+  test("topK aggregator ≡ row_number window, including ties") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // deterministic synthetic data with deliberate value ties inside groups
+    val df = (0 until 500).map { i =>
+      (i % 7, (i * 31 % 11).toDouble, i.toLong, (i * 13 % 97).toLong)
+    }.toDF("g", "v", "id", "ct")
+    val viaAgg = df.groupBy("g")
+      .agg(graft.functions.Aggregators.topK(3, col("v"), col("id"), col("ct")).as("top"))
+      .select(col("g"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("g"), col("s.id").as("id"), col("s.p").as("ct"), (col("pos") + 1).as("rn"))
+    val w = Window.partitionBy("g").orderBy(col("v").desc, col("id"))
+    val viaWindow = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).select(col("g"), col("id"), col("ct"), col("rn"))
+    assert(viaAgg.except(viaWindow).isEmpty && viaWindow.except(viaAgg).isEmpty,
+      "bounded top-k aggregator must reproduce the window exactly")
+  }
+
   test("smoke: every SparkEntry query runs and returns rows at sf0.001") {
     graft.SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sf0001).count()

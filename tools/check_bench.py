@@ -36,7 +36,9 @@ def main(bench_path: str, floor_path: str = "BENCH_FLOOR.json") -> int:
              if not k.startswith("_")}
     bad = []
     for name, f in sorted(floor.items()):
-        got = bench.get(name)
+        # Bench emits the short qNN prefix as the key (keeps the driver's
+        # 2 KB stdout tail window safe); the floor keeps full names.
+        got = bench.get(name, bench.get(name.split("_")[0]))
         if got is None or got < 0:
             bad.append(f"{name}: missing/failed in bench run")
         elif got > f * RATIO and got - f > ABS_SLACK:
@@ -45,9 +47,16 @@ def main(bench_path: str, floor_path: str = "BENCH_FLOOR.json") -> int:
             print(f"OK   {name}: {got:.2f}s (floor {f:.2f}s)")
     for b in bad:
         print(f"SLOW {b}")
+    # A bench query with no floor entry is silently ungated — surface it.
+    floor_keys = {k for k in floor} | {k.split("_")[0] for k in floor}
+    for extra in sorted(set(bench) - floor_keys):
+        print(f"WARN {extra}: in bench run but absent from {floor_path} "
+              "(no regression gate)")
     print(f"\n{len(floor) - len(bad)} ok, {len(bad)} regressed")
     return 1 if bad else 0
 
 
 if __name__ == "__main__":
+    if not 2 <= len(sys.argv) <= 3:
+        sys.exit(__doc__.strip().splitlines()[2])  # the Usage: line
     sys.exit(main(*sys.argv[1:]))
