@@ -15,6 +15,33 @@ package graft
   */
 object Oracles {
 
+  /** The [[graft.functions.TextFns.winnow]] k-gram hash as a DuckDB
+    * expression: an 8-term polynomial `Σ ord(char_{i+j})·B^(7-j) mod M` over a
+    * 0-based gram start `i` — constants derived from the SAME
+    * WinnowBase/WinnowMod the Scala kernel uses, so they cannot drift. Every
+    * intermediate stays below 2⁶³ (max ord on this ASCII corpus × max power ×
+    * 8 terms ≈ 2⁴⁰). */
+  private val winnowGramExpr: String = {
+    val M = graft.functions.TextFns.WinnowMod
+    val B = graft.functions.TextFns.WinnowBase
+    val powers = (0 until 8).map { j =>
+      var x = 1L; (0 until (7 - j)).foreach(_ => x = x * B % M); x
+    }
+    (0 until 8).map(j => s"ord(substr(text,i+${j + 1},1))::BIGINT*${powers(j)}").mkString(" + ")
+  }
+
+  /** Shared winnowing CTE chain (k=8, w=16, ≡ TextFns.winnow): gram hashes per
+    * position, min per full sliding window (short docs: one min over all
+    * grams), DISTINCT per doc → the fingerprint set `fp(doc_id, m)`. */
+  private def winnowFpCte(docFilter: String): String =
+    s"""d AS (SELECT doc_id, text, length(text) AS L FROM documents $docFilter),
+       |g0 AS (SELECT doc_id, text, L - 7 AS ng, unnest(generate_series(0, L - 8)) AS i FROM d),
+       |g AS (SELECT doc_id, ng, i, ($winnowGramExpr) % ${graft.functions.TextFns.WinnowMod} AS h FROM g0),
+       |wm AS (SELECT doc_id, i, ng, min(h) OVER (PARTITION BY doc_id ORDER BY i
+       |        ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS m FROM g),
+       |fp AS (SELECT DISTINCT doc_id, m FROM wm WHERE ng > 16 AND i <= ng - 16
+       |       UNION SELECT doc_id, min(h) AS m FROM g WHERE ng <= 16 GROUP BY doc_id)""".stripMargin
+
   val sql: Map[String, String] = Map(
 
     "q01_pricing_summary" ->
@@ -182,6 +209,37 @@ object Oracles {
         |FROM p JOIN sz x ON p.da = x.doc_id JOIN sz y ON p.db = y.doc_id
         |WHERE cast(inter as double) / (x.n + y.n - inter) >= 0.5""".stripMargin,
 
+    // full SimHash reproduction: the token hash is the first 8 bytes of
+    // md5(term) (big-endian ⇒ '0x'+first-16-hex-chars as UBIGINT), votes are
+    // tf-weighted per bit, fingerprint bit = votes>0, candidates blocked on
+    // the 4 16-bit segments, hamming via bit_count(xor) over the segments —
+    // bit-for-bit the Dedup.simhashPairs pipeline, so the driver hash-compares
+    // the exact pair set instead of recording no_oracle.
+    "q27_simhash_pairs" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |th AS (SELECT doc_id, tf, ('0x' || substr(md5(term), 1, 16))::UBIGINT AS h FROM tf),
+        |bits AS (SELECT doc_id, b,
+        |    CASE WHEN sum(tf * (2 * cast((h >> b) & 1 AS BIGINT) - 1)) > 0 THEN 1 ELSE 0 END AS v
+        |  FROM th, generate_series(0, 63) AS s(b) GROUP BY 1, 2),
+        |seg AS (SELECT doc_id, b // 16 AS sg, sum(v * (1::BIGINT << (b % 16))) AS sv
+        |  FROM bits GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        |  FROM seg a JOIN seg b ON a.sg = b.sg AND a.sv = b.sv AND a.doc_id < b.doc_id),
+        |ham AS (SELECT da, db, sum(bit_count(xor(sa.sv, sb.sv))) AS hamming
+        |  FROM cand JOIN seg sa ON sa.doc_id = da JOIN seg sb ON sb.doc_id = db AND sb.sg = sa.sg
+        |  GROUP BY 1, 2)
+        |SELECT da, db, cast(hamming AS int) AS hamming FROM ham WHERE hamming <= 16""".stripMargin,
+
+    // winnowing fingerprints reproduced positionally (see winnowFpCte): the
+    // n_fps/min/max profile per doc, 0/null for docs shorter than one gram
+    "q29_winnow_fingerprint" ->
+      s"""WITH ${winnowFpCte("")},
+         |agg AS (SELECT doc_id, count(*) AS n, min(m) AS mn, max(m) AS mx FROM fp GROUP BY 1)
+         |SELECT d.doc_id, cast(coalesce(agg.n, 0) as int) AS n_fps, agg.mn AS min_fp, agg.mx AS max_fp
+         |FROM d LEFT JOIN agg USING (doc_id)""".stripMargin,
+
     // connected components as SQL: recursive CTE closure over the exact
     // near-dup pair set (valid because q26's LSH pair set ≡ the exact pair set
     // on this corpus — see q26's note), label = min reachable doc_id. Proves
@@ -215,6 +273,19 @@ object Oracles {
         | abs(cast(approx_count_distinct(user_id) as double) - count(distinct user_id))
         |   / count(distinct user_id) <= 0.15 AS approx_ok
         |FROM events GROUP BY 1""".stripMargin,
+
+    // MOSS-style containment over the winnowing fingerprint sets (key-capped
+    // doc_id<500 like the Spark verifier path): shared distinct fingerprints /
+    // the smaller set, ≥ 0.5 — small-int division is exact in double on both
+    // engines, so containment hash-compares bit-equal
+    "q35_winnow_pairs" ->
+      s"""WITH ${winnowFpCte("WHERE doc_id < 500")},
+         |n AS (SELECT doc_id, count(*) AS nf FROM fp GROUP BY 1),
+         |sh AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS s
+         |       FROM fp a JOIN fp b ON a.m = b.m AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT da, db, cast(s as double) / least(x.nf, y.nf) AS containment
+         |FROM sh JOIN n x ON x.doc_id = da JOIN n y ON y.doc_id = db
+         |WHERE cast(s as double) / least(x.nf, y.nf) >= 0.5""".stripMargin,
 
     // the full cleaning pipeline in SQL: quality filter → exact-dedup keeper
     // (min doc_id per md5) → connected-component losers over the exact near-dup

@@ -325,13 +325,28 @@ object TextFns {
 
   // ---------------- SimHash ----------------
 
-  /** 64-bit SimHash over tokens (weight = term frequency). */
+  /** 64-bit SimHash over tokens (weight = term frequency).
+    *
+    * The token hash is the first 8 bytes of md5(token), big-endian — a value
+    * any engine can recompute (DuckDB: `('0x'||substr(md5(t),1,16))::UBIGINT`),
+    * which is what gives q27 a full driver-visible oracle instead of a
+    * rows-only check. Votes accumulate per DISTINCT term weighted by its
+    * term frequency (identical to per-occurrence voting, since integer
+    * addition commutes), so md5 runs once per distinct term — on real text
+    * that is the vocabulary of the doc, not its length. */
   def simhash(tokens: Seq[String]): Long = {
-    val votes = new Array[Int](64)
-    tokens.foreach { tok =>
-      val h = fnv64(tok)
+    val votes = new Array[Long](64)
+    val tf = scala.collection.mutable.HashMap.empty[String, Long]
+    tokens.foreach(t => tf.update(t, tf.getOrElse(t, 0L) + 1L))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    tf.foreach { case (tok, n) =>
+      md.reset()
+      val d = md.digest(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var h = 0L
+      var i = 0
+      while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
       var b = 0
-      while (b < 64) { if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1; b += 1 }
+      while (b < 64) { if (((h >>> b) & 1L) == 1L) votes(b) += n else votes(b) -= n; b += 1 }
     }
     var fp = 0L
     var b = 0
@@ -343,16 +358,42 @@ object TextFns {
 
   // ---------------- Winnowing fingerprints ----------------
 
-  /** Winnowing (Schleimer et al., SIGMOD'03): k-gram rolling hashes, min per
-    * window of w — a compact document fingerprint set for near-dup detection. */
+  /** Gram-hash constants for [[winnow]]: polynomial hash mod a prime kept
+    * below 2³⁰ so every intermediate fits exactly in both a JVM Long and a
+    * DuckDB BIGINT — the k-gram hash is a fixed 8-term polynomial any SQL
+    * engine can evaluate (`Σ ord(char_j)·B^(k-1-j) mod M`), which is what
+    * gives q29/q35 full driver-visible oracles instead of rows-only checks. */
+  val WinnowMod = 1000000007L
+  val WinnowBase = 1000003L
+
+  /** Winnowing (Schleimer et al., SIGMOD'03): k-gram hashes, min per sliding
+    * window of w — a compact document fingerprint set for near-dup detection.
+    * Gram hashes slide in O(1) per position (Rabin–Karp with modular
+    * arithmetic; the direct per-gram polynomial gives identical values). */
   def winnow(text: String, k: Int = 8, w: Int = 16): Seq[Long] = {
     if (text == null || text.length < k) return Seq.empty
-    val grams = Array.tabulate(text.length - k + 1)(i => rollingHash(text.substring(i, i + k)))
-    if (grams.length <= w) return Seq(grams.min).distinct
+    val M = WinnowMod
+    val B = WinnowBase
+    var bk = 1L // B^(k-1) mod M
+    var p = 1
+    while (p < k) { bk = bk * B % M; p += 1 }
+    val n = text.length - k + 1
+    val grams = new Array[Long](n)
+    var h = 0L
+    var j = 0
+    while (j < k) { h = (h * B + text.charAt(j)) % M; j += 1 }
+    grams(0) = h
+    var i = 1
+    while (i < n) {
+      h = ((h - text.charAt(i - 1) * bk % M + M) * B + text.charAt(i + k - 1)) % M
+      grams(i) = h
+      i += 1
+    }
+    if (n <= w) return Seq(grams.min)
     val out = scala.collection.mutable.LinkedHashSet.empty[Long]
-    var i = 0
-    while (i + w <= grams.length) {
-      var m = grams(i); var j = i + 1
+    i = 0
+    while (i + w <= n) {
+      var m = grams(i); j = i + 1
       while (j < i + w) { if (grams(j) < m) m = grams(j); j += 1 }
       out += m
       i += 1

@@ -7,12 +7,13 @@ For each query in <verifyOutDir>/oracle_sql.json: load the Spark parquet result,
 run the oracle SQL in DuckDB over the sfDir tables, sort columns by name and rows
 by value, and compare cell-by-cell (exact).
 
-Queries WITHOUT an oracle (the signature paths whose exact output depends on
-repo-local hash constants / trained centroids) are not left as bare row counts:
+Queries WITHOUT an oracle (q28/q33 — the ANN paths whose exact output depends
+on random hyperplanes / trained centroids) are not left as bare row counts:
 each runs its INVARIANTS below — DuckDB reads the dumped parquet (view `spark`)
 plus the base tables and verifies semantic properties Spark cannot fake
-(ANN recall vs brute-force cosine top-k, near-dup thresholds re-verified against
-raw text, exact-duplicate coverage).
+(ANN recall vs brute-force cosine top-k). The former members q27/q29/q35
+graduated to full oracles in round 5 (md5-derived simhash token hash, modular
+polynomial winnow gram hash — both reproducible in DuckDB SQL).
 """
 import json
 import sys
@@ -26,22 +27,6 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 # name -> [(label, sql)]; sql sees the dump as `spark` + the base tables, and
 # must return one row with a boolean `ok` (extra columns are printed as detail).
 INVARIANTS = {
-    "q27_simhash_pairs": [
-        ("shape: da<db, 0<=hamming<=16, pairs distinct",
-         """SELECT bool_and(da < db) AND bool_and(hamming BETWEEN 0 AND 16)
-                   AND count(*) = count(DISTINCT [da, db]) AS ok,
-                   count(*) AS pairs
-            FROM spark"""),
-        ("exact-duplicate pairs all present with hamming = 0",
-         """WITH dup AS (
-              SELECT a.doc_id AS da, b.doc_id AS db
-              FROM documents a JOIN documents b
-                ON a.text = b.text AND a.doc_id < b.doc_id)
-            SELECT count(*) FILTER (WHERE s.da IS NULL) = 0
-                   AND bool_and(coalesce(s.hamming, 0) = 0) AS ok,
-                   count(*) AS dup_pairs
-            FROM dup LEFT JOIN spark s USING (da, db)"""),
-    ],
     "q28_ann_lsh": [
         ("shape: rnk dense 1..k per query, queries are vec_id<10",
          """SELECT bool_and(ok) AS ok FROM (
@@ -64,13 +49,6 @@ INVARIANTS = {
             FROM ex LEFT JOIN spark s USING (query_id, neighbor_id)
             WHERE ex.rnk <= 3"""),
     ],
-    "q29_winnow_fingerprint": [
-        ("one row per doc; 1 <= n_fps <= n_8grams; min_fp <= max_fp",
-         """SELECT (SELECT count(*) FROM spark) = (SELECT count(*) FROM documents)
-                   AND bool_and(n_fps BETWEEN 1 AND greatest(length(d.text) - 7, 1))
-                   AND bool_and(min_fp <= max_fp) AS ok
-            FROM spark s JOIN documents d USING (doc_id)"""),
-    ],
     "q33_ivf_ann": [
         ("shape: rnk dense 1..k per query, queries are vec_id<10",
          """SELECT bool_and(ok) AS ok FROM (
@@ -90,33 +68,6 @@ INVARIANTS = {
                    cast(count(s.query_id) as double) / count(*) AS recall
             FROM ex LEFT JOIN spark s USING (query_id, neighbor_id)
             WHERE ex.rnk <= 3"""),
-    ],
-    "q35_winnow_pairs": [
-        ("shape: da<db, 0 < containment <= 1",
-         """SELECT bool_and(da < db) AND bool_and(containment > 0)
-                   AND bool_and(containment <= 1.0) AS ok, count(*) AS pairs
-            FROM spark"""),
-        ("every emitted pair shares a verbatim 8-char substring",
-         """WITH ids AS (SELECT DISTINCT da AS id FROM spark
-                         UNION SELECT DISTINCT db FROM spark),
-            g AS (SELECT doc_id, unnest(list_distinct(
-                    [substr(text, i, 8) FOR i IN generate_series(1, length(text) - 7)])) AS g8
-                  FROM documents JOIN ids ON doc_id = id),
-            shared AS (SELECT a.doc_id AS da, b.doc_id AS db
-                       FROM g a JOIN g b ON a.g8 = b.g8 AND a.doc_id < b.doc_id
-                       GROUP BY 1, 2)
-            SELECT count(*) FILTER (WHERE sh.da IS NULL) = 0 AS ok
-            FROM spark s LEFT JOIN shared sh USING (da, db)"""),
-        ("exact-duplicate pairs (doc_id<500) present with containment = 1",
-         """WITH dup AS (
-              SELECT a.doc_id AS da, b.doc_id AS db
-              FROM documents a JOIN documents b
-                ON a.text = b.text AND a.doc_id < b.doc_id
-              WHERE b.doc_id < 500)
-            SELECT count(*) FILTER (WHERE s.da IS NULL) = 0
-                   AND bool_and(coalesce(s.containment, 1.0) = 1.0) AS ok,
-                   count(*) AS dup_pairs
-            FROM dup LEFT JOIN spark s USING (da, db)"""),
     ],
 }
 
