@@ -232,6 +232,32 @@ object Oracles {
         |  GROUP BY 1, 2)
         |SELECT da, db, cast(hamming AS int) AS hamming FROM ham WHERE hamming <= 16""".stripMargin,
 
+    // full hyperplane-LSH reproduction: ±1 plane signs from md5("p_d") low
+    // bit, dots over floor(x·2²⁰)-quantized components (exact integer sums —
+    // no float accumulation order to match), 4-bit bucket + hamming-1
+    // multi-probe, exact-cosine re-rank within probed candidates (q23's
+    // ranking parity) — bit-for-bit the Similarity.annLsh pipeline
+    "q28_ann_lsh" ->
+      """WITH pl AS (SELECT p, d,
+        |   CASE WHEN ('0x' || substr(md5(p::VARCHAR || '_' || d::VARCHAR), 1, 2))::INT & 1 = 1
+        |        THEN 1 ELSE -1 END AS s
+        |  FROM generate_series(0, 3) t1(p), generate_series(0, 63) t2(d)),
+        |sg AS (SELECT e.vec_id, pl.p,
+        |   sum(cast(floor(e.embedding[pl.d + 1]::DOUBLE * 1048576) as bigint) * pl.s) AS dot
+        |  FROM embeddings e, pl GROUP BY 1, 2),
+        |bk AS (SELECT vec_id, cast(sum(CASE WHEN dot >= 0 THEN 1 << p ELSE 0 END) as int) AS bucket
+        |  FROM sg GROUP BY 1),
+        |q AS (SELECT e.vec_id AS query_id, e.embedding AS qv, unnest([b.bucket,
+        |    xor(b.bucket, 1), xor(b.bucket, 2), xor(b.bucket, 4), xor(b.bucket, 8)]) AS bucket
+        |  FROM embeddings e JOIN bk b USING (vec_id) WHERE e.vec_id < 10),
+        |c AS (SELECT e.vec_id AS neighbor_id, e.embedding AS cv, b.bucket
+        |  FROM embeddings e JOIN bk b USING (vec_id)),
+        |s AS (SELECT query_id, neighbor_id,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY list_cosine_similarity(qv, cv) DESC, neighbor_id) AS rnk
+        | FROM q JOIN c USING (bucket) WHERE query_id <> neighbor_id)
+        |SELECT query_id, neighbor_id, cast(rnk as int) AS rnk FROM s WHERE rnk <= 3""".stripMargin,
+
     // winnowing fingerprints reproduced positionally (see winnowFpCte): the
     // n_fps/min/max profile per doc, 0/null for docs shorter than one gram
     "q29_winnow_fingerprint" ->
@@ -768,5 +794,86 @@ object Oracles {
         |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as double) AS run_revenue
         |FROM orders WHERE o_custkey < 500""".stripMargin,
+
+    // span-level dedup scoring: a 10-token span position is duplicated when
+    // its text appears in >= 2 distinct docs; small-int division exact
+    "q69_span_dedup" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+        |s AS (SELECT doc_id, unnest(
+        |   [array_to_string(toks[i:i+9], ' ') FOR i IN generate_series(1, greatest(len(toks) - 9, 0))]) AS g
+        |  FROM t),
+        |sh AS (SELECT g, count(DISTINCT doc_id) AS nd FROM s GROUP BY 1),
+        |d AS (SELECT doc_id, count(*) AS n_spans,
+        |   cast(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) as bigint) AS dup_spans
+        |  FROM s JOIN sh USING (g) GROUP BY 1)
+        |SELECT doc_id, n_spans, dup_spans,
+        | cast(dup_spans as double) / n_spans AS dup_frac,
+        | cast(dup_spans as double) / n_spans > 0.5 AS cull
+        |FROM d""".stripMargin,
+
+    // bigram-rarity fluency: rare = corpus probability < 1/1000, exact in
+    // integers (1000*c < total); keep = rare fraction <= 0.25
+    "q70_bigram_fluency" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+        |s AS (SELECT doc_id, unnest(
+        |   [array_to_string(toks[i:i+1], ' ') FOR i IN generate_series(1, greatest(len(toks) - 1, 0))]) AS bg
+        |  FROM t),
+        |ct AS (SELECT bg, count(*) AS c FROM s GROUP BY 1),
+        |tot AS (SELECT sum(c) AS t FROM ct),
+        |d AS (SELECT doc_id, count(*) AS n_bigrams,
+        |   cast(sum(CASE WHEN c * 1000 < t THEN 1 ELSE 0 END) as bigint) AS rare_ct
+        |  FROM s JOIN ct USING (bg) CROSS JOIN tot GROUP BY 1)
+        |SELECT doc_id, n_bigrams, rare_ct,
+        | cast(rare_ct as double) / n_bigrams AS rare_frac,
+        | cast(rare_ct as double) / n_bigrams <= 0.25 AS keep
+        |FROM d""".stripMargin,
+
+    // fixed-size token chunking with overlap (chunk 64, stride 48)
+    "q71_chunk_docs" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+        |d AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+        |c AS (SELECT doc_id, toks, n,
+        |   unnest(generate_series(0, (greatest(n - 64, 0) + 47) // 48)) AS chunk_idx
+        |  FROM d)
+        |SELECT doc_id, cast(chunk_idx as int) AS chunk_idx,
+        | cast(chunk_idx * 48 as bigint) AS start_tok,
+        | cast(least(64, n - chunk_idx * 48) as bigint) AS chunk_len,
+        | toks[cast(chunk_idx * 48 + 1 as int)] AS first_term,
+        | toks[cast(chunk_idx * 48 + least(64, n - chunk_idx * 48) as int)] AS last_term
+        |FROM c""".stripMargin,
+
+    // hard negatives: q23's exact cosine ranking with q59's cluster mates
+    // excluded (cluster labels via the same recursive-CTE components)
+    "q72_hard_negatives" ->
+      """WITH RECURSIVE e0 AS (SELECT a.vec_id AS da, b.vec_id AS db
+        |  FROM embeddings a, embeddings b
+        |  WHERE a.vec_id < 500 AND b.vec_id < 500 AND a.vec_id < b.vec_id
+        |    AND list_cosine_similarity(a.embedding, b.embedding) > 0.4),
+        |edges AS (SELECT da AS a, db AS b FROM e0 UNION SELECT db, da FROM e0),
+        |nodes AS (SELECT DISTINCT a AS v FROM edges),
+        |reach AS (SELECT v AS src, v AS node FROM nodes
+        |  UNION SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.node),
+        |labels AS (SELECT src AS vec_id, min(node) AS cid FROM reach GROUP BY 1),
+        |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+        |s AS (SELECT query_id, neighbor_id,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY list_cosine_similarity(qv, cv) DESC, neighbor_id) AS rnk
+        | FROM q JOIN c ON query_id <> neighbor_id
+        | LEFT JOIN labels lq ON lq.vec_id = query_id
+        | LEFT JOIN labels lc ON lc.vec_id = neighbor_id
+        | WHERE lq.cid IS NULL OR lc.cid IS NULL OR lq.cid <> lc.cid)
+        |SELECT query_id, neighbor_id, cast(rnk as int) AS rnk FROM s WHERE rnk <= 5""".stripMargin,
+
+    // token-budget mixture sampling: md5-rank draw per source, exact integer
+    // cumsum, keep while cum <= 1000 tokens
+    "q73_mixture_sample" ->
+      """WITH d AS (SELECT source, doc_id, md5(cast(doc_id as varchar)) AS h,
+        |   cast(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) as bigint) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT source, n_tokens,
+        |   sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id) AS cum FROM d)
+        |SELECT source, count(*) AS kept_docs, cast(sum(n_tokens) as bigint) AS kept_tokens
+        |FROM c WHERE cum <= 1000 GROUP BY 1""".stripMargin,
   )
 }

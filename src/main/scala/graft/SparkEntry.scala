@@ -98,6 +98,11 @@ object SparkEntry {
     "q66_c4_rule_filter"    -> TextOps.c4RuleFilter _,
     "q67_pii_scrub"         -> TextOps.piiScrub _,
     "q68_sequence_packing"  -> ((s, d) => TextOps.sequencePacking(s, d)),
+    "q69_span_dedup"        -> ((s, d) => TextOps.spanDedup(s, d)),
+    "q70_bigram_fluency"    -> TextOps.bigramFluency _,
+    "q71_chunk_docs"        -> ((s, d) => TextOps.chunkDocs(s, d)),
+    "q72_hard_negatives"    -> Similarity.hardNegatives _,
+    "q73_mixture_sample"    -> ((s, d) => TextOps.mixtureSample(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

@@ -263,6 +263,31 @@ object TextFns {
 
   def distinctShinglesUdf(n: Int) = udf((s: String) => distinctShingles(s, n))
 
+  /** Per-document n-gram frequency map in ONE pass — the span-dedup/fluency
+    * kernel: emitting (gram → in-doc count) lets downstream ops explode one
+    * row per DISTINCT gram per doc (for 2-grams that is ~6× fewer rows than
+    * per occurrence) and keeps the gram building out of the interpreted-HOF
+    * path (shinglesCol's transform/slice/concat_ws chain is CodegenFallback —
+    * measured 7.6 s → 1.8 s for q69 at sf0.1). */
+  def gramCounts(text: String, n: Int): Map[String, Int] = {
+    val toks = asciiTokens(text)
+    if (toks.length < n) return Map.empty
+    val m = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i + n <= toks.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+      val g = sb.toString
+      m.update(g, m.getOrElse(g, 0) + 1)
+      i += 1
+    }
+    m.toMap
+  }
+
+  def gramCountsUdf(n: Int) = udf((s: String) => gramCounts(s, n))
+
   /** Per-document token frequency map in ONE pass — the keyword-stats kernel:
     * emitting (token → in-doc count) lets the aggregation explode one row per
     * DISTINCT token per doc (not per occurrence) and pre-aggregates map-side

@@ -38,30 +38,41 @@ object VectorFns {
   /** Deterministic hyperplane matrix: component (p, d) is SplitMix64(p·100003+d)
     * mapped to [-1, 1). Derived (not shipped) on every executor, but computed
     * ONCE per (nPlanes, dim) — not per row per element — and memoized; the
-    * signature loop then reads a flat double array. */
-  def hyperplanePlanes(nPlanes: Int, dim: Int): Array[Array[Double]] =
+    * signature loop then reads a flat sign array.
+    *
+    * Planes are ±1 signs (Charikar sign-random-projection), each derived from
+    * the low bit of the first byte of md5("p_d") — a derivation ANY engine
+    * can reproduce (DuckDB: `('0x'||substr(md5(p||'_'||d),1,2))::INT & 1`),
+    * which is what gives q28 a full driver-visible oracle. */
+  def hyperplanePlanes(nPlanes: Int, dim: Int): Array[Array[Int]] =
     planeCache.computeIfAbsent((nPlanes, dim), { key: (Int, Int) =>
-      Array.tabulate(key._1, key._2)((p, d) =>
-        TextFns.splitmix64(p.toLong * 100003L + d).toDouble / Long.MaxValue.toDouble)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Array.tabulate(key._1, key._2) { (p, d) =>
+        md.reset()
+        val h = md.digest(s"${p}_${d}".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        if ((h(0) & 1) == 1) 1 else -1
+      }
     })
 
   private val planeCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Int]]]()
 
   /** Random-hyperplane LSH bucket id: `nPlanes` sign bits packed into an int.
-    * Bit-identical to deriving each component inline (same SplitMix64 stream,
-    * same accumulation order) — asserted by SimilaritySpec's determinism test.
-    */
+    * The projection runs over 2²⁰-quantized components (`floor(x·2²⁰)` — float
+    * scaling by a power of two then floor is exact in IEEE double on every
+    * engine), so each dot is an exact integer sum: no float accumulation
+    * order to match, bit-identical buckets everywhere. Bit-identical to
+    * deriving each sign inline — asserted by DedupSimilaritySpec. */
   def hyperplaneSig(v: Seq[Float], nPlanes: Int): Int = {
     val planes = hyperplanePlanes(nPlanes, v.length)
     var sig = 0
     var p = 0
     while (p < nPlanes) {
       val plane = planes(p)
-      var dot = 0.0
+      var dot = 0L
       var d = 0
       while (d < plane.length) {
-        dot += v(d) * plane(d)
+        dot += math.floor(v(d).toDouble * 1048576.0).toLong * plane(d)
         d += 1
       }
       if (dot >= 0) sig |= (1 << p)

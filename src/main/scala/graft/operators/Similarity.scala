@@ -74,6 +74,34 @@ object Similarity {
       cosineNearDup(spark, dir).select(col("va").as("da"), col("vb").as("db")))
       .select(col("doc_id").as("vec_id"), col("cluster_id"))
 
+  /** Hard-negative mining for dense-retrieval training (DPR-style): for each
+    * query vector, the top-5 most-similar candidates EXCLUDING itself and
+    * every member of its own near-dup cluster — cluster mates are positives
+    * or duplicates, and keeping them would train on false negatives. Same
+    * broadcast-queries/one-corpus-scan shape as [[knnBruteForce]]; the
+    * cluster labels ([[embeddingClusters]]) are near-dup-sized, so both label
+    * joins broadcast. */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val labels = embeddingClusters(spark, dir)
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        normFastCol(col("embedding")).as("qn"))
+      .join(broadcast(labels.select(col("vec_id").as("query_id"), col("cluster_id").as("qcl"))),
+        Seq("query_id"), "left")
+    val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+      normFastCol(col("embedding")).as("cn"))
+      .join(broadcast(labels.select(col("vec_id").as("neighbor_id"), col("cluster_id").as("ccl"))),
+        Seq("neighbor_id"), "left")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .filter(col("qcl").isNull || col("ccl").isNull || col("qcl") =!= col("ccl"))
+      .withColumn("cos", dotFastCol(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"))
+  }
+
   /** Top-3 neighbors on int8-QUANTIZED embeddings — the memory-scale path: a
     * 64-dim float32 vector is 256 B, its int8 twin 64 B, so a 100 TB corpus's
     * ANN working set shrinks 4× (the standard IVF-PQ-lite move). Per-vector

@@ -431,4 +431,98 @@ object TextOps {
         count(lit(1)).as("n_docs"),
         sum(octet_length(col("text"))).as("total_bytes"),
         max(octet_length(col("text"))).cast("long").as("max_bytes"))
+
+  /** Span-level duplicated-content scoring — the n-gram approximation of
+    * ExactSubstr dedup (Lee et al. 2021, "Deduplicating Training Data Makes
+    * Language Models Better"): an n-token span position is duplicated when
+    * the same span text appears in at least one OTHER document; a doc whose
+    * duplicated-position fraction exceeds 0.5 is culled. Exact-dedup (q18)
+    * misses partial copies and near-dup (q26) scores whole docs; this is the
+    * sub-document middle ground. Shape: one explode (a row per span
+    * position), one span-keyed aggregate for cross-doc counts, one join back,
+    * one doc aggregate — the same two-shuffle profile the suffix-array
+    * production variant has, with no quadratic pair step anywhere. */
+  def spanDedup(spark: SparkSession, dir: String, n: Int = 10): DataFrame = {
+    // one row per DISTINCT span per doc with its in-doc count (single-pass
+    // kernel); nd = docs containing the span, via a window over the span key —
+    // two shuffles total (window by g, aggregate by doc), no join-back
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
+    docs(spark, dir)
+      .select(col("doc_id"), explode(gramCountsUdf(n)(col("text"))).as(Seq("g", "c")))
+      .withColumn("nd", count(lit(1)).over(w))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("c")).as("n_spans"),
+        sum(when(col("nd") >= 2, col("c").cast("long")).otherwise(0L)).as("dup_spans"))
+      .withColumn("dup_frac", col("dup_spans").cast("double") / col("n_spans"))
+      .withColumn("cull", col("dup_frac") > 0.5)
+  }
+
+  /** Bigram-rarity fluency scoring — the oracle-able core of CCNet/KenLM-style
+    * LM filtering: a bigram is "rare" when its corpus probability is below
+    * 1/1000 (`1000·c(bg) < Σc` — scale-free and exact in integers, unlike a
+    * log-prob sum whose float addition order no two engines share); a doc is
+    * kept when its rare-bigram fraction is ≤ 0.25. The corpus plays the role
+    * of the reference LM: train = one bigram-keyed count aggregate, score =
+    * join + one doc aggregate, both map-side-combining shuffles. */
+  def bigramFluency(spark: SparkSession, dir: String): DataFrame = {
+    // (doc, bigram, in-doc count) via the single-pass kernel — one row per
+    // DISTINCT bigram per doc. The corpus count table is vocabulary-bounded
+    // (the bigram "LM" any CCNet-style filter trains), so it broadcasts; the
+    // only corpus-sized shuffle is the final doc aggregate. At production
+    // scale the count table would be materialized once, not recomputed per
+    // branch as the single-query plan here does.
+    val bi = docs(spark, dir)
+      .select(col("doc_id"), explode(gramCountsUdf(2)(col("text"))).as(Seq("bg", "c")))
+    val cts = bi.groupBy("bg").agg(sum(col("c")).as("ct"))
+    val total = cts.agg(sum(col("ct")).as("t"))
+    bi.join(broadcast(cts), "bg")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("c")).as("n_bigrams"),
+        sum(when(col("ct") * 1000 < col("t"), col("c").cast("long")).otherwise(0L)).as("rare_ct"))
+      .withColumn("rare_frac", col("rare_ct").cast("double") / col("n_bigrams"))
+      .withColumn("keep", col("rare_frac") <= 0.25)
+  }
+
+  /** Fixed-size token chunking with overlap — sequence prep for training and
+    * retrieval windows: chunks of `chunkSize` tokens every `stride` tokens
+    * (overlap = chunkSize − stride), last chunk truncated, one chunk for docs
+    * shorter than a window. Pure per-row explode — no shuffle at all; chunk
+    * identity is (doc_id, chunk_idx), deterministic for any layout. */
+  def chunkDocs(spark: SparkSession, dir: String,
+                chunkSize: Int = 64, stride: Int = 48): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), tokensCol(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") > 0)
+      .withColumn("n_chunks",
+        expr(s"(greatest(n - $chunkSize, 0) + $stride - 1) div $stride + 1"))
+      .withColumn("chunk_idx", explode(expr("sequence(0, cast(n_chunks - 1 as int))")))
+      .withColumn("start_tok", col("chunk_idx") * stride)
+      .withColumn("chunk_len", least(lit(chunkSize), col("n") - col("start_tok")))
+      .select(col("doc_id"), col("chunk_idx"),
+        col("start_tok").cast("long").as("start_tok"),
+        col("chunk_len").cast("long").as("chunk_len"),
+        element_at(col("toks"), col("start_tok") + 1).as("first_term"),
+        element_at(col("toks"), col("start_tok") + col("chunk_len")).as("last_term"))
+
+  /** Token-budget mixture sampling (Pile/DoReMi-style data mixing): every
+    * source gets the same token budget; docs are drawn in md5(doc_id)-rank
+    * order (the engine/run/layout-stable draw of [[hashSample]] /
+    * [[balancedSample]]) until the cumulative token count passes the budget.
+    * The cumsum is an exact integer window per source — one shuffle on
+    * source; the per-source output is 20 rows. */
+  def mixtureSample(spark: SparkSession, dir: String, budgetTokens: Long = 1000): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("h"), col("doc_id"))
+    docs(spark, dir)
+      .withColumn("h", md5(col("doc_id").cast("string").cast("binary")))
+      .withColumn("n_tokens", bpeTokenCountCol(col("text")).cast("long"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .filter(col("cum") <= budgetTokens)
+      .groupBy("source")
+      .agg(count(lit(1)).as("kept_docs"), sum(col("n_tokens")).as("kept_tokens"))
+  }
 }

@@ -204,15 +204,17 @@ class DedupSimilaritySpec extends SparkSuite {
   }
 
   test("hyperplaneSig with the memoized plane matrix is bit-identical to inline derivation") {
-    // the round-2 optimization (compute the SplitMix64 plane matrix once per
-    // (nPlanes, dim), not per row per element) must not move a single bucket id
+    // the memoized plane matrix (computed once per (nPlanes, dim), not per
+    // row per element) must not move a single bucket id vs inline derivation
     def inlineSig(v: Seq[Float], nPlanes: Int): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
       var sig = 0; var p = 0
       while (p < nPlanes) {
-        var dot = 0.0; var d = 0
+        var dot = 0L; var d = 0
         while (d < v.length) {
-          dot += v(d) * (graft.functions.TextFns.splitmix64(p.toLong * 100003L + d).toDouble /
-            Long.MaxValue.toDouble)
+          md.reset()
+          val h = md.digest(s"${p}_${d}".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          dot += math.floor(v(d).toDouble * 1048576.0).toLong * (if ((h(0) & 1) == 1) 1 else -1)
           d += 1
         }
         if (dot >= 0) sig |= (1 << p); p += 1
@@ -248,5 +250,32 @@ class DedupSimilaritySpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     // the "*(n)" prefix marks operators inside a WholeStageCodegen stage
     assert(plan.linesIterator.next().trim.startsWith("*(1) Project [dot_f"), plan)
+  }
+
+  test("hardNegatives: dense top-5 per query, never a cluster mate of the query") {
+    import spark.implicits._
+    val hn = Similarity.hardNegatives(spark, sf001)
+      .as[(Long, Long, Int)].collect()
+    val byQuery = hn.groupBy(_._1)
+    assert(byQuery.nonEmpty)
+    byQuery.values.foreach { rows =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length), "rnk must be dense from 1")
+      assert(rows.length == 5)
+    }
+    val labels = Similarity.embeddingClusters(spark, sf001)
+      .as[(Long, Long)].collect().toMap
+    hn.foreach { case (q, nbr, _) =>
+      assert(q != nbr, "a query is never its own negative")
+      val sameCluster = labels.get(q).exists(c => labels.get(nbr).contains(c))
+      assert(!sameCluster, s"query $q drew cluster mate $nbr as a negative")
+    }
+    // the exclusion must bite: at least one query has a cluster mate in the
+    // corpus that brute-force top-5 would have surfaced
+    val plainTop5 = Similarity.knnBruteForce(spark, sf001)
+      .as[(Long, Long, Int)].collect()
+    val excludedHits = plainTop5.count { case (q, nbr, _) =>
+      labels.get(q).exists(c => labels.get(nbr).contains(c))
+    }
+    assert(excludedHits > 0, "fixture yields no cluster-mate in any top-5; exclusion untested")
   }
 }

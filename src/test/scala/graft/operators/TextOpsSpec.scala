@@ -110,4 +110,73 @@ class TextOpsSpec extends SparkSuite {
     assert(langIdFast("xyz qrs") == "en")          // all-zero counts fall to en
     assert(langIdFast(null) == "fr")               // column version: all nulls → otherwise
   }
+
+  test("spanDedup: exact-duplicate docs are fully duplicated and culled") {
+    import spark.implicits._
+    // sf0.1 is the smallest fixture with exact-duplicate texts (8 pairs)
+    val sf01 = "/root/testdata/sf0.1"
+    val dupIds = graft.Tables.load(spark, sf01, "documents")
+      .groupBy("text").agg(collect_list("doc_id").as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("doc_id"))
+      .as[Long].collect().toSet
+    assert(dupIds.nonEmpty, "fixture must contain exact duplicates (q18 relies on them)")
+    val rows = TextOps.spanDedup(spark, sf01)
+      .filter(col("doc_id").isin(dupIds.toSeq: _*))
+      .select(col("doc_id"), col("dup_frac"), col("cull")).collect()
+    assert(rows.length == dupIds.size)
+    rows.foreach { r =>
+      assert(r.getDouble(1) == 1.0 && r.getBoolean(2),
+        s"doc ${r.getLong(0)}: every span of an exact duplicate is shared")
+    }
+  }
+
+  test("chunkDocs: chunks tile each doc with the configured overlap") {
+    import spark.implicits._
+    val chunks = TextOps.chunkDocs(spark, sf001)
+      .select("doc_id", "chunk_idx", "start_tok", "chunk_len")
+      .as[(Long, Int, Long, Long)].collect()
+      .groupBy(_._1).values
+    val nTok = graft.Tables.load(spark, sf001, "documents")
+      .select(col("doc_id"), size(tokensCol(col("text"))).cast("long").as("n"))
+      .as[(Long, Long)].collect().toMap
+    chunks.foreach { cs =>
+      val sorted = cs.sortBy(_._2)
+      val n = nTok(sorted.head._1)
+      assert(sorted.head._3 == 0L, "first chunk starts at token 0")
+      assert(sorted.last._3 + sorted.last._4 == n, "last chunk ends at the last token")
+      sorted.foreach { case (_, idx, start, len) =>
+        assert(start == idx * 48L && len <= 64L && len > 0)
+      }
+      // every consecutive pair overlaps (stride 48 < chunk 64) or the doc fits one chunk
+      sorted.sliding(2).filter(_.length == 2).foreach { pair =>
+        assert(pair(1)._3 < pair(0)._3 + pair(0)._4, "consecutive chunks must overlap")
+      }
+    }
+  }
+
+  test("mixtureSample: every source stays within budget and is maximal") {
+    import spark.implicits._
+    val budget = 1000L
+    val kept = TextOps.mixtureSample(spark, sf001, budget)
+      .select("source", "kept_docs", "kept_tokens")
+      .as[(String, Long, Long)].collect()
+      .map { case (s, d, t) => s -> (d, t) }.toMap
+    assert(kept.nonEmpty && kept.values.forall(_._2 <= budget))
+    // maximality: re-derive the per-source md5-rank order and check the next
+    // undrawn doc would overflow the budget
+    val perDoc = graft.Tables.load(spark, sf001, "documents")
+      .withColumn("h", md5(col("doc_id").cast("string").cast("binary")))
+      .withColumn("n_tokens", bpeTokenCountCol(col("text")).cast("long"))
+      .select(col("source"), col("h"), col("doc_id"), col("n_tokens"))
+      .as[(String, String, Long, Long)].collect()
+      .groupBy(_._1)
+    perDoc.foreach { case (src, ds) =>
+      val inOrder = ds.sortBy(d => (d._2, d._3)).map(_._4)
+      val (nKept, tKept) = kept.getOrElse(src, (0L, 0L))
+      assert(inOrder.take(nKept.toInt).sum == tKept, s"$src: kept tokens mismatch")
+      if (nKept < ds.size)
+        assert(tKept + inOrder(nKept.toInt) > budget, s"$src: draw stopped early")
+    }
+  }
 }
