@@ -52,7 +52,13 @@ object Bench {
     val qs = results.map { case (k, v) => s""""${k.takeWhile(_ != '_')}":${s2(v)}""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${s2(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${s2(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // belt-and-braces: the driver captures a merged-output tail, and stderr
+    // passes through sbt raw — so the line reaches it starting with '{' even
+    // if a logger ever prefixes stdout again (rounds 1-4 lost their bench to
+    // exactly that)
+    System.err.println(line)
     spark.stop()
   }
 }

@@ -287,4 +287,24 @@ object Dedup {
       .filter(col("containment") >= minOverlap)
       .select(col("da"), col("db"), col("containment"))
   }
+
+  /** Incremental ingestion dedup — the daily-delta shape of a corpus at
+    * scale: a STREAM of newly crawled docs is admitted only if its content
+    * fingerprint is (a) not already in the historical corpus (stream-static
+    * left_anti join against the fingerprint store — re-read per micro-batch,
+    * so a store refresh is picked up without restart) and (b) not already
+    * seen earlier in the stream, including earlier in the same batch
+    * (`dropDuplicates` on the fingerprint — keyed state store, exactly-once
+    * across restarts via the checkpoint).
+    *
+    * State note: the in-stream dedup state grows with distinct new
+    * fingerprints; a production deployment bounds it with
+    * `dropDuplicatesWithinWatermark` (admission windows) or by folding the
+    * stream store into the historical store between windows — both
+    * mechanisms are spec-gated elsewhere (PipelinesSpec / A17). */
+  def streamingIngest(newDocs: DataFrame, store: DataFrame): DataFrame =
+    newDocs
+      .withColumn("fingerprint", md5(col("text").cast("binary")))
+      .join(store.select(col("fingerprint")), Seq("fingerprint"), "left_anti")
+      .dropDuplicates("fingerprint")
 }

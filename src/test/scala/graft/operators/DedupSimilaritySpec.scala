@@ -3,6 +3,7 @@ package graft.operators
 import graft.SparkSuite
 import graft.functions.VectorFns
 import graft.plans.VectorExpressions
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 /** The LSH/signature scale paths have no SQL oracle (their output depends on
@@ -250,6 +251,28 @@ class DedupSimilaritySpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     // the "*(n)" prefix marks operators inside a WholeStageCodegen stage
     assert(plan.linesIterator.next().trim.startsWith("*(1) Project [dot_f"), plan)
+  }
+
+  test("streamingIngest admits only store-new, stream-new fingerprints across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val store = Seq("old one", "old two").toDF("text")
+      .select(md5(col("text").cast("binary")).as("fingerprint"))
+    val ms = MemoryStream[(Long, String)]
+    val q = Dedup.streamingIngest(ms.toDS().toDF("doc_id", "text"), store)
+      .writeStream.format("memory").queryName("ingest_out").outputMode("append").start()
+    try {
+      ms.addData(1L -> "old one", 2L -> "fresh a", 3L -> "fresh a", 4L -> "fresh b")
+      q.processAllAvailable()
+      val b1 = spark.table("ingest_out").select("text").as[String].collect()
+      assert(b1.sorted.toSeq == Seq("fresh a", "fresh b"),
+        s"batch 1: store dup dropped, in-batch dup admitted once; got ${b1.toSeq}")
+      ms.addData(5L -> "fresh a", 6L -> "old two", 7L -> "fresh c")
+      q.processAllAvailable()
+      val b2 = spark.table("ingest_out").select("text").as[String].collect()
+      assert(b2.sorted.toSeq == Seq("fresh a", "fresh b", "fresh c"),
+        s"batch 2: cross-batch dup and store dup dropped; got ${b2.toSeq}")
+    } finally q.stop()
   }
 
   test("hardNegatives: dense top-5 per query, never a cluster mate of the query") {

@@ -155,6 +155,19 @@ class TextOpsSpec extends SparkSuite {
     }
   }
 
+  test("new-op plan shapes: fluency broadcasts its count table, spanDedup never joins, chunking never shuffles") {
+    val fluency = TextOps.bigramFluency(spark, sf0001).queryExecution.executedPlan.toString
+    assert(fluency.contains("BroadcastHashJoin"),
+      s"the vocabulary-bounded bigram count table must broadcast:\n$fluency")
+    assert(!fluency.contains("SortMergeJoin"), fluency)
+    val span = TextOps.spanDedup(spark, sf0001).queryExecution.executedPlan.toString
+    assert(!span.contains("Join"),
+      s"spanDedup is window+aggregate only — a join-back re-derives the span subtree:\n$span")
+    val chunks = TextOps.chunkDocs(spark, sf0001).queryExecution.executedPlan.toString
+    assert(!chunks.contains("Exchange"),
+      s"chunking is per-row explode only, no shuffle:\n$chunks")
+  }
+
   test("mixtureSample: every source stays within budget and is maximal") {
     import spark.implicits._
     val budget = 1000L

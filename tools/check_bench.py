@@ -20,7 +20,17 @@ ABS_SLACK = 0.4
 
 def load_line(path: str) -> dict:
     raw = open(path).read()
-    d = json.loads(raw) if raw.lstrip().startswith("{") else {}
+    # Bench prints the line on stdout AND stderr (driver-tail redundancy); a
+    # merged capture may hold it twice, or a tail window may truncate the
+    # first copy — parse the first line that loads
+    d = {}
+    for line in raw.splitlines():
+        if line.lstrip().startswith("{"):
+            try:
+                d = json.loads(line)
+                break
+            except json.JSONDecodeError:
+                continue
     if "queries" in d:
         return d
     # driver-format file: the JSON line is embedded in "tail"
