@@ -42,7 +42,60 @@ object Oracles {
        |fp AS (SELECT DISTINCT doc_id, m FROM wm WHERE ng > 16 AND i <= ng - 16
        |       UNION SELECT doc_id, min(h) AS m FROM g WHERE ng <= 16 GROUP BY doc_id)""".stripMargin
 
+  /** q33's oracle: the integer-exact IVF pipeline replayed in SQL. The
+    * coarse quantizer (Similarity.trainCentroids) trains on floor(x·2²⁰)
+    * points with truncated-integer-mean centroids, so every Lloyd iteration
+    * is exact integer arithmetic — replayable as UNROLLED iteration CTEs
+    * (a_i = argmin assignment, c_i = per-cell truncated means, empty cells
+    * keep their previous centroid). Same k/iters/nprobe constants as
+    * Similarity.ivfAnn; DuckDB `//` truncates like Java Long division. */
+  private val ivfAnnSql: String = {
+    val k = 16
+    val iters = 5
+    val nprobe = 4
+    val iterCtes = (1 to iters).flatMap { it =>
+      Seq(
+        s"""a$it AS (SELECT vec_id, cell FROM (
+           |  SELECT p.vec_id, c.cell,
+           |    row_number() OVER (PARTITION BY p.vec_id
+           |      ORDER BY sum((p.x - c.v)*(p.x - c.v)), c.cell) AS rn
+           |  FROM pts p JOIN c${it - 1} c USING (d) GROUP BY p.vec_id, c.cell) WHERE rn = 1)""",
+        s"""c$it AS (SELECT pc.cell, pc.d,
+           |  CASE WHEN s.n IS NULL THEN pc.v ELSE s.s // s.n END AS v
+           | FROM c${it - 1} pc LEFT JOIN (
+           |   SELECT a.cell, p.d, sum(p.x) AS s, count(*) AS n
+           |   FROM a$it a JOIN pts p USING (vec_id) GROUP BY 1, 2) s
+           |  ON s.cell = pc.cell AND s.d = pc.d)""")
+    }.mkString(",\n")
+    s"""WITH samp AS (SELECT vec_id, embedding,
+       |    row_number() OVER (ORDER BY vec_id) - 1 AS idx, count(*) OVER () AS ns
+       |  FROM embeddings WHERE vec_id < 1024),
+       |p0 AS (SELECT vec_id, idx, ns, embedding, unnest(generate_series(1, len(embedding))) AS d FROM samp),
+       |pts AS (SELECT vec_id, idx, ns, d, cast(floor(embedding[d]::DOUBLE * 1048576) as bigint) AS x FROM p0),
+       |cells AS (SELECT unnest(generate_series(0, ${k - 1})) AS cell),
+       |c0 AS (SELECT i.cell, p.d, p.x AS v FROM cells i JOIN pts p ON p.idx = (i.cell * p.ns) // $k),
+       |$iterCtes,
+       |e0 AS (SELECT vec_id, embedding, unnest(generate_series(1, len(embedding))) AS d FROM embeddings),
+       |ept AS (SELECT vec_id, d, cast(floor(embedding[d]::DOUBLE * 1048576) as bigint) AS x FROM e0),
+       |rank_all AS (SELECT p.vec_id, c.cell,
+       |    row_number() OVER (PARTITION BY p.vec_id
+       |      ORDER BY sum((p.x - c.v)*(p.x - c.v)), c.cell) AS rn
+       |  FROM ept p JOIN c$iters c USING (d) GROUP BY p.vec_id, c.cell),
+       |assign AS (SELECT vec_id AS neighbor_id, cell FROM rank_all WHERE rn = 1),
+       |probe AS (SELECT vec_id AS query_id, cell FROM rank_all WHERE rn <= $nprobe AND vec_id < 10),
+       |cand AS (SELECT query_id, neighbor_id FROM probe JOIN assign USING (cell)
+       |  WHERE query_id <> neighbor_id),
+       |s AS (SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY list_cosine_similarity(qe.embedding, ne.embedding) DESC, neighbor_id) AS rnk
+       |  FROM cand JOIN embeddings qe ON qe.vec_id = cand.query_id
+       |  JOIN embeddings ne ON ne.vec_id = cand.neighbor_id)
+       |SELECT query_id, neighbor_id, cast(rnk as int) AS rnk FROM s WHERE rnk <= 3""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
+
+    "q33_ivf_ann" -> ivfAnnSql,
 
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

@@ -137,23 +137,42 @@ object Similarity {
 
   // ---------------- IVF (inverted-file) ANN ----------------
 
+  /** Quantize a vector to the exact-integer grid the coarse quantizer lives
+    * on: floor(x·2²⁰) — float scaling by a power of two then floor is exact
+    * in IEEE double on every engine (the same trick as the q28 LSH planes). */
+  private def qgrid(v: Seq[Float]): Array[Long] = {
+    val out = new Array[Long](v.length)
+    var i = 0
+    while (i < v.length) { out(i) = math.floor(v(i).toDouble * 1048576.0).toLong; i += 1 }
+    out
+  }
+
   /** Deterministic Lloyd's k-means over a driver-side sample — the coarse
     * quantizer. Real systems train the quantizer on a small sample centrally
     * (CPU/GPU) and only ASSIGN + SEARCH distributed; at 100 TB the sample stays
-    * O(k·dim·1000) no matter the corpus size. Pure Scala double arithmetic in
-    * fixed iteration order ⇒ bit-deterministic. */
-  def trainCentroids(sample: Array[Array[Float]], k: Int, iters: Int): Array[Array[Double]] = {
+    * O(k·dim·1000) no matter the corpus size.
+    *
+    * Integer-exact by design (round 5): points are floor(x·2²⁰) ints,
+    * centroids are TRUNCATED integer means (S/n — Java Long division ≡
+    * DuckDB `//`), so every distance is an exact integer ≤ 64·2⁴⁴ — no float
+    * accumulation order, no rational comparisons, and the whole training run
+    * replays bit-identically as unrolled SQL (q33's oracle). The
+    * sub-quantization-step perturbation vs classic Lloyd (< 2⁻²⁰ of the data
+    * scale per mean) is irrelevant to a coarse quantizer; recall stays
+    * spec-gated in DedupSimilaritySpec. */
+  def trainCentroids(sample: Array[Array[Float]], k: Int, iters: Int): Array[Array[Long]] = {
     val dim = sample.head.length
+    val pts = sample.map(v => qgrid(v))
     // deterministic init: evenly strided sample points
-    var centroids = Array.tabulate(k)(i => sample(i * sample.length / k).map(_.toDouble))
+    var centroids = Array.tabulate(k)(i => pts(i * pts.length / k).clone())
     for (_ <- 0 until iters) {
-      val sums = Array.fill(k)(new Array[Double](dim))
+      val sums = Array.fill(k)(new Array[Long](dim))
       val counts = new Array[Long](k)
-      sample.foreach { v =>
-        var best = 0; var bestD = Double.MaxValue
+      pts.foreach { v =>
+        var best = 0; var bestD = Long.MaxValue
         var c = 0
         while (c < k) {
-          var d = 0.0; var i = 0
+          var d = 0L; var i = 0
           while (i < dim) { val t = v(i) - centroids(c)(i); d += t * t; i += 1 }
           if (d < bestD) { bestD = d; best = c }
           c += 1
@@ -163,17 +182,20 @@ object Similarity {
         while (i < dim) { sums(best)(i) += v(i); i += 1 }
       }
       centroids = Array.tabulate(k)(c =>
-        if (counts(c) == 0) centroids(c) else sums(c).map(_ / counts(c)))
+        if (counts(c) == 0) centroids(c)
+        else Array.tabulate(dim)(i => sums(c)(i) / counts(c)))
     }
     centroids
   }
 
-  private def nearestCentroids(v: Seq[Float], centroids: Array[Array[Double]], n: Int): Seq[Int] =
+  private def nearestCentroids(v: Seq[Float], centroids: Array[Array[Long]], n: Int): Seq[Int] = {
+    val q = qgrid(v)
     centroids.indices.sortBy { c =>
-      var d = 0.0; var i = 0
-      while (i < v.length) { val t = v(i) - centroids(c)(i); d += t * t; i += 1 }
+      var d = 0L; var i = 0
+      while (i < q.length) { val t = q(i) - centroids(c)(i); d += t * t; i += 1 }
       (d, c)
     }.take(n)
+  }
 
   /** IVF ANN: corpus bucketed by nearest coarse centroid (one assignment scan);
     * each query probes its `nprobe` nearest cells and exact-cosine reranks only

@@ -7,15 +7,12 @@ For each query in <verifyOutDir>/oracle_sql.json: load the Spark parquet result,
 run the oracle SQL in DuckDB over the sfDir tables, sort columns by name and rows
 by value, and compare cell-by-cell (exact).
 
-Queries WITHOUT an oracle (q33 — the IVF path whose exact output depends on
-iteratively trained centroids) are not left as bare row counts:
-each runs its INVARIANTS below — DuckDB reads the dumped parquet (view `spark`)
-plus the base tables and verifies semantic properties Spark cannot fake
-(ANN recall vs brute-force cosine top-k). The former members q27/q28/q29/q35
-graduated to full oracles in round 5 (md5-derived simhash token hash and LSH
-plane signs, modular polynomial winnow gram hash — all reproducible in DuckDB
-SQL; the LSH projection runs over 2^20-quantized components so its dots are
-exact integers with no float accumulation order to match).
+As of round 5 EVERY query has a full oracle: q27/q29/q35 via md5/modular-
+polynomial hashes, q28 via md5-derived +/-1 planes over 2^20-quantized
+components (integer dots — no float accumulation order), and q33 via an
+integer-exact k-means (floor-quantized points, truncated-integer-mean
+centroids) whose five Lloyd iterations replay as unrolled SQL CTEs. The
+INVARIANTS mechanism below remains for future non-oracle-able queries.
 """
 import json
 import sys
@@ -28,28 +25,11 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 # name -> [(label, sql)]; sql sees the dump as `spark` + the base tables, and
 # must return one row with a boolean `ok` (extra columns are printed as detail).
-INVARIANTS = {
-    "q33_ivf_ann": [
-        ("shape: rnk dense 1..k per query, queries are vec_id<10",
-         """SELECT bool_and(ok) AS ok FROM (
-              SELECT max(rnk) = count(*) AND min(rnk) = 1
-                     AND max(query_id) < 10 AS ok
-              FROM spark GROUP BY query_id)"""),
-        # floor matches DedupSimilaritySpec (>= 0.4 at nprobe/k = 4/16)
-        ("recall vs exact cosine top-3 >= 0.4 (nprobe=4 of 16 cells)",
-         """WITH ex AS (
-              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                     row_number() OVER (PARTITION BY q.vec_id
-                       ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
-                                c.vec_id) AS rnk
-              FROM embeddings q, embeddings c
-              WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
-            SELECT cast(count(s.query_id) as double) / count(*) >= 0.4 AS ok,
-                   cast(count(s.query_id) as double) / count(*) AS recall
-            FROM ex LEFT JOIN spark s USING (query_id, neighbor_id)
-            WHERE ex.rnk <= 3"""),
-    ],
-}
+INVARIANTS: dict = {}
+# (empty since round 5: every query now carries a full oracle. The mechanism
+# stays for future queries whose exact output cannot be reproduced in SQL —
+# entries are "name" -> [(label, sql)] where sql sees the dump as view `spark`
+# plus the base tables and returns one row with boolean `ok`.)
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
