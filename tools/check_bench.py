@@ -6,12 +6,24 @@ Usage: check_bench.py <bench_json_file> [floor_json]
 <bench_json_file> holds the Bench main's JSON line ({"metric":"total",...,
 "queries":{...}}), or a driver BENCH_r*.json whose "tail" contains that line.
 
-A query regresses when it is BOTH >1.5x its floor AND >0.4s absolute over it —
-the absolute guard keeps sub-0.3s queries from flagging on timer noise.
+The gate is DIFFERENTIAL: each query's floor is first scaled by the run's
+median got/floor ratio (clamped to >= 1), which cancels uniform machine-load
+shifts — measured same-code totals range 34-73 s at sf0.1 depending on
+co-tenant load, and a whole-run multiplier is environment, not regression.
+A query then regresses when it is BOTH >1.5x its load-adjusted floor AND
+>0.4s absolute over it — the absolute guard keeps sub-0.3s queries from
+flagging on timer noise. A genuine single-query regression moves that query
+away from the run's median and still flags.
 Exit 1 on any regression (or any query missing from the bench run).
+
+Protocol on SLOW: a load that RAMPS mid-run defeats the median correction
+(the tail of the run flags as a block — seen once with co-tenant load ramping
+a run from 34s-pace to 73s total). A contiguous block of SLOW queries in run
+order means re-run on a quiet machine; believe a SLOW only when it reproduces.
 """
 import json
 import re
+import statistics
 import sys
 
 RATIO = 1.5
@@ -44,17 +56,28 @@ def main(bench_path: str, floor_path: str = "BENCH_FLOOR.json") -> int:
     bench = load_line(bench_path)["queries"]
     floor = {k: v for k, v in json.load(open(floor_path)).items()
              if not k.startswith("_")}
+    # Bench emits the short qNN prefix as the key (keeps the driver's
+    # 2 KB stdout tail window safe); the floor keeps full names.
+    def lookup(name):
+        return bench.get(name, bench.get(name.split("_")[0]))
+
+    ratios = [lookup(n) / f for n, f in floor.items()
+              if lookup(n) is not None and lookup(n) > 0]
+    load = max(1.0, statistics.median(ratios)) if ratios else 1.0
+    if load > 1.1:
+        print(f"NOTE uniform load factor {load:.2f}x vs floor "
+              "(median ratio; gate is differential)")
     bad = []
     for name, f in sorted(floor.items()):
-        # Bench emits the short qNN prefix as the key (keeps the driver's
-        # 2 KB stdout tail window safe); the floor keeps full names.
-        got = bench.get(name, bench.get(name.split("_")[0]))
+        got = lookup(name)
+        adj = f * load
         if got is None or got < 0:
             bad.append(f"{name}: missing/failed in bench run")
-        elif got > f * RATIO and got - f > ABS_SLACK:
-            bad.append(f"{name}: {got:.2f}s vs floor {f:.2f}s ({got / f:.1f}x)")
+        elif got > adj * RATIO and got - adj > ABS_SLACK:
+            bad.append(f"{name}: {got:.2f}s vs load-adjusted floor {adj:.2f}s "
+                       f"({got / adj:.1f}x)")
         else:
-            print(f"OK   {name}: {got:.2f}s (floor {f:.2f}s)")
+            print(f"OK   {name}: {got:.2f}s (floor {f:.2f}s, adj {adj:.2f}s)")
     for b in bad:
         print(f"SLOW {b}")
     # A bench query with no floor entry is silently ungated — surface it.
