@@ -918,6 +918,18 @@ object Oracles {
         | WHERE lq.cid IS NULL OR lc.cid IS NULL OR lq.cid <> lc.cid)
         |SELECT query_id, neighbor_id, cast(rnk as int) AS rnk FROM s WHERE rnk <= 5""".stripMargin,
 
+    // incremental-ingestion dedup, batch analog of Dedup.streamingIngest:
+    // store = doc_id < max/3, batch = the rest; admitted = store-new
+    // fingerprint, first occurrence wins in-batch
+    "q74_ingest_dedup" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS fingerprint FROM documents),
+        |wm AS (SELECT max(doc_id) // 3 AS wm FROM d),
+        |s AS (SELECT DISTINCT fingerprint FROM d, wm WHERE doc_id < wm)
+        |SELECT fingerprint, min(doc_id) AS admitted_doc_id, count(*) AS batch_dup_ct
+        |FROM (SELECT b.fingerprint, b.doc_id FROM d b, wm WHERE b.doc_id >= wm) b
+        |ANTI JOIN s USING (fingerprint)
+        |GROUP BY 1""".stripMargin,
+
     // token-budget mixture sampling: md5-rank draw per source, exact integer
     // cumsum, keep while cum <= 1000 tokens
     "q73_mixture_sample" ->

@@ -103,6 +103,7 @@ object SparkEntry {
     "q71_chunk_docs"        -> ((s, d) => TextOps.chunkDocs(s, d)),
     "q72_hard_negatives"    -> Similarity.hardNegatives _,
     "q73_mixture_sample"    -> ((s, d) => TextOps.mixtureSample(s, d)),
+    "q74_ingest_dedup"      -> Dedup.ingestDedup _,
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

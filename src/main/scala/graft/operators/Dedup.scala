@@ -307,4 +307,23 @@ object Dedup {
       .withColumn("fingerprint", md5(col("text").cast("binary")))
       .join(store.select(col("fingerprint")), Seq("fingerprint"), "left_anti")
       .dropDuplicates("fingerprint")
+
+  /** Batch analog of [[streamingIngest]], shaped for the oracle gate: the
+    * corpus is split into a "historical store" (doc_id below max/3 — a
+    * position where the fixture's duplicate texts exercise BOTH drop paths)
+    * and an incoming batch; an incoming doc is admitted when its fingerprint
+    * is absent from the store, first-occurrence-wins within the batch.
+    * One anti-join shuffle + one fingerprint aggregate — at scale the store
+    * side is the bucketed fingerprint index, not a parquet rescan. */
+  def ingestDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("fingerprint"))
+    val wm = d.agg(expr("max(doc_id) div 3").as("wm"))
+    val withWm = d.crossJoin(broadcast(wm))
+    val store = withWm.filter(col("doc_id") < col("wm")).select("fingerprint")
+    withWm.filter(col("doc_id") >= col("wm"))
+      .join(store, Seq("fingerprint"), "left_anti")
+      .groupBy("fingerprint")
+      .agg(min(col("doc_id")).as("admitted_doc_id"), count(lit(1)).as("batch_dup_ct"))
+  }
 }
