@@ -56,27 +56,41 @@ object Microbench {
       byDay.groupBy("dt").agg(Aggregators.exactDistinct(col("user_id"))).count()
     }
 
-    // hyperplane LSH signature: per-(row,plane,dim) splitmix derivation vs the
-    // memoized plane matrix (VectorFns.hyperplanePlanes)
+    // hyperplane LSH signature (round-5 md5-sign planes): per-(row,plane,dim)
+    // md5 derivation vs the memoized plane matrix (VectorFns.hyperplanePlanes)
     val sigU = VectorFns.hyperplaneSigUdf(16)
     time("hyperplane sig(16 planes): memoized plane matrix") {
       e.select(sigU(col("embedding")).as("s")).agg(sum(col("s"))).head().get(0); 0L
     }
     val inlineSig = udf { (v: Seq[Float]) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
       var sig = 0; var p = 0
       while (p < 16) {
-        var dot = 0.0; var d = 0
+        var dot = 0L; var d = 0
         while (d < v.length) {
-          dot += v(d) * (graft.functions.TextFns.splitmix64(p.toLong * 100003L + d).toDouble /
-            Long.MaxValue.toDouble)
+          md.reset()
+          val h = md.digest(s"${p}_${d}".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          dot += math.floor(v(d).toDouble * 1048576.0).toLong * (if ((h(0) & 1) == 1) 1 else -1)
           d += 1
         }
         if (dot >= 0) sig |= (1 << p); p += 1
       }
       sig
     }
-    time("hyperplane sig(16 planes): per-row splitmix derivation") {
+    time("hyperplane sig(16 planes): per-row md5 derivation") {
       e.select(inlineSig(col("embedding")).as("s")).agg(sum(col("s"))).head().get(0); 0L
+    }
+
+    // n-gram span extraction (q69's kernel finding, round 5): the
+    // transform/slice/concat_ws HOF chain is CodegenFallback-interpreted
+    val docTexts = Tables.load(spark, dir, "documents")
+    time("10-gram spans/doc: shinglesCol HOF chain (interpreted)") {
+      docTexts.select(explode(graft.functions.TextFns.shinglesCol(
+        graft.functions.TextFns.tokensCol(col("text")), 10)).as("g")).count()
+    }
+    time("10-gram spans/doc: gramCounts single-pass kernel") {
+      docTexts.select(explode(graft.functions.TextFns.gramCountsUdf(10)(col("text"))))
+        .count()
     }
 
     // int8-quantized dot: codegen'd dot_i vs the interpreted HOF chain
