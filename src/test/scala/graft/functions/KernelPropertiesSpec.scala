@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.scalacheck.{Gen, Prop, Properties}
+
+import graft.functions.TextFns._
+
+/** Property tests for the cross-engine-exact kernels the round-5 oracles
+  * depend on: the oracle SQL re-derives these values independently, so any
+  * hidden input-dependence (nulls, short strings, repeated tokens) would
+  * surface as a driver hash mismatch — catch it here first on generated
+  * inputs rather than only on the fixture.
+  */
+object KernelPropertiesSpec extends Properties("graft.kernels") {
+
+  private val asciiText: Gen[String] =
+    Gen.chooseNum(0, 400).flatMap(n =>
+      Gen.listOfN(n, Gen.frequency(
+        (8, Gen.alphaLowerChar), (1, Gen.numChar), (2, Gen.const(' ')))).map(_.mkString))
+
+  // direct polynomial evaluation — independent of the sliding kernel
+  private def directGrams(t: String): Seq[Long] =
+    (0 to t.length - 8).map(i =>
+      t.substring(i, i + 8).foldLeft(0L)((h, c) => (h * WinnowBase + c) % WinnowMod))
+
+  property("winnow emits only k-gram hashes, incl. the global min; empty below k") =
+    Prop.forAll(asciiText) { t =>
+      val fps = winnow(t).toSet
+      if (t.length < 8) fps.isEmpty
+      else {
+        val grams = directGrams(t).toSet
+        fps.nonEmpty && fps.subsetOf(grams) && fps.contains(grams.min)
+      }
+    }
+
+  property("winnow is deterministic and its O(1) slide ≡ direct polynomial") =
+    Prop.forAll(asciiText) { t =>
+      winnow(t) == winnow(t) && (t.length < 8 || {
+        // window-min over direct grams reproduces the kernel exactly
+        val g = directGrams(t)
+        val expected =
+          if (g.length <= 16) Seq(g.min)
+          else {
+            val out = scala.collection.mutable.LinkedHashSet.empty[Long]
+            (0 to g.length - 16).foreach(i => out += g.slice(i, i + 16).min)
+            out.toSeq
+          }
+        winnow(t) == expected
+      })
+    }
+
+  property("simhash commutes over token order and tf scaling; empty → 0") =
+    Prop.forAll(Gen.listOf(Gen.identifier.map(_.take(8)))) { toks =>
+      val h = simhash(toks)
+      simhash(toks.reverse) == h &&
+        simhash(toks ++ toks) == h &&
+        (toks.nonEmpty || h == 0L)
+    }
+
+  property("gramCounts multiplicities sum to the span-position count") =
+    Prop.forAll(asciiText, Gen.oneOf(2, 3, 10)) { (t, n) =>
+      val m = gramCounts(t, n)
+      // reference tokenization = the oracle's regex, independent of the kernel
+      val toks = "[a-z0-9]+".r.findAllIn(t.toLowerCase).toSeq
+      m.values.sum == math.max(toks.length - n + 1, 0) &&
+        m.keys.forall(g => g.split(' ').length == n)
+    }
+
+  property("hyperplaneSig is stable across calls and within Int range of nPlanes bits") =
+    Prop.forAll(Gen.listOfN(64, Gen.chooseNum(-1.0f, 1.0f))) { v =>
+      val s4 = VectorFns.hyperplaneSig(v, 4)
+      VectorFns.hyperplaneSig(v, 4) == s4 && s4 >= 0 && s4 < 16
+    }
+}
