@@ -930,6 +930,12 @@ object Oracles {
         |ANTI JOIN s USING (fingerprint)
         |GROUP BY 1""".stripMargin,
 
+    // boilerplate templates: >=3 docs sharing a verbatim 16-char prefix
+    "q75_boilerplate" ->
+      """SELECT substr(text, 1, 16) AS prefix, count(*) AS n_docs,
+        | count(distinct source) AS n_sources, min(doc_id) AS example_doc_id
+        |FROM documents GROUP BY 1 HAVING count(*) >= 3""".stripMargin,
+
     // token-budget mixture sampling: md5-rank draw per source, exact integer
     // cumsum, keep while cum <= 1000 tokens
     "q73_mixture_sample" ->

@@ -104,6 +104,7 @@ object SparkEntry {
     "q72_hard_negatives"    -> Similarity.hardNegatives _,
     "q73_mixture_sample"    -> ((s, d) => TextOps.mixtureSample(s, d)),
     "q74_ingest_dedup"      -> Dedup.ingestDedup _,
+    "q75_boilerplate"       -> ((s, d) => TextOps.boilerplate(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

@@ -508,6 +508,22 @@ object TextOps {
         element_at(col("toks"), col("start_tok") + 1).as("first_term"),
         element_at(col("toks"), col("start_tok") + col("chunk_len")).as("last_term"))
 
+  /** Boilerplate/template detection — the C4-style move of finding repeated
+    * headers/banners before stripping them: documents sharing an identical
+    * leading prefix are template candidates; one row per template with its
+    * incidence and cross-source spread. One prefix-keyed shuffle; per-doc
+    * flagging is then a broadcast join against this (small) template table. */
+  def boilerplate(spark: SparkSession, dir: String,
+                  prefixLen: Int = 16, minDocs: Long = 3): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), col("source"), substring(col("text"), 1, prefixLen).as("prefix"))
+      .groupBy("prefix")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        min(col("doc_id")).as("example_doc_id"))
+      .filter(col("n_docs") >= minDocs)
+
   /** Token-budget mixture sampling (Pile/DoReMi-style data mixing): every
     * source gets the same token budget; docs are drawn in md5(doc_id)-rank
     * order (the engine/run/layout-stable draw of [[hashSample]] /
