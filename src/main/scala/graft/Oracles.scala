@@ -930,6 +930,26 @@ object Oracles {
         |ANTI JOIN s USING (fingerprint)
         |GROUP BY 1""".stripMargin,
 
+    // incremental near-dup admission: exact shingle-Jaccard >= 0.5 pairs
+    // CROSSING the store/batch split (valid as the expected LSH output for
+    // the same reason as q26: measured recall 1.0 on this corpus, precision
+    // 1.0 by construction)
+    "q76_ingest_neardup" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |s AS (SELECT doc_id, unnest(list_distinct(
+        |   [array_to_string(toks[i:i+2], ' ') FOR i IN generate_series(1, greatest(len(toks) - 2, 0))])) AS sh
+        |  FROM t),
+        |sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY 1),
+        |wm AS (SELECT max(doc_id) // 3 AS wm FROM documents),
+        |p AS (SELECT a.doc_id AS store_doc_id, b.doc_id AS batch_doc_id, count(*) AS inter
+        |  FROM s a JOIN s b ON a.sh = b.sh CROSS JOIN wm
+        |  WHERE a.doc_id < wm AND b.doc_id >= wm GROUP BY 1, 2)
+        |SELECT store_doc_id, batch_doc_id,
+        | cast(inter as double) / (x.n + y.n - inter) AS jac
+        |FROM p JOIN sz x ON store_doc_id = x.doc_id JOIN sz y ON batch_doc_id = y.doc_id
+        |WHERE cast(inter as double) / (x.n + y.n - inter) >= 0.5""".stripMargin,
+
     // boilerplate templates: >=3 docs sharing a verbatim 16-char prefix
     "q75_boilerplate" ->
       """SELECT substr(text, 1, 16) AS prefix, count(*) AS n_docs,

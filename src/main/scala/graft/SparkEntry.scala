@@ -105,6 +105,7 @@ object SparkEntry {
     "q73_mixture_sample"    -> ((s, d) => TextOps.mixtureSample(s, d)),
     "q74_ingest_dedup"      -> Dedup.ingestDedup _,
     "q75_boilerplate"       -> ((s, d) => TextOps.boilerplate(s, d)),
+    "q76_ingest_neardup"    -> Dedup.ingestNearDup _,
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

@@ -326,4 +326,39 @@ object Dedup {
       .groupBy("fingerprint")
       .agg(min(col("doc_id")).as("admitted_doc_id"), count(lit(1)).as("batch_dup_ct"))
   }
+
+  /** Incremental NEAR-dup admission — the companion of [[ingestDedup]] for
+    * the fuzzier production reality: a newly crawled doc is rejected when it
+    * is a near-duplicate (shingle-Jaccard ≥ 0.5) of any doc already in the
+    * historical store. Cross-set MinHash-LSH: both sides band once,
+    * candidates are only (store, batch) bucket collisions — never
+    * store×store or batch×batch — and exact verification joins the shingle
+    * arrays on candidates only. Emits the rejection evidence
+    * (store_doc_id, batch_doc_id, jac); admitted batch = anti-join on this.
+    * Store split = doc_id < max/3, matching [[ingestDedup]]. */
+  def ingestNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val bands = 16
+    val d = docs(spark, dir)
+    val wm = d.agg(expr("max(doc_id) div 3").as("wm"))
+    val withWm = d.crossJoin(broadcast(wm))
+    def bandsOf(side: DataFrame) = side
+      .select(col("doc_id"), posexplode(textBandsUdf(bands)(col("text"))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    val cand = bandsOf(withWm.filter(col("doc_id") < col("wm"))).as("a")
+      .join(bandsOf(withWm.filter(col("doc_id") >= col("wm"))).as("b"),
+        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash"))
+      .select(col("a.doc_id").as("store_doc_id"), col("b.doc_id").as("batch_doc_id"))
+      .dropDuplicates("store_doc_id", "batch_doc_id")
+    val hashes = d
+      .select(col("doc_id"), shingleHashesUdf(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+    cand
+      .join(hashes.select(col("doc_id").as("store_doc_id"), col("sh").as("sha")), "store_doc_id")
+      .join(hashes.select(col("doc_id").as("batch_doc_id"), col("sh").as("shb")), "batch_doc_id")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jac",
+        col("inter").cast("double") / (size(col("sha")) + size(col("shb")) - col("inter")))
+      .filter(col("jac") >= 0.5)
+      .select(col("store_doc_id"), col("batch_doc_id"), col("jac"))
+  }
 }
