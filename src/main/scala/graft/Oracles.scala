@@ -930,6 +930,37 @@ object Oracles {
         |ANTI JOIN s USING (fingerprint)
         |GROUP BY 1""".stripMargin,
 
+    // cross-modal dedup audit: q26's exact near-dup pair set joined to both
+    // embeddings. The EMITTED cosine must be double-exact, so the oracle
+    // spells out Spark's exact composition — dot(a,b)/(sqrt(dot(a,a))*
+    // sqrt(dot(b,b))) over DOUBLE[] (DuckDB's list_cosine_similarity on
+    // FLOAT[] returns single precision and hash-mismatches). (On this
+    // synthetic fixture the embeddings are independent of the text, so
+    // modality_agree is uniformly false — the audit correctly reports that
+    // the vector modality corroborates nothing; the cos values still vary
+    // and hash-compare.)
+    "q77_modality_audit" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |s AS (SELECT doc_id, unnest(list_distinct(
+        |   [array_to_string(toks[i:i+2], ' ') FOR i IN generate_series(1, greatest(len(toks) - 2, 0))])) AS sh
+        |  FROM t),
+        |sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY 1),
+        |p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+        |  FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT da, db, cast(inter as double) / (x.n + y.n - inter) AS jac
+        |  FROM p JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+        |  WHERE cast(inter as double) / (x.n + y.n - inter) >= 0.5)
+        |SELECT da, db, jac,
+        | list_inner_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) /
+        |  (sqrt(list_inner_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[])) *
+        |   sqrt(list_inner_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[]))) AS cos,
+        | list_inner_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) /
+        |  (sqrt(list_inner_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[])) *
+        |   sqrt(list_inner_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[]))) >= 0.4 AS modality_agree
+        |FROM pairs JOIN embeddings ea ON ea.vec_id = da
+        |JOIN embeddings eb ON eb.vec_id = db""".stripMargin,
+
     // incremental near-dup admission: exact shingle-Jaccard >= 0.5 pairs
     // CROSSING the store/batch split (valid as the expected LSH output for
     // the same reason as q26: measured recall 1.0 on this corpus, precision

@@ -106,6 +106,7 @@ object SparkEntry {
     "q74_ingest_dedup"      -> Dedup.ingestDedup _,
     "q75_boilerplate"       -> ((s, d) => TextOps.boilerplate(s, d)),
     "q76_ingest_neardup"    -> Dedup.ingestNearDup _,
+    "q77_modality_audit"    -> Similarity.modalityAudit _,
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

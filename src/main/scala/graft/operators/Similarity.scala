@@ -74,6 +74,26 @@ object Similarity {
       cosineNearDup(spark, dir).select(col("va").as("da"), col("vb").as("db")))
       .select(col("doc_id").as("vec_id"), col("cluster_id"))
 
+  /** Cross-modal dedup-consistency audit: for every TEXT near-dup pair
+    * (MinHash-LSH, the q26 path) with embeddings on both sides, report the
+    * embedding cosine and whether the vector modality corroborates the text
+    * signal (cos ≥ 0.4, [[cosineNearDup]]'s threshold). When both signals
+    * feed a dedup decision at scale, systematic disagreement is the first
+    * sign of an embedding-pipeline fault (stale vectors, wrong alignment) —
+    * this is the audit that catches it. Pair set is LSH-bounded; the two
+    * embedding lookups are joins on the (doc ≡ vec) id. */
+  def modalityAudit(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashLsh(spark, dir)
+    val e = emb(spark, dir)
+      .select(col("vec_id"), col("embedding"), normFastCol(col("embedding")).as("nrm"))
+    pairs
+      .join(e.select(col("vec_id").as("da"), col("embedding").as("ea"), col("nrm").as("na")), "da")
+      .join(e.select(col("vec_id").as("db"), col("embedding").as("eb"), col("nrm").as("nb")), "db")
+      .withColumn("cos", dotFastCol(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .select(col("da"), col("db"), col("jac"), col("cos"),
+        (col("cos") >= 0.4).as("modality_agree"))
+  }
+
   /** Hard-negative mining for dense-retrieval training (DPR-style): for each
     * query vector, the top-5 most-similar candidates EXCLUDING itself and
     * every member of its own near-dup cluster — cluster mates are positives
