@@ -341,6 +341,34 @@ object Oracles {
         |  UNION SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.node)
         |SELECT src AS doc_id, min(node) AS cluster_id FROM reach GROUP BY 1""".stripMargin,
 
+    // quality-ranked canonical per near-dup cluster: q32's components +
+    // (n_chars DESC, doc_id) ranking — keep the longest member, not min id
+    "q78_canonical_docs" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |s AS (SELECT doc_id, unnest(list_distinct(
+        |   [array_to_string(toks[i:i+2], ' ') FOR i IN generate_series(1, greatest(len(toks) - 2, 0))])) AS sh
+        |  FROM t),
+        |sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY 1),
+        |p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+        |  FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |e0 AS (SELECT da, db FROM p JOIN sz x ON p.da = x.doc_id JOIN sz y ON p.db = y.doc_id
+        |  WHERE cast(inter as double) / (x.n + y.n - inter) >= 0.5),
+        |edges AS (SELECT da AS a, db AS b FROM e0 UNION SELECT db, da FROM e0),
+        |nodes AS (SELECT DISTINCT a AS v FROM edges),
+        |reach AS (SELECT v AS src, v AS node FROM nodes
+        |  UNION SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.node),
+        |labels AS (SELECT src AS doc_id, min(node) AS cluster_id FROM reach GROUP BY 1),
+        |m AS (SELECT l.cluster_id, d.doc_id, d.n_chars,
+        |   row_number() OVER (PARTITION BY l.cluster_id
+        |     ORDER BY d.n_chars DESC, d.doc_id) AS rn
+        |  FROM labels l JOIN documents d USING (doc_id))
+        |SELECT cluster_id,
+        | min(CASE WHEN rn = 1 THEN doc_id END) AS canonical_doc_id,
+        | max(CASE WHEN rn = 1 THEN n_chars END) AS canonical_chars,
+        | count(*) AS n_members, cast(sum(n_chars) as bigint) AS total_chars
+        |FROM m GROUP BY 1""".stripMargin,
+
     // self-checking invariant oracle: BOTH engines run their own HLL sketch and
     // their own exact count, and the driver pins the within-tolerance flag —
     // the estimates themselves differ by sketch implementation and are not

@@ -107,6 +107,7 @@ object SparkEntry {
     "q75_boilerplate"       -> ((s, d) => TextOps.boilerplate(s, d)),
     "q76_ingest_neardup"    -> Dedup.ingestNearDup _,
     "q77_modality_audit"    -> Similarity.modalityAudit _,
+    "q78_canonical_docs"    -> Dedup.canonicalPerCluster _,
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

@@ -254,6 +254,28 @@ object Dedup {
   def nearDupClusters(spark: SparkSession, dir: String): DataFrame =
     clusters(minhashLsh(spark, dir))
 
+  /** Quality-ranked canonical selection per near-dup cluster — what
+    * production dedup actually keeps: not the minimum id but the BEST member
+    * (here: most content, `n_chars` DESC, id as the deterministic tiebreak —
+    * near-dup clusters routinely mix a full page with its truncated
+    * re-crawls, and keeping the longest loses nothing). One row per cluster
+    * with the canonical doc and the bytes the cluster folds away. Label join
+    * is near-dup-sized (broadcastable); one cluster-keyed aggregate. */
+  def canonicalPerCluster(spark: SparkSession, dir: String): DataFrame = {
+    val labels = nearDupClusters(spark, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(col("n_chars").desc, col("doc_id"))
+    docs(spark, dir).select(col("doc_id"), col("n_chars"))
+      .join(labels, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .groupBy("cluster_id")
+      .agg(
+        min(when(col("rn") === 1, col("doc_id"))).as("canonical_doc_id"),
+        max(when(col("rn") === 1, col("n_chars"))).as("canonical_chars"),
+        count(lit(1)).as("n_members"),
+        sum(col("n_chars")).as("total_chars"))
+  }
+
   /** Winnowing document fingerprints (rolling hash; Schleimer et al. SIGMOD'03):
     * per-doc compact fingerprint set for copy detection. */
   def winnowFingerprints(spark: SparkSession, dir: String): DataFrame =
