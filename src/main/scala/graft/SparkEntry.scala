@@ -7,11 +7,11 @@ import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextOps}
   *
   * Every entry in [[queries]] is one operator family from SURVEY.md §2 (mapping
   * documented on each implementation); entries in [[oracleSql]] are the
-  * DuckDB-equivalent SQL the driver hash-compares against. The five queries
-  * without an oracle entry (q27–q29, q33, q35) are the signature paths whose
-  * exact output depends on repo-local hash constants or trained centroids —
-  * each is gated in ScalaTest against an exact (oracled) twin AND
-  * invariant-checked against DuckDB by tools/check_correctness.py.
+  * DuckDB-equivalent SQL the driver hash-compares against. As of round 5
+  * EVERY query has a full oracle — the former hash-constant paths
+  * (simhash/winnow/LSH/IVF) were rebuilt on cross-engine-exact constructions
+  * (md5-derived hashes, modular polynomial gram hashes, integer-quantized
+  * projections, integer-mean k-means) so DuckDB replays them bit-for-bit.
   */
 object SparkEntry {
 
