@@ -42,17 +42,15 @@ object Oracles {
        |fp AS (SELECT DISTINCT doc_id, m FROM wm WHERE ng > 16 AND i <= ng - 16
        |       UNION SELECT doc_id, min(h) AS m FROM g WHERE ng <= 16 GROUP BY doc_id)""".stripMargin
 
-  /** q33's oracle: the integer-exact IVF pipeline replayed in SQL. The
-    * coarse quantizer (Similarity.trainCentroids) trains on floor(x·2²⁰)
-    * points with truncated-integer-mean centroids, so every Lloyd iteration
-    * is exact integer arithmetic — replayable as UNROLLED iteration CTEs
-    * (a_i = argmin assignment, c_i = per-cell truncated means, empty cells
-    * keep their previous centroid). Same k/iters/nprobe constants as
-    * Similarity.ivfAnn; DuckDB `//` truncates like Java Long division. */
-  private val ivfAnnSql: String = {
-    val k = 16
-    val iters = 5
-    val nprobe = 4
+  /** The integer-exact coarse-quantizer CTE chain shared by q33/q79: the
+    * quantizer (Similarity.trainCentroids) trains on floor(x·2²⁰) points with
+    * truncated-integer-mean centroids, so every Lloyd iteration is exact
+    * integer arithmetic — replayable as UNROLLED iteration CTEs (a_i = argmin
+    * assignment, c_i = per-cell truncated means, empty cells keep their
+    * previous centroid). DuckDB `//` truncates like Java Long division.
+    * Ends at `rank_all(vec_id, cell, rn)` — per-vector centroid ranking over
+    * the FULL corpus (rn = 1 is the assignment, rn ≤ nprobe the probe set). */
+  private def ivfRankCtes(k: Int, iters: Int): String = {
     val iterCtes = (1 to iters).flatMap { it =>
       Seq(
         s"""a$it AS (SELECT vec_id, cell FROM (
@@ -67,7 +65,7 @@ object Oracles {
            |   FROM a$it a JOIN pts p USING (vec_id) GROUP BY 1, 2) s
            |  ON s.cell = pc.cell AND s.d = pc.d)""")
     }.mkString(",\n")
-    s"""WITH samp AS (SELECT vec_id, embedding,
+    s"""samp AS (SELECT vec_id, embedding,
        |    row_number() OVER (ORDER BY vec_id) - 1 AS idx, count(*) OVER () AS ns
        |  FROM embeddings WHERE vec_id < 1024),
        |p0 AS (SELECT vec_id, idx, ns, embedding, unnest(generate_series(1, len(embedding))) AS d FROM samp),
@@ -80,7 +78,14 @@ object Oracles {
        |rank_all AS (SELECT p.vec_id, c.cell,
        |    row_number() OVER (PARTITION BY p.vec_id
        |      ORDER BY sum((p.x - c.v)*(p.x - c.v)), c.cell) AS rn
-       |  FROM ept p JOIN c$iters c USING (d) GROUP BY p.vec_id, c.cell),
+       |  FROM ept p JOIN c$iters c USING (d) GROUP BY p.vec_id, c.cell)""".stripMargin
+  }
+
+  /** q33's oracle: the integer-exact IVF pipeline replayed in SQL (same
+    * k/iters/nprobe constants as Similarity.ivfAnn). */
+  private val ivfAnnSql: String = {
+    val nprobe = 4
+    s"""WITH ${ivfRankCtes(k = 16, iters = 5)},
        |assign AS (SELECT vec_id AS neighbor_id, cell FROM rank_all WHERE rn = 1),
        |probe AS (SELECT vec_id AS query_id, cell FROM rank_all WHERE rn <= $nprobe AND vec_id < 10),
        |cand AS (SELECT query_id, neighbor_id FROM probe JOIN assign USING (cell)
@@ -93,9 +98,45 @@ object Oracles {
        |SELECT query_id, neighbor_id, cast(rnk as int) AS rnk FROM s WHERE rnk <= 3""".stripMargin
   }
 
+  /** q79's oracle: SemDeDup replayed in SQL — the same integer-exact cell
+    * assignment as q33, then within each cell every vector with a LOWER-id
+    * cell-mate at cosine ≥ 0.4 is a semantic duplicate. Cosine is the explicit
+    * double composition (list_cosine_similarity on FLOAT[] is single
+    * precision — the q77 gotcha), matching Spark's dot/(norm·norm) exactly. */
+  private val semanticDedupSql: String =
+    s"""WITH ${ivfRankCtes(k = 16, iters = 5)},
+       |asg AS (SELECT vec_id, cell FROM rank_all WHERE rn = 1),
+       |ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |dup AS (SELECT DISTINCT b.vec_id
+       |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  JOIN ev ea ON ea.vec_id = a.vec_id
+       |  JOIN ev eb ON eb.vec_id = b.vec_id
+       |  WHERE list_inner_product(ea.v, eb.v) /
+       |    (sqrt(list_inner_product(ea.v, ea.v)) * sqrt(list_inner_product(eb.v, eb.v))) >= 0.4)
+       |SELECT asg.vec_id, cast(asg.cell as int) AS cell, dup.vec_id IS NULL AS kept
+       |FROM asg LEFT JOIN dup ON asg.vec_id = dup.vec_id""".stripMargin
+
   val sql: Map[String, String] = Map(
 
     "q33_ivf_ann" -> ivfAnnSql,
+
+    "q79_semantic_dedup" -> semanticDedupSql,
+
+    "q80_source_quota" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+        |s AS (SELECT doc_id, source, cast(len(toks) as bigint) AS token_ct,
+        |  (len(toks) BETWEEN 30 AND 400 AND
+        |   (CASE WHEN len(toks) = 0 THEN 0.0
+        |     ELSE cast(len(list_filter(toks,
+        |            t -> t IN ('the','a','of','and','is','to','in'))) as double) / len(toks)
+        |    END) <= 0.5) AS good
+        | FROM t),
+        |r AS (SELECT doc_id, source, token_ct,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY good DESC, token_ct DESC, doc_id) AS rnk FROM s)
+        |SELECT doc_id, source, token_ct, cast(rnk as int) AS rnk
+        |FROM r WHERE rnk <= 15""".stripMargin,
 
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

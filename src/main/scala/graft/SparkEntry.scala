@@ -48,10 +48,9 @@ object SparkEntry {
     // q26/q32/q36 carry full oracles: the LSH pair set has measured recall 1.0
     // on this corpus (sf0.01 + sf0.1) and precision 1.0 by construction, so
     // the exact-Jaccard SQL pair set / its connected components / the cleaned
-    // corpus are the expected outputs (see Oracles notes). q27–q29, q33, q35
-    // stay hash-constant dependent: spec-gated + invariant-checked by
-    // tools/check_correctness.py (recall vs DuckDB brute-force, thresholds
-    // re-verified against raw text).
+    // corpus are the expected outputs (see Oracles notes and the COVERAGE.md
+    // fixture-coupling caveat). q27–q29, q33, q35 were rebuilt in round 5 on
+    // cross-engine-exact constructions and carry full oracles too.
     "q26_minhash_lsh"       -> Dedup.minhashLsh _,
     "q27_simhash_pairs"     -> Dedup.simhashPairs _,
     "q28_ann_lsh"           -> Similarity.annLsh _,
@@ -108,6 +107,8 @@ object SparkEntry {
     "q76_ingest_neardup"    -> Dedup.ingestNearDup _,
     "q77_modality_audit"    -> Similarity.modalityAudit _,
     "q78_canonical_docs"    -> Dedup.canonicalPerCluster _,
+    "q79_semantic_dedup"    -> ((s, d) => Similarity.semanticDedup(s, d)),
+    "q80_source_quota"      -> ((s, d) => TextOps.sourceQuota(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

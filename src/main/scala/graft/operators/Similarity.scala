@@ -250,6 +250,49 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rnk"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic deduplication of
+    * the embedding corpus. Vectors are bucketed by the SAME integer-exact
+    * coarse quantizer [[ivfAnn]] trains; within each cell, a vector with any
+    * LOWER-id cell-mate at cosine ≥ `tau` is a semantic duplicate and is
+    * dropped — the min-id member of every similar pair survives. One row per
+    * vector: (vec_id, cell, kept).
+    *
+    * Documented divergence from the paper: the paper scans each cluster
+    * sequentially (order-dependent greedy); the min-id rule is the
+    * deterministic, fully parallel variant — a vector's fate depends only on
+    * its own cell's smaller-id members, so the pass is one cell-bounded
+    * semi-join, no iteration. Recall loss across cell boundaries is inherent
+    * to SemDeDup (the paper accepts it for the k-fold pair-space cut).
+    *
+    * Scale: pairwise work is quadratic only WITHIN a cell (E[|cell|] = n/k;
+    * raise k ∝ √n at 100 TB exactly as an IVF index would) and cells process
+    * independently after one shuffle on cell id. Training stays the bounded
+    * driver-side sample build step shared with [[ivfAnn]]. */
+  def semanticDedup(spark: SparkSession, dir: String, k: Int = 16, tau: Double = 0.4): DataFrame = {
+    val e = emb(spark, dir)
+    val sample = e.filter(col("vec_id") < 1024).orderBy("vec_id")
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    val centroids = trainCentroids(sample, k, iters = 5)
+    val assignU = udf((v: Seq[Float]) => nearestCentroids(v, centroids, 1).head)
+    // one assignment scan feeds both self-join sides and the final projection
+    val assigned = e
+      .select(col("vec_id"), col("embedding"), normFastCol(col("embedding")).as("nrm"),
+        assignU(col("embedding")).as("cell"))
+      .persist()
+    val a = assigned.select(col("cell"), col("vec_id").as("ua"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = assigned.select(col("cell"), col("vec_id").as("ub"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("ua") < col("ub"))
+      .filter(dotFastCol(col("ea"), col("eb")) / (col("na") * col("nb")) >= tau)
+      .select(col("ub").as("vec_id")).distinct()
+    assigned
+      .join(dropped.withColumn("is_dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        not(coalesce(col("is_dup"), lit(false))).as("kept"))
+  }
+
   /** Approximate top-3 neighbors via random-hyperplane LSH with multi-probe:
     * the corpus is bucketed by a 4-bit signature; each query probes its own
     * bucket plus the 4 hamming-1 buckets, and exact cosine re-ranks within the

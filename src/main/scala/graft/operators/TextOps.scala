@@ -524,6 +524,29 @@ object TextOps {
         min(col("doc_id")).as("example_doc_id"))
       .filter(col("n_docs") >= minDocs)
 
+  /** Per-source quota by quality (the per-domain cap of Common-Crawl-derived
+    * corpora — no single domain may dominate the mix): rank each source's
+    * docs quality-first — accept-band docs (30–400 tokens, stop_ratio ≤ 0.5,
+    * the [[qualityScore]] band) ahead of the rest, longer first, id tiebreak
+    * — and keep the top `cap`. One shuffle on source + a per-group window.
+    * At 100 TB the window swaps for the k-bounded
+    * [[graft.functions.Aggregators.topK]] partial agg exactly as q14 does
+    * (same output, O(sources·cap·mappers) shuffled instead of O(rows)). */
+  def sourceQuota(spark: SparkSession, dir: String, cap: Int = 15): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source")
+      .orderBy(col("good").desc, col("token_ct").desc, col("doc_id"))
+    docs(spark, dir)
+      .withColumn("toks", tokensCol(col("text")))
+      .withColumn("token_ct", size(col("toks")))
+      .withColumn("good",
+        col("token_ct").between(30, 400) && stopwordRatioFromToks(col("toks")) <= lit(0.5))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= cap)
+      .select(col("doc_id"), col("source"), col("token_ct").cast("long").as("token_ct"),
+        col("rnk"))
+  }
+
   /** Token-budget mixture sampling (Pile/DoReMi-style data mixing): every
     * source gets the same token budget; docs are drawn in md5(doc_id)-rank
     * order (the engine/run/layout-stable draw of [[hashSample]] /

@@ -49,6 +49,35 @@ class DedupSimilaritySpec extends SparkSuite {
     }
   }
 
+  test("semanticDedup: min-id rule exactly matches a driver-side recomputation") {
+    val out = Similarity.semanticDedup(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+    val emb = graft.Tables.load(spark, sf001, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    assert(out.length == emb.size, "one row per vector — the output is a partition of the corpus")
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val dropped = out.filterNot(_._3).map(_._1).toSet
+    assert(dropped.nonEmpty, "fixture should contain semantic duplicates")
+    // per cell: a vector is dropped iff SOME smaller-id cell-mate is >= tau —
+    // so no kept pair above tau survives within a cell, and every drop is
+    // justified by a real above-threshold mate (not just bucket noise)
+    out.groupBy(_._2).foreach { case (_, members) =>
+      val ids = members.map(_._1).sorted
+      ids.foreach { v =>
+        val hasSmallerMate = ids.exists(u => u < v && cos(emb(u), emb(v)) >= 0.4)
+        assert(hasSmallerMate == dropped.contains(v),
+          s"vec $v: kept/dropped inconsistent with the min-id rule")
+      }
+    }
+  }
+
   test("exact dedup groups by full-content fingerprint") {
     val d = Dedup.exact(spark, sf001)
     val total = d.agg(sum("dup_ct")).collect().head.getLong(0)

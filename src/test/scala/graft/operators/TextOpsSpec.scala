@@ -168,6 +168,38 @@ class TextOpsSpec extends SparkSuite {
       s"chunking is per-row explode only, no shuffle:\n$chunks")
   }
 
+  test("sourceQuota: caps every source, prefers accept-band docs, ranks densely") {
+    import spark.implicits._
+    val cap = 15
+    val out = TextOps.sourceQuota(spark, sf001, cap)
+      .select("source", "doc_id", "token_ct", "rnk")
+      .as[(String, Long, Long, Int)].collect()
+    val bySrc = out.groupBy(_._1)
+    assert(bySrc.nonEmpty)
+    // every source emits at most cap docs with ranks exactly 1..n
+    bySrc.foreach { case (src, rows) =>
+      assert(rows.length <= cap, s"$src over cap")
+      assert(rows.map(_._4).sorted.toSeq == (1 to rows.length), s"$src ranks not dense")
+    }
+    // the cap bites on this fixture (25 docs/source at sf0.01)
+    assert(bySrc.values.exists(_.length == cap), "fixture should have a source at the cap")
+    // quality preference: no kept non-accept-band doc may displace an unkept
+    // accept-band doc of the same source
+    val all = graft.Tables.load(spark, sf001, "documents")
+      .withColumn("toks", graft.functions.TextFns.tokensCol(col("text")))
+      .withColumn("token_ct", size(col("toks")))
+      .withColumn("good", col("token_ct").between(30, 400) &&
+        graft.functions.TextFns.stopwordRatioFromToks(col("toks")) <= lit(0.5))
+      .select(col("source"), col("doc_id"), col("good"))
+      .as[(String, Long, Boolean)].collect()
+    val keptIds = out.map(r => (r._1, r._2)).toSet
+    all.groupBy(_._1).foreach { case (src, ds) =>
+      val unkeptGood = ds.exists(d => d._3 && !keptIds((src, d._2)))
+      val keptBad = ds.exists(d => !d._3 && keptIds((src, d._2)))
+      assert(!(unkeptGood && keptBad), s"$src: a non-band doc displaced a band doc")
+    }
+  }
+
   test("mixtureSample: every source stays within budget and is maximal") {
     import spark.implicits._
     val budget = 1000L
