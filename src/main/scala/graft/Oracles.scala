@@ -122,6 +122,32 @@ object Oracles {
 
     "q79_semantic_dedup" -> semanticDedupSql,
 
+    // BM25 with the two documented divergences (raw Robertson idf ratio, not
+    // ln — monotone; per-term floor(x·2²⁰) quantization before the sum) so
+    // every arithmetic step is a deterministic IEEE +,*,/ in identical order.
+    "q81_bm25_search" ->
+      """WITH qt(query, term) AS (VALUES ('q1','spark'),('q1','join'),
+        |  ('q2','table'),('q2','scan'),('q3','window'),('q3','agg')),
+        |tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |  FROM documents),
+        |dl AS (SELECT doc_id, cast(len(regexp_extract_all(lower(text), '[a-z0-9]+')) as bigint) AS dl
+        |  FROM documents),
+        |stats AS (SELECT count(*) AS n, cast(sum(dl) as bigint) AS tot FROM dl),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2),
+        |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |c AS (SELECT q.query, f.doc_id,
+        |    cast(floor(
+        |      (cast(2*(s.n - d.df) + 1 as double) / cast(2*d.df + 1 as double)) *
+        |      ((f.tf * 2.2) / (f.tf + 1.2 * (0.25 + 0.75 * (l.dl / (cast(s.tot as double) / s.n))))) *
+        |      1048576) as bigint) AS cs
+        |  FROM qt q JOIN tf f USING (term) JOIN dft d USING (term)
+        |  JOIN dl l ON l.doc_id = f.doc_id CROSS JOIN stats s),
+        |sc AS (SELECT query, doc_id, cast(sum(cs) as bigint) AS score_q FROM c GROUP BY 1, 2),
+        |r AS (SELECT query, doc_id, score_q,
+        |  row_number() OVER (PARTITION BY query ORDER BY score_q DESC, doc_id) AS rnk FROM sc)
+        |SELECT query, doc_id, score_q, cast(rnk as int) AS rnk FROM r WHERE rnk <= 10""".stripMargin,
+
     "q80_source_quota" ->
       """WITH t AS (SELECT doc_id, source,
         |  regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),

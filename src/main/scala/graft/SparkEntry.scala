@@ -109,6 +109,7 @@ object SparkEntry {
     "q78_canonical_docs"    -> Dedup.canonicalPerCluster _,
     "q79_semantic_dedup"    -> ((s, d) => Similarity.semanticDedup(s, d)),
     "q80_source_quota"      -> ((s, d) => TextOps.sourceQuota(s, d)),
+    "q81_bm25_search"       -> ((s, d) => TextOps.bm25Search(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

@@ -524,6 +524,56 @@ object TextOps {
         min(col("doc_id")).as("example_doc_id"))
       .filter(col("n_docs") >= minDocs)
 
+  /** BM25 ranked retrieval over the corpus for a fixed query set — the
+    * retrieval loop a training-data pipeline runs for RAG corpus QA and
+    * recall checks. Standard BM25 shape (k1 = 1.2, b = 0.75) with two
+    * documented cross-engine-exactness divergences:
+    *  - idf is the RAW Robertson ratio (N−df+0.5)/(df+0.5) instead of
+    *    Lucene's ln(1 + ratio) — monotone per term (so single-term ranking
+    *    is identical) and computed as ONE double division of exact integers,
+    *    because ln's last ulp differs between libm implementations and would
+    *    break the oracle hash. TextOpsSpec gates multi-term agreement vs a
+    *    driver-computed ln(1+ratio) reference (10/10 top-10 on the fixture);
+    *  - per-term scores are floor(x·2²⁰)-quantized to longs before the
+    *    cross-term sum, so the addition is commutative integer math with no
+    *    float accumulation order — the q28/q33 trick.
+    * Plan shape: the corpus token scan keeps ONLY query terms before any
+    * shuffle; tf/df/stats and the query set are tiny and broadcast; the
+    * per-(query, doc) agg + top-k window shuffle only matched docs. At
+    * 100 TB this is one corpus scan + small-side broadcasts — no inverted
+    * index needed for a bounded query set (the index path is q64). */
+  def bm25Search(spark: SparkSession, dir: String, topK: Int = 10): DataFrame = {
+    val queryTerms = Seq(
+      "q1" -> "spark", "q1" -> "join",
+      "q2" -> "table", "q2" -> "scan",
+      "q3" -> "window", "q3" -> "agg")
+    val qt = spark.createDataFrame(queryTerms).toDF("query", "term")
+    val terms = queryTerms.map(_._2).distinct
+    val d = docs(spark, dir).withColumn("toks", tokensCol(col("text")))
+    val dl = d.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("tot"))
+    val tf = d.select(col("doc_id"), explode(col("toks")).as("term"))
+      .filter(col("term").isInCollection(terms))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = (lit(2) * (col("n") - col("df")) + lit(1)).cast("double") /
+      (lit(2) * col("df") + lit(1)).cast("double")
+    val avgdl = col("tot").cast("double") / col("n")
+    val tfPart = (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / avgdl)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query").orderBy(col("score_q").desc, col("doc_id"))
+    tf.join(broadcast(qt), "term")
+      .join(broadcast(dft), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("cs", floor(idf * tfPart * lit(1048576)).cast("long"))
+      .groupBy("query", "doc_id").agg(sum(col("cs")).as("score_q"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("query"), col("doc_id"), col("score_q"), col("rnk"))
+  }
+
   /** Per-source quota by quality (the per-domain cap of Common-Crawl-derived
     * corpora — no single domain may dominate the mix): rank each source's
     * docs quality-first — accept-band docs (30–400 tokens, stop_ratio ≤ 0.5,

@@ -168,6 +168,47 @@ class TextOpsSpec extends SparkSuite {
       s"chunking is per-row explode only, no shuffle:\n$chunks")
   }
 
+  test("bm25Search: agrees with a driver-computed Lucene-style BM25 reference") {
+    import spark.implicits._
+    val out = TextOps.bm25Search(spark, sf001)
+      .select("query", "doc_id", "rnk")
+      .as[(String, Long, Int)].collect()
+    val byQ = out.groupBy(_._1)
+    assert(byQ.keySet == Set("q1", "q2", "q3"))
+    byQ.values.foreach(rows =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length), "ranks dense"))
+    // driver-side STANDARD BM25 (Lucene idf = ln(1 + ratio), float sums) —
+    // the raw-ratio engine variant must track it closely despite the
+    // documented idf divergence
+    val docs = graft.Tables.load(spark, sf001, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> "[a-z0-9]+".r.findAllIn(t.toLowerCase).toSeq }
+    val queries = Map(
+      "q1" -> Seq("spark", "join"), "q2" -> Seq("table", "scan"),
+      "q3" -> Seq("window", "agg"))
+    val n = docs.length
+    val avgdl = docs.map(_._2.length).sum.toDouble / n
+    val tf = docs.map { case (id, ts) =>
+      id -> ts.groupBy(identity).map { case (k, v) => k -> v.size } }.toMap
+    val terms = queries.values.flatten.toSet
+    val df = terms.map(t => t -> docs.count(d => tf(d._1).getOrElse(t, 0) > 0)).toMap
+    def ref(id: Long, q: String): Double = queries(q).map { t =>
+      val f = tf(id).getOrElse(t, 0)
+      if (f == 0) 0.0
+      else {
+        val idf = math.log(1.0 + (2.0 * (n - df(t)) + 1) / (2.0 * df(t) + 1))
+        val dl = docs.find(_._1 == id).get._2.length
+        idf * (f * 2.2) / (f + 1.2 * (0.25 + 0.75 * (dl / avgdl)))
+      }
+    }.sum
+    queries.keys.foreach { q =>
+      val refTop = docs.map(_._1).sortBy(id => (-ref(id, q), id)).take(10).toSet
+      val gotTop = byQ(q).map(_._2).toSet
+      val overlap = refTop.intersect(gotTop).size
+      assert(overlap >= 8, s"$q: top-10 overlap $overlap vs ln(1+ratio) reference")
+    }
+  }
+
   test("sourceQuota: caps every source, prefers accept-band docs, ranks densely") {
     import spark.implicits._
     val cap = 15
