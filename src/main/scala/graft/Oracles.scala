@@ -116,7 +116,63 @@ object Oracles {
        |SELECT asg.vec_id, cast(asg.cell as int) AS cell, dup.vec_id IS NULL AS kept
        |FROM asg LEFT JOIN dup ON asg.vec_id = dup.vec_id""".stripMargin
 
+  /** q82's oracle: the PQ pipeline replayed in SQL — 8 per-subspace
+    * integer-exact k-means chains (each the q33 construction restricted to
+    * its 8-dim slice), corpus encoding as per-subspace argmin, per-query
+    * exact integer distance tables, and the ADC sum as a UNION ALL of the
+    * 8 subspace contributions. */
+  private val pqAnnSql: String = {
+    val m = 8; val sub = 8; val ksub = 16; val iters = 5
+    def subCtes(mi: Int): String = {
+      val dlo = mi * sub + 1; val dhi = (mi + 1) * sub
+      val iterCtes = (1 to iters).flatMap { it =>
+        Seq(
+          s"""a${it}_$mi AS (SELECT vec_id, cell FROM (
+             |  SELECT p.vec_id, c.cell,
+             |    row_number() OVER (PARTITION BY p.vec_id
+             |      ORDER BY sum((p.x - c.v)*(p.x - c.v)), c.cell) AS rn
+             |  FROM pts$mi p JOIN c${it - 1}_$mi c USING (d) GROUP BY p.vec_id, c.cell) WHERE rn = 1)""",
+          s"""c${it}_$mi AS (SELECT pc.cell, pc.d,
+             |  CASE WHEN s.n IS NULL THEN pc.v ELSE s.s // s.n END AS v
+             | FROM c${it - 1}_$mi pc LEFT JOIN (
+             |   SELECT a.cell, p.d, sum(p.x) AS s, count(*) AS n
+             |   FROM a${it}_$mi a JOIN pts$mi p USING (vec_id) GROUP BY 1, 2) s
+             |  ON s.cell = pc.cell AND s.d = pc.d)""")
+      }.mkString(",\n")
+      s"""pts$mi AS (SELECT vec_id, idx, ns, d, x FROM pts WHERE d BETWEEN $dlo AND $dhi),
+         |c0_$mi AS (SELECT i.cell, p.d, p.x AS v FROM cells i JOIN pts$mi p ON p.idx = (i.cell * p.ns) // $ksub),
+         |$iterCtes,
+         |enc$mi AS (SELECT vec_id, cell AS code FROM (
+         |  SELECT p.vec_id, c.cell,
+         |    row_number() OVER (PARTITION BY p.vec_id
+         |      ORDER BY sum((p.x - c.v)*(p.x - c.v)), c.cell) AS rn
+         |  FROM ept p JOIN c${iters}_$mi c USING (d) GROUP BY p.vec_id, c.cell) WHERE rn = 1),
+         |qd$mi AS (SELECT p.vec_id AS query_id, c.cell, sum((p.x - c.v)*(p.x - c.v)) AS dist
+         |  FROM ept p JOIN c${iters}_$mi c USING (d) WHERE p.vec_id < 10 GROUP BY 1, 2),
+         |ct$mi AS (SELECT q.query_id, e.vec_id AS neighbor_id, q.dist
+         |  FROM enc$mi e JOIN qd$mi q ON q.cell = e.code)""".stripMargin
+    }
+    s"""WITH samp AS (SELECT vec_id, embedding,
+       |    row_number() OVER (ORDER BY vec_id) - 1 AS idx, count(*) OVER () AS ns
+       |  FROM embeddings WHERE vec_id < 1024),
+       |p0 AS (SELECT vec_id, idx, ns, embedding, unnest(generate_series(1, len(embedding))) AS d FROM samp),
+       |pts AS (SELECT vec_id, idx, ns, d, cast(floor(embedding[d]::DOUBLE * 1048576) as bigint) AS x FROM p0),
+       |cells AS (SELECT unnest(generate_series(0, ${ksub - 1})) AS cell),
+       |e0 AS (SELECT vec_id, embedding, unnest(generate_series(1, len(embedding))) AS d FROM embeddings),
+       |ept AS (SELECT vec_id, d, cast(floor(embedding[d]::DOUBLE * 1048576) as bigint) AS x FROM e0),
+       |${(0 until m).map(subCtes).mkString(",\n")},
+       |ad AS (SELECT query_id, neighbor_id, cast(sum(dist) as bigint) AS adist
+       |  FROM (${(0 until m).map(mi => s"SELECT * FROM ct$mi").mkString(" UNION ALL ")})
+       |  GROUP BY 1, 2),
+       |r AS (SELECT query_id, neighbor_id, adist,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rnk
+       |  FROM ad WHERE query_id <> neighbor_id)
+       |SELECT query_id, neighbor_id, adist, cast(rnk as int) AS rnk FROM r WHERE rnk <= 3""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
+
+    "q82_pq_ann" -> pqAnnSql,
 
     "q33_ivf_ann" -> ivfAnnSql,
 

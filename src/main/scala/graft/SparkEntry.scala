@@ -110,6 +110,7 @@ object SparkEntry {
     "q79_semantic_dedup"    -> ((s, d) => Similarity.semanticDedup(s, d)),
     "q80_source_quota"      -> ((s, d) => TextOps.sourceQuota(s, d)),
     "q81_bm25_search"       -> ((s, d) => TextOps.bm25Search(s, d)),
+    "q82_pq_ann"            -> ((s, d) => Similarity.pqAnn(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

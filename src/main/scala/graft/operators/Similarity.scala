@@ -293,6 +293,77 @@ object Similarity {
         not(coalesce(col("is_dup"), lit(false))).as("kept"))
   }
 
+  /** Product-quantization ANN (Jégou et al. 2011, "Product Quantization for
+    * Nearest Neighbor Search"): each 64-dim vector splits into M=8 8-dim
+    * subvectors, each encoded as its nearest of 16 per-subspace centroids —
+    * 8 codes per vector (vs 256 B float32: a 32× working-set compression,
+    * the memory regime past [[knnQuantized]]'s int8 4×). Search is
+    * asymmetric (ADC): the query stays unquantized; a per-query M×16 table
+    * of exact integer subspace distances is built once, and each corpus
+    * vector's approximate distance is M table lookups summed.
+    *
+    * Integer-exact end to end — the same floor(x·2²⁰) grid and
+    * truncated-integer-mean k-means as [[ivfAnn]], per subspace — so the
+    * WHOLE pipeline (8 quantizer trainings, corpus encoding, ADC ranking)
+    * replays as unrolled SQL in the q82 oracle.
+    *
+    * Scale: training is 8 tiny driver-side k-means over a bounded sample
+    * (the index build step); encoding is one linear corpus scan; search
+    * broadcasts the 10 query tables against the coded corpus with no
+    * shuffle until the per-query top-k. The two bounded collects (sample,
+    * query vectors) are index-build/query-set control plane, not
+    * corpus-sized actions.
+    *
+    * Recall is spec-gated on PLANTED cluster structure (top-3 all from the
+    * query's own cluster): PQ's premise is clusterable data, and on the
+    * uniform random fixture the codebook error swamps the concentrated
+    * neighbor gaps (~0.15 L2-top-3 recall — same documented caveat as
+    * [[annLsh]]; real embedding corpora have low intrinsic dimension). */
+  def pqAnn(spark: SparkSession, dir: String, m: Int = 8, ksub: Int = 16): DataFrame = {
+    val e = emb(spark, dir)
+    val sample = e.filter(col("vec_id") < 1024).orderBy("vec_id")
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    val dim = sample.head.length
+    val sub = dim / m
+    val cent: Array[Array[Array[Long]]] = Array.tabulate(m)(mi =>
+      trainCentroids(sample.map(_.slice(mi * sub, (mi + 1) * sub)), ksub, iters = 5))
+    def subgrid(v: Seq[Float], mi: Int): Array[Long] = {
+      val out = new Array[Long](sub); var i = 0
+      while (i < sub) { out(i) = math.floor(v(mi * sub + i).toDouble * 1048576.0).toLong; i += 1 }
+      out
+    }
+    def d2(a: Array[Long], c: Array[Long]): Long = {
+      var d = 0L; var i = 0
+      while (i < a.length) { val t = a(i) - c(i); d += t * t; i += 1 }; d
+    }
+    val encodeU = udf((v: Seq[Float]) =>
+      (0 until m).map { mi =>
+        val q = subgrid(v, mi)
+        var best = 0; var bestD = Long.MaxValue; var c = 0
+        while (c < ksub) { val d = d2(q, cent(mi)(c)); if (d < bestD) { bestD = d; best = c }; c += 1 }
+        best
+      })
+    val qvecs = e.filter(col("vec_id") < 10).orderBy("vec_id")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1))
+    val tables: Map[Long, Array[Array[Long]]] = qvecs.map { case (id, v) =>
+      id -> Array.tabulate(m, ksub)((mi, c) => d2(subgrid(v, mi), cent(mi)(c)))
+    }.toMap
+    val adcU = udf((qid: Long, code: Seq[Int]) => {
+      val t = tables(qid); var s = 0L; var mi = 0
+      while (mi < m) { s += t(mi)(code(mi)); mi += 1 }; s
+    })
+    val corpus = e.select(col("vec_id").as("neighbor_id"), encodeU(col("embedding")).as("code"))
+    val qdf = spark.createDataFrame(qvecs.map(q => Tuple1(q._1)).toSeq).toDF("query_id")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adist"), col("neighbor_id"))
+    corpus.crossJoin(broadcast(qdf))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adist", adcU(col("query_id"), col("code")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("query_id"), col("neighbor_id"), col("adist"), col("rnk"))
+  }
+
   /** Approximate top-3 neighbors via random-hyperplane LSH with multi-probe:
     * the corpus is bucketed by a 4-bit signature; each query probes its own
     * bucket plus the 4 hamming-1 buckets, and exact cosine re-ranks within the
