@@ -181,6 +181,50 @@ object Oracles {
     // BM25 with the two documented divergences (raw Robertson idf ratio, not
     // ln — monotone; per-term floor(x·2²⁰) quantization before the sum) so
     // every arithmetic step is a deterministic IEEE +,*,/ in identical order.
+    // hashing-trick embedder: same md5-first-8-bytes token hash as q27
+    // (UBIGINT), bucket = h % 64 = low 6 bits, sign = bit 6; dense 64-dim
+    // output (zeros included) via the dims cross join
+    "q83_hash_embed" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS n FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+        |  GROUP BY 1, 2),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h, n FROM tf),
+        |c AS (SELECT doc_id, cast(h % 64 as int) AS d,
+        |    cast(sum(CASE WHEN (h // 64) % 2 = 1 THEN n ELSE -n END) as bigint) AS val
+        |  FROM h GROUP BY 1, 2),
+        |dims AS (SELECT unnest(generate_series(0, 63)) AS d)
+        |SELECT t.doc_id, cast(dims.d as int) AS d, coalesce(c.val, 0) AS val
+        |FROM t CROSS JOIN dims
+        |LEFT JOIN c ON c.doc_id = t.doc_id AND c.d = dims.d""".stripMargin,
+
+    // PageRank over the exact near-dup pair graph (the q26 pair set, LSH
+    // recall 1.0 on this fixture): 5 damped integer-exact rounds, scaled 1e6
+    "q84_neardup_pagerank" -> {
+      val iterCtes = (1 to 5).map { i =>
+        s"""c$i AS (SELECT e.dst AS doc_id, sum((85 * r.pr) // (100 * g.deg)) AS s
+           |  FROM edges e JOIN r${i - 1} r ON r.doc_id = e.src
+           |  JOIN deg g ON g.src = e.src GROUP BY 1),
+           |r$i AS (SELECT n.doc_id, cast(150000 + coalesce(c.s, 0) as bigint) AS pr
+           |  FROM (SELECT src AS doc_id FROM deg) n LEFT JOIN c$i c USING (doc_id))"""
+      }.mkString(",\n")
+      s"""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         |  FROM documents),
+         |s AS (SELECT doc_id, unnest(list_distinct(
+         |   [array_to_string(toks[i:i+2], ' ') FOR i IN generate_series(1, greatest(len(toks) - 2, 0))])) AS sh
+         |  FROM t),
+         |sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY 1),
+         |p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+         |  FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |pairs AS (SELECT da, db FROM p JOIN sz x ON p.da = x.doc_id JOIN sz y ON p.db = y.doc_id
+         |  WHERE cast(inter as double) / (x.n + y.n - inter) >= 0.5),
+         |edges AS (SELECT da AS src, db AS dst FROM pairs UNION ALL SELECT db, da FROM pairs),
+         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+         |r0 AS (SELECT src AS doc_id, cast(1000000 as bigint) AS pr FROM deg),
+         |$iterCtes
+         |SELECT doc_id, pr FROM r5""".stripMargin
+    },
+
     "q81_bm25_search" ->
       """WITH qt(query, term) AS (VALUES ('q1','spark'),('q1','join'),
         |  ('q2','table'),('q2','scan'),('q3','window'),('q3','agg')),

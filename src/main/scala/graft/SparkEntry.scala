@@ -111,6 +111,8 @@ object SparkEntry {
     "q80_source_quota"      -> ((s, d) => TextOps.sourceQuota(s, d)),
     "q81_bm25_search"       -> ((s, d) => TextOps.bm25Search(s, d)),
     "q82_pq_ann"            -> ((s, d) => Similarity.pqAnn(s, d)),
+    "q83_hash_embed"        -> TextOps.hashEmbedDocs _,
+    "q84_neardup_pagerank"  -> ((s, d) => Dedup.pagerankNearDup(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

@@ -381,6 +381,36 @@ object TextFns {
 
   val simhashUdf = udf(simhash _)
 
+  // ---------------- Feature-hashing embedder ----------------
+
+  /** 64-dim feature-hashing text embedder (the hashing trick, Weinberger et
+    * al., ICML'09): each distinct term's md5-derived 64-bit hash picks a
+    * bucket (low 6 bits) and a ±1 sign (bit 6), and the bucket accumulates
+    * sign·tf — a deterministic, vocabulary-free featurization whose output
+    * feeds the vector suite (kNN / SemDeDup / PQ) when no learned embeddings
+    * exist yet. Same cross-engine hash derivation as [[simhash]]
+    * (`('0x'||substr(md5(t),1,16))::UBIGINT`; bucket `h % 64`, sign
+    * `(h // 64) % 2`), all-integer accumulation — fully oracle-able. md5
+    * runs once per distinct term. */
+  def hashEmbed(tokens: Seq[String]): Array[Long] = {
+    val out = new Array[Long](64)
+    val tf = scala.collection.mutable.HashMap.empty[String, Long]
+    tokens.foreach(t => tf.update(t, tf.getOrElse(t, 0L) + 1L))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    tf.foreach { case (tok, n) =>
+      md.reset()
+      val d = md.digest(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var h = 0L
+      var i = 0
+      while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+      val b = (h & 63L).toInt
+      if (((h >>> 6) & 1L) == 1L) out(b) += n else out(b) -= n
+    }
+    out
+  }
+
+  val hashEmbedUdf = udf(hashEmbed _)
+
   // ---------------- Winnowing fingerprints ----------------
 
   /** Gram-hash constants for [[winnow]]: polynomial hash mod a prime kept

@@ -383,4 +383,37 @@ object Dedup {
       .filter(col("jac") >= 0.5)
       .select(col("store_doc_id"), col("batch_doc_id"), col("jac"))
   }
+
+  /** PageRank over the near-dup pair graph — centrality scoring of the
+    * duplicate neighborhoods: a page many near-copies point at (the hub of a
+    * mirror farm, the original behind a re-crawl cloud) accumulates rank,
+    * which is the evidence a canonical-selection or crawler-priority pass
+    * wants alongside [[canonicalPerCluster]]'s length heuristic.
+    *
+    * Integer-exact power iteration (5 damped rounds, d = 0.85): ranks are
+    * scaled ×10⁶, each contribution is `(85·pr) div (100·deg)` — Java long
+    * division ≡ DuckDB `//` on non-negatives — so the whole iteration
+    * replays as unrolled SQL and the driver hash-compares exactly.
+    *
+    * Scale: the edge set is LSH-bounded (near-dup pairs only, never
+    * all-pairs); edges+degrees persist once and each round is ONE shuffle
+    * (contribution groupBy dst). Five rounds keep the lineage bounded; a
+    * longer run would cut the plan per round exactly as [[clusters]] does. */
+  def pagerankNearDup(spark: SparkSession, dir: String, iters: Int = 5): DataFrame = {
+    val pairs = minhashLsh(spark, dir).select(col("da"), col("db"))
+    val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
+      .union(pairs.select(col("db").as("src"), col("da").as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val withDeg = edges.join(deg, "src").persist()
+    var r = deg.select(col("src").as("doc_id"), lit(1000000L).as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = withDeg.join(r, withDeg("src") === r("doc_id"))
+        .select(col("dst"), expr("(85 * pr) div (100 * deg)").as("share"))
+        .groupBy("dst").agg(sum(col("share")).as("s"))
+      r = deg.select(col("src").as("doc_id"))
+        .join(contrib.withColumnRenamed("dst", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), (lit(150000L) + coalesce(col("s"), lit(0L))).as("pr"))
+    }
+    r
+  }
 }

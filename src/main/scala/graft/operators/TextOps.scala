@@ -524,6 +524,21 @@ object TextOps {
         min(col("doc_id")).as("example_doc_id"))
       .filter(col("n_docs") >= minDocs)
 
+  /** Feature-hashing document embeddings (the hashing trick, Weinberger et
+    * al., ICML'09): every doc becomes a 64-dim integer vector with no
+    * vocabulary, no training, no shuffle — one linear scan with the
+    * [[graft.functions.TextFns.hashEmbed]] kernel (md5 once per distinct
+    * term), then posexplode to (doc_id, d, val) rows so the driver can
+    * hash-compare exactly. This is the bootstrap featurizer that lets the
+    * vector suite (kNN / SemDeDup / PQ) run on a raw text corpus before any
+    * learned embeddings exist. Emitting all 64 dims (zeros included) keeps
+    * the output a dense matrix — partition-count × 64 rows per partition,
+    * still a pure map stage. */
+  def hashEmbedDocs(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), posexplode(hashEmbedUdf(tokensCol(col("text")))))
+      .select(col("doc_id"), col("pos").cast("int").as("d"), col("col").as("val"))
+
   /** BM25 ranked retrieval over the corpus for a fixed query set — the
     * retrieval loop a training-data pipeline runs for RAG corpus QA and
     * recall checks. Standard BM25 shape (k1 = 1.2, b = 0.75) with two

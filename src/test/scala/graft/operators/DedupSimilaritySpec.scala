@@ -49,6 +49,62 @@ class DedupSimilaritySpec extends SparkSuite {
     }
   }
 
+  test("hashEmbedDocs: embeddings separate near-dup pairs from random pairs") {
+    import spark.implicits._
+    val vecs = TextOps.hashEmbedDocs(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1)
+      .map { case (id, rows) =>
+        val v = new Array[Long](64); rows.foreach(r => v(r._2) = r._3); id -> v
+      }
+    // dense 64-dim output for every doc
+    val nDocs = graft.Tables.load(spark, sf001, "documents").count()
+    assert(vecs.size == nDocs)
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < 64) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      if (na == 0 || nb == 0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val nearDup = Dedup.minhashLsh(spark, sf001)
+      .select("da", "db").as[(Long, Long)].collect()
+    assert(nearDup.nonEmpty)
+    val dupCos = nearDup.map { case (a, b) => cos(vecs(a), vecs(b)) }
+    val ids = vecs.keys.toArray.sorted
+    val dupSet = nearDup.toSet
+    val randCos = (for {
+      i <- 0 until 200
+      a = ids(i % ids.length); b = ids((i * 7 + 13) % ids.length)
+      if a < b && !dupSet((a, b))
+    } yield cos(vecs(a), vecs(b)))
+    // token-overlap signal must survive the 64-dim projection: near-dup
+    // pairs (shingle-Jaccard >= 0.5) sit far above random pairs
+    val dupMean = dupCos.sum / dupCos.length
+    val randMean = randCos.sum / randCos.length
+    assert(dupMean > randMean + 0.1,
+      s"hash-embed cosine: near-dup mean $dupMean vs random mean $randMean")
+  }
+
+  test("pagerankNearDup: mass conserved, isolated pairs at the fixed point") {
+    import spark.implicits._
+    val pr = Dedup.pagerankNearDup(spark, sf001).as[(Long, Long)].collect().toMap
+    assert(pr.nonEmpty)
+    // every rank >= the damping base; total mass within truncation loss of n*1e6
+    assert(pr.values.forall(_ >= 150000L))
+    val n = pr.size
+    assert(pr.values.sum <= n * 1000000L)
+    assert(pr.values.sum >= (n * 1000000L * 95L) / 100L, "lost >5% mass to truncation")
+    // a node whose only neighbor has degree 1 too (isolated mutual pair) is
+    // exactly at the 1e6 fixed point: share = (85e6)//(100) = 850000,
+    // next = 150000 + 850000
+    val edges = Dedup.minhashLsh(spark, sf001).select("da", "db").as[(Long, Long)].collect()
+      .flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    adj.foreach { case (v, ns) =>
+      if (ns.size == 1 && adj(ns.head) == Set(v))
+        assert(pr(v) == 1000000L, s"isolated pair node $v not at fixed point: ${pr(v)}")
+    }
+  }
+
   test("pqAnn: recalls planted-cluster neighbors where PQ's premise holds") {
     import spark.implicits._
     // PQ's contract is clusterable data; on the uniform random fixture the
