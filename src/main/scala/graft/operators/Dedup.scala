@@ -403,7 +403,11 @@ object Dedup {
     val pairs = minhashLsh(spark, dir).select(col("da"), col("db"))
     val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
       .union(pairs.select(col("db").as("src"), col("da").as("dst")))
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    // persist BOTH static relations: deg feeds r0 and every round's node
+    // frame, withDeg every round's contribution join — without the caches
+    // each of the 5 rounds re-derives the whole LSH banding pipeline and the
+    // final plan grows to ~500 nodes (observed before this fix)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).persist()
     val withDeg = edges.join(deg, "src").persist()
     var r = deg.select(col("src").as("doc_id"), lit(1000000L).as("pr"))
     for (_ <- 1 to iters) {
