@@ -98,6 +98,25 @@ object Oracles {
        |SELECT query_id, neighbor_id, cast(rnk as int) AS rnk FROM s WHERE rnk <= 3""".stripMargin
   }
 
+  /** q85's oracle: incremental semantic admission — the q79 cell assignment
+    * + the q74/q76 store split (vec_id < max/3), cross-set pairs only, with
+    * the explicit double-cosine composition. */
+  private val ingestSemanticSql: String =
+    s"""WITH ${ivfRankCtes(k = 16, iters = 5)},
+       |asg AS (SELECT vec_id, cell FROM rank_all WHERE rn = 1),
+       |wm AS (SELECT max(vec_id) // 3 AS wm FROM embeddings),
+       |ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+       |SELECT a.vec_id AS store_vec_id, b.vec_id AS batch_vec_id,
+       |  list_inner_product(ea.v, eb.v) /
+       |    (sqrt(list_inner_product(ea.v, ea.v)) * sqrt(list_inner_product(eb.v, eb.v))) AS cos
+       |FROM asg a JOIN asg b ON a.cell = b.cell
+       |CROSS JOIN wm
+       |JOIN ev ea ON ea.vec_id = a.vec_id
+       |JOIN ev eb ON eb.vec_id = b.vec_id
+       |WHERE a.vec_id < wm.wm AND b.vec_id >= wm.wm
+       |  AND list_inner_product(ea.v, eb.v) /
+       |    (sqrt(list_inner_product(ea.v, ea.v)) * sqrt(list_inner_product(eb.v, eb.v))) >= 0.4""".stripMargin
+
   /** q79's oracle: SemDeDup replayed in SQL — the same integer-exact cell
     * assignment as q33, then within each cell every vector with a LOWER-id
     * cell-mate at cosine ≥ 0.4 is a semantic duplicate. Cosine is the explicit
@@ -178,6 +197,8 @@ object Oracles {
 
     "q79_semantic_dedup" -> semanticDedupSql,
 
+    "q85_ingest_semdedup" -> ingestSemanticSql,
+
     // BM25 with the two documented divergences (raw Robertson idf ratio, not
     // ln — monotone; per-term floor(x·2²⁰) quantization before the sum) so
     // every arithmetic step is a deterministic IEEE +,*,/ in identical order.
@@ -247,6 +268,18 @@ object Oracles {
         |r AS (SELECT query, doc_id, score_q,
         |  row_number() OVER (PARTITION BY query ORDER BY score_q DESC, doc_id) AS rnk FROM sc)
         |SELECT query, doc_id, score_q, cast(rnk as int) AS rnk FROM r WHERE rnk <= 10""".stripMargin,
+
+    // skew profiler: top-10 heavy hitters of the events join key with exact
+    // share/skew math (one double division / multiplication of exact longs)
+    "q86_skew_profile" ->
+      """WITH c AS (SELECT user_id, count(*) AS ct FROM events GROUP BY 1),
+        |s AS (SELECT cast(sum(ct) as bigint) AS total, count(*) AS n_keys FROM c),
+        |top AS (SELECT user_id, ct FROM c ORDER BY ct DESC, user_id LIMIT 10)
+        |SELECT user_id, cast(ct as bigint) AS ct,
+        |  cast(ct as double) / total AS share,
+        |  (cast(ct as double) / total) * n_keys AS skew_x,
+        |  cast(row_number() OVER (ORDER BY ct DESC, user_id) as int) AS rnk
+        |FROM top CROSS JOIN s""".stripMargin,
 
     "q80_source_quota" ->
       """WITH t AS (SELECT doc_id, source,

@@ -113,6 +113,8 @@ object SparkEntry {
     "q82_pq_ann"            -> ((s, d) => Similarity.pqAnn(s, d)),
     "q83_hash_embed"        -> TextOps.hashEmbedDocs _,
     "q84_neardup_pagerank"  -> ((s, d) => Dedup.pagerankNearDup(s, d)),
+    "q85_ingest_semdedup"   -> ((s, d) => Similarity.ingestSemanticDedup(s, d)),
+    "q86_skew_profile"      -> ((s, d) => Relational.skewProfile(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

@@ -555,6 +555,31 @@ object Relational {
       .select(col("user_id"), col("purchase_id"), col("asof_view_id"))
   }
 
+  /** Join-key skew profiler — the DIAGNOSTIC that motivates the q31/q53
+    * salting mitigations: per-key frequency profile of a prospective
+    * shuffle/join key, reporting the top heavy hitters with their corpus
+    * share and a skew factor (share × distinct-key count; 1.0 = perfectly
+    * uniform). At 100 TB you run this before choosing a join strategy —
+    * a key with skew_x ≫ 1 gets salted or AQE-skew-split.
+    *
+    * Scale shape: one partial-agg shuffle on the key, then
+    * TakeOrderedAndProject for the top-k (never a global single-partition
+    * window over all keys) and a single-row stats broadcast. Share/skew are
+    * one double division/multiplication of exact longs — deterministic. */
+  def skewProfile(spark: SparkSession, dir: String, topK: Int = 10): DataFrame = {
+    val counts = t(spark, dir, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("ct"))
+    val tot = counts.agg(sum(col("ct")).as("total"), count(lit(1)).as("n_keys"))
+    val top = counts.orderBy(col("ct").desc, col("user_id")).limit(topK)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("ct").desc, col("user_id"))
+    top.crossJoin(broadcast(tot))
+      .withColumn("share", col("ct").cast("double") / col("total"))
+      .withColumn("skew_x", col("share") * col("n_keys"))
+      .withColumn("rnk", row_number().over(w))
+      .select(col("user_id"), col("ct"), col("share"), col("skew_x"), col("rnk"))
+  }
+
   /** ProvinceStats (A25): per-nation order_count = exact count(distinct) + sum. */
   def provinceStats(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders")

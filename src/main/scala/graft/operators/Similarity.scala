@@ -208,7 +208,7 @@ object Similarity {
     centroids
   }
 
-  private def nearestCentroids(v: Seq[Float], centroids: Array[Array[Long]], n: Int): Seq[Int] = {
+  private[graft] def nearestCentroids(v: Seq[Float], centroids: Array[Array[Long]], n: Int): Seq[Int] = {
     val q = qgrid(v)
     centroids.indices.sortBy { c =>
       var d = 0L; var i = 0
@@ -291,6 +291,40 @@ object Similarity {
       .join(dropped.withColumn("is_dup", lit(true)), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"),
         not(coalesce(col("is_dup"), lit(false))).as("kept"))
+  }
+
+  /** Incremental SEMANTIC admission — the vector twin of
+    * [[graft.operators.Dedup.ingestNearDup]]: a newly embedded batch vector
+    * (vec_id ≥ max/3, matching the q74/q76 store split) is rejected when the
+    * historical store holds a same-cell vector at cosine ≥ `tau`. Cross-set
+    * only: store×batch cell collisions — never store×store or batch×batch —
+    * so the daily admission cost is |batch|-proportional, not corpus². Emits
+    * the rejection evidence (store_vec_id, batch_vec_id, cos); admitted
+    * batch = anti-join on this. Cells come from the SAME integer-exact
+    * coarse quantizer as [[semanticDedup]]/[[ivfAnn]] (one training, one
+    * assignment scan, persisted). */
+  def ingestSemanticDedup(spark: SparkSession, dir: String, k: Int = 16,
+                          tau: Double = 0.4): DataFrame = {
+    val e = emb(spark, dir)
+    val sample = e.filter(col("vec_id") < 1024).orderBy("vec_id")
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    val centroids = trainCentroids(sample, k, iters = 5)
+    val assignU = udf((v: Seq[Float]) => nearestCentroids(v, centroids, 1).head)
+    val wm = e.agg(expr("max(vec_id) div 3").as("wm"))
+    val assigned = e.crossJoin(broadcast(wm))
+      .select(col("vec_id"), col("wm"), col("embedding"),
+        normFastCol(col("embedding")).as("nrm"), assignU(col("embedding")).as("cell"))
+      .persist()
+    val store = assigned.filter(col("vec_id") < col("wm"))
+      .select(col("cell"), col("vec_id").as("store_vec_id"),
+        col("embedding").as("ea"), col("nrm").as("na"))
+    val batch = assigned.filter(col("vec_id") >= col("wm"))
+      .select(col("cell"), col("vec_id").as("batch_vec_id"),
+        col("embedding").as("eb"), col("nrm").as("nb"))
+    store.join(batch, Seq("cell"))
+      .withColumn("cos", dotFastCol(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= tau)
+      .select(col("store_vec_id"), col("batch_vec_id"), col("cos"))
   }
 
   /** Product-quantization ANN (Jégou et al. 2011, "Product Quantization for

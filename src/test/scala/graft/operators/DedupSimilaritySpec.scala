@@ -105,6 +105,41 @@ class DedupSimilaritySpec extends SparkSuite {
     }
   }
 
+  test("ingestSemanticDedup: cross-set only, every rejection justified, none missed") {
+    import spark.implicits._
+    val out = Similarity.ingestSemanticDedup(spark, sf001)
+      .as[(Long, Long, Double)].collect()
+    assert(out.nonEmpty, "fixture should reject at least one batch vector")
+    val emb = graft.Tables.load(spark, sf001, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val wm = emb.map(_._1).max / 3
+    out.foreach { case (s, b, c) =>
+      assert(s < wm && b >= wm, s"pair ($s,$b) violates the store/batch split")
+      assert(c >= 0.4)
+    }
+    // completeness: recompute the cell assignment with the public quantizer
+    // API and brute-force every same-cell cross-set pair
+    val sample = emb.filter(_._1 < 1024).sortBy(_._1).map(_._2)
+    val cent = Similarity.trainCentroids(sample, k = 16, iters = 5)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val cellOf = emb.map { case (id, v) =>
+      id -> Similarity.nearestCentroids(v.toSeq, cent, 1).head }.toMap
+    val expected = (for {
+      (sid, sv) <- emb; if sid < wm
+      (bid, bv) <- emb; if bid >= wm
+      if cellOf(sid) == cellOf(bid) && cos(sv, bv) >= 0.4
+    } yield (sid, bid)).toSet
+    assert(out.map(p => (p._1, p._2)).toSet == expected,
+      "emitted rejections must be exactly the same-cell cross-set pairs >= tau")
+  }
+
   test("pqAnn: recalls planted-cluster neighbors where PQ's premise holds") {
     import spark.implicits._
     // PQ's contract is clusterable data; on the uniform random fixture the

@@ -77,4 +77,24 @@ class RelationalSpec extends SparkSuite {
     val missing = graft.SparkEntry.oracleSql.keySet -- graft.SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle entries without a query: $missing")
   }
+
+  test("skewProfile: top-10 heavy hitters with exact shares, ranked densely") {
+    import spark.implicits._
+    val out = Relational.skewProfile(spark, sf001)
+      .as[(Long, Long, Double, Double, Int)].collect()
+    assert(out.length == 10)
+    assert(out.map(_._5).sorted.toSeq == (1 to 10), "ranks dense")
+    val byRank = out.sortBy(_._5)
+    assert(byRank.map(_._2).toSeq == byRank.map(_._2).sorted.reverse.toSeq, "counts descend")
+    assert(out.map(_._3).sum <= 1.0)
+    // cross-check the heavy hitters against a driver recount
+    val counts = graft.Tables.load(spark, sf001, "events")
+      .select("user_id").as[Long].collect()
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val expectTop = counts.toSeq.sortBy { case (k, c) => (-c, k) }.take(10)
+    assert(byRank.map(r => (r._1, r._2)).toSeq == expectTop,
+      "reported heavy hitters must match a driver recount")
+    val nKeys = counts.size
+    byRank.foreach(r => assert(r._4 == r._3 * nKeys, "skew_x = share * n_keys"))
+  }
 }
