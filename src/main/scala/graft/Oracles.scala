@@ -199,6 +199,21 @@ object Oracles {
 
     "q85_ingest_semdedup" -> ingestSemanticSql,
 
+    // JL sparse sign projection: the q28 plane-sign derivation (md5 of
+    // "p_d", d 0-based) over the 2^20 integer grid — exact integer sums
+    "q87_random_project" ->
+      """WITH e0 AS (SELECT vec_id, embedding, unnest(generate_series(1, len(embedding))) AS d
+        |  FROM embeddings),
+        |q AS (SELECT vec_id, d, cast(floor(embedding[d]::DOUBLE * 1048576) as bigint) AS x FROM e0),
+        |dims AS (SELECT unnest(generate_series(0, 15)) AS j),
+        |ds AS (SELECT DISTINCT d FROM q),
+        |sgn AS (SELECT j, d,
+        |    CASE WHEN ('0x' || substr(md5(j || '_' || (d - 1)), 1, 2))::INT & 1 = 1
+        |      THEN 1 ELSE -1 END AS s
+        |  FROM dims CROSS JOIN ds)
+        |SELECT q.vec_id, cast(sgn.j as int) AS j, cast(sum(sgn.s * q.x) as bigint) AS val
+        |FROM q JOIN sgn USING (d) GROUP BY 1, 2""".stripMargin,
+
     // BM25 with the two documented divergences (raw Robertson idf ratio, not
     // ln — monotone; per-term floor(x·2²⁰) quantization before the sum) so
     // every arithmetic step is a deterministic IEEE +,*,/ in identical order.

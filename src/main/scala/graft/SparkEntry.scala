@@ -115,6 +115,7 @@ object SparkEntry {
     "q84_neardup_pagerank"  -> ((s, d) => Dedup.pagerankNearDup(s, d)),
     "q85_ingest_semdedup"   -> ((s, d) => Similarity.ingestSemanticDedup(s, d)),
     "q86_skew_profile"      -> ((s, d) => Relational.skewProfile(s, d)),
+    "q87_random_project"    -> ((s, d) => Similarity.randomProject(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

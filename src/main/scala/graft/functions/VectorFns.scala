@@ -82,4 +82,30 @@ object VectorFns {
   }
 
   def hyperplaneSigUdf(nPlanes: Int) = udf((v: Seq[Float]) => hyperplaneSig(v, nPlanes))
+
+  /** Sparse ±1 random projection coordinates (Achlioptas 2003): the RAW
+    * integer dots behind [[hyperplaneSig]] — proj(p) = Σ_d sign(p,d) ·
+    * floor(v_d·2²⁰), same memoized md5-derived plane matrix, exact integer
+    * sums (no float accumulation order — any engine replays them). The JL
+    * dimensionality-reduction step: 64-dim float → `nPlanes` integer
+    * coordinates. */
+  def projectPlanes(v: Seq[Float], nPlanes: Int): Array[Long] = {
+    val planes = hyperplanePlanes(nPlanes, v.length)
+    val out = new Array[Long](nPlanes)
+    var p = 0
+    while (p < nPlanes) {
+      val plane = planes(p)
+      var dot = 0L
+      var d = 0
+      while (d < plane.length) {
+        dot += math.floor(v(d).toDouble * 1048576.0).toLong * plane(d)
+        d += 1
+      }
+      out(p) = dot
+      p += 1
+    }
+    out
+  }
+
+  def projectPlanesUdf(nPlanes: Int) = udf((v: Seq[Float]) => projectPlanes(v, nPlanes))
 }

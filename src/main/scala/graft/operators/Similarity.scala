@@ -327,6 +327,51 @@ object Similarity {
       .select(col("store_vec_id"), col("batch_vec_id"), col("cos"))
   }
 
+  /** Johnson–Lindenstrauss dimensionality reduction via sparse ±1 random
+    * projection (Achlioptas 2003): 64-dim float embeddings → 16 integer
+    * coordinates, proj(j) = Σ_d sign(j,d)·floor(v_d·2²⁰), with the SAME
+    * memoized md5-derived plane matrix as the q28 LSH (so the oracle
+    * re-derives every sign). The cheap pre-step that lets downstream
+    * clustering/kNN run at 4× less memory and compute; one map-side pass,
+    * zero shuffles (posexplode to (vec_id, j, val) rows only so the driver
+    * can hash-compare a scalar schema). */
+  def randomProject(spark: SparkSession, dir: String, outDim: Int = 16): DataFrame =
+    emb(spark, dir)
+      .select(col("vec_id"), posexplode(projectPlanesUdf(outDim)(col("embedding"))))
+      .select(col("vec_id"), col("pos").cast("int").as("j"), col("col").as("val"))
+
+  /** Streaming twin of [[ingestSemanticDedup]]: a STREAM of new vectors
+    * admitted against a static historical store. Per micro-batch:
+    * `dropDuplicates(vec_id)` state absorbs exact re-sends across batches,
+    * then a stream-static LEFT ANTI join on (same cell AND cosine ≥ tau)
+    * drops semantic duplicates of the store. The store is static within a
+    * run (the daily-compaction model [[graft.operators.Dedup.streamingIngest]]
+    * documents): vectors admitted in-flight do NOT extend it mid-run —
+    * cross-batch semantic state would need the store re-broadcast per batch,
+    * which is the next compaction cycle's job, not the stream's.
+    * The quantizer (trained once, closure-shipped) assigns cells on both
+    * sides, so the anti-join's equi-key bounds the cosine work per batch
+    * row to its own cell's store slice. */
+  def streamingSemanticAdmission(stream: DataFrame, store: DataFrame,
+                                 centroids: Array[Array[Long]],
+                                 tau: Double = 0.4): DataFrame = {
+    VectorExpressions.register(stream.sparkSession)
+    val assignU = udf((v: Seq[Float]) => nearestCentroids(v, centroids, 1).head)
+    val s = stream
+      .withColumn("cell", assignU(col("embedding")))
+      .withColumn("nrm", normFastCol(col("embedding")))
+      .dropDuplicates("vec_id")
+    val st = store
+      .select(col("embedding").as("se"))
+      .withColumn("scell", assignU(col("se")))
+      .withColumn("sn", normFastCol(col("se")))
+    s.join(st,
+      col("cell") === col("scell") &&
+        dotFastCol(col("embedding"), col("se")) / (col("nrm") * col("sn")) >= tau,
+      "left_anti")
+      .select(col("vec_id"), col("cell"))
+  }
+
   /** Product-quantization ANN (Jégou et al. 2011, "Product Quantization for
     * Nearest Neighbor Search"): each 64-dim vector splits into M=8 8-dim
     * subvectors, each encoded as its nearest of 16 per-subspace centroids —

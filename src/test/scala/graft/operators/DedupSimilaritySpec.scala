@@ -140,6 +140,81 @@ class DedupSimilaritySpec extends SparkSuite {
       "emitted rejections must be exactly the same-cell cross-set pairs >= tau")
   }
 
+  test("randomProject: signs agree with the q28 LSH, distances correlate (JL)") {
+    import spark.implicits._
+    val proj = Similarity.randomProject(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1)
+      .map { case (id, rows) =>
+        val v = new Array[Long](16); rows.foreach(r => v(r._2) = r._3); id -> v
+      }
+    val emb = graft.Tables.load(spark, sf001, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    assert(proj.size == emb.size)
+    // internal consistency: the projection's sign bits ARE the q28 LSH
+    // signature (same plane matrix, same grid) for the 4 planes it uses
+    emb.foreach { case (id, v) =>
+      val sig = VectorFns.hyperplaneSig(v.toSeq, 4)
+      (0 until 4).foreach { p =>
+        assert((proj(id)(p) >= 0) == (((sig >> p) & 1) == 1),
+          s"vec $id plane $p: projection sign disagrees with hyperplaneSig")
+      }
+    }
+    // JL property: projected euclidean distance tracks the original distance
+    // over sampled pairs. k=16 planes means eps ~ 1 distortion, and random
+    // uniform data concentrates pairwise distances, so the correlation is
+    // structurally modest (~0.36 here) — the gate proves signal, exactness
+    // is proven by the oracle and the sign check above.
+    val ids = emb.keys.toArray.sorted
+    def d2o(a: Long, b: Long): Double = {
+      val (x, y) = (emb(a), emb(b)); var s = 0.0; var i = 0
+      while (i < x.length) { val t = x(i).toDouble - y(i); s += t * t; i += 1 }; s
+    }
+    def d2p(a: Long, b: Long): Double = {
+      val (x, y) = (proj(a), proj(b)); var s = 0.0; var i = 0
+      while (i < 16) { val t = (x(i) - y(i)).toDouble; s += t * t; i += 1 }; s
+    }
+    val pairs = (0 until 300).map(i =>
+      (ids(i % ids.length), ids((i * 17 + 7) % ids.length))).filter(p => p._1 != p._2)
+    val xs = pairs.map(p => d2o(p._1, p._2)); val ys = pairs.map(p => d2p(p._1, p._2))
+    val (mx, my) = (xs.sum / xs.size, ys.sum / ys.size)
+    val cov = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+    val corr = cov / math.sqrt(
+      xs.map(x => (x - mx) * (x - mx)).sum * ys.map(y => (y - my) * (y - my)).sum)
+    assert(corr >= 0.25, s"projected-vs-original distance correlation $corr")
+  }
+
+  test("streamingSemanticAdmission: store dup rejected, fresh admitted, re-send dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // store: two orthogonal-ish base vectors; quantizer trained on the store
+    val base1 = Seq.tabulate(64)(d => if (d < 32) 1.0f else 0.0f)
+    val base2 = Seq.tabulate(64)(d => if (d >= 32) 1.0f else 0.0f)
+    val store = Seq((100L, base1), (101L, base2)).toDF("vec_id", "embedding")
+    val cent = Similarity.trainCentroids(Array(base1.toArray, base2.toArray), k = 2, iters = 2)
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val out = Similarity.streamingSemanticAdmission(
+      mem.toDF.toDF("vec_id", "embedding"), store, cent)
+      .writeStream.format("memory").queryName("sem_admit").outputMode("append").start()
+    try {
+      // batch 1: near-store (cos ~1 vs base1) must be REJECTED; a mixed
+      // vector far from both bases must be ADMITTED
+      val nearStore = Seq.tabulate(64)(d => if (d < 32) 0.9f else 0.1f)
+      val fresh = Seq.tabulate(64)(d => if (d % 2 == 0) 1.0f else -1.0f)
+      mem.addData((1L, nearStore), (2L, fresh))
+      out.processAllAvailable()
+      val b1 = spark.table("sem_admit").select("vec_id").as[Long].collect().toSet
+      assert(b1 == Set(2L), s"batch 1 admitted $b1 (want only the fresh vector)")
+      // batch 2: exact re-send of vec_id 2 must be dropped by the
+      // cross-batch dedup state
+      mem.addData((2L, fresh))
+      out.processAllAvailable()
+      val b2 = spark.table("sem_admit").select("vec_id").as[Long].collect()
+      assert(b2.length == 1, s"re-sent vec_id must not be admitted twice: ${b2.toSeq}")
+    } finally out.stop()
+  }
+
   test("pqAnn: recalls planted-cluster neighbors where PQ's premise holds") {
     import spark.implicits._
     // PQ's contract is clusterable data; on the uniform random fixture the
