@@ -296,6 +296,44 @@ object Oracles {
         |  cast(row_number() OVER (ORDER BY ct DESC, user_id) as int) AS rnk
         |FROM top CROSS JOIN s""".stripMargin,
 
+    // linear classifier inference over the q83 features: md5-derived weights
+    // ((first byte % 16) - 8), exact integer dot; zero buckets contribute 0
+    // so only hit buckets need scoring
+    "q88_classifier_filter" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS n
+        |  FROM (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY 1, 2),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h, n FROM tf),
+        |c AS (SELECT doc_id, cast(h % 64 as int) AS d,
+        |    cast(sum(CASE WHEN (h // 64) % 2 = 1 THEN n ELSE -n END) as bigint) AS val
+        |  FROM h GROUP BY 1, 2),
+        |w AS (SELECT j, (('0x' || substr(md5('w_' || j), 1, 2))::INT % 16) - 8 AS w
+        |  FROM (SELECT unnest(generate_series(0, 63)) AS j)),
+        |s AS (SELECT t.doc_id, cast(coalesce(sum(w.w * c.val), 0) as bigint) AS score
+        |  FROM t LEFT JOIN c ON c.doc_id = t.doc_id LEFT JOIN w ON w.j = c.d
+        |  GROUP BY 1)
+        |SELECT doc_id, score, score >= 0 AS keep FROM s""".stripMargin,
+
+    // CDC chunking: boundary at 1-based position i+1 where the winnow 8-gram
+    // hash at 0-based start i (i>0) is 0 mod 64; chunk fp = md5 of the text
+    "q89_cdc_chunks" -> {
+      val M = graft.functions.TextFns.WinnowMod
+      s"""WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents),
+         |g0 AS (SELECT doc_id, text, unnest(generate_series(0, L - 8)) AS i FROM d),
+         |g AS (SELECT doc_id, i, ($winnowGramExpr) % $M AS h FROM g0),
+         |starts AS (SELECT doc_id, 1 AS s FROM d
+         |  UNION SELECT doc_id, i + 1 AS s FROM g WHERE (h % 64) = 0 AND i > 0),
+         |seg AS (SELECT doc_id, s,
+         |    cast(row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1 as int) AS seg_idx,
+         |    lead(s) OVER (PARTITION BY doc_id ORDER BY s) AS nxt
+         |  FROM starts)
+         |SELECT seg.doc_id, seg_idx, cast(s as int) AS start,
+         |  cast(coalesce(nxt, L + 1) - s as int) AS len,
+         |  md5(substr(text, s, coalesce(nxt, L + 1) - s)) AS fp
+         |FROM seg JOIN d ON seg.doc_id = d.doc_id""".stripMargin
+    },
+
     "q80_source_quota" ->
       """WITH t AS (SELECT doc_id, source,
         |  regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),

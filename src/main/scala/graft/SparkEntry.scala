@@ -116,6 +116,8 @@ object SparkEntry {
     "q85_ingest_semdedup"   -> ((s, d) => Similarity.ingestSemanticDedup(s, d)),
     "q86_skew_profile"      -> ((s, d) => Relational.skewProfile(s, d)),
     "q87_random_project"    -> ((s, d) => Similarity.randomProject(s, d)),
+    "q88_classifier_filter" -> TextOps.classifierFilter _,
+    "q89_cdc_chunks"        -> TextOps.cdcChunks _,
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

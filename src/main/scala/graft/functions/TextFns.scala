@@ -411,6 +411,64 @@ object TextFns {
 
   val hashEmbedUdf = udf(hashEmbed _)
 
+  /** Deterministic 64-dim linear-classifier weights: w_j = (first byte of
+    * md5("w_j") mod 16) − 8 ∈ [−8, 7] — a model-registry stand-in any engine
+    * re-derives (DuckDB: `(('0x'||substr(md5('w_'||j),1,2))::INT % 16) - 8`).
+    * The weights are fixed pseudo-random; the DATAFLOW (broadcast weights ×
+    * one map pass over features) is the real classifier-inference shape. */
+  val classifierWeights: Array[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(64) { j =>
+      md.reset()
+      val h = md.digest(s"w_$j".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      ((h(0) & 0xff) % 16 - 8).toLong
+    }
+  }
+
+  /** Linear quality score over the [[hashEmbed]] features: Σ w_j·x_j (exact
+    * integer dot — commutative, no float accumulation order). */
+  def classifierScore(tokens: Seq[String]): Long = {
+    val x = hashEmbed(tokens)
+    var s = 0L; var j = 0
+    while (j < 64) { s += classifierWeights(j) * x(j); j += 1 }
+    s
+  }
+
+  val classifierScoreUdf = udf(classifierScore _)
+
+  /** Content-defined chunk segments as (start, len) pairs, start 1-based:
+    * a new segment begins at 1-based position i+1 whenever the [[winnow]]
+    * k-gram hash at 0-based gram start i (i > 0) satisfies hash % 64 == 0 —
+    * boundaries follow CONTENT, so an edit early in a doc shifts at most one
+    * chunk's fingerprints instead of re-chunking the whole doc (the
+    * rsync/LBFS CDC property, Muthitacharoen et al. SOSP'01; expected chunk
+    * ≈ 64 chars). Same O(1)-per-position rolling polynomial as [[winnow]],
+    * same cross-engine-exact constants — fully oracle-able. */
+  def cdcSegments(text: String, k: Int = 8, modulus: Long = 64L): Seq[(Int, Int)] = {
+    val L = if (text == null) 0 else text.length
+    val starts = scala.collection.mutable.ArrayBuffer(1)
+    if (L >= k) {
+      val M = WinnowMod
+      val B = WinnowBase
+      var bk = 1L
+      var p = 1
+      while (p < k) { bk = bk * B % M; p += 1 }
+      val n = L - k + 1
+      var h = 0L
+      var j = 0
+      while (j < k) { h = (h * B + text.charAt(j)) % M; j += 1 }
+      var i = 1
+      while (i < n) {
+        h = ((h - text.charAt(i - 1) * bk % M + M) * B + text.charAt(i + k - 1)) % M
+        if (h % modulus == 0L) starts += (i + 1)
+        i += 1
+      }
+    }
+    (starts :+ (L + 1)).toSeq.sliding(2).map { case Seq(a, b) => (a, b - a) }.toSeq
+  }
+
+  val cdcSegmentsUdf = udf((t: String) => cdcSegments(t))
+
   // ---------------- Winnowing fingerprints ----------------
 
   /** Gram-hash constants for [[winnow]]: polynomial hash mod a prime kept

@@ -539,6 +539,36 @@ object TextOps {
       .select(col("doc_id"), posexplode(hashEmbedUdf(tokensCol(col("text")))))
       .select(col("doc_id"), col("pos").cast("int").as("d"), col("col").as("val"))
 
+  /** Content-defined chunking (CDC — the rsync/LBFS move, Muthitacharoen et
+    * al. SOSP'01) for incremental corpus storage and sub-document dedup:
+    * chunk boundaries follow content (rolling-hash mod 64), so a re-crawl
+    * with one inserted paragraph re-fingerprints ONE chunk, not the whole
+    * doc — shift-resistant where [[spanDedup]]'s fixed spans are not. Emits
+    * (doc_id, seg_idx, start, len, fp = md5 of the chunk text). The kernel
+    * returns (start, len) pairs in one pass, so the whole op is
+    * Scan → posexplode → md5 projections: zero shuffles. */
+  def cdcChunks(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), col("text"), posexplode(cdcSegmentsUdf(col("text"))))
+      .select(col("doc_id"), col("pos").cast("int").as("seg_idx"),
+        col("col._1").as("start"), col("col._2").as("len"),
+        md5(expr("substring(text, col._1, col._2)").cast("binary")).as("fp"))
+
+  /** Classifier-based quality filtering (the GPT-3 / CCNet / LLaMA corpus
+    * move: a learned quality model scores every document, low scores are
+    * culled or downsampled): inference expressed as dataflow — the weight
+    * vector broadcasts (here it rides the UDF closure; a real model's
+    * coefficients would broadcast identically) and scoring is ONE map pass
+    * over the [[hashEmbedDocs]] features, no shuffle. Weights are the
+    * deterministic md5-derived stand-in
+    * ([[graft.functions.TextFns.classifierWeights]] — no model registry in
+    * this environment); the score is an exact integer dot, so the whole
+    * inference replays in the oracle. keep = score ≥ 0. */
+  def classifierFilter(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("score", classifierScoreUdf(tokensCol(col("text"))))
+      .select(col("doc_id"), col("score"), (col("score") >= 0).as("keep"))
+
   /** BM25 ranked retrieval over the corpus for a fixed query set — the
     * retrieval loop a training-data pipeline runs for RAG corpus QA and
     * recall checks. Standard BM25 shape (k1 = 1.2, b = 0.75) with two

@@ -168,6 +168,53 @@ class TextOpsSpec extends SparkSuite {
       s"chunking is per-row explode only, no shuffle:\n$chunks")
   }
 
+  test("classifierFilter: consistent with the hashEmbedDocs-route composition") {
+    import spark.implicits._
+    val direct = TextOps.classifierFilter(spark, sf001)
+      .select("doc_id", "score").as[(Long, Long)].collect().toMap
+    // independent composition: q83's dense feature rows x the weight vector
+    val viaFeatures = TextOps.hashEmbedDocs(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1)
+      .map { case (id, rows) =>
+        id -> rows.map(r => graft.functions.TextFns.classifierWeights(r._2) * r._3).sum
+      }
+    assert(direct == viaFeatures, "the two inference compositions must agree")
+    // the stand-in weights actually separate: both classes present
+    val keeps = TextOps.classifierFilter(spark, sf001)
+      .select("keep").as[Boolean].collect()
+    assert(keeps.contains(true) && keeps.contains(false))
+  }
+
+  test("cdcChunks: exact partition of every doc; boundaries resist shifts") {
+    import spark.implicits._
+    val docs = graft.Tables.load(spark, sf001, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    val chunks = TextOps.cdcChunks(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+    // chunks reassemble each doc exactly (contiguous, in seg_idx order)
+    chunks.groupBy(_._1).foreach { case (id, segs) =>
+      val ordered = segs.sortBy(_._2)
+      val text = docs(id)
+      assert(ordered.head._3 == 1)
+      ordered.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 + a._4 == b._3, s"doc $id gap at seg ${b._2}")
+        case _ =>
+      }
+      assert(ordered.map(_._4).sum == text.length, s"doc $id lengths don't cover")
+    }
+    // CDC property: prepending text only disturbs the leading chunk(s) —
+    // the tail chunk contents (and so their fingerprints) re-sync
+    val sample = docs.toSeq.sortBy(_._1).map(_._2).find(_.length > 200).get
+    def texts(s: String) = graft.functions.TextFns.cdcSegments(s)
+      .map { case (st, ln) => s.substring(st - 1, st - 1 + ln) }
+    val orig = texts(sample)
+    val shifted = texts("PREPENDED CONTENT " + sample)
+    val common = orig.toSet.intersect(shifted.toSet).size
+    assert(common >= orig.size - 2,
+      s"only $common of ${orig.size} chunks survive a prefix insertion")
+  }
+
   test("bm25Search: agrees with a driver-computed Lucene-style BM25 reference") {
     import spark.implicits._
     val out = TextOps.bm25Search(spark, sf001)
