@@ -70,4 +70,47 @@ object KernelPropertiesSpec extends Properties("graft.kernels") {
       val s4 = VectorFns.hyperplaneSig(v, 4)
       VectorFns.hyperplaneSig(v, 4) == s4 && s4 >= 0 && s4 < 16
     }
+
+  property("hashEmbed is additive over concatenation and order-free; |vec|₁ ≤ token count") =
+    Prop.forAll(Gen.listOf(Gen.identifier.map(_.take(8)))) { toks =>
+      val v = hashEmbed(toks)
+      val doubled = hashEmbed(toks ++ toks)
+      val shuffled = hashEmbed(toks.reverse)
+      v.length == 64 &&
+        doubled.toSeq == v.map(_ * 2).toSeq &&
+        shuffled.toSeq == v.toSeq &&
+        v.map(math.abs).sum <= toks.length
+    }
+
+  property("classifierScore ≡ weights · hashEmbed, and is additive like its features") =
+    Prop.forAll(Gen.listOf(Gen.identifier.map(_.take(8)))) { toks =>
+      val s = classifierScore(toks)
+      val x = hashEmbed(toks)
+      s == (0 until 64).map(j => classifierWeights(j) * x(j)).sum &&
+        classifierScore(toks ++ toks) == 2 * s
+    }
+
+  property("cdcSegments exactly partitions any string; boundaries are content-defined") =
+    Prop.forAll(asciiText) { t =>
+      val segs = cdcSegments(t)
+      val contiguous = segs.head._1 == 1 &&
+        segs.sliding(2).forall {
+          case Seq(a, b) => a._1 + a._2 == b._1
+          case _ => true
+        }
+      val covers = segs.map(_._2).sum == t.length
+      // shift resistance: every non-leading original chunk text survives a
+      // single-char prefix insertion (boundaries re-derive from content)
+      val origTexts = segs.map { case (s, l) => t.substring(s - 1, s - 1 + l) }
+      val shifted = cdcSegments("Z" + t)
+        .map { case (s, l) => ("Z" + t).substring(s - 1, s - 1 + l) }.toSet
+      contiguous && covers && origTexts.drop(1).forall(shifted.contains)
+    }
+
+  property("projectPlanes: linear in the 2^20 grid quantization, sign-consistent with hyperplaneSig") =
+    Prop.forAll(Gen.listOfN(64, Gen.chooseNum(-1.0f, 1.0f))) { v =>
+      val p = VectorFns.projectPlanes(v, 4)
+      val sig = VectorFns.hyperplaneSig(v, 4)
+      p.length == 4 && (0 until 4).forall(i => (p(i) >= 0) == (((sig >> i) & 1) == 1))
+    }
 }
