@@ -278,6 +278,51 @@ object Multimodal {
 
   /** Build a media table from documents (payload = utf-8 bytes) — the fixture
     * generator for the binary plumbing; also the shape a real ingest would use. */
+  /** Image perceptual-hash near-dup detection — the IMAGE-modality twin of
+    * [[graft.operators.Dedup.simhashPairs]] (text) and
+    * [[graft.operators.Similarity.cosineNearDup]] (vectors), closing the
+    * dedup loop across all three modalities: aHash over [[decodeMedia]]'s
+    * pooled-luminance grid (bit b set iff cell b is brighter than the grid
+    * mean — robust to uniform brightness/contrast shifts, the common
+    * re-encode artifact), candidates blocked on `nSeg` hash segments
+    * (pigeonhole: full recall for hamming ≤ nSeg−1), verified hamming ≤
+    * `maxHamming` emitted. Takes the decoded frame so the expensive decode
+    * runs once upstream; at scale use an 8×8 grid (64-bit hash) —
+    * the 2×4 default grid is the test-scale setting. No SQL oracle (DuckDB
+    * cannot decode PNG) — spec-gated end-to-end on synthesized images, the
+    * same evidence class as the rest of the multimodal suite. */
+  def imageNearDup(decoded: DataFrame, nBits: Int = 8, nSeg: Int = 4,
+                   maxHamming: Int = 1): DataFrame = {
+    val bitsU = udf((f: Seq[Double]) => {
+      val mean = f.sum / f.length
+      f.zipWithIndex.foldLeft(0L) { case (acc, (v, i)) =>
+        if (v > mean) acc | (1L << i) else acc
+      }
+    })
+    val segBits = nBits / nSeg
+    val mask = (1L << segBits) - 1
+    val fp = decoded
+      .filter(col("decode_ok") && col("media_type") === "image" && col("feature").isNotNull)
+      .select(col("media_id"), bitsU(col("feature")).as("fp"))
+    // segment i = bits [i*segBits, (i+1)*segBits): shift right then mask
+    val seg = fp
+      .select(col("media_id"), col("fp"),
+        posexplode(array((0 until nSeg).map(i =>
+          shiftrightunsigned(col("fp"), i * segBits).bitwiseAND(lit(mask))): _*)))
+      .withColumnRenamed("pos", "seg").withColumnRenamed("col", "seg_val")
+    val cand = seg.as("a")
+      .join(seg.as("b"),
+        col("a.seg") === col("b.seg") && col("a.seg_val") === col("b.seg_val") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("ma"), col("b.media_id").as("mb"),
+        col("a.fp").as("fpa"), col("b.fp").as("fpb"))
+      .dropDuplicates("ma", "mb")
+    cand
+      .withColumn("hamming", bit_count(col("fpa").bitwiseXOR(col("fpb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("ma"), col("mb"), col("hamming"))
+  }
+
   def mediaFromDocuments(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
       .select(
