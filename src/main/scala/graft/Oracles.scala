@@ -334,6 +334,31 @@ object Oracles {
          |FROM seg JOIN d ON seg.doc_id = d.doc_id""".stripMargin
     },
 
+    // token-distribution drift store-vs-batch: Laplace-smoothed chi-square
+    // contributions, floor(x*2^20)-quantized before ranking
+    "q90_token_drift" ->
+      """WITH wm AS (SELECT max(doc_id) // 3 AS wm FROM documents),
+        |tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+        |  FROM documents),
+        |st AS (SELECT token, count(*) AS store_ct FROM tok CROSS JOIN wm
+        |  WHERE doc_id < wm GROUP BY 1),
+        |bt AS (SELECT token, count(*) AS batch_ct FROM tok CROSS JOIN wm
+        |  WHERE doc_id >= wm GROUP BY 1),
+        |j AS (SELECT coalesce(st.token, bt.token) AS token,
+        |    coalesce(store_ct, 0) AS store_ct, coalesce(batch_ct, 0) AS batch_ct
+        |  FROM st FULL OUTER JOIN bt ON st.token = bt.token),
+        |tot AS (SELECT cast(sum(store_ct) as bigint) AS st_tot,
+        |    cast(sum(batch_ct) as bigint) AS b_tot, count(*) AS vocab FROM j),
+        |c AS (SELECT token, cast(store_ct as bigint) AS store_ct,
+        |    cast(batch_ct as bigint) AS batch_ct,
+        |    cast(floor(((batch_ct - e) * (batch_ct - e) / e) * 1048576) as bigint) AS contrib_q
+        |  FROM (SELECT j.*, (store_ct + 1)::DOUBLE / (st_tot + vocab) * b_tot AS e
+        |        FROM j CROSS JOIN tot)),
+        |top AS (SELECT * FROM c ORDER BY contrib_q DESC, token LIMIT 20)
+        |SELECT token, store_ct, batch_ct, contrib_q,
+        |  cast(row_number() OVER (ORDER BY contrib_q DESC, token) as int) AS rnk
+        |FROM top""".stripMargin,
+
     "q80_source_quota" ->
       """WITH t AS (SELECT doc_id, source,
         |  regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),

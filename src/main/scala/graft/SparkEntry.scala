@@ -118,6 +118,7 @@ object SparkEntry {
     "q87_random_project"    -> ((s, d) => Similarity.randomProject(s, d)),
     "q88_classifier_filter" -> TextOps.classifierFilter _,
     "q89_cdc_chunks"        -> TextOps.cdcChunks _,
+    "q90_token_drift"       -> ((s, d) => TextOps.tokenDrift(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

@@ -539,6 +539,47 @@ object TextOps {
       .select(col("doc_id"), posexplode(hashEmbedUdf(tokensCol(col("text")))))
       .select(col("doc_id"), col("pos").cast("int").as("d"), col("col").as("val"))
 
+  /** Token-distribution drift between the historical store (doc_id < max/3,
+    * the q74/q76/q85 split) and the incoming batch — the ingest-monitoring
+    * diagnostic: a crawler config change, a new spam source, or an encoding
+    * fault shows up as vocabulary drift BEFORE it poisons the corpus.
+    * Per-token chi-square contribution (observed batch count vs the count
+    * the store distribution predicts, Laplace-smoothed so batch-only tokens
+    * are defined), top-20 by contribution. Cross-engine exact: counts are
+    * integers, the expected value and contribution are fixed-order double
+    * expressions, and the ranked contribution is floor(x·2²⁰)-quantized
+    * before comparison. One scan per half (token aggregate), a full-outer
+    * token join, TakeOrderedAndProject top-k. */
+  def tokenDrift(spark: SparkSession, dir: String, topK: Int = 20): DataFrame = {
+    val d = docs(spark, dir)
+    val wm = d.agg(expr("max(doc_id) div 3").as("wm"))
+    val toks = d.crossJoin(broadcast(wm))
+      .select(col("doc_id"), col("wm"), explode(tokensCol(col("text"))).as("token"))
+    def side(f: Column): DataFrame = toks.filter(f).groupBy("token")
+      .agg(count(lit(1)).as("ct"))
+    val store = side(col("doc_id") < col("wm"))
+      .select(col("token"), col("ct").as("store_ct"))
+    val batch = side(col("doc_id") >= col("wm"))
+      .select(col("token"), col("ct").as("batch_ct"))
+    val joined = store.join(batch, Seq("token"), "full_outer")
+      .select(col("token"),
+        coalesce(col("store_ct"), lit(0L)).as("store_ct"),
+        coalesce(col("batch_ct"), lit(0L)).as("batch_ct"))
+    val tot = joined.agg(
+      sum(col("store_ct")).as("st_tot"), sum(col("batch_ct")).as("b_tot"),
+      count(lit(1)).as("vocab"))
+    val e = (col("store_ct") + lit(1)).cast("double") / (col("st_tot") + col("vocab")) * col("b_tot")
+    val contrib = (col("batch_ct") - col("e")) * (col("batch_ct") - col("e")) / col("e")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("contrib_q").desc, col("token"))
+    joined.crossJoin(broadcast(tot))
+      .withColumn("e", e)
+      .withColumn("contrib_q", floor(contrib * lit(1048576)).cast("long"))
+      .orderBy(col("contrib_q").desc, col("token")).limit(topK)
+      .withColumn("rnk", row_number().over(w))
+      .select(col("token"), col("store_ct"), col("batch_ct"), col("contrib_q"), col("rnk"))
+  }
+
   /** Content-defined chunking (CDC — the rsync/LBFS move, Muthitacharoen et
     * al. SOSP'01) for incremental corpus storage and sub-document dedup:
     * chunk boundaries follow content (rolling-hash mod 64), so a re-crawl

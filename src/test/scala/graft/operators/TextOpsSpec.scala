@@ -168,6 +168,32 @@ class TextOpsSpec extends SparkSuite {
       s"chunking is per-row explode only, no shuffle:\n$chunks")
   }
 
+  test("tokenDrift: matches a driver-side chi-square recomputation") {
+    import spark.implicits._
+    val out = TextOps.tokenDrift(spark, sf001)
+      .as[(String, Long, Long, Long, Int)].collect().sortBy(_._5)
+    assert(out.length == 20)
+    assert(out.map(_._5).toSeq == (1 to 20))
+    assert(out.map(_._4).toSeq == out.map(_._4).sorted.reverse.toSeq, "contributions descend")
+    // independent recount in the driver
+    val docs = graft.Tables.load(spark, sf001, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val wm = docs.map(_._1).max / 3
+    def counts(p: Long => Boolean) = docs.filter(d => p(d._1))
+      .flatMap(d => "[a-z0-9]+".r.findAllIn(d._2.toLowerCase))
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val st = counts(_ < wm); val bt = counts(_ >= wm)
+    val vocab = (st.keySet ++ bt.keySet).size
+    val stTot = st.values.sum; val bTot = bt.values.sum
+    val expect = (st.keySet ++ bt.keySet).toSeq.map { t =>
+      val (s, b) = (st.getOrElse(t, 0L), bt.getOrElse(t, 0L))
+      val e = (s + 1).toDouble / (stTot + vocab) * bTot
+      (t, s, b, math.floor((b - e) * (b - e) / e * 1048576).toLong)
+    }.sortBy(r => (-r._4, r._1)).take(20)
+    assert(out.map(r => (r._1, r._2, r._3, r._4)).toSeq == expect,
+      "top-20 drift contributions must match the driver recomputation")
+  }
+
   test("classifierFilter: consistent with the hashEmbedDocs-route composition") {
     import spark.implicits._
     val direct = TextOps.classifierFilter(spark, sf001)
