@@ -53,12 +53,12 @@ object Oracles {
   private def ivfRankCtes(k: Int, iters: Int): String = {
     val iterCtes = (1 to iters).flatMap { it =>
       Seq(
-        s"""a$it AS (SELECT vec_id, cell FROM (
+        s"""a$it AS MATERIALIZED (SELECT vec_id, cell FROM (
            |  SELECT p.vec_id, c.cell,
            |    row_number() OVER (PARTITION BY p.vec_id
            |      ORDER BY sum((p.x - c.v)*(p.x - c.v)), c.cell) AS rn
            |  FROM pts p JOIN c${it - 1} c USING (d) GROUP BY p.vec_id, c.cell) WHERE rn = 1)""",
-        s"""c$it AS (SELECT pc.cell, pc.d,
+        s"""c$it AS MATERIALIZED (SELECT pc.cell, pc.d,
            |  CASE WHEN s.n IS NULL THEN pc.v ELSE s.s // s.n END AS v
            | FROM c${it - 1} pc LEFT JOIN (
            |   SELECT a.cell, p.d, sum(p.x) AS s, count(*) AS n
@@ -69,13 +69,13 @@ object Oracles {
        |    row_number() OVER (ORDER BY vec_id) - 1 AS idx, count(*) OVER () AS ns
        |  FROM embeddings WHERE vec_id < 1024),
        |p0 AS (SELECT vec_id, idx, ns, embedding, unnest(generate_series(1, len(embedding))) AS d FROM samp),
-       |pts AS (SELECT vec_id, idx, ns, d, cast(floor(embedding[d]::DOUBLE * 1048576) as bigint) AS x FROM p0),
+       |pts AS MATERIALIZED (SELECT vec_id, idx, ns, d, cast(floor(embedding[d]::DOUBLE * 1048576) as bigint) AS x FROM p0),
        |cells AS (SELECT unnest(generate_series(0, ${k - 1})) AS cell),
        |c0 AS (SELECT i.cell, p.d, p.x AS v FROM cells i JOIN pts p ON p.idx = (i.cell * p.ns) // $k),
        |$iterCtes,
        |e0 AS (SELECT vec_id, embedding, unnest(generate_series(1, len(embedding))) AS d FROM embeddings),
-       |ept AS (SELECT vec_id, d, cast(floor(embedding[d]::DOUBLE * 1048576) as bigint) AS x FROM e0),
-       |rank_all AS (SELECT p.vec_id, c.cell,
+       |ept AS MATERIALIZED (SELECT vec_id, d, cast(floor(embedding[d]::DOUBLE * 1048576) as bigint) AS x FROM e0),
+       |rank_all AS MATERIALIZED (SELECT p.vec_id, c.cell,
        |    row_number() OVER (PARTITION BY p.vec_id
        |      ORDER BY sum((p.x - c.v)*(p.x - c.v)), c.cell) AS rn
        |  FROM ept p JOIN c$iters c USING (d) GROUP BY p.vec_id, c.cell)""".stripMargin
@@ -87,7 +87,7 @@ object Oracles {
     val nprobe = 4
     s"""WITH ${ivfRankCtes(k = 16, iters = 5)},
        |assign AS (SELECT vec_id AS neighbor_id, cell FROM rank_all WHERE rn = 1),
-       |probe AS (SELECT vec_id AS query_id, cell FROM rank_all WHERE rn <= $nprobe AND vec_id < 10),
+       |probe AS MATERIALIZED (SELECT vec_id AS query_id, cell FROM rank_all WHERE rn <= $nprobe AND vec_id < 10),
        |cand AS (SELECT query_id, neighbor_id FROM probe JOIN assign USING (cell)
        |  WHERE query_id <> neighbor_id),
        |s AS (SELECT query_id, neighbor_id,
@@ -98,12 +98,70 @@ object Oracles {
        |SELECT query_id, neighbor_id, cast(rnk as int) AS rnk FROM s WHERE rnk <= 3""".stripMargin
   }
 
+  /** q91's oracle: the IVF-PQ pipeline replayed in SQL — the coarse chain
+    * (ivfRankCtes), per-cell residuals (differences of grid integers), 8
+    * residual-codebook k-means chains (3 Lloyd rounds each, named b/r to
+    * avoid the coarse chain's a/c), corpus encoding, per-(query, probed
+    * cell) ADC tables, and the UNION ALL subspace-contribution sum. */
+  private val ivfPqSql: String = {
+    val m = 8; val sub = 8; val ksub = 16; val pqIters = 3; val nprobe = 4
+    def subCtes(mi: Int): String = {
+      val dlo = mi * sub + 1; val dhi = (mi + 1) * sub
+      val iterCtes = (1 to pqIters).flatMap { it =>
+        Seq(
+          s"""b${it}_$mi AS MATERIALIZED (SELECT vec_id, cell FROM (
+             |  SELECT p.vec_id, c.cell,
+             |    row_number() OVER (PARTITION BY p.vec_id
+             |      ORDER BY sum((p.x - c.v)*(p.x - c.v)), c.cell) AS rn
+             |  FROM rpts$mi p JOIN r${it - 1}_$mi c USING (d) GROUP BY p.vec_id, c.cell) WHERE rn = 1)""",
+          s"""r${it}_$mi AS MATERIALIZED (SELECT pc.cell, pc.d,
+             |  CASE WHEN s.n IS NULL THEN pc.v ELSE s.s // s.n END AS v
+             | FROM r${it - 1}_$mi pc LEFT JOIN (
+             |   SELECT a.cell, p.d, sum(p.x) AS s, count(*) AS n
+             |   FROM b${it}_$mi a JOIN rpts$mi p USING (vec_id) GROUP BY 1, 2) s
+             |  ON s.cell = pc.cell AND s.d = pc.d)""")
+      }.mkString(",\n")
+      s"""rpts$mi AS MATERIALIZED (SELECT vec_id, idx, ns, d, x FROM ptsr WHERE d BETWEEN $dlo AND $dhi),
+         |r0_$mi AS (SELECT i.cell, p.d, p.x AS v FROM cells i JOIN rpts$mi p ON p.idx = (i.cell * p.ns) // $ksub),
+         |$iterCtes,
+         |enc$mi AS (SELECT vec_id, cell AS code FROM (
+         |  SELECT p.vec_id, c.cell,
+         |    row_number() OVER (PARTITION BY p.vec_id
+         |      ORDER BY sum((p.x - c.v)*(p.x - c.v)), c.cell) AS rn
+         |  FROM eptr p JOIN r${pqIters}_$mi c USING (d) GROUP BY p.vec_id, c.cell) WHERE rn = 1),
+         |qd$mi AS (SELECT q.query_id, q.pcell, c.cell AS code,
+         |    sum((q.x - c.v)*(q.x - c.v)) AS dist
+         |  FROM qres q JOIN r${pqIters}_$mi c USING (d) GROUP BY 1, 2, 3),
+         |ct$mi AS (SELECT q.query_id, e.vec_id AS neighbor_id, q.dist
+         |  FROM enc$mi e JOIN asg a ON a.vec_id = e.vec_id
+         |  JOIN qd$mi q ON q.pcell = a.cell AND q.code = e.code)""".stripMargin
+    }
+    s"""WITH ${ivfRankCtes(k = 16, iters = 5)},
+       |asg AS MATERIALIZED (SELECT vec_id, cell FROM rank_all WHERE rn = 1),
+       |probe AS MATERIALIZED (SELECT vec_id AS query_id, cell FROM rank_all WHERE rn <= $nprobe AND vec_id < 10),
+       |ptsr AS MATERIALIZED (SELECT p.vec_id, p.idx, p.ns, p.d, p.x - c.v AS x
+       |  FROM pts p JOIN asg a USING (vec_id) JOIN c5 c ON c.cell = a.cell AND c.d = p.d),
+       |eptr AS MATERIALIZED (SELECT p.vec_id, p.d, p.x - c.v AS x
+       |  FROM ept p JOIN asg a USING (vec_id) JOIN c5 c ON c.cell = a.cell AND c.d = p.d),
+       |qres AS MATERIALIZED (SELECT pr.query_id, pr.cell AS pcell, p.d, p.x - c.v AS x
+       |  FROM probe pr JOIN ept p ON p.vec_id = pr.query_id
+       |  JOIN c5 c ON c.cell = pr.cell AND c.d = p.d),
+       |${(0 until m).map(subCtes).mkString(",\n")},
+       |ad AS (SELECT query_id, neighbor_id, cast(sum(dist) as bigint) AS adist
+       |  FROM (${(0 until m).map(mi => s"SELECT * FROM ct$mi").mkString(" UNION ALL ")})
+       |  GROUP BY 1, 2),
+       |rr AS (SELECT query_id, neighbor_id, adist,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rnk
+       |  FROM ad WHERE query_id <> neighbor_id)
+       |SELECT query_id, neighbor_id, adist, cast(rnk as int) AS rnk FROM rr WHERE rnk <= 3""".stripMargin
+  }
+
   /** q85's oracle: incremental semantic admission — the q79 cell assignment
     * + the q74/q76 store split (vec_id < max/3), cross-set pairs only, with
     * the explicit double-cosine composition. */
   private val ingestSemanticSql: String =
     s"""WITH ${ivfRankCtes(k = 16, iters = 5)},
-       |asg AS (SELECT vec_id, cell FROM rank_all WHERE rn = 1),
+       |asg AS MATERIALIZED (SELECT vec_id, cell FROM rank_all WHERE rn = 1),
        |wm AS (SELECT max(vec_id) // 3 AS wm FROM embeddings),
        |ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
        |SELECT a.vec_id AS store_vec_id, b.vec_id AS batch_vec_id,
@@ -124,7 +182,7 @@ object Oracles {
     * precision — the q77 gotcha), matching Spark's dot/(norm·norm) exactly. */
   private val semanticDedupSql: String =
     s"""WITH ${ivfRankCtes(k = 16, iters = 5)},
-       |asg AS (SELECT vec_id, cell FROM rank_all WHERE rn = 1),
+       |asg AS MATERIALIZED (SELECT vec_id, cell FROM rank_all WHERE rn = 1),
        |ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |dup AS (SELECT DISTINCT b.vec_id
        |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
@@ -146,19 +204,19 @@ object Oracles {
       val dlo = mi * sub + 1; val dhi = (mi + 1) * sub
       val iterCtes = (1 to iters).flatMap { it =>
         Seq(
-          s"""a${it}_$mi AS (SELECT vec_id, cell FROM (
+          s"""a${it}_$mi AS MATERIALIZED (SELECT vec_id, cell FROM (
              |  SELECT p.vec_id, c.cell,
              |    row_number() OVER (PARTITION BY p.vec_id
              |      ORDER BY sum((p.x - c.v)*(p.x - c.v)), c.cell) AS rn
              |  FROM pts$mi p JOIN c${it - 1}_$mi c USING (d) GROUP BY p.vec_id, c.cell) WHERE rn = 1)""",
-          s"""c${it}_$mi AS (SELECT pc.cell, pc.d,
+          s"""c${it}_$mi AS MATERIALIZED (SELECT pc.cell, pc.d,
              |  CASE WHEN s.n IS NULL THEN pc.v ELSE s.s // s.n END AS v
              | FROM c${it - 1}_$mi pc LEFT JOIN (
              |   SELECT a.cell, p.d, sum(p.x) AS s, count(*) AS n
              |   FROM a${it}_$mi a JOIN pts$mi p USING (vec_id) GROUP BY 1, 2) s
              |  ON s.cell = pc.cell AND s.d = pc.d)""")
       }.mkString(",\n")
-      s"""pts$mi AS (SELECT vec_id, idx, ns, d, x FROM pts WHERE d BETWEEN $dlo AND $dhi),
+      s"""pts$mi AS MATERIALIZED (SELECT vec_id, idx, ns, d, x FROM pts WHERE d BETWEEN $dlo AND $dhi),
          |c0_$mi AS (SELECT i.cell, p.d, p.x AS v FROM cells i JOIN pts$mi p ON p.idx = (i.cell * p.ns) // $ksub),
          |$iterCtes,
          |enc$mi AS (SELECT vec_id, cell AS code FROM (
@@ -175,10 +233,10 @@ object Oracles {
        |    row_number() OVER (ORDER BY vec_id) - 1 AS idx, count(*) OVER () AS ns
        |  FROM embeddings WHERE vec_id < 1024),
        |p0 AS (SELECT vec_id, idx, ns, embedding, unnest(generate_series(1, len(embedding))) AS d FROM samp),
-       |pts AS (SELECT vec_id, idx, ns, d, cast(floor(embedding[d]::DOUBLE * 1048576) as bigint) AS x FROM p0),
+       |pts AS MATERIALIZED (SELECT vec_id, idx, ns, d, cast(floor(embedding[d]::DOUBLE * 1048576) as bigint) AS x FROM p0),
        |cells AS (SELECT unnest(generate_series(0, ${ksub - 1})) AS cell),
        |e0 AS (SELECT vec_id, embedding, unnest(generate_series(1, len(embedding))) AS d FROM embeddings),
-       |ept AS (SELECT vec_id, d, cast(floor(embedding[d]::DOUBLE * 1048576) as bigint) AS x FROM e0),
+       |ept AS MATERIALIZED (SELECT vec_id, d, cast(floor(embedding[d]::DOUBLE * 1048576) as bigint) AS x FROM e0),
        |${(0 until m).map(subCtes).mkString(",\n")},
        |ad AS (SELECT query_id, neighbor_id, cast(sum(dist) as bigint) AS adist
        |  FROM (${(0 until m).map(mi => s"SELECT * FROM ct$mi").mkString(" UNION ALL ")})
@@ -192,6 +250,8 @@ object Oracles {
   val sql: Map[String, String] = Map(
 
     "q82_pq_ann" -> pqAnnSql,
+
+    "q91_ivf_pq" -> ivfPqSql,
 
     "q33_ivf_ann" -> ivfAnnSql,
 

@@ -119,6 +119,7 @@ object SparkEntry {
     "q88_classifier_filter" -> TextOps.classifierFilter _,
     "q89_cdc_chunks"        -> TextOps.cdcChunks _,
     "q90_token_drift"       -> ((s, d) => TextOps.tokenDrift(s, d)),
+    "q91_ivf_pq"            -> ((s, d) => Similarity.ivfPq(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

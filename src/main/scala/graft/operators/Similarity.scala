@@ -180,9 +180,14 @@ object Similarity {
     * sub-quantization-step perturbation vs classic Lloyd (< 2⁻²⁰ of the data
     * scale per mean) is irrelevant to a coarse quantizer; recall stays
     * spec-gated in DedupSimilaritySpec. */
-  def trainCentroids(sample: Array[Array[Float]], k: Int, iters: Int): Array[Array[Long]] = {
-    val dim = sample.head.length
-    val pts = sample.map(v => qgrid(v))
+  def trainCentroids(sample: Array[Array[Float]], k: Int, iters: Int): Array[Array[Long]] =
+    trainCentroidsQ(sample.map(v => qgrid(v)), k, iters)
+
+  /** The integer core of [[trainCentroids]], reusable on points that are
+    * ALREADY on the integer grid — in particular the coarse-cell RESIDUALS
+    * the IVF-PQ codebooks train on ([[ivfPq]]). */
+  private[graft] def trainCentroidsQ(pts: Array[Array[Long]], k: Int, iters: Int): Array[Array[Long]] = {
+    val dim = pts.head.length
     // deterministic init: evenly strided sample points
     var centroids = Array.tabulate(k)(i => pts(i * pts.length / k).clone())
     for (_ <- 0 until iters) {
@@ -438,6 +443,91 @@ object Similarity {
     corpus.crossJoin(broadcast(qdf))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("adist", adcU(col("query_id"), col("code")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("query_id"), col("neighbor_id"), col("adist"), col("rnk"))
+  }
+
+  /** IVF-PQ composite index (Jégou et al. 2011 §IV — the FAISS IVFPQ shape):
+    * the coarse quantizer routes each vector to one of `k` cells, and the
+    * per-cell RESIDUAL (vector − its centroid) is product-quantized with
+    * `m`×`ksub` codebooks. Search probes `nprobe` cells and ADC-ranks ONLY
+    * their members using per-(query, probed-cell) residual distance tables —
+    * the full memory-scale ANN stack: nprobe/k of the corpus scanned, 8
+    * codes + a cell id per stored vector. Residual encoding (vs [[pqAnn]]'s
+    * raw PQ) is what keeps codebook error small near cell centers — the
+    * composite's point.
+    *
+    * Integer-exact end to end: residuals are differences of 2²⁰-grid
+    * integers, so the coarse training (5 Lloyd rounds), the 8 residual
+    * codebook trainings (3 rounds each), the encoding, and the ADC sums all
+    * replay as generated SQL in the q91 oracle. Index build = bounded
+    * driver-side sample work; encoding = one linear corpus scan; search =
+    * broadcast probe frame + closure-shipped tables, one top-k shuffle. */
+  def ivfPq(spark: SparkSession, dir: String, k: Int = 16, m: Int = 8,
+            ksub: Int = 16, nprobe: Int = 4): DataFrame = {
+    val e = emb(spark, dir)
+    val sample = e.filter(col("vec_id") < 1024).orderBy("vec_id")
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    val dim = sample.head.length
+    val sub = dim / m
+    val pts = sample.map(v => qgrid(v))
+    val coarse = trainCentroidsQ(pts, k, iters = 5)
+    def distFull(a: Array[Long], c: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { val t = a(i) - c(i); s += t * t; i += 1 }; s
+    }
+    def assignQ(q: Array[Long]): Int = {
+      var best = 0; var bd = Long.MaxValue; var c = 0
+      while (c < k) { val d = distFull(q, coarse(c)); if (d < bd) { bd = d; best = c }; c += 1 }
+      best
+    }
+    def residOf(q: Array[Long], cell: Int): Array[Long] =
+      Array.tabulate(dim)(i => q(i) - coarse(cell)(i))
+    val residuals = pts.map(p => residOf(p, assignQ(p)))
+    val pq: Array[Array[Array[Long]]] = Array.tabulate(m)(mi =>
+      trainCentroidsQ(residuals.map(_.slice(mi * sub, (mi + 1) * sub)), ksub, iters = 3))
+    def subDist(r: Array[Long], mi: Int, c: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < sub) { val t = r(mi * sub + i) - c(i); s += t * t; i += 1 }; s
+    }
+    val encodeU = udf((v: Seq[Float]) => {
+      val q = qgrid(v); val cell = assignQ(q); val r = residOf(q, cell)
+      cell +: (0 until m).map { mi =>
+        var best = 0; var bd = Long.MaxValue; var c = 0
+        while (c < ksub) {
+          val d = subDist(r, mi, pq(mi)(c)); if (d < bd) { bd = d; best = c }; c += 1
+        }
+        best
+      }
+    })
+    val qvecs = e.filter(col("vec_id") < 10).orderBy("vec_id")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> qgrid(r.getSeq[Float](1)))
+    def probes(q: Array[Long]): Seq[Int] =
+      (0 until k).sortBy(c => (distFull(q, coarse(c)), c)).take(nprobe)
+    // per-(query, probed cell) ADC table over the query's residual IN THAT CELL
+    val tables: Map[(Long, Int), Array[Array[Long]]] = (for {
+      (qid, q) <- qvecs
+      cell <- probes(q)
+    } yield {
+      val r = residOf(q, cell)
+      (qid, cell) -> Array.tabulate(m, ksub)((mi, cc) => subDist(r, mi, pq(mi)(cc)))
+    }).toMap
+    val probeDf = spark.createDataFrame(
+      qvecs.flatMap { case (qid, q) => probes(q).map(c => (qid, c)) }.toSeq)
+      .toDF("query_id", "cell")
+    val adcU = udf((qid: Long, cell: Int, code: Seq[Int]) => {
+      val t = tables((qid, cell)); var s = 0L; var mi = 0
+      while (mi < m) { s += t(mi)(code(mi)); mi += 1 }; s
+    })
+    val corpus = e.select(col("vec_id").as("neighbor_id"), encodeU(col("embedding")).as("cc"))
+      .select(col("neighbor_id"), col("cc").getItem(0).as("cell"),
+        expr(s"slice(cc, 2, $m)").as("code"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adist"), col("neighbor_id"))
+    corpus.join(broadcast(probeDf), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adist", adcU(col("query_id"), col("cell"), col("code")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 3)
       .select(col("query_id"), col("neighbor_id"), col("adist"), col("rnk"))

@@ -250,6 +250,37 @@ class DedupSimilaritySpec extends SparkSuite {
     }
   }
 
+  test("ivfPq: recalls planted-cluster neighbors through the composite index") {
+    import spark.implicits._
+    // same planted regime as the pqAnn spec: 30 centers x 10 members; the
+    // composite must route a query to its own cluster's cell AND rank its
+    // mates first under residual-ADC
+    val rnd = new scala.util.Random(7)
+    val dim = 64
+    val centers = Array.fill(30, dim)(rnd.nextFloat() * 2f - 1f)
+    val rows = (0 until 300).map { i =>
+      val c = i % 30
+      (i.toLong,
+        Seq.tabulate(dim)(d => centers(c)(d) + (rnd.nextFloat() - 0.5f) * 0.05f),
+        c)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Similarity.ivfPq(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val byQ = out.groupBy(_._1)
+    assert(byQ.keySet == (0L until 10L).toSet)
+    out.foreach { case (q, n, _, _) =>
+      assert(n % 30 == q % 30, s"query $q: neighbor $n is from a different planted cluster")
+    }
+    byQ.values.foreach { rs =>
+      val sorted = rs.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1 to rs.length))
+      assert(sorted.map(_._3).toSeq == sorted.map(_._3).sorted.toSeq)
+    }
+  }
+
   test("semanticDedup: min-id rule exactly matches a driver-side recomputation") {
     val out = Similarity.semanticDedup(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
