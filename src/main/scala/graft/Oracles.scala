@@ -419,6 +419,39 @@ object Oracles {
         |  cast(row_number() OVER (ORDER BY contrib_q DESC, token) as int) AS rnk
         |FROM top""".stripMargin,
 
+    // CCNet head/middle/tail: bigram-LM doc scores (quantized conditional
+    // probabilities, tf-weighted integer sums) + exact interpolated tercile
+    // cutoffs (quantile_cont ≡ Spark percentile, the q42-proven pairing)
+    "q92_perplexity_buckets" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |g0 AS (SELECT doc_id, unnest(
+        |   [array_to_string(toks[i:i+1], ' ') FOR i IN generate_series(1, greatest(len(toks) - 1, 0))]) AS gram
+        |  FROM t),
+        |gr AS (SELECT doc_id, gram, count(*) AS tf FROM g0 GROUP BY 1, 2),
+        |corpus AS (SELECT gram, cast(sum(tf) as bigint) AS c12 FROM gr GROUP BY 1),
+        |marg AS (SELECT split_part(gram, ' ', 1) AS w1, cast(sum(c12) as bigint) AS c1
+        |  FROM corpus GROUP BY 1),
+        |sc AS (SELECT doc_id, cast(sum(tf * q) as bigint) AS score_sum,
+        |    cast(sum(tf) as bigint) AS n_bigrams
+        |  FROM (SELECT g.doc_id, g.tf,
+        |      cast(floor(cast(c.c12 as double) / m.c1 * 1048576) as bigint) AS q
+        |    FROM gr g JOIN corpus c USING (gram)
+        |    JOIN marg m ON m.w1 = split_part(g.gram, ' ', 1))
+        |  GROUP BY 1),
+        |w AS (SELECT t.doc_id, coalesce(score_sum, 0) AS score_sum,
+        |    coalesce(n_bigrams, 0) AS n_bigrams,
+        |    CASE WHEN coalesce(n_bigrams, 0) > 0
+        |      THEN cast(coalesce(score_sum, 0) as double) / n_bigrams ELSE -1.0 END AS avg_q
+        |  FROM t LEFT JOIN sc ON sc.doc_id = t.doc_id),
+        |cuts AS (SELECT quantile_cont(avg_q, 1.0/3) AS c33, quantile_cont(avg_q, 2.0/3) AS c67
+        |  FROM w WHERE n_bigrams > 0)
+        |SELECT doc_id, n_bigrams, score_sum,
+        |  CASE WHEN n_bigrams = 0 THEN 'tail'
+        |       WHEN avg_q > c67 THEN 'head'
+        |       WHEN avg_q > c33 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM w CROSS JOIN cuts""".stripMargin,
+
     "q80_source_quota" ->
       """WITH t AS (SELECT doc_id, source,
         |  regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),

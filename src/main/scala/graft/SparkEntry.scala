@@ -120,6 +120,7 @@ object SparkEntry {
     "q89_cdc_chunks"        -> TextOps.cdcChunks _,
     "q90_token_drift"       -> ((s, d) => TextOps.tokenDrift(s, d)),
     "q91_ivf_pq"            -> ((s, d) => Similarity.ivfPq(s, d)),
+    "q92_perplexity_buckets" -> TextOps.perplexityBuckets _,
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

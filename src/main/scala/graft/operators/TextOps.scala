@@ -539,6 +539,49 @@ object TextOps {
       .select(col("doc_id"), posexplode(hashEmbedUdf(tokensCol(col("text")))))
       .select(col("doc_id"), col("pos").cast("int").as("d"), col("col").as("val"))
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): score every doc
+    * with a corpus-trained bigram LM and split the corpus into head /
+    * middle / tail terciles — the classic "keep the fluent third, inspect
+    * the middle, drop the tail" curation move. The LM score is the
+    * tf-weighted sum of floor(2²⁰·p(w₂|w₁)) over the doc's bigrams (exact
+    * integers; the probability is ONE double division — cross-engine
+    * deterministic, where a log-prob sum would not be), and the tercile
+    * cutoffs are exact interpolated percentiles (Spark `percentile` ≡
+    * DuckDB `quantile_cont` bit-for-bit, the q42-proven pairing) broadcast
+    * as two scalars — no global sort or single-partition window. The bigram
+    * table is vocabulary-bounded and broadcasts (the q70 argument); docs
+    * with no bigram land in 'tail'. */
+  def perplexityBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val grams = d.select(col("doc_id"), explode(gramCountsUdf(2)(col("text"))))
+      .select(col("doc_id"), col("key").as("gram"), col("value").cast("long").as("tf"))
+    val corpus = grams.groupBy("gram").agg(sum(col("tf")).as("c12"))
+      .withColumn("w1", expr("substring_index(gram, ' ', 1)"))
+    val marg = corpus.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    val scored = grams
+      .join(broadcast(corpus), "gram")
+      .join(broadcast(marg), "w1")
+      .withColumn("q", floor(col("c12").cast("double") / col("c1") * lit(1048576)).cast("long"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf") * col("q")).as("score_sum"), sum(col("tf")).as("n_bigrams"))
+    val withAvg = d.select("doc_id").join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("score_sum"), lit(0L)).as("score_sum"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"))
+      .withColumn("avg_q",
+        when(col("n_bigrams") > 0,
+          col("score_sum").cast("double") / col("n_bigrams")).otherwise(lit(-1.0)))
+    val cuts = withAvg.filter(col("n_bigrams") > 0)
+      .agg(expr("percentile(avg_q, 1.0/3)").as("c33"),
+        expr("percentile(avg_q, 2.0/3)").as("c67"))
+    withAvg.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("n_bigrams"), col("score_sum"),
+        when(col("n_bigrams") === 0, lit("tail"))
+          .when(col("avg_q") > col("c67"), lit("head"))
+          .when(col("avg_q") > col("c33"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
   /** Token-distribution drift between the historical store (doc_id < max/3,
     * the q74/q76/q85 split) and the incoming batch — the ingest-monitoring
     * diagnostic: a crawler config change, a new spam source, or an encoding

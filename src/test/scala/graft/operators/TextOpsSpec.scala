@@ -168,6 +168,25 @@ class TextOpsSpec extends SparkSuite {
       s"chunking is per-row explode only, no shuffle:\n$chunks")
   }
 
+  test("perplexityBuckets: balanced terciles, head genuinely more fluent than tail") {
+    import spark.implicits._
+    val out = TextOps.perplexityBuckets(spark, sf001)
+      .as[(Long, Long, Long, String)].collect()
+    val n = out.length
+    assert(n == graft.Tables.load(spark, sf001, "documents").count())
+    val sizes = out.groupBy(_._4).map { case (b, r) => b -> r.length }
+    assert(sizes.keySet == Set("head", "middle", "tail"))
+    // exact percentile cutoffs give near-equal terciles (ties may skew a bit)
+    assert(sizes.values.forall(s => math.abs(s - n / 3) <= n / 10), sizes.toString)
+    // the split is meaningful: mean per-bigram probability strictly ordered
+    def meanAvg(b: String): Double = {
+      val rs = out.filter(r => r._4 == b && r._2 > 0)
+      rs.map(r => r._3.toDouble / r._2).sum / rs.length
+    }
+    assert(meanAvg("head") > meanAvg("middle") && meanAvg("middle") > meanAvg("tail"),
+      s"head ${meanAvg("head")}, middle ${meanAvg("middle")}, tail ${meanAvg("tail")}")
+  }
+
   test("tokenDrift: matches a driver-side chi-square recomputation") {
     import spark.implicits._
     val out = TextOps.tokenDrift(spark, sf001)
