@@ -452,6 +452,34 @@ object Oracles {
         |       WHEN avg_q > c33 THEN 'middle' ELSE 'tail' END AS bucket
         |FROM w CROSS JOIN cuts""".stripMargin,
 
+    // dedup-weighted per-source accounting over the exact near-dup clusters
+    // (the q32 recursive-CTE labels; singletons get full weight)
+    "q93_dedup_weighted" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, source,
+        |   regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+        |s AS (SELECT doc_id, unnest(list_distinct(
+        |   [array_to_string(toks[i:i+2], ' ') FOR i IN generate_series(1, greatest(len(toks) - 2, 0))])) AS sh
+        |  FROM t),
+        |sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY 1),
+        |p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+        |  FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |e0 AS (SELECT da, db FROM p JOIN sz x ON p.da = x.doc_id JOIN sz y ON p.db = y.doc_id
+        |  WHERE cast(inter as double) / (x.n + y.n - inter) >= 0.5),
+        |edges AS (SELECT da AS a, db AS b FROM e0 UNION SELECT db, da FROM e0),
+        |nodes AS (SELECT DISTINCT a AS v FROM edges),
+        |reach AS (SELECT v AS src, v AS node FROM nodes
+        |  UNION SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.node),
+        |lab AS (SELECT src AS doc_id, min(node) AS cluster_id FROM reach GROUP BY 1),
+        |csz AS (SELECT cluster_id, count(*) AS csize FROM lab GROUP BY 1),
+        |d AS (SELECT t.doc_id, t.source, cast(len(toks) as bigint) AS token_ct,
+        |    1048576 // coalesce(csize, 1) AS w_q
+        |  FROM t LEFT JOIN lab ON lab.doc_id = t.doc_id
+        |  LEFT JOIN csz ON csz.cluster_id = lab.cluster_id)
+        |SELECT source, count(*) AS docs, cast(sum(w_q) as bigint) AS eff_docs_q,
+        | cast(sum(token_ct) as bigint) AS total_tokens,
+        | cast(sum(token_ct * w_q) as bigint) AS eff_tokens_q
+        |FROM d GROUP BY 1""".stripMargin,
+
     "q80_source_quota" ->
       """WITH t AS (SELECT doc_id, source,
         |  regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),

@@ -121,6 +121,7 @@ object SparkEntry {
     "q90_token_drift"       -> ((s, d) => TextOps.tokenDrift(s, d)),
     "q91_ivf_pq"            -> ((s, d) => Similarity.ivfPq(s, d)),
     "q92_perplexity_buckets" -> TextOps.perplexityBuckets _,
+    "q93_dedup_weighted"    -> Dedup.dedupWeightedStats _,
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

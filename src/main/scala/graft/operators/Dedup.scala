@@ -384,6 +384,33 @@ object Dedup {
       .select(col("store_doc_id"), col("batch_doc_id"), col("jac"))
   }
 
+  /** Dedup-weighted corpus accounting — the dataset-card numbers a curated
+    * release reports: every doc weighted by the inverse of its near-dup
+    * cluster size (a page crawled five times contributes one page's worth),
+    * rolled up per source. The honest answer to "how much UNIQUE data does
+    * each source contribute", which raw doc/token counts overstate exactly
+    * where crawling is most redundant. Weights are floor-quantized
+    * (1048576 div cluster_size — integer division both engines share) so
+    * the per-source sums are exact integers. Cluster labels are the
+    * LSH-bounded [[nearDupClusters]]; label set is near-dup-sized, so the
+    * weight join broadcasts; unclustered docs are singletons (full weight). */
+  def dedupWeightedStats(spark: SparkSession, dir: String): DataFrame = {
+    val labels = nearDupClusters(spark, dir)
+    val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("csize"))
+    val weighted = labels.join(sizes, "cluster_id").select(col("doc_id"), col("csize"))
+    docs(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(tokensCol(col("text"))).cast("long").as("token_ct"))
+      .join(broadcast(weighted), Seq("doc_id"), "left")
+      .withColumn("w_q", expr("cast(1048576 div coalesce(csize, 1) as bigint)"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(col("w_q")).as("eff_docs_q"),
+        sum(col("token_ct")).as("total_tokens"),
+        sum(col("token_ct") * col("w_q")).as("eff_tokens_q"))
+  }
+
   /** PageRank over the near-dup pair graph — centrality scoring of the
     * duplicate neighborhoods: a page many near-copies point at (the hub of a
     * mirror farm, the original behind a re-crawl cloud) accumulates rank,

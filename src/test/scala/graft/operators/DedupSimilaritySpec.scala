@@ -250,6 +250,31 @@ class DedupSimilaritySpec extends SparkSuite {
     }
   }
 
+  test("dedupWeightedStats: matches a driver recomputation; dups genuinely discount") {
+    import spark.implicits._
+    val out = Dedup.dedupWeightedStats(spark, sf001)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    val labels = Dedup.nearDupClusters(spark, sf001)
+      .as[(Long, Long)].collect().toMap
+    val csize = labels.values.groupBy(identity).map { case (k, v) => k -> v.size }
+    val docs = graft.Tables.load(spark, sf001, "documents")
+      .select("doc_id", "source", "text").as[(Long, String, String)].collect()
+    val expect = docs.groupBy(_._2).map { case (src, ds) =>
+      val rows = ds.map { case (id, _, text) =>
+        val tokens = "[a-z0-9]+".r.findAllIn(text.toLowerCase).size.toLong
+        val w = 1048576L / labels.get(id).map(csize).getOrElse(1)
+        (tokens, w)
+      }
+      src -> (ds.length.toLong, rows.map(_._2).sum, rows.map(_._1).sum,
+        rows.map(r => r._1 * r._2).sum)
+    }
+    assert(out == expect, "per-source dedup-weighted sums must match the driver recount")
+    // the discount bites: some source has near-dups, so eff_docs < docs * 2^20
+    assert(out.exists { case (_, (d, eff, _, _)) => eff < d * 1048576L },
+      "fixture has near-dups; at least one source must be discounted")
+  }
+
   test("ivfPq: recalls planted-cluster neighbors through the composite index") {
     import spark.implicits._
     // same planted regime as the pqAnn spec: 30 centers x 10 members; the
