@@ -78,6 +78,18 @@ class RelationalSpec extends SparkSuite {
     assert(missing.isEmpty, s"oracle entries without a query: $missing")
   }
 
+  test("every query has a full oracle AND a bench-floor entry") {
+    // round-4 ADVICE: queries missing from BENCH_FLOOR.json silently escape
+    // the regression gate — pin the invariant in the suite
+    val floor = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("BENCH_FLOOR.json")), "UTF-8")
+    val qs = graft.SparkEntry.queries.keySet
+    val noFloor = qs.filterNot(q => floor.contains("\"" + q + "\""))
+    assert(noFloor.isEmpty, s"queries without a bench floor: $noFloor")
+    val noOracle = qs -- graft.SparkEntry.oracleSql.keySet
+    assert(noOracle.isEmpty, s"queries without a DuckDB oracle: $noOracle")
+  }
+
   test("skewProfile: top-10 heavy hitters with exact shares, ranked densely") {
     import spark.implicits._
     val out = Relational.skewProfile(spark, sf001)
