@@ -168,6 +168,39 @@ class TextOpsSpec extends SparkSuite {
       s"chunking is per-row explode only, no shuffle:\n$chunks")
   }
 
+  test("curation map stages run UNCHANGED on a stream, identical to batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // the batch/streaming unification claim, proven: the same Column
+    // transforms (classifier scoring + PII scrub) applied to a readStream
+    // produce byte-identical rows to the batch run — map stages need no
+    // streaming rewrite at all
+    val rows = Seq(
+      (1L, "contact me at bob@example.com or 10.0.0.1"),
+      (2L, "spark join join table scan window agg the a of"),
+      (3L, "id 123456789 spark window"))
+    def curate(df: org.apache.spark.sql.DataFrame) = {
+      val (ne, ni, nd, red) = TextOps.scrubCol(lower(col("text")))
+      df.select(col("doc_id"),
+        graft.functions.TextFns.classifierScoreUdf(
+          graft.functions.TextFns.tokensCol(col("text"))).as("score"),
+        ne.cast("long").as("n_email"), ni.cast("long").as("n_ip"),
+        nd.cast("long").as("n_id"), red.as("redacted"))
+    }
+    val batch = curate(rows.toDF("doc_id", "text")).collect().map(_.toSeq).toSet
+    val ms = MemoryStream[(Long, String)]
+    val q = curate(ms.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("curate_stream").outputMode("append").start()
+    try {
+      ms.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("curate_stream").collect().map(_.toSeq).toSet
+      assert(streamed == batch, "stream and batch outputs must be identical")
+      assert(batch.exists(_.toString.contains("[EMAIL]")))
+    } finally q.stop()
+  }
+
   test("perplexityBuckets: balanced terciles, head genuinely more fluent than tail") {
     import spark.implicits._
     val out = TextOps.perplexityBuckets(spark, sf001)
