@@ -20,15 +20,27 @@ object Bench {
     // a failed query reports -1 (never a fast-looking elapsed time) and is
     // loudly visible on stderr — a regression must not flatter the benchmark
     val rt = Runtime.getRuntime
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // INTERLEAVED min-of-N (default 3): run the whole query list N times in
+    // run order and keep each query's minimum. A co-tenant load that ramps
+    // mid-run (the round-5 artifact: q32+ flagged 2.3-9.6x as a contiguous
+    // block while the same code benched 45 s on a quiet machine) inflates
+    // every PASS at the point it ramps — but each query gets N samples
+    // spread across the run's full wall-clock span, so its minimum comes
+    // from whichever pass dodged the spike. A transient single-pass spike
+    // on one query is likewise discarded. The minimum is the right statistic
+    // for a regression gate: it estimates the code's cost, not the machine's
+    // mood, and a genuine regression raises all N samples together.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      val timed = try {
+      val sec = try {
         fn(spark, sfDir).count()
-        name -> (System.nanoTime() - t0) / 1e9
+        (System.nanoTime() - t0) / 1e9
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          name -> -1.0
+          -1.0
       }
       // Queries are independent runs: release anything this one persisted.
       // Operators that cache a build-step intermediate (clusters() labels,
@@ -38,9 +50,24 @@ object Bench {
       // slowdown on the whole post-q32 block (BENCH_r02 vs r01).
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      val usedMb = (rt.totalMemory() - rt.freeMemory()) >> 20
-      System.err.println(f"[bench] ${timed._1} ${timed._2}%.2fs heapUsed=${usedMb}MB")
-      timed
+      sec
+    }
+    val samples = (1 to reps).map { pass =>
+      val t0 = System.nanoTime()
+      val passTimes = ordered.map { case (name, fn) =>
+        val sec = runOnce(name, fn)
+        val usedMb = (rt.totalMemory() - rt.freeMemory()) >> 20
+        System.err.println(f"[bench] pass$pass $name $sec%.2fs heapUsed=${usedMb}MB")
+        sec
+      }
+      System.err.println(f"[bench] pass$pass total ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      passTimes
+    }
+    // min over passes; any pass failing marks the query failed (-1) so a
+    // flaky query can never hide behind one lucky pass
+    val results = ordered.zipWithIndex.map { case ((name, _), i) =>
+      val vals = samples.map(_(i))
+      name -> (if (vals.exists(_ < 0)) -1.0 else vals.min)
     }
     // The driver captures only the last 2000 chars of stdout and parses the
     // JSON from there. Two measures keep the line parseable forever:

@@ -444,8 +444,36 @@ object TextOps {
     * production variant has, with no quadratic pair step anywhere. */
   def spanDedup(spark: SparkSession, dir: String, n: Int = 10): DataFrame = {
     // one row per DISTINCT span per doc with its in-doc count (single-pass
-    // kernel); nd = docs containing the span, via a window over the span key —
-    // two shuffles total (window by g, aggregate by doc), no join-back
+    // kernel)
+    val spans = docs(spark, dir)
+      .select(col("doc_id"), explode(gramCountsUdf(n)(col("text"))).as(Seq("g", "c")))
+    // nd = docs containing the span, as a partial-aggregated groupBy +
+    // join-back rather than count().over(Window.partitionBy("g")): a window
+    // pins EVERY occurrence of a span key into one sorted task, so a
+    // boilerplate 10-gram appearing in 10M docs at 100 TB funnels 10M rows
+    // through a single reducer (exactly the skew q86 diagnoses). The
+    // aggregate map-side-combines to one partial row per map task per hot
+    // key, and the join back — the only place full occurrence rows meet the
+    // key again — is a shuffle join AQE can skew-split
+    // (OptimizeSkewedJoin), which it can never do for a window. Both
+    // subtrees hash-partition spans identically on g, so ReuseExchange
+    // materializes the explode once; at test scale Catalyst broadcasts the
+    // count table instead, which is strictly better. Equality with the
+    // round-5 window construction is spec-gated (TextOpsSpec).
+    val nd = spans.groupBy("g").agg(count(lit(1)).as("nd"))
+    spans.join(nd, "g")
+      .groupBy("doc_id")
+      .agg(
+        sum(col("c")).as("n_spans"),
+        sum(when(col("nd") >= 2, col("c").cast("long")).otherwise(0L)).as("dup_spans"))
+      .withColumn("dup_frac", col("dup_spans").cast("double") / col("n_spans"))
+      .withColumn("cull", col("dup_frac") > 0.5)
+  }
+
+  /** Round-5 construction of [[spanDedup]], kept ONLY as the equality-spec
+    * reference: identical output, but the span-key window sorts every
+    * occurrence of a hot gram onto one reducer — do not use on real data. */
+  private[graft] def spanDedupWindowed(spark: SparkSession, dir: String, n: Int = 10): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
     docs(spark, dir)
       .select(col("doc_id"), explode(gramCountsUdf(n)(col("text"))).as(Seq("g", "c")))

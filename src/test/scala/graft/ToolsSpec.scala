@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.sys.process._
+
+/** Gates the repo's Python tooling inside `sbt test`, so a bench-gate
+  * regression fails the same suite as an operator regression.
+  *
+  * Round-5 verdict: `tools/check_bench.py` claimed to parse driver
+  * `BENCH_r*.json` artifacts but never did (the regex missed both the
+  * escaped `\"queries\":` in "tail" and the pretty-printed `"queries": {`
+  * in "parsed") — so the regression gate had never evaluated a driver
+  * artifact. `tools/test_check_bench.py` now pins every artifact shape,
+  * including the REAL committed BENCH_r05.json.
+  */
+class ToolsSpec extends AnyFunSuite {
+
+  private val repoRoot: java.io.File = {
+    // forked test JVMs start in the sbt build root; fall back defensively
+    val cwd = new java.io.File(sys.props.getOrElse("user.dir", "."))
+    if (new java.io.File(cwd, "tools/check_bench.py").exists()) cwd
+    else new java.io.File("/root/repo")
+  }
+
+  test("check_bench.load_line parses every bench artifact shape, including the real driver BENCH_r05.json") {
+    val out = new StringBuilder
+    val code = Process(Seq("python3", "tools/test_check_bench.py"), repoRoot)
+      .!(ProcessLogger(l => out.append(l).append('\n')))
+    assert(code == 0, s"tools/test_check_bench.py failed:\n$out")
+    assert(out.toString.contains("93 queries"), out.toString)
+  }
+
+  test("check_bench evaluates the driver BENCH_r05.json end-to-end (no 'no bench queries found')") {
+    val out = new StringBuilder
+    // exit 1 is fine here (r05 records the documented load-ramp SLOW block);
+    // what must never happen again is the parse failure
+    Process(Seq("python3", "tools/check_bench.py", "BENCH_r05.json",
+      "BENCH_FLOOR.json"), repoRoot)
+      .!(ProcessLogger(l => out.append(l).append('\n')))
+    val s = out.toString
+    assert(!s.contains("no bench queries found"), s)
+    assert("(?m)^(OK|SLOW) ".r.findAllIn(s).size == 93, s.takeRight(500))
+  }
+}

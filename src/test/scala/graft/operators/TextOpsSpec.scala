@@ -155,17 +155,30 @@ class TextOpsSpec extends SparkSuite {
     }
   }
 
-  test("new-op plan shapes: fluency broadcasts its count table, spanDedup never joins, chunking never shuffles") {
+  test("new-op plan shapes: fluency broadcasts its count table, spanDedup has no span-key window, chunking never shuffles") {
     val fluency = TextOps.bigramFluency(spark, sf0001).queryExecution.executedPlan.toString
     assert(fluency.contains("BroadcastHashJoin"),
       s"the vocabulary-bounded bigram count table must broadcast:\n$fluency")
     assert(!fluency.contains("SortMergeJoin"), fluency)
+    // round-6 de-skew: the cross-doc span count must come from a
+    // partial-aggregated groupBy + join-back, never a window over the span
+    // key — a window pins every occurrence of a hot gram into one sorted
+    // task and AQE cannot split it (VERDICT r5 "What's wrong" #2)
     val span = TextOps.spanDedup(spark, sf0001).queryExecution.executedPlan.toString
-    assert(!span.contains("Join"),
-      s"spanDedup is window+aggregate only — a join-back re-derives the span subtree:\n$span")
+    assert(!span.contains("Window"),
+      s"spanDedup must not window over the span key (hot-gram skew):\n$span")
+    assert(span.contains("Join"),
+      s"spanDedup joins the partial-aggregated span counts back:\n$span")
     val chunks = TextOps.chunkDocs(spark, sf0001).queryExecution.executedPlan.toString
     assert(!chunks.contains("Exchange"),
       s"chunking is per-row explode only, no shuffle:\n$chunks")
+  }
+
+  test("spanDedup join-back equals the round-5 window construction row-for-row") {
+    val joined = TextOps.spanDedup(spark, sf001)
+    val windowed = TextOps.spanDedupWindowed(spark, sf001)
+    assert(joined.exceptAll(windowed).isEmpty && windowed.exceptAll(joined).isEmpty,
+      "de-skewed spanDedup must be a pure plan change, not a semantic one")
   }
 
   test("curation map stages run UNCHANGED on a stream, identical to batch") {

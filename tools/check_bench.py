@@ -31,25 +31,55 @@ ABS_SLACK = 0.4
 
 
 def load_line(path: str) -> dict:
+    """Accept either format:
+    1. raw Bench stdout — one JSON line {"metric":"total",...,"queries":{...}}
+       (possibly duplicated across stdout/stderr in a merged capture);
+    2. a driver BENCH_r*.json — a pretty-printed wrapper object holding the
+       bench line pre-parsed under "parsed" and the raw capture under "tail".
+    Every candidate is collected and the first with a non-empty "queries"
+    map wins; a tolerant regex over the (unescaped) raw text is the last
+    resort for truncated tails.
+    """
     raw = open(path).read()
-    # Bench prints the line on stdout AND stderr (driver-tail redundancy); a
-    # merged capture may hold it twice, or a tail window may truncate the
-    # first copy — parse the first line that loads
-    d = {}
+    candidates = []
+    # whole-file JSON first: the driver wrapper never fits on one line, so
+    # the line-oriented scan below would miss it entirely (this was the bug
+    # that made rounds 1-5 report "no bench queries found" on driver files)
+    try:
+        whole = json.loads(raw)
+    except json.JSONDecodeError:
+        whole = None
+    if isinstance(whole, dict):
+        candidates.append(whole)
+        if isinstance(whole.get("parsed"), dict):
+            candidates.append(whole["parsed"])
+        for line in (whole.get("tail") or "").splitlines():
+            if line.lstrip().startswith("{"):
+                try:
+                    candidates.append(json.loads(line))
+                except json.JSONDecodeError:
+                    continue
+    # raw bench stdout: first line(s) that parse
     for line in raw.splitlines():
         if line.lstrip().startswith("{"):
             try:
-                d = json.loads(line)
-                break
+                candidates.append(json.loads(line))
             except json.JSONDecodeError:
                 continue
-    if "queries" in d:
-        return d
-    # driver-format file: the JSON line is embedded in "tail"
-    m = re.search(r'"queries":({[^}]*})', d.get("tail", raw))
-    if not m:
-        sys.exit(f"no bench queries found in {path}")
-    return {"queries": json.loads(m.group(1))}
+    for d in candidates:
+        if isinstance(d, dict) and isinstance(d.get("queries"), dict) \
+                and d["queries"]:
+            return d
+    # truncated/garbled capture: find a queries object in the text, whether
+    # JSON-escaped (inside a "tail" string: \"queries\":) or pretty-printed
+    # ("queries": { with whitespace)
+    m = re.search(r'"queries":\s*({[^{}]*})', raw.replace('\\"', '"'))
+    if m:
+        try:
+            return {"queries": json.loads(m.group(1))}
+        except json.JSONDecodeError:
+            pass
+    sys.exit(f"no bench queries found in {path}")
 
 
 def main(bench_path: str, floor_path: str = "BENCH_FLOOR.json") -> int:

@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Unit test for check_bench.load_line: every artifact shape the driver or
+the builder produces must yield the full queries map. Run from the repo root:
+
+    python3 tools/test_check_bench.py
+
+Exercises (1) the REAL driver artifact BENCH_r05.json committed at the repo
+root — the format rounds 1-5 failed to parse ("no bench queries found"),
+(2) raw Bench stdout, (3) a driver wrapper whose "parsed" is null but whose
+"tail" holds the line (round-1-4 shape), (4) a truncated tail where only the
+escaped-regex fallback can recover the map.
+"""
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from check_bench import load_line  # noqa: E402
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_LINE = ('{"metric":"total","value":1.50,"unit":"sec",'
+              '"queries":{"q01":0.50,"q02":1.00},"sf":"/tmp/sf"}')
+
+
+def tmpfile(content: str) -> str:
+    f = tempfile.NamedTemporaryFile("w", suffix=".json", delete=False)
+    f.write(content)
+    f.close()
+    return f.name
+
+
+def test_real_driver_artifact():
+    path = os.path.join(ROOT, "BENCH_r05.json")
+    d = load_line(path)
+    qs = d["queries"]
+    assert len(qs) == 93, f"expected 93 queries, got {len(qs)}"
+    assert qs["q01"] == 1.27 and qs["q93"] == 1.22, qs
+    print(f"ok  real driver artifact BENCH_r05.json: {len(qs)} queries")
+
+
+def test_raw_bench_stdout():
+    # stdout+stderr merged capture holds the line twice plus sbt noise
+    path = tmpfile(f"[warn] noise\n{BENCH_LINE}\n{BENCH_LINE}\n[success]\n")
+    qs = load_line(path)["queries"]
+    assert qs == {"q01": 0.50, "q02": 1.00}, qs
+    print("ok  raw bench stdout (duplicated line + sbt noise)")
+
+
+def test_driver_wrapper_null_parsed():
+    # rounds 1-4: parsed was null, the line survived only inside "tail"
+    wrapper = json.dumps({"n": 1, "rc": 0, "parsed": None,
+                          "tail": f"[info] x\n{BENCH_LINE}\n"}, indent=2)
+    qs = load_line(tmpfile(wrapper))["queries"]
+    assert qs == {"q01": 0.50, "q02": 1.00}, qs
+    print("ok  driver wrapper with parsed:null, line in tail")
+
+
+def test_truncated_tail_regex_fallback():
+    # tail window cut the line's head: no line parses, only the escaped
+    # "queries" object is recoverable
+    truncated = BENCH_LINE[BENCH_LINE.index('"queries"') - 1:]
+    wrapper = '{"n": 1, "tail": ' + json.dumps(truncated)  # unclosed JSON
+    qs = load_line(tmpfile(wrapper))["queries"]
+    assert qs == {"q01": 0.50, "q02": 1.00}, qs
+    print("ok  truncated tail via escaped-regex fallback")
+
+
+if __name__ == "__main__":
+    test_real_driver_artifact()
+    test_raw_bench_stdout()
+    test_driver_wrapper_null_parsed()
+    test_truncated_tail_regex_fallback()
+    print("all load_line format tests passed")
