@@ -20,7 +20,11 @@ object Bench {
     // a failed query reports -1 (never a fast-looking elapsed time) and is
     // loudly visible on stderr — a regression must not flatter the benchmark
     val rt = Runtime.getRuntime
+    // dev filter: SPARK_GRAFT_BENCH_ONLY=q69,q94 times just those queries
+    // (floor patching / single-query iteration); unset = the full suite
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
     // INTERLEAVED min-of-N (default 3): run the whole query list N times in
     // run order and keep each query's minimum. A co-tenant load that ramps
     // mid-run (the round-5 artifact: q32+ flagged 2.3-9.6x as a contiguous

@@ -247,7 +247,14 @@ object Oracles {
        |SELECT query_id, neighbor_id, adist, cast(rnk as int) AS rnk FROM r WHERE rnk <= 3""".stripMargin
   }
 
-  val sql: Map[String, String] = Map(
+  /** q94 (bigramFluencyPruned) is EXACTLY equal to q70 by construction —
+    * pruning below the rarity cutoff is lossless for the 1000·c<Σc filter —
+    * so the scale variant shares q70's oracle verbatim instead of a weaker
+    * rows-only check. */
+  lazy val sql: Map[String, String] =
+    base + ("q94_bigram_fluency_pruned" -> base("q70_bigram_fluency"))
+
+  private val base: Map[String, String] = Map(
 
     "q82_pq_ann" -> pqAnnSql,
 

@@ -122,6 +122,7 @@ object SparkEntry {
     "q91_ivf_pq"            -> ((s, d) => Similarity.ivfPq(s, d)),
     "q92_perplexity_buckets" -> TextOps.perplexityBuckets _,
     "q93_dedup_weighted"    -> Dedup.dedupWeightedStats _,
+    "q94_bigram_fluency_pruned" -> ((s, d) => TextOps.bigramFluencyPruned(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

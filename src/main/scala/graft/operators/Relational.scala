@@ -403,8 +403,13 @@ object Relational {
   /** Exact interpolated percentiles per key (beyond the reference, §2E):
     * Spark's `percentile` and DuckDB's `quantile_cont` share the linear-
     * interpolation definition and agree bit-for-bit (verified incl. float
-    * artifacts), so this is oracle-checkable despite double outputs. At scale
-    * the documented fallback is `approx_percentile` (t-digest sketch). */
+    * artifacts), so this is oracle-checkable despite double outputs.
+    * Scale caveat: the exact aggregate buffers every (distinct value, count)
+    * of a group in ONE aggregation buffer — at 100 TB a high-cardinality
+    * value column is an executor memory bomb. Switch to
+    * [[percentilesApprox]] when per-group distinct values stop fitting an
+    * aggregation buffer (≳10⁷); the sketch is mergeable map-side, so it also
+    * restores partial aggregation that the exact buffer effectively loses. */
   def percentiles(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")
       .groupBy("event_type")
@@ -412,6 +417,22 @@ object Relational {
         expr("percentile(value, 0.5)").as("p50"),
         expr("percentile(value, 0.9)").as("p90"),
         expr("percentile(value, 0.99)").as("p99"))
+
+  /** Bounded-memory fallback for [[percentiles]] (q42): `approx_percentile`
+    * is a quantile sketch with rank error ≤ 1/accuracy and fixed memory,
+    * mergeable across partitions. Tolerance is spec-gated (RelationalSpec):
+    * each approx pN must sit between the exact values at ranks
+    * N ∓ 2/accuracy of the same group. Not oracled — DuckDB's approx sketch
+    * differs (the A25 divergence pattern; exact twin q42 carries the
+    * oracle). */
+  def percentilesApprox(spark: SparkSession, dir: String,
+                        accuracy: Int = 10000): DataFrame =
+    t(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        expr(s"approx_percentile(value, 0.5, $accuracy)").as("p50"),
+        expr(s"approx_percentile(value, 0.9, $accuracy)").as("p90"),
+        expr(s"approx_percentile(value, 0.99, $accuracy)").as("p99"))
 
   /** Explicit GROUPING SETS (independent rollups per dimension, §2E). */
   def groupingSets(spark: SparkSession, dir: String): DataFrame = {

@@ -514,6 +514,46 @@ object TextOps {
       .withColumn("keep", col("rare_frac") <= 0.25)
   }
 
+  /** Pruned-vocabulary variant of [[bigramFluency]] — the 100 TB shape of
+    * its broadcast. At web scale bigram TYPES grow into the billions and the
+    * full count table stops being broadcastable ("vocabulary-bounded" is
+    * optimistic). But this filter only ever asks `c(bg) < Σc/1000`, so any
+    * bigram pruned by a min-count threshold `minCount ≤ Σc/1000` is rare BY
+    * CONSTRUCTION: drop it from the table before the broadcast, score with a
+    * LEFT join, and count the unmatched rows as rare. The result is exactly
+    * equal — not an approximation — which the TextOpsSpec equality test
+    * gates; under a Zipf law almost all types sit below any fixed threshold,
+    * so the broadcast shrinks by orders of magnitude.
+    *
+    * Switchover thresholds: (1) keep [[bigramFluency]]'s unpruned broadcast
+    * while the count table is below spark.sql.autoBroadcastJoinThreshold;
+    * (2) beyond that, prune at `minCount = Σc/1000` — the rarity cutoff
+    * itself — which makes the broadcast exactly the non-rare head of the
+    * vocabulary, and counts summing to Σc bound that head at ≤1000 types:
+    * the broadcast cannot outgrow memory no matter the corpus; (3) for a
+    * smaller `minCount` whose head still exceeds executor memory, drop the
+    * `broadcast` hint and the scorer becomes a shuffle join AQE can
+    * skew-split. */
+  def bigramFluencyPruned(spark: SparkSession, dir: String,
+                          minCount: Long = 2): DataFrame = {
+    val bi = docs(spark, dir)
+      .select(col("doc_id"), explode(gramCountsUdf(2)(col("text"))).as(Seq("bg", "c")))
+    // Σc over ALL occurrences — the LM's probability mass is unchanged by
+    // pruning the table, so it must come from the unpruned stream
+    val total = bi.agg(sum(col("c")).as("t"))
+    val cts = bi.groupBy("bg").agg(sum(col("c")).as("ct"))
+      .filter(col("ct") >= minCount)
+    bi.join(broadcast(cts), Seq("bg"), "left")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("c")).as("n_bigrams"),
+        sum(when(col("ct").isNull || col("ct") * 1000 < col("t"),
+          col("c").cast("long")).otherwise(0L)).as("rare_ct"))
+      .withColumn("rare_frac", col("rare_ct").cast("double") / col("n_bigrams"))
+      .withColumn("keep", col("rare_frac") <= 0.25)
+  }
+
   /** Fixed-size token chunking with overlap — sequence prep for training and
     * retrieval windows: chunks of `chunkSize` tokens every `stride` tokens
     * (overlap = chunkSize − stride), last chunk truncated, one chunk for docs
@@ -580,6 +620,45 @@ object TextOps {
     * table is vocabulary-bounded and broadcasts (the q70 argument); docs
     * with no bigram land in 'tail'. */
   def perplexityBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val withAvg = perplexityScored(spark, dir)
+    // EXACT interpolated percentile: correct for the oracle, but its
+    // aggregation buffer holds every distinct avg_q of the corpus in one
+    // place — at 100 TB that single global-cutoff buffer is a memory bomb.
+    // The production path is [[perplexityBucketsApprox]] (bounded-memory
+    // mergeable sketch); switch over when the distinct score count stops
+    // fitting one aggregation buffer (≳10⁷ distinct values).
+    val cuts = withAvg.filter(col("n_bigrams") > 0)
+      .agg(expr("percentile(avg_q, 1.0/3)").as("c33"),
+        expr("percentile(avg_q, 2.0/3)").as("c67"))
+    perplexityBucketize(withAvg, cuts)
+  }
+
+  /** 100 TB fallback for [[perplexityBuckets]]'s global tercile cutoffs:
+    * `approx_percentile` (a mergeable bounded-memory quantile sketch with
+    * rank error ≤ 1/accuracy) replaces the exact `percentile` whose buffer
+    * materializes every distinct score on one executor. Only the two cutoff
+    * scalars change — the LM scoring pipeline is byte-identical — so at most
+    * a ~1/accuracy rank-band of docs near each cutoff can flip bucket.
+    * Spec-gated (TextOpsSpec): ≥99% bucket agreement with the exact version
+    * at accuracy=10000, and every disagreeing doc's score lies within the
+    * exact c33/c67 neighborhood. Not oracled: DuckDB has no matching sketch
+    * (the A25 divergence pattern — exact twin q92 carries the oracle). */
+  def perplexityBucketsApprox(spark: SparkSession, dir: String,
+                              accuracy: Int = 10000): DataFrame = {
+    val withAvg = perplexityScored(spark, dir)
+    val cuts = withAvg.filter(col("n_bigrams") > 0)
+      .agg(expr(s"approx_percentile(avg_q, 1.0/3, $accuracy)").as("c33"),
+        expr(s"approx_percentile(avg_q, 2.0/3, $accuracy)").as("c67"))
+    perplexityBucketize(withAvg, cuts)
+  }
+
+  /** Shared LM-scoring core of q92: tf-weighted integer-quantized bigram
+    * probabilities, one left join back to all docs, avg score per doc.
+    * The bigram/marginal broadcasts carry the same pruning caveat as q70 —
+    * see [[bigramFluencyPruned]] for the lossless min-count shape; for the
+    * LM variant the pruned mass needs a backoff score instead (CCNet prunes
+    * to a fixed head vocabulary for exactly this reason). */
+  private def perplexityScored(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
     val grams = d.select(col("doc_id"), explode(gramCountsUdf(2)(col("text"))))
       .select(col("doc_id"), col("key").as("gram"), col("value").cast("long").as("tf"))
@@ -592,23 +671,22 @@ object TextOps {
       .withColumn("q", floor(col("c12").cast("double") / col("c1") * lit(1048576)).cast("long"))
       .groupBy("doc_id")
       .agg(sum(col("tf") * col("q")).as("score_sum"), sum(col("tf")).as("n_bigrams"))
-    val withAvg = d.select("doc_id").join(scored, Seq("doc_id"), "left")
+    d.select("doc_id").join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("score_sum"), lit(0L)).as("score_sum"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"))
       .withColumn("avg_q",
         when(col("n_bigrams") > 0,
           col("score_sum").cast("double") / col("n_bigrams")).otherwise(lit(-1.0)))
-    val cuts = withAvg.filter(col("n_bigrams") > 0)
-      .agg(expr("percentile(avg_q, 1.0/3)").as("c33"),
-        expr("percentile(avg_q, 2.0/3)").as("c67"))
+  }
+
+  private def perplexityBucketize(withAvg: DataFrame, cuts: DataFrame): DataFrame =
     withAvg.crossJoin(broadcast(cuts))
       .select(col("doc_id"), col("n_bigrams"), col("score_sum"),
         when(col("n_bigrams") === 0, lit("tail"))
           .when(col("avg_q") > col("c67"), lit("head"))
           .when(col("avg_q") > col("c33"), lit("middle"))
           .otherwise(lit("tail")).as("bucket"))
-  }
 
   /** Token-distribution drift between the historical store (doc_id < max/3,
     * the q74/q76/q85 split) and the incoming batch — the ingest-monitoring

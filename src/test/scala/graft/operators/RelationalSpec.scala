@@ -109,4 +109,25 @@ class RelationalSpec extends SparkSuite {
     val nKeys = counts.size
     byRank.foreach(r => assert(r._4 == r._3 * nKeys, "skew_x = share * n_keys"))
   }
+
+  test("percentilesApprox: each approx pN lies within the exact rank band N -/+ 2/accuracy") {
+    import spark.implicits._
+    val acc = 10000
+    val approx = Relational.percentilesApprox(spark, sf001, acc)
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> Seq(0.5 -> r._2, 0.9 -> r._3, 0.99 -> r._4)).toMap
+    val byType = graft.Tables.load(spark, sf001, "events")
+      .select($"event_type", $"value".cast("double")).as[(String, Double)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(approx.keySet == byType.keySet)
+    for ((tpe, ps) <- approx; (q, got) <- ps) {
+      val vals = byType(tpe)
+      val n = vals.length
+      def atRank(p: Double): Double =
+        vals(math.min(n - 1, math.max(0, math.ceil(p * n).toInt - 1)))
+      val (lo, hi) = (atRank(q - 2.0 / acc), atRank(q + 2.0 / acc))
+      assert(got >= lo && got <= hi,
+        s"$tpe p$q: approx $got outside exact rank band [$lo, $hi] (n=$n)")
+    }
+  }
 }

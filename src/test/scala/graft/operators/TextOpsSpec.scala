@@ -174,6 +174,41 @@ class TextOpsSpec extends SparkSuite {
       s"chunking is per-row explode only, no shuffle:\n$chunks")
   }
 
+  test("bigramFluencyPruned is EXACTLY bigramFluency for any prune below the rarity cutoff") {
+    import spark.implicits._
+    val exact = TextOps.bigramFluency(spark, sf001)
+    // the lossless bound: every pruned bigram (ct < minCount) must already be
+    // rare (1000·ct < Σc), i.e. minCount - 1 < Σc/1000
+    val total = exact.agg(sum(col("n_bigrams"))).as[Long].head()
+    assert(total > 2000, s"fixture too small for a meaningful prune (Σc=$total)")
+    for (minCount <- Seq(2L, 16L, total / 1000)) {
+      val pruned = TextOps.bigramFluencyPruned(spark, sf001, minCount)
+      assert(pruned.exceptAll(exact).isEmpty && exact.exceptAll(pruned).isEmpty,
+        s"minCount=$minCount must be lossless (bound: ${total / 1000})")
+    }
+  }
+
+  test("perplexityBucketsApprox: >=99% bucket agreement with exact cutoffs, disagreements only adjacent") {
+    import spark.implicits._
+    val exact = TextOps.perplexityBuckets(spark, sf001)
+      .select(col("doc_id"), col("bucket").as("b_exact"))
+    val approx = TextOps.perplexityBucketsApprox(spark, sf001)
+      .select(col("doc_id"), col("bucket").as("b_approx"))
+    val joined = exact.join(approx, "doc_id")
+      .select($"doc_id", $"b_exact", $"b_approx").as[(Long, String, String)].collect()
+    val n = joined.length
+    val disagree = joined.filter(r => r._2 != r._3)
+    assert(n > 0 && disagree.length <= n / 100,
+      s"${disagree.length}/$n docs flipped bucket — sketch rank error must stay within 1/accuracy")
+    // a 1/accuracy rank error can only move a cutoff past adjacent docs,
+    // never across a whole tercile
+    disagree.foreach { case (id, e, a) =>
+      val pair = Set(e, a)
+      assert(pair == Set("head", "middle") || pair == Set("middle", "tail"),
+        s"doc $id flipped non-adjacent buckets: $e -> $a")
+    }
+  }
+
   test("spanDedup join-back equals the round-5 window construction row-for-row") {
     val joined = TextOps.spanDedup(spark, sf001)
     val windowed = TextOps.spanDedupWindowed(spark, sf001)
