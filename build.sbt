@@ -8,6 +8,10 @@ unmanagedBase := file("/opt/spark/jars")
 libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
+  // real JDBC round-trip for the A5 stats sink (JdbcSinkSpec): DuckDB file
+  // DB stands in for the reference's ClickHouse — test scope only, the main
+  // library depends on nothing beyond Spark
+  "org.duckdb" % "duckdb_jdbc" % "1.0.0" % Test,
 )
 Test / fork := true
 run / fork := true

@@ -226,12 +226,40 @@ object Io {
       .sortBy(bucketCol).format("parquet").saveAsTable(table)
 
   /** A5: JDBC-ish batch sink shape — foreachBatch with transient-column drop,
-    * bound to parquet here (ClickHouse JDBC in production). */
+    * bound to parquet here; [[jdbcStatsSink]] is the same shape landing in a
+    * real JDBC database. */
   def statsSink(df: DataFrame, outDir: String, checkpoint: String,
                 transientCols: Seq[String] = Nil): StreamingQuery =
     df.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         batch.drop(transientCols: _*).write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** A5, REAL JDBC execution (reference `utils/ClickHouseUtil.java:31-76`,
+    * used by every DWS app e.g. `VisitorStatsApp.java:202`): foreachBatch →
+    * `df.write.jdbc` append into any JDBC database. The transient-column
+    * drop is the reference's `@TransientSink` reflection filter
+    * (`ClickHouseUtil.java:45-53`) done as a plain projection; per-batch
+    * append = its positional batch insert; exactly-once = checkpoint +
+    * AvailableNow restart cadence, with idempotent downstream keys as in
+    * production ClickHouse (ReplacingMergeTree). Exercised in-container
+    * against a DuckDB file DB (JdbcSinkSpec) — a real SQL database, not a
+    * parquet emulation. `maxWriters` bounds the concurrent connections per
+    * micro-batch (0 = one writer per partition; ClickHouse and DuckDB both
+    * prefer few fat inserts over many thin ones). */
+  def jdbcStatsSink(df: DataFrame, url: String, table: String,
+                    checkpoint: String, transientCols: Seq[String] = Nil,
+                    maxWriters: Int = 0,
+                    props: java.util.Properties = new java.util.Properties())
+  : StreamingQuery =
+    df.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val pruned = batch.drop(transientCols: _*)
+        val bounded = if (maxWriters > 0) pruned.coalesce(maxWriters) else pruned
+        bounded.write.mode("append").jdbc(url, table, props)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
