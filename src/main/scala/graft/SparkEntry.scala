@@ -57,7 +57,7 @@ object SparkEntry {
     "q29_winnow_fingerprint" -> Dedup.winnowFingerprints _,
     "q30_media_features"    -> Multimodal.mediaFeatures _,
     "q31_salted_agg"        -> ((s, d) => Relational.saltedAgg(s, d)),
-    "q32_neardup_clusters"  -> Dedup.nearDupClusters _,
+    "q32_neardup_clusters"  -> ((s, d) => Dedup.nearDupClusters(s, d)),
     "q33_ivf_ann"           -> ((s, d) => Similarity.ivfAnn(s, d)),
     "q34_approx_distinct"   -> Relational.approxDistinctDaily _,
     "q35_winnow_pairs"      -> ((s, d) => Dedup.winnowPairs(s, d)),
@@ -90,7 +90,7 @@ object SparkEntry {
     "q59_embedding_clusters" -> Similarity.embeddingClusters _,
     "q60_tfidf_terms"       -> TextOps.tfidfTopTerms _,
     "q61_balanced_sample"   -> TextOps.balancedSample _,
-    "q62_split_leakage"     -> TextOps.splitLeakage _,
+    "q62_split_leakage"     -> ((s, d) => TextOps.splitLeakage(s, d)),
     "q63_session_funnel"    -> Relational.sessionFunnel _,
     "q64_inverted_index"    -> ((s, d) => TextOps.invertedIndex(s, d)),
     "q65_vocab_top_terms"   -> TextOps.vocabTopTerms _,
@@ -100,13 +100,13 @@ object SparkEntry {
     "q69_span_dedup"        -> ((s, d) => TextOps.spanDedup(s, d)),
     "q70_bigram_fluency"    -> TextOps.bigramFluency _,
     "q71_chunk_docs"        -> ((s, d) => TextOps.chunkDocs(s, d)),
-    "q72_hard_negatives"    -> Similarity.hardNegatives _,
+    "q72_hard_negatives"    -> ((s, d) => Similarity.hardNegatives(s, d)),
     "q73_mixture_sample"    -> ((s, d) => TextOps.mixtureSample(s, d)),
     "q74_ingest_dedup"      -> Dedup.ingestDedup _,
     "q75_boilerplate"       -> ((s, d) => TextOps.boilerplate(s, d)),
     "q76_ingest_neardup"    -> Dedup.ingestNearDup _,
     "q77_modality_audit"    -> Similarity.modalityAudit _,
-    "q78_canonical_docs"    -> Dedup.canonicalPerCluster _,
+    "q78_canonical_docs"    -> ((s, d) => Dedup.canonicalPerCluster(s, d)),
     "q79_semantic_dedup"    -> ((s, d) => Similarity.semanticDedup(s, d)),
     "q80_source_quota"      -> ((s, d) => TextOps.sourceQuota(s, d)),
     "q81_bm25_search"       -> ((s, d) => TextOps.bm25Search(s, d)),
@@ -121,7 +121,7 @@ object SparkEntry {
     "q90_token_drift"       -> ((s, d) => TextOps.tokenDrift(s, d)),
     "q91_ivf_pq"            -> ((s, d) => Similarity.ivfPq(s, d)),
     "q92_perplexity_buckets" -> TextOps.perplexityBuckets _,
-    "q93_dedup_weighted"    -> Dedup.dedupWeightedStats _,
+    "q93_dedup_weighted"    -> ((s, d) => Dedup.dedupWeightedStats(s, d)),
     "q94_bigram_fluency_pruned" -> ((s, d) => TextOps.bigramFluencyPruned(s, d)),
   )
 

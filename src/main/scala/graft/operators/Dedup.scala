@@ -250,9 +250,13 @@ object Dedup {
   }
 
   /** Dedup clusters of the MinHash-LSH near-dup graph: (doc_id, cluster_id)
-    * for every doc in at least one near-dup pair; keeper = cluster_id. */
-  def nearDupClusters(spark: SparkSession, dir: String): DataFrame =
-    clusters(minhashLsh(spark, dir))
+    * for every doc in at least one near-dup pair; keeper = cluster_id.
+    * `pairs` injects a pre-materialized pair table ([[CurationStages]]) so
+    * the label stage can run off the written LSH output instead of
+    * re-banding the corpus. */
+  def nearDupClusters(spark: SparkSession, dir: String,
+                      pairs: Option[DataFrame] = None): DataFrame =
+    clusters(pairs.getOrElse(minhashLsh(spark, dir)))
 
   /** Quality-ranked canonical selection per near-dup cluster — what
     * production dedup actually keeps: not the minimum id but the BEST member
@@ -261,12 +265,13 @@ object Dedup {
     * re-crawls, and keeping the longest loses nothing). One row per cluster
     * with the canonical doc and the bytes the cluster folds away. Label join
     * is near-dup-sized (broadcastable); one cluster-keyed aggregate. */
-  def canonicalPerCluster(spark: SparkSession, dir: String): DataFrame = {
-    val labels = nearDupClusters(spark, dir)
+  def canonicalPerCluster(spark: SparkSession, dir: String,
+                          labels: Option[DataFrame] = None): DataFrame = {
+    val lbl = labels.getOrElse(nearDupClusters(spark, dir))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("cluster_id").orderBy(col("n_chars").desc, col("doc_id"))
     docs(spark, dir).select(col("doc_id"), col("n_chars"))
-      .join(labels, "doc_id")
+      .join(lbl, "doc_id")
       .withColumn("rn", row_number().over(w))
       .groupBy("cluster_id")
       .agg(
@@ -394,10 +399,11 @@ object Dedup {
     * the per-source sums are exact integers. Cluster labels are the
     * LSH-bounded [[nearDupClusters]]; label set is near-dup-sized, so the
     * weight join broadcasts; unclustered docs are singletons (full weight). */
-  def dedupWeightedStats(spark: SparkSession, dir: String): DataFrame = {
-    val labels = nearDupClusters(spark, dir)
-    val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("csize"))
-    val weighted = labels.join(sizes, "cluster_id").select(col("doc_id"), col("csize"))
+  def dedupWeightedStats(spark: SparkSession, dir: String,
+                         labels: Option[DataFrame] = None): DataFrame = {
+    val lbl = labels.getOrElse(nearDupClusters(spark, dir))
+    val sizes = lbl.groupBy("cluster_id").agg(count(lit(1)).as("csize"))
+    val weighted = lbl.join(sizes, "cluster_id").select(col("doc_id"), col("csize"))
     docs(spark, dir)
       .select(col("doc_id"), col("source"),
         size(tokensCol(col("text"))).cast("long").as("token_ct"))
@@ -426,8 +432,9 @@ object Dedup {
     * all-pairs); edges+degrees persist once and each round is ONE shuffle
     * (contribution groupBy dst). Five rounds keep the lineage bounded; a
     * longer run would cut the plan per round exactly as [[clusters]] does. */
-  def pagerankNearDup(spark: SparkSession, dir: String, iters: Int = 5): DataFrame = {
-    val pairs = minhashLsh(spark, dir).select(col("da"), col("db"))
+  def pagerankNearDup(spark: SparkSession, dir: String, iters: Int = 5,
+                      pairTable: Option[DataFrame] = None): DataFrame = {
+    val pairs = pairTable.getOrElse(minhashLsh(spark, dir)).select(col("da"), col("db"))
     val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
       .union(pairs.select(col("db").as("src"), col("da").as("dst")))
     // persist BOTH static relations: deg feeds r0 and every round's node

@@ -101,8 +101,9 @@ object Similarity {
     * broadcast-queries/one-corpus-scan shape as [[knnBruteForce]]; the
     * cluster labels ([[embeddingClusters]]) are near-dup-sized, so both label
     * joins broadcast. */
-  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
-    val labels = embeddingClusters(spark, dir)
+  def hardNegatives(spark: SparkSession, dir: String,
+                    clusterLabels: Option[DataFrame] = None): DataFrame = {
+    val labels = clusterLabels.getOrElse(embeddingClusters(spark, dir))
     val e = emb(spark, dir)
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),

@@ -381,14 +381,15 @@ object TextOps {
     * (only clustered docs — a tiny fraction of the corpus) plus one
     * cluster-keyed aggregate. Oracle: the q32 recursive-CTE components with
     * the q48 split CASE, HAVING distinct-split > 1. */
-  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+  def splitLeakage(spark: SparkSession, dir: String,
+                   labels: Option[DataFrame] = None): DataFrame = {
     val split = docs(spark, dir)
       .withColumn("h", substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4))
       .select(col("doc_id"),
         when(col("h") < "1999", "val")
           .when(col("h") < "3333", "test")
           .otherwise("train").as("split"))
-    Dedup.nearDupClusters(spark, dir)
+    labels.getOrElse(Dedup.nearDupClusters(spark, dir))
       .join(split, "doc_id")
       .groupBy("cluster_id")
       .agg(count(lit(1)).as("n_docs"), countDistinct(col("split")).as("n_splits"))
