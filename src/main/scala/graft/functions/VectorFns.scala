@@ -83,12 +83,14 @@ object VectorFns {
 
   def hyperplaneSigUdf(nPlanes: Int) = udf((v: Seq[Float]) => hyperplaneSig(v, nPlanes))
 
-  /** Sparse ±1 random projection coordinates (Achlioptas 2003): the RAW
-    * integer dots behind [[hyperplaneSig]] — proj(p) = Σ_d sign(p,d) ·
-    * floor(v_d·2²⁰), same memoized md5-derived plane matrix, exact integer
-    * sums (no float accumulation order — any engine replays them). The JL
-    * dimensionality-reduction step: 64-dim float → `nPlanes` integer
-    * coordinates. */
+  /** Dense ±1 (Rademacher) random-projection coordinates — the Charikar
+    * sign-hash construction with every entry nonzero, NOT Achlioptas's
+    * sparse variant: the RAW integer dots behind [[hyperplaneSig]] —
+    * proj(p) = Σ_d sign(p,d) · floor(v_d·2²⁰), same memoized md5-derived
+    * plane matrix, exact integer sums (no float accumulation order — any
+    * engine replays them). The JL dimensionality-reduction step: 64-dim
+    * float → `nPlanes` integer coordinates; dense ±1 satisfies the JL lemma
+    * with the same O(ε⁻²·log n) dimension bound. */
   def projectPlanes(v: Seq[Float], nPlanes: Int): Array[Long] = {
     val planes = hyperplanePlanes(nPlanes, v.length)
     val out = new Array[Long](nPlanes)

@@ -441,6 +441,11 @@ object Dedup {
     // frame, withDeg every round's contribution join — without the caches
     // each of the 5 rounds re-derives the whole LSH banding pipeline and the
     // final plan grows to ~500 nodes (observed before this fix)
+    // both persists live until the caller materializes the returned frame
+    // and the harness's per-query cache release runs (Bench/Verify clear
+    // caches between queries; a long-lived session embedding this operator
+    // owns the release) — unpersisting here would re-derive the LSH banding
+    // pipeline in every iteration's contribution join
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).persist()
     val withDeg = edges.join(deg, "src").persist()
     var r = deg.select(col("src").as("doc_id"), lit(1000000L).as("pr"))

@@ -276,8 +276,6 @@ object Multimodal {
     Some((w, h, fpsN.toDouble / fpsD, nFrames, profile))
   }
 
-  /** Build a media table from documents (payload = utf-8 bytes) — the fixture
-    * generator for the binary plumbing; also the shape a real ingest would use. */
   /** Image perceptual-hash near-dup detection — the IMAGE-modality twin of
     * [[graft.operators.Dedup.simhashPairs]] (text) and
     * [[graft.operators.Similarity.cosineNearDup]] (vectors), closing the
@@ -293,6 +291,14 @@ object Multimodal {
     * same evidence class as the rest of the multimodal suite. */
   def imageNearDup(decoded: DataFrame, nBits: Int = 8, nSeg: Int = 4,
                    maxHamming: Int = 1): DataFrame = {
+    // the pigeonhole recall guarantee (hamming ≤ nSeg−1 ⇒ some segment
+    // matches exactly) needs every bit inside a segment and enough segments
+    // to absorb maxHamming flips — fail loudly on a misconfiguration that
+    // would silently lose recall
+    require(nBits % nSeg == 0,
+      s"nSeg=$nSeg must divide nBits=$nBits or the top bits go unblocked")
+    require(nSeg >= maxHamming + 1,
+      s"nSeg=$nSeg must exceed maxHamming=$maxHamming for full blocking recall")
     val bitsU = udf((f: Seq[Double]) => {
       val mean = f.sum / f.length
       f.zipWithIndex.foldLeft(0L) { case (acc, (v, i)) =>
@@ -323,6 +329,8 @@ object Multimodal {
       .select(col("ma"), col("mb"), col("hamming"))
   }
 
+  /** Build a media table from documents (payload = utf-8 bytes) — the fixture
+    * generator for the binary plumbing; also the shape a real ingest would use. */
   def mediaFromDocuments(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
       .select(

@@ -280,7 +280,10 @@ object Similarity {
       .select("embedding").collect().map(_.getSeq[Float](0).toArray)
     val centroids = trainCentroids(sample, k, iters = 5)
     val assignU = udf((v: Seq[Float]) => nearestCentroids(v, centroids, 1).head)
-    // one assignment scan feeds both self-join sides and the final projection
+    // one assignment scan feeds both self-join sides and the final
+    // projection; stays cached until the harness's per-query cache release
+    // (Bench/Verify clear caches between queries — a long-lived session
+    // embedding this operator owns the release)
     val assigned = e
       .select(col("vec_id"), col("embedding"), normFastCol(col("embedding")).as("nrm"),
         assignU(col("embedding")).as("cell"))
@@ -317,6 +320,7 @@ object Similarity {
     val centroids = trainCentroids(sample, k, iters = 5)
     val assignU = udf((v: Seq[Float]) => nearestCentroids(v, centroids, 1).head)
     val wm = e.agg(expr("max(vec_id) div 3").as("wm"))
+    // cached until the harness's per-query release, as in semanticDedup above
     val assigned = e.crossJoin(broadcast(wm))
       .select(col("vec_id"), col("wm"), col("embedding"),
         normFastCol(col("embedding")).as("nrm"), assignU(col("embedding")).as("cell"))
@@ -333,8 +337,9 @@ object Similarity {
       .select(col("store_vec_id"), col("batch_vec_id"), col("cos"))
   }
 
-  /** Johnson–Lindenstrauss dimensionality reduction via sparse ±1 random
-    * projection (Achlioptas 2003): 64-dim float embeddings → 16 integer
+  /** Johnson–Lindenstrauss dimensionality reduction via dense ±1
+    * (Rademacher) sign projection — the Charikar-style matrix with every
+    * entry nonzero: 64-dim float embeddings → 16 integer
     * coordinates, proj(j) = Σ_d sign(j,d)·floor(v_d·2²⁰), with the SAME
     * memoized md5-derived plane matrix as the q28 LSH (so the oracle
     * re-derives every sign). The cheap pre-step that lets downstream
@@ -366,6 +371,11 @@ object Similarity {
     val s = stream
       .withColumn("cell", assignU(col("embedding")))
       .withColumn("nrm", normFastCol(col("embedding")))
+      // UNBOUNDED state caveat (same run model as streamingIngest's docs):
+      // dropDuplicates on an unwatermarked stream keeps one state row per
+      // vec_id forever; within the documented daily-compaction cycle that
+      // is bounded by a day's ingest, and a deployment that can attach an
+      // event-time column should use dropDuplicatesWithinWatermark instead
       .dropDuplicates("vec_id")
     val st = store
       .select(col("embedding").as("se"))

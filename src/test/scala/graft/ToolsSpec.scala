@@ -40,6 +40,11 @@ class ToolsSpec extends AnyFunSuite {
       .!(ProcessLogger(l => out.append(l).append('\n')))
     val s = out.toString
     assert(!s.contains("no bench queries found"), s)
-    assert("(?m)^(OK|SLOW) ".r.findAllIn(s).size == 93, s.takeRight(500))
+    // one OK/SLOW verdict per floor entry (qNN keys only — queries added
+    // after round 5, e.g. q94, correctly report missing-from-bench SLOW)
+    val floorKeys = "\"q\\d+_".r.findAllIn(new String(
+      java.nio.file.Files.readAllBytes(repoRoot.toPath.resolve("BENCH_FLOOR.json")),
+      "UTF-8")).size
+    assert("(?m)^(OK|SLOW) ".r.findAllIn(s).size == floorKeys, s.takeRight(500))
   }
 }
