@@ -653,23 +653,54 @@ object TextOps {
     perplexityBucketize(withAvg, cuts)
   }
 
+  /** Pruned-vocabulary LM variant of [[perplexityBuckets]] — the FULL 100 TB
+    * shape of q92, combining both scale fixes: the bigram LM is pruned to
+    * the `c12 ≥ minCount` head before broadcast (CCNet trains its reference
+    * LM on a fixed head vocabulary for exactly this reason — at web scale
+    * bigram types run into the billions) with a zero backoff for pruned
+    * bigrams (the floor of any backoff scheme; the tf still counts in the
+    * denominator, so pruning can only LOWER a doc's average — monotonicity
+    * the spec pins exactly), and the tercile cutoffs come from
+    * `approx_percentile`. Unlike [[bigramFluencyPruned]] this is an
+    * approximation — the LM uses the probability VALUES, not just a rarity
+    * threshold — so it is tolerance-gated (TextOpsSpec: per-doc monotone
+    * scores, ≥90% bucket agreement at minCount=2 on the fixture), not
+    * oracled; exact twin q92 carries the oracle. */
+  def perplexityBucketsPruned(spark: SparkSession, dir: String,
+                              minCount: Long = 2, accuracy: Int = 10000): DataFrame = {
+    val withAvg = perplexityScored(spark, dir, minCount)
+    val cuts = withAvg.filter(col("n_bigrams") > 0)
+      .agg(expr(s"approx_percentile(avg_q, 1.0/3, $accuracy)").as("c33"),
+        expr(s"approx_percentile(avg_q, 2.0/3, $accuracy)").as("c67"))
+    perplexityBucketize(withAvg, cuts)
+  }
+
   /** Shared LM-scoring core of q92: tf-weighted integer-quantized bigram
     * probabilities, one left join back to all docs, avg score per doc.
-    * The bigram/marginal broadcasts carry the same pruning caveat as q70 —
-    * see [[bigramFluencyPruned]] for the lossless min-count shape; for the
-    * LM variant the pruned mass needs a backoff score instead (CCNet prunes
-    * to a fixed head vocabulary for exactly this reason). */
-  private def perplexityScored(spark: SparkSession, dir: String): DataFrame = {
+    * `minCount` prunes the LM to the `c12 ≥ minCount` head (zero backoff
+    * for pruned bigrams); 1 = exact — every (doc, bigram) matches the
+    * corpus table by construction, so the left join degenerates to the
+    * inner join and the coalesced backoff never fires. */
+  private def perplexityScored(spark: SparkSession, dir: String,
+                               minCount: Long = 1): DataFrame = {
     val d = docs(spark, dir)
     val grams = d.select(col("doc_id"), explode(gramCountsUdf(2)(col("text"))))
       .select(col("doc_id"), col("key").as("gram"), col("value").cast("long").as("tf"))
-    val corpus = grams.groupBy("gram").agg(sum(col("tf")).as("c12"))
+    val corpusAll = grams.groupBy("gram").agg(sum(col("tf")).as("c12"))
       .withColumn("w1", expr("substring_index(gram, ' ', 1)"))
-    val marg = corpus.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    // marginals from the UNPRUNED counts: pruning the table must not
+    // redistribute the denominator mass (p(w2|w1) stays a true probability)
+    val marg = corpusAll.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    val corpus = if (minCount > 1) corpusAll.filter(col("c12") >= minCount) else corpusAll
     val scored = grams
-      .join(broadcast(corpus), "gram")
-      .join(broadcast(marg), "w1")
-      .withColumn("q", floor(col("c12").cast("double") / col("c1") * lit(1048576)).cast("long"))
+      // grams derives its own prefix key: corpus's w1 can be null on the
+      // pruned left join, and reusing it would make the marg join ambiguous
+      .withColumn("gw1", expr("substring_index(gram, ' ', 1)"))
+      .join(broadcast(corpus.drop("w1")), Seq("gram"), "left")
+      .join(broadcast(marg.withColumnRenamed("w1", "mw1")),
+        col("gw1") === col("mw1"), "left")
+      .withColumn("q", coalesce(
+        floor(col("c12").cast("double") / col("c1") * lit(1048576)).cast("long"), lit(0L)))
       .groupBy("doc_id")
       .agg(sum(col("tf") * col("q")).as("score_sum"), sum(col("tf")).as("n_bigrams"))
     d.select("doc_id").join(scored, Seq("doc_id"), "left")

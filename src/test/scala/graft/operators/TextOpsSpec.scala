@@ -209,6 +209,28 @@ class TextOpsSpec extends SparkSuite {
     }
   }
 
+  test("perplexityBucketsPruned: scores monotone under pruning, buckets mostly agree") {
+    import spark.implicits._
+    val exact = TextOps.perplexityBuckets(spark, sf001)
+      .select($"doc_id", $"score_sum".as("s_exact"), $"n_bigrams".as("n_exact"),
+        $"bucket".as("b_exact"))
+    val pruned = TextOps.perplexityBucketsPruned(spark, sf001, minCount = 2)
+      .select($"doc_id", $"score_sum".as("s_pruned"), $"n_bigrams".as("n_pruned"),
+        $"bucket".as("b_pruned"))
+    val joined = exact.join(pruned, "doc_id").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      // zero backoff can only REMOVE probability mass, never add or move it
+      assert(r.getAs[Long]("n_pruned") == r.getAs[Long]("n_exact"),
+        s"doc ${r.getLong(0)}: tf denominator must not change under pruning")
+      assert(r.getAs[Long]("s_pruned") <= r.getAs[Long]("s_exact"),
+        s"doc ${r.getLong(0)}: pruned LM score must be <= exact")
+    }
+    val agree = joined.count(r => r.getAs[String]("b_exact") == r.getAs[String]("b_pruned"))
+    assert(agree >= joined.length * 9 / 10,
+      s"bucket agreement $agree/${joined.length} below 90% at minCount=2")
+  }
+
   test("spanDedup join-back equals the round-5 window construction row-for-row") {
     val joined = TextOps.spanDedup(spark, sf001)
     val windowed = TextOps.spanDedupWindowed(spark, sf001)
