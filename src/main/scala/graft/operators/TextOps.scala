@@ -445,9 +445,16 @@ object TextOps {
     * production variant has, with no quadratic pair step anywhere. */
   def spanDedup(spark: SparkSession, dir: String, n: Int = 10): DataFrame = {
     // one row per DISTINCT span per doc with its in-doc count (single-pass
-    // kernel)
+    // kernel). Persisted: both the count aggregate and the join probe
+    // consume this frame, and without the cache each side re-runs the
+    // scan+explode (measured 1.32 s vs 0.9 s at sf0.1). Stays cached until
+    // the harness's per-query release (Bench/Verify clear caches between
+    // queries; a long-lived session embedding this operator owns the
+    // release) — at cluster scale this boundary is the materialized span
+    // table between pipeline stages.
     val spans = docs(spark, dir)
       .select(col("doc_id"), explode(gramCountsUdf(n)(col("text"))).as(Seq("g", "c")))
+      .persist()
     // nd = docs containing the span, as a partial-aggregated groupBy +
     // join-back rather than count().over(Window.partitionBy("g")): a window
     // pins EVERY occurrence of a span key into one sorted task, so a
