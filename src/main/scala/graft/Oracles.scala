@@ -964,6 +964,23 @@ object Oracles {
         | quantile_cont(value, 0.9) AS p90, quantile_cont(value, 0.99) AS p99
         |FROM events GROUP BY 1""".stripMargin,
 
+    // the q34 self-check pattern for quantile sketches: each engine runs its
+    // OWN approximate quantile (different algorithms — raw estimates are not
+    // output) against its exact percentile; the oracle pins the exact values
+    // and the within-tolerance flags (5% relative + 0.5 absolute)
+    "q95_percentile_check" ->
+      """SELECT event_type,
+        | quantile_cont(value, 0.5) AS p50,
+        | quantile_cont(value, 0.9) AS p90,
+        | quantile_cont(value, 0.99) AS p99,
+        | abs(approx_quantile(value, 0.5) - quantile_cont(value, 0.5))
+        |   <= abs(quantile_cont(value, 0.5)) * 0.05 + 0.5 AS ok50,
+        | abs(approx_quantile(value, 0.9) - quantile_cont(value, 0.9))
+        |   <= abs(quantile_cont(value, 0.9)) * 0.05 + 0.5 AS ok90,
+        | abs(approx_quantile(value, 0.99) - quantile_cont(value, 0.99))
+        |   <= abs(quantile_cont(value, 0.99)) * 0.05 + 0.5 AS ok99
+        |FROM events GROUP BY 1""".stripMargin,
+
     "q43_grouping_sets" ->
       """SELECT c_mktsegment, o_orderstatus, count(*) AS order_ct,
         | cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS revenue

@@ -123,6 +123,7 @@ object SparkEntry {
     "q92_perplexity_buckets" -> TextOps.perplexityBuckets _,
     "q93_dedup_weighted"    -> ((s, d) => Dedup.dedupWeightedStats(s, d)),
     "q94_bigram_fluency_pruned" -> ((s, d) => TextOps.bigramFluencyPruned(s, d)),
+    "q95_percentile_check"  -> ((s, d) => Relational.percentileSketchCheck(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

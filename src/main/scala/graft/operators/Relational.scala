@@ -434,6 +434,33 @@ object Relational {
         expr(s"approx_percentile(value, 0.9, $accuracy)").as("p90"),
         expr(s"approx_percentile(value, 0.99, $accuracy)").as("p99"))
 
+  /** [[percentilesApprox]] as a SELF-CHECKING oracled query (q95) — the q34
+    * HLL pattern applied to quantile sketches: both engines run their OWN
+    * approximate sketch (Spark approx_percentile; DuckDB approx_quantile —
+    * different algorithms, raw estimates incomparable and excluded from the
+    * output) next to their exact percentile, and the oracle pins the exact
+    * values (bit-equal, the q42 pairing) plus the within-tolerance flags.
+    * Estimate quality becomes a driver-visible gate at every scale instead
+    * of a spec-only claim; tolerance 5% relative + 0.5 absolute is ~50× the
+    * observed sketch error on this data. */
+  def percentileSketchCheck(spark: SparkSession, dir: String,
+                            accuracy: Int = 10000, tol: Double = 0.05): DataFrame = {
+    def ok(a: String, e: String) =
+      (abs(col(a) - col(e)) <= abs(col(e)) * tol + 0.5)
+    t(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.9)").as("p90"),
+        expr("percentile(value, 0.99)").as("p99"),
+        expr(s"approx_percentile(value, 0.5, $accuracy)").as("a50"),
+        expr(s"approx_percentile(value, 0.9, $accuracy)").as("a90"),
+        expr(s"approx_percentile(value, 0.99, $accuracy)").as("a99"))
+      .select(col("event_type"), col("p50"), col("p90"), col("p99"),
+        ok("a50", "p50").as("ok50"), ok("a90", "p90").as("ok90"),
+        ok("a99", "p99").as("ok99"))
+  }
+
   /** Explicit GROUPING SETS (independent rollups per dimension, §2E). */
   def groupingSets(spark: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(spark, dir)
