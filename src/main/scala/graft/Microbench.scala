@@ -222,22 +222,23 @@ object Microbench {
     }
 
     // ---- Salting on a genuinely skewed fixture (round-6 VERDICT #7):
-    // power-law keys — HALF of a 10M-row fact lands on ONE key (skew factor
-    // 100k× the median key), the rest uniform over 100k keys. The fixtures'
-    // q31/q53 prove salting CORRECT; this proves where it is BENEFICIAL and
-    // where it is not:
+    // power-law keys — HALF of a 40M-row fact lands on ONE key (≈100k× the
+    // median key's mass), the rest uniform over 100k keys. The fixtures'
+    // q31/q53 prove salting CORRECT; the three cases below measure where it
+    // is BENEFICIAL and where it is not (round-6 numbers in PLANS.md):
     //  - join, AQE skew-split off (the documented case where it can't
     //    apply: co-partitioned downstream, or pre-AQE engines): unsalted
-    //    sorts 5M hot rows in one task; salted spreads them over 8.
-    //  - join, AQE on: AQE splits the hot partition itself — salting should
-    //    show no further win (that is the honest conclusion, and why the
-    //    operators default to unsalted plans + AQE).
+    //    sorts 20M hot rows in one task; salted ×8 spreads them (2.2× win).
+    //  - join, AQE skew-split on with TUNED thresholds: AQE splits the hot
+    //    partition itself, but only once its byte thresholds match the data
+    //    — at the defaults the earlier 10M-row (~80 MB) hot partition
+    //    sailed under 256 MB unsplit. Salting is threshold-free.
     //  - sum/count agg: map-side partial aggregation collapses the hot key
-    //    to one row per map task BEFORE the shuffle — salting only adds a
-    //    shuffle (the q31 pattern is for buffer-heavy aggregates).
-    //  - collect_set agg (a partial state that does NOT collapse): the hot
-    //    key's full value set funnels to one reducer unsalted; the salted
-    //    two-stage set-union spreads the build.
+    //    to one row per map task BEFORE the shuffle, so there is no hot
+    //    reducer to fix (both runs sub-second; the q31 two-stage pattern is
+    //    for buffer-heavy aggregates whose partial state doesn't collapse —
+    //    a collect_set probe at this size showed no difference either,
+    //    0.29 s vs 0.30 s, and was dropped from the suite).
     {
       val skewed = spark.range(40000000L).select(
         when(pmod(col("id"), lit(2)) === 0, lit(0L))

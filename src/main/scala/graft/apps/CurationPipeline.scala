@@ -40,13 +40,18 @@ object CurationPipeline {
     val total = d.count()
 
     // stage 2: quality gate — minimum content + classifier keep (q66/q88
-    // rules; both are map-only scores, composed before any shuffle)
+    // rules; both are map-only scores, composed before any shuffle). The
+    // token array is computed ONCE and shared by both rules, and the gated
+    // frame persists so the count action and the stage-3 cull don't each
+    // re-tokenize the corpus (released after the curated write below).
     val gated = d
-      .withColumn("token_ct", size(graft.functions.TextFns.tokensCol(col("text"))))
+      .withColumn("toks", graft.functions.TextFns.tokensCol(col("text")))
+      .withColumn("token_ct", size(col("toks")))
       .filter(col("token_ct") >= 10)
-      .withColumn("score", graft.functions.TextFns.classifierScoreUdf(
-        graft.functions.TextFns.tokensCol(col("text"))))
+      .withColumn("score", graft.functions.TextFns.classifierScoreUdf(col("toks")))
       .filter(col("score") >= 0)
+      .drop("toks")
+      .persist()
     val gatedCt = gated.count()
 
     // stage 3: one survivor per near-dup cluster AMONG the gated docs —
@@ -63,6 +68,7 @@ object CurationPipeline {
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
         col("n_chars"), col("token_ct"), col("score"))
     graft.io.Io.writePartitioned(curated, s"$outRoot/curated", Seq("lang"))
+    gated.unpersist()
 
     // stage 4: dataset card (label reuse — no second clustering) + splits
     // over the CURATED corpus

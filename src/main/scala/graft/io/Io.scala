@@ -243,25 +243,53 @@ object Io {
     * `df.write.jdbc` append into any JDBC database. The transient-column
     * drop is the reference's `@TransientSink` reflection filter
     * (`ClickHouseUtil.java:45-53`) done as a plain projection; per-batch
-    * append = its positional batch insert; exactly-once = checkpoint +
-    * AvailableNow restart cadence, with idempotent downstream keys as in
-    * production ClickHouse (ReplacingMergeTree). Exercised in-container
-    * against a DuckDB file DB (JdbcSinkSpec) — a real SQL database, not a
-    * parquet emulation. `maxWriters` bounds the concurrent connections per
-    * micro-batch (0 = one writer per partition; ClickHouse and DuckDB both
-    * prefer few fat inserts over many thin ones). */
+    * append = its positional batch insert. Exercised in-container against a
+    * DuckDB file DB (JdbcSinkSpec) — a real SQL database, not a parquet
+    * emulation.
+    *
+    * Exactly-once: foreachBatch alone is AT-LEAST-ONCE — a crash between
+    * the JDBC commit and the checkpoint's epoch commit replays the batch on
+    * restart. The sink therefore makes the append IDEMPOTENT the standard
+    * way: every row carries the epoch in `batchIdCol` and the replayed
+    * epoch is DELETEd before its rows re-append (one statement, no dedup
+    * key needed in the data — the role ReplacingMergeTree's version column
+    * plays for the reference's ClickHouse). [[appendIdempotent]] is the
+    * per-batch body, factored out so JdbcSinkSpec can replay the same epoch
+    * twice and prove single-copy semantics. `maxWriters` bounds the
+    * concurrent connections per micro-batch (0 = one writer per partition;
+    * ClickHouse and DuckDB both prefer few fat inserts over many thin
+    * ones). */
   def jdbcStatsSink(df: DataFrame, url: String, table: String,
                     checkpoint: String, transientCols: Seq[String] = Nil,
-                    maxWriters: Int = 0,
+                    maxWriters: Int = 0, batchIdCol: String = "batch_id",
                     props: java.util.Properties = new java.util.Properties())
   : StreamingQuery =
     df.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val pruned = batch.drop(transientCols: _*)
-        val bounded = if (maxWriters > 0) pruned.coalesce(maxWriters) else pruned
-        bounded.write.mode("append").jdbc(url, table, props)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        appendIdempotent(batch.drop(transientCols: _*), id, url, table,
+          maxWriters, batchIdCol, props)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** Idempotent micro-batch append: delete the epoch's rows (a replay's
+    * leftovers), then append them stamped with the epoch id. Safe to run
+    * any number of times for the same (batch, id). */
+  def appendIdempotent(batch: DataFrame, id: Long, url: String, table: String,
+                       maxWriters: Int = 0, batchIdCol: String = "batch_id",
+                       props: java.util.Properties = new java.util.Properties())
+  : Unit = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val st = conn.createStatement()
+      try st.executeUpdate(s"DELETE FROM $table WHERE $batchIdCol = $id")
+      catch { case _: java.sql.SQLException => () } // first epoch: no table yet
+      finally st.close()
+    } finally conn.close()
+    val stamped = batch.withColumn(batchIdCol,
+      org.apache.spark.sql.functions.lit(id))
+    val bounded = if (maxWriters > 0) stamped.coalesce(maxWriters) else stamped
+    bounded.write.mode("append").jdbc(url, table, props)
+  }
 }

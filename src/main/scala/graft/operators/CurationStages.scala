@@ -43,8 +43,18 @@ object CurationStages {
       pairs = Some(nearDupPairs(spark, outRoot)))
     labels.write.mode("overwrite").parquet(s"$outRoot/$NearDupLabels")
     labels.unpersist() // clusters() persists its result; the parquet owns it now
-    Similarity.embeddingClusters(spark, dir)
+    // build the embedding labels from the raw clusters frame so the persist
+    // inside clusters() can be released here too — embeddingClusters()'s
+    // renamed projection would strand it (a q59 caller's harness owns that
+    // release; a stage writer must do its own)
+    val embLabels = Dedup.clusters(Similarity.cosineNearDup(spark, dir)
+      .select(org.apache.spark.sql.functions.col("va").as("da"),
+        org.apache.spark.sql.functions.col("vb").as("db")))
+    embLabels
+      .select(org.apache.spark.sql.functions.col("doc_id").as("vec_id"),
+        org.apache.spark.sql.functions.col("cluster_id"))
       .write.mode("overwrite").parquet(s"$outRoot/$EmbeddingLabels")
+    embLabels.unpersist()
   }
 
   def nearDupPairs(spark: SparkSession, outRoot: String): DataFrame =

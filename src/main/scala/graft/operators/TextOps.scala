@@ -547,10 +547,12 @@ object TextOps {
     val bi = docs(spark, dir)
       .select(col("doc_id"), explode(gramCountsUdf(2)(col("text"))).as(Seq("bg", "c")))
     // Σc over ALL occurrences — the LM's probability mass is unchanged by
-    // pruning the table, so it must come from the unpruned stream
-    val total = bi.agg(sum(col("c")).as("t"))
-    val cts = bi.groupBy("bg").agg(sum(col("c")).as("ct"))
-      .filter(col("ct") >= minCount)
+    // pruning the table, so it comes from the UNFILTERED count table (not a
+    // separate scan of the stream: both consumers share ctsAll's Exchange,
+    // so the corpus is exploded once for the whole count side)
+    val ctsAll = bi.groupBy("bg").agg(sum(col("c")).as("ct"))
+    val total = ctsAll.agg(sum(col("ct")).as("t"))
+    val cts = ctsAll.filter(col("ct") >= minCount)
     bi.join(broadcast(cts), Seq("bg"), "left")
       .crossJoin(broadcast(total))
       .groupBy("doc_id")

@@ -17,10 +17,13 @@ import scala.sys.process._
 class ToolsSpec extends AnyFunSuite {
 
   private val repoRoot: java.io.File = {
-    // forked test JVMs start in the sbt build root; fall back defensively
+    // forked test JVMs start in the sbt build root; fail loudly rather than
+    // fall back to some other checkout's files (a stale sibling copy passing
+    // green would mask a regression in the tree under test)
     val cwd = new java.io.File(sys.props.getOrElse("user.dir", "."))
-    if (new java.io.File(cwd, "tools/check_bench.py").exists()) cwd
-    else new java.io.File("/root/repo")
+    assert(new java.io.File(cwd, "tools/check_bench.py").exists(),
+      s"ToolsSpec must run from the repo root, got $cwd")
+    cwd
   }
 
   test("check_bench.load_line parses every bench artifact shape, including the real driver BENCH_r05.json") {

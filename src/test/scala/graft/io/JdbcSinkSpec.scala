@@ -64,4 +64,20 @@ class JdbcSinkSpec extends SparkSuite {
       .filter(col("stt") === "2023-11-14 22:13:20").count() == 2,
       "an idle restart must not re-append closed windows")
   }
+
+  test("appendIdempotent: replaying the same epoch leaves exactly one copy") {
+    import spark.implicits._
+    DuckDbDialect.register()
+    val dir = java.nio.file.Files.createTempDirectory("graft-jdbc-replay")
+    val url = s"jdbc:duckdb:${dir.resolve("replay.duckdb")}"
+    val rows = Seq(("a", 1L), ("b", 2L)).toDF("k", "v")
+    // the crash-replay scenario foreachBatch alone cannot survive: the same
+    // (batch, epoch) lands twice — e.g. JDBC committed, checkpoint did not
+    Io.appendIdempotent(rows, 7L, url, "t")
+    Io.appendIdempotent(rows, 7L, url, "t")
+    Io.appendIdempotent(rows.filter(col("k") === "a"), 8L, url, "t")
+    val got = spark.read.jdbc(url, "t", new java.util.Properties())
+    assert(got.count() == 3, "epoch 7 single copy (2 rows) + epoch 8 (1 row)")
+    assert(got.filter(col("batch_id") === 7L).count() == 2)
+  }
 }

@@ -180,7 +180,11 @@ class TextOpsSpec extends SparkSuite {
     // the lossless bound: every pruned bigram (ct < minCount) must already be
     // rare (1000·ct < Σc), i.e. minCount - 1 < Σc/1000
     val total = exact.agg(sum(col("n_bigrams"))).as[Long].head()
-    assert(total > 2000, s"fixture too small for a meaningful prune (Σc=$total)")
+    // losslessness needs every pruned bigram already rare: (minCount-1)·1000
+    // < Σc — require the fixture large enough for the strongest value tested
+    // (minCount=16 ⇒ Σc > 15000), so a shrunk fixture fails loudly here
+    // instead of as a spurious equality failure
+    assert(total > 15000, s"fixture too small for the minCount=16 prune (Σc=$total)")
     for (minCount <- Seq(2L, 16L, total / 1000)) {
       val pruned = TextOps.bigramFluencyPruned(spark, sf001, minCount)
       assert(pruned.exceptAll(exact).isEmpty && exact.exceptAll(pruned).isEmpty,
