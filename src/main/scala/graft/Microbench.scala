@@ -184,23 +184,38 @@ object Microbench {
       vsQ.stop()
 
       // orderWide: 50k orders ⋈ 100k details, ±5ms interval join (A19 shape)
-      val oiMs = MemoryStream[OrderInfo]
-      val odMs = MemoryStream[OrderDetail]
-      val owQ = Pipelines.orderWide(oiMs.toDS(), odMs.toDS()).writeStream
-        .format("noop").option("checkpointLocation", ckpt())
-        .outputMode("append").start()
-      rate("orderWide stream-stream interval join", 150000L) {
-        (0 until 4).foreach { c =>
-          val ids = (c * 12500L) until ((c + 1) * 12500L)
-          oiMs.addData(ids.map(i =>
-            OrderInfo(i, i % 1000, i % 34, BigDecimal(i % 500), t0 + i * 20)))
-          odMs.addData(ids.flatMap(i => Seq(
-            OrderDetail(2 * i, i, i % 200, BigDecimal(3), 1, BigDecimal(3), t0 + i * 20),
-            OrderDetail(2 * i + 1, i, i % 201, BigDecimal(4), 1, BigDecimal(4), t0 + i * 20 + 2))))
-          owQ.processAllAvailable()
+      // — the state-heaviest pipeline (insert + range probe + eviction per
+      // row on BOTH sides), measured on each bundled state-store provider:
+      // the default HDFSBacked (JVM-heap maps, fine until state outgrows
+      // the heap) and RocksDB (off-heap, the provider a 100 TB deployment
+      // runs, bounded memory + changelog checkpointing)
+      def orderWideRate(provider: String, label: String): Unit = {
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+        val oiMs = MemoryStream[OrderInfo]
+        val odMs = MemoryStream[OrderDetail]
+        val owQ = Pipelines.orderWide(oiMs.toDS(), odMs.toDS()).writeStream
+          .format("noop").option("checkpointLocation", ckpt())
+          .outputMode("append").start()
+        rate(s"orderWide interval join [$label]", 150000L) {
+          (0 until 4).foreach { c =>
+            val ids = (c * 12500L) until ((c + 1) * 12500L)
+            oiMs.addData(ids.map(i =>
+              OrderInfo(i, i % 1000, i % 34, BigDecimal(i % 500), t0 + i * 20)))
+            odMs.addData(ids.flatMap(i => Seq(
+              OrderDetail(2 * i, i, i % 200, BigDecimal(3), 1, BigDecimal(3), t0 + i * 20),
+              OrderDetail(2 * i + 1, i, i % 201, BigDecimal(4), 1, BigDecimal(4), t0 + i * 20 + 2))))
+            owQ.processAllAvailable()
+          }
         }
+        owQ.stop()
       }
-      owQ.stop()
+      orderWideRate(
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+        "HDFSBacked (default)")
+      orderWideRate(
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        "RocksDB")
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 
       // streamingIngest: 100k docs, 30% in-stream dups, 20k-fingerprint
       // store (A17/ingest-dedup shape: anti-join + dropDuplicates state)
