@@ -95,12 +95,21 @@ object TextOps {
     // final anti-join) and would otherwise recompute the fingerprint-window
     // shuffle per branch — at cluster scale this boundary is a persisted
     // intermediate table between pipeline stages.
+    // exact keeper = the min-doc_id ROW per fingerprint via min_by(struct),
+    // not row_number over a fingerprint window (the q69 de-skew lesson): a
+    // boilerplate page duplicated millions of times at web scale shares ONE
+    // fp, and a window pins every copy into a single sorted reducer that
+    // AQE cannot split. min_by's buffer is one struct regardless of group
+    // size, so the hot fp collapses map-side to one partial row per task —
+    // one shuffle, no sort, no join-back, and exactly the row the old
+    // rn=1-by-doc_id selection kept (doc_id is unique).
     val exactKeeper = qualityPass
       .withColumn("fp", md5(col("text").cast("binary")))
-      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("token_ct"))
+      .groupBy("fp")
+      .agg(min_by(
+        struct(col("doc_id"), col("text"), col("lang"), col("source"), col("token_ct")),
+        col("doc_id")).as("r"))
+      .select(col("r.doc_id"), col("r.text"), col("r.lang"), col("r.source"), col("r.token_ct"))
       .persist()
     val nearDupLosers = Dedup
       .clusters(Dedup.minhashLshFrom(exactKeeper.select(col("doc_id"), col("text"))))

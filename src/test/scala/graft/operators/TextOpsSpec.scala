@@ -172,6 +172,12 @@ class TextOpsSpec extends SparkSuite {
     val chunks = TextOps.chunkDocs(spark, sf0001).queryExecution.executedPlan.toString
     assert(!chunks.contains("Exchange"),
       s"chunking is per-row explode only, no shuffle:\n$chunks")
+    // round 6: the exact-keeper step must not window over the fingerprint
+    // key either (a web-scale boilerplate page = one hot fp) — min_by keeps
+    // the keeper row in a bounded aggregation buffer instead
+    val clean = TextOps.cleanCorpus(spark, sf0001).queryExecution.executedPlan.toString
+    assert(!clean.contains("Window"),
+      s"cleanCorpus must not window over the fingerprint key:\n$clean")
   }
 
   test("bigramFluencyPruned is EXACTLY bigramFluency for any prune below the rarity cutoff") {
