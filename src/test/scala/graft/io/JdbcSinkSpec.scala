@@ -65,6 +65,25 @@ class JdbcSinkSpec extends SparkSuite {
       "an idle restart must not re-append closed windows")
   }
 
+  test("DuckDbDialect contract: url routing, catalog-error classification, BIGINT read-back") {
+    assert(DuckDbDialect.canHandle("jdbc:duckdb:/tmp/x.db"))
+    assert(DuckDbDialect.canHandle("JDBC:DUCKDB:memory:"))
+    assert(!DuckDbDialect.canHandle("jdbc:postgresql://h/db"))
+    // the Spark-4 tableExists probe rethrows unless this classifies true
+    assert(DuckDbDialect.isObjectNotFoundException(
+      new java.sql.SQLException("Catalog Error: Table with name t does not exist!")))
+    assert(!DuckDbDialect.isObjectNotFoundException(
+      new java.sql.SQLException("Constraint Error: duplicate key")))
+    assert(!DuckDbDialect.isObjectNotFoundException(new java.sql.SQLException()))
+    // duckdb-jdbc reports BIGINT unsigned; the dialect pins it to LongType
+    // so written longs round-trip as longs, not DECIMAL(20,0)
+    import org.apache.spark.sql.types.{LongType, MetadataBuilder}
+    assert(DuckDbDialect.getCatalystType(java.sql.Types.BIGINT, "BIGINT", 0,
+      new MetadataBuilder).contains(LongType))
+    assert(DuckDbDialect.getCatalystType(java.sql.Types.BIGINT, "UBIGINT", 0,
+      new MetadataBuilder).isEmpty, "unsigned 64-bit must keep the safe default widening")
+  }
+
   test("appendIdempotent: replaying the same epoch leaves exactly one copy") {
     import spark.implicits._
     DuckDbDialect.register()
