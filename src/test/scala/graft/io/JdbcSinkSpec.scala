@@ -84,6 +84,40 @@ class JdbcSinkSpec extends SparkSuite {
       new MetadataBuilder).isEmpty, "unsigned 64-bit must keep the safe default widening")
   }
 
+  test("A15 config table served from a real JDBC database (the MySQLUtil binding)") {
+    // the reference polls its routing config from MySQL
+    // (utils/MySQLUtil.java:33-103); here the SAME route() runs against a
+    // config frame read with spark.read.jdbc from a real database, proving
+    // the config source is swappable file/JDBC with no router change
+    import spark.implicits._
+    DuckDbDialect.register()
+    val dir = java.nio.file.Files.createTempDirectory("graft-jdbc-cfg")
+    val url = s"jdbc:duckdb:${dir.resolve("config.duckdb")}"
+    val props = new java.util.Properties()
+    Seq(
+      ("order_info", "insert", "kafka", "dwd_order_info", "id,user_id,total_amount", null.asInstanceOf[String]),
+      ("user_info", "insert", "hbase", "dim_user_info", "id,name", "id"))
+      .toDF("source_table", "operate_type", "sink_type", "sink_table", "sink_columns", "sink_pk")
+      .write.mode("overwrite").jdbc(url, "table_process", props)
+
+    val cfgFromDb = spark.read.jdbc(url, "table_process", props)
+    val records = Seq(
+      ("gmall", "order_info", "insert", 1L, """{"id":"1","user_id":"7","total_amount":"99.5","secret":"x"}"""),
+      ("gmall", "user_info", "insert", 2L, """{"id":"5","name":"a","phone":"123"}"""),
+      ("gmall", "unrouted", "insert", 3L, """{"id":"9"}"""))
+      .toDF("database", "table", "type", "ts", "data")
+    val routed = graft.streaming.CdcRouter
+      .route(graft.streaming.CdcRouter.validRecords(records), cfgFromDb)
+      .collect()
+    assert(routed.length == 2, "unconfigured tables are dropped")
+    val fact = routed.find(_.getAs[String]("sink_type") == "kafka").get
+    assert(fact.getAs[String]("topic") == "dwd_order_info")
+    assert(!fact.getAs[String]("value").contains("secret"),
+      "JDBC-sourced sink_columns must prune exactly like the file config")
+    val dim = routed.find(_.getAs[String]("sink_type") == "hbase").get
+    assert(dim.getAs[String]("sink_pk") == "id")
+  }
+
   test("appendIdempotent: replaying the same epoch leaves exactly one copy") {
     import spark.implicits._
     DuckDbDialect.register()
