@@ -273,6 +273,35 @@ object Io {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** A6 twin landing in a REAL JDBC database — the literal form of the
+    * reference's Phoenix `upsert into` (DimSink.java:78-93, last-writer-wins
+    * by pk). Set-based, no driver-side key collection: the batch lands in a
+    * staging table, then one DELETE-USING + INSERT-SELECT pair applies it —
+    * the portable JDBC MERGE shape, scalable to arbitrarily large dim
+    * batches. Idempotent on replay by construction (re-applying the same
+    * batch deletes and re-inserts the same keys). Caller contract as with
+    * [[upsertDim]]: one row per pk in the batch (CdcRouter's intra-batch
+    * dedup provides it). */
+  def upsertDimJdbc(batch: DataFrame, url: String, table: String, pk: String,
+                    props: java.util.Properties = new java.util.Properties())
+  : Unit = {
+    val stage = table + "__stage"
+    batch.write.mode("overwrite").jdbc(url, stage, props)
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val st = conn.createStatement()
+      try {
+        // first batch: the live table may not exist yet — create empty with
+        // the stage's schema, then merge uniformly
+        st.executeUpdate(
+          s"CREATE TABLE IF NOT EXISTS $table AS SELECT * FROM $stage WHERE 1=0")
+        st.executeUpdate(
+          s"DELETE FROM $table USING $stage WHERE $table.$pk = $stage.$pk")
+        st.executeUpdate(s"INSERT INTO $table SELECT * FROM $stage")
+      } finally st.close()
+    } finally conn.close()
+  }
+
   /** Idempotent micro-batch append: delete the epoch's rows (a replay's
     * leftovers), then append them stamped with the epoch id. Safe to run
     * any number of times for the same (batch, id). */

@@ -118,6 +118,27 @@ class JdbcSinkSpec extends SparkSuite {
     assert(dim.getAs[String]("sink_pk") == "id")
   }
 
+  test("A6 dim upsert into a real JDBC database: last-writer-wins by pk, replay-idempotent") {
+    import spark.implicits._
+    DuckDbDialect.register()
+    val dir = java.nio.file.Files.createTempDirectory("graft-jdbc-dim")
+    val url = s"jdbc:duckdb:${dir.resolve("dims.duckdb")}"
+    val props = new java.util.Properties()
+    def dim(rows: (Long, String)*) = rows.toSeq.toDF("id", "name")
+
+    Io.upsertDimJdbc(dim(5L -> "first"), url, "dim_user_info", "id")
+    val batch2 = dim(5L -> "second", 6L -> "b")
+    Io.upsertDimJdbc(batch2, url, "dim_user_info", "id")
+    def readBack() = spark.read.jdbc(url, "dim_user_info", props)
+      .select($"id", $"name").as[(Long, String)].collect().sorted.toSeq
+    assert(readBack() == Seq(5L -> "second", 6L -> "b"),
+      "the update must overwrite pk 5 (Phoenix upsert semantics) and add pk 6")
+
+    // crash-replay of the SAME batch: the merge re-applies, nothing doubles
+    Io.upsertDimJdbc(batch2, url, "dim_user_info", "id")
+    assert(readBack() == Seq(5L -> "second", 6L -> "b"), "replay must be idempotent")
+  }
+
   test("appendIdempotent: replaying the same epoch leaves exactly one copy") {
     import spark.implicits._
     DuckDbDialect.register()
