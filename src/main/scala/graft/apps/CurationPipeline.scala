@@ -3,7 +3,6 @@ package graft.apps
 import graft.Tables
 import graft.operators.{CurationStages, Dedup, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The end-to-end curation job — the deployment-honest composition of the
@@ -58,15 +57,21 @@ object CurationPipeline {
     // canonical = longest member (q78's rule), recomputed over survivors so
     // a quality-culled canonical can't take its whole cluster down with it.
     // Labels are near-dup-sized ⇒ the join broadcasts; unclustered docs are
-    // their own singleton cluster.
-    val w = Window.partitionBy("cl").orderBy(col("n_chars").desc, col("doc_id"))
+    // their own singleton cluster. Keeper = max_by(struct), not a cluster
+    // window: cluster sizes are power-law and a Window.partitionBy(cl) sorts
+    // a mirror-farm cluster's millions of members on ONE reducer — max_by
+    // keeps one struct per group and collapses the hot cluster map-side
+    // (same selection, see Dedup.canonicalPerCluster).
     val curated = gated
       .join(broadcast(labels), Seq("doc_id"), "left")
       .withColumn("cl", coalesce(col("cluster_id"), col("doc_id")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("text"), col("lang"), col("source"),
-        col("n_chars"), col("token_ct"), col("score"))
+      .groupBy("cl")
+      .agg(max_by(
+        struct(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"), col("token_ct"), col("score")),
+        struct(col("n_chars"), negate(col("doc_id")))).as("r"))
+      .select(col("r.doc_id"), col("r.text"), col("r.lang"), col("r.source"),
+        col("r.n_chars"), col("r.token_ct"), col("r.score"))
     graft.io.Io.writePartitioned(curated, s"$outRoot/curated", Seq("lang"))
     gated.unpersist()
 

@@ -264,9 +264,44 @@ object Dedup {
     * near-dup clusters routinely mix a full page with its truncated
     * re-crawls, and keeping the longest loses nothing). One row per cluster
     * with the canonical doc and the bytes the cluster folds away. Label join
-    * is near-dup-sized (broadcastable); one cluster-keyed aggregate. */
+    * is near-dup-sized (broadcastable); one cluster-keyed aggregate.
+    *
+    * Keeper = `max_by(struct)`, NOT `row_number` over a cluster window (the
+    * q36/q69 de-skew rule applied to the cluster key): near-dup cluster
+    * sizes are power-law, and at web scale one boilerplate/mirror-farm
+    * cluster holds millions of members — a `Window.partitionBy(cluster_id)`
+    * pins all of them onto one sorted reducer that AQE cannot split. The
+    * ordering struct (n_chars, −doc_id) makes `max_by` pick exactly the row
+    * the old rn=1 ranking kept (longest first, lowest id on ties); its
+    * buffer is ONE struct per group regardless of group size, so the hot
+    * cluster collapses map-side into one partial row per task. Row-for-row
+    * equality with the windowed form plus the no-Window plan shape are
+    * spec-gated (DedupSpec). */
   def canonicalPerCluster(spark: SparkSession, dir: String,
-                          labels: Option[DataFrame] = None): DataFrame = {
+                          labels: Option[DataFrame] = None): DataFrame =
+    canonicalPerClusterFrom(docs(spark, dir),
+      labels.getOrElse(nearDupClusters(spark, dir)))
+
+  /** Frame form of [[canonicalPerCluster]]: `d` needs (doc_id, n_chars),
+    * `lbl` is (doc_id, cluster_id). */
+  def canonicalPerClusterFrom(d: DataFrame, lbl: DataFrame): DataFrame =
+    d.select(col("doc_id"), col("n_chars"))
+      .join(lbl, "doc_id")
+      .groupBy("cluster_id")
+      .agg(
+        max_by(struct(col("doc_id"), col("n_chars")),
+          struct(col("n_chars"), negate(col("doc_id")))).as("k"),
+        count(lit(1)).as("n_members"),
+        sum(col("n_chars")).as("total_chars"))
+      .select(col("cluster_id"), col("k.doc_id").as("canonical_doc_id"),
+        col("k.n_chars").as("canonical_chars"), col("n_members"),
+        col("total_chars"))
+
+  /** The windowed form [[canonicalPerCluster]] replaced — kept ONLY as the
+    * spec reference for the row-for-row equality gate (DedupSpec); never
+    * call it on real data (unbounded cluster key on one reducer). */
+  private[graft] def canonicalPerClusterWindowed(spark: SparkSession, dir: String,
+                                                 labels: Option[DataFrame] = None): DataFrame = {
     val lbl = labels.getOrElse(nearDupClusters(spark, dir))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("cluster_id").orderBy(col("n_chars").desc, col("doc_id"))

@@ -587,4 +587,33 @@ class DedupSimilaritySpec extends SparkSuite {
     }
     assert(excludedHits > 0, "fixture yields no cluster-mate in any top-5; exclusion untested")
   }
+
+  test("canonicalPerCluster max_by keeper equals the windowed construction row-for-row") {
+    val agg = Dedup.canonicalPerCluster(spark, sf001)
+    val windowed = Dedup.canonicalPerClusterWindowed(spark, sf001)
+    assert(agg.columns.toSeq == windowed.columns.toSeq, "schema drift between forms")
+    assert(agg.exceptAll(windowed).isEmpty && windowed.exceptAll(agg).isEmpty,
+      "de-skewed keeper must be a pure plan change, not a semantic one")
+    // the sf0.01 fixture has no in-cluster n_chars tie, so the tiebreak is
+    // exercised synthetically: two members share max n_chars, the LOWER id
+    // must win (the windowed form's (n_chars DESC, doc_id ASC) rule)
+    import spark.implicits._
+    val d = Seq((10L, 100L), (11L, 100L), (12L, 50L), (20L, 7L))
+      .toDF("doc_id", "n_chars")
+    val lbl = Seq((10L, 10L), (11L, 10L), (12L, 10L), (20L, 20L))
+      .toDF("doc_id", "cluster_id")
+    val rows = Dedup.canonicalPerClusterFrom(d, lbl)
+      .orderBy("cluster_id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq == Seq((10L, 10L, 100L, 3L, 250L), (20L, 20L, 7L, 1L, 7L)),
+      "tied max n_chars must keep the lowest doc_id")
+  }
+
+  test("canonicalPerCluster plan: no Window on cluster_id, keeper partially aggregated") {
+    val plan = Dedup.canonicalPerCluster(spark, sf001).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      "cluster keeper must not sort an unbounded cluster key on one reducer")
+    assert(plan.contains("partial_max_by") || plan.contains("partial_maxby"),
+      s"max_by keeper must partial-aggregate map-side; plan:\n${plan.take(2000)}")
+  }
 }
