@@ -145,6 +145,22 @@ object Microbench {
         .agg(sum(size(col("s")))).head().get(0); 0L
     }
 
+    // round-7 de-skew crossovers (VERDICT #2/#3): the hot-key window forms
+    // vs their bounded replacements at sf0.1 — the numbers behind the
+    // switchover notes in TextOps.sourceQuotaTopK / mixtureSample scaladoc
+    time("sourceQuota sf0.1: row_number per-source window") {
+      graft.operators.TextOps.sourceQuota(spark, dir).count()
+    }
+    time("sourceQuota sf0.1: topK k-bounded partial agg") {
+      graft.operators.TextOps.sourceQuotaTopK(spark, dir).count()
+    }
+    time("mixtureSample sf0.1: full per-source cumsum window") {
+      graft.operators.TextOps.mixtureSampleWindowed(spark, dir).count()
+    }
+    time("mixtureSample sf0.1: hash-rank pre-filter + sliver window") {
+      graft.operators.TextOps.mixtureSample(spark, dir).count()
+    }
+
     // ---- Streaming throughput (round-6 VERDICT #6): MemoryStream-driven
     // rates for the three stateful pipeline shapes. Wall-clock covers the
     // whole micro-batch engine — scheduling, state-store IO, watermark
@@ -189,11 +205,18 @@ object Microbench {
       // the default HDFSBacked (JVM-heap maps, fine until state outgrows
       // the heap) and RocksDB (off-heap, the provider a 100 TB deployment
       // runs, bounded memory + changelog checkpointing)
-      def orderWideRate(provider: String, label: String): Unit = {
+      // round-7 VERDICT #6 follow-up: provider × watermark-delay sweep.
+      // State held = watermark delay × input rate (both sides buffer every
+      // in-delay row), so "30 seconds" is 10× the state of "3 seconds" at
+      // the same input. lastProgress.stateOperators is the cleanup proof:
+      // rows held at end must track the DELAY, not the input size.
+      def orderWideRate(provider: String, label: String,
+                        wmDelay: String = "3 seconds"): Unit = {
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
         val oiMs = MemoryStream[OrderInfo]
         val odMs = MemoryStream[OrderDetail]
-        val owQ = Pipelines.orderWide(oiMs.toDS(), odMs.toDS()).writeStream
+        val owQ = Pipelines.orderWide(oiMs.toDS(), odMs.toDS(), wmDelay = wmDelay)
+          .writeStream
           .format("noop").option("checkpointLocation", ckpt())
           .outputMode("append").start()
         rate(s"orderWide interval join [$label]", 150000L) {
@@ -207,14 +230,20 @@ object Microbench {
             owQ.processAllAvailable()
           }
         }
+        val stateRows = Option(owQ.lastProgress).toSeq
+          .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).sum
+        println(s"MICRO stream orderWide [$label] state rows at end: $stateRows" +
+          s" (input 150000; eviction ${if (stateRows < 150000) "WORKS" else "BROKEN"})")
         owQ.stop()
       }
-      orderWideRate(
-        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
-        "HDFSBacked (default)")
-      orderWideRate(
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-        "RocksDB")
+      val hdfsProv =
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+      val rocksProv =
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+      orderWideRate(hdfsProv, "HDFSBacked (default)")
+      orderWideRate(rocksProv, "RocksDB")
+      orderWideRate(hdfsProv, "HDFSBacked, 10x state (wm 30s)", "30 seconds")
+      orderWideRate(rocksProv, "RocksDB, 10x state (wm 30s)", "30 seconds")
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 
       // streamingIngest: 100k docs, 30% in-stream dups, 20k-fingerprint

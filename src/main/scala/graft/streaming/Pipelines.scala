@@ -113,15 +113,19 @@ object Pipelines {
     * equi-join whose time band bounds both sides' state; watermarks let Spark
     * evict join state exactly like Flink's interval-join buffers. */
   def orderWide(info: Dataset[OrderInfo], detail: Dataset[OrderDetail],
-                slackMillis: Long = 5L, joinType: String = "inner"): DataFrame = {
+                slackMillis: Long = 5L, joinType: String = "inner",
+                wmDelay: String = "3 seconds"): DataFrame = {
+    // wmDelay is the state knob: join state holds every row within the
+    // watermark delay of the stream head, so state size = delay × input
+    // rate. Microbench sweeps it (3 s vs 30 s = 10× state) per provider.
     val i = info.toDF()
       .withColumn("i_time", timestamp_millis(col("create_ts")))
-      .withWatermark("i_time", "3 seconds")
+      .withWatermark("i_time", wmDelay)
     val d = detail.toDF()
       .withColumnRenamed("id", "detail_id")
       .withColumn("d_time", timestamp_millis(col("create_ts")))
       .drop("create_ts")
-      .withWatermark("d_time", "3 seconds")
+      .withWatermark("d_time", wmDelay)
     // joinType "left_outer" gives the A28 shape (Demo2_join.java:59-69):
     // unmatched left rows emit with null right side once the watermark proves
     // no in-band match can still arrive.

@@ -241,6 +241,39 @@ class TextOpsSpec extends SparkSuite {
       s"bucket agreement $agree/${joined.length} below 90% at minCount=2")
   }
 
+  test("mixtureSample pre-filtered form equals the full-window construction at three budget regimes") {
+    // default budget: the pre-filter genuinely bites (sliver of each source);
+    // tiny budget: boundary at the very first draws; huge budget: every
+    // source's total is under budget, so frac must clamp to 1.0 and the
+    // doubling loop must terminate with the WHOLE source surviving
+    for (budget <- Seq(1000L, 5L, 100000000L)) {
+      val pre = TextOps.mixtureSample(spark, sf001, budget)
+      val win = TextOps.mixtureSampleWindowed(spark, sf001, budget)
+      assert(pre.exceptAll(win).isEmpty && win.exceptAll(pre).isEmpty,
+        s"budget=$budget: pre-filtered sample must equal the exact windowed form")
+    }
+  }
+
+  test("mixtureSample plan: hash-threshold pre-filter sits under the cumsum window") {
+    val plan = TextOps.mixtureSample(spark, sf001).queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), "exact cumsum window must survive over the sliver")
+    assert(plan.contains("frac"),
+      s"per-source hash-rank threshold filter missing from the plan:\n${plan.take(1500)}")
+  }
+
+  test("sourceQuotaTopK equals the windowed sourceQuota row-for-row at cap=15") {
+    val topk = TextOps.sourceQuotaTopK(spark, sf001)
+    val win = TextOps.sourceQuota(spark, sf001)
+    assert(topk.columns.toSeq == win.columns.toSeq, "schema drift between forms")
+    assert(topk.exceptAll(win).isEmpty && win.exceptAll(topk).isEmpty,
+      "k-bounded quota must reproduce the window ranking exactly, rnk included")
+    // and the scale property itself: no Window operator, topK partial-aggregated
+    val plan = topk.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "topK form must not sort a whole source on one reducer")
+    assert(plan.toLowerCase.contains("partial"),
+      s"topK keeper must partial-aggregate map-side:\n${plan.take(1500)}")
+  }
+
   test("spanDedup join-back equals the round-5 window construction row-for-row") {
     val joined = TextOps.spanDedup(spark, sf001)
     val windowed = TextOps.spanDedupWindowed(spark, sf001)
