@@ -21,10 +21,17 @@ object Bench {
     // loudly visible on stderr — a regression must not flatter the benchmark
     val rt = Runtime.getRuntime
     // dev filter: SPARK_GRAFT_BENCH_ONLY=q69,q94 times just those queries
-    // (floor patching / single-query iteration); unset = the full suite
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
+    // (floor patching / single-query iteration); unset = the full suite.
+    // A token matches a query by its FULL name or its qNN prefix exactly —
+    // startsWith would make "q6" silently run q60–q69 (round-6 ADVICE) —
+    // and a filter matching nothing is an error, not an empty bench.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+      .filter { case (n, _) =>
+        only.forall(f => f.contains(n) || f.contains(n.takeWhile(_ != '_'))) }
+    require(ordered.nonEmpty,
+      s"SPARK_GRAFT_BENCH_ONLY=${only.map(_.mkString(",")).getOrElse("")} matched no queries")
     // INTERLEAVED min-of-N (default 3): run the whole query list N times in
     // run order and keep each query's minimum. A co-tenant load that ramps
     // mid-run (the round-5 artifact: q32+ flagged 2.3-9.6x as a contiguous

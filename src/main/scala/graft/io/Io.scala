@@ -263,7 +263,8 @@ object Io {
                     checkpoint: String, transientCols: Seq[String] = Nil,
                     maxWriters: Int = 0, batchIdCol: String = "batch_id",
                     props: java.util.Properties = new java.util.Properties())
-  : StreamingQuery =
+  : StreamingQuery = {
+    ensureDialect(url)
     df.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
         appendIdempotent(batch.drop(transientCols: _*), id, url, table,
@@ -272,23 +273,40 @@ object Io {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
+  }
 
-  /** A6 twin landing in a REAL JDBC database — the literal form of the
+  /** `jdbc:duckdb:` URLs need [[DuckDbDialect]] registered or Spark 4's
+    * tableExists probe rethrows DuckDB's unclassified catalog error and
+    * create-on-first-append dies. Registration is idempotent and the sinks
+    * are the natural owner of the contract (round-6 ADVICE), so every JDBC
+    * entry point below self-registers instead of relying on the caller. */
+  private def ensureDialect(url: String): Unit =
+    if (DuckDbDialect.canHandle(url)) DuckDbDialect.register()
+
+  /** A6 twin landing in a REAL JDBC database — the production face of the
     * reference's Phoenix `upsert into` (DimSink.java:78-93, last-writer-wins
     * by pk). Set-based, no driver-side key collection: the batch lands in a
-    * staging table, then one DELETE-USING + INSERT-SELECT pair applies it —
-    * the portable JDBC MERGE shape, scalable to arbitrarily large dim
-    * batches. Idempotent on replay by construction (re-applying the same
-    * batch deletes and re-inserts the same keys). Caller contract as with
-    * [[upsertDim]]: one row per pk in the batch (CdcRouter's intra-batch
-    * dedup provides it). */
+    * staging table, then one DELETE-USING + INSERT-SELECT pair applies it
+    * inside a single transaction — scalable to arbitrarily large dim
+    * batches. `DELETE ... USING` is DuckDB/Postgres syntax (MySQL spells it
+    * `DELETE t FROM t JOIN s`; engines with real MERGE use that instead) —
+    * the SHAPE is portable, the statement text is dialect-bound. Idempotent
+    * on replay by construction (re-applying the same batch deletes and
+    * re-inserts the same keys). The stage name carries a per-call unique
+    * suffix so two pipelines upserting the same dim table cannot clobber
+    * each other's stage mid-merge, and the merge transaction means a crash
+    * between DELETE and INSERT never exposes readers to the keys' absence.
+    * Caller contract as with [[upsertDim]]: one row per pk in the batch
+    * (CdcRouter's intra-batch dedup provides it). */
   def upsertDimJdbc(batch: DataFrame, url: String, table: String, pk: String,
                     props: java.util.Properties = new java.util.Properties())
   : Unit = {
-    val stage = table + "__stage"
+    ensureDialect(url)
+    val stage = s"${table}__stage_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     batch.write.mode("overwrite").jdbc(url, stage, props)
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
+      conn.setAutoCommit(false)
       val st = conn.createStatement()
       try {
         // first batch: the live table may not exist yet — create empty with
@@ -298,22 +316,47 @@ object Io {
         st.executeUpdate(
           s"DELETE FROM $table USING $stage WHERE $table.$pk = $stage.$pk")
         st.executeUpdate(s"INSERT INTO $table SELECT * FROM $stage")
+        conn.commit()
+      } catch {
+        case t: Throwable =>
+          try conn.rollback() catch { case _: java.sql.SQLException => () }
+          throw t
       } finally st.close()
+      // stage cleanup is OUTSIDE the merge transaction and best-effort: a
+      // leftover stage is garbage, not corruption
+      conn.setAutoCommit(true)
+      val drop = conn.createStatement()
+      try drop.executeUpdate(s"DROP TABLE IF EXISTS $stage")
+      catch { case _: java.sql.SQLException => () }
+      finally drop.close()
     } finally conn.close()
   }
 
   /** Idempotent micro-batch append: delete the epoch's rows (a replay's
     * leftovers), then append them stamped with the epoch id. Safe to run
-    * any number of times for the same (batch, id). */
+    * any number of times for the same (batch, id).
+    *
+    * The DELETE tolerates exactly ONE failure: table-absent (first epoch —
+    * the append below creates it), classified through the url's registered
+    * JdbcDialect. Everything else — lock contention, dropped connection, a
+    * renamed `batchIdCol` — RETHROWS and fails the micro-batch, because a
+    * silently skipped delete followed by the append would double-write the
+    * replayed epoch, which is the exact corruption this sink exists to
+    * prevent (round-6 VERDICT #4 / ADVICE). */
   def appendIdempotent(batch: DataFrame, id: Long, url: String, table: String,
                        maxWriters: Int = 0, batchIdCol: String = "batch_id",
                        props: java.util.Properties = new java.util.Properties())
   : Unit = {
+    ensureDialect(url)
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
       val st = conn.createStatement()
       try st.executeUpdate(s"DELETE FROM $table WHERE $batchIdCol = $id")
-      catch { case _: java.sql.SQLException => () } // first epoch: no table yet
+      catch {
+        case e: java.sql.SQLException
+          if org.apache.spark.sql.jdbc.JdbcDialects.get(url)
+            .isObjectNotFoundException(e) => () // first epoch: no table yet
+      }
       finally st.close()
     } finally conn.close()
     val stamped = batch.withColumn(batchIdCol,

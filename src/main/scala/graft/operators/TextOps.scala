@@ -538,9 +538,12 @@ object TextOps {
     * bigram pruned by a min-count threshold `minCount ≤ Σc/1000` is rare BY
     * CONSTRUCTION: drop it from the table before the broadcast, score with a
     * LEFT join, and count the unmatched rows as rare. The result is exactly
-    * equal — not an approximation — which the TextOpsSpec equality test
-    * gates; under a Zipf law almost all types sit below any fixed threshold,
-    * so the broadcast shrinks by orders of magnitude.
+    * equal — not an approximation — WHILE (minCount−1)·1000 < Σc holds, and
+    * that precondition is enforced by a runtime guard inside the plan (a
+    * violating corpus/minCount combination raises instead of silently
+    * over-counting rares); the TextOpsSpec equality test gates the default.
+    * Under a Zipf law almost all types sit below any fixed threshold, so
+    * the broadcast shrinks by orders of magnitude.
     *
     * Switchover thresholds: (1) keep [[bigramFluency]]'s unpruned broadcast
     * while the count table is below spark.sql.autoBroadcastJoinThreshold;
@@ -562,8 +565,21 @@ object TextOps {
     val ctsAll = bi.groupBy("bg").agg(sum(col("c")).as("ct"))
     val total = ctsAll.agg(sum(col("ct")).as("t"))
     val cts = ctsAll.filter(col("ct") >= minCount)
+    // Runtime guard on the lossless precondition (round-6 ADVICE): pruning
+    // is exact only while every pruned entry (ct ≤ minCount−1) is genuinely
+    // rare, i.e. (minCount−1)·1000 < Σc. Enforced IN the plan — the guarded
+    // `t` feeds rare_ct, so Catalyst cannot prune it, no extra job runs, and
+    // a violating corpus/minCount combination fails the query loudly instead
+    // of silently over-counting rares.
+    val guarded = when(lit((minCount - 1) * 1000L) < col("t"), col("t"))
+      .otherwise(raise_error(concat(
+        lit(s"bigramFluencyPruned: minCount=$minCount breaks the lossless " +
+          s"precondition (minCount-1)*1000 < total bigram occurrences (= "),
+        col("t").cast("string"),
+        lit("); lower minCount or use bigramFluency"))).cast("long"))
     bi.join(broadcast(cts), Seq("bg"), "left")
       .crossJoin(broadcast(total))
+      .withColumn("t", guarded)
       .groupBy("doc_id")
       .agg(
         sum(col("c")).as("n_bigrams"),

@@ -141,7 +141,8 @@ class JdbcSinkSpec extends SparkSuite {
 
   test("appendIdempotent: replaying the same epoch leaves exactly one copy") {
     import spark.implicits._
-    DuckDbDialect.register()
+    // no explicit DuckDbDialect.register(): the sink self-registers for
+    // duckdb URLs (round-6 ADVICE — main-path callers must not need to know)
     val dir = java.nio.file.Files.createTempDirectory("graft-jdbc-replay")
     val url = s"jdbc:duckdb:${dir.resolve("replay.duckdb")}"
     val rows = Seq(("a", 1L), ("b", 2L)).toDF("k", "v")
@@ -153,5 +154,54 @@ class JdbcSinkSpec extends SparkSuite {
     val got = spark.read.jdbc(url, "t", new java.util.Properties())
     assert(got.count() == 3, "epoch 7 single copy (2 rows) + epoch 8 (1 row)")
     assert(got.filter(col("batch_id") === 7L).count() == 2)
+  }
+
+  test("appendIdempotent: a non-catalog failure on the epoch DELETE fails the batch, never double-appends") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-jdbc-delfail")
+    val url = s"jdbc:duckdb:${dir.resolve("delfail.duckdb")}"
+    // the table exists but WITHOUT the batch_id column — the epoch DELETE
+    // now fails with a binder error, which is NOT table-absent: the old
+    // blanket catch would have skipped the delete silently and the append
+    // below would have double-written the replayed epoch
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.executeUpdate("CREATE TABLE t (k VARCHAR, v BIGINT); INSERT INTO t VALUES ('pre', 0)")
+      finally st.close()
+    } finally conn.close()
+    val rows = Seq(("a", 1L)).toDF("k", "v")
+    val e = intercept[java.sql.SQLException] {
+      Io.appendIdempotent(rows, 7L, url, "t")
+    }
+    assert(!DuckDbDialect.isObjectNotFoundException(e),
+      s"the rethrown failure must be the non-catalog one, got: ${e.getMessage}")
+    // and the failed batch must not have appended anything
+    assert(spark.read.jdbc(url, "t", new java.util.Properties()).count() == 1,
+      "a failed epoch cleanup must abort the append entirely")
+  }
+
+  test("upsertDimJdbc: concurrent upserts to distinct pks both land (stage names don't collide)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-jdbc-conc")
+    val url = s"jdbc:duckdb:${dir.resolve("conc.duckdb")}"
+    // two pipelines merge into the SAME dim table at once; the fixed
+    // `__stage` name would let one overwrite the other's staged rows
+    // mid-merge. With per-call unique stages both batches must survive.
+    Io.upsertDimJdbc(Seq(1L -> "seed").toDF("id", "name"), url, "dim", "id")
+    val t1 = new Thread(() =>
+      Io.upsertDimJdbc(Seq(2L -> "a", 3L -> "b").toDF("id", "name"), url, "dim", "id"))
+    val t2 = new Thread(() =>
+      Io.upsertDimJdbc(Seq(4L -> "c", 5L -> "d").toDF("id", "name"), url, "dim", "id"))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    val got = spark.read.jdbc(url, "dim", new java.util.Properties())
+      .select($"id", $"name").as[(Long, String)].collect().sorted.toSeq
+    assert(got == Seq(1L -> "seed", 2L -> "a", 3L -> "b", 4L -> "c", 5L -> "d"),
+      s"both concurrent batches must land intact: $got")
+    // and no stage table leaks
+    val leftover = spark.read.jdbc(url,
+      "(SELECT table_name FROM information_schema.tables WHERE table_name LIKE 'dim__stage%') s",
+      new java.util.Properties()).count()
+    assert(leftover == 0, "stage tables must be dropped after the merge")
   }
 }

@@ -241,6 +241,18 @@ class TextOpsSpec extends SparkSuite {
       s"bucket agreement $agree/${joined.length} below 90% at minCount=2")
   }
 
+  test("bigramFluencyPruned: a minCount violating the lossless precondition raises, never mis-scores") {
+    // sf0.001's corpus has far fewer than (10^7-1)*1000 bigram occurrences,
+    // so this minCount silently over-counts rares under the old code path
+    val e = intercept[Exception] {
+      TextOps.bigramFluencyPruned(spark, sf0001, minCount = 10000000L).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("lossless precondition")),
+      s"guard message missing from: ${messages(e).mkString(" | ")}")
+  }
+
   test("mixtureSample pre-filtered form equals the full-window construction at three budget regimes") {
     // default budget: the pre-filter genuinely bites (sliver of each source);
     // tiny budget: boundary at the very first draws; huge budget: every

@@ -40,6 +40,19 @@ def test_real_driver_artifact():
     print(f"ok  real driver artifact BENCH_r05.json: {len(qs)} queries")
 
 
+def test_real_driver_artifact_r06():
+    # round 6's real artifact: the tail window cut the line's HEAD mid-key
+    # ('6":0.51,...'), so only the escaped-regex fallback recovers the map —
+    # the exact shape the round-5 gate tool choked on, now pinned for real
+    path = os.path.join(ROOT, "BENCH_r06.json")
+    d = load_line(path)
+    qs = d["queries"]
+    assert len(qs) == 95, f"expected 95 queries, got {len(qs)}"
+    assert qs["q01"] == 0.22 and qs["q95"] == 0.08, qs
+    assert d["value"] == 36.33, d.get("value")
+    print(f"ok  real driver artifact BENCH_r06.json: {len(qs)} queries, total {d['value']}")
+
+
 def test_raw_bench_stdout():
     # stdout+stderr merged capture holds the line twice plus sbt noise
     path = tmpfile(f"[warn] noise\n{BENCH_LINE}\n{BENCH_LINE}\n[success]\n")
@@ -69,6 +82,7 @@ def test_truncated_tail_regex_fallback():
 
 if __name__ == "__main__":
     test_real_driver_artifact()
+    test_real_driver_artifact_r06()
     test_raw_bench_stdout()
     test_driver_wrapper_null_parsed()
     test_truncated_tail_regex_fallback()
