@@ -365,27 +365,35 @@ object Similarity {
     * row to its own cell's store slice. */
   def streamingSemanticAdmission(stream: DataFrame, store: DataFrame,
                                  centroids: Array[Array[Long]],
-                                 tau: Double = 0.4): DataFrame = {
+                                 tau: Double = 0.4,
+                                 dedupResends: Boolean = true,
+                                 keepAllCols: Boolean = false): DataFrame = {
+    // dedupResends=false: for composition behind a stage that ALREADY holds
+    // dedup state (StreamingCuration's fingerprint dedup) — one stateful
+    // operator per stream keeps the plan in Spark's supported envelope.
+    // keepAllCols=true: emit the full admitted row (minus scratch) instead
+    // of the (vec_id, cell) projection, so downstream sinks see the doc.
     VectorExpressions.register(stream.sparkSession)
     val assignU = udf((v: Seq[Float]) => nearestCentroids(v, centroids, 1).head)
-    val s = stream
+    val s0 = stream
       .withColumn("cell", assignU(col("embedding")))
       .withColumn("nrm", normFastCol(col("embedding")))
-      // UNBOUNDED state caveat (same run model as streamingIngest's docs):
-      // dropDuplicates on an unwatermarked stream keeps one state row per
-      // vec_id forever; within the documented daily-compaction cycle that
-      // is bounded by a day's ingest, and a deployment that can attach an
-      // event-time column should use dropDuplicatesWithinWatermark instead
-      .dropDuplicates("vec_id")
+    // UNBOUNDED state caveat (same run model as streamingIngest's docs):
+    // dropDuplicates on an unwatermarked stream keeps one state row per
+    // vec_id forever; within the documented daily-compaction cycle that
+    // is bounded by a day's ingest, and a deployment that can attach an
+    // event-time column should use dropDuplicatesWithinWatermark instead
+    val s = if (dedupResends) s0.dropDuplicates("vec_id") else s0
     val st = store
       .select(col("embedding").as("se"))
       .withColumn("scell", assignU(col("se")))
       .withColumn("sn", normFastCol(col("se")))
-    s.join(st,
+    val admitted = s.join(st,
       col("cell") === col("scell") &&
         dotFastCol(col("embedding"), col("se")) / (col("nrm") * col("sn")) >= tau,
       "left_anti")
-      .select(col("vec_id"), col("cell"))
+    if (keepAllCols) admitted.drop("nrm")
+    else admitted.select(col("vec_id"), col("cell"))
   }
 
   /** Product-quantization ANN (Jégou et al. 2011, "Product Quantization for
