@@ -89,7 +89,7 @@ object SparkEntry {
     "q58_value_outliers"    -> ((s, d) => Relational.valueOutliers(s, d)),
     "q59_embedding_clusters" -> Similarity.embeddingClusters _,
     "q60_tfidf_terms"       -> TextOps.tfidfTopTerms _,
-    "q61_balanced_sample"   -> TextOps.balancedSample _,
+    "q61_balanced_sample"   -> ((s, d) => TextOps.balancedSample(s, d)),
     "q62_split_leakage"     -> ((s, d) => TextOps.splitLeakage(s, d)),
     "q63_session_funnel"    -> Relational.sessionFunnel _,
     "q64_inverted_index"    -> ((s, d) => TextOps.invertedIndex(s, d)),

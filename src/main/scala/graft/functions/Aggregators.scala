@@ -83,4 +83,39 @@ object Aggregators {
     udaf(topKAgg(k),
       Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong, Encoders.scalaLong))
       .apply(value, id, payload)
+
+  /** [[Scored]] with a STRING identity — for top-k over term/token keys
+    * (vocabulary induction), where the tiebreak is lexicographic. */
+  case class ScoredStr(v: Double, id: String, p: Long)
+
+  /** [[topKAgg]] with a string id: same k-bounded buffer, same
+    * (v DESC, id ASC) order with the id compared lexicographically. */
+  def topKStrAgg(k: Int): Aggregator[(Double, String, Long), scala.collection.mutable.ArrayBuffer[(Double, String, Long)], Seq[ScoredStr]] =
+    new Aggregator[(Double, String, Long), scala.collection.mutable.ArrayBuffer[(Double, String, Long)], Seq[ScoredStr]] {
+      type Buf = scala.collection.mutable.ArrayBuffer[(Double, String, Long)]
+      private def lt(a: (Double, String, Long), b: (Double, String, Long)): Boolean =
+        a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+      private def insert(s: Buf, x: (Double, String, Long)): Buf = {
+        if (s.length == k && !lt(x, s.last)) return s
+        var i = 0
+        while (i < s.length && lt(s(i), x)) i += 1
+        s.insert(i, x)
+        if (s.length > k) s.remove(k)
+        s
+      }
+      def zero: Buf = scala.collection.mutable.ArrayBuffer.empty
+      def reduce(s: Buf, v: (Double, String, Long)): Buf = insert(s, v)
+      def merge(a: Buf, b: Buf): Buf = { b.foreach(insert(a, _)); a }
+      def finish(s: Buf): Seq[ScoredStr] = s.toSeq.map(t => ScoredStr(t._1, t._2, t._3))
+      def bufferEncoder: Encoder[Buf] = Encoders.kryo[Buf]
+      def outputEncoder: Encoder[Seq[ScoredStr]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoredStr]]()
+    }
+
+  /** Column form: `topKStr(5, col("ct"), col("term"), col("ct"))` →
+    * array<struct<v,id,p>> sorted by (v DESC, id lexicographic ASC). */
+  def topKStr(k: Int, value: Column, id: Column, payload: Column): Column =
+    udaf(topKStrAgg(k),
+      Encoders.tuple(Encoders.scalaDouble, Encoders.STRING, Encoders.scalaLong))
+      .apply(value, id, payload)
 }

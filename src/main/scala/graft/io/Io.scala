@@ -134,10 +134,17 @@ object Io {
         java.nio.file.Files.writeString(markerPath, buckets.toString)
         buckets
       }
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(pk))
-      .orderBy(col(orderCol).desc)
-    val deduped = batch.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    // intra-batch last-writer-wins via max_by(struct), not a per-pk window
+    // (round-7 window audit): a CDC burst hammering ONE key — the classic
+    // hot-dim pathology — would sort every update of that key on a single
+    // reducer under Window.partitionBy(pk); max_by keeps one struct per key
+    // and collapses the burst map-side. Ties on orderCol pick an arbitrary
+    // winner, exactly as the row_number form did (same-timestamp CDC
+    // updates have no defined order either way).
+    val deduped = batch
+      .groupBy(col(pk))
+      .agg(max_by(struct(batch.columns.map(col): _*), col(orderCol)).as("__r"))
+      .select(col("__r.*"))
       .withColumn("__bucket",
         pmod(xxhash64(col(pk).cast("string")), lit(effectiveBuckets.toLong)))
       .persist()

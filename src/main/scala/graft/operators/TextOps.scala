@@ -221,9 +221,58 @@ object TextOps {
     * a dominant language swamping a training mix. Selection within a language
     * is by md5(doc_id) rank, so membership is engine/run/layout-stable like
     * [[hashSample]], and sorted-by-hash = a uniform random draw that needs no
-    * RNG state. One window shuffle on lang + one broadcast of the per-lang
-    * counts; the global K is a 5-row aggregate. */
-  def balancedSample(spark: SparkSession, dir: String): DataFrame = {
+    * RNG state.
+    *
+    * Scale shape (round-7 window audit — the [[mixtureSample]] treatment):
+    * ranking a language's docs with `row_number` over a lang window sorts
+    * the WHOLE dominant language on one reducer to keep a minority-sized
+    * prefix. The draw order is a hash rank, so keep only rows whose 32-bit
+    * hash prefix falls under a per-lang fraction sized `safety`·K/n, rank
+    * the sliver exactly, and verify sufficiency per lang (survivors ≥ K
+    * unless the whole lang survived), doubling the fraction on undershoot.
+    * The survivor set is an exact PREFIX of the (h, doc_id) order, so the
+    * kept membership is identical to the full-window form — spec-gated
+    * row-for-row (TextOpsSpec), including an under-sized `safety` that
+    * forces the doubling loop. */
+  def balancedSample(spark: SparkSession, dir: String, safety: Double = 4.0): DataFrame = {
+    val base = docs(spark, dir)
+      .withColumn("h", md5(col("doc_id").cast("string").cast("binary")))
+      .withColumn("u",
+        conv(substring(col("h"), 1, 8), 16, 10).cast("long") / lit(4294967296.0))
+      .select(col("lang"), col("doc_id"), col("h"), col("u"), col("n_chars"))
+      .persist()
+    val sess = base.sparkSession
+    import sess.implicits._
+    val counts = base.groupBy("lang").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val k = counts.values.min
+    def survivors(frac: Map[String, Double]): DataFrame =
+      base.join(broadcast(frac.toSeq.toDF("lang", "frac")), "lang")
+        .filter(col("u") < col("frac"))
+    var frac = counts.map { case (lang, n) =>
+      lang -> math.min(1.0, safety * k / math.max(n, 1L)) }
+    var sufficient = false
+    while (!sufficient) {
+      val survCt = survivors(frac).groupBy("lang").agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val under = frac.keySet.filter(l =>
+        frac(l) < 1.0 && survCt.getOrElse(l, 0L) < k)
+      if (under.isEmpty) sufficient = true
+      else frac = frac.map { case (l, f) =>
+        l -> (if (under(l)) math.min(1.0, f * 2) else f)
+      }
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("h"), col("doc_id"))
+    survivors(frac)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("kept_docs"), sum(col("n_chars")).as("kept_chars"))
+  }
+
+  /** The full-window form [[balancedSample]] replaced — spec reference ONLY. */
+  private[graft] def balancedSampleWindowed(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
       .withColumn("h", md5(col("doc_id").cast("string").cast("binary")))
     val k = d.groupBy("lang").agg(count(lit(1)).as("n"))
@@ -261,9 +310,30 @@ object TextOps {
     * language by total occurrence count — the first step of any
     * language-specific tokenizer/BPE training sweep. Token counting reuses
     * the map-side [[graft.functions.TextFns.tokenCounts]] kernel, so the only
-    * corpus-sized shuffle is the (lang, term) aggregate; the top-k window
-    * runs on the small aggregated vocabulary. */
-  def vocabTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    * corpus-sized shuffle is the (lang, term) aggregate.
+    *
+    * Top-k = the k-bounded [[graft.functions.Aggregators.topKStr]] partial
+    * agg, not a per-lang window (round-7 window audit): the window input
+    * here is the aggregated VOCABULARY, which at web scale is still ~10⁸
+    * types for a dominant language — all sorted on one reducer under
+    * `Window.partitionBy(lang)`. The aggregator shuffles at most 5 rows per
+    * lang per mapper instead, with the same (ct DESC, term ASC) order (ct
+    * is exact in the double far beyond any real count). Row-for-row
+    * equality with the window form is spec-gated (TextOpsSpec). */
+  def vocabTopTerms(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("lang"), explode(tokenCountsUdf(col("text"))).as(Seq("term", "tf_i")))
+      .groupBy("lang", "term")
+      .agg(sum(col("tf_i").cast("long")).as("ct"))
+      .groupBy("lang")
+      .agg(graft.functions.Aggregators.topKStr(
+        5, col("ct").cast("double"), col("term"), col("ct")).as("top"))
+      .select(col("lang"), posexplode(col("top")))
+      .select(col("lang"), col("col.id").as("term"), col("col.p").as("ct"),
+        (col("pos") + 1).cast("int").as("rnk"))
+
+  /** The windowed form [[vocabTopTerms]] replaced — spec reference ONLY. */
+  private[graft] def vocabTopTermsWindowed(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("lang").orderBy(col("ct").desc, col("term"))
     docs(spark, dir)

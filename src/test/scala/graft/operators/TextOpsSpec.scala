@@ -273,6 +273,27 @@ class TextOpsSpec extends SparkSuite {
       s"per-source hash-rank threshold filter missing from the plan:\n${plan.take(1500)}")
   }
 
+  test("vocabTopTerms topKStr form equals the per-lang window form row-for-row") {
+    val agg = TextOps.vocabTopTerms(spark, sf001)
+    val win = TextOps.vocabTopTermsWindowed(spark, sf001)
+    assert(agg.columns.toSeq == win.columns.toSeq, "schema drift between forms")
+    assert(agg.exceptAll(win).isEmpty && win.exceptAll(agg).isEmpty,
+      "k-bounded vocab induction must reproduce the window ranking, rnk included")
+    assert(!agg.queryExecution.executedPlan.toString.contains("Window"),
+      "vocab top-k must not sort a language's whole vocabulary on one reducer")
+  }
+
+  test("balancedSample pre-filtered form equals the full-window form, incl. forced doubling") {
+    // default safety, plus an absurdly small safety that guarantees the
+    // initial fraction undershoots K and the sufficiency loop must double
+    for (safety <- Seq(4.0, 0.01)) {
+      val pre = TextOps.balancedSample(spark, sf001, safety)
+      val win = TextOps.balancedSampleWindowed(spark, sf001)
+      assert(pre.exceptAll(win).isEmpty && win.exceptAll(pre).isEmpty,
+        s"safety=$safety: pre-filtered balanced sample must equal the windowed form")
+    }
+  }
+
   test("sourceQuotaTopK equals the windowed sourceQuota row-for-row at cap=15") {
     val topk = TextOps.sourceQuotaTopK(spark, sf001)
     val win = TextOps.sourceQuota(spark, sf001)
