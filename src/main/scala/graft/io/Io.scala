@@ -310,33 +310,64 @@ object Io {
   : Unit = {
     ensureDialect(url)
     val stage = s"${table}__stage_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    batch.write.mode("overwrite").jdbc(url, stage, props)
-    val conn = java.sql.DriverManager.getConnection(url, props)
-    try {
-      conn.setAutoCommit(false)
-      val st = conn.createStatement()
+    // Optimistic-concurrency engines (DuckDB; Postgres under serializable)
+    // ABORT one of two transactions touching the same catalog/table rather
+    // than blocking — the loser must retry, not fail the pipeline. Both the
+    // stage CREATE and the merge are idempotent (unique stage name;
+    // DELETE+INSERT of this batch's own keys), so a bounded conflict-only
+    // retry is safe; non-conflict errors rethrow immediately. Gated by the
+    // two-thread concurrency spec (JdbcSinkSpec), which makes the conflict
+    // real.
+    def isConflict(t: Throwable): Boolean =
+      Option(t.getMessage).exists(_.toLowerCase(java.util.Locale.ROOT).contains("conflict")) ||
+        Option(t.getCause).exists(isConflict)
+    val maxAttempts = 8
+    var stageAttempt = 0
+    var staged = false
+    while (!staged) {
+      stageAttempt += 1
+      try { batch.write.mode("overwrite").jdbc(url, stage, props); staged = true }
+      catch {
+        case t: Throwable if stageAttempt < maxAttempts && isConflict(t) =>
+          Thread.sleep(25L * stageAttempt)
+      }
+    }
+    var attempt = 0
+    var done = false
+    while (!done) {
+      attempt += 1
+      val conn = java.sql.DriverManager.getConnection(url, props)
       try {
-        // first batch: the live table may not exist yet — create empty with
-        // the stage's schema, then merge uniformly
-        st.executeUpdate(
-          s"CREATE TABLE IF NOT EXISTS $table AS SELECT * FROM $stage WHERE 1=0")
-        st.executeUpdate(
-          s"DELETE FROM $table USING $stage WHERE $table.$pk = $stage.$pk")
-        st.executeUpdate(s"INSERT INTO $table SELECT * FROM $stage")
-        conn.commit()
-      } catch {
-        case t: Throwable =>
-          try conn.rollback() catch { case _: java.sql.SQLException => () }
-          throw t
-      } finally st.close()
-      // stage cleanup is OUTSIDE the merge transaction and best-effort: a
-      // leftover stage is garbage, not corruption
-      conn.setAutoCommit(true)
-      val drop = conn.createStatement()
-      try drop.executeUpdate(s"DROP TABLE IF EXISTS $stage")
-      catch { case _: java.sql.SQLException => () }
-      finally drop.close()
-    } finally conn.close()
+        conn.setAutoCommit(false)
+        val st = conn.createStatement()
+        try {
+          // first batch: the live table may not exist yet — create empty
+          // with the stage's schema, then merge uniformly
+          st.executeUpdate(
+            s"CREATE TABLE IF NOT EXISTS $table AS SELECT * FROM $stage WHERE 1=0")
+          st.executeUpdate(
+            s"DELETE FROM $table USING $stage WHERE $table.$pk = $stage.$pk")
+          st.executeUpdate(s"INSERT INTO $table SELECT * FROM $stage")
+          conn.commit()
+          done = true
+        } catch {
+          case t: Throwable =>
+            try conn.rollback() catch { case _: java.sql.SQLException => () }
+            if (attempt < maxAttempts && isConflict(t))
+              Thread.sleep(25L * attempt)
+            else throw t
+        } finally st.close()
+        if (done) {
+          // stage cleanup is OUTSIDE the merge transaction and best-effort:
+          // a leftover stage is garbage, not corruption
+          conn.setAutoCommit(true)
+          val drop = conn.createStatement()
+          try drop.executeUpdate(s"DROP TABLE IF EXISTS $stage")
+          catch { case _: java.sql.SQLException => () }
+          finally drop.close()
+        }
+      } finally conn.close()
+    }
   }
 
   /** Idempotent micro-batch append: delete the epoch's rows (a replay's

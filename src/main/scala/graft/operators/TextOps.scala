@@ -1030,8 +1030,14 @@ object TextOps {
     * reducer anyway; at a billion-row source the windowed form sorts the
     * whole source on one task and this form windows a few thousand rows. */
   def mixtureSample(spark: SparkSession, dir: String, budgetTokens: Long = 1000,
-                    safety: Double = 4.0): DataFrame = {
-    val base = docs(spark, dir)
+                    safety: Double = 4.0): DataFrame =
+    mixtureSampleFrom(docs(spark, dir), budgetTokens, safety)
+
+  /** Frame form of [[mixtureSample]]: `d` needs (source, doc_id, text). */
+  def mixtureSampleFrom(d: DataFrame, budgetTokens: Long = 1000,
+                        safety: Double = 4.0): DataFrame = {
+    val spark = d.sparkSession
+    val base = d
       .withColumn("h", md5(col("doc_id").cast("string").cast("binary")))
       .withColumn("n_tokens", bpeTokenCountCol(col("text")).cast("long"))
       .withColumn("u",
@@ -1075,10 +1081,14 @@ object TextOps {
     * reference ONLY (exact per-source cumsum over the WHOLE source: the
     * hot-source one-reducer sort the pre-filter exists to avoid). */
   private[graft] def mixtureSampleWindowed(spark: SparkSession, dir: String,
-                                           budgetTokens: Long = 1000): DataFrame = {
+                                           budgetTokens: Long = 1000): DataFrame =
+    mixtureSampleWindowedFrom(docs(spark, dir), budgetTokens)
+
+  private[graft] def mixtureSampleWindowedFrom(d: DataFrame,
+                                               budgetTokens: Long = 1000): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source").orderBy(col("h"), col("doc_id"))
-    docs(spark, dir)
+    d
       .withColumn("h", md5(col("doc_id").cast("string").cast("binary")))
       .withColumn("n_tokens", bpeTokenCountCol(col("text")).cast("long"))
       .withColumn("cum", sum(col("n_tokens")).over(w))

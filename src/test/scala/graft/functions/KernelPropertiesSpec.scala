@@ -113,4 +113,44 @@ object KernelPropertiesSpec extends Properties("graft.kernels") {
       val sig = VectorFns.hyperplaneSig(v, 4)
       p.length == 4 && (0 until 4).forall(i => (p(i) >= 0) == (((sig >> i) & 1) == 1))
     }
+
+  // topK / topKStr buffer algebra: reduce over arbitrary partition splits,
+  // then merge, must equal the global sort — the partial-aggregation
+  // correctness the q14/q65/q80 scale paths stand on. Values are drawn from
+  // a SMALL grid so ties (the tiebreak path) occur constantly.
+  private val scoredRows: Gen[List[(Double, Long, Long)]] =
+    Gen.listOf(for {
+      v <- Gen.chooseNum(0, 5); id <- Gen.chooseNum(0L, 30L); p <- Gen.chooseNum(0L, 9L)
+    } yield (v.toDouble, id, p))
+
+  property("topKAgg over any partitioning ≡ global (v DESC, id ASC) sort take k") =
+    Prop.forAll(scoredRows, Gen.oneOf(1, 3, 7), Gen.chooseNum(1, 5)) { (rows, k, nParts) =>
+      val agg = Aggregators.topKAgg(k)
+      val parts = rows.zipWithIndex.groupMap(_._2 % nParts)(_._1).values
+      val merged = parts
+        .map(p => p.foldLeft(agg.zero)((b, x) => agg.reduce(b, x)))
+        .foldLeft(agg.zero)((a, b) => agg.merge(a, b))
+      val expected = rows.distinct.sortBy { case (v, id, _) => (-v, id) }
+      // duplicates of the same (v,id) tuple may both survive — compare on
+      // the ordered (v,id) sequence the contract defines
+      val got = agg.finish(merged).map(s => (s.v, s.id))
+      got == rows.sortBy { case (v, id, _) => (-v, id) }.map(t => (t._1, t._2)).take(k) &&
+        got.length <= k && (expected.nonEmpty || got.isEmpty)
+    }
+
+  property("topKStrAgg over any partitioning ≡ global (v DESC, id lex ASC) sort take k") =
+    Prop.forAll(
+      Gen.listOf(for {
+        v <- Gen.chooseNum(0, 5); id <- Gen.oneOf("a", "b", "ab", "ba", "z", "aa")
+        p <- Gen.chooseNum(0L, 9L)
+      } yield (v.toDouble, id, p)),
+      Gen.oneOf(1, 3, 7), Gen.chooseNum(1, 5)) { (rows, k, nParts) =>
+      val agg = Aggregators.topKStrAgg(k)
+      val parts = rows.zipWithIndex.groupMap(_._2 % nParts)(_._1).values
+      val merged = parts
+        .map(p => p.foldLeft(agg.zero)((b, x) => agg.reduce(b, x)))
+        .foldLeft(agg.zero)((a, b) => agg.merge(a, b))
+      val got = agg.finish(merged).map(s => (s.v, s.id))
+      got == rows.sortBy { case (v, id, _) => (-v, id) }.map(t => (t._1, t._2)).take(k)
+    }
 }

@@ -294,6 +294,29 @@ class TextOpsSpec extends SparkSuite {
     }
   }
 
+  test("mixtureSample adversarial: zero-token sources and one-doc sources converge and stay exact") {
+    import spark.implicits._
+    // source "empty": 50 docs of zero tokens — the initial fraction estimate
+    // is built from avg tokens/doc, which is degenerate here; the windowed
+    // semantics keep ALL of them (cum stays 0 <= budget), so the pre-filter
+    // loop must double all the way to frac=1.0 and terminate. source "one":
+    // a single giant doc (cum > budget at rank 1 -> zero kept). source
+    // "mix": normal docs.
+    val rows =
+      (1L to 50L).map(i => ("empty", i, "")) ++
+      Seq(("one", 100L, Seq.fill(500)("tok").mkString(" "))) ++
+      (200L to 260L).map(i => ("mix", i, s"alpha beta gamma delta epsilon zeta $i"))
+    val d = rows.toDF("source", "doc_id", "text")
+    val pre = TextOps.mixtureSampleFrom(d, budgetTokens = 40)
+    val win = TextOps.mixtureSampleWindowedFrom(d, budgetTokens = 40)
+    assert(pre.exceptAll(win).isEmpty && win.exceptAll(pre).isEmpty,
+      "degenerate sources must not break pre-filter/window equality")
+    val bySource = pre.collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(bySource("empty") == (50L, 0L), s"all zero-token docs kept: $bySource")
+    assert(!bySource.contains("one"), s"over-budget first draw keeps nothing: $bySource")
+    assert(bySource.contains("mix"))
+  }
+
   test("sourceQuotaTopK equals the windowed sourceQuota row-for-row at cap=15") {
     val topk = TextOps.sourceQuotaTopK(spark, sf001)
     val win = TextOps.sourceQuota(spark, sf001)
