@@ -87,6 +87,13 @@ object StreamingCuration {
   }
 
   def main(args: Array[String]): Unit = {
+    // JDBC driver jar is DEPLOYMENT-PROVIDED, like the Kafka connector
+    // (build.sbt keeps the main library Spark-only): spark-submit --jars
+    // duckdb_jdbc.jar in production, `sbt Test/runMain` in-container (the
+    // test classpath carries the driver). Io.connect survives the --jars
+    // child-classloader shape (JdbcSinkSpec). Smoke-verified end-to-end
+    // against sf0.001 stores: exact dups rejected, gate-passing admitted
+    // once, schema lands transient-free (NOTES_r7.md).
     require(args.length >= 4,
       "usage: graft.apps.StreamingCuration <streamInDir> <storeSfDir> <duckdbPath> <ckptDir>")
     val Array(inDir, storeDir, dbPath, ckptDir) = args.take(4)

@@ -290,6 +290,27 @@ object Io {
   private def ensureDialect(url: String): Unit =
     if (DuckDbDialect.canHandle(url)) DuckDbDialect.register()
 
+  /** `DriverManager.getConnection` filters drivers by the CALLER's
+    * classloader, so a JDBC driver shipped via `spark-submit --jars` (a
+    * child classloader — the deployment story for this sink, same as the
+    * Kafka connector) raises "No suitable driver" even though the driver is
+    * loadable. Spark's own JDBC source works around this with its
+    * DriverRegistry; this is the same move without internal API: fall back
+    * to ServiceLoader on the context classloader and connect through the
+    * driver directly. Raw getConnection stays the fast path. */
+  private[io] def connect(url: String, props: java.util.Properties): java.sql.Connection =
+    try java.sql.DriverManager.getConnection(url, props)
+    catch {
+      case e: java.sql.SQLException
+        if Option(e.getMessage).exists(_.contains("No suitable driver")) =>
+        import scala.jdk.CollectionConverters._
+        java.util.ServiceLoader.load(classOf[java.sql.Driver],
+            Thread.currentThread.getContextClassLoader).asScala
+          .find(_.acceptsURL(url))
+          .map(_.connect(url, props))
+          .getOrElse(throw e)
+    }
+
   /** A6 twin landing in a REAL JDBC database — the production face of the
     * reference's Phoenix `upsert into` (DimSink.java:78-93, last-writer-wins
     * by pk). Set-based, no driver-side key collection: the batch lands in a
@@ -336,7 +357,7 @@ object Io {
     var done = false
     while (!done) {
       attempt += 1
-      val conn = java.sql.DriverManager.getConnection(url, props)
+      val conn = connect(url, props)
       try {
         conn.setAutoCommit(false)
         val st = conn.createStatement()
@@ -386,7 +407,7 @@ object Io {
                        props: java.util.Properties = new java.util.Properties())
   : Unit = {
     ensureDialect(url)
-    val conn = java.sql.DriverManager.getConnection(url, props)
+    val conn = connect(url, props)
     try {
       val st = conn.createStatement()
       try st.executeUpdate(s"DELETE FROM $table WHERE $batchIdCol = $id")

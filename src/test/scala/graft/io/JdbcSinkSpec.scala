@@ -181,6 +181,32 @@ class JdbcSinkSpec extends SparkSuite {
       "a failed epoch cleanup must abort the append entirely")
   }
 
+  test("connect falls back to ServiceLoader when DriverManager hides the driver (--jars classloader shape)") {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("graft-jdbc-drv")
+    val url = s"jdbc:duckdb:${dir.resolve("drv.duckdb")}"
+    // simulate the spark-submit --jars deployment: DriverManager cannot see
+    // the driver (caller-classloader filtering), though it IS loadable
+    val hidden = java.sql.DriverManager.getDrivers.asScala
+      .filter(d => try d.acceptsURL(url) catch { case _: Exception => false }).toList
+    assert(hidden.nonEmpty, "fixture needs a visible duckdb driver to hide")
+    hidden.foreach(java.sql.DriverManager.deregisterDriver)
+    try {
+      intercept[java.sql.SQLException] {
+        java.sql.DriverManager.getConnection(url, new java.util.Properties())
+      } // the raw path really is broken now
+      val c = Io.connect(url, new java.util.Properties())
+      try {
+        val st = c.createStatement()
+        try {
+          st.executeUpdate("CREATE TABLE probe AS SELECT 42 AS x")
+          val rs = st.executeQuery("SELECT x FROM probe")
+          assert(rs.next() && rs.getInt(1) == 42, "fallback connection must be usable")
+        } finally st.close()
+      } finally c.close()
+    } finally hidden.foreach(java.sql.DriverManager.registerDriver)
+  }
+
   test("upsertDimJdbc: concurrent upserts to distinct pks both land (stage names don't collide)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-jdbc-conc")
