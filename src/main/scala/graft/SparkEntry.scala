@@ -91,7 +91,7 @@ object SparkEntry {
     "q60_tfidf_terms"       -> TextOps.tfidfTopTerms _,
     "q61_balanced_sample"   -> ((s, d) => TextOps.balancedSample(s, d)),
     "q62_split_leakage"     -> ((s, d) => TextOps.splitLeakage(s, d)),
-    "q63_session_funnel"    -> Relational.sessionFunnel _,
+    "q63_session_funnel"    -> Relational.sessionFunnelSinglePass _,
     "q64_inverted_index"    -> ((s, d) => TextOps.invertedIndex(s, d)),
     "q65_vocab_top_terms"   -> TextOps.vocabTopTerms _,
     "q66_c4_rule_filter"    -> TextOps.c4RuleFilter _,

@@ -130,4 +130,13 @@ class RelationalSpec extends SparkSuite {
         s"$tpe p$q: approx $got outside exact rank band [$lo, $hi] (n=$n)")
     }
   }
+
+  test("sessionFunnelSinglePass equals the chained join form row-for-row") {
+    val chained = Relational.sessionFunnel(spark, sf001)
+    val single = Relational.sessionFunnelSinglePass(spark, sf001)
+    assert(chained.columns.toSeq == single.columns.toSeq, "schema drift between forms")
+    assert(single.exceptAll(chained).isEmpty && chained.exceptAll(single).isEmpty,
+      "single-pass funnel must reproduce the sequential v->c->p mins exactly, " +
+        "including null chaining when an earlier stage is absent")
+  }
 }
