@@ -82,4 +82,66 @@ class StreamingCurationSpec extends SparkSuite {
     assert(row4.getAs[Long]("token_ct") >= 10)
     assert(row4.getAs[String]("fingerprint").nonEmpty)
   }
+
+  test("file-stream binding: JSONL docs dir through the full admission into DuckDB (the main's shape)") {
+    import spark.implicits._
+    // the deployment binding the launchable main uses — a JSONL topic
+    // directory via Io.jsonFileStream + the real sf0.001 parquet stores —
+    // exercised as a repeatable gate (it caught the hidden-driver bug and
+    // the classifier-gated-fixture trap when first run by hand, NOTES_r7)
+    val dir = java.nio.file.Files.createTempDirectory("graft-sc-file")
+    val inDir = dir.resolve("in").toString
+    new java.io.File(inDir).mkdirs()
+    val url = s"jdbc:duckdb:${dir.resolve("cur.duckdb")}"
+
+    def toks(t: String): Seq[String] = "[a-z0-9]+".r.findAllIn(t.toLowerCase).toSeq
+    def passesGate(t: String): Boolean =
+      toks(t).length >= 10 && graft.functions.TextFns.classifierScore(toks(t)) >= 0
+    val corpus = graft.Tables.load(spark, sf0001, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    // verbatim gate-passing store texts → rejection MUST come from the
+    // exact-dup anti-join, not the gate; perturbed gate-passing texts →
+    // fresh fingerprints that must be admitted
+    val verbatim = corpus.filter(d => passesGate(d._2)).take(10)
+    val perturbed = corpus.map { case (i, t) => (i, t + s" zz$i") }
+      .filter(d => passesGate(d._2)).take(10)
+    assert(verbatim.length == 10 && perturbed.length == 10, "fixture needs 10+10 gate-passers")
+    // one fixed stream embedding, proven far from EVERY store vector so the
+    // semantic stage cannot reject anything (no random-collision flake)
+    val streamEmb = Seq.tabulate(64)(d => if (d % 2 == 0) 1.0f else -1.0f)
+    val store = graft.Tables.load(spark, sf0001, "embeddings")
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    assert(store.forall(v => cos(streamEmb, v._2) < 0.4),
+      "fixture embedding must be semantically fresh vs the whole store")
+
+    val rows =
+      verbatim.zipWithIndex.map { case ((_, t), i) => (20000L + i, t) } ++
+      perturbed.zipWithIndex.map { case ((_, t), i) => (21000L + i, t) }
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val json = rows.map { case (id, t) =>
+      val emb = streamEmb.mkString("[", ",", "]")
+      s"""{"doc_id":$id,"text":${mapper.writeValueAsString(t)},"lang":"en","source":"web","embedding":$emb}"""
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(inDir, "docs.jsonl"),
+      json.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+    val fpStore = graft.Tables.load(spark, sf0001, "documents")
+      .select(md5(col("text").cast("binary")).as("fingerprint"))
+    val embStore = graft.Tables.load(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val cent = StreamingCuration.trainFromStore(embStore)
+    val q = StreamingCuration.run(spark,
+      graft.io.Io.jsonFileStream(spark, inDir, StreamingCuration.wire),
+      fpStore, embStore, cent, url, "curated_admissions", dir.resolve("ckpt").toString)
+    q.awaitTermination()
+
+    val got = spark.read.jdbc(url, "curated_admissions", new java.util.Properties())
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(got == (0 until 10).map(21000L + _),
+      s"exactly the 10 perturbed gate-passers admitted once each, all verbatim dups rejected: $got")
+  }
 }
