@@ -233,7 +233,9 @@ object TextOps {
     * The survivor set is an exact PREFIX of the (h, doc_id) order, so the
     * kept membership is identical to the full-window form — spec-gated
     * row-for-row (TextOpsSpec), including an under-sized `safety` that
-    * forces the doubling loop. */
+    * forces the doubling loop. Cache lifecycle as in [[mixtureSample]]:
+    * the persisted base backs the returned plan; callers in long-lived
+    * sessions clear it after consuming the result. */
   def balancedSample(spark: SparkSession, dir: String, safety: Double = 4.0): DataFrame = {
     val base = docs(spark, dir)
       .withColumn("h", md5(col("doc_id").cast("string").cast("binary")))
@@ -1028,7 +1030,14 @@ object TextOps {
     * scale (Microbench, sf0.1): 0.275 s vs the windowed form's 0.190 s —
     * the stats+check passes cost ~85 ms where every source fits one
     * reducer anyway; at a billion-row source the windowed form sorts the
-    * whole source on one task and this form windows a few thousand rows. */
+    * whole source on one task and this form windows a few thousand rows.
+    *
+    * Cache lifecycle: the projected base frame stays persisted because the
+    * RETURNED plan still reads it (unpersisting here would re-tokenize the
+    * corpus at evaluation). Bench/Verify clear caches between queries; a
+    * long-lived session should `spark.catalog.clearCache()` (or unpersist)
+    * after consuming the result — same contract as [[balancedSample]] and
+    * the persisted boundaries in cleanCorpus/spanDedup. */
   def mixtureSample(spark: SparkSession, dir: String, budgetTokens: Long = 1000,
                     safety: Double = 4.0): DataFrame =
     mixtureSampleFrom(docs(spark, dir), budgetTokens, safety)
