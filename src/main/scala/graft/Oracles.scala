@@ -15,6 +15,33 @@ package graft
   */
 object Oracles {
 
+  /** One BPE training round (q96): pair counts over the previous
+    * segmentation `s(n-1)`, deterministic argmax, greedy non-overlapping
+    * re-segmentation via run-parity windows → `s(n)`. Generated per round
+    * because DuckDB macros cannot be defined inside a single query. */
+  private def bpeRound(n: Int): String = {
+    val p = n - 1
+    s"""p$n AS (SELECT u.a AS a, u.b AS b, cast(sum(ct) as bigint) AS pc
+       |  FROM (SELECT unnest([{'a': syms[i], 'b': syms[i+1]}
+       |      FOR i IN generate_series(1, greatest(len(syms) - 1, 0))]) AS u, ct FROM s$p) q
+       |  GROUP BY 1, 2),
+       |top$n AS (SELECT a, b, pc FROM p$n ORDER BY pc DESC, a, b LIMIT 1),
+       |pos$n AS (SELECT word, ct, unnest(generate_series(1, len(syms))) AS i, syms FROM s$p),
+       |pm$n AS (SELECT word, ct, i, syms[i] AS s,
+       |    coalesce(syms[i] = a AND syms[i + 1] = b, FALSE) AS m
+       |  FROM pos$n, top$n),
+       |run$n AS (SELECT *, CASE WHEN m THEN i - row_number()
+       |    OVER (PARTITION BY word, m ORDER BY i) END AS grp FROM pm$n),
+       |st$n AS (SELECT *, m AND ((i - min(i) OVER (PARTITION BY word, grp)) % 2 = 0) AS ms
+       |  FROM run$n),
+       |nx$n AS (SELECT *, lead(s) OVER (PARTITION BY word ORDER BY i) AS ns,
+       |    coalesce(lag(ms) OVER (PARTITION BY word ORDER BY i), FALSE) AS consumed FROM st$n),
+       |s$n AS (SELECT word, ct,
+       |    list(CASE WHEN ms THEN s || ns ELSE s END ORDER BY i)
+       |      FILTER (WHERE NOT consumed) AS syms
+       |  FROM nx$n GROUP BY word, ct)""".stripMargin
+  }
+
   /** The [[graft.functions.TextFns.winnow]] k-gram hash as a DuckDB
     * expression: an 8-term polynomial `Σ ord(char_{i+j})·B^(7-j) mod M` over a
     * 0-based gram start `i` — constants derived from the SAME
@@ -1437,6 +1464,23 @@ object Oracles {
       """SELECT substr(text, 1, 16) AS prefix, count(*) AS n_docs,
         | count(distinct source) AS n_sources, min(doc_id) AS example_doc_id
         |FROM documents GROUP BY 1 HAVING count(*) >= 3""".stripMargin,
+
+    // BPE merge training, 3 rounds: word-frequency table → per-round pair
+    // argmax (count DESC, pair ASC) → greedy left-to-right re-segmentation.
+    // The greedy fold is re-derived here as a window-parity construction:
+    // within each maximal run of consecutive pair matches, merges start at
+    // even offsets (positions 1st, 3rd, … of the run) — provably the same
+    // non-overlapping selection as the Spark side's aggregate-HOF fold.
+    "q96_bpe_merges" ->
+      (s"""WITH t AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+        |w AS (SELECT tok AS word, cast(count(*) as bigint) AS ct
+        |  FROM (SELECT unnest(toks) AS tok FROM t) u GROUP BY 1),
+        |s0 AS (SELECT word, ct,
+        |  [substr(word, i, 1) FOR i IN generate_series(1, length(word))] AS syms FROM w),
+        |""" + (1 to 3).map(bpeRound).mkString(",\n") + """
+        |SELECT 1 AS round, a AS lhs, b AS rhs, pc AS pair_ct FROM top1
+        |UNION ALL SELECT 2, a, b, pc FROM top2
+        |UNION ALL SELECT 3, a, b, pc FROM top3""").stripMargin,
 
     // token-budget mixture sampling: md5-rank draw per source, exact integer
     // cumsum, keep while cum <= 1000 tokens

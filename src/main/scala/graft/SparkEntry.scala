@@ -124,6 +124,7 @@ object SparkEntry {
     "q93_dedup_weighted"    -> ((s, d) => Dedup.dedupWeightedStats(s, d)),
     "q94_bigram_fluency_pruned" -> ((s, d) => TextOps.bigramFluencyPruned(s, d)),
     "q95_percentile_check"  -> ((s, d) => Relational.percentileSketchCheck(s, d)),
+    "q96_bpe_merges"        -> ((s, d) => TextOps.bpeMerges(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

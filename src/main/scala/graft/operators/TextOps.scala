@@ -347,6 +347,68 @@ object TextOps {
       .select(col("lang"), col("term"), col("ct"), col("rnk"))
   }
 
+  /** BPE tokenizer TRAINING (Sennrich et al. 2016, "Neural Machine
+    * Translation of Rare Words with Subword Units") — the step after
+    * [[vocabTopTerms]]'s induction sweep: learn the first `rounds` merge
+    * rules from the corpus. Standard word-frequency formulation: the corpus
+    * collapses ONCE into a (word, count) table (the only corpus-sized scan),
+    * each word becomes its character sequence, and each round (a) counts
+    * adjacent symbol pairs weighted by word count, (b) takes the argmax
+    * with a deterministic (count DESC, pair ASC) tiebreak — a bounded
+    * 1-row driver action, the quantizer-training convention — and (c)
+    * re-segments every word by greedy LEFT-TO-RIGHT non-overlapping
+    * replacement of that pair (an `aggregate` HOF whose accumulator folds
+    * the pair as it scans: "aaaa" + (a,a) → [aa, aa], never [a, aa, a]).
+    * Re-segmentation rounds are map-only passes over the VOCABULARY table
+    * (≤ millions of rows at web scale, not the corpus), so the loop costs
+    * `rounds` tiny jobs after one corpus scan. Output: the learned merge
+    * table (round, lhs, rhs, pair_ct) — the artifact a tokenizer ships.
+    * The oracle (q96) re-derives every round in DuckDB with a
+    * window-parity greedy (merge at even offsets of each maximal match
+    * run), which equals left-to-right folding; HandcraftedSpec cases pin
+    * the overlap semantics ("aaaa", "abab") on both constructions. */
+  def bpeMerges(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame =
+    bpeMergesFrom(docs(spark, dir), rounds)
+
+  /** Frame form of [[bpeMerges]]: `d` needs a text column. */
+  def bpeMergesFrom(d: DataFrame, rounds: Int = 3): DataFrame = {
+    val spark = d.sparkSession
+    val words = d
+      .select(explode(tokenCountsUdf(col("text"))).as(Seq("word", "ct_in_doc")))
+      .groupBy("word").agg(sum(col("ct_in_doc")).cast("long").as("ct"))
+      .withColumn("syms", expr("filter(split(word, ''), x -> x <> '')"))
+      .select(col("syms"), col("ct"))
+      .persist()
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var cur = words
+    var r = 1
+    while (r <= rounds) {
+      val top = cur
+        .select(explode(expr(
+          "zip_with(slice(syms, 1, size(syms) - 1), slice(syms, 2, size(syms) - 1)," +
+            " (a, b) -> named_struct('a', a, 'b', b))")).as("p"), col("ct"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("ct")).as("pc"))
+        .orderBy(col("pc").desc, col("a"), col("b"))
+        .limit(1).collect()
+      require(top.nonEmpty, s"bpeMerges: corpus exhausted before round $r")
+      val (a, b, pc) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
+      merges += ((r, a, b, pc))
+      // symbols are [a-z0-9]+ substrings — safe as single-quoted literals
+      cur = cur.withColumn("syms", expr(
+        s"aggregate(syms, cast(array() as array<string>), (acc, x) -> " +
+          s"case when size(acc) > 0 and element_at(acc, -1) = '$a' and x = '$b' " +
+          s"then concat(slice(acc, 1, size(acc) - 1), array('$a$b')) " +
+          s"else concat(acc, array(x)) end)"))
+      r += 1
+    }
+    val sess = spark
+    import sess.implicits._
+    words.unpersist()
+    merges.toSeq.toDF("round", "lhs", "rhs", "pair_ct")
+      .withColumn("round", col("round").cast("int"))
+  }
+
   /** C4-style rule-based quality filter (Raffel et al. 2020 §2.2 heuristics,
     * re-expressed as per-doc boolean rules): minimum word count, sane mean
     * word length, stopword presence, low 2-gram repetition, and a blocklist

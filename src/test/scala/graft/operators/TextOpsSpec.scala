@@ -294,6 +294,24 @@ class TextOpsSpec extends SparkSuite {
     }
   }
 
+  test("bpeMerges: greedy left-to-right overlap semantics on handcrafted runs") {
+    import spark.implicits._
+    // "aaaa"×2 + "bbbb": (a,a) counts 3 positions × ct 2 = 6 and merges
+    // non-overlapping left-to-right (aaaa → [aa,aa], never [a,aa,a]); then
+    // (b,b)=3 beats (aa,aa)=2; then (aa,aa) wins
+    val got = TextOps.bpeMergesFrom(Seq("aaaa bbbb aaaa").toDF("text"), 3)
+      .orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == Seq((1, "a", "a", 6L), (2, "b", "b", 3L), (3, "aa", "aa", 2L)), s"got $got")
+    // tie + overlap: "ababa" has (a,b)=2 and (b,a)=2 — lexicographic
+    // tiebreak picks (a,b); greedy re-seg gives [ab, ab, a], whose next
+    // tie (ab,a)=1 vs (ab,ab)=1 again resolves lexicographically
+    val got2 = TextOps.bpeMergesFrom(Seq("ababa").toDF("text"), 2)
+      .orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got2 == Seq((1, "a", "b", 2L), (2, "ab", "a", 1L)), s"got $got2")
+  }
+
   test("mixtureSample adversarial: zero-token sources and one-doc sources converge and stay exact") {
     import spark.implicits._
     // source "empty": 50 docs of zero tokens — the initial fraction estimate
