@@ -1482,6 +1482,20 @@ object Oracles {
         |UNION ALL SELECT 2, a, b, pc FROM top2
         |UNION ALL SELECT 3, a, b, pc FROM top3""").stripMargin,
 
+    // BPE encoding: the same 3 learned merges applied to the corpus — the
+    // generated chain's final segmentation table s3 IS the encoded vocab;
+    // output = subword-length distribution per word-type and occurrence
+    "q97_bpe_encode" ->
+      (s"""WITH t AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+        |w AS (SELECT tok AS word, cast(count(*) as bigint) AS ct
+        |  FROM (SELECT unnest(toks) AS tok FROM t) u GROUP BY 1),
+        |s0 AS (SELECT word, ct,
+        |  [substr(word, i, 1) FOR i IN generate_series(1, length(word))] AS syms FROM w),
+        |""" + (1 to 3).map(bpeRound).mkString(",\n") + """
+        |SELECT cast(len(syms) as int) AS n_subwords, count(*) AS words,
+        | cast(sum(ct) as bigint) AS occurrences
+        |FROM s3 GROUP BY 1""").stripMargin,
+
     // token-budget mixture sampling: md5-rank draw per source, exact integer
     // cumsum, keep while cum <= 1000 tokens
     "q73_mixture_sample" ->

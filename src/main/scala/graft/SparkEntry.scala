@@ -125,6 +125,7 @@ object SparkEntry {
     "q94_bigram_fluency_pruned" -> ((s, d) => TextOps.bigramFluencyPruned(s, d)),
     "q95_percentile_check"  -> ((s, d) => Relational.percentileSketchCheck(s, d)),
     "q96_bpe_merges"        -> ((s, d) => TextOps.bpeMerges(s, d)),
+    "q97_bpe_encode"        -> ((s, d) => TextOps.bpeEncode(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

@@ -372,7 +372,40 @@ object TextOps {
 
   /** Frame form of [[bpeMerges]]: `d` needs a text column. */
   def bpeMergesFrom(d: DataFrame, rounds: Int = 3): DataFrame = {
-    val spark = d.sparkSession
+    val sess = d.sparkSession
+    import sess.implicits._
+    val (merges, base, _) = bpeTrain(d, rounds)
+    base.unpersist() // result is driver-local; the vocab cache can go
+    merges.toDF("round", "lhs", "rhs", "pair_ct")
+      .withColumn("round", col("round").cast("int"))
+  }
+
+  /** BPE ENCODING — the inference half of [[bpeMerges]]: apply the learned
+    * merge rules to the corpus and report the resulting subword-length
+    * distribution per word-type and per occurrence (the compression curve
+    * tokenizer evaluations plot). The training loop already carries every
+    * word's final segmentation, so encoding is free after training; at
+    * serving scale the merges table broadcasts and the same fold runs as a
+    * map over raw text. Oracle (q97) reuses q96's generated CTE chain —
+    * its final segmentation table IS this result's input. */
+  def bpeEncode(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame =
+    bpeEncodeFrom(docs(spark, dir), rounds)
+
+  def bpeEncodeFrom(d: DataFrame, rounds: Int = 3): DataFrame = {
+    // base stays persisted: the returned plan reads the final segmentation,
+    // which chains from it (cache lifecycle as in mixtureSample)
+    val (_, _, seg) = bpeTrain(d, rounds)
+    seg
+      .groupBy(size(col("syms")).as("n_subwords"))
+      .agg(count(lit(1)).as("words"), sum(col("ct")).cast("long").as("occurrences"))
+  }
+
+  /** Shared BPE training loop: one corpus scan → persisted (syms, ct)
+    * vocabulary; each round = vocab-sized weighted pair count + bounded
+    * 1-row argmax collect + map-only greedy re-segmentation. Returns the
+    * merge rules and the final (still persisted) segmentation frame. */
+  private def bpeTrain(d: DataFrame, rounds: Int)
+  : (Seq[(Int, String, String, Long)], DataFrame, DataFrame) = {
     val words = d
       .select(explode(tokenCountsUdf(col("text"))).as(Seq("word", "ct_in_doc")))
       .groupBy("word").agg(sum(col("ct_in_doc")).cast("long").as("ct"))
@@ -391,7 +424,7 @@ object TextOps {
         .agg(sum(col("ct")).as("pc"))
         .orderBy(col("pc").desc, col("a"), col("b"))
         .limit(1).collect()
-      require(top.nonEmpty, s"bpeMerges: corpus exhausted before round $r")
+      require(top.nonEmpty, s"bpeTrain: corpus exhausted before round $r")
       val (a, b, pc) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
       merges += ((r, a, b, pc))
       // symbols are [a-z0-9]+ substrings — safe as single-quoted literals
@@ -402,11 +435,7 @@ object TextOps {
           s"else concat(acc, array(x)) end)"))
       r += 1
     }
-    val sess = spark
-    import sess.implicits._
-    words.unpersist()
-    merges.toSeq.toDF("round", "lhs", "rhs", "pair_ct")
-      .withColumn("round", col("round").cast("int"))
+    (merges.toSeq, words, cur)
   }
 
   /** C4-style rule-based quality filter (Raffel et al. 2020 §2.2 heuristics,

@@ -310,6 +310,12 @@ class TextOpsSpec extends SparkSuite {
       .orderBy("round").collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
     assert(got2 == Seq((1, "a", "b", 2L), (2, "ab", "a", 1L)), s"got $got2")
+    // encoding half: after rounds (a,a), (b,b), (aa,aa) the word aaaa is a
+    // single subword and bbbb is two — the distribution reflects both
+    val enc = TextOps.bpeEncodeFrom(Seq("aaaa bbbb aaaa").toDF("text"), 3)
+      .orderBy("n_subwords").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(enc == Seq((1, 1L, 2L), (2, 1L, 1L)), s"got $enc")
   }
 
   test("mixtureSample adversarial: zero-token sources and one-doc sources converge and stay exact") {
