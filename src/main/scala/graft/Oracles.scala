@@ -26,7 +26,39 @@ object Oracles {
        |      FOR i IN generate_series(1, greatest(len(syms) - 1, 0))]) AS u, ct FROM s$p) q
        |  GROUP BY 1, 2),
        |top$n AS (SELECT a, b, pc FROM p$n ORDER BY pc DESC, a, b LIMIT 1),
-       |pos$n AS (SELECT word, ct, unnest(generate_series(1, len(syms))) AS i, syms FROM s$p),
+       |""".stripMargin + segRound(n)
+  }
+
+  /** One WordPiece training round (q98): same pair counts and greedy
+    * re-segmentation as [[bpeRound]], but the argmax takes the LIKELIHOOD
+    * score pc/(ct(a)·ct(b)) — replayed in exact fixed point as
+    * pc·10¹⁵ // (ca·cb) over HUGEINTs, matching the Spark side's
+    * DECIMAL(38,0) DIV bit-for-bit (both floor a positive quotient that
+    * fits a long). */
+  private def wpRound(n: Int): String = {
+    val p = n - 1
+    s"""cs$n AS (SELECT s AS sym, cast(sum(ct) as bigint) AS c
+       |  FROM (SELECT unnest(syms) AS s, ct FROM s$p) q GROUP BY 1),
+       |p$n AS (SELECT u.a AS a, u.b AS b, cast(sum(ct) as bigint) AS pc
+       |  FROM (SELECT unnest([{'a': syms[i], 'b': syms[i+1]}
+       |      FOR i IN generate_series(1, greatest(len(syms) - 1, 0))]) AS u, ct FROM s$p) q
+       |  GROUP BY 1, 2),
+       |top$n AS (SELECT a, b, pc, score_q FROM (
+       |    SELECT p$n.a AS a, p$n.b AS b, pc,
+       |      cast((pc::HUGEINT * 1000000000000000) // (ca.c::HUGEINT * cb.c) as bigint) AS score_q
+       |    FROM p$n JOIN cs$n ca ON ca.sym = p$n.a JOIN cs$n cb ON cb.sym = p$n.b) q
+       |  ORDER BY score_q DESC, a, b LIMIT 1),
+       |""".stripMargin + segRound(n)
+  }
+
+  /** The greedy left-to-right re-segmentation of round `n` (shared by
+    * [[bpeRound]]/[[wpRound]]): given top$n's (a, b), merge non-overlapping
+    * occurrences via run-parity windows — within each maximal run of
+    * consecutive matches, merges start at even offsets, which equals the
+    * Spark side's aggregate-HOF fold. */
+  private def segRound(n: Int): String = {
+    val p = n - 1
+    s"""pos$n AS (SELECT word, ct, unnest(generate_series(1, len(syms))) AS i, syms FROM s$p),
        |pm$n AS (SELECT word, ct, i, syms[i] AS s,
        |    coalesce(syms[i] = a AND syms[i + 1] = b, FALSE) AS m
        |  FROM pos$n, top$n),
@@ -1495,6 +1527,85 @@ object Oracles {
         |SELECT cast(len(syms) as int) AS n_subwords, count(*) AS words,
         | cast(sum(ct) as bigint) AS occurrences
         |FROM s3 GROUP BY 1""").stripMargin,
+
+    // WordPiece induction: the q96 chain with the likelihood argmax —
+    // score_q = pc*10^15 // (ct(a)*ct(b)) in HUGEINT, ties lexicographic
+    "q98_wordpiece_merges" ->
+      (s"""WITH t AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+        |w AS (SELECT tok AS word, cast(count(*) as bigint) AS ct
+        |  FROM (SELECT unnest(toks) AS tok FROM t) u GROUP BY 1),
+        |s0 AS (SELECT word, ct,
+        |  [substr(word, i, 1) FOR i IN generate_series(1, length(word))] AS syms FROM w),
+        |""" + (1 to 3).map(wpRound).mkString(",\n") + """
+        |SELECT 1 AS round, a AS lhs, b AS rhs, pc AS pair_ct, score_q FROM top1
+        |UNION ALL SELECT 2, a, b, pc, score_q FROM top2
+        |UNION ALL SELECT 3, a, b, pc, score_q FROM top3""").stripMargin,
+
+    // tokenizer fertility: the q96 chain's final segmentation applied to
+    // per-source word occurrences; fertility in exact integer micro units
+    "q99_tokenizer_fertility" ->
+      (s"""WITH t AS (SELECT source, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+        |w AS (SELECT tok AS word, cast(count(*) as bigint) AS ct
+        |  FROM (SELECT unnest(toks) AS tok FROM t) u GROUP BY 1),
+        |s0 AS (SELECT word, ct,
+        |  [substr(word, i, 1) FOR i IN generate_series(1, length(word))] AS syms FROM w),
+        |""" + (1 to 3).map(bpeRound).mkString(",\n") + """,
+        |sw AS (SELECT source, tok AS word, cast(count(*) as bigint) AS ct_src
+        |  FROM (SELECT source, unnest(toks) AS tok FROM t) u GROUP BY 1, 2)
+        |SELECT source, cast(sum(ct_src) as bigint) AS word_occurrences,
+        |  cast(sum(ct_src * len(syms)) as bigint) AS subword_occurrences,
+        |  cast(sum(ct_src * length(word)) as bigint) AS char_count,
+        |  cast((cast(sum(ct_src * len(syms)) as bigint) * 1000000)
+        |    // cast(sum(ct_src) as bigint) as bigint) AS fertility_micro
+        |FROM sw JOIN s3 USING (word) GROUP BY 1""").stripMargin,
+
+    // temperature-reweighted source sampling: sqrt-share doc budget, integer
+    // 2^20-quantized shares, md5-prefix membership below a 52-bit hex
+    // threshold — every step bit-identical to the Spark side
+    "q100_temperature_sample" ->
+      """WITH st AS (SELECT source, cast(count(*) as bigint) AS n_docs,
+        |   cast(floor(sqrt(cast(count(*) as bigint)) * 1048576) as bigint) AS s_q
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT cast(sum(s_q) as bigint) AS s_tot FROM st),
+        |thr AS (SELECT source, n_docs,
+        |   cast(floor(((cast(1000 as bigint) * s_q) / (s_tot * n_docs)) * 4503599627370496) as bigint) AS t_raw
+        |  FROM st, tot),
+        |th AS (SELECT source, n_docs,
+        |   CASE WHEN t_raw >= 4503599627370496 THEN 'ggggggggggggg'
+        |        ELSE printf('%013x', t_raw) END AS thr_hex FROM thr)
+        |SELECT d.source, max(th.n_docs) AS n_docs,
+        |  cast(count(*) as bigint) AS kept_docs,
+        |  cast(sum(d.n_chars) as bigint) AS kept_chars
+        |FROM documents d JOIN th ON th.source = d.source
+        |WHERE substr(md5(cast(d.doc_id as varchar)), 1, 13) < th.thr_hex
+        |GROUP BY 1""".stripMargin,
+
+    // DSIR importance selection: 256 md5 token buckets, add-one-smoothed
+    // target/raw ratio per bucket in integer 2^20 units (HUGEINT // =
+    // Spark's DECIMAL DIV), per-doc integer score, integer selection test
+    "q101_dsir_select" ->
+      """WITH t AS (SELECT doc_id, source,
+        |   unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents),
+        |b AS (SELECT doc_id, source, substr(md5(tok), 1, 2) AS bk,
+        |   cast(count(*) as bigint) AS tf FROM t GROUP BY 1, 2, 3),
+        |bc AS (SELECT bk, cast(sum(tf) as bigint) AS ct_raw,
+        |   cast(coalesce(sum(tf) FILTER (WHERE source = 'src0'), 0) as bigint) AS ct_tgt
+        |  FROM b GROUP BY 1),
+        |tots AS (SELECT cast(sum(ct_raw) as bigint) AS n_raw,
+        |   cast(sum(ct_tgt) as bigint) AS n_tgt FROM bc),
+        |qv AS (SELECT bk,
+        |   cast(((ct_tgt + 1)::HUGEINT * (n_raw + 256) * 1048576)
+        |     // ((ct_raw + 1)::HUGEINT * (n_tgt + 256)) as bigint) AS q
+        |  FROM bc, tots),
+        |ds AS (SELECT doc_id, cast(sum(tf * q) as bigint) AS ss,
+        |   cast(sum(tf) as bigint) AS nt
+        |  FROM b JOIN qv USING (bk) GROUP BY 1),
+        |dd AS (SELECT d.source, coalesce(ds.ss, 0) AS ss, coalesce(ds.nt, 0) AS nt
+        |  FROM documents d LEFT JOIN ds ON ds.doc_id = d.doc_id)
+        |SELECT source, cast(count(*) as bigint) AS n_docs,
+        |  cast(sum(CASE WHEN ss > 1048576 * nt THEN 1 ELSE 0 END) as bigint) AS selected_docs,
+        |  cast(sum(CASE WHEN ss > 1048576 * nt THEN nt ELSE 0 END) as bigint) AS selected_tokens
+        |FROM dd GROUP BY 1""".stripMargin,
 
     // token-budget mixture sampling: md5-rank draw per source, exact integer
     // cumsum, keep while cum <= 1000 tokens

@@ -126,6 +126,10 @@ object SparkEntry {
     "q95_percentile_check"  -> ((s, d) => Relational.percentileSketchCheck(s, d)),
     "q96_bpe_merges"        -> ((s, d) => TextOps.bpeMerges(s, d)),
     "q97_bpe_encode"        -> ((s, d) => TextOps.bpeEncode(s, d)),
+    "q98_wordpiece_merges"  -> ((s, d) => TextOps.wordPieceMerges(s, d)),
+    "q99_tokenizer_fertility" -> ((s, d) => TextOps.tokenizerFertility(s, d)),
+    "q100_temperature_sample" -> ((s, d) => TextOps.temperatureSample(s, d)),
+    "q101_dsir_select"      -> ((s, d) => TextOps.dsirSelect(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

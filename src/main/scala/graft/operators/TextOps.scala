@@ -376,7 +376,8 @@ object TextOps {
     import sess.implicits._
     val (merges, base, _) = bpeTrain(d, rounds)
     base.unpersist() // result is driver-local; the vocab cache can go
-    merges.toDF("round", "lhs", "rhs", "pair_ct")
+    merges.map { case (r, a, b, pc, _) => (r, a, b, pc) }
+      .toDF("round", "lhs", "rhs", "pair_ct")
       .withColumn("round", col("round").cast("int"))
   }
 
@@ -400,33 +401,59 @@ object TextOps {
       .agg(count(lit(1)).as("words"), sum(col("ct")).cast("long").as("occurrences"))
   }
 
-  /** Shared BPE training loop: one corpus scan → persisted (syms, ct)
-    * vocabulary; each round = vocab-sized weighted pair count + bounded
-    * 1-row argmax collect + map-only greedy re-segmentation. Returns the
-    * merge rules and the final (still persisted) segmentation frame. */
-  private def bpeTrain(d: DataFrame, rounds: Int)
-  : (Seq[(Int, String, String, Long)], DataFrame, DataFrame) = {
+  /** Shared subword-training loop: one corpus scan → persisted
+    * (word, syms, ct) vocabulary; each round = vocab-sized weighted pair
+    * count + bounded 1-row argmax collect + map-only greedy
+    * re-segmentation. `likelihood = false` takes the BPE argmax (raw pair
+    * frequency); `likelihood = true` takes the WordPiece argmax — the pair
+    * whose merge most increases corpus likelihood under a unigram model,
+    * score = pc / (ct(a)·ct(b)), compared in exact fixed point:
+    * score_q = pc·10¹⁵ DIV (ct(a)·ct(b)) over DECIMAL(38,0) intermediates
+    * (score ≤ 1/max(ct) ≤ 1 so the quotient fits a long; two rationals
+    * within 10⁻¹⁵ quantize equal and fall to the lexicographic tiebreak —
+    * deterministically, and identically in the DuckDB oracle's HUGEINT
+    * replay). Returns (merge rules incl. score_q, persisted base vocab,
+    * final segmentation frame). */
+  private def bpeTrain(d: DataFrame, rounds: Int, likelihood: Boolean = false)
+  : (Seq[(Int, String, String, Long, Long)], DataFrame, DataFrame) = {
     val words = d
       .select(explode(tokenCountsUdf(col("text"))).as(Seq("word", "ct_in_doc")))
       .groupBy("word").agg(sum(col("ct_in_doc")).cast("long").as("ct"))
       .withColumn("syms", expr("filter(split(word, ''), x -> x <> '')"))
-      .select(col("syms"), col("ct"))
+      .select(col("word"), col("syms"), col("ct"))
       .persist()
-    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long, Long)]()
     var cur = words
     var r = 1
     while (r <= rounds) {
-      val top = cur
+      val pairs = cur
         .select(explode(expr(
           "zip_with(slice(syms, 1, size(syms) - 1), slice(syms, 2, size(syms) - 1)," +
             " (a, b) -> named_struct('a', a, 'b', b))")).as("p"), col("ct"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum(col("ct")).as("pc"))
-        .orderBy(col("pc").desc, col("a"), col("b"))
+      val top = (if (!likelihood) {
+        pairs.withColumn("score_q", col("pc"))
+      } else {
+        // per-symbol occurrence counts over the CURRENT segmentation —
+        // the unigram denominators of the likelihood gain
+        val cs = cur
+          .select(explode(col("syms")).as("sym"), col("ct"))
+          .groupBy("sym").agg(sum(col("ct")).as("c"))
+        pairs
+          .join(cs.select(col("sym").as("a"), col("c").as("ca")), Seq("a"))
+          .join(cs.select(col("sym").as("b"), col("c").as("cb")), Seq("b"))
+          .withColumn("score_q", expr(
+            "CAST((CAST(pc AS DECIMAL(38,0)) * 1000000000000000) DIV " +
+              "(CAST(ca AS DECIMAL(38,0)) * CAST(cb AS DECIMAL(38,0))) AS BIGINT)"))
+      })
+        .orderBy(col("score_q").desc, col("a"), col("b"))
         .limit(1).collect()
       require(top.nonEmpty, s"bpeTrain: corpus exhausted before round $r")
-      val (a, b, pc) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
-      merges += ((r, a, b, pc))
+      val (a, b) = (top.head.getString(top.head.fieldIndex("a")),
+        top.head.getString(top.head.fieldIndex("b")))
+      merges += ((r, a, b, top.head.getLong(top.head.fieldIndex("pc")),
+        top.head.getLong(top.head.fieldIndex("score_q"))))
       // symbols are [a-z0-9]+ substrings — safe as single-quoted literals
       cur = cur.withColumn("syms", expr(
         s"aggregate(syms, cast(array() as array<string>), (acc, x) -> " +
@@ -436,6 +463,154 @@ object TextOps {
       r += 1
     }
     (merges.toSeq, words, cur)
+  }
+
+  /** Tokenizer FERTILITY evaluation (tokens-per-word by corpus slice — the
+    * standard multilingual tokenizer-quality metric, e.g. Rust et al. 2021):
+    * train BPE via [[bpeMerges]]'s loop, apply the final segmentation to
+    * every word occurrence, and report per SOURCE the word/subword/char
+    * occurrence totals plus fertility in exact micro units
+    * (subwords·10⁶ DIV words — integer on both engines, so the q99 oracle
+    * hash-matches). Scale shape: the per-source word table shuffles once on
+    * (source, word) with map-side combine; the segmentation is vocab-sized
+    * and BROADCAST to it — the corpus is never joined row-to-row. */
+  def tokenizerFertility(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame =
+    tokenizerFertilityFrom(docs(spark, dir), rounds)
+
+  /** Frame form of [[tokenizerFertility]]: `d` needs text + source columns. */
+  def tokenizerFertilityFrom(d: DataFrame, rounds: Int = 3): DataFrame = {
+    // base stays persisted while the returned plan runs (seg chains from it)
+    val (_, _, seg) = bpeTrain(d, rounds)
+    d.select(col("source"), explode(tokenCountsUdf(col("text"))).as(Seq("word", "c")))
+      .groupBy("source", "word").agg(sum(col("c")).cast("long").as("ct_src"))
+      .join(broadcast(seg.select(col("word"), size(col("syms")).as("n_sub"))), Seq("word"))
+      .groupBy("source")
+      .agg(
+        sum(col("ct_src")).cast("long").as("word_occurrences"),
+        sum(col("ct_src") * col("n_sub")).cast("long").as("subword_occurrences"),
+        sum(col("ct_src") * length(col("word"))).cast("long").as("char_count"))
+      .withColumn("fertility_micro",
+        expr("CAST((subword_occurrences * 1000000) DIV word_occurrences AS BIGINT)"))
+  }
+
+  /** WordPiece vocabulary induction (Schuster & Nakajima 2012; the BERT/GNMT
+    * tokenizer family) — [[bpeMerges]]'s training loop with the LIKELIHOOD
+    * argmax: each round merges the pair maximizing pc/(ct(a)·ct(b)), i.e.
+    * the merge with the largest corpus-likelihood gain under a unigram LM,
+    * rather than BPE's raw pair frequency. Scores compare in exact fixed
+    * point (see [[bpeTrain]]) so the learned rules are bit-reproducible and
+    * cross-engine checkable; the q98 oracle replays every round in DuckDB
+    * with HUGEINT arithmetic. Same cost shape as BPE: one corpus scan, then
+    * vocab-sized jobs per round (the extra symbol-count aggregate is
+    * vocab-sized too). */
+  def wordPieceMerges(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame =
+    wordPieceMergesFrom(docs(spark, dir), rounds)
+
+  /** Frame form of [[wordPieceMerges]]: `d` needs a text column. */
+  def wordPieceMergesFrom(d: DataFrame, rounds: Int = 3): DataFrame = {
+    val sess = d.sparkSession
+    import sess.implicits._
+    val (merges, base, _) = bpeTrain(d, rounds, likelihood = true)
+    base.unpersist()
+    merges.toDF("round", "lhs", "rhs", "pair_ct", "score_q")
+      .withColumn("round", col("round").cast("int"))
+  }
+
+  /** TEMPERATURE-reweighted source sampling (the multilingual/LLM mixing
+    * recipe, e.g. Conneau & Lample 2019 §3.1; α = 0.5): a fixed doc budget
+    * `B` is split across sources proportionally to n_s^α — upweighting
+    * small sources relative to their raw share — and each source keeps the
+    * docs whose md5 rank falls under its quota fraction. Every arithmetic
+    * step is chosen for cross-engine bit-exactness: n_s^0.5 via IEEE-754
+    * `sqrt` (correctly rounded by spec, unlike `pow`) quantized to integer
+    * 2²⁰ units so the normalizer is an order-free INTEGER sum; the keep
+    * fraction B·s_q/(s_tot·n_s) is a double division of exactly-
+    * representable integers; the threshold becomes a 13-hex-digit string
+    * (52 bits — below double's 53-bit mantissa) compared against the md5
+    * prefix, the q41 membership trick. A fraction ≥ 1 clamps to the
+    * all-pass sentinel 'g…g' (> every hex digit). Scale shape: per-source
+    * stats are a tiny agg; thresholds broadcast; the corpus pass is a
+    * map-only filter — no window, no per-source sort, no hot key. */
+  def temperatureSample(spark: SparkSession, dir: String, budget: Long = 1000): DataFrame =
+    temperatureSampleFrom(docs(spark, dir), budget)
+
+  /** Frame form of [[temperatureSample]]: `d` needs doc_id, source, n_chars. */
+  def temperatureSampleFrom(d: DataFrame, budget: Long): DataFrame = {
+    val stats = d.groupBy("source").agg(count(lit(1)).cast("long").as("n_docs"))
+      .withColumn("s_q", floor(sqrt(col("n_docs")) * lit(1048576L)).cast("long"))
+    val tot = stats.agg(sum(col("s_q")).cast("long").as("s_tot"))
+    val thr = stats.crossJoin(broadcast(tot))
+      .withColumn("t_raw", expr(
+        s"CAST(floor(((CAST($budget AS BIGINT) * s_q) / (s_tot * n_docs)) * 4503599627370496) AS BIGINT)"))
+      .withColumn("thr_hex", when(col("t_raw") >= lit(4503599627370496L), lit("ggggggggggggg"))
+        .otherwise(format_string("%013x", col("t_raw"))))
+      .select(col("source"), col("n_docs"), col("thr_hex"))
+    d.join(broadcast(thr), Seq("source"))
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 13) < col("thr_hex"))
+      .groupBy("source")
+      .agg(
+        max(col("n_docs")).as("n_docs"),
+        count(lit(1)).cast("long").as("kept_docs"),
+        sum(col("n_chars")).cast("long").as("kept_chars"))
+  }
+
+  /** DSIR-style importance SELECTION (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every doc by how
+    * much more likely its tokens are under a TARGET domain's hashed-unigram
+    * model than under the raw-corpus model, and select docs that look more
+    * target-like than average. Tokens hash into 256 md5 buckets (the
+    * paper's hashed n-gram features); each bucket's add-one-smoothed
+    * probability ratio is quantized to integer 2²⁰ units — one DECIMAL(38)
+    * division per BUCKET, not per token — so the per-doc score is an
+    * order-free INTEGER sum Σ tf·q(b), and the selection test
+    * score_sum > 2²⁰·n_tokens (avg ratio > 1) never touches a float: the
+    * q101 oracle replays it exactly in HUGEINT. The paper resamples from
+    * the importance weights; the deterministic selection here is the
+    * exact-oracle-able analog (the weights ARE the resampling input).
+    * Scale shape: bucket stats = one corpus-scan agg to 256 rows (target
+    * counts folded in as a conditional sum, no second scan); the ratio
+    * table broadcasts; per-doc scoring is one shuffle on doc_id with
+    * map-side combine. */
+  def dsirSelect(spark: SparkSession, dir: String, targetSource: String = "src0"): DataFrame =
+    dsirSelectFrom(docs(spark, dir), targetSource)
+
+  /** Frame form of [[dsirSelect]]: `d` needs doc_id, source, text. */
+  def dsirSelectFrom(d: DataFrame, targetSource: String): DataFrame = {
+    val toks = d
+      .select(col("doc_id"), col("source"),
+        explode(tokenCountsUdf(col("text"))).as(Seq("word", "tf")))
+      .withColumn("bk", substring(md5(col("word")), 1, 2))
+    // one pass to the 256-bucket table: raw counts + target counts together
+    val buckets = toks.groupBy("bk").agg(
+      sum(col("tf")).cast("long").as("ct_raw"),
+      sum(when(col("source") === targetSource, col("tf")).otherwise(0L))
+        .cast("long").as("ct_tgt"))
+    val tots = buckets.agg(
+      sum(col("ct_raw")).cast("long").as("n_raw"),
+      sum(col("ct_tgt")).cast("long").as("n_tgt"))
+    val ratios = buckets.crossJoin(broadcast(tots))
+      .withColumn("q", expr(
+        "CAST((CAST(ct_tgt + 1 AS DECIMAL(38,0)) * (n_raw + 256) * 1048576) DIV " +
+          "(CAST(ct_raw + 1 AS DECIMAL(38,0)) * (n_tgt + 256)) AS BIGINT)"))
+      .select(col("bk"), col("q"))
+    val scored = toks
+      .join(broadcast(ratios), Seq("bk"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf") * col("q")).cast("long").as("score_sum"),
+        sum(col("tf")).cast("long").as("n_tokens"))
+    // token-less docs score 0 and are never selected — but they count
+    d.select(col("doc_id"), col("source"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("source"),
+        coalesce(col("score_sum"), lit(0L)).as("ss"),
+        coalesce(col("n_tokens"), lit(0L)).as("nt"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum(when(col("ss") > lit(1048576L) * col("nt"), 1L).otherwise(0L))
+          .cast("long").as("selected_docs"),
+        sum(when(col("ss") > lit(1048576L) * col("nt"), col("nt")).otherwise(0L))
+          .cast("long").as("selected_tokens"))
   }
 
   /** C4-style rule-based quality filter (Raffel et al. 2020 §2.2 heuristics,

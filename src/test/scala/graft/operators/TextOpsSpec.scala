@@ -318,6 +318,108 @@ class TextOpsSpec extends SparkSuite {
     assert(enc == Seq((1, 1L, 2L), (2, 1L, 1L)), s"got $enc")
   }
 
+  test("tokenizer/sampling operators keep the 100x plan shape: no Window, small sides broadcast") {
+    // none of the round-7 additions may introduce an unbounded-key window;
+    // their small sides (segmentation vocab, per-source thresholds, bucket
+    // ratios) must reach the corpus as broadcasts
+    val fert = TextOps.tokenizerFertility(spark, sf0001).queryExecution.executedPlan.toString
+    assert(!fert.contains("Window"), "fertility must not window")
+    assert(fert.contains("BroadcastHashJoin"), "segmentation vocab must broadcast")
+    val temp = TextOps.temperatureSample(spark, sf0001).queryExecution.executedPlan.toString
+    assert(!temp.contains("Window"), "temperature sampling must not window")
+    assert(temp.contains("BroadcastHashJoin"), "per-source thresholds must broadcast")
+    val dsir = TextOps.dsirSelect(spark, sf0001).queryExecution.executedPlan.toString
+    assert(!dsir.contains("Window"), "dsir must not window")
+    assert(dsir.contains("BroadcastHashJoin"), "bucket ratio table must broadcast")
+  }
+
+  test("dsirSelect: target-like docs pass the importance test, off-target docs fail") {
+    import spark.implicits._
+    // vocabularies hash to distinct buckets (alpha 2c, beta 98, gamma 05,
+    // delta 63); counts are large enough that add-one smoothing over 256
+    // buckets cannot flip the ratios: q(alpha)≈1.89 > 1 > q(gamma)≈0.002
+    val tgtText = ("alpha " * 500 + "beta " * 500).trim
+    val offText = ("gamma " * 500 + "delta " * 500).trim
+    val d = Seq(
+      (1L, "tgt", tgtText), (2L, "tgt", tgtText),
+      (3L, "other", offText), (4L, "other", offText),
+      (5L, "mix", "alpha beta"), (6L, "mix", "gamma delta")
+    ).toDF("doc_id", "source", "text")
+    val got = TextOps.dsirSelectFrom(d, targetSource = "tgt")
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      "tgt" -> ((2L, 2L, 2000L)),   // the target itself is maximally target-like
+      "other" -> ((2L, 0L, 0L)),    // pure off-target never selected
+      "mix" -> ((2L, 1L, 2L))),     // the alpha-beta doc selected, gamma-delta not
+      s"got $got")
+  }
+
+  test("temperatureSample: exact membership vs a driver-side replay; sqrt share boosts small sources") {
+    import spark.implicits._
+    // 400-doc big source vs 16-doc small source: sqrt shares give the small
+    // source fraction ≈ 1.04 (exercises the ≥1 all-pass clamp) and the big
+    // source ≈ 0.21
+    val rows = (0L until 400L).map(i => (i, "big", 10L)) ++
+      (1000L until 1016L).map(i => (i, "small", 10L))
+    val got = TextOps.temperatureSampleFrom(rows.toDF("doc_id", "source", "n_chars"), budget = 100)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // driver replay with the identical arithmetic steps (sqrt → 2^20 floor
+    // quantize → integer-normalizer double division → 52-bit hex threshold)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md513(id: Long): String =
+      md.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(13)
+    val n = Map("big" -> 400L, "small" -> 16L)
+    val sq = n.map { case (s, c) => s -> math.floor(math.sqrt(c.toDouble) * 1048576).toLong }
+    val sTot = sq.values.sum
+    val thr = n.map { case (s, c) =>
+      val t = math.floor((100L * sq(s)).toDouble / (sTot * c).toDouble * 4503599627370496L).toLong
+      s -> (if (t >= 4503599627370496L) "ggggggggggggg" else f"$t%013x")
+    }
+    val kept = rows.filter { case (id, s, _) => md513(id) < thr(s) }
+      .groupBy(_._2).map { case (s, rs) => s -> rs.size.toLong }
+    assert(got.view.mapValues(_._2).toMap == kept, s"membership mismatch: got $got, replay $kept")
+    assert(got("small")._2 == 16L, "fraction >= 1 must clamp to keep-all")
+    val fracSmall = got("small")._2.toDouble / 16
+    val fracBig = got("big")._2.toDouble / 400
+    assert(fracSmall > fracBig, s"alpha<1 must boost the small source ($fracSmall vs $fracBig)")
+  }
+
+  test("tokenizerFertility: handcrafted segmentation applied per source, integer micro units") {
+    import spark.implicits._
+    // merges learned on the union corpus: (a,a), (b,b), (aa,aa) — as the
+    // bpeMerges spec proves; final seg: aaaa→[aaaa] (1), bbbb→[bb,bb] (2)
+    val d = Seq(("aaaa bbbb aaaa", "A"), ("bbbb", "B")).toDF("text", "source")
+    val got = TextOps.tokenizerFertilityFrom(d, 3)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    // A: 3 word occurrences (aaaa×2 @1 subword, bbbb×1 @2) → 4 subwords,
+    //    12 chars, fertility 4e6 DIV 3; B: bbbb×1 → 2 subwords
+    assert(got == Seq(
+      ("A", 3L, 4L, 12L, 1333333L),
+      ("B", 1L, 2L, 4L, 2000000L)), s"got $got")
+  }
+
+  test("wordPieceMerges: likelihood argmax diverges from BPE's frequency argmax; ties lexicographic") {
+    import spark.implicits._
+    // "ab ab ab xy": BPE picks (a,b) with pc=3; WordPiece scores
+    // (a,b)=3/(3·3)≈0.33 < (x,y)=1/(1·1)=1.0 and picks the RARE-symbol
+    // pair — the exact divergence the likelihood objective exists for.
+    // Round 2 then merges (a,b) (the only remaining pair).
+    val wp = TextOps.wordPieceMergesFrom(Seq("ab ab ab xy").toDF("text"), 2)
+      .orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(wp == Seq(
+      (1, "x", "y", 1L, 1000000000000000L),
+      (2, "a", "b", 3L, 333333333333333L)), s"got $wp")
+    val bpe = TextOps.bpeMergesFrom(Seq("ab ab ab xy").toDF("text"), 1)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(bpe == Seq(("a", "b")), s"BPE must take the frequency argmax, got $bpe")
+    // exact score tie ("ab xy", every count 1): lexicographic pair order
+    val tie = TextOps.wordPieceMergesFrom(Seq("ab xy").toDF("text"), 1)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
+    assert(tie == Seq(("a", "b", 1000000000000000L)), s"got $tie")
+  }
+
   test("mixtureSample adversarial: zero-token sources and one-doc sources converge and stay exact") {
     import spark.implicits._
     // source "empty": 50 docs of zero tokens — the initial fraction estimate
