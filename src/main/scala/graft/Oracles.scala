@@ -706,6 +706,26 @@ object Oracles {
         |FROM p JOIN sz x ON p.da = x.doc_id JOIN sz y ON p.db = y.doc_id
         |WHERE cast(inter as double) / (x.n + y.n - inter) >= 0.5""".stripMargin,
 
+    // containment near-dup (overlap coefficient ≥ 0.8): oracle = the exact
+    // full shared-shingle join; the Spark side's prefix-filter candidates +
+    // exact verify must reproduce it pair-for-pair (recall is a theorem —
+    // pigeonhole over the smaller set's (n−ceil(0.8n)+1)-smallest shingles —
+    // and this hash-match is its empirical confirmation). Integer selection
+    // test, exact division for the reported cont.
+    "q102_containment_pairs" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents WHERE doc_id < 500),
+        |s AS (SELECT doc_id, unnest(list_distinct(
+        |   [array_to_string(toks[i:i+2], ' ') FOR i IN generate_series(1, greatest(len(toks) - 2, 0))])) AS sh
+        |  FROM t),
+        |sz AS (SELECT doc_id, cast(count(*) as bigint) AS n FROM s GROUP BY 1),
+        |p AS (SELECT a.doc_id AS da, b.doc_id AS db, cast(count(*) as bigint) AS inter
+        |  FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT da, db, inter, least(x.n, y.n) AS n_small,
+        |  cast(inter as double) / least(x.n, y.n) AS cont
+        |FROM p JOIN sz x ON p.da = x.doc_id JOIN sz y ON p.db = y.doc_id
+        |WHERE inter * 100 >= least(x.n, y.n) * 80""".stripMargin,
+
     // oracle = the exact shingle-Jaccard pair set (q19's SQL, uncapped):
     // LSH banding (16 bands × 4 rows) has MEASURED recall 1.0 on this corpus at
     // both sf0.01 and sf0.1 (and precision 1.0 by construction — every candidate
@@ -1606,6 +1626,38 @@ object Oracles {
         |  cast(sum(CASE WHEN ss > 1048576 * nt THEN 1 ELSE 0 END) as bigint) AS selected_docs,
         |  cast(sum(CASE WHEN ss > 1048576 * nt THEN nt ELSE 0 END) as bigint) AS selected_tokens
         |FROM dd GROUP BY 1""".stripMargin,
+
+    // unigram-LM Viterbi scoring: substring-1..4 piece vocab, integer
+    // 2^20-quantized log-probs, per-word DP replayed as a RECURSIVE CTE
+    // carrying the last 4 dp values as a list (exact integer max at every
+    // step — ties in path never change the unique best score)
+    "q103_unigram_lm_score" ->
+      """WITH RECURSIVE t AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+        |w AS (SELECT tok AS word, cast(count(*) as bigint) AS ct
+        |  FROM (SELECT unnest(toks) AS tok FROM t) u GROUP BY 1),
+        |pieces AS (SELECT ct, unnest(flatten(
+        |   [[substr(word, i, l) FOR i IN generate_series(1, greatest(length(word) - l + 1, 0))]
+        |    FOR l IN generate_series(1, 4)])) AS p FROM w),
+        |pc AS (SELECT p, cast(sum(ct) as bigint) AS c FROM pieces GROUP BY 1),
+        |tot AS (SELECT cast(sum(c) as bigint) AS tc FROM pc),
+        |sc AS (SELECT p, cast(floor(ln(c::DOUBLE) * 1048576) as bigint)
+        |    - (SELECT cast(floor(ln(tc::DOUBLE) * 1048576) as bigint) FROM tot) AS s FROM pc),
+        |m AS (SELECT map(list(p), list(s)) AS mp FROM sc),
+        |dp AS (
+        |  SELECT word, ct, length(word) AS n, 0 AS i, [0::BIGINT] AS win FROM w
+        |  UNION ALL
+        |  SELECT word, ct, n, i + 1 AS i,
+        |    CASE WHEN len(win) >= 4 THEN (win || [nd])[2:] ELSE win || [nd] END AS win
+        |  FROM (
+        |    SELECT word, ct, n, i, win,
+        |      list_max([win[len(win) - k + 1] + mp[substr(word, i + 2 - k, k)][1]
+        |        FOR k IN generate_series(1, least(4, i + 1))]) AS nd
+        |    FROM dp, m WHERE i < n) q)
+        |SELECT cast(length(word) as int) AS word_len, cast(count(*) as bigint) AS words,
+        |  cast(sum(ct) as bigint) AS occurrences,
+        |  cast(sum(ct * best) as bigint) AS total_score
+        |FROM (SELECT word, ct, win[len(win)] AS best FROM dp WHERE i = n) f
+        |GROUP BY 1""".stripMargin,
 
     // token-budget mixture sampling: md5-rank draw per source, exact integer
     // cumsum, keep while cum <= 1000 tokens

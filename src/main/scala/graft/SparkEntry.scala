@@ -130,6 +130,8 @@ object SparkEntry {
     "q99_tokenizer_fertility" -> ((s, d) => TextOps.tokenizerFertility(s, d)),
     "q100_temperature_sample" -> ((s, d) => TextOps.temperatureSample(s, d)),
     "q101_dsir_select"      -> ((s, d) => TextOps.dsirSelect(s, d)),
+    "q102_containment_pairs" -> ((s, d) => Dedup.containmentPairs(s, d)),
+    "q103_unigram_lm_score" -> ((s, d) => TextOps.unigramLmScore(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

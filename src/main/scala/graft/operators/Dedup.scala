@@ -90,6 +90,60 @@ object Dedup {
       .select(col("da"), col("db"), col("jac"))
   }
 
+  /** CONTAINMENT near-dup pairs (Broder 1997's containment measure; overlap
+    * coefficient form): |A∩B| / min(|A|,|B|) ≥ 0.8 over 3-gram shingle sets —
+    * the ASYMMETRIC duplication Jaccard-based LSH structurally misses (a doc
+    * quoted wholesale inside a much larger one has Jaccard ≈ |A|/|B| → 0 but
+    * containment ≈ 1; think boilerplate wrappers around mirrored articles).
+    *
+    * Scale path = PREFIX FILTERING (Chaudhuri et al. 2006 / PPJoin family):
+    * a pair with |A∩B| ≥ t·min(n) must — by pigeonhole — share a shingle
+    * inside the smaller set's ⌊(1−t)·n⌋+1 smallest hashes under any fixed
+    * global order. So the PROBE side explodes only that prefix (~20% of
+    * shingles at t=0.8) while the INDEX side explodes all, candidates come
+    * from one equi-join on the hash, and the exact intersection is computed
+    * on candidates only via the array-intersect verify join (the
+    * [[minhashLshFrom]] shape). No windows; the verify side is
+    * AQE-skew-splittable. The threshold test is INTEGER (5·inter ≥ 4·min) —
+    * no float boundary; the reported `cont` double is an exact division.
+    * Recall is exact by construction (prefix guarantee + exact verify), which
+    * the q102 oracle confirms: it computes the full shared-shingle join and
+    * must hash-match. Capped at doc_id < 500 like [[ngramJaccard]] — this is
+    * the verifier-path contract; uncapped runs ride the same plan. */
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame =
+    containmentPairsFrom(docs(spark, dir).filter(col("doc_id") < 500))
+
+  /** Frame form of [[containmentPairs]]. `threshold` is a percentage (80 =
+    * 0.8) so the prefix length and the selection test stay in EXACT integer
+    * arithmetic: the float form floor((1−t)·n)+1 undershoots by one when t·n
+    * is an exact integer (IEEE 1−0.8 = 0.1999…) and silently breaks the
+    * pigeonhole recall guarantee. */
+  def containmentPairsFrom(corpus: DataFrame, thresholdPct: Int = 80): DataFrame = {
+    val sh = corpus
+      .select(col("doc_id"), shingleHashesUdf(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), array_sort(col("sh")).as("sh"), size(col("sh")).as("n"))
+    // required overlap for the smaller set: α = ceil(t·n); prefix = n − α + 1
+    val alpha = expr(s"CAST((n * $thresholdPct + 99) DIV 100 AS INT)")
+    val prefixLen = col("n") - alpha + lit(1)
+    val probe = sh.select(col("doc_id"), explode(slice(col("sh"), lit(1), prefixLen)).as("h"))
+    val index = sh.select(col("doc_id"), explode(col("sh")).as("h"))
+    val cand = probe.as("a")
+      .join(index.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("da"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("db"))
+      .dropDuplicates("da", "db")
+    cand
+      .join(sh.select(col("doc_id").as("da"), col("sh").as("sha"), col("n").as("na")), "da")
+      .join(sh.select(col("doc_id").as("db"), col("sh").as("shb"), col("n").as("nb")), "db")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn("n_small", least(col("na"), col("nb")).cast("long"))
+      .filter(col("inter") * 100 >= col("n_small") * thresholdPct)
+      .withColumn("cont", col("inter").cast("double") / col("n_small"))
+      .select(col("da"), col("db"), col("inter"), col("n_small"), col("cont"))
+  }
+
   /** SimHash near-dup: 64-bit fingerprints, candidates blocked on 4×16-bit
     * segments (guaranteed recall for hamming ≤ 3), emitted with their hamming
     * distance ≤ 16 after verification on candidates. */

@@ -613,6 +613,70 @@ object TextOps {
           .cast("long").as("selected_tokens"))
   }
 
+  /** Unigram-LM tokenizer scoring (Kudo 2018, "Subword Regularization" — the
+    * SentencePiece unigram model; completes the tokenizer family next to
+    * [[bpeMerges]] and [[wordPieceMerges]]): score every word type by its
+    * best (Viterbi) segmentation under a unigram piece model whose
+    * vocabulary is ALL substrings of length 1–4 — the seed-vocab E-step of
+    * the SentencePiece EM loop. Piece log-probs are integer-quantized,
+    * L(x) = floor(2²⁰·ln x), score(p) = L(C(p)) − L(Tot), so the per-word
+    * DP maximizes an INTEGER sum — tie-free output (the best score is
+    * unique even when paths tie) and bit-reproducible in the q103 oracle's
+    * recursive-CTE Viterbi. Scale shape: the piece vocabulary is bounded by
+    * the ALPHABET, ≤ 36⁴+36³+36²+36 ≈ 1.7M entries no matter the corpus
+    * size, so collecting it is a bounded control-plane action (the
+    * quantizer-training convention) and the scored model broadcasts; the
+    * corpus contributes one scan to the word table and the DP is a map-only
+    * pass over word TYPES. Output: per word-length totals of the Viterbi
+    * log-likelihood (ct-weighted integer sum). */
+  def unigramLmScore(spark: SparkSession, dir: String): DataFrame =
+    unigramLmScoreFrom(docs(spark, dir))
+
+  /** Frame form of [[unigramLmScore]]: `d` needs a text column. */
+  def unigramLmScoreFrom(d: DataFrame): DataFrame = {
+    val words = d.select(explode(tokenCountsUdf(col("text"))).as(Seq("word", "c")))
+      .groupBy("word").agg(sum(col("c")).cast("long").as("ct"))
+      .persist()
+    val pieces = words
+      // NB sequence(1, 0) in Spark is the DESCENDING [1, 0], not empty —
+      // words shorter than l need the explicit empty branch
+      .select(col("ct"), explode(expr(
+        "flatten(transform(sequence(1, 4), l -> CASE WHEN length(word) >= l " +
+          "THEN transform(sequence(1, length(word) - l + 1), i -> substring(word, i, l)) " +
+          "ELSE cast(array() as array<string>) END))")).as("p"))
+      .groupBy("p").agg(sum(col("ct")).cast("long").as("pc"))
+    // alphabet-bounded vocabulary — safe to collect (see scaladoc)
+    val pcMap = pieces.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tot = pcMap.values.sum
+    def ll(x: Long): Long = math.floor(math.log(x.toDouble) * 1048576.0).toLong
+    val lTot = ll(tot)
+    val bc = d.sparkSession.sparkContext.broadcast(
+      pcMap.map { case (p, c) => p -> (ll(c) - lTot) })
+    val viterbi = udf((word: String) => {
+      val n = word.length
+      val dp = new Array[Long](n + 1)
+      var i = 1
+      while (i <= n) {
+        var best = Long.MinValue
+        var k = 1
+        while (k <= 4 && k <= i) {
+          // every ≤4-char substring of every word IS in the vocab
+          val s = dp(i - k) + bc.value(word.substring(i - k, i))
+          if (s > best) best = s
+          k += 1
+        }
+        dp(i) = best
+        i += 1
+      }
+      dp(n)
+    })
+    words.withColumn("best", viterbi(col("word")))
+      .groupBy(length(col("word")).cast("int").as("word_len"))
+      .agg(count(lit(1)).cast("long").as("words"),
+        sum(col("ct")).cast("long").as("occurrences"),
+        sum(col("ct") * col("best")).cast("long").as("total_score"))
+  }
+
   /** C4-style rule-based quality filter (Raffel et al. 2020 §2.2 heuristics,
     * re-expressed as per-doc boolean rules): minimum word count, sane mean
     * word length, stopword presence, low 2-gram repetition, and a blocklist

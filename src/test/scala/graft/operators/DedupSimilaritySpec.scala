@@ -25,6 +25,45 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(recall >= 0.9, s"recall $recall (found ${lsh.size} of ${exact.size})")
   }
 
+  test("containmentPairs: catches asymmetric dups Jaccard misses; 0.8 boundary inclusive; prefix filter = full join") {
+    import graft.functions.TextFns.shingleHashesUdf
+    import spark.implicits._
+    val toks = (1 to 100).map(i => s"w$i")
+    val big = toks.mkString(" ")
+    val small = toks.take(20).mkString(" ")  // contained slice: cont = 1.0, jac ≈ 0.18
+    val other = (1 to 100).map(i => s"z$i").mkString(" ")
+    // exact-multiple boundary: small7 has 5 shingles, 4 shared → cont = 4/5
+    // exactly; t·n integer is the case the float prefix formula got wrong
+    val small7 = (1 to 7).map(i => s"q$i").mkString(" ")
+    val bigB = ((1 to 6).map(i => s"q$i") ++ (1 to 40).map(i => s"y$i")).mkString(" ")
+    val d = Seq((1L, big), (2L, small), (3L, other), (4L, bigB), (5L, small7))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairsFrom(d)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(4))).toMap
+    assert(got.get((1L, 2L)).contains(1.0), s"contained slice must score 1.0: $got")
+    assert(got.get((4L, 5L)).contains(0.8), s"cont = t exactly must be INCLUDED: $got")
+    assert(!got.keys.exists(p => p._1 == 3L || p._2 == 3L), s"unrelated doc paired: $got")
+    // the same (1,2) pair is structurally invisible to Jaccard-0.5 LSH
+    assert(Dedup.minhashLshFrom(d).filter(col("da") === 1 && col("db") === 2).isEmpty,
+      "jac ≈ 0.18 pair must NOT pass the Jaccard path — that asymmetry is the point")
+    // prefix-filtered candidates lose nothing vs the full shared-shingle join
+    val pre = Dedup.containmentPairs(spark, sf001)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = graft.Tables.load(spark, sf001, "documents").filter(col("doc_id") < 500)
+      .select(col("doc_id"), explode(shingleHashesUdf(col("text"))).as("h"))
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val full = sh.as("a").join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sz.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .filter(col("inter") * 100 >= least(col("na"), col("nb")) * 80)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pre == full, s"prefix filter must be lossless: missing ${full -- pre}, extra ${pre -- full}")
+    assert(full.nonEmpty, "sf0.01 fixture should contain containment pairs")
+  }
+
   test("simhashPairs: emitted pairs verified, hamming<=3 ground truth fully recalled") {
     import graft.functions.TextFns
     // ground truth in the driver: 500 docs, all-pairs hamming over fingerprints

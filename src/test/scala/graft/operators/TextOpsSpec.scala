@@ -333,6 +333,35 @@ class TextOpsSpec extends SparkSuite {
     assert(dsir.contains("BroadcastHashJoin"), "bucket ratio table must broadcast")
   }
 
+  test("unigramLmScore: Viterbi DP equals a driver-side replay; short words yield no phantom pieces") {
+    import spark.implicits._
+    // "ab"/"x"/"cd" are shorter than the max piece length — the case where
+    // Spark's sequence(1, 0) = [1, 0] (descending, not empty!) once minted
+    // phantom truncated pieces and shifted every score
+    val texts = Seq("ab abcd abcd cd", "ab x")
+    val got = TextOps.unigramLmScoreFrom(texts.toDF("text")).collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val words = texts.flatMap(_.split(" ")).groupBy(identity)
+      .map { case (w, ws) => w -> ws.size.toLong }
+    val pieces = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    for ((w, ct) <- words; l <- 1 to 4; i <- 0 to w.length - l)
+      pieces(w.substring(i, i + l)) += ct
+    val tot = pieces.values.sum
+    def ll(x: Long) = math.floor(math.log(x.toDouble) * 1048576.0).toLong
+    val sc = pieces.map { case (p, c) => p -> (ll(c) - ll(tot)) }
+    def best(w: String): Long = {
+      val dp = Array.fill(w.length + 1)(Long.MinValue); dp(0) = 0L
+      for (i <- 1 to w.length; k <- 1 to math.min(4, i))
+        dp(i) = math.max(dp(i), dp(i - k) + sc(w.substring(i - k, i)))
+      dp(w.length)
+    }
+    val exp = words.groupBy(_._1.length).map { case (len, ws) =>
+      len -> ((ws.size.toLong, ws.values.sum,
+        ws.map { case (w, ct) => ct * best(w) }.sum))
+    }
+    assert(got == exp, s"got $got exp $exp")
+  }
+
   test("dsirSelect: target-like docs pass the importance test, off-target docs fail") {
     import spark.implicits._
     // vocabularies hash to distinct buckets (alpha 2c, beta 98, gamma 05,
