@@ -1624,7 +1624,9 @@ object Oracles {
         |  FROM documents d LEFT JOIN ds ON ds.doc_id = d.doc_id)
         |SELECT source, cast(count(*) as bigint) AS n_docs,
         |  cast(sum(CASE WHEN ss > 1048576 * nt THEN 1 ELSE 0 END) as bigint) AS selected_docs,
-        |  cast(sum(CASE WHEN ss > 1048576 * nt THEN nt ELSE 0 END) as bigint) AS selected_tokens
+        |  cast(sum(CASE WHEN ss > 1048576 * nt THEN nt ELSE 0 END) as bigint) AS selected_tokens,
+        |  cast(sum(ss) as bigint) AS sum_score,
+        |  cast(sum(nt) as bigint) AS sum_tokens
         |FROM dd GROUP BY 1""".stripMargin,
 
     // unigram-LM Viterbi scoring: substring-1..4 piece vocab, integer

@@ -35,6 +35,12 @@ import org.apache.spark.sql.types._
   * Kill-mid-stream/restart with no duplicate admissions is spec-gated
   * (StreamingCurationSpec); throughput is measured in Microbench with the
   * other streaming shapes (PLANS.md).
+  *
+  * A domain-relevance gate composes the same way: train
+  * [[graft.operators.TextOps.dsirRatios]] on the batch store, insert
+  * [[graft.operators.TextOps.dsirGate]] next to [[qualityGate]] — it is the
+  * same pure-column-stage shape (batch/stream doc-for-doc parity is
+  * spec-gated in TextOpsSpec "dsirGate").
   */
 object StreamingCuration {
 

@@ -580,19 +580,7 @@ object TextOps {
       .select(col("doc_id"), col("source"),
         explode(tokenCountsUdf(col("text"))).as(Seq("word", "tf")))
       .withColumn("bk", substring(md5(col("word")), 1, 2))
-    // one pass to the 256-bucket table: raw counts + target counts together
-    val buckets = toks.groupBy("bk").agg(
-      sum(col("tf")).cast("long").as("ct_raw"),
-      sum(when(col("source") === targetSource, col("tf")).otherwise(0L))
-        .cast("long").as("ct_tgt"))
-    val tots = buckets.agg(
-      sum(col("ct_raw")).cast("long").as("n_raw"),
-      sum(col("ct_tgt")).cast("long").as("n_tgt"))
-    val ratios = buckets.crossJoin(broadcast(tots))
-      .withColumn("q", expr(
-        "CAST((CAST(ct_tgt + 1 AS DECIMAL(38,0)) * (n_raw + 256) * 1048576) DIV " +
-          "(CAST(ct_raw + 1 AS DECIMAL(38,0)) * (n_tgt + 256)) AS BIGINT)"))
-      .select(col("bk"), col("q"))
+    val ratios = dsirRatioFrame(toks, targetSource)
     val scored = toks
       .join(broadcast(ratios), Seq("bk"))
       .groupBy("doc_id")
@@ -610,8 +598,77 @@ object TextOps {
         sum(when(col("ss") > lit(1048576L) * col("nt"), 1L).otherwise(0L))
           .cast("long").as("selected_docs"),
         sum(when(col("ss") > lit(1048576L) * col("nt"), col("nt")).otherwise(0L))
-          .cast("long").as("selected_tokens"))
+          .cast("long").as("selected_tokens"),
+        // exact integer importance mass per source — nonzero signal even on
+        // a corpus uniform enough that nothing clears the strict gate
+        sum(col("ss")).cast("long").as("sum_score"),
+        sum(col("nt")).cast("long").as("sum_tokens"))
   }
+
+  /** The 256-bucket smoothed-ratio table shared by [[dsirSelectFrom]] and
+    * [[dsirRatios]]: one pass over the exploded token stream, target counts
+    * folded in as a conditional sum. */
+  private def dsirRatioFrame(toks: DataFrame, targetSource: String): DataFrame = {
+    val buckets = toks.groupBy("bk").agg(
+      sum(col("tf")).cast("long").as("ct_raw"),
+      sum(when(col("source") === targetSource, col("tf")).otherwise(0L))
+        .cast("long").as("ct_tgt"))
+    val tots = buckets.agg(
+      sum(col("ct_raw")).cast("long").as("n_raw"),
+      sum(col("ct_tgt")).cast("long").as("n_tgt"))
+    buckets.crossJoin(broadcast(tots))
+      .withColumn("q", expr(
+        "CAST((CAST(ct_tgt + 1 AS DECIMAL(38,0)) * (n_raw + 256) * 1048576) DIV " +
+          "(CAST(ct_raw + 1 AS DECIMAL(38,0)) * (n_tgt + 256)) AS BIGINT)"))
+      .select(col("bk"), col("q"))
+  }
+
+  /** TRAIN-batch / SERVE-stream half of DSIR: materialize the COMPLETE
+    * bucket→ratio model (all 256 md5 buckets — a stream doc may hit a bucket
+    * the training store never saw; those get the fully-smoothed default
+    * ratio) for [[dsirGate]]. The quotients replay the DECIMAL DIV exactly
+    * via BigInt (both truncate a positive quotient); the collect is 256 rows
+    * — control-plane by construction. */
+  def dsirRatios(d: DataFrame, targetSource: String): Map[String, Long] = {
+    val counts = d
+      .select(col("source"), explode(tokenCountsUdf(col("text"))).as(Seq("word", "tf")))
+      .withColumn("bk", substring(md5(col("word")), 1, 2))
+      .groupBy("bk").agg(
+        sum(col("tf")).cast("long").as("ct_raw"),
+        sum(when(col("source") === targetSource, col("tf")).otherwise(0L))
+          .cast("long").as("ct_tgt"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val nRaw = counts.values.map(_._1).sum
+    val nTgt = counts.values.map(_._2).sum
+    def q(ctRaw: Long, ctTgt: Long): Long =
+      ((BigInt(ctTgt + 1) * BigInt(nRaw + 256) * BigInt(1048576)) /
+        (BigInt(ctRaw + 1) * BigInt(nTgt + 256))).toLong
+    val hex = "0123456789abcdef"
+    (for (a <- hex; b <- hex) yield {
+      val bk = s"$a$b"
+      val (cr, ct) = counts.getOrElse(bk, (0L, 0L))
+      bk -> q(cr, ct)
+    }).toMap
+  }
+
+  /** DSIR admission GATE — a PURE column stage (one tokenize kernel + an
+    * integer fold over a 256-entry map literal, no shuffle, no state), so it
+    * composes unchanged into a streaming pipeline exactly like the quality
+    * gate ([[graft.apps.StreamingCuration]]): train the ratios on the batch
+    * store with [[dsirRatios]], gate the live stream with them. Keeps docs
+    * whose integer importance test passes — the SAME test [[dsirSelect]]
+    * counts, which the parity spec asserts doc-for-doc. Token-less docs
+    * fail the strict test and are dropped. */
+  def dsirGate(stream: DataFrame, ratios: Map[String, Long]): DataFrame =
+    stream
+      .withColumn("_rm", typedLit(ratios))
+      .withColumn("_tc", tokenCountsUdf(col("text")))
+      .withColumn("_ss", expr(
+        "aggregate(map_entries(_tc), 0L, (acc, e) -> acc + e.value * " +
+          "element_at(_rm, substring(md5(e.key), 1, 2)))"))
+      .withColumn("_nt", expr("aggregate(map_entries(_tc), 0L, (acc, e) -> acc + e.value)"))
+      .filter(col("_ss") > lit(1048576L) * col("_nt"))
+      .drop("_tc", "_ss", "_nt", "_rm")
 
   /** Unigram-LM tokenizer scoring (Kudo 2018, "Subword Regularization" — the
     * SentencePiece unigram model; completes the tokenizer family next to

@@ -333,6 +333,48 @@ class TextOpsSpec extends SparkSuite {
     assert(dsir.contains("BroadcastHashJoin"), "bucket ratio table must broadcast")
   }
 
+  test("dsirGate: batch-trained ratios gate a live stream doc-for-doc like dsirSelect") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    // the dsirSelect fixture — the sf0.001 synthetic corpus is uniform
+    // enough that nothing clears the strict gate (batch parity would hold
+    // trivially on empty sets)
+    val tgtText = ("alpha " * 500 + "beta " * 500).trim
+    val offText = ("gamma " * 500 + "delta " * 500).trim
+    val d = Seq(
+      (1L, tgtText, "tgt"), (2L, tgtText, "tgt"),
+      (3L, offText, "other"), (4L, offText, "other"),
+      (5L, "alpha beta", "mix"), (6L, "gamma delta", "mix")
+    ).toDF("doc_id", "text", "source")
+    val ratios = TextOps.dsirRatios(d, "tgt")
+    assert(ratios.size == 256, "the serving model must cover every bucket")
+    // aggregate parity: gate admissions per source == the oracled operator's
+    // selected_docs
+    val gateCounts = TextOps.dsirGate(d, ratios)
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = TextOps.dsirSelectFrom(d, "tgt")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(batch.values.sum > 0, "fixture must produce nonempty selections")
+    assert(gateCounts == batch.filter(_._2 > 0),
+      s"gate/batch divergence: gate $gateCounts vs batch $batch")
+    // streaming execution: the same stage over a MemoryStream admits the
+    // same doc ids (pure column stage — no state, no rewrite)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String, String)]
+    ms.addData(d.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq)
+    val q = TextOps.dsirGate(ms.toDF.toDF("doc_id", "text", "source"), ratios)
+      .writeStream.format("memory").queryName("dsir_gate_out").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("dsir_gate_out")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val batchIds = TextOps.dsirGate(d, ratios)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed.nonEmpty && streamed == batchIds,
+      s"stream admitted ${streamed.size}, batch ${batchIds.size}")
+    assert(streamed == Set(1L, 2L, 5L), s"expected the target-like docs, got $streamed")
+  }
+
   test("unigramLmScore: Viterbi DP equals a driver-side replay; short words yield no phantom pieces") {
     import spark.implicits._
     // "ab"/"x"/"cd" are shorter than the max piece length — the case where
