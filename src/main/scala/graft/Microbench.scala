@@ -291,6 +291,29 @@ object Microbench {
         }
       }
       curQ.stop()
+
+      // DSIR importance gate (round-7 cont.): the stateless train-batch/
+      // serve-stream stage alone — tokenize kernel + 256-entry integer fold
+      // per row, no state, no shuffle. Ratios synthetic (rate is
+      // model-independent); parity with the batch operator is spec-gated.
+      val hex = "0123456789abcdef"
+      val gRatios = (for (x <- hex; y <- hex)
+        yield s"$x$y" -> (1048576L + ((x - '0') % 3) - 1)).toMap
+      val gMs = MemoryStream[Long]
+      val gDocs = gMs.toDS().toDF("i").selectExpr(
+        "i as doc_id",
+        "concat('spark table window join agg scan shuffle partition document body ', pmod(i, 70000)) as text",
+        "'web' as source")
+      val gQ = graft.operators.TextOps.dsirGate(gDocs, gRatios)
+        .writeStream.format("noop").option("checkpointLocation", ckpt())
+        .outputMode("append").start()
+      rate("dsir importance gate (stateless)", 100000L) {
+        (0 until 4).foreach { c =>
+          gMs.addData((c * 25000L) until ((c + 1) * 25000L): _*)
+          gQ.processAllAvailable()
+        }
+      }
+      gQ.stop()
     }
 
     // ---- Salting on a genuinely skewed fixture (round-6 VERDICT #7):

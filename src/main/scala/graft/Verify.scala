@@ -19,7 +19,10 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+      // exact full name or exact qNN prefix, matching Bench's ONLY filter —
+      // startsWith would make "q10" also dump q100..q103
+      .filter { case (name, _) =>
+        only.forall(_.exists(p => name == p || name.takeWhile(_ != '_') == p)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
