@@ -36,11 +36,12 @@ import org.apache.spark.sql.types._
   * (StreamingCurationSpec); throughput is measured in Microbench with the
   * other streaming shapes (PLANS.md).
   *
-  * A domain-relevance gate composes the same way: train
-  * [[graft.operators.TextOps.dsirRatios]] on the batch store, insert
-  * [[graft.operators.TextOps.dsirGate]] next to [[qualityGate]] — it is the
-  * same pure-column-stage shape (batch/stream doc-for-doc parity is
-  * spec-gated in TextOpsSpec "dsirGate").
+  * A domain-relevance gate composes the same way and is wired as [[admit]]'s
+  * optional `dsir` parameter: train [[graft.operators.TextOps.dsirRatios]] on
+  * the batch store, gate the live stream next to [[qualityGate]] — the same
+  * pure-column-stage shape (batch/stream doc-for-doc parity is spec-gated in
+  * TextOpsSpec "dsirGate"; the composed rejection path in
+  * StreamingCurationSpec).
   */
 object StreamingCuration {
 
@@ -61,25 +62,38 @@ object StreamingCuration {
       .filter(col("score") >= 0)
       .drop("toks")
 
-  /** gate → exact admission (fingerprint anti-join + cross-batch dedup
-    * state) → semantic admission (same-cell cosine anti-join). Emits the
-    * admitted rows with their fingerprint and quantizer cell. */
+  /** gate [→ optional DSIR domain-relevance gate] → exact admission
+    * (fingerprint anti-join + cross-batch dedup state) → semantic admission
+    * (same-cell cosine anti-join). Emits the admitted rows with their
+    * fingerprint and quantizer cell.
+    *
+    * `dsir` is a trained [[graft.operators.TextOps.dsirRatios]] model (the
+    * train-batch/serve-stream split): when present, [[graft.operators.
+    * TextOps.dsirGate]] runs right after [[qualityGate]] — the same pure
+    * column-stage shape, so the pipeline still has exactly ONE stateful
+    * operator. */
   def admit(stream: DataFrame, fpStore: DataFrame, embStore: DataFrame,
-            centroids: Array[Array[Long]], tau: Double = 0.4): DataFrame =
+            centroids: Array[Array[Long]], tau: Double = 0.4,
+            dsir: Option[Map[String, Long]] = None): DataFrame = {
+    val gated = qualityGate(stream)
+    val relevant = dsir.fold(gated)(graft.operators.TextOps.dsirGate(gated, _))
     Similarity.streamingSemanticAdmission(
-      Dedup.streamingIngest(qualityGate(stream), fpStore)
+      Dedup.streamingIngest(relevant, fpStore)
         .withColumn("vec_id", col("doc_id")),
       embStore, centroids, tau,
       dedupResends = false, keepAllCols = true)
       .drop("vec_id")
+  }
 
   /** Launch the admission stream into a JDBC table (AvailableNow cadence —
     * drain, commit, exit; rerun to resume from the checkpoint). */
   def run(spark: SparkSession, stream: DataFrame, fpStore: DataFrame,
           embStore: DataFrame, centroids: Array[Array[Long]],
-          url: String, table: String, checkpoint: String): StreamingQuery =
+          url: String, table: String, checkpoint: String,
+          dsir: Option[Map[String, Long]] = None): StreamingQuery =
     Io.jdbcStatsSink(
-      admit(stream, fpStore, embStore, centroids), url, table, checkpoint,
+      admit(stream, fpStore, embStore, centroids, dsir = dsir),
+      url, table, checkpoint,
       transientCols = Seq("text", "embedding"))
 
   /** Bounded-driver-sample quantizer training, the convention every ANN

@@ -83,6 +83,79 @@ class StreamingCurationSpec extends SparkSuite {
     assert(row4.getAs[String]("fingerprint").nonEmpty)
   }
 
+  test("composed DSIR stage: off-target docs rejected by relevance, not by gate/dedup/semantic") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextOps
+    val dir = java.nio.file.Files.createTempDirectory("graft-sc-dsir")
+
+    // train-batch half: ratios learned from a batch store corpus where the
+    // target domain speaks alpha/beta and the rest gamma/delta (the
+    // dsirSelect fixture vocabulary — buckets 2c/98 vs 05/63)
+    val trainCorpus = Seq(
+      (1L, ("alpha " * 500 + "beta " * 500).trim, "tgt"),
+      (2L, ("gamma " * 500 + "delta " * 500).trim, "other"))
+      .toDF("doc_id", "text", "source")
+    val ratios = TextOps.dsirRatios(trainCorpus, "tgt")
+
+    // serve-stream half: both fixture texts must pass the QUALITY gate
+    // (picked, per the classifier-fixture lesson) and differ only in domain
+    def toks(t: String): Seq[String] = "[a-z0-9]+".r.findAllIn(t.toLowerCase).toSeq
+    def passesGate(t: String): Boolean =
+      toks(t).length >= 10 && graft.functions.TextFns.classifierScore(toks(t)) >= 0
+    val tgtText = (1 to 200).map(n => ("alpha beta " * 5).trim + s" n$n")
+      .filter(passesGate).headOption.getOrElse(fail("no gate-passing target text"))
+    val offText = (1 to 200).map(n => ("gamma delta " * 5).trim + s" n$n")
+      .filter(passesGate).headOption.getOrElse(fail("no gate-passing off-target text"))
+    // pin the expected relevance split with the BATCH operator (parity with
+    // the stream stage is already spec-gated in TextOpsSpec "dsirGate")
+    val batchPass = TextOps.dsirGate(
+      Seq((0L, tgtText, "web"), (1L, offText, "web")).toDF("doc_id", "text", "source"),
+      ratios).select("doc_id").as[Long].collect().toSet
+    assert(batchPass == Set(0L), s"fixture must split on relevance alone: $batchPass")
+
+    // stores that reject NOTHING in this stream: unrelated fingerprint,
+    // embeddings orthogonal to both store vectors
+    val fpStore = Seq("unrelated stored doc text").toDF("text")
+      .select(md5(col("text").cast("binary")).as("fingerprint"))
+    val base1 = Seq.tabulate(64)(d => if (d < 32) 1.0f else 0.0f)
+    val base2 = Seq.tabulate(64)(d => if (d >= 32) 1.0f else 0.0f)
+    val embStore = Seq((100L, base1), (101L, base2)).toDF("vec_id", "embedding")
+    val cent = Similarity.trainCentroids(Array(base1.toArray, base2.toArray), k = 2, iters = 2)
+    val fresh = Seq.tabulate(64)(d => if (d % 2 == 0) 1.0f else -1.0f)
+    val fresh2 = Seq.tabulate(64)(d => if (d % 3 == 0) 1.0f else -1.0f)
+    val docs = Seq(
+      (10L, tgtText, "en", "web", fresh),
+      (11L, offText, "en", "web", fresh2))
+
+    // with the relevance gate: only the target-domain doc lands
+    val msA = MemoryStream[(Long, String, String, String, Seq[Float])]
+    msA.addData(docs: _*)
+    StreamingCuration.run(spark,
+      msA.toDS().toDF("doc_id", "text", "lang", "source", "embedding"),
+      fpStore, embStore, cent, s"jdbc:duckdb:${dir.resolve("dsir.duckdb")}",
+      "curated_admissions", dir.resolve("ckptA").toString,
+      dsir = Some(ratios)).awaitTermination()
+    val withDsir = spark.read.jdbc(s"jdbc:duckdb:${dir.resolve("dsir.duckdb")}",
+        "curated_admissions", new java.util.Properties())
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(withDsir == Seq(10L), s"relevance gate must reject doc 11 only: $withDsir")
+
+    // control: the SAME stream without the stage admits both — so the
+    // rejection above is the DSIR stage's, not a gate/dedup/semantic side
+    // effect of the fixture
+    val msB = MemoryStream[(Long, String, String, String, Seq[Float])]
+    msB.addData(docs: _*)
+    StreamingCuration.run(spark,
+      msB.toDS().toDF("doc_id", "text", "lang", "source", "embedding"),
+      fpStore, embStore, cent, s"jdbc:duckdb:${dir.resolve("nodsir.duckdb")}",
+      "curated_admissions", dir.resolve("ckptB").toString).awaitTermination()
+    val without = spark.read.jdbc(s"jdbc:duckdb:${dir.resolve("nodsir.duckdb")}",
+        "curated_admissions", new java.util.Properties())
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(without == Seq(10L, 11L), s"control run must admit both docs: $without")
+  }
+
   test("file-stream binding: JSONL docs dir through the full admission into DuckDB (the main's shape)") {
     import spark.implicits._
     // the deployment binding the launchable main uses — a JSONL topic
