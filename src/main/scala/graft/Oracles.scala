@@ -306,12 +306,52 @@ object Oracles {
        |SELECT query_id, neighbor_id, adist, cast(rnk as int) AS rnk FROM r WHERE rnk <= 3""".stripMargin
   }
 
+  /** q106 (gopherRepetition): one generated gram CTE per n — max of
+    * count·charlen for the top-n caps (n = 2..4), Σ count·charlen over
+    * grams occurring ≥2× for the dup-n caps (n = 5..10); every flag is the
+    * operator's exact `mass·100 ≤ chars·threshold` cross-multiplication. */
+  private def gopherRepetitionSql: String = {
+    val names = graft.operators.TextOps.RepetitionThresholds.map(_._1)
+    val ths = graft.operators.TextOps.RepetitionThresholds.map(_._2)
+    val parts = (2 to 10).map { n =>
+      val agg =
+        if (n <= 4) "max(ct * clen)"
+        else "sum(CASE WHEN ct >= 2 THEN ct * clen ELSE 0 END)"
+      s"""a$n AS (SELECT doc_id, $agg AS mass FROM (
+         |  SELECT doc_id, gram, cast(count(*) as bigint) AS ct,
+         |    cast(length(gram) - ${n - 1} as bigint) AS clen
+         |  FROM (SELECT doc_id, unnest([array_to_string(toks[i:i+${n - 1}], ' ')
+         |    FOR i IN generate_series(1, greatest(len(toks) - ${n - 1}, 0))]) AS gram FROM s) u$n
+         |  GROUP BY 1, 2) c$n GROUP BY 1)""".stripMargin
+    }
+    val massSel = names.zipWithIndex.map { case (nm, i) =>
+      s"cast(coalesce(a${i + 2}.mass, 0) as bigint) AS mass_$nm" }.mkString(",\n ")
+    val flagSel = names.zipWithIndex.map { case (nm, i) =>
+      s"(coalesce(a${i + 2}.mass, 0) * 100 <= char_sum * ${ths(i)}) AS rule_$nm" }
+      .mkString(",\n ")
+    val keep = names.zipWithIndex.map { case (nm, i) =>
+      s"coalesce(a${i + 2}.mass, 0) * 100 <= char_sum * ${ths(i)}" }.mkString(" AND ")
+    val joins = (2 to 10).map(n => s"LEFT JOIN a$n ON s.doc_id = a$n.doc_id").mkString("\n")
+    s"""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+       |s AS (SELECT doc_id, toks,
+       |  cast(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) as bigint) AS char_sum FROM t),
+       |${parts.mkString(",\n")}
+       |SELECT s.doc_id, char_sum,
+       | $massSel,
+       | $flagSel,
+       | ($keep) AS keep
+       |FROM s
+       |$joins""".stripMargin
+  }
+
   /** q94 (bigramFluencyPruned) is EXACTLY equal to q70 by construction —
     * pruning below the rarity cutoff is lossless for the 1000·c<Σc filter —
     * so the scale variant shares q70's oracle verbatim instead of a weaker
     * rows-only check. */
   lazy val sql: Map[String, String] =
-    base + ("q94_bigram_fluency_pruned" -> base("q70_bigram_fluency"))
+    base ++ Map(
+      "q94_bigram_fluency_pruned" -> base("q70_bigram_fluency"),
+      "q106_gopher_repetition" -> gopherRepetitionSql)
 
   private val base: Map[String, String] = Map(
 
@@ -1660,6 +1700,72 @@ object Oracles {
         |  cast(sum(ct * best) as bigint) AS total_score
         |FROM (SELECT word, ct, win[len(win)] AS best FROM dp WHERE i = n) f
         |GROUP BY 1""".stripMargin,
+
+    // Gopher/MassiveWeb rules: every rule is exact-integer cross-multiplied
+    // arithmetic on both engines; top_gram_mass is a max of count·charlen
+    // products (tie-free); whitespace classes are the explicit [ \t] (Java
+    // \s and RE2 \s disagree on \x0B); the required-stopword set is the
+    // q104 binding's corpus-live {the, a}
+    "q104_gopher_quality" ->
+      """WITH t AS (SELECT doc_id, text,
+        |   regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+        |   string_split(text, chr(10)) AS lns FROM documents),
+        |s AS (SELECT doc_id, toks,
+        |   cast(len(toks) as bigint) AS word_ct,
+        |   cast(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) as bigint) AS char_sum,
+        |   cast(coalesce(list_sum(list_transform(toks, x -> cast(regexp_matches(x, '[a-z]') as int))), 0) as bigint) AS alpha_ct,
+        |   cast(list_contains(toks, 'the') as bigint) + cast(list_contains(toks, 'a') as bigint) AS stop_ct,
+        |   cast(len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.')) as bigint) AS symbol_ct,
+        |   cast(len(lns) as bigint) AS line_ct,
+        |   cast(coalesce(list_sum(list_transform(lns, l -> cast(regexp_matches(l, '^[ \t]*[-*•]') as int))), 0) as bigint) AS bullet_ct,
+        |   cast(coalesce(list_sum(list_transform(lns, l -> cast(regexp_matches(l, '\.\.\.[ \t]*$') as int))), 0) as bigint) AS ellipsis_ct,
+        |   [array_to_string(toks[i:i+1], ' ') FOR i IN generate_series(1, greatest(len(toks) - 1, 0))] AS grams
+        | FROM t),
+        |gm AS (SELECT doc_id, gram, cast(count(*) as bigint) AS ct,
+        |   cast(length(gram) - 1 as bigint) AS clen
+        | FROM (SELECT doc_id, unnest(grams) AS gram FROM s) u GROUP BY 1, 2, 4),
+        |mx AS (SELECT doc_id, max(ct * clen) AS top_gram_mass FROM gm GROUP BY 1)
+        |SELECT s.doc_id, word_ct, char_sum,
+        | cast(coalesce(mx.top_gram_mass, 0) as bigint) AS top_gram_mass,
+        | (word_ct >= 50 AND word_ct <= 100000) AS rule_word_count,
+        | (char_sum >= word_ct * 3 AND char_sum <= word_ct * 10) AS rule_word_len,
+        | (alpha_ct * 5 >= word_ct * 4) AS rule_alpha,
+        | (stop_ct >= 2) AS rule_stopwords,
+        | (symbol_ct * 10 <= word_ct) AS rule_symbol,
+        | (bullet_ct * 10 <= line_ct * 9 AND ellipsis_ct * 10 <= line_ct * 3) AS rule_lines,
+        | (coalesce(mx.top_gram_mass, 0) * 5 <= char_sum) AS rule_top_gram,
+        | ((word_ct >= 50 AND word_ct <= 100000)
+        |  AND (char_sum >= word_ct * 3 AND char_sum <= word_ct * 10)
+        |  AND (alpha_ct * 5 >= word_ct * 4) AND (stop_ct >= 2)
+        |  AND (symbol_ct * 10 <= word_ct)
+        |  AND (bullet_ct * 10 <= line_ct * 9 AND ellipsis_ct * 10 <= line_ct * 3)
+        |  AND (coalesce(mx.top_gram_mass, 0) * 5 <= char_sum)) AS keep
+        |FROM s LEFT JOIN mx ON s.doc_id = mx.doc_id""".stripMargin,
+
+    // corpus snapshot diff: v1 drops doc_id%5=4, v2 drops doc_id%7=0 and
+    // appends ' rev2' to doc_id%3=0; md5-of-text fingerprints and the q22
+    // token regex make every class and the delta exact on both engines
+    "q105_corpus_diff" ->
+      """WITH v1 AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 5 <> 4),
+        |v2 AS (SELECT doc_id, source,
+        |   CASE WHEN doc_id % 3 = 0 THEN text || ' rev2' ELSE text END AS text
+        | FROM documents WHERE doc_id % 7 <> 0),
+        |j AS (SELECT coalesce(n.source, o.source) AS source,
+        |   CASE WHEN o.doc_id IS NULL THEN 1 ELSE 0 END AS added,
+        |   CASE WHEN n.doc_id IS NULL THEN 1 ELSE 0 END AS removed,
+        |   CASE WHEN o.doc_id IS NOT NULL AND n.doc_id IS NOT NULL
+        |     AND md5(o.text) <> md5(n.text) THEN 1 ELSE 0 END AS changed,
+        |   CASE WHEN o.doc_id IS NOT NULL AND n.doc_id IS NOT NULL
+        |     AND md5(o.text) = md5(n.text) THEN 1 ELSE 0 END AS unchanged,
+        |   coalesce(cast(len(regexp_extract_all(lower(n.text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) as bigint), 0)
+        |   - coalesce(cast(len(regexp_extract_all(lower(o.text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) as bigint), 0) AS tok_delta
+        | FROM v1 o FULL OUTER JOIN v2 n ON o.doc_id = n.doc_id)
+        |SELECT source, cast(sum(added) as bigint) AS n_added,
+        | cast(sum(removed) as bigint) AS n_removed,
+        | cast(sum(changed) as bigint) AS n_changed,
+        | cast(sum(unchanged) as bigint) AS n_unchanged,
+        | cast(sum(tok_delta) as bigint) AS token_delta
+        |FROM j GROUP BY 1""".stripMargin,
 
     // token-budget mixture sampling: md5-rank draw per source, exact integer
     // cumsum, keep while cum <= 1000 tokens

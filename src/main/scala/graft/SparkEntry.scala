@@ -132,6 +132,10 @@ object SparkEntry {
     "q101_dsir_select"      -> ((s, d) => TextOps.dsirSelect(s, d)),
     "q102_containment_pairs" -> ((s, d) => Dedup.containmentPairs(s, d)),
     "q103_unigram_lm_score" -> ((s, d) => TextOps.unigramLmScore(s, d)),
+    "q104_gopher_quality"   -> ((s, d) =>
+      TextOps.gopherQuality(s, d, requiredStops = Seq("the", "a"))),
+    "q105_corpus_diff"      -> ((s, d) => Dedup.corpusDiffSnapshots(s, d)),
+    "q106_gopher_repetition" -> ((s, d) => TextOps.gopherRepetition(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

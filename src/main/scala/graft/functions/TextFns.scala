@@ -242,6 +242,129 @@ object TextFns {
 
   val c4StatsUdf = udf((s: String) => c4Stats(s))
 
+  private val BulletLine = java.util.regex.Pattern.compile("^[ \t]*[-*•]")
+  private val EllipsisLine = java.util.regex.Pattern.compile("\\.\\.\\.[ \t]*$")
+
+  /** Gopher/MassiveWeb doc-level quality stats (Rae et al. 2021, App. A
+    * "MassiveWeb" filters) in ONE pass over tokens + one over lines:
+    * (words, charSum, alphaWords, stopHits, symbols, lines, bulletLines,
+    * ellipsisLines, maxGramMass). Every field is an exact integer so the
+    * q104 rules are cross-multiplied integer comparisons, bit-stable against
+    * the SQL oracle. `requiredStops` is the rule's language-dependent
+    * required-stopword set; stopHits counts DISTINCT members present.
+    * maxGramMass is the character mass count·charlen of the most-repeated
+    * adjacent 2-gram — a max of products, so it needs no tie rule. Symbols
+    * count '#' chars plus non-overlapping '...' runs (left-to-right scan,
+    * the shared regex semantics of both engines). Whitespace classes in the
+    * line rules are the explicit `[ \t]` — Java's \s and RE2's \s disagree
+    * on \x0B, so neither is used. */
+  def gopherStats(text: String, requiredStops: Seq[String])
+  : (Long, Long, Long, Long, Long, Long, Long, Long, Long) = {
+    val toks = asciiTokens(text)
+    var charSum = 0L
+    var alphaWords = 0L
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      charSum += t.length
+      var j = 0
+      var hasAlpha = false
+      while (!hasAlpha && j < t.length) {
+        val c = t.charAt(j)
+        if (c >= 'a' && c <= 'z') hasAlpha = true
+        j += 1
+      }
+      if (hasAlpha) alphaWords += 1
+      i += 1
+    }
+    val stopHits = requiredStops.count(toks.contains).toLong
+    var symbols = 0L
+    if (text != null) {
+      var p = 0
+      while (p < text.length) { if (text.charAt(p) == '#') symbols += 1; p += 1 }
+      p = text.indexOf("...")
+      while (p >= 0) { symbols += 1; p = text.indexOf("...", p + 3) }
+    }
+    val lineArr = if (text == null) Array("") else text.split("\n", -1)
+    var bulletLines = 0L
+    var ellipsisLines = 0L
+    i = 0
+    while (i < lineArr.length) {
+      if (BulletLine.matcher(lineArr(i)).find()) bulletLines += 1
+      if (EllipsisLine.matcher(lineArr(i)).find()) ellipsisLines += 1
+      i += 1
+    }
+    var maxMass = 0L
+    if (toks.length >= 2) {
+      val counts = new java.util.HashMap[String, Long]()
+      val sb = new java.lang.StringBuilder
+      i = 0
+      while (i + 2 <= toks.length) {
+        sb.setLength(0)
+        sb.append(toks(i)).append(' ').append(toks(i + 1))
+        val g = sb.toString
+        counts.put(g, counts.getOrDefault(g, 0L) + 1L)
+        i += 1
+      }
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val mass = e.getValue * (e.getKey.length - 1)
+        if (mass > maxMass) maxMass = mass
+      }
+    }
+    (toks.length.toLong, charSum, alphaWords, stopHits, symbols,
+      lineArr.length.toLong, bulletLines, ellipsisLines, maxMass)
+  }
+
+  def gopherStatsUdf(requiredStops: Seq[String]) =
+    udf((s: String) => gopherStats(s, requiredStops))
+
+  /** The Gopher repetition-filter masses (Rae et al. 2021, App. A Table A2)
+    * in one pass per n: element 0 is the doc's token character sum; elements
+    * 1–3 the TOP-n-gram character mass (count·charlen of the most repeated
+    * n-gram) for n = 2..4; elements 4–9 the DUPLICATE-n-gram character mass
+    * (Σ count·charlen over grams occurring ≥2×) for n = 5..10. Char mass
+    * counts every occurrence — the paper's de-overlap refinement is not
+    * reproducible as an exact integer cross-engine stat, and the documented
+    * occurrence-mass variant thresholds the same pathology. All integers, so
+    * the q106 flags are exact cross-multiplied comparisons. */
+  def repetitionMasses(text: String): Seq[Long] = {
+    val toks = asciiTokens(text)
+    val out = new Array[Long](10)
+    var i = 0
+    while (i < toks.length) { out(0) += toks(i).length; i += 1 }
+    var n = 2
+    while (n <= 10) {
+      if (toks.length >= n) {
+        val counts = new java.util.HashMap[String, Long]()
+        val sb = new java.lang.StringBuilder
+        i = 0
+        while (i + n <= toks.length) {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+          val g = sb.toString
+          counts.put(g, counts.getOrDefault(g, 0L) + 1L)
+          i += 1
+        }
+        var acc = 0L
+        val it = counts.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val mass = e.getValue * (e.getKey.length - (n - 1))
+          if (n <= 4) { if (mass > acc) acc = mass }
+          else if (e.getValue >= 2) acc += mass
+        }
+        out(n - 1) = acc
+      }
+      n += 1
+    }
+    out.toSeq
+  }
+
+  val repetitionMassesUdf = udf((s: String) => repetitionMasses(s))
+
   /** Distinct n-gram shingle STRINGS of a document, one pass, first-seen order
     * — the contamination kernel (string grams so the overlap join is
     * oracle-comparable; the hash variant is [[shingleHashes]]). */

@@ -548,4 +548,52 @@ object Dedup {
     }
     r
   }
+
+  /** Corpus snapshot diff — the dataset-versioning audit between two releases
+    * of the same corpus: per source, how many docs were added, removed,
+    * changed (same doc_id, different content), or unchanged, and the net
+    * token delta. The refresh counterpart of [[ingestDedup]]: ingest asks
+    * "is this doc new", the diff asks "what happened between v1 and v2" —
+    * the number a dataset card's changelog publishes.
+    *
+    * Scale design: each side reduces map-side to (doc_id, source,
+    * fingerprint, token_ct) — the full text NEVER enters the shuffle — then
+    * ONE full-outer join on doc_id (unique, uniformly distributed on both
+    * sides: no skew possible) and a partially-aggregated per-source rollup.
+    * Two scans, one join shuffle, at any corpus size. */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    def prep(side: DataFrame, p: String) = side.select(
+      col("doc_id").as(s"${p}_id"), col("source").as(s"${p}_source"),
+      md5(col("text").cast("binary")).as(s"${p}_fp"),
+      bpeTokenCountCol(col("text")).cast("long").as(s"${p}_toks"))
+    val both = col("o_id").isNotNull && col("n_id").isNotNull
+    prep(oldDocs, "o")
+      .join(prep(newDocs, "n"), col("o_id") === col("n_id"), "full_outer")
+      .select(
+        coalesce(col("n_source"), col("o_source")).as("source"),
+        when(col("o_id").isNull, 1L).otherwise(0L).as("added"),
+        when(col("n_id").isNull, 1L).otherwise(0L).as("removed"),
+        when(both && col("o_fp") =!= col("n_fp"), 1L).otherwise(0L).as("changed"),
+        when(both && col("o_fp") === col("n_fp"), 1L).otherwise(0L).as("unchanged"),
+        (coalesce(col("n_toks"), lit(0L)) - coalesce(col("o_toks"), lit(0L)))
+          .as("tok_delta"))
+      .groupBy("source")
+      .agg(sum("added").as("n_added"), sum("removed").as("n_removed"),
+        sum("changed").as("n_changed"), sum("unchanged").as("n_unchanged"),
+        sum("tok_delta").as("token_delta"))
+  }
+
+  /** q105 binding of [[corpusDiff]]: deterministic v1/v2 snapshots of the
+    * documents table — v1 drops doc_id ≡ 4 (mod 5) (later "added"), v2 drops
+    * doc_id ≡ 0 (mod 7) ("removed") and appends a revision marker to
+    * doc_id ≡ 0 (mod 3) ("changed"); everything else is "unchanged". */
+  def corpusDiffSnapshots(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val v1 = d.filter(pmod(col("doc_id"), lit(5)) =!= 4)
+    val v2 = d.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(3)) === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")))
+    corpusDiff(v1, v2)
+  }
 }

@@ -760,6 +760,88 @@ object TextOps {
         col("rule_min_words") && col("rule_word_len") && col("rule_stopword") &&
           col("rule_low_repetition") && col("rule_no_blocklist"))
 
+  /** Gopher/MassiveWeb rule-based quality filter (Rae et al. 2021, Appendix A
+    * — the doc-level heuristics the Gopher corpus was cleaned with),
+    * complementing [[c4RuleFilter]]'s C4 rules: word-count bounds, mean word
+    * length 3–10, ≥80% words alphabetic, ≥`minStops` distinct required
+    * stopwords, symbol-to-word ratio ≤ 1/10 ('#' and '...'), ≤90% bullet /
+    * ≤30% ellipsis lines, and a most-repeated-2-gram character-mass cap (the
+    * repetition cut, char-weighted where [[c4RuleFilter]]'s is type-weighted).
+    * One kernel pass per doc ([[graft.functions.TextFns.gopherStats]]); every
+    * rule compares exact integers by cross-multiplication (alpha ratio as
+    * `5·alpha ≥ 4·words`, the gram cap as `5·mass ≤ chars`), so the flags are
+    * bit-stable against the q104 oracle. Embarrassingly parallel — a pure map
+    * stage, no shuffle at any scale.
+    *
+    * Defaults are the paper's. The q104 binding sets `requiredStops` to the
+    * corpus-live pair {the, a} — the synthetic fixture's vocabulary contains
+    * none of the paper's other stopwords, and a rule that can never pass
+    * would leave `keep` constant instead of exercising both classes. */
+  def gopherQuality(spark: SparkSession, dir: String,
+      minWords: Long = 50L, maxWords: Long = 100000L,
+      requiredStops: Seq[String] =
+        Seq("the", "be", "to", "of", "and", "that", "have", "with"),
+      minStops: Long = 2L): DataFrame =
+    gopherQualityFrom(docs(spark, dir), minWords, maxWords, requiredStops, minStops)
+
+  /** Frame form of [[gopherQuality]]: `d` needs (doc_id, text). */
+  def gopherQualityFrom(d: DataFrame, minWords: Long = 50L,
+      maxWords: Long = 100000L,
+      requiredStops: Seq[String] =
+        Seq("the", "be", "to", "of", "and", "that", "have", "with"),
+      minStops: Long = 2L): DataFrame =
+    d.withColumn("gs", gopherStatsUdf(requiredStops)(col("text")))
+      .select(
+        col("doc_id"),
+        col("gs._1").as("word_ct"),
+        col("gs._2").as("char_sum"),
+        col("gs._9").as("top_gram_mass"),
+        (col("gs._1") >= minWords && col("gs._1") <= maxWords).as("rule_word_count"),
+        (col("gs._2") >= col("gs._1") * 3 && col("gs._2") <= col("gs._1") * 10)
+          .as("rule_word_len"),
+        (col("gs._3") * 5 >= col("gs._1") * 4).as("rule_alpha"),
+        (col("gs._4") >= minStops).as("rule_stopwords"),
+        (col("gs._5") * 10 <= col("gs._1")).as("rule_symbol"),
+        (col("gs._7") * 10 <= col("gs._6") * 9 &&
+          col("gs._8") * 10 <= col("gs._6") * 3).as("rule_lines"),
+        (col("gs._9") * 5 <= col("gs._2")).as("rule_top_gram"))
+      .withColumn("keep",
+        col("rule_word_count") && col("rule_word_len") && col("rule_alpha") &&
+          col("rule_stopwords") && col("rule_symbol") && col("rule_lines") &&
+          col("rule_top_gram"))
+
+  /** (rule suffix, paper threshold ×100) of the Gopher repetition table:
+    * top-n-gram char fraction caps for n = 2..4, duplicate-n-gram char
+    * fraction caps for n = 5..10 (Rae et al. 2021, Table A2). */
+  val RepetitionThresholds: Seq[(String, Int)] = Seq(
+    "top_2" -> 20, "top_3" -> 18, "top_4" -> 16, "dup_5" -> 15, "dup_6" -> 14,
+    "dup_7" -> 13, "dup_8" -> 12, "dup_9" -> 11, "dup_10" -> 10)
+
+  /** The full Gopher repetition-filter suite (Rae et al. 2021, Appendix A
+    * Table A2), completing [[gopherQuality]]'s single top-2-gram cut: a doc
+    * is flagged when the most-repeated n-gram's character mass exceeds the
+    * per-n fraction cap (n = 2..4) or when characters inside duplicated
+    * n-grams exceed it (n = 5..10) — the signature of looped boilerplate
+    * that per-doc perplexity misses. One kernel pass per doc computes all
+    * nine masses ([[graft.functions.TextFns.repetitionMasses]]); each flag
+    * is `mass·100 ≤ chars·threshold`, exact integers. Pure map stage, no
+    * shuffle at any scale. */
+  def gopherRepetition(spark: SparkSession, dir: String): DataFrame =
+    gopherRepetitionFrom(docs(spark, dir))
+
+  /** Frame form of [[gopherRepetition]]: `d` needs (doc_id, text). */
+  def gopherRepetitionFrom(d: DataFrame): DataFrame = {
+    val massCols = RepetitionThresholds.zipWithIndex.map { case ((nm, _), i) =>
+      element_at(col("rs"), i + 2).as(s"mass_$nm") }
+    val flagCols = RepetitionThresholds.map { case (nm, t) =>
+      (col(s"mass_$nm") * 100 <= col("char_sum") * t).as(s"rule_$nm") }
+    d.withColumn("rs", repetitionMassesUdf(col("text")))
+      .select(col("doc_id") +: element_at(col("rs"), 1).as("char_sum") +: massCols: _*)
+      .select(col("*") +: flagCols: _*)
+      .withColumn("keep",
+        RepetitionThresholds.map(t => col(s"rule_${t._1}")).reduce(_ && _))
+  }
+
   /** PII / identifier scrubbing: pattern-based detection plus redaction and
     * stable pseudonymization — the privacy pass of a training-data pipeline.
     * Patterns are conservative RE2-compatible regexes (email, IPv4, long digit

@@ -655,4 +655,33 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(plan.contains("partial_max_by") || plan.contains("partial_maxby"),
       s"max_by keeper must partial-aggregate map-side; plan:\n${plan.take(2000)}")
   }
+
+  test("corpusDiff: every class counted once, token delta exact, text never in the shuffle") {
+    import spark.implicits._
+    // one doc per class, two sources; 'two more words' = +3 tokens on doc 4
+    val v1 = Seq(
+      (1L, "web", "kept exactly as it was"),
+      (2L, "web", "doc that will disappear"),
+      (4L, "lib", "original words here"),
+      (5L, "lib", "also unchanged text")).toDF("doc_id", "source", "text")
+    val v2 = Seq(
+      (1L, "web", "kept exactly as it was"),
+      (3L, "web", "brand new arrival"),
+      (4L, "lib", "original words here two more words"),
+      (5L, "lib", "also unchanged text")).toDF("doc_id", "source", "text")
+    val got = Dedup.corpusDiff(v1, v2).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(got == Map(
+      "web" -> ((1L, 1L, 0L, 1L, -1L)),  // added doc3 (3 toks) - removed doc2 (4 toks)
+      "lib" -> ((0L, 0L, 1L, 1L, 3L))), s"got $got")
+    // classes partition the union: sums must cover every doc_id exactly once
+    val sums = got.values.map(v => v._1 + v._2 + v._3 + v._4).sum
+    assert(sums == 5L, "5 distinct doc_ids across both snapshots")
+    // scale shape: the full-outer join exchanges fingerprints, never text
+    val plan = Dedup.corpusDiff(v1, v2).queryExecution.optimizedPlan.toString
+    val exchangedText = plan.linesIterator
+      .filter(_.contains("Join")).exists(_.contains("text"))
+    assert(!exchangedText, s"join keys/outputs must not include raw text:\n$plan")
+  }
 }

@@ -756,4 +756,108 @@ class TextOpsSpec extends SparkSuite {
         assert(tKept + inOrder(nKept.toInt) > budget, s"$src: draw stopped early")
     }
   }
+
+  test("gopherQuality: crafted docs trip each rule; flags equal an independent driver replay") {
+    import spark.implicits._
+    // the synthetic corpus has no newlines, bullets, ellipses, '#', or
+    // non-alpha words, so the line/symbol/alpha rules only vary HERE
+    val base = (1 to 60).map(n => s"word$n").mkString(" ")
+    val fixtures = Seq(
+      0L -> s"the a $base",                                   // keep
+      1L -> ("the a " + "tiny " * 10).trim,                   // word count < 50
+      2L -> ("the a " + (1 to 60).map(n => s"w$n").mkString(" ")), // mean word len < 3
+      3L -> base,                                             // no required stopwords
+      4L -> ("the a " + "# " * 8 + base),                     // symbol ratio > 1/10
+      5L -> ("- bullet\n" * 19 + s"the a $base"),             // >90% bullet lines
+      6L -> ("trailing dots...\n" * 10 + s"the a $base\nx"),  // >30% ellipsis lines
+      7L -> ("the a " + "same pair " * 40).trim,              // top-2-gram mass > 1/5 chars
+      8L -> "",                                               // empty text
+      9L -> "the a 111 222 333 444")                          // <80% alphabetic words
+    val stops = Seq("the", "a")
+
+    def replay(text: String): Map[String, Boolean] = {
+      val toks = "[a-z0-9]+".r.findAllIn(text.toLowerCase).toVector
+      val words = toks.size.toLong
+      val chars = toks.map(_.length.toLong).sum
+      val alpha = toks.count(_.exists(c => c >= 'a' && c <= 'z')).toLong
+      val stopCt = stops.count(toks.contains).toLong
+      val symbols = text.count(_ == '#').toLong + "\\.\\.\\.".r.findAllIn(text).size
+      val lines = text.split("\n", -1)
+      val bullet = lines.count(l => "^[ \t]*[-*•]".r.findFirstIn(l).isDefined).toLong
+      val ell = lines.count(l => "\\.\\.\\.[ \t]*$".r.findFirstIn(l).isDefined).toLong
+      val mass =
+        if (words < 2) 0L
+        else toks.sliding(2).toVector.groupBy(identity)
+          .map { case (g, o) => o.size.toLong * (g.mkString(" ").length - 1) }.max
+      Map(
+        "rule_word_count" -> (words >= 50 && words <= 100000),
+        "rule_word_len" -> (chars >= words * 3 && chars <= words * 10),
+        "rule_alpha" -> (alpha * 5 >= words * 4),
+        "rule_stopwords" -> (stopCt >= 2),
+        "rule_symbol" -> (symbols * 10 <= words),
+        "rule_lines" -> (bullet * 10 <= lines.length * 9 && ell * 10 <= lines.length * 3),
+        "rule_top_gram" -> (mass * 5 <= chars))
+    }
+
+    val ruleCols = Seq("rule_word_count", "rule_word_len", "rule_alpha",
+      "rule_stopwords", "rule_symbol", "rule_lines", "rule_top_gram")
+    val got = TextOps.gopherQualityFrom(
+        fixtures.toDF("doc_id", "text"), requiredStops = stops)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (ruleCols.map(c => c -> r.getAs[Boolean](c)).toMap, r.getAs[Boolean]("keep")))
+      .toMap
+    fixtures.foreach { case (id, text) =>
+      val exp = replay(text)
+      assert(got(id)._1 == exp, s"doc $id flags diverge from replay")
+      assert(got(id)._2 == exp.values.forall(identity), s"doc $id keep")
+    }
+    // each crafted failure trips its intended rule (and doc 0 trips none)
+    assert(got(0L)._2, "doc 0 must pass every rule")
+    val expectFail = Map(1L -> "rule_word_count", 2L -> "rule_word_len",
+      3L -> "rule_stopwords", 4L -> "rule_symbol", 5L -> "rule_lines",
+      6L -> "rule_lines", 7L -> "rule_top_gram", 9L -> "rule_alpha")
+    expectFail.foreach { case (id, rule) =>
+      assert(!got(id)._1(rule), s"doc $id must fail $rule")
+    }
+    assert(!got(8L)._2, "empty doc must not be kept")
+  }
+
+  test("gopherRepetition: masses equal an independent replay; crafted docs trip top-n and dup-n") {
+    import spark.implicits._
+    // the corpus never trips the dup-n rules (docs too short for repeated
+    // 5..10-grams) — they only vary here
+    val fixtures = Seq(
+      0L -> (1 to 80).map(n => s"word$n").mkString(" "),       // all-unique: keep
+      1L -> ("x y " * 50).trim,                                // top-2 saturated
+      2L -> (("alpha beta gamma delta epsilon " * 8).trim +    // dup-5 (and larger)
+        " closing words without repeats"),
+      3L -> "short",                                           // < every n
+      4L -> "")                                                // empty
+    def replay(text: String): Seq[Long] = {
+      val toks = "[a-z0-9]+".r.findAllIn(text.toLowerCase).toVector
+      val chars = toks.map(_.length.toLong).sum
+      chars +: (2 to 10).map { n =>
+        if (toks.size < n) 0L
+        else {
+          val counts = toks.sliding(n).toVector.groupBy(identity).toVector
+            .map { case (g, o) => (o.size.toLong, g.map(_.length).sum.toLong) }
+          if (n <= 4) counts.map { case (ct, cl) => ct * cl }.max
+          else counts.collect { case (ct, cl) if ct >= 2 => ct * cl }.sum
+        }
+      }
+    }
+    val massCols = "char_sum" +: TextOps.RepetitionThresholds.map(t => s"mass_${t._1}")
+    val got = TextOps.gopherRepetitionFrom(fixtures.toDF("doc_id", "text"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (massCols.map(c => r.getAs[Long](c)),
+          TextOps.RepetitionThresholds.map(t => r.getAs[Boolean](s"rule_${t._1}")),
+          r.getAs[Boolean]("keep"))).toMap
+    fixtures.foreach { case (id, text) =>
+      assert(got(id)._1 == replay(text), s"doc $id masses diverge from replay")
+    }
+    assert(got(0L)._3, "unique-word doc must pass every rule")
+    assert(!got(1L)._2.head, "doc 1 must fail rule_top_2")
+    assert(!got(2L)._2(3), "doc 2 must fail rule_dup_5")
+    assert(got(3L)._3 && got(4L)._3, "sub-n and empty docs trip nothing")
+  }
 }
