@@ -348,9 +348,14 @@ object Oracles {
     * pruning below the rarity cutoff is lossless for the 1000·c<Σc filter —
     * so the scale variant shares q70's oracle verbatim instead of a weaker
     * rows-only check. */
+  /** q107 (bloomIngestDedup) admits EXACTLY q74's set by construction — the
+    * Bloom filter has no false negatives, so the filter-miss fast path and
+    * the verified bloom-positive path partition q74's anti-join losslessly —
+    * so the scale variant shares q74's oracle verbatim. */
   lazy val sql: Map[String, String] =
     base ++ Map(
       "q94_bigram_fluency_pruned" -> base("q70_bigram_fluency"),
+      "q107_bloom_ingest" -> base("q74_ingest_dedup"),
       "q106_gopher_repetition" -> gopherRepetitionSql)
 
   private val base: Map[String, String] = Map(

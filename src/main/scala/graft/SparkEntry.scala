@@ -136,6 +136,7 @@ object SparkEntry {
       TextOps.gopherQuality(s, d, requiredStops = Seq("the", "a"))),
     "q105_corpus_diff"      -> ((s, d) => Dedup.corpusDiffSnapshots(s, d)),
     "q106_gopher_repetition" -> ((s, d) => TextOps.gopherRepetition(s, d)),
+    "q107_bloom_ingest"     -> ((s, d) => Dedup.bloomIngestDedup(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

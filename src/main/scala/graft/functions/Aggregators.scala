@@ -118,4 +118,39 @@ object Aggregators {
     udaf(topKStrAgg(k),
       Encoders.tuple(Encoders.scalaDouble, Encoders.STRING, Encoders.scalaLong))
       .apply(value, id, payload)
+
+  /** Element-wise Long sum over `array<int>` vectors — the distributed
+    * k-means M-step accumulator ([[graft.operators.Similarity.kmeansAssign]]).
+    * Partial aggregation with ONE dim-length Long buffer per group per task:
+    * the M-step shuffles k·dim longs per mapper regardless of corpus size,
+    * where a collect-and-sum (or posexplode + per-dimension groupBy) would
+    * move dim× the corpus through the shuffle. Empty groups never occur
+    * (the group key comes from the rows themselves); a zero-length buffer
+    * only marks an untouched partial and merges as the identity. */
+  val vecSumAgg: Aggregator[Seq[Int], Array[Long], Seq[Long]] =
+    new Aggregator[Seq[Int], Array[Long], Seq[Long]] {
+      def zero: Array[Long] = Array.emptyLongArray
+      def reduce(b: Array[Long], v: Seq[Int]): Array[Long] = {
+        val acc = if (b.length == 0) new Array[Long](v.length) else b
+        var i = 0
+        while (i < v.length) { acc(i) += v(i); i += 1 }
+        acc
+      }
+      def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+        if (a.length == 0) return b
+        if (b.length == 0) return a
+        var i = 0
+        while (i < a.length) { a(i) += b(i); i += 1 }
+        a
+      }
+      def finish(b: Array[Long]): Seq[Long] = b.toSeq
+      def bufferEncoder: Encoder[Array[Long]] = Encoders.kryo[Array[Long]]
+      def outputEncoder: Encoder[Seq[Long]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+    }
+
+  /** Column form: `vecSum(col("q"))` over `array<int>` → `array<bigint>`. */
+  def vecSum(c: Column): Column =
+    udaf(vecSumAgg,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Int]]()).apply(c)
 }

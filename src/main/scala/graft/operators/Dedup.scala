@@ -596,4 +596,61 @@ object Dedup {
           .otherwise(col("text")))
     corpusDiff(v1, v2)
   }
+
+  /** Bloom-prefiltered ingest dedup — the 100 TB serving shape of
+    * [[ingestDedup]], same admission semantics by construction (q107 carries
+    * q74's oracle VERBATIM, the scale-fallback house pattern of q94/q70): a
+    * Bloom filter over the store's fingerprints is broadcast to the incoming
+    * batch. Bloom filters have NO false negatives, so the split is lossless —
+    * a batch row whose fingerprint misses the filter is DEFINITELY absent
+    * from the store and is admitted with no join at all; only the
+    * bloom-positive sliver (true duplicates + an fpp fraction of the novel
+    * batch) needs exact verification. That verification is two BROADCAST
+    * joins — a semi probe of the store by the candidate fingerprints, then an
+    * anti join of the candidates against the confirmed matches — so the store
+    * is only ever SCANNED (the sketch build + the semi probe), never
+    * shuffled. [[ingestDedup]]'s plain anti-join hashes the FULL store's
+    * fingerprints across the cluster every batch; here store-side shuffle
+    * volume is zero at any store size, and the sketch build (a mergeable
+    * partial aggregate, `BloomFilterAggregate`) is amortized in production by
+    * maintaining the filter incrementally across batches instead of
+    * rebuilding it per batch as this single-query binding must.
+    *
+    * Reference context: the admission problem is the batch face of the
+    * reference's ingest chain (`app/dwd/BaseDBApp.java:39-48` filters the
+    * CDC firehose before any stateful work) — the Bloom stage plays the role
+    * its cheap validity predicate does: reject/admit the bulk of the stream
+    * before anything expensive touches it. */
+  def bloomIngestDedup(spark: SparkSession, dir: String, fpp: Double = 0.03): DataFrame =
+    bloomIngestDedupFrom(docs(spark, dir), fpp)
+
+  /** Frame form of [[bloomIngestDedup]]: `corpus` needs doc_id + text; the
+    * store/batch split stays q74's `doc_id < max/3`. */
+  def bloomIngestDedupFrom(corpus: DataFrame, fpp: Double = 0.03): DataFrame = {
+    val spark = corpus.sparkSession
+    val d = corpus
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("fingerprint"))
+    val wm = d.agg(expr("max(doc_id) div 3").as("wm"))
+    val withWm = d.crossJoin(broadcast(wm))
+    val store = withWm.filter(col("doc_id") < col("wm")).select("fingerprint")
+    val batch = withWm.filter(col("doc_id") >= col("wm"))
+      .select(col("doc_id"), col("fingerprint"))
+    // Sketch build: one distributed store scan collapsing to a constant-size
+    // filter on the driver (bounded control-plane, like the quantizer
+    // samples). Sizing by exact count keeps fpp honest; a production ingest
+    // loop tracks the store cardinality incrementally instead of counting.
+    val bloom = store.stat.bloomFilter("fingerprint", math.max(1L, store.count()), fpp)
+    val bloomB = spark.sparkContext.broadcast(bloom)
+    val maybeInStore = udf((fp: String) => bloomB.value.mightContainString(fp))
+    val flagged = batch.withColumn("maybe_dup", maybeInStore(col("fingerprint")))
+    val definiteNew = flagged.filter(!col("maybe_dup")).drop("maybe_dup")
+    val candidates = flagged.filter(col("maybe_dup")).drop("maybe_dup")
+    val matched = store.join(
+      broadcast(candidates.select("fingerprint").distinct()),
+      Seq("fingerprint"), "left_semi")
+    val verifiedNew = candidates.join(broadcast(matched), Seq("fingerprint"), "left_anti")
+    definiteNew.unionByName(verifiedNew)
+      .groupBy("fingerprint")
+      .agg(min(col("doc_id")).as("admitted_doc_id"), count(lit(1)).as("batch_dup_ct"))
+  }
 }

@@ -600,6 +600,58 @@ class DedupSimilaritySpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("bloomIngestDedup: row-for-row equal to the exact anti-join, both paths exercised, store never shuffled") {
+    import spark.implicits._
+    // On the real fixture (no duplicate texts — every batch row is novel,
+    // the pure fast-path regime): equality with q74's exact computation.
+    val exact = Dedup.ingestDedup(spark, sf0001)
+      .as[(String, Long, Long)].collect().toSet
+    val bloomed = Dedup.bloomIngestDedup(spark, sf0001)
+    val got = bloomed.as[(String, Long, Long)].collect().toSet
+    assert(got == exact, "bloom-prefiltered admission must equal q74's exact set")
+
+    // Crafted corpus with BOTH drop paths live: store dups (texts repeated
+    // across the wm=max/3 split) and in-batch dups (repeated within the
+    // batch). max(doc_id)=29 → wm=9: ids 0-8 store, 9-29 batch.
+    val crafted = ((0 until 30).map { i =>
+      val text = i match {
+        case 9 | 10 => "store text 3"          // batch rows duplicating store
+        case 11 | 12 | 13 => "batch novel rep" // in-batch triple, admit once
+        case n => s"${if (n < 9) "store" else "batch"} text ${n % 6}"
+      }
+      (i.toLong, text)
+    }).toDF("doc_id", "text")
+    val craftedGot = Dedup.bloomIngestDedupFrom(crafted)
+      .as[(String, Long, Long)].collect().toSet
+    // exact reference: admitted = batch fp absent from store, min id, count
+    val cd = crafted.select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+    val storeFp = cd.filter(col("doc_id") < 9).select("fp").as[String].collect().toSet
+    val expect = cd.filter(col("doc_id") >= 9).as[(Long, String)].collect()
+      .filterNot { case (_, fp) => storeFp(fp) }
+      .groupBy(_._2).map { case (fp, rows) =>
+        (fp, rows.map(_._1).min, rows.length.toLong) }.toSet
+    assert(craftedGot == expect, "crafted corpus: both drop paths must agree with exact semantics")
+    assert(craftedGot.exists(_._3 == 3L), "in-batch triple must be admitted once with count 3")
+
+    // Both split paths really ran: rebuild the IDENTICAL deterministic
+    // filter (same inputs, same sizing, Spark's fixed-seed sketch). Every
+    // true dup must hit it (no false negatives); at fpp=3% the novel rows
+    // overwhelmingly miss it (definite-new fast path carries the bulk).
+    val storeDf = cd.filter(col("doc_id") < 9).select(col("fp").as("fingerprint"))
+    val bloom = storeDf.stat.bloomFilter("fingerprint", math.max(1L, storeDf.count()), 0.03)
+    val (hits, misses) = cd.filter(col("doc_id") >= 9).select("fp").as[String].collect()
+      .partition(bloom.mightContainString)
+    assert(hits.length >= 2, "store-dup rows must hit the filter")
+    assert(misses.length >= 10, "the definite-new fast path must carry the bulk of the novel rows")
+
+    // Scale shape: the store feeds only broadcast joins — no SortMergeJoin
+    // anywhere; the only exchanges are the wm scalar agg and the final
+    // fingerprint rollup.
+    val plan = bloomed.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), s"store must never shuffle-join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), "verification must ride broadcast joins")
+  }
+
   test("hardNegatives: dense top-5 per query, never a cluster mate of the query") {
     import spark.implicits._
     val hn = Similarity.hardNegatives(spark, sf001)
