@@ -140,6 +140,43 @@ object Oracles {
        |  FROM ept p JOIN c$iters c USING (d) GROUP BY p.vec_id, c.cell)""".stripMargin
   }
 
+  /** q108 (kmeansAssign): the distributed full-corpus Lloyd run replayed as
+    * an unrolled CTE chain — same integer grid, truncated `//` means,
+    * (dist, cid) tie order, and seed rule (cid = vec_id < k) as the Spark
+    * loop; `a_i`/`c_i` alternate assignment and update exactly like the
+    * driver-side iteration. Differs from [[ivfRankCtes]] in what it replays:
+    * that chain reproduces the SAMPLE-trained quantizer, this one the
+    * full-corpus training run whose per-point distances q109-style pruning
+    * reads. */
+  private def kmeansSql(k: Int, iters: Int): String = {
+    val iterCtes = (1 to iters).flatMap { it =>
+      Seq(
+        s"""a$it AS MATERIALIZED (SELECT vec_id, cid FROM (
+           |  SELECT p.vec_id, c.cid,
+           |    row_number() OVER (PARTITION BY p.vec_id
+           |      ORDER BY sum((p.x - c.v)*(p.x - c.v)), c.cid) AS rn
+           |  FROM pts p JOIN c${it - 1} c USING (d) GROUP BY p.vec_id, c.cid) WHERE rn = 1)""",
+        s"""c$it AS MATERIALIZED (SELECT pc.cid, pc.d,
+           |  CASE WHEN s.n IS NULL THEN pc.v ELSE s.s // s.n END AS v
+           | FROM c${it - 1} pc LEFT JOIN (
+           |   SELECT a.cid, p.d, sum(p.x) AS s, count(*) AS n
+           |   FROM a$it a JOIN pts p USING (vec_id) GROUP BY 1, 2) s
+           |  ON s.cid = pc.cid AND s.d = pc.d)""")
+    }.mkString(",\n")
+    s"""WITH p0 AS (SELECT vec_id, embedding,
+       |    unnest(generate_series(1, len(embedding))) AS d FROM embeddings),
+       |pts AS MATERIALIZED (SELECT vec_id, d,
+       |    cast(floor(embedding[d]::DOUBLE * 1048576) as bigint) AS x FROM p0),
+       |c0 AS MATERIALIZED (SELECT vec_id AS cid, d, x AS v FROM pts WHERE vec_id < $k),
+       |$iterCtes
+       |SELECT vec_id, cast(cid as int) AS cid, cast(dist as bigint) AS dist FROM (
+       |  SELECT p.vec_id, c.cid,
+       |    sum((p.x - c.v)*(p.x - c.v)) AS dist,
+       |    row_number() OVER (PARTITION BY p.vec_id
+       |      ORDER BY sum((p.x - c.v)*(p.x - c.v)), c.cid) AS rn
+       |  FROM pts p JOIN c$iters c USING (d) GROUP BY p.vec_id, c.cid) WHERE rn = 1""".stripMargin
+  }
+
   /** q33's oracle: the integer-exact IVF pipeline replayed in SQL (same
     * k/iters/nprobe constants as Similarity.ivfAnn). */
   private val ivfAnnSql: String = {
@@ -365,6 +402,8 @@ object Oracles {
     "q91_ivf_pq" -> ivfPqSql,
 
     "q33_ivf_ann" -> ivfAnnSql,
+
+    "q108_kmeans_assign" -> kmeansSql(k = 8, iters = 4),
 
     "q79_semantic_dedup" -> semanticDedupSql,
 

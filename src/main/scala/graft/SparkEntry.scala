@@ -137,6 +137,7 @@ object SparkEntry {
     "q105_corpus_diff"      -> ((s, d) => Dedup.corpusDiffSnapshots(s, d)),
     "q106_gopher_repetition" -> ((s, d) => TextOps.gopherRepetition(s, d)),
     "q107_bloom_ingest"     -> ((s, d) => Dedup.bloomIngestDedup(s, d)),
+    "q108_kmeans_assign"    -> ((s, d) => Similarity.kmeansAssign(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

@@ -579,4 +579,79 @@ object Similarity {
       .filter(col("rnk") <= 3)
       .select(col("query_id"), col("neighbor_id"), col("rnk"))
   }
+
+  /** The 2²⁰-grid quantization as a SQL-side map (float→double cast, scale by
+    * a power of two, floor — every step IEEE-exact on both engines), the
+    * column twin of [[qgrid]]. `array<int>` because the grid fits (|x|·2²⁰ ≪
+    * 2³¹ for unit-scale embeddings) and `dot_i` rides it codegen'd. */
+  private def qgridCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    transform(c, x => floor(x.cast("double") * lit(1048576.0d)).cast("int"))
+
+  /** Distributed Lloyd's k-means over the FULL embedding corpus — the
+    * training-at-scale sibling of [[trainCentroids]]. The sample-to-driver
+    * trainer is right for a coarse ANN quantizer; cluster-based CURATION
+    * (SemDeDup's cluster stage, SSL-prototype pruning — Sorscher et al. 2022)
+    * reads per-point distances, which need the full-corpus iteration. Here
+    * each round is two Spark jobs and O(k·dim) driver state:
+    *
+    *  - E-step: map-only — centroids ship as literals (the broadcast of a
+    *    control-plane-sized model), assignment is an `array_min` over k
+    *    (dist, cid) structs, distances via the polarization identity
+    *    Σ(a−b)² = a·a + c·c − 2·a·c on the codegen'd `dot_i` kernel, so the
+    *    corpus is never shuffled for assignment.
+    *  - M-step: ONE partially-aggregated groupBy(cid) — [[Aggregators.vecSum]]
+    *    + count; every mapper forwards at most k dim-length partial rows, so
+    *    shuffle volume is O(k·dim·mappers) at any corpus size.
+    *
+    * Integer-exact like every ANN path in this file: points floor(x·2²⁰),
+    * truncated integer centroid means (JVM Long division ≡ DuckDB `//`, the
+    * q33-proven parity), exact Long distances — the whole run replays
+    * bit-identically as q108's unrolled CTE chain. Seeds = the k lowest
+    * vec_ids; empty clusters keep their previous centroid; argmin ties go to
+    * the lowest cid (struct ordering on (reduced dist, cid): the reduced
+    * dist rd = c·c − 2·q·c differs from the true dist by the per-row
+    * constant q·q, so argmin and tie order are identical). The quantized
+    * frame is persisted for the iters+1 passes — at cluster scale that
+    * boundary is the materialized quantized-corpus table, built once per
+    * training run. */
+  def kmeansAssign(spark: SparkSession, dir: String, k: Int = 8, iters: Int = 4): DataFrame =
+    kmeansAssignFrom(emb(spark, dir), k, iters)
+
+  /** Frame form of [[kmeansAssign]]: `e` needs vec_id + embedding. */
+  def kmeansAssignFrom(e: DataFrame, k: Int = 8, iters: Int = 4): DataFrame = {
+    val spark = e.sparkSession
+    VectorExpressions.register(spark)
+    import spark.implicits._
+    val pts = e.select(col("vec_id"), qgridCol(col("embedding")).as("q")).persist()
+
+    def best(cs: Array[Array[Int]]): org.apache.spark.sql.Column =
+      array_min(array(cs.zipWithIndex.map { case (c, i) =>
+        val cLit = typedLit(c.toSeq)
+        val c2 = c.foldLeft(0L)((a, v) => a + v.toLong * v)
+        struct(
+          (lit(c2) - lit(2L) * call_function("dot_i", col("q"), cLit)).as("rd"),
+          lit(i).as("cid"))
+      }: _*))
+
+    var centroids: Array[Array[Int]] = pts.filter(col("vec_id") < k)
+      .orderBy("vec_id").select("q").as[Seq[Int]].collect().map(_.toArray)
+    require(centroids.length == k, s"need the $k seed vec_ids present")
+    for (_ <- 0 until iters) {
+      val stats = pts
+        .select(best(centroids).getField("cid").as("cid"), col("q"))
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n"), graft.functions.Aggregators.vecSum(col("q")).as("s"))
+        .as[(Int, Long, Seq[Long])].collect()
+      val next = centroids.map(_.clone())
+      stats.foreach { case (cid, n, s) =>
+        next(cid) = s.map(v => (v / n).toInt).toArray // truncated mean ≡ `//`
+      }
+      centroids = next
+    }
+    pts.select(
+      col("vec_id"),
+      best(centroids).getField("cid").as("cid"),
+      (call_function("dot_i", col("q"), col("q")) +
+        best(centroids).getField("rd")).as("dist"))
+  }
 }

@@ -652,6 +652,78 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(plan.contains("BroadcastHashJoin"), "verification must ride broadcast joins")
   }
 
+  /** Straight-line Lloyd reference with kmeansAssign's exact rules: 2²⁰-grid
+    * points, argmin ties to lowest cid, truncated integer means, empty
+    * clusters keep their centroid. */
+  private def lloydReference(pts: Array[(Long, Array[Long])], k: Int,
+                             iters: Int): Map[Long, (Int, Long)] = {
+    val dim = pts.head._2.length
+    var cents = pts.sortBy(_._1).take(k).map(_._2.clone())
+    def assign(v: Array[Long]): (Int, Long) = {
+      var best = 0; var bestD = Long.MaxValue
+      for (c <- cents.indices) {
+        var d = 0L; var i = 0
+        while (i < dim) { val t = v(i) - cents(c)(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c } // strict < : ties keep lowest c
+      }
+      (best, bestD)
+    }
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Long](dim)); val ns = new Array[Long](k)
+      pts.foreach { case (_, v) =>
+        val c = assign(v)._1
+        ns(c) += 1; var i = 0; while (i < dim) { sums(c)(i) += v(i); i += 1 }
+      }
+      cents = Array.tabulate(k)(c =>
+        if (ns(c) == 0) cents(c)
+        else Array.tabulate(dim)(i => sums(c)(i) / ns(c)))
+    }
+    pts.map { case (id, v) => id -> assign(v) }.toMap
+  }
+
+  test("kmeansAssign: matches the driver Lloyd replay; ties to lowest cid; empty clusters hold") {
+    import spark.implicits._
+    val raw = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+    val qpts = raw.map { case (id, v) =>
+      id -> v.map(x => math.floor(x.toDouble * 1048576.0).toLong).toArray }
+    val want = lloydReference(qpts, k = 8, iters = 4)
+    val got = Similarity.kmeansAssign(spark, sf0001)
+      .as[(Long, Int, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(got == want, "distributed run must equal the driver replay point-for-point")
+    assert(got.values.map(_._1).toSet.size > 1, "clustering must not be degenerate")
+
+    // Tie + empty-cluster semantics on a crafted frame: seeds 0 and 1 are
+    // IDENTICAL vectors. At iters=0 every point tied between them must land
+    // on cid 0 (struct argmin, lowest cid). At iters=2 cluster 0's centroid
+    // MOVES while the empty cluster 1 keeps the stale seed — which then
+    // legitimately captures the points still near it; the reference replay
+    // pins that exact trajectory (the empty-keeps-centroid rule at work).
+    val crafted = Seq(
+      0L -> Seq(0f, 0f), 1L -> Seq(0f, 0f), 2L -> Seq(1f, 1f),
+      3L -> Seq(0.9f, 0.9f), 4L -> Seq(0.05f, 0.05f)
+    ).toDF("vec_id", "embedding")
+    val tied = Similarity.kmeansAssignFrom(crafted, k = 2, iters = 0)
+      .as[(Long, Int, Long)].collect()
+    assert(tied.filter(t => Seq(0L, 1L, 4L).contains(t._1)).forall(_._2 == 0),
+      "exact ties between identical seeds must resolve to the lowest cid")
+    val cg = Similarity.kmeansAssignFrom(crafted, k = 2, iters = 2)
+      .as[(Long, Int, Long)].collect().map(t => t._1 -> t._2).toMap
+    val cw = lloydReference(
+      crafted.as[(Long, Seq[Float])].collect().map { case (id, v) =>
+        id -> v.map(x => math.floor(x.toDouble * 1048576.0).toLong).toArray },
+      k = 2, iters = 2)
+    assert(cg == cw.map { case (id, (c, _)) => id -> c },
+      "crafted-frame assignments must match the reference")
+    assert(cg.values.exists(_ == 1),
+      "the stale empty-cluster centroid must recapture nearby points (rule exercised)")
+
+    // Scale shape: the returned assignment is map-only — the corpus is never
+    // shuffled to be assigned (all shuffles happened inside the M-step jobs).
+    val plan = Similarity.kmeansAssign(spark, sf0001).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"assignment must be map-only:\n$plan")
+  }
+
   test("hardNegatives: dense top-5 per query, never a cluster mate of the query") {
     import spark.implicits._
     val hn = Similarity.hardNegatives(spark, sf001)
