@@ -168,13 +168,13 @@ object Oracles {
        |pts AS MATERIALIZED (SELECT vec_id, d,
        |    cast(floor(embedding[d]::DOUBLE * 1048576) as bigint) AS x FROM p0),
        |c0 AS MATERIALIZED (SELECT vec_id AS cid, d, x AS v FROM pts WHERE vec_id < $k),
-       |$iterCtes
-       |SELECT vec_id, cast(cid as int) AS cid, cast(dist as bigint) AS dist FROM (
+       |$iterCtes,
+       |assign AS (SELECT vec_id, cast(cid as int) AS cid, cast(dist as bigint) AS dist FROM (
        |  SELECT p.vec_id, c.cid,
        |    sum((p.x - c.v)*(p.x - c.v)) AS dist,
        |    row_number() OVER (PARTITION BY p.vec_id
        |      ORDER BY sum((p.x - c.v)*(p.x - c.v)), c.cid) AS rn
-       |  FROM pts p JOIN c$iters c USING (d) GROUP BY p.vec_id, c.cid) WHERE rn = 1""".stripMargin
+       |  FROM pts p JOIN c$iters c USING (d) GROUP BY p.vec_id, c.cid) WHERE rn = 1)""".stripMargin
   }
 
   /** q33's oracle: the integer-exact IVF pipeline replayed in SQL (same
@@ -403,7 +403,18 @@ object Oracles {
 
     "q33_ivf_ann" -> ivfAnnSql,
 
-    "q108_kmeans_assign" -> kmeansSql(k = 8, iters = 4),
+    "q108_kmeans_assign" ->
+      (kmeansSql(k = 8, iters = 4) + "\nSELECT vec_id, cid, dist FROM assign"),
+
+    // q109 (kmeansPrototypes): the q108 training chain + per-cluster
+    // most-central top-m ranking — the SSL-prototypes pruning rule
+    "q109_kmeans_prototypes" ->
+      (kmeansSql(k = 8, iters = 4) +
+        """
+          |SELECT cid, vec_id, dist, cast(rn as int) AS rnk FROM (
+          |  SELECT cid, vec_id, dist,
+          |    row_number() OVER (PARTITION BY cid ORDER BY dist, vec_id) AS rn
+          |  FROM assign) WHERE rn <= 20""".stripMargin),
 
     "q79_semantic_dedup" -> semanticDedupSql,
 

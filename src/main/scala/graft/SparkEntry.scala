@@ -138,6 +138,7 @@ object SparkEntry {
     "q106_gopher_repetition" -> ((s, d) => TextOps.gopherRepetition(s, d)),
     "q107_bloom_ingest"     -> ((s, d) => Dedup.bloomIngestDedup(s, d)),
     "q108_kmeans_assign"    -> ((s, d) => Similarity.kmeansAssign(s, d)),
+    "q109_kmeans_prototypes" -> ((s, d) => Similarity.kmeansPrototypes(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

@@ -654,4 +654,43 @@ object Similarity {
       (call_function("dot_i", col("q"), col("q")) +
         best(centroids).getField("rd")).as("dist"))
   }
+
+  /** SSL-prototype data pruning (Sorscher et al. 2022, "Beyond neural
+    * scaling laws"): keep, per k-means cluster, the m MOST CENTRAL points —
+    * the prototypical examples whose distance-to-centroid ranks lowest.
+    * Consumes [[kmeansAssign]]'s per-point distances (the reason that
+    * training runs full-corpus) and selects with the k-bounded
+    * [[Aggregators.topK]] partial aggregate, NOT a per-cluster window:
+    * cluster sizes are power-law (one web-boilerplate cluster can hold
+    * millions of members), and `row_number().over(partitionBy("cid"))`
+    * would sort every member of the hottest cluster on one reducer — the
+    * exact q78/q36 pathology this repo de-skewed twice. The aggregator
+    * forwards ≤ m rows per cluster per mapper; ranking ties break on the
+    * lowest vec_id, and −dist rides the aggregator's (v DESC, id ASC) order
+    * exactly (|dist| < 2⁵³, so the Double negation is exact). The DuckDB
+    * oracle ranks with row_number over the replayed q108 chain, proving the
+    * window ≡ aggregator equivalence on every run. */
+  def kmeansPrototypes(spark: SparkSession, dir: String, k: Int = 8,
+                       iters: Int = 4, m: Int = 20): DataFrame =
+    kmeansPrototypesFrom(kmeansAssign(spark, dir, k, iters), m)
+
+  /** Frame form of [[kmeansPrototypes]]: `assign` needs vec_id, cid, dist. */
+  def kmeansPrototypesFrom(assign: DataFrame, m: Int = 20): DataFrame =
+    assign.groupBy("cid")
+      .agg(graft.functions.Aggregators
+        .topK(m, -col("dist").cast("double"), col("vec_id"), col("dist")).as("top"))
+      .select(col("cid"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("cid"), col("s.id").as("vec_id"), col("s.p").as("dist"),
+        (col("pos") + 1).cast("int").as("rnk"))
+
+  /** Windowed reference construction of [[kmeansPrototypesFrom]] — kept ONLY
+    * for the equality spec; do not use on real data (per-cluster sort of
+    * power-law cluster sizes on one reducer). */
+  private[graft] def kmeansPrototypesWindowed(assign: DataFrame, m: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("cid")).orderBy(col("dist"), col("vec_id"))
+    assign
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= m)
+      .select(col("cid"), col("vec_id"), col("dist"), col("rnk"))
+  }
 }

@@ -724,6 +724,24 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(!plan.contains("Exchange"), s"assignment must be map-only:\n$plan")
   }
 
+  test("kmeansPrototypes: aggregator selection == per-cluster window, no Window in the plan") {
+    import spark.implicits._
+    val assign = Similarity.kmeansAssign(spark, sf0001)
+    val agg = Similarity.kmeansPrototypesFrom(assign, m = 5)
+    val win = Similarity.kmeansPrototypesWindowed(assign, m = 5)
+    val a = agg.as[(Int, Long, Long, Int)].collect().toSet
+    val w = win.as[(Int, Long, Long, Int)].collect().toSet
+    assert(a == w, "k-bounded aggregator must select exactly the window's rows and ranks")
+    assert(a.nonEmpty && a.groupBy(_._1).size > 1, "selection must span clusters")
+    // every kept rank is contiguous 1..min(m, cluster size)
+    a.groupBy(_._1).foreach { case (cid, rows) =>
+      assert(rows.map(_._4).toSeq.sorted == (1 to rows.size).toSeq,
+        s"cluster $cid ranks must be contiguous from 1")
+    }
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"selection must not ride a per-cluster window:\n$plan")
+  }
+
   test("hardNegatives: dense top-5 per query, never a cluster mate of the query") {
     import spark.implicits._
     val hn = Similarity.hardNegatives(spark, sf001)
