@@ -177,6 +177,31 @@ object Oracles {
        |  FROM pts p JOIN c$iters c USING (d) GROUP BY p.vec_id, c.cid) WHERE rn = 1)""".stripMargin
   }
 
+  /** q110 (pcaPowerScores): Gram matrix via the pts self-join, then the
+    * integer power iteration unrolled — v0 = 1⃗, each round a matvec over
+    * HUGEINT and a truncated `// max|w|` rescale to the 2²⁰ grid, exactly
+    * the driver-side BigInt steps. Final projection = Σ x·v per row. */
+  private def pcaPowerSql(iters: Int): String = {
+    val iterCtes = (1 to iters).flatMap { it =>
+      Seq(
+        s"""w$it AS MATERIALIZED (SELECT g.i AS d, sum(g.g * v${it - 1}.v) AS w
+           | FROM gram g JOIN v${it - 1} ON g.j = v${it - 1}.d GROUP BY 1)""",
+        s"""v$it AS MATERIALIZED (SELECT d,
+           |  (w * 1048576) // (SELECT max(abs(w)) FROM w$it) AS v FROM w$it)""")
+    }.mkString(",\n")
+    s"""WITH p0 AS (SELECT vec_id, embedding,
+       |    unnest(generate_series(1, len(embedding))) AS d FROM embeddings),
+       |pts AS MATERIALIZED (SELECT vec_id, d,
+       |    cast(floor(embedding[d]::DOUBLE * 1048576) as bigint) AS x FROM p0),
+       |gram AS MATERIALIZED (SELECT a.d AS i, b.d AS j,
+       |    sum(CAST(a.x AS HUGEINT) * b.x) AS g
+       |  FROM pts a JOIN pts b USING (vec_id) GROUP BY 1, 2),
+       |v0 AS (SELECT DISTINCT d, CAST(1 AS HUGEINT) AS v FROM pts),
+       |$iterCtes
+       |SELECT p.vec_id, cast(sum(p.x * vit.v) as bigint) AS score_q
+       |FROM pts p JOIN v$iters vit ON p.d = vit.d GROUP BY 1""".stripMargin
+  }
+
   /** q33's oracle: the integer-exact IVF pipeline replayed in SQL (same
     * k/iters/nprobe constants as Similarity.ivfAnn). */
   private val ivfAnnSql: String = {
@@ -405,6 +430,8 @@ object Oracles {
 
     "q108_kmeans_assign" ->
       (kmeansSql(k = 8, iters = 4) + "\nSELECT vec_id, cid, dist FROM assign"),
+
+    "q110_pca_power" -> pcaPowerSql(iters = 8),
 
     // q109 (kmeansPrototypes): the q108 training chain + per-cluster
     // most-central top-m ranking — the SSL-prototypes pruning rule

@@ -139,6 +139,7 @@ object SparkEntry {
     "q107_bloom_ingest"     -> ((s, d) => Dedup.bloomIngestDedup(s, d)),
     "q108_kmeans_assign"    -> ((s, d) => Similarity.kmeansAssign(s, d)),
     "q109_kmeans_prototypes" -> ((s, d) => Similarity.kmeansPrototypes(s, d)),
+    "q110_pca_power"        -> ((s, d) => Similarity.pcaPowerScores(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

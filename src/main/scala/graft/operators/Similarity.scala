@@ -693,4 +693,56 @@ object Similarity {
       .filter(col("rnk") <= m)
       .select(col("cid"), col("vec_id"), col("dist"), col("rnk"))
   }
+
+  /** Distributed PCA by power iteration — the LEARNED-projection complement
+    * of [[randomProject]] (q87 projects onto random signs; this learns the
+    * corpus's top principal direction and scores every row's projection onto
+    * it — the embedding-space axis for outlier triage, whitening checks, and
+    * 1-D curriculum ordering). The distributed part is exactly ONE corpus
+    * scan: the Gram matrix G = Σ qqᵀ over 2²⁰-grid integer vectors,
+    * accumulated per (i ≤ j) dimension pair as DECIMAL(38,0) — overflow-free
+    * at ANY corpus size (each row adds < 2³⁸ per cell; 10³⁸/2³⁸ ≈ 10²⁶ rows)
+    * — with map-side combine, so the shuffle carries dim²/2 partial rows per
+    * task no matter the row count. The dim×dim result is bounded
+    * control-plane (like the quantizer samples): the driver mirrors it into
+    * BigInt and runs `iters` exact power steps, rescaling to the 2²⁰ grid by
+    * truncated division each step (BigInt `/` ≡ DECIMAL DIV ≡ DuckDB HUGEINT
+    * `//`, the q98-proven parity) — every step is integer arithmetic, so the
+    * learned direction replays bit-identically in q110's oracle CTE chain.
+    * The final scoring pass is map-only: the direction ships as a literal
+    * into the codegen'd `dot_i` kernel (|q·v| < 2¹⁹·2²⁰·dim ≪ 2⁶³). */
+  def pcaPowerScores(spark: SparkSession, dir: String, iters: Int = 8): DataFrame =
+    pcaPowerScoresFrom(emb(spark, dir), iters)
+
+  /** Frame form of [[pcaPowerScores]]: `e` needs vec_id + embedding. */
+  def pcaPowerScoresFrom(e: DataFrame, iters: Int = 8): DataFrame = {
+    val spark = e.sparkSession
+    VectorExpressions.register(spark)
+    import spark.implicits._
+    val pts = e.select(col("vec_id"), qgridCol(col("embedding")).as("q"))
+    val dim = pts.select(size(col("q"))).as[Int].head()
+    // one scan: upper-triangle Gram cells, exact decimal accumulation
+    val cells = pts
+      .select(col("q"), posexplode(col("q")).as(Seq("i", "xi")))
+      .select(col("i"), col("xi"), posexplode(col("q")).as(Seq("j", "xj")))
+      .filter(col("j") >= col("i"))
+      .groupBy("i", "j")
+      .agg(sum((col("xi").cast("long") * col("xj")).cast("decimal(38,0)")).as("g"))
+      .as[(Int, Int, java.math.BigDecimal)].collect()
+    val gram = Array.fill(dim, dim)(BigInt(0))
+    cells.foreach { case (i, j, g) =>
+      val v = BigInt(g.toBigIntegerExact)
+      gram(i)(j) = v; gram(j)(i) = v
+    }
+    var v = Array.fill(dim)(BigInt(1))
+    for (_ <- 0 until iters) {
+      val w = Array.tabulate(dim)(i =>
+        (0 until dim).foldLeft(BigInt(0))((acc, j) => acc + gram(i)(j) * v(j)))
+      val m = w.map(_.abs).max
+      require(m > 0, "pcaPowerScores: zero Gram matrix")
+      v = w.map(x => x * BigInt(1048576) / m) // truncated rescale to the 2^20 grid
+    }
+    val vLit = typedLit(v.map(_.toInt).toSeq)
+    pts.select(col("vec_id"), call_function("dot_i", col("q"), vLit).as("score_q"))
+  }
 }

@@ -742,6 +742,50 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(!plan.contains("Window"), s"selection must not ride a per-cluster window:\n$plan")
   }
 
+  test("pcaPowerScores: driver replay parity, Rayleigh gain over the start vector, map-only scoring") {
+    import spark.implicits._
+    val raw = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+    val qpts = raw.map { case (id, v) =>
+      id -> v.map(x => math.floor(x.toDouble * 1048576.0).toLong).toArray }
+    val dim = qpts.head._2.length
+    val gram = Array.fill(dim, dim)(BigInt(0))
+    qpts.foreach { case (_, x) =>
+      for (i <- 0 until dim; j <- 0 until dim) gram(i)(j) += BigInt(x(i)) * x(j) }
+    def iterate(n: Int): Array[BigInt] = {
+      var v = Array.fill(dim)(BigInt(1))
+      for (_ <- 0 until n) {
+        val w = Array.tabulate(dim)(i =>
+          (0 until dim).foldLeft(BigInt(0))((a, j) => a + gram(i)(j) * v(j)))
+        val m = w.map(_.abs).max
+        v = w.map(x => x * BigInt(1048576) / m)
+      }
+      v
+    }
+    val vFinal = iterate(8)
+    val want = qpts.map { case (id, x) =>
+      id -> (0 until dim).foldLeft(BigInt(0))((a, i) => a + BigInt(x(i)) * vFinal(i)).toLong
+    }.toMap
+    val frame = Similarity.pcaPowerScores(spark, sf0001)
+    val got = frame.as[(Long, Long)].collect().toMap
+    assert(got == want, "distributed run must equal the driver replay point-for-point")
+
+    // Rayleigh quotient vᵀGv/vᵀv must grow from the all-ones start — the
+    // learned direction explains strictly more variance than where it began.
+    def rayleigh(v: Array[BigInt]): Double = {
+      val num = (0 until dim).foldLeft(BigInt(0))((a, i) =>
+        a + v(i) * (0 until dim).foldLeft(BigInt(0))((b, j) => b + gram(i)(j) * v(j)))
+      val den = v.foldLeft(BigInt(0))((a, x) => a + x * x)
+      num.toDouble / den.toDouble
+    }
+    assert(rayleigh(vFinal) > rayleigh(Array.fill(dim)(BigInt(1))) * 1.5,
+      "power iteration must improve the explained variance materially")
+
+    // final scoring is map-only: direction ships as a literal, no Exchange
+    val plan = frame.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"scoring must be map-only:\n$plan")
+  }
+
   test("hardNegatives: dense top-5 per query, never a cluster mate of the query") {
     import spark.implicits._
     val hn = Similarity.hardNegatives(spark, sf001)
