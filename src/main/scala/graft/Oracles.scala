@@ -433,6 +433,26 @@ object Oracles {
 
     "q110_pca_power" -> pcaPowerSql(iters = 8),
 
+    // q111 (cmsHeavyHitters): the d=4 × w=256 Count-Min sketch replayed —
+    // bucket = md5-prefix string, estimate = min over the 4 rows' cells,
+    // joined to the exact top-10. cms_est ≥ exact_ct by the CMS theorem.
+    "q111_cms_heavy_hitters" ->
+      """WITH ev AS (SELECT user_id FROM events),
+        |rr AS (SELECT unnest(generate_series(0, 3)) AS r),
+        |cnt AS (SELECT r, substr(md5(r || '_' || user_id), 1, 2) AS b, count(*) AS c
+        |  FROM ev CROSS JOIN rr GROUP BY 1, 2),
+        |exact AS (SELECT user_id, count(*) AS exact_ct FROM ev GROUP BY 1),
+        |top AS (SELECT user_id, exact_ct FROM (
+        |    SELECT user_id, exact_ct,
+        |      row_number() OVER (ORDER BY exact_ct DESC, user_id) AS rn
+        |    FROM exact) WHERE rn <= 10),
+        |est AS (SELECT t.user_id, t.exact_ct, min(c.c) AS cms_est
+        |  FROM top t CROSS JOIN rr
+        |  JOIN cnt c ON c.r = rr.r AND c.b = substr(md5(rr.r || '_' || t.user_id), 1, 2)
+        |  GROUP BY 1, 2)
+        |SELECT user_id, exact_ct, cast(cms_est as bigint) AS cms_est,
+        |  cast(cms_est - exact_ct as bigint) AS overcount FROM est""".stripMargin,
+
     // q109 (kmeansPrototypes): the q108 training chain + per-cluster
     // most-central top-m ranking — the SSL-prototypes pruning rule
     "q109_kmeans_prototypes" ->

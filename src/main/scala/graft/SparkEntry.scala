@@ -140,6 +140,7 @@ object SparkEntry {
     "q108_kmeans_assign"    -> ((s, d) => Similarity.kmeansAssign(s, d)),
     "q109_kmeans_prototypes" -> ((s, d) => Similarity.kmeansPrototypes(s, d)),
     "q110_pca_power"        -> ((s, d) => Similarity.pcaPowerScores(s, d)),
+    "q111_cms_heavy_hitters" -> ((s, d) => Relational.cmsHeavyHitters(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

@@ -683,4 +683,43 @@ object Relational {
       .agg(
         countDistinct(col("o_orderkey")).as("order_count"),
         expr("cast(sum(cast(o_totalprice as decimal(18,2))) as double)").as("order_amount"))
+
+  /** Count-Min-Sketch heavy hitters with exact verification — the
+    * 100 TB shape of [[skewProfile]]'s question. The exact per-key groupBy
+    * that q86 runs is the thing that stops scaling: at web scale the key
+    * space itself (user ids, URLs, shingles) dwarfs memory, while the CMS is
+    * d·w = 4·256 mergeable counters TOTAL, built in ONE corpus scan whose
+    * shuffle carries at most 1024 partial rows per mapper — the sketch, not
+    * the key space, crosses the wire. Hashes are md5-prefix buckets
+    * (`substr(md5(r || '_' || key), 1, 2)` — engine-identical strings, the
+    * q41/q61 house derivation), so the sketch replays bit-identically in
+    * DuckDB. The query emits, per exact top-10 key, the exact count AND the
+    * sketch estimate with its overcount: cms_est ≥ exact_ct is the CMS
+    * theorem (never undercounts — every row of the key adds to all d of its
+    * cells), and the overcount magnitude is the live audit of the ε = e/w
+    * error bound, the q95 self-checking-sketch house pattern. At 100 TB the
+    * candidate set comes from the sketch itself (scan keys once, keep those
+    * whose estimate clears a threshold) and the exact pass runs only on
+    * those candidates; the fixture-scale binding keeps the exact side as
+    * ground truth for the audit. */
+  def cmsHeavyHitters(spark: SparkSession, dir: String,
+                      depth: Int = 4, topN: Int = 10): DataFrame = {
+    val ev = t(spark, dir, "events").select(col("user_id"))
+    def bucket(r: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      substring(md5(concat(r.cast("string"), lit("_"), col("user_id").cast("string"))), 1, 2)
+    val rows = explode(array((0 until depth).map(lit(_)): _*))
+    val cnt = ev
+      .select(col("user_id"), rows.as("r"))
+      .withColumn("b", bucket(col("r")))
+      .groupBy("r", "b").agg(count(lit(1)).as("c"))
+    val counts = ev.groupBy("user_id").agg(count(lit(1)).as("exact_ct"))
+    val top = counts.orderBy(col("exact_ct").desc, col("user_id")).limit(topN)
+    top
+      .select(col("user_id"), col("exact_ct"), rows.as("r"))
+      .withColumn("b", bucket(col("r")))
+      .join(broadcast(cnt), Seq("r", "b"))
+      .groupBy("user_id", "exact_ct")
+      .agg(min(col("c")).as("cms_est"))
+      .withColumn("overcount", col("cms_est") - col("exact_ct"))
+  }
 }

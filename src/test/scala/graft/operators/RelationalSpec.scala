@@ -139,4 +139,33 @@ class RelationalSpec extends SparkSuite {
       "single-pass funnel must reproduce the sequential v->c->p mins exactly, " +
         "including null chaining when an earlier stage is absent")
   }
+
+  test("cmsHeavyHitters: never undercounts any key, matches a driver sketch replay, bounded error") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val ids = graft.Tables.load(spark, sf0001, "events")
+      .select(col("user_id")).as[Long].collect()
+    val n = ids.length
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def bucket(r: Int, uid: Long): String = md5hex(s"${r}_$uid").substring(0, 2)
+    // driver sketch: 4 rows x 256 md5-prefix cells, same derivation
+    val cells = scala.collection.mutable.HashMap.empty[(Int, String), Long]
+    ids.foreach(u => (0 until 4).foreach { r =>
+      val k = (r, bucket(r, u)); cells(k) = cells.getOrElse(k, 0L) + 1 })
+    def est(uid: Long): Long = (0 until 4).map(r => cells((r, bucket(r, uid)))).min
+    val exact = ids.groupBy(identity).map { case (u, xs) => u -> xs.length.toLong }
+    // CMS theorem on every key in the fixture, not just the emitted top-10
+    exact.foreach { case (u, c) =>
+      assert(est(u) >= c, s"sketch must never undercount (key $u: est ${est(u)} < exact $c)") }
+    val got = Relational.cmsHeavyHitters(spark, sf0001)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val want = exact.toSeq.sortBy { case (u, c) => (-c, u) }.take(10)
+      .map { case (u, c) => (u, c, est(u), est(u) - c) }.toSet
+    assert(got == want, "operator output must equal the driver sketch replay")
+    got.foreach { case (u, _, _, over) =>
+      assert(over >= 0 && over <= n / 64,
+        s"key $u overcount $over outside the plausible CMS band for n=$n") }
+  }
 }
