@@ -15,8 +15,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up: JVM/codegen paths + OS page cache for the inputs, so per-query
-    // numbers measure operator cost, not cold-start.
-    Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
+    // numbers measure operator cost, not cold-start. Per-table try/catch: a
+    // single unreadable table must degrade to its queries reporting -1, not
+    // kill the whole bench before the first measurement (BENCH_r07/r08 died
+    // exactly here when the regenerated events parquet changed type).
+    Tables.names.foreach { n =>
+      try Tables.load(spark, sfDir, n).count()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup $n FAILED: ${e.getMessage}") }
+    }
     // a failed query reports -1 (never a fast-looking elapsed time) and is
     // loudly visible on stderr — a regression must not flatter the benchmark
     val rt = Runtime.getRuntime

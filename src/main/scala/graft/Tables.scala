@@ -30,18 +30,32 @@ object Tables {
     })
   }
 
-  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read it as raw Long nanos (legacy conf) and derive an
-    * `event_time` TimestampType column by integer-truncating to micros — the exact
-    * semantics DuckDB applies when it reads the same file (verified: trunc, not
-    * round), so time bucketing agrees bit-for-bit with the oracle.
+  /** Derive an `event_time` TimestampType column from `events.ts`, whatever
+    * physical type the generator wrote it as. Current testdata stores
+    * TIMESTAMP(MICROS) (Spark reads TIMESTAMP_NTZ; cast is value-identical with
+    * the session TZ pinned UTC, matching DuckDB's naive read). Older generators
+    * wrote TIMESTAMP(NANOS), which Spark's vectorized reader rejects — that
+    * path reads raw Long nanos (legacy conf) and integer-truncates to micros,
+    * the exact truncation DuckDB applies (verified: trunc, not round).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // `div` = integer division; `/` would promote to double and lose precision
-    // beyond 2^53 nanos, shifting ~2% of rows by 1µs.
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val raw =
+      try spark.read.parquet(s"$dir/events.parquet")
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          // Nanos parquet fails schema conversion; re-read raw Long nanos.
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          spark.read.parquet(s"$dir/events.parquet")
+      }
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // `div` = integer division; `/` would promote to double and lose
+        // precision beyond 2^53 nanos, shifting ~2% of rows by 1µs.
+        raw.withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        raw.withColumn("event_time", col("ts").cast(TimestampType))
+    }
   }
 
   /** Register every table as a temp view named after itself. */
