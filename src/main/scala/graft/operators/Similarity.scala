@@ -714,13 +714,26 @@ object Similarity {
   def pcaPowerScores(spark: SparkSession, dir: String, iters: Int = 8): DataFrame =
     pcaPowerScoresFrom(emb(spark, dir), iters)
 
-  /** Frame form of [[pcaPowerScores]]: `e` needs vec_id + embedding. */
+  /** Frame form of [[pcaPowerScores]]: `e` needs vec_id + embedding.
+    *
+    * Dim budget: the Gram scan explodes dim·(dim+1)/2 cells PER ROW before
+    * the map-side combine (testdata dim=16 → 136 cells/row; a 768-dim
+    * embedding table would be 295k cells/row — 4 orders of magnitude more
+    * scan work, and the wrong algorithm shape). Guarded at dim ≤ 128
+    * (≤ 8.3k cells/row, still scan-dominated). Past that, switch the one
+    * corpus scan to a per-partition outer-product accumulator
+    * (`mapPartitions` over primitive arrays emitting one dim×dim block per
+    * partition) — same exact integer Gram, no row-wise explode. */
   def pcaPowerScoresFrom(e: DataFrame, iters: Int = 8): DataFrame = {
     val spark = e.sparkSession
     VectorExpressions.register(spark)
     import spark.implicits._
     val pts = e.select(col("vec_id"), qgridCol(col("embedding")).as("q"))
     val dim = pts.select(size(col("q"))).as[Int].head()
+    require(dim <= 128,
+      s"pcaPowerScoresFrom: dim=$dim explodes ${dim * (dim + 1) / 2} Gram cells " +
+        "per row; above 128 dims use a mapPartitions outer-product accumulator " +
+        "instead of the posexplode scan (see scaladoc)")
     // one scan: upper-triangle Gram cells, exact decimal accumulation
     val cells = pts
       .select(col("q"), posexplode(col("q")).as(Seq("i", "xi")))
