@@ -453,6 +453,42 @@ object Oracles {
         |SELECT user_id, exact_ct, cast(cms_est as bigint) AS cms_est,
         |  cast(cms_est - exact_ct as bigint) AS overcount FROM est""".stripMargin,
 
+    // q112 (editDistancePairs): oracle = the EXACT length-filtered full-DP
+    // Levenshtein join (|Δlen| ≤ 24 is lossless: each edit changes length by
+    // ≤ 1). The Spark side's LSH-banded candidates + thresholded banded DP
+    // must reproduce it pair-for-pair — banding recall for edit-close pairs
+    // is empirical (see Dedup.editDistancePairs scaladoc), and this
+    // hash-match is the gate that would catch any recall loss. Integer ed:
+    // both engines implement classic unit-cost Levenshtein.
+    "q112_edit_distance_pairs" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |p AS (SELECT a.doc_id AS da, b.doc_id AS db,
+        |    levenshtein(a.text, b.text) AS ed
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id AND abs(a.n - b.n) <= 24)
+        |SELECT da, db, cast(ed AS int) AS ed FROM p WHERE ed <= 24""".stripMargin,
+
+    // q115 (incrementalStats): the oracle recomputes the MV from ALL events
+    // in one pass; the Spark side maintains it by aggregating only the
+    // delta (event_id % 10 = 0) and algebraically merging with the base
+    // snapshot aggregate — equality IS the maintenance-correctness proof.
+    // Integer measures (count / floor-cents sum / max) keep it hash-exact.
+    "q115_incremental_stats" ->
+      """SELECT event_type, cast(ts as date) AS event_date,
+        |  count(*) AS ct,
+        |  cast(sum(cast(floor(value * 100) as bigint)) as bigint) AS sum_cents,
+        |  cast(max(cast(floor(value * 100) as bigint)) as bigint) AS max_cents
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // q113 (bucketedJoin): result semantics are layout-independent — the
+    // oracle is the plain join+agg; the bucketed co-location is a PLAN
+    // property pinned in RelationalSpec (zero Exchange). Integer-exact
+    // columns (count + floor-cents) avoid float-accumulation-order drift.
+    "q113_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS line_ct,
+        |  cast(sum(cast(floor(l_extendedprice * 100) as bigint)) as bigint) AS revenue_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
+
     // q109 (kmeansPrototypes): the q108 training chain + per-cluster
     // most-central top-m ranking — the SSL-prototypes pruning rule
     "q109_kmeans_prototypes" ->
@@ -1802,6 +1838,52 @@ object Oracles {
         |  cast(sum(ct * best) as bigint) AS total_score
         |FROM (SELECT word, ct, win[len(win)] AS best FROM dp WHERE i = n) f
         |GROUP BY 1""".stripMargin,
+
+    // q114 (unigramLmPrune): the q103 forward DP extended to carry the
+    // SEGMENTATION — cand is built k-ascending, so list_position(cand, max)
+    // is the smallest score-tied k, exactly the Scala side's strict-> argmax;
+    // segwin mirrors win as a last-4 window of piece lists. Usage counts,
+    // the re-estimated 2^20-quantized log-probs, and the top-48 ranking are
+    // all integer-or-total-ordered — bit-exact across engines.
+    "q114_unigram_prune" ->
+      """WITH RECURSIVE t AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+        |w AS (SELECT tok AS word, cast(count(*) as bigint) AS ct
+        |  FROM (SELECT unnest(toks) AS tok FROM t) u GROUP BY 1),
+        |pieces AS (SELECT ct, unnest(flatten(
+        |   [[substr(word, i, l) FOR i IN generate_series(1, greatest(length(word) - l + 1, 0))]
+        |    FOR l IN generate_series(1, 4)])) AS p FROM w),
+        |pc AS (SELECT p, cast(sum(ct) as bigint) AS c FROM pieces GROUP BY 1),
+        |tot AS (SELECT cast(sum(c) as bigint) AS tc FROM pc),
+        |sc AS (SELECT p, cast(floor(ln(c::DOUBLE) * 1048576) as bigint)
+        |    - (SELECT cast(floor(ln(tc::DOUBLE) * 1048576) as bigint) FROM tot) AS s FROM pc),
+        |m AS (SELECT map(list(p), list(s)) AS mp FROM sc),
+        |dp AS (
+        |  SELECT word, ct, length(word) AS n, 0 AS i, [0::BIGINT] AS win,
+        |    [[]::VARCHAR[]] AS segwin FROM w
+        |  UNION ALL
+        |  SELECT word, ct, n, i + 1 AS i,
+        |    CASE WHEN len(win) >= 4 THEN (win || [nd])[2:] ELSE win || [nd] END AS win,
+        |    CASE WHEN len(segwin) >= 4 THEN (segwin || [nseg])[2:] ELSE segwin || [nseg] END AS segwin
+        |  FROM (
+        |    SELECT word, ct, n, i, win, segwin,
+        |      list_max(cand) AS nd,
+        |      segwin[len(segwin) - list_position(cand, list_max(cand)) + 1]
+        |        || [substr(word, i + 2 - list_position(cand, list_max(cand)),
+        |                   list_position(cand, list_max(cand)))] AS nseg
+        |    FROM (
+        |      SELECT word, ct, n, i, win, segwin,
+        |        [win[len(win) - k + 1] + mp[substr(word, i + 2 - k, k)][1]
+        |          FOR k IN generate_series(1, least(4, i + 1))] AS cand
+        |      FROM dp, m WHERE i < n) q0) q),
+        |seg AS (SELECT ct, unnest(segwin[len(segwin)]) AS piece FROM dp WHERE i = n),
+        |usg AS (SELECT piece, cast(sum(ct) as bigint) AS usage FROM seg GROUP BY 1),
+        |ut AS (SELECT cast(sum(usage) as bigint) AS t FROM usg)
+        |SELECT piece, usage,
+        |  cast(floor(ln(usage::DOUBLE) * 1048576) as bigint)
+        |    - (SELECT cast(floor(ln(t::DOUBLE) * 1048576) as bigint) FROM ut) AS new_score,
+        |  cast(rn as int) AS rnk
+        |FROM (SELECT piece, usage, row_number() OVER (ORDER BY usage DESC, piece) AS rn
+        |      FROM usg) WHERE rn <= 48""".stripMargin,
 
     // Gopher/MassiveWeb rules: every rule is exact-integer cross-multiplied
     // arithmetic on both engines; top_gram_mass is a max of count·charlen

@@ -141,6 +141,10 @@ object SparkEntry {
     "q109_kmeans_prototypes" -> ((s, d) => Similarity.kmeansPrototypes(s, d)),
     "q110_pca_power"        -> ((s, d) => Similarity.pcaPowerScores(s, d)),
     "q111_cms_heavy_hitters" -> ((s, d) => Relational.cmsHeavyHitters(s, d)),
+    "q112_edit_distance_pairs" -> ((s, d) => Dedup.editDistancePairs(s, d)),
+    "q113_bucketed_join"    -> ((s, d) => Relational.bucketedJoin(s, d)),
+    "q114_unigram_prune"    -> ((s, d) => TextOps.unigramLmPrune(s, d)),
+    "q115_incremental_stats" -> ((s, d) => Relational.incrementalStats(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

@@ -722,4 +722,82 @@ object Relational {
       .agg(min(col("c")).as("cms_est"))
       .withColumn("overcount", col("cms_est") - col("exact_ct"))
   }
+
+  /** INCREMENTAL MATERIALIZED-VIEW MAINTENANCE — the batch-testable form of
+    * the reference's DWS layer (ProductStatsApp.java:66-79 keeps product
+    * stats continuously updated from a stream; a Spark-first lakehouse does
+    * the same by MERGING a delta aggregate into a stored MV instead of
+    * re-scanning the base table). The fixture splits events into a base
+    * snapshot (event_id % 10 ≠ 0 — stands in for the STORED MV's lineage)
+    * and a delta micro-batch (event_id % 10 = 0), then maintains per
+    * (event_type, event_date): row count, floor-cents value sum, max cents.
+    *
+    * The maintenance path aggregates ONLY the delta and merges it with the
+    * MV rows — all measures are ALGEBRAIC (count/sum/max merge by
+    * sum/sum/max), so the merge is a shuffle over |MV| + |delta-agg| rows,
+    * never |base|. At 100 TB the base table is never re-read: the MV is a
+    * stored table ([[graft.io.Io.upsertDim]]'s bucketed layout rewrites only
+    * touched buckets) and each micro-batch pays O(delta) + O(touched keys).
+    * Holistic measures (exact distinct) are deliberately excluded — they
+    * don't merge; the mergeable-sketch path (q34's HLL, q111's CMS) is the
+    * 100 TB answer for those. The oracle recomputes the same MV from ALL
+    * events in one pass — equality IS the maintenance-correctness proof. */
+  def incrementalStats(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events").select(
+      col("event_id"), col("event_type"),
+      to_date(col("event_time")).as("event_date"),
+      floor(col("value") * 100).cast("long").as("cents"))
+    def agg(side: DataFrame): DataFrame = side
+      .groupBy("event_type", "event_date")
+      .agg(count(lit(1)).as("ct"), sum(col("cents")).as("sum_cents"),
+        max(col("cents")).as("max_cents"))
+    val mv = agg(ev.filter(col("event_id") % 10 =!= 0)) // the stored snapshot
+    val delta = agg(ev.filter(col("event_id") % 10 === 0)) // the micro-batch
+    mv.unionByName(delta)
+      .groupBy("event_type", "event_date")
+      .agg(sum(col("ct")).as("ct"), sum(col("sum_cents")).as("sum_cents"),
+        max(col("max_cents")).as("max_cents"))
+  }
+
+  /** Shuffle-free fact⋈fact join via BUCKETED LAYOUT — the co-location
+    * pattern every repeated big join should ride at 100 TB. Both sides are
+    * written ONCE as bucketed tables (`bucketBy` on the join key, same
+    * bucket count), after which ANY join on that key reads bucket-aligned
+    * scans and Catalyst plans a SortMergeJoin with ZERO Exchange on either
+    * side (spec-pinned): the shuffle is paid once at layout time, not per
+    * query. The reference replays its orders⋈order-detail widening on every
+    * run (OrderWideApp.java:106's keyed interval join re-partitions both
+    * streams each job); a lakehouse layout makes it a one-time cost.
+    *
+    * Layout lifecycle: the table pair is keyed by an md5 tag of the source
+    * dir, created only if absent from the session catalog (a repeated call —
+    * e.g. bench passes — reuses the layout, which is the point), stored
+    * under java.io.tmpdir so the repo tree stays clean. 8 buckets ≈ the
+    * local-mode sweet spot; at cluster scale raise to O(total size / 1 GB).
+    *
+    * Output is integer-exact (line counts + floor-cents revenue) so the
+    * DuckDB oracle hash-matches without float-accumulation-order hazards. */
+  def bucketedJoin(spark: SparkSession, dir: String, buckets: Int = 8): DataFrame = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val base = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_bucketed", tag)
+    def layout(name: String, key: String): String = {
+      val table = s"graft_bkt_${name}_$tag"
+      if (!spark.catalog.tableExists(table)) {
+        Tables.load(spark, dir, name).write
+          .bucketBy(buckets, key).sortBy(key)
+          .option("path", base.resolve(name).toString)
+          .mode("overwrite")
+          .saveAsTable(table)
+      }
+      table
+    }
+    val l = spark.table(layout("lineitem", "l_orderkey"))
+    val o = spark.table(layout("orders", "o_orderkey"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("line_ct"),
+        sum(floor(col("l_extendedprice") * 100).cast("long")).as("revenue_cents"))
+  }
 }

@@ -689,8 +689,11 @@ object TextOps {
   def unigramLmScore(spark: SparkSession, dir: String): DataFrame =
     unigramLmScoreFrom(docs(spark, dir))
 
-  /** Frame form of [[unigramLmScore]]: `d` needs a text column. */
-  def unigramLmScoreFrom(d: DataFrame): DataFrame = {
+  /** Shared model build for [[unigramLmScoreFrom]] / [[unigramLmPruneFrom]]:
+    * word-type table + broadcast integer piece log-prob map (2²⁰-quantized,
+    * alphabet-bounded vocabulary — see [[unigramLmScore]] scaladoc). */
+  private def unigramPieceModel(d: DataFrame)
+      : (DataFrame, org.apache.spark.broadcast.Broadcast[Map[String, Long]]) = {
     val words = d.select(explode(tokenCountsUdf(col("text"))).as(Seq("word", "c")))
       .groupBy("word").agg(sum(col("c")).cast("long").as("ct"))
       .persist()
@@ -709,6 +712,12 @@ object TextOps {
     val lTot = ll(tot)
     val bc = d.sparkSession.sparkContext.broadcast(
       pcMap.map { case (p, c) => p -> (ll(c) - lTot) })
+    (words, bc)
+  }
+
+  /** Frame form of [[unigramLmScore]]: `d` needs a text column. */
+  def unigramLmScoreFrom(d: DataFrame): DataFrame = {
+    val (words, bc) = unigramPieceModel(d)
     val viterbi = udf((word: String) => {
       val n = word.length
       val dp = new Array[Long](n + 1)
@@ -732,6 +741,65 @@ object TextOps {
       .agg(count(lit(1)).cast("long").as("words"),
         sum(col("ct")).cast("long").as("occurrences"),
         sum(col("ct") * col("best")).cast("long").as("total_score"))
+  }
+
+  /** SentencePiece M-STEP completing [[unigramLmScore]]'s E-step (Kudo 2018
+    * §3.2's EM round, integer-exact): Viterbi-SEGMENT every word type under
+    * the current piece model (deterministic tie-break: the SMALLEST last-piece
+    * length among score-ties, so the path — not just the score — replays
+    * bit-identically in the q114 oracle's recursive CTE), count ct-weighted
+    * piece USAGE over the corpus, re-estimate each piece's 2²⁰-quantized
+    * log-prob from its usage share, and emit the top-`keep` surviving pieces —
+    * the prune step that iterated to a target vocab IS SentencePiece training.
+    *
+    * Scale shape = the [[unigramLmScore]] contract: model is alphabet-bounded
+    * control-plane (broadcast), segmentation is a map-only pass over word
+    * TYPES (not tokens), usage is ONE partial-agged groupBy on piece strings
+    * (≤ |alphabet|⁴ keys), and the final top-`keep` ranking windows over a
+    * `keep`-bounded frame, never the full vocab. */
+  def unigramLmPrune(spark: SparkSession, dir: String, keep: Int = 48): DataFrame =
+    unigramLmPruneFrom(docs(spark, dir), keep)
+
+  /** Frame form of [[unigramLmPrune]]: `d` needs a text column. */
+  def unigramLmPruneFrom(d: DataFrame, keep: Int = 48): DataFrame = {
+    val (words, bc) = unigramPieceModel(d)
+    val segment = udf((word: String) => {
+      val n = word.length
+      val dp = new Array[Long](n + 1)
+      val bk = new Array[Int](n + 1)
+      var i = 1
+      while (i <= n) {
+        var best = Long.MinValue
+        var bestK = 1
+        var k = 1
+        while (k <= 4 && k <= i) {
+          val s = dp(i - k) + bc.value(word.substring(i - k, i))
+          // strict > keeps the FIRST (smallest) k on ties — the oracle's
+          // list_position(cand, max) picks the same index
+          if (s > best) { best = s; bestK = k }
+          k += 1
+        }
+        dp(i) = best; bk(i) = bestK; i += 1
+      }
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var p = n
+      while (p > 0) { out.prepend(word.substring(p - bk(p), p)); p -= bk(p) }
+      out.toList
+    })
+    val usage = words
+      .select(col("ct"), explode(segment(col("word"))).as("piece"))
+      .groupBy("piece").agg(sum(col("ct")).cast("long").as("usage"))
+      .persist()
+    // total usage = one-row control-plane action (the quantizer convention)
+    val tot = usage.agg(sum(col("usage"))).head().getLong(0)
+    def ll(x: Long): Long = math.floor(math.log(x.toDouble) * 1048576.0).toLong
+    val top = usage.orderBy(col("usage").desc, col("piece")).limit(keep)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("usage").desc, col("piece"))
+    top
+      .withColumn("new_score", udf((u: Long) => ll(u) - ll(tot)).apply(col("usage")))
+      .withColumn("rnk", row_number().over(w))
+      .select(col("piece"), col("usage"), col("new_score"), col("rnk"))
   }
 
   /** C4-style rule-based quality filter (Raffel et al. 2020 §2.2 heuristics,

@@ -50,4 +50,23 @@ class ToolsSpec extends AnyFunSuite {
       "UTF-8")).size
     assert("(?m)^(OK|SLOW) ".r.findAllIn(s).size == floorKeys, s.takeRight(500))
   }
+
+  test("check_driver_artifacts flags the round-8 breakage (dead queries + dead bench)") {
+    // the r08 artifacts ARE the regression fixture: 22 queries with no
+    // CORRECTNESS row and a rc=1 bench. The gate must name both, loudly —
+    // these artifacts sat unread for a full round (round-8 postmortem).
+    val out = new StringBuilder
+    val code = Process(Seq("python3", "tools/check_driver_artifacts.py"), repoRoot)
+      .!(ProcessLogger(l => out.append(l).append('\n')))
+    val s = out.toString
+    val latest = "CORRECTNESS_r(\\d+)".r.findAllMatchIn(
+      repoRoot.listFiles().map(_.getName).mkString(" ")).map(_.group(1).toInt).max
+    if (latest == 8) {
+      assert(code == 1, s)
+      assert(s.contains("q05_tumbling_window") && s.contains("rc=1"), s)
+    } else {
+      // later rounds: the gate must at least run and parse the artifacts
+      assert(s.contains("DRIVER ARTIFACTS") || s.contains("artifacts clean"), s)
+    }
+  }
 }

@@ -25,6 +25,43 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(recall >= 0.9, s"recall $recall (found ${lsh.size} of ${exact.size})")
   }
 
+  test("editDistancePairs: matches the exact O(n²) Levenshtein join; threshold boundary inclusive") {
+    import spark.implicits._
+    val d = graft.Tables.load(spark, sf001, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    def lev(a: String, b: String): Int = {
+      val prev = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        var diag = prev(0); prev(0) = i
+        for (j <- 1 to b.length) {
+          val cost = math.min(math.min(prev(j) + 1, prev(j - 1) + 1),
+            diag + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          diag = prev(j); prev(j) = cost
+        }
+      }
+      prev(b.length)
+    }
+    val exact = (for {
+      (ia, ta) <- d; (ib, tb) <- d
+      if ia < ib && math.abs(ta.length - tb.length) <= 24
+      ed = lev(ta, tb) if ed <= 24
+    } yield (ia, ib, ed)).toSet
+    val got = Dedup.editDistancePairs(spark, sf001)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(exact.nonEmpty, "fixture should contain edit-close pairs")
+    assert(got == exact, s"missing=${exact -- got} extra=${got -- exact}")
+    // boundary: a pair at exactly maxEd must be kept (threshold inclusive)
+    // long shared texts: banding is probabilistic per band, so the fixture
+    // needs shingle-Jaccard high enough (~0.95 here) that at least one of the
+    // 16 bands collides with near-certainty; a short doc would make the
+    // boundary test flaky on the banding dice (the UDF is deterministic, but
+    // the margin documents WHY this fixture is safe)
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val two = Seq((1L, base + " omega"), (2L, base + " omegX")).toDF("doc_id", "text")
+    val b = Dedup.editDistancePairsFrom(two, maxEd = 1).as[(Long, Long, Int)].collect()
+    assert(b.toSeq == Seq((1L, 2L, 1)), b.toSeq)
+  }
+
   test("containmentPairs: catches asymmetric dups Jaccard misses; 0.8 boundary inclusive; prefix filter = full join") {
     import graft.functions.TextFns.shingleHashesUdf
     import spark.implicits._

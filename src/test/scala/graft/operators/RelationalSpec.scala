@@ -69,6 +69,49 @@ class RelationalSpec extends SparkSuite {
     }
   }
 
+  test("incrementalStats: delta-merge equals a one-pass full recompute") {
+    import org.apache.spark.sql.functions._
+    val full = graft.Tables.load(spark, sf0001, "events")
+      .select(col("event_type"), to_date(col("event_time")).as("event_date"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      .groupBy("event_type", "event_date")
+      .agg(count(lit(1)).as("ct"), sum(col("cents")).as("sum_cents"),
+        max(col("cents")).as("max_cents"))
+      .collect().toSet
+    val inc = Relational.incrementalStats(spark, sf0001).collect().toSet
+    assert(inc == full)
+    assert(inc.nonEmpty)
+  }
+
+  test("bucketedJoin: co-located SMJ with zero Exchange; equals the plain join") {
+    // disable broadcast so the bucket property is what's under test — with it
+    // on, a small orders side would broadcast and trivially show no Exchange
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    import org.apache.spark.sql.functions._
+    try {
+      val df = Relational.bucketedJoin(spark, sf0001)
+      val plan = physicalPlan(df)
+      assert(plan.contains("SortMergeJoin"), plan)
+      // the join must read bucket-aligned scans with no shuffle on either
+      // join key (the final 4-group priority agg legitimately repartitions)
+      assert(!plan.contains("Exchange hashpartitioning(l_orderkey") &&
+        !plan.contains("Exchange hashpartitioning(o_orderkey"),
+        s"bucketed join must not shuffle either side:\n$plan")
+      assert(plan.contains("Bucketed: true"), plan)
+      assert(!plan.contains("Bucketed: false"), plan)
+      val plain = graft.Tables.load(spark, sf0001, "lineitem")
+        .join(graft.Tables.load(spark, sf0001, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("line_ct"),
+          sum(floor(col("l_extendedprice") * 100).cast("long")).as("revenue_cents"))
+      assert(df.collect().toSet == plain.collect().toSet)
+      // second call must take the catalog-reuse path (tables already exist)
+      assert(Relational.bucketedJoin(spark, sf0001).collect().toSet == df.collect().toSet)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("entry flagship query returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }

@@ -404,6 +404,41 @@ class TextOpsSpec extends SparkSuite {
     assert(got == exp, s"got $got exp $exp")
   }
 
+  test("unigramLmPrune: usage equals a driver-side Viterbi-path replay; tie-break is smallest-k") {
+    import spark.implicits._
+    val texts = Seq("ab abcd abcd cd", "ab x", "abab abab baba")
+    val got = TextOps.unigramLmPruneFrom(texts.toDF("text"), keep = 48).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+    // independent replay: same model build, DP with explicit parent pointers
+    val words = texts.flatMap(_.split(" ")).groupBy(identity)
+      .map { case (w, ws) => w -> ws.size.toLong }
+    val pieces = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    for ((w, ct) <- words; l <- 1 to 4; i <- 0 to w.length - l)
+      pieces(w.substring(i, i + l)) += ct
+    def ll(x: Long) = math.floor(math.log(x.toDouble) * 1048576.0).toLong
+    val lTot = ll(pieces.values.sum)
+    val sc = pieces.map { case (p, c) => p -> (ll(c) - lTot) }
+    def seg(w: String): List[String] = {
+      val dp = Array.fill(w.length + 1)(Long.MinValue); dp(0) = 0L
+      val bk = new Array[Int](w.length + 1)
+      for (i <- 1 to w.length; k <- 1 to math.min(4, i)) {
+        val s = dp(i - k) + sc(w.substring(i - k, i))
+        if (s > dp(i)) { dp(i) = s; bk(i) = k } // strict >: smallest k on ties
+      }
+      var p = w.length; var out = List.empty[String]
+      while (p > 0) { out = w.substring(p - bk(p), p) :: out; p -= bk(p) }
+      out
+    }
+    val usage = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    for ((w, ct) <- words; p <- seg(w)) usage(p) += ct
+    val uTot = usage.values.sum
+    val exp = usage.toSeq.sortBy { case (p, u) => (-u, p) }.take(48).zipWithIndex
+      .map { case ((p, u), i) => p -> ((u, ll(u) - ll(uTot), i + 1)) }.toMap
+    assert(got == exp, s"got $got\nexp $exp")
+    // pieces must reassemble their words: segmentation is a partition
+    words.keys.foreach(w => assert(seg(w).mkString == w))
+  }
+
   test("dsirSelect: target-like docs pass the importance test, off-target docs fail") {
     import spark.implicits._
     // vocabularies hash to distinct buckets (alpha 2c, beta 98, gamma 05,
