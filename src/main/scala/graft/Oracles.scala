@@ -467,6 +467,15 @@ object Oracles {
         |  FROM d a JOIN d b ON a.doc_id < b.doc_id AND abs(a.n - b.n) <= 24)
         |SELECT da, db, cast(ed AS int) AS ed FROM p WHERE ed <= 24""".stripMargin,
 
+    // q116 (retentionCohorts): (user, day) dedup -> first-seen min ->
+    // offset counts, all integer/date-exact on both engines
+    "q116_retention_cohorts" ->
+      """WITH ud AS (SELECT DISTINCT user_id, cast(ts as date) AS d FROM events),
+        |f AS (SELECT user_id, min(d) AS cohort FROM ud GROUP BY 1)
+        |SELECT cohort, cast(date_diff('day', cohort, d) as int) AS day_offset,
+        |  count(*) AS active_users
+        |FROM ud JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin,
+
     // q115 (incrementalStats): the oracle recomputes the MV from ALL events
     // in one pass; the Spark side maintains it by aggregating only the
     // delta (event_id % 10 = 0) and algebraically merging with the base

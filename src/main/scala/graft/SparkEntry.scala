@@ -145,6 +145,7 @@ object SparkEntry {
     "q113_bucketed_join"    -> ((s, d) => Relational.bucketedJoin(s, d)),
     "q114_unigram_prune"    -> ((s, d) => TextOps.unigramLmPrune(s, d)),
     "q115_incremental_stats" -> ((s, d) => Relational.incrementalStats(s, d)),
+    "q116_retention_cohorts" -> ((s, d) => Relational.retentionCohorts(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

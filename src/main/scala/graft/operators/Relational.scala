@@ -759,6 +759,30 @@ object Relational {
         max(col("max_cents")).as("max_cents"))
   }
 
+  /** RETENTION COHORTS — the e-commerce DWS classic the reference's
+    * visitor-stats layer feeds (VisitorStatsApp tracks is_new/revisit per
+    * window; cohort retention is its longitudinal rollup): group users by
+    * first-seen date, report how many are active again N days later.
+    *
+    * Scale discipline: NO holistic distinct anywhere. The (user, day)
+    * activity set is deduplicated FIRST (one map-side-combinable
+    * `distinct`), so cohort attribution is a groupBy-min over already-thin
+    * rows and the final per-(cohort, offset) count is a plain `count(*)` —
+    * rows are unique by construction. The first-seen join is an equi-join
+    * on user_id between two frames both derived from the deduped set; at
+    * 100 TB both sides arrive hash-partitioned by user_id from the same
+    * parent, and AQE coalesces the residual exchange. */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val ud = t(spark, dir, "events")
+      .select(col("user_id"), to_date(col("event_time")).as("d"))
+      .distinct()
+    val first = ud.groupBy("user_id").agg(min(col("d")).as("cohort"))
+    ud.join(first, "user_id")
+      .withColumn("day_offset", datediff(col("d"), col("cohort")))
+      .groupBy("cohort", "day_offset")
+      .agg(count(lit(1)).as("active_users"))
+  }
+
   /** Shuffle-free fact⋈fact join via BUCKETED LAYOUT — the co-location
     * pattern every repeated big join should ride at 100 TB. Both sides are
     * written ONCE as bucketed tables (`bucketBy` on the join key, same

@@ -69,6 +69,28 @@ class RelationalSpec extends SparkSuite {
     }
   }
 
+  test("retentionCohorts: equals a driver-side replay; day-0 row per cohort covers all its users") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val got = Relational.retentionCohorts(spark, sf0001)
+      .select(col("cohort").cast("string"), col("day_offset"), col("active_users"))
+      .as[(String, Int, Long)].collect().toSet
+    val ud = graft.Tables.load(spark, sf0001, "events")
+      .select(col("user_id"), to_date(col("event_time")).cast("string").as("d"))
+      .as[(Long, String)].collect().toSet
+    val first = ud.groupBy(_._1).map { case (u, ds) => u -> ds.map(_._2).min }
+    val exp = ud.toSeq
+      .map { case (u, d) => (first(u),
+        java.time.temporal.ChronoUnit.DAYS.between(
+          java.time.LocalDate.parse(first(u)), java.time.LocalDate.parse(d)).toInt) }
+      .groupBy(identity).map { case ((c, off), xs) => (c, off, xs.size.toLong) }.toSet
+    assert(got == exp, s"missing=${exp -- got} extra=${got -- exp}")
+    // every user appears in their cohort's day-0 row by definition
+    val day0 = got.filter(_._2 == 0).map(r => r._1 -> r._3).toMap
+    val cohortSizes = first.groupBy(_._2).map { case (c, us) => c -> us.size.toLong }
+    assert(day0 == cohortSizes)
+  }
+
   test("incrementalStats: delta-merge equals a one-pass full recompute") {
     import org.apache.spark.sql.functions._
     val full = graft.Tables.load(spark, sf0001, "events")
