@@ -58,25 +58,34 @@ object Dedup {
   def minhashLsh(spark: SparkSession, dir: String): DataFrame =
     minhashLshFrom(docs(spark, dir))
 
-  /** MinHash-LSH near-dup pairs over any (doc_id, text) DataFrame — lets
-    * pipeline stages (e.g. [[graft.operators.TextOps.cleanCorpus]]) run
-    * near-dup detection on an already-filtered corpus instead of rescanning
-    * everything. */
-  def minhashLshFrom(corpus: DataFrame): DataFrame = {
-    val bands = 16
-    // Single-pass kernels (TextFns.textBands / shingleHashes): the banding side
-    // shuffles only (doc_id, band, band_hash); the verification side joins
-    // 64-bit shingle-hash arrays back for surviving candidates only, so the
-    // expensive text processing runs O(n) times, never per candidate pair.
+  /** Shared MinHash-LSH SELF-join candidate generation: (da, db) doc pairs
+    * (da < db) that collide in at least one of `bands` bands. ONE shuffle on
+    * (band, band_hash); consumed by [[minhashLshFrom]] (Jaccard verify) and
+    * [[editDistancePairsFrom]] (Levenshtein verify) — one definition, so a
+    * banding change can never desynchronize the dedup operators' candidate
+    * sets. [[ingestNearDup]]'s CROSS-set variant stays separate by design. */
+  private def lshCandidatePairs(corpus: DataFrame, bands: Int = 16): DataFrame = {
     val banded = corpus
       .select(col("doc_id"), posexplode(textBandsUdf(bands)(col("text"))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
-    val cand = banded.as("a")
+    banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .dropDuplicates("da", "db")
+  }
+
+  /** MinHash-LSH near-dup pairs over any (doc_id, text) DataFrame — lets
+    * pipeline stages (e.g. [[graft.operators.TextOps.cleanCorpus]]) run
+    * near-dup detection on an already-filtered corpus instead of rescanning
+    * everything. */
+  def minhashLshFrom(corpus: DataFrame): DataFrame = {
+    // Single-pass kernels (TextFns.textBands / shingleHashes): the banding side
+    // shuffles only (doc_id, band, band_hash); the verification side joins
+    // 64-bit shingle-hash arrays back for surviving candidates only, so the
+    // expensive text processing runs O(n) times, never per candidate pair.
+    val cand = lshCandidatePairs(corpus)
     val hashes = corpus
       .select(col("doc_id"), shingleHashesUdf(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
@@ -117,20 +126,22 @@ object Dedup {
   def editDistancePairs(spark: SparkSession, dir: String, maxEd: Int = 24): DataFrame =
     editDistancePairsFrom(docs(spark, dir), maxEd)
 
-  /** Frame form of [[editDistancePairs]]: `corpus` needs doc_id + text. */
+  /** Frame form of [[editDistancePairs]]: `corpus` needs doc_id + text.
+    *
+    * The length rides the text join on purpose. A thin-first variant
+    * (join (doc_id, len) only, length-filter, then fetch text for
+    * survivors) was prototyped and rejected: solo sf0.1 timings are
+    * indistinguishable (0.98 s vs 1.09 s), and the prune's measured
+    * selectivity on LSH candidates is ~0.4% (257 → 256 pairs) — banding
+    * already selects near-dups, which are length-close, so thin-first's
+    * text-shipping saving is negligible while it doubles the join passes
+    * over the candidate set. The scale cost of this operator is the DP,
+    * and the THRESHOLD bounds that; the length filter's job is only to
+    * skip the DP where |Δlen| alone disproves the pair, which it does
+    * equally well fused into the verify join. */
   def editDistancePairsFrom(corpus: DataFrame, maxEd: Int = 24): DataFrame = {
-    val bands = 16
-    val banded = corpus
-      .select(col("doc_id"), posexplode(textBandsUdf(bands)(col("text"))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
-    val cand = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .dropDuplicates("da", "db")
     val texts = corpus.select(col("doc_id"), col("text"), length(col("text")).as("n"))
-    cand
+    lshCandidatePairs(corpus)
       .join(texts.select(col("doc_id").as("da"), col("text").as("ta"), col("n").as("na")), "da")
       .join(texts.select(col("doc_id").as("db"), col("text").as("tb"), col("n").as("nb")), "db")
       // lossless pre-DP prune: ed(a,b) ≥ |len(a)−len(b)|

@@ -34,6 +34,32 @@ class TablesSpec extends SparkSuite {
     assert(micros == nanos / 1000, s"expected trunc(ns/1000), got $micros")
   }
 
+  test("events loader handles real TIMESTAMP(NANOS) parquet via the AnalysisException fallback") {
+    // src/test/resources/events_nanos.parquet is a REAL pre-round-8-shaped
+    // file (physical INT64 TIMESTAMP(NANOS,false)): Spark 4.1.2 rejects it
+    // eagerly at spark.read.parquet with AnalysisException
+    // [PARQUET_TYPE_ILLEGAL] (probed 2026-08-13) — this pins the catch →
+    // nanosAsLong → truncate path on the authentic trigger, which the
+    // plain-Long fixture above cannot reach (it loads first try). If a
+    // Spark upgrade re-parents the exception, THIS test goes red instead of
+    // 23 events queries dying with a raw analyzer stack (round 8's mode).
+    val dir = java.nio.file.Files.createTempDirectory("graft-ev-realnanos").toString
+    val src = new java.io.File("src/test/resources/events_nanos.parquet")
+    assert(src.isDirectory, s"fixture missing: $src")
+    val dst = java.nio.file.Paths.get(dir, "events.parquet")
+    java.nio.file.Files.createDirectories(dst)
+    src.listFiles().foreach(f =>
+      java.nio.file.Files.copy(f.toPath, dst.resolve(f.getName)))
+    val ev = Tables.events(spark, dir)
+    assert(ev.schema("event_time").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    val micros = ev.orderBy("event_id").select(unix_micros(col("event_time")))
+      .collect().map(_.getLong(0)).toSeq
+    // trunc(ns/1000), never round: ...001999 -> ...001, ...999999999 -> ...999999
+    assert(micros == Seq(1704067200000001L, 1704067200500000L, 1704153600999999L),
+      micros)
+  }
+
   test("a retyped column fails with one actionable drift error, not an analyzer stack") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-drift").toString

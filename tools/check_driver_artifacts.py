@@ -40,10 +40,22 @@ def main() -> int:
         return 0
     rows = json.load(open(cpath))
     missing = sorted(expected - set(rows.keys()))
-    if missing:
+    # A query the driver has NEVER reported on is new since the artifact —
+    # normal mid-round state, not a Verify crash. Only a query that has a
+    # row in SOME prior artifact but vanished from the latest one indicates
+    # Verify threw before dumping it (the round-8 silent-failure mode).
+    ever_seen = set()
+    for p in glob.glob("CORRECTNESS_r*.json"):
+        ever_seen.update(json.load(open(p)).keys())
+    dropped = [q for q in missing if q in ever_seen]
+    new = [q for q in missing if q not in ever_seen]
+    if dropped:
         problems.append(
-            f"{cpath}: {len(missing)} queries have NO row (Verify threw before "
-            f"dumping them): {', '.join(missing)}")
+            f"{cpath}: {len(dropped)} queries have NO row (Verify threw before "
+            f"dumping them): {', '.join(dropped)}")
+    if new:
+        print(f"note: {len(new)} queries newer than {cpath} (not yet "
+              f"driver-reported): {', '.join(new)}")
     for name, r in sorted(rows.items()):
         if not (r.get("rows_match") and r.get("schema_match")
                 and r.get("hash_match")):
