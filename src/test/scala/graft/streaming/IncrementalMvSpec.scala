@@ -69,6 +69,24 @@ class IncrementalMvSpec extends SparkSuite {
       "partial-commit replay must fill only the missed keys, once")
   }
 
+  test("real events table in 3 micro-batches equals the oracle-gated q115 MV") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mv-real").toString
+    val ev = graft.Tables.load(spark, sf0001, "events")
+      .select(col("event_id"), col("event_time"), col("event_type"), col("value"))
+    (0L to 2L).foreach { i =>
+      IncrementalMv.applyBatch(spark,
+        ev.filter(col("event_id") % 3 === i).drop("event_id"), dir, epoch = i)
+    }
+    val got = readMv(dir)
+    // the q115 operator computes the same MV (its own equality with a
+    // one-pass recompute is oracle-gated at sf0.01) — chain to it
+    val q115 = graft.operators.Relational.incrementalStats(spark, sf0001)
+      .select(col("event_type"), col("event_date").cast("string"),
+        col("ct"), col("sum_cents"), col("max_cents"))
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    assert(got == q115, s"missing=${q115 -- got} extra=${got -- q115}")
+  }
+
   test("streaming run: MemoryStream batches land exactly-once through foreachBatch") {
     implicit val sqlCtx = spark.sqlContext
     val base = java.nio.file.Files.createTempDirectory("graft-mv-stream")
