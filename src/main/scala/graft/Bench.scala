@@ -19,9 +19,11 @@ object Bench {
     // single unreadable table must degrade to its queries reporting -1, not
     // kill the whole bench before the first measurement (BENCH_r07/r08 died
     // exactly here when the regenerated events parquet changed type).
+    // NonFatal only: an OutOfMemoryError/LinkageError here means a corrupted
+    // JVM whose per-query numbers would be garbage — abort loudly instead
     Tables.names.foreach { n =>
       try Tables.load(spark, sfDir, n).count()
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] warmup $n FAILED: ${e.getMessage}") }
     }
     // a failed query reports -1 (never a fast-looking elapsed time) and is
@@ -56,7 +58,7 @@ object Bench {
         fn(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
       } catch {
-        case e: Throwable =>
+        case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           -1.0
       }

@@ -101,8 +101,20 @@ object Tables {
       catch {
         case _: org.apache.spark.sql.AnalysisException =>
           // Nanos parquet fails schema conversion; re-read raw Long nanos.
-          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-          spark.read.parquet(s"$dir/events.parquet")
+          // The legacy conf is session-global — restore its previous value so
+          // unrelated nanos-typed reads later in the session still error
+          // loudly instead of silently loading as Long (round-9 ADVICE).
+          val key = "spark.sql.legacy.parquet.nanosAsLong"
+          val prev = spark.conf.getOption(key)
+          spark.conf.set(key, "true")
+          try {
+            val df = spark.read.parquet(s"$dir/events.parquet")
+            df.schema // force schema resolution while the conf is active
+            df
+          } finally prev match {
+            case Some(v) => spark.conf.set(key, v)
+            case None    => spark.conf.unset(key)
+          }
       }
     raw.schema("ts").dataType match {
       case LongType =>

@@ -802,8 +802,14 @@ object Relational {
     * Output is integer-exact (line counts + floor-cents revenue) so the
     * DuckDB oracle hash-matches without float-accumulation-order hazards. */
   def bucketedJoin(spark: SparkSession, dir: String, buckets: Int = 8): DataFrame = {
+    // tag includes the PID: the layout dir is in the SHARED java.io.tmpdir,
+    // and two concurrent JVMs (test suite + bench on one machine) would both
+    // see tableExists=false for an md5(dir)-only key and race overwrite
+    // writes into the same directories (round-9 ADVICE). Per-process paths
+    // keep the within-JVM reuse (bench passes) that amortizes the layout.
     val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8) +
+      "_p" + ProcessHandle.current().pid()
     val base = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), "graft_bucketed", tag)
     def layout(name: String, key: String): String = {
@@ -823,5 +829,51 @@ object Relational {
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("line_ct"),
         sum(floor(col("l_extendedprice") * 100).cast("long")).as("revenue_cents"))
+  }
+
+  /** SKETCH-MERGED INCREMENTAL MV (q117) — [[incrementalStats]] (q115)
+    * extended with the measure that operator deliberately excluded: a
+    * DISTINCT-USER count. Exact distinct is holistic (a HashSet doesn't
+    * merge — the reference's ProductStatsApp.java:218-265 carries one per
+    * window and can, because Flink keeps per-key state hot; a stored MV
+    * can't re-read its base), so the MV carries a MERGEABLE DataSketches
+    * HLL sketch instead: each side aggregates `hll_sketch_agg(user_id)`
+    * partials (BINARY, map-side combinable), and maintenance merges them
+    * with `hll_union_agg` — an algebraic merge, same discipline as
+    * sum/sum/max. At 100 TB the delta pays O(delta) + O(touched keys) and
+    * the base is never re-scanned, with per-key sketch size bounded
+    * (~2^lgK bytes) regardless of cardinality.
+    *
+    * Oracle: the q34 self-check pattern — sketch estimates differ across
+    * engines (DataSketches HLL vs DuckDB's), so BOTH engines output their
+    * exact distinct (hash-compared) plus their OWN within-tolerance flag.
+    * Tolerance 0.15 ≈ 9× the sketch's default rsd; per-group cardinalities
+    * here sit in HLL's near-exact sparse range. The streaming twin is
+    * [[graft.streaming.IncrementalMv]] with `distinctCol` set. */
+  def incrementalStatsSketch(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events").select(
+      col("event_id"), col("event_type"), col("user_id"),
+      to_date(col("event_time")).as("event_date"),
+      floor(col("value") * 100).cast("long").as("cents"))
+    def agg(side: DataFrame): DataFrame = side
+      .groupBy("event_type", "event_date")
+      .agg(count(lit(1)).as("ct"), sum(col("cents")).as("sum_cents"),
+        hll_sketch_agg(col("user_id")).as("uv_sketch"))
+    val mv = agg(ev.filter(col("event_id") % 10 =!= 0)) // the stored snapshot
+    val delta = agg(ev.filter(col("event_id") % 10 === 0)) // the micro-batch
+    val merged = mv.unionByName(delta)
+      .groupBy("event_type", "event_date")
+      .agg(sum(col("ct")).as("ct"), sum(col("sum_cents")).as("sum_cents"),
+        hll_union_agg(col("uv_sketch")).as("uv_sketch"))
+    // self-check ground truth: exact distinct from a one-pass recompute —
+    // the production MV drops this (it exists so estimate quality is a
+    // driver-visible gate, not a spec-only claim)
+    val exact = ev.groupBy("event_type", "event_date")
+      .agg(countDistinct(col("user_id")).as("uv_exact"))
+    merged.join(exact, Seq("event_type", "event_date"))
+      .select(col("event_type"), col("event_date"), col("ct"), col("sum_cents"),
+        col("uv_exact"),
+        (abs(hll_sketch_estimate(col("uv_sketch")).cast("double") - col("uv_exact"))
+          / col("uv_exact") <= 0.15).as("approx_ok"))
   }
 }

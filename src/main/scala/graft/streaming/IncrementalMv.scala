@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.io.Io
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -30,28 +30,51 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * with a txn-id column plays the same trick); the JDBC twin of the same
   * idea is [[Io.appendIdempotent]]'s epoch table.
   *
-  * Holistic measures (exact distinct) are excluded by design — they don't
-  * merge; mergeable sketches (q34 HLL / q111 CMS) are the 100 TB answer. */
+  * Holistic measures (exact distinct) don't merge; the mergeable-sketch
+  * form DOES — set `distinctCol` and the MV carries a DataSketches HLL
+  * sketch per key (`uv_sketch` BINARY): per-batch `hll_sketch_agg`
+  * partials, merged with `hll_union` on replay-surviving keys, estimated
+  * on read. Same per-key epoch discipline — a replayed epoch's union is
+  * dropped before it happens, so the sketch never absorbs a batch twice
+  * (unions are idempotent per element but NOT per batch when later epochs
+  * interleave; the epoch gate makes the stronger guarantee). The
+  * oracle-gated batch twin is
+  * [[graft.operators.Relational.incrementalStatsSketch]] (q117). */
 object IncrementalMv {
 
   /** Algebraic per-(event_type, event_date) aggregate of one micro-batch.
-    * `delta` needs event_time (timestamp) + event_type + value. */
-  def deltaAgg(delta: DataFrame): DataFrame = delta
-    .select(col("event_type"), to_date(col("event_time")).as("event_date"),
-      floor(col("value") * 100).cast("long").as("cents"))
-    .groupBy("event_type", "event_date")
-    .agg(count(lit(1)).as("ct"), sum(col("cents")).as("sum_cents"),
-      max(col("cents")).as("max_cents"))
+    * `delta` needs event_time (timestamp) + event_type + value, plus
+    * `distinctCol` when a distinct-sketch measure is maintained. */
+  def deltaAgg(delta: DataFrame, distinctCol: Option[String] = None): DataFrame = {
+    val keyed = delta
+      .select(Seq(col("event_type"), to_date(col("event_time")).as("event_date"),
+        floor(col("value") * 100).cast("long").as("cents")) ++
+        distinctCol.map(col): _*)
+    val measures = Seq(count(lit(1)).as("ct"), sum(col("cents")).as("sum_cents"),
+      max(col("cents")).as("max_cents")) ++
+      distinctCol.map(c => hll_sketch_agg(col(c)).as("uv_sketch"))
+    keyed.groupBy("event_type", "event_date")
+      .agg(measures.head, measures.tail: _*)
+  }
 
   /** Merge one micro-batch into the MV store. Idempotent per (key, epoch):
     * re-applying the same epoch is a no-op for keys already at it. */
   def applyBatch(spark: SparkSession, delta: DataFrame, storePath: String,
-                 epoch: Long): Unit = {
-    val d = deltaAgg(delta).withColumn("k",
+                 epoch: Long, distinctCol: Option[String] = None): Unit = {
+    val d = deltaAgg(delta, distinctCol).withColumn("k",
       concat_ws("|", col("event_type"), col("event_date").cast("string")))
     val marker = java.nio.file.Paths.get(storePath, "_buckets")
+    // upsertDim writes the _buckets marker BEFORE publishing any bucket, so a
+    // crash in that window leaves a marker with zero __bucket=* dirs. That
+    // store is EMPTY, not readable — the replay must take the bootstrap
+    // branch, or readDim throws (no parquet to infer a schema from) and the
+    // stream wedges permanently (round-9 ADVICE, medium).
+    val storeHasData = java.nio.file.Files.exists(marker) && {
+      val dirs = Option(new java.io.File(storePath).listFiles()).getOrElse(Array.empty)
+      dirs.exists(f => f.isDirectory && f.getName.startsWith("__bucket="))
+    }
     val merged =
-      if (!java.nio.file.Files.exists(marker)) d.withColumn("last_epoch", lit(epoch))
+      if (!storeHasData) d.withColumn("last_epoch", lit(epoch))
       else {
         val s = Io.readDim(spark, storePath)
         // replay detection: keys whose store row already saw this (or a
@@ -62,32 +85,45 @@ object IncrementalMv {
           .drop("__se")
         // store values for TOUCHED keys only — untouched rows are never read
         // into the merge (upsertDim likewise never opens their buckets)
+        val prevCols = Seq(col("k"), col("ct").as("__pct"),
+          col("sum_cents").as("__psum"), col("max_cents").as("__pmax")) ++
+          distinctCol.map(_ => col("uv_sketch").as("__psk"))
         val prev = s.join(fresh.select("k"), Seq("k"), "left_semi")
-          .select(col("k"), col("ct").as("__pct"),
-            col("sum_cents").as("__psum"), col("max_cents").as("__pmax"))
+          .select(prevCols: _*)
+        // a first-seen key has no prior sketch: hll_union rejects null, so
+        // branch instead of coalescing into it
+        val sketchMerge: Seq[Column] = distinctCol.map(_ =>
+          when(col("__psk").isNull, col("uv_sketch"))
+            .otherwise(hll_union(col("uv_sketch"), col("__psk")))
+            .as("uv_sketch")).toSeq
         fresh.join(prev, Seq("k"), "left")
-          .select(col("k"), col("event_type"), col("event_date"),
+          .select(Seq(col("k"), col("event_type"), col("event_date"),
             (col("ct") + coalesce(col("__pct"), lit(0L))).as("ct"),
             (col("sum_cents") + coalesce(col("__psum"), lit(0L))).as("sum_cents"),
             greatest(col("max_cents"), coalesce(col("__pmax"), col("max_cents")))
-              .as("max_cents"),
-            lit(epoch).as("last_epoch"))
+              .as("max_cents")) ++ sketchMerge :+ lit(epoch).as("last_epoch"): _*)
       }
     Io.upsertDim(spark, merged, storePath, "k", "last_epoch")
   }
 
   /** Drive the maintenance from a streaming events frame. */
   def run(spark: SparkSession, events: DataFrame, storePath: String,
-          checkpoint: String): StreamingQuery =
+          checkpoint: String, distinctCol: Option[String] = None): StreamingQuery =
     events.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (delta: DataFrame, epoch: Long) =>
-        applyBatch(spark, delta, storePath, epoch)
+        applyBatch(spark, delta, storePath, epoch, distinctCol)
       }
       .start()
 
-  /** Read the current MV (drops the layout/epoch bookkeeping columns). */
-  def readMv(spark: SparkSession, storePath: String): DataFrame =
-    Io.readDim(spark, storePath)
-      .select("event_type", "event_date", "ct", "sum_cents", "max_cents")
+  /** Read the current MV (drops the layout/epoch bookkeeping columns; a
+    * sketch measure, if maintained, surfaces as its ESTIMATE — the binary
+    * itself is storage detail). */
+  def readMv(spark: SparkSession, storePath: String): DataFrame = {
+    val s = Io.readDim(spark, storePath).drop("k", "last_epoch")
+    if (s.columns.contains("uv_sketch"))
+      s.withColumn("uv_estimate", hll_sketch_estimate(col("uv_sketch")))
+        .drop("uv_sketch")
+    else s
+  }
 }
