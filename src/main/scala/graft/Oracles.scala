@@ -476,6 +476,20 @@ object Oracles {
         |  count(*) AS active_users
         |FROM ud JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin,
 
+    // q117 (incrementalStatsSketch): q115's MV with a mergeable-HLL distinct
+    // measure. Sketch estimates differ by implementation (DataSketches vs
+    // DuckDB), so the q34 self-check pattern applies: both engines output
+    // their exact distinct (hash-compared) + their OWN within-tolerance
+    // flag; the raw estimates stay out of the result.
+    "q117_incremental_sketch" ->
+      """SELECT event_type, cast(ts as date) AS event_date,
+        |  count(*) AS ct,
+        |  cast(sum(cast(floor(value * 100) as bigint)) as bigint) AS sum_cents,
+        |  count(distinct user_id) AS uv_exact,
+        |  abs(cast(approx_count_distinct(user_id) as double) - count(distinct user_id))
+        |    / count(distinct user_id) <= 0.15 AS approx_ok
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
     // q115 (incrementalStats): the oracle recomputes the MV from ALL events
     // in one pass; the Spark side maintains it by aggregating only the
     // delta (event_id % 10 = 0) and algebraically merging with the base

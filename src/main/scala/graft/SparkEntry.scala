@@ -146,6 +146,7 @@ object SparkEntry {
     "q114_unigram_prune"    -> ((s, d) => TextOps.unigramLmPrune(s, d)),
     "q115_incremental_stats" -> ((s, d) => Relational.incrementalStats(s, d)),
     "q116_retention_cohorts" -> ((s, d) => Relational.retentionCohorts(s, d)),
+    "q117_incremental_sketch" -> ((s, d) => Relational.incrementalStatsSketch(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
