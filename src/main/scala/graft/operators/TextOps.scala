@@ -1073,25 +1073,34 @@ object TextOps {
     val spans = docs(spark, dir)
       .select(col("doc_id"), explode(gramCountsUdf(n)(col("text"))).as(Seq("g", "c")))
       .persist()
-    // nd = docs containing the span, as a partial-aggregated groupBy +
-    // join-back rather than count().over(Window.partitionBy("g")): a window
-    // pins EVERY occurrence of a span key into one sorted task, so a
-    // boilerplate 10-gram appearing in 10M docs at 100 TB funnels 10M rows
-    // through a single reducer (exactly the skew q86 diagnoses). The
-    // aggregate map-side-combines to one partial row per map task per hot
-    // key, and the join back — the only place full occurrence rows meet the
-    // key again — is a shuffle join AQE can skew-split
-    // (OptimizeSkewedJoin), which it can never do for a window. Both
-    // subtrees hash-partition spans identically on g, so ReuseExchange
-    // materializes the explode once; at test scale Catalyst broadcasts the
-    // count table instead, which is strictly better. Equality with the
-    // round-5 window construction is spec-gated (TextOpsSpec).
-    val nd = spans.groupBy("g").agg(count(lit(1)).as("nd"))
-    spans.join(nd, "g")
-      .groupBy("doc_id")
-      .agg(
-        sum(col("c")).as("n_spans"),
-        sum(when(col("nd") >= 2, col("c").cast("long")).otherwise(0L)).as("dup_spans"))
+    // nd = docs containing the span, as a partial-aggregated groupBy rather
+    // than count().over(Window.partitionBy("g")): a window pins EVERY
+    // occurrence of a span key into one sorted task, so a boilerplate
+    // 10-gram appearing in 10M docs at 100 TB funnels 10M rows through a
+    // single reducer (exactly the skew q86 diagnoses). The aggregate
+    // map-side-combines to one partial row per map task per hot key.
+    //
+    // Only the PREDICATE nd >= 2 matters downstream, so the join-back
+    // carries just the duplicated-gram KEYS (left_semi) instead of every
+    // span row meeting the full count table (round-10: the full join
+    // re-shuffled all span rows on g and sat 1.5× over its floor). n_spans
+    // needs no join at all — it aggregates straight off the cached spans.
+    // The dup-gram set is far smaller than the count table (singleton grams
+    // — the long tail — drop out), so AQE broadcasts the semi-join build
+    // side at this scale; at 100 TB it degrades to a shuffle semi-join AQE
+    // can skew-split, with Spark's runtime bloom-filter join injection
+    // (spark.sql.optimizer.runtime.bloomFilter) pruning the probe map-side
+    // — the "semi-join bloom" form of ExactSubstr's survivor filter.
+    // Equality with the round-5 window construction is spec-gated
+    // (TextOpsSpec).
+    val dupG = spans.groupBy("g").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select("g")
+    val perDoc = spans.groupBy("doc_id").agg(sum(col("c")).as("n_spans"))
+    val dupPerDoc = spans.join(dupG, Seq("g"), "left_semi")
+      .groupBy("doc_id").agg(sum(col("c").cast("long")).as("dup_spans"))
+    perDoc.join(dupPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("dup_spans"), lit(0L)).as("dup_spans"))
       .withColumn("dup_frac", col("dup_spans").cast("double") / col("n_spans"))
       .withColumn("cull", col("dup_frac") > 0.5)
   }
