@@ -139,52 +139,21 @@ object Multimodal {
                   Row(mediaId, mediaType, n, false, null, null, null, null, null)
               }
             case "audio" =>
-              try {
-                val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-                  new java.io.BufferedInputStream(new java.io.ByteArrayInputStream(payload)))
-                val fmt = in.getFormat
-                val enc = fmt.getEncoding
-                // only PCM is decoded here (ULAW/ALAW would read as garbage
-                // with decode_ok=true — quarantine them instead)
-                if (enc != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
-                    enc != javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED)
-                  throw new javax.sound.sampled.UnsupportedAudioFileException(enc.toString)
-                val unsigned = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
-                val bytes = in.readAllBytes()
-                val bytesPerSample = math.max(fmt.getSampleSizeInBits / 8, 1)
-                val frameSize = math.max(fmt.getFrameSize, bytesPerSample)
-                val nFrames = bytes.length / frameSize
-                // first channel, PCM-signed little/big endian → [-1, 1]
-                val samples = new Array[Double](nFrames)
-                var i = 0
-                while (i < nFrames) {
-                  val off = i * frameSize
-                  val v: Int =
-                    if (bytesPerSample == 2) {
-                      val raw =
-                        if (fmt.isBigEndian) ((bytes(off) & 0xff) << 8) | (bytes(off + 1) & 0xff)
-                        else ((bytes(off + 1) & 0xff) << 8) | (bytes(off) & 0xff)
-                      if (unsigned) raw - 32768 else raw.toShort.toInt
-                    } else {
-                      // 8-bit WAV is unsigned per the format spec
-                      if (unsigned) (bytes(off) & 0xff) - 128 else bytes(off).toInt
-                    }
-                  samples(i) = v.toDouble / (if (bytesPerSample == 2) 32768.0 else 128.0)
-                  i += 1
-                }
-                val rmsBins = Array.tabulate(bins) { b =>
-                  val from = b * nFrames / bins
-                  val until = math.max((b + 1) * nFrames / bins, from + 1)
-                  var s = 0.0
-                  var j = from
-                  while (j < math.min(until, nFrames)) { s += samples(j) * samples(j); j += 1 }
-                  math.sqrt(s / math.max(math.min(until, nFrames) - from, 1))
-                }
-                val dur = nFrames.toDouble / fmt.getSampleRate
-                Row(mediaId, mediaType, n, true, null, null,
-                  fmt.getSampleRate.toDouble, dur, rmsBins.toSeq)
-              } catch {
-                case _: Exception =>
+              decodePcm(payload) match {
+                case Some((samples, rate)) =>
+                  val nFrames = samples.length
+                  val rmsBins = Array.tabulate(bins) { b =>
+                    val from = b * nFrames / bins
+                    val until = math.max((b + 1) * nFrames / bins, from + 1)
+                    var s = 0.0
+                    var j = from
+                    while (j < math.min(until, nFrames)) { s += samples(j) * samples(j); j += 1 }
+                    math.sqrt(s / math.max(math.min(until, nFrames) - from, 1))
+                  }
+                  val dur = nFrames.toDouble / rate
+                  Row(mediaId, mediaType, n, true, null, null,
+                    rate.toDouble, dur, rmsBins.toSeq)
+                case None =>
                   Row(mediaId, mediaType, n, false, null, null, null, null, null)
               }
             case "video" =>
@@ -205,6 +174,45 @@ object Multimodal {
     }
     spark.createDataFrame(out, decodedSchema)
   }
+
+  /** WAV/AIFF PCM payload → (first-channel samples in [-1, 1], sample rate).
+    * Only PCM is decoded (ULAW/ALAW would read as garbage with decode_ok=true
+    * — callers quarantine them via None), 16-bit either endianness and 8-bit
+    * unsigned per the WAV spec. Factored out of [[decodeMedia]] so the
+    * fingerprint path ([[audioFingerprint]]) shares one decode. */
+  private[operators] def decodePcm(payload: Array[Byte]): Option[(Array[Double], Float)] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.BufferedInputStream(new java.io.ByteArrayInputStream(payload)))
+      val fmt = in.getFormat
+      val enc = fmt.getEncoding
+      if (enc != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          enc != javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED)
+        throw new javax.sound.sampled.UnsupportedAudioFileException(enc.toString)
+      val unsigned = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+      val bytes = in.readAllBytes()
+      val bytesPerSample = math.max(fmt.getSampleSizeInBits / 8, 1)
+      val frameSize = math.max(fmt.getFrameSize, bytesPerSample)
+      val nFrames = bytes.length / frameSize
+      val samples = new Array[Double](nFrames)
+      var i = 0
+      while (i < nFrames) {
+        val off = i * frameSize
+        val v: Int =
+          if (bytesPerSample == 2) {
+            val raw =
+              if (fmt.isBigEndian) ((bytes(off) & 0xff) << 8) | (bytes(off + 1) & 0xff)
+              else ((bytes(off + 1) & 0xff) << 8) | (bytes(off) & 0xff)
+            if (unsigned) raw - 32768 else raw.toShort.toInt
+          } else {
+            // 8-bit WAV is unsigned per the format spec
+            if (unsigned) (bytes(off) & 0xff) - 128 else bytes(off).toInt
+          }
+        samples(i) = v.toDouble / (if (bytesPerSample == 2) 32768.0 else 128.0)
+        i += 1
+      }
+      Some((samples, fmt.getSampleRate))
+    } catch { case _: Exception => None }
 
   /** Pure-JVM YUV4MPEG2 (y4m) parse: `YUV4MPEG2 W<w> H<h> F<n>:<d> [C<cs>]\n`
     * then per frame a `FRAME…\n` line followed by raw planar YUV. Only the Y
@@ -291,6 +299,26 @@ object Multimodal {
     * same evidence class as the rest of the multimodal suite. */
   def imageNearDup(decoded: DataFrame, nBits: Int = 8, nSeg: Int = 4,
                    maxHamming: Int = 1): DataFrame = {
+    val bitsU = udf((f: Seq[Double]) => {
+      val mean = f.sum / f.length
+      f.zipWithIndex.foldLeft(0L) { case (acc, (v, i)) =>
+        if (v > mean) acc | (1L << i) else acc
+      }
+    })
+    val fp = decoded
+      .filter(col("decode_ok") && col("media_type") === "image" && col("feature").isNotNull)
+      .select(col("media_id"), bitsU(col("feature")).as("fp"))
+    fingerprintPairs(fp, nBits, nSeg, maxHamming)
+  }
+
+  /** Segment-blocked hamming pairs over a (media_id, fp) fingerprint frame —
+    * the candidate/verify skeleton [[imageNearDup]] and [[audioNearDup]]
+    * share (one definition, the lshCandidatePairs precedent): block on
+    * `nSeg` hash segments (pigeonhole: full recall for hamming ≤ nSeg−1),
+    * verify exact hamming ≤ `maxHamming`. Never all-pairs: the join meets
+    * only within-segment-value buckets. */
+  private[operators] def fingerprintPairs(fp: DataFrame, nBits: Int, nSeg: Int,
+                                          maxHamming: Int): DataFrame = {
     // the pigeonhole recall guarantee (hamming ≤ nSeg−1 ⇒ some segment
     // matches exactly) needs every bit inside a segment and enough segments
     // to absorb maxHamming flips — fail loudly on a misconfiguration that
@@ -299,17 +327,8 @@ object Multimodal {
       s"nSeg=$nSeg must divide nBits=$nBits or the top bits go unblocked")
     require(nSeg >= maxHamming + 1,
       s"nSeg=$nSeg must exceed maxHamming=$maxHamming for full blocking recall")
-    val bitsU = udf((f: Seq[Double]) => {
-      val mean = f.sum / f.length
-      f.zipWithIndex.foldLeft(0L) { case (acc, (v, i)) =>
-        if (v > mean) acc | (1L << i) else acc
-      }
-    })
     val segBits = nBits / nSeg
     val mask = (1L << segBits) - 1
-    val fp = decoded
-      .filter(col("decode_ok") && col("media_type") === "image" && col("feature").isNotNull)
-      .select(col("media_id"), bitsU(col("feature")).as("fp"))
     // segment i = bits [i*segBits, (i+1)*segBits): shift right then mask
     val seg = fp
       .select(col("media_id"), col("fp"),
@@ -328,6 +347,84 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
       .select(col("ma"), col("mb"), col("hamming"))
   }
+
+  /** Audio spectral fingerprint — the Haitsma–Kalker band-energy shape ("A
+    * Highly Robust Audio Fingerprinting System", ISMIR 2002) in miniature:
+    * the PCM stream is cut into `tBins` temporal slots, each slot's energy
+    * measured in `fBands` geometrically-spaced bands (Goertzel at center
+    * frequencies f0·2^b — the constant-Q ladder, pure JVM), and bit
+    * (slot·fBands + band) is set iff that band's power is above the slot's
+    * mean band power. Comparing WITHIN the slot makes the fingerprint
+    * invariant to uniform amplitude scaling (gain/normalization — the common
+    * re-encode artifact, every power scales by the same factor), while a
+    * different tone moves energy across bands and flips bits. tBins=8 ×
+    * fBands=4 = 32 bits, matching the Long fingerprint the blocking
+    * skeleton expects. Undecodable payloads are dropped (the quarantine
+    * discipline of [[decodeMedia]]). */
+  def audioFingerprint(media: DataFrame, tBins: Int = 8, fBands: Int = 4,
+                       f0: Double = 250.0): DataFrame = {
+    require(tBins * fBands <= 64, s"fingerprint needs tBins*fBands <= 64 bits")
+    val spark = media.sparkSession
+    val out = media.select("media_id", "payload", "media_type").rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        val mediaType = if (r.isNullAt(2)) null else r.getString(2)
+        if (payload == null || mediaType != "audio") None
+        else decodePcm(payload).map { case (samples, rate) =>
+          val n = samples.length
+          var fpBits = 0L
+          var t = 0
+          while (t < tBins) {
+            val from = t * n / tBins
+            val until = math.max((t + 1) * n / tBins, from + 1)
+            val stop = math.min(until, n)
+            val powers = new Array[Double](fBands)
+            var b = 0
+            while (b < fBands) {
+              // Goertzel power at f0·2^b over the slot
+              val w = 2.0 * math.Pi * (f0 * (1 << b)) / rate
+              val cw = 2.0 * math.cos(w)
+              var s1 = 0.0; var s2 = 0.0
+              var j = from
+              while (j < stop) {
+                val s0 = samples(j) + cw * s1 - s2
+                s2 = s1; s1 = s0
+                j += 1
+              }
+              powers(b) = s1 * s1 + s2 * s2 - cw * s1 * s2
+              b += 1
+            }
+            val mean = powers.sum / fBands
+            b = 0
+            while (b < fBands) {
+              if (powers(b) > mean) fpBits |= 1L << (t * fBands + b)
+              b += 1
+            }
+            t += 1
+          }
+          Row(r.getLong(0), fpBits)
+        }
+      }
+    }
+    spark.createDataFrame(out, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("media_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("fp",
+        org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
+  /** Audio perceptual near-dup — the AUDIO-modality twin of [[imageNearDup]]
+    * (image) / [[graft.operators.Dedup.simhashPairs]] (text), completing the
+    * dedup loop across modalities: [[audioFingerprint]]'s spectral bits +
+    * the shared segment-blocked hamming skeleton. Catches gain-shifted
+    * re-encodes of the same material (fingerprint amplitude-invariant);
+    * rejects different tonal content (band-energy bits flip). Spec-gated on
+    * synthesized WAV twins — no SQL oracle by necessity (DuckDB cannot
+    * decode WAV; the q30/imageNearDup evidence class). */
+  def audioNearDup(media: DataFrame, tBins: Int = 8, fBands: Int = 4,
+                   nSeg: Int = 4, maxHamming: Int = 3): DataFrame =
+    fingerprintPairs(audioFingerprint(media, tBins, fBands),
+      tBins * fBands, nSeg, maxHamming)
 
   /** Build a media table from documents (payload = utf-8 bytes) — the fixture
     * generator for the binary plumbing; also the shape a real ingest would use. */
