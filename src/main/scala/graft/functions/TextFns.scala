@@ -168,6 +168,24 @@ object TextFns {
 
   val shingleHashesUdf = udf((s: String) => shingleHashes(s))
 
+  /** Positional CHARACTER q-grams as (fnv64 hash, start position) pairs,
+    * sorted by the global (hash, position) order — the ED-Join candidate
+    * representation (Xiao et al., VLDB 2008). One pair per OCCURRENCE
+    * (multiset, unlike [[shingleHashes]]'s token-shingle set): the
+    * edit-distance count bound "d edits destroy ≤ q·d gram occurrences"
+    * is a multiset statement. Hash collisions can only ADD candidates
+    * (verified away by the DP), never lose one. */
+  def posQGrams(text: String, q: Int): Seq[(Long, Int)] = {
+    if (text == null || text.length < q) return Seq.empty
+    val n = text.length - q + 1
+    val arr = new Array[(Long, Int)](n)
+    var i = 0
+    while (i < n) { arr(i) = (fnv64(text.substring(i, i + q)), i); i += 1 }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(arr.sortBy(identity))
+  }
+
+  def posQGramsUdf(q: Int) = udf((s: String) => posQGrams(s, q))
+
   private def asciiTokens(text: String): scala.collection.mutable.ArrayBuffer[String] = {
     val toks = scala.collection.mutable.ArrayBuffer.empty[String]
     if (text != null) {

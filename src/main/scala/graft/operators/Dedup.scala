@@ -120,9 +120,11 @@ object Dedup {
     * corpus every ed≤24 pair is also a jac≥0.5 pair — verified — and LSH
     * recall at jac≥0.5 is measured 1.0, so the q112 oracle's exact
     * length-filtered full-DP join must hash-match pair-for-pair). For a
-    * theorem-true candidate set at adversarial thresholds, the upgrade is
-    * ED-Join's positional q-gram prefix filter (Xiao et al., VLDB 2008) on
-    * the same join skeleton. */
+    * theorem-true candidate set at adversarial thresholds, select
+    * `candidates = "edjoin"`: ED-Join's positional q-gram prefix filter
+    * (Xiao et al., VLDB 2008) on the same join skeleton —
+    * [[edJoinCandidatePairs]], available and spec-gated (scattered-edit
+    * pairs that destroy every shingle band are still caught). */
   def editDistancePairs(spark: SparkSession, dir: String, maxEd: Int = 24): DataFrame =
     editDistancePairsFrom(docs(spark, dir), maxEd)
 
@@ -139,9 +141,16 @@ object Dedup {
     * and the THRESHOLD bounds that; the length filter's job is only to
     * skip the DP where |Δlen| alone disproves the pair, which it does
     * equally well fused into the verify join. */
-  def editDistancePairsFrom(corpus: DataFrame, maxEd: Int = 24): DataFrame = {
+  def editDistancePairsFrom(corpus: DataFrame, maxEd: Int = 24,
+                            candidates: String = "lsh"): DataFrame = {
+    val cand = candidates match {
+      case "lsh"    => lshCandidatePairs(corpus)
+      case "edjoin" => edJoinCandidatePairs(corpus, maxEd)
+      case other => throw new IllegalArgumentException(
+        s"candidates must be 'lsh' or 'edjoin', got '$other'")
+    }
     val texts = corpus.select(col("doc_id"), col("text"), length(col("text")).as("n"))
-    lshCandidatePairs(corpus)
+    cand
       .join(texts.select(col("doc_id").as("da"), col("text").as("ta"), col("n").as("na")), "da")
       .join(texts.select(col("doc_id").as("db"), col("text").as("tb"), col("n").as("nb")), "db")
       // lossless pre-DP prune: ed(a,b) ≥ |len(a)−len(b)|
@@ -150,6 +159,59 @@ object Dedup {
       .withColumn("ed", levenshtein(col("ta"), col("tb"), maxEd))
       .filter(col("ed") >= 0)
       .select(col("da"), col("db"), col("ed"))
+  }
+
+  /** THEOREM-TRUE candidate pairs for edit distance ≤ `maxEd` — ED-Join's
+    * positional q-gram prefix filter (Xiao et al., VLDB 2008), the
+    * guaranteed-recall alternative to [[lshCandidatePairs]] for
+    * [[editDistancePairsFrom]] (`candidates = "edjoin"`).
+    *
+    * Soundness: one edit destroys at most q q-gram OCCURRENCES, so
+    * ed(s,t) ≤ d ⟹ at least #G(s) − q·d of s's occurrences survive into t
+    * at a position shifted by ≤ d. Contrapositive pigeonhole: under any
+    * fixed global gram order, if NONE of s's first q·d+1 occurrences has a
+    * positionally-compatible match in t, more than q·d were destroyed —
+    * impossible. Hence the PREFIX-PREFIX equi-join on gram hash with
+    * |Δpos| ≤ d and |Δlen| ≤ d (both lossless) finds every true pair where
+    * at least one side has MORE than q·d gram occurrences (its required
+    * overlap ≥ 1; the shorter side's whole gram list fits inside the
+    * prefix, so its occurrences are all exploded). Pairs where BOTH sides
+    * have ≤ q·d occurrences (strings shorter than q·d + q chars — d edits
+    * can rewrite them entirely, no shared gram guaranteed) fall back to a
+    * length-bucket-blocked brute pairing: bounded work, the bucket join is
+    * an equi-join on ⌊n/(d+1)⌋ with neighbor-bucket expansion, and the DP
+    * verify still bounds the cost.
+    *
+    * Scale shape: one explode of ≤ q·d+1 rows per doc, one equi-join on the
+    * gram hash (AQE-skew-splittable — a boilerplate gram is a hot key, the
+    * same discipline as [[lshCandidatePairs]]' band buckets), dropDuplicates
+    * on the pair key. No windows, never all-pairs. */
+  private[operators] def edJoinCandidatePairs(corpus: DataFrame, maxEd: Int,
+                                              q: Int = 3): DataFrame = {
+    val prefixLen = q * maxEd + 1
+    val pg = corpus
+      .select(col("doc_id"), length(col("text")).as("n"),
+        posQGramsUdf(q)(col("text")).as("g"))
+    val pref = pg
+      .select(col("doc_id"), col("n"),
+        explode(slice(col("g"), 1, prefixLen)).as("e"))
+      .select(col("doc_id"), col("n"), col("e._1").as("h"), col("e._2").as("p"))
+    val byGram = pref.as("a")
+      .join(pref.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
+          abs(col("a.p") - col("b.p")) <= maxEd &&
+          abs(col("a.n") - col("b.n")) <= maxEd)
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+    // short-short completeness bucket: both sides ≤ q·d occurrences
+    val short = pg.filter(size(col("g")) <= q * maxEd)
+      .select(col("doc_id"), col("n"), floor(col("n") / (maxEd + 1)).as("bkt"))
+    val shortB = short.select(col("doc_id").as("doc_b"), col("n").as("n_b"),
+      explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("bkt"))
+    val bruteShort = short.as("a")
+      .join(shortB, Seq("bkt"))
+      .filter(col("doc_id") < col("doc_b") && abs(col("n") - col("n_b")) <= maxEd)
+      .select(col("doc_id").as("da"), col("doc_b").as("db"))
+    byGram.unionByName(bruteShort).dropDuplicates("da", "db")
   }
 
   /** CONTAINMENT near-dup pairs (Broder 1997's containment measure; overlap

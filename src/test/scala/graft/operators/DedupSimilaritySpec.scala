@@ -62,6 +62,42 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(b.toSeq == Seq((1L, 2L, 1)), b.toSeq)
   }
 
+  test("editDistancePairs edjoin candidates: equal to lsh on the fixture; theorem recall where banding can miss") {
+    import spark.implicits._
+    // 1. same final pairs as the oracle-gated LSH path on the real corpus
+    val corpus = graft.Tables.load(spark, sf001, "documents")
+      .select(col("doc_id"), col("text"))
+    val viaLsh = Dedup.editDistancePairsFrom(corpus)
+      .as[(Long, Long, Int)].collect().toSet
+    val viaEdJoin = Dedup.editDistancePairsFrom(corpus, candidates = "edjoin")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(viaLsh.nonEmpty && viaEdJoin == viaLsh,
+      s"missing=${viaLsh -- viaEdJoin} extra=${viaEdJoin -- viaLsh}")
+    // 2. the theorem case: d scattered single-char edits destroy most
+    // 3-gram shingles (jaccard collapses, all 16 minhash bands can flip),
+    // but ED-Join's prefix guarantee must still surface the pair
+    val toks = (1 to 60).map(i => f"alpha$i%02d").toArray
+    val a = toks.mkString(" ")
+    val edited = toks.zipWithIndex
+      .map { case (t, i) => if (i % 5 == 0) t.dropRight(1) + "Z" else t }
+      .mkString(" ") // 12 scattered substitutions, ed = 12
+    val pair = Seq((1L, a), (2L, edited)).toDF("doc_id", "text")
+    val got = Dedup.editDistancePairsFrom(pair, maxEd = 12, candidates = "edjoin")
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(got == Seq((1L, 2L, 12)), s"theorem pair missed or wrong: $got")
+    // 3. short-short completeness bucket: strings with ≤ q·d gram
+    // occurrences can share NO gram at ed ≤ d — the prefix join is blind to
+    // them by construction and the length-bucket brute path must cover it
+    val tiny = Seq((1L, "abc"), (2L, "xyz"), (3L, "pq")).toDF("doc_id", "text")
+    val tinyGot = Dedup.editDistancePairsFrom(tiny, maxEd = 3, candidates = "edjoin")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(tinyGot == Set((1L, 2L, 3), (1L, 3L, 3), (2L, 3L, 3)), tinyGot.toString)
+    // 4. bad flag fails loudly
+    intercept[IllegalArgumentException] {
+      Dedup.editDistancePairsFrom(tiny, candidates = "nope")
+    }
+  }
+
   test("containmentPairs: catches asymmetric dups Jaccard misses; 0.8 boundary inclusive; prefix filter = full join") {
     import graft.functions.TextFns.shingleHashesUdf
     import spark.implicits._
