@@ -260,7 +260,17 @@ object Relational {
     * op). The big (probe) side salts each row deterministically into one of
     * `salts` sub-keys; the other side replicates each row across ALL salts, so
     * the hot key's work spreads over `salts` reducers. Result is EXACTLY the
-    * plain join — proven by the DuckDB oracle, which runs unsalted. */
+    * plain join — proven by the DuckDB oracle, which runs unsalted.
+    *
+    * Crossover note (Spark 4): when the join output feeds nothing that needs
+    * the co-partitioning, AQE's runtime skew split (OptimizeSkewedJoin, with
+    * thresholds tuned to the data) replaces manual salting — the unsalted
+    * join then matches this one bit-for-bit while the hot partition splits
+    * at runtime (AdaptiveScaleSpec "q53 crossover"). Salting remains the
+    * answer when thresholds can't be tuned per-query, the skew sits below
+    * AQE's byte thresholds (Microbench round-6: an 80 MB hot partition
+    * sails under the 256 MB default untouched), or a downstream op consumes
+    * the join's partitioning. */
   def saltedJoin(spark: SparkSession, dir: String, salts: Int = 8): DataFrame = {
     val l = t(spark, dir, "lineitem")
       // deterministic uniform salt from stable row identity (NOT rand(): a

@@ -49,6 +49,53 @@ class AdaptiveScaleSpec extends SparkSuite {
     }
   }
 
+  test("q53 crossover: unsalted join under AQE skew split equals the salted join, and splits") {
+    import spark.implicits._
+    // the saltedJoin (q53) pattern on a synthetic hot key, next to the SAME
+    // join unsalted under a tuned AQE skew split: identical results, and the
+    // executed plan shows the hot partition split. This is the documented
+    // crossover — on Spark 4, when the join's output feeds nothing that
+    // needs the salted co-partitioning, AQE's runtime split replaces manual
+    // salting (Relational.saltedJoin scaladoc); salting stays necessary when
+    // thresholds can't be tuned per-query or a downstream op consumes the
+    // join's partitioning.
+    val salts = 8
+    val big = spark.range(0, 150000)
+      .select(when(col("id") < 100000, 0L).otherwise(col("id") % 50 + 1).as("k"),
+        col("id").as("v"))
+    val dim = spark.range(0, 51).select(col("id").as("dk"),
+      concat(lit("p"), col("id")).as("payload"))
+    // collect the JOIN frame itself and aggregate driver-side: the plan
+    // assertion reads THAT frame's executed plan (any operator stacked on
+    // top — even a select — builds a separate query execution and can
+    // suppress or hide the split)
+    def agg(j: org.apache.spark.sql.DataFrame): Map[String, (Long, Long)] =
+      j.collect().toSeq
+        .map(r => (r.getAs[String]("payload"), r.getAs[Long]("v")))
+        .groupBy(_._1).view.mapValues(vs => (vs.length.toLong, vs.map(_._2).sum)).toMap
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "16KB") {
+      // manual salting, exactly the q53 shape: deterministic probe salt,
+      // build side replicated across all salts
+      val l = big.withColumn("salt", pmod(xxhash64(col("v")), lit(salts.toLong)))
+      val d = dim.withColumn("salt",
+        explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
+      val salted = agg(l.join(d, col("k") === col("dk") && l("salt") === d("salt")))
+      val uFrame = big.join(dim, col("k") === col("dk"))
+      val unsalted = agg(uFrame)
+      assert(salted == unsalted, "AQE-split unsalted join must equal the salted join")
+      val plan = uFrame.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"the unsalted comparison is only fair if the split actually fired:\n$plan")
+    }
+  }
+
   test("runtime bloom filter prunes the big side of a selective shuffle join") {
     withConf(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
