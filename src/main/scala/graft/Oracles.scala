@@ -422,6 +422,69 @@ object Oracles {
 
   private val base: Map[String, String] = Map(
 
+    // q118 (audienceOverlap): exact pairwise (user,day)-audience overlap is
+    // hash-compared; the sketch inclusion-exclusion estimate differs by HLL
+    // implementation, so (q34/q117 pattern) each engine emits its OWN
+    // within-tolerance flag computed from its own sketches.
+    "q118_audience_overlap" ->
+      """WITH el AS (SELECT DISTINCT event_type AS t,
+        |    user_id::VARCHAR || '_' || strftime(cast(ts as date), '%Y-%m-%d') AS u
+        |  FROM events),
+        |uv AS (SELECT t, count(*) AS uv, approx_count_distinct(u) AS est FROM el GROUP BY 1),
+        |ov AS (SELECT a.t AS type_a, b.t AS type_b, count(*) AS overlap_exact
+        |  FROM el a JOIN el b ON a.u = b.u AND a.t < b.t GROUP BY 1, 2),
+        |un AS (SELECT o.type_a, o.type_b, approx_count_distinct(el.u) AS est_union
+        |  FROM ov o JOIN el ON el.t = o.type_a OR el.t = o.type_b GROUP BY 1, 2)
+        |SELECT o.type_a, o.type_b, ua.uv AS uv_a, ub.uv AS uv_b, o.overlap_exact,
+        |  abs(cast(ua.est + ub.est - un.est_union as double) - o.overlap_exact)
+        |    / greatest(o.overlap_exact, 1) <= 0.2 AS approx_ok
+        |FROM ov o
+        |JOIN uv ua ON ua.t = o.type_a JOIN uv ub ON ub.t = o.type_b
+        |JOIN un ON un.type_a = o.type_a AND un.type_b = o.type_b""".stripMargin,
+
+    // q119 (scd2History): classic SCD2 assembly in SQL — collapse
+    // consecutive duplicate states with lag, then lead/row_number intervals.
+    // Ties break on event_id (unique) on both engines; open intervals close
+    // with the 9999-12-31 sentinel so every cell hashes.
+    "q119_scd2_history" ->
+      """WITH e AS (SELECT user_id, event_type AS state, ts, event_id FROM events),
+        |c AS (SELECT *, lag(state) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM e),
+        |ch AS (SELECT user_id, state, ts, event_id FROM c
+        |  WHERE prev IS NULL OR prev <> state),
+        |iv AS (SELECT user_id, state, ts,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vt,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version
+        |  FROM ch)
+        |SELECT user_id, state, strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |  coalesce(strftime(vt, '%Y-%m-%d %H:%M:%S'), '9999-12-31 23:59:59') AS valid_to,
+        |  cast(version as int) AS version, vt IS NULL AS is_current
+        |FROM iv""".stripMargin,
+
+    // q120 (zorderLayout): the 16-bit Morton spread replayed as the same
+    // 4-round shift-or-mask integer sequence — bit-exact across engines;
+    // bucket stats are the parquet-footer zone maps a z-ordered write
+    // would produce.
+    "q120_zorder_layout" ->
+      """WITH base AS (SELECT (o_custkey & 65535) AS a,
+        |    (date_diff('day', DATE '1992-01-01', cast(o_orderdate as date)) & 65535) AS b,
+        |    o_custkey AS cust,
+        |    date_diff('day', DATE '1992-01-01', cast(o_orderdate as date)) AS day
+        |  FROM orders),
+        |s1 AS (SELECT cust, day, ((a | (a << 8)) & 16711935) AS a,
+        |    ((b | (b << 8)) & 16711935) AS b FROM base),
+        |s2 AS (SELECT cust, day, ((a | (a << 4)) & 252645135) AS a,
+        |    ((b | (b << 4)) & 252645135) AS b FROM s1),
+        |s3 AS (SELECT cust, day, ((a | (a << 2)) & 858993459) AS a,
+        |    ((b | (b << 2)) & 858993459) AS b FROM s2),
+        |s4 AS (SELECT cust, day, ((a | (a << 1)) & 1431655765) AS a,
+        |    ((b | (b << 1)) & 1431655765) AS b FROM s3),
+        |z AS (SELECT cust, day, (a | (b << 1)) AS z FROM s4)
+        |SELECT cast(z >> 22 as bigint) AS zbucket, count(*) AS ct,
+        |  min(cust) AS min_cust, max(cust) AS max_cust,
+        |  cast(min(day) as int) AS min_day, cast(max(day) as int) AS max_day
+        |FROM z GROUP BY 1""".stripMargin,
+
     "q82_pq_ann" -> pqAnnSql,
 
     "q91_ivf_pq" -> ivfPqSql,

@@ -147,6 +147,9 @@ object SparkEntry {
     "q115_incremental_stats" -> ((s, d) => Relational.incrementalStats(s, d)),
     "q116_retention_cohorts" -> ((s, d) => Relational.retentionCohorts(s, d)),
     "q117_incremental_sketch" -> ((s, d) => Relational.incrementalStatsSketch(s, d)),
+    "q118_audience_overlap" -> ((s, d) => Relational.audienceOverlap(s, d)),
+    "q119_scd2_history"     -> ((s, d) => Relational.scd2History(s, d)),
+    "q120_zorder_layout"    -> ((s, d) => Relational.zorderLayout(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -885,5 +885,137 @@ object Relational {
         col("uv_exact"),
         (abs(hll_sketch_estimate(col("uv_sketch")).cast("double") - col("uv_exact"))
           / col("uv_exact") <= 0.15).as("approx_ok"))
+  }
+
+  /** SKETCH-BASED AUDIENCE OVERLAP (q118) — pairwise |A∩B| between the
+    * (user, day) audiences of every pair of event types, estimated by HLL
+    * inclusion-exclusion: est(A) + est(B) − est(A∪B), where est(A∪B) is the
+    * `hll_union` of the two per-type sketches — NO re-scan of the raw data
+    * for any pair. This is the 100 TB form of cross-corpus overlap /
+    * contamination triage (exact q50 full n-gram contamination; this is the
+    * cheap first pass over arbitrarily many corpus pairs): each side is ONE
+    * map-side-combinable sketch aggregate, and the pairwise stage merges
+    * K·(K−1)/2 fixed-size (~2^lgK B) sketches on the driver-adjacent tiny
+    * frame — cost independent of corpus size.
+    *
+    * Exact ground truth (hash-compared): the distinct (type, user, day)
+    * frame self-joined on element with `type_a < type_b` — element-keyed,
+    * so co-partitioned after one shuffle; no all-pairs anywhere. Estimates
+    * differ across engines (DataSketches vs DuckDB), so the q34/q117
+    * self-check pattern applies: both engines emit exact counts plus their
+    * OWN within-tolerance flag. Tolerance 0.2: inclusion-exclusion
+    * amplifies per-sketch relative error by ~(|A|+|B|+|A∪B|)/|A∩B| ≈ 8×
+    * here; lgK-default HLL at these cardinalities (~1.6k at sf0.01, ~16k at
+    * sf0.1) keeps the amplified error under ~6%. */
+  def audienceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    // audience element: user active on that day, per type. Persisted because
+    // all four legs (two sketch sides, two exact-join sides) reference it —
+    // without it each leg re-scans and re-distincts the raw corpus (measured:
+    // 4 FileScans in the plan). The distinct frame is far smaller than the
+    // event log; MEMORY_AND_DISK keeps the 100 TB case spill-safe.
+    val el = t(spark, dir, "events").select(
+      col("event_type"),
+      concat_ws("_", col("user_id"),
+        date_format(col("event_time"), "yyyy-MM-dd")).as("u"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perType = el.groupBy("event_type").agg(
+      hll_sketch_agg(col("u")).as("sk"),
+      count(lit(1)).as("uv")) // el is distinct ⇒ count = exact distinct
+    val a = perType.select(col("event_type").as("type_a"),
+      col("sk").as("sk_a"), col("uv").as("uv_a"))
+    val b = perType.select(col("event_type").as("type_b"),
+      col("sk").as("sk_b"), col("uv").as("uv_b"))
+    // K event types ⇒ K(K−1)/2 pair rows; both sides tiny ⇒ broadcast NL
+    val pairs = a.join(b, col("type_a") < col("type_b"))
+      .withColumn("est_overlap",
+        hll_sketch_estimate(col("sk_a")) + hll_sketch_estimate(col("sk_b"))
+          - hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b"))))
+    val exact = el.select(col("event_type").as("type_a"), col("u"))
+      .join(el.select(col("event_type").as("type_b"), col("u")), Seq("u"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("overlap_exact"))
+    pairs.join(exact, Seq("type_a", "type_b"))
+      .select(col("type_a"), col("type_b"), col("uv_a"), col("uv_b"),
+        col("overlap_exact"),
+        (abs(col("est_overlap").cast("double") - col("overlap_exact"))
+          / greatest(col("overlap_exact"), lit(1)) <= 0.2).as("approx_ok"))
+  }
+
+  /** SCD TYPE-2 DIMENSION HISTORY (q119) — the batch build of the
+    * slowly-changing-dimension table the reference maintains imperatively
+    * in its dim layer (DimUtil/upsert-on-change; our streaming twin is the
+    * A6 upsert sink): from the event log, each user's `event_type` is
+    * treated as a tracked attribute, and the output is its full validity
+    * history — one row per STATE CHANGE with `[valid_from, valid_to)`
+    * interval, version number, and current flag (open intervals closed
+    * with the conventional 9999-12-31 sentinel so the row is hashable).
+    *
+    * Plan shape: two window passes, both partitioned by `user_id` —
+    * per-key row counts are bounded (one user's history), so the windows
+    * are skew-safe at 100 TB; no global sort, no join. Consecutive
+    * duplicate states collapse via `lag` BEFORE interval assembly, so a
+    * noisy CDC feed that re-emits unchanged rows doesn't inflate history.
+    * Ordering ties break on `event_id` (unique) — fully deterministic. */
+  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("event_time"), col("event_id"))
+    val changes = t(spark, dir, "events")
+      .select(col("user_id"), col("event_type").as("state"),
+        col("event_time"), col("event_id"))
+      .withColumn("prev", lag(col("state"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("state"))
+    changes
+      .withColumn("valid_to_ts", lead(col("event_time"), 1).over(w))
+      .withColumn("version", row_number().over(w))
+      .select(col("user_id"), col("state"),
+        date_format(col("event_time"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+        coalesce(date_format(col("valid_to_ts"), "yyyy-MM-dd HH:mm:ss"),
+          lit("9999-12-31 23:59:59")).as("valid_to"),
+        col("version").cast("int").as("version"),
+        col("valid_to_ts").isNull.as("is_current"))
+  }
+
+  /** Morton/Z-ORDER bit-interleave of two 16-bit dimension keys — the
+    * multi-column clustering value lakehouse table formats sort by so ONE
+    * physical order serves range predicates on EITHER column (Delta/Iceberg
+    * `OPTIMIZE ZORDER BY`). Pure integer bit-spreading (4 shift-or-mask
+    * rounds per dim), exact on both engines. */
+  private def zSpread16(c: Column): Column = {
+    var x = c.bitwiseAND(lit(0xFFFFL))
+    x = x.bitwiseOR(shiftleft(x, 8)).bitwiseAND(lit(0x00FF00FFL))
+    x = x.bitwiseOR(shiftleft(x, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    x = x.bitwiseOR(shiftleft(x, 2)).bitwiseAND(lit(0x33333333L))
+    x.bitwiseOR(shiftleft(x, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** Z-ORDER LAYOUT CLUSTERING (q120) — orders keyed by the Morton
+    * interleave of (o_custkey, order-day), bucketed by the z-value's high
+    * bits (z >> 22 ⇒ ≤1024 buckets ≙ files), with each bucket's min/max of
+    * BOTH source dimensions — i.e. exactly the per-file zone-map stats a
+    * scan consults for data skipping. The point (and what ZorderSpec pins):
+    * because z-bucketing tiles BOTH dims, each bucket spans a narrow range
+    * of custkey AND of day, so a predicate on either column prunes most
+    * buckets — a single-column sort gives skipping on that column only.
+    *
+    * At 100 TB this is `repartitionByRange(z).sortWithinPartitions(z)` +
+    * parquet write (one range shuffle, then min/max zone maps come free
+    * from the parquet footers); here the bucket stats are computed
+    * directly so the layout property itself is oracle-checkable. Keys are
+    * masked to 16 bits (custkey < 65536 through sf1; day-since-1992 < 65536
+    * through year 2171 — documented domain bound, not a correctness
+    * hazard at tested SFs). */
+  def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders").select(
+      col("o_custkey").cast("long").as("cust"),
+      datediff(to_date(col("o_orderdate")), lit("1992-01-01").cast("date"))
+        .cast("long").as("day"))
+    o.withColumn("z",
+        zSpread16(col("cust")).bitwiseOR(shiftleft(zSpread16(col("day")), 1)))
+      .groupBy(shiftright(col("z"), 22).as("zbucket"))
+      .agg(count(lit(1)).as("ct"),
+        min(col("cust")).as("min_cust"), max(col("cust")).as("max_cust"),
+        min(col("day")).cast("int").as("min_day"),
+        max(col("day")).cast("int").as("max_day"))
   }
 }

@@ -1,0 +1,110 @@
+package graft.operators
+
+import graft.SparkSuite
+
+/** Driver-side replays for the round-10 warehouse/layout operators:
+  * q118 audienceOverlap, q119 scd2History, q120 zorderLayout. Each test
+  * recomputes the expected output from the raw rows in plain Scala
+  * (independent of the Spark plan) and compares exactly; the z-order test
+  * additionally pins the zone-map tiling guarantee the layout exists for.
+  */
+class WarehouseOpsSpec extends SparkSuite {
+  import org.apache.spark.sql.functions.col
+
+  private def utcFmt(pattern: String): java.text.SimpleDateFormat = {
+    val f = new java.text.SimpleDateFormat(pattern)
+    f.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    f
+  }
+
+  test("audienceOverlap: exact counts match a driver replay and every flag is true") {
+    import spark.implicits._
+    val day = utcFmt("yyyy-MM-dd")
+    val el = graft.Tables.load(spark, sf0001, "events")
+      .select($"event_type", $"user_id".cast("long"), $"event_time")
+      .as[(String, Long, java.sql.Timestamp)].collect()
+      .map { case (t, u, ts) => (t, s"${u}_${day.format(ts)}") }.toSet
+    val byType = el.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val types = byType.keys.toSeq.sorted
+    val want = (for {
+      (a, i) <- types.zipWithIndex; b <- types.drop(i + 1)
+    } yield (a, b, byType(a).size.toLong, byType(b).size.toLong,
+      byType(a).intersect(byType(b)).size.toLong)).toSet
+    val got = Relational.audienceOverlap(spark, sf0001)
+      .as[(String, String, Long, Long, Long, Boolean)].collect()
+    assert(got.forall(_._6), s"HLL inclusion-exclusion out of tolerance: " +
+      got.filterNot(_._6).mkString(", "))
+    assert(got.map(r => (r._1, r._2, r._3, r._4, r._5)).toSet == want)
+  }
+
+  test("scd2History: intervals match a driver replay; history invariants hold") {
+    import spark.implicits._
+    val fmt = utcFmt("yyyy-MM-dd HH:mm:ss")
+    val ev = graft.Tables.load(spark, sf0001, "events")
+      .select($"user_id".cast("long"), $"event_type", $"event_time",
+        $"event_id".cast("long"))
+      .as[(Long, String, java.sql.Timestamp, Long)].collect()
+    val want = ev.groupBy(_._1).flatMap { case (uid, rows) =>
+      val ordered = rows.sortBy(r => (r._3.getTime, r._4))
+      val changes = ordered.foldLeft(Vector.empty[(String, java.sql.Timestamp)]) {
+        case (acc, (_, st, ts, _)) =>
+          if (acc.lastOption.exists(_._1 == st)) acc else acc :+ (st -> ts)
+      }
+      changes.zipWithIndex.map { case ((st, from), i) =>
+        val to = changes.lift(i + 1).map(c => fmt.format(c._2))
+          .getOrElse("9999-12-31 23:59:59")
+        (uid, st, fmt.format(from), to, i + 1, i == changes.size - 1)
+      }
+    }.toSet
+    val got = Relational.scd2History(spark, sf0001)
+      .as[(Long, String, String, String, Int, Boolean)].collect()
+    assert(got.toSet == want)
+    // invariants: exactly one open row per user; versions dense from 1;
+    // consecutive rows chain valid_to -> next valid_from; no no-op rows
+    got.groupBy(_._1).foreach { case (uid, rows) =>
+      assert(rows.count(_._6) == 1, s"user $uid open rows != 1")
+      val byV = rows.sortBy(_._5)
+      assert(byV.map(_._5).toSeq == (1 to rows.length), s"user $uid versions not dense")
+      byV.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4 == b._3, s"user $uid: interval chain broken at v${a._5}")
+          assert(a._2 != b._2, s"user $uid: consecutive equal states survived collapse")
+        case _ =>
+      }
+    }
+  }
+
+  test("zorderLayout: bucket stats match a driver interleave replay; tiles bound both dims") {
+    import spark.implicits._
+    def spread(v: Long): Long = {
+      var x = v & 0xFFFFL
+      x = (x | (x << 8)) & 0x00FF00FFL
+      x = (x | (x << 4)) & 0x0F0F0F0FL
+      x = (x | (x << 2)) & 0x33333333L
+      (x | (x << 1)) & 0x55555555L
+    }
+    val epoch = java.time.LocalDate.parse("1992-01-01")
+    val rows = graft.Tables.load(spark, sf001, "orders")
+      .select($"o_custkey".cast("long"), col("o_orderdate").cast("date"))
+      .as[(Long, java.sql.Date)].collect()
+      .map { case (c, d) =>
+        val day = java.time.temporal.ChronoUnit.DAYS
+          .between(epoch, d.toLocalDate)
+        (c, day, (spread(c) | (spread(day) << 1)) >> 22)
+      }
+    val want = rows.groupBy(_._3).map { case (zb, rs) =>
+      (zb, rs.length.toLong, rs.map(_._1).min, rs.map(_._1).max,
+        rs.map(_._2).min.toInt, rs.map(_._2).max.toInt)
+    }.toSet
+    val got = Relational.zorderLayout(spark, sf001)
+      .as[(Long, Long, Long, Long, Int, Int)].collect()
+    assert(got.toSet == want)
+    // the zone-map guarantee: dropping 22 interleaved low bits leaves the
+    // top 5 bits of EACH 16-bit dim, so every bucket tiles BOTH dims into
+    // spans < 2^11 — a range predicate on either column prunes buckets
+    got.foreach { case (zb, _, cMin, cMax, dMin, dMax) =>
+      assert(cMax - cMin < 2048, s"bucket $zb cust span ${cMax - cMin}")
+      assert(dMax - dMin < 2048, s"bucket $zb day span ${dMax - dMin}")
+    }
+  }
+}
