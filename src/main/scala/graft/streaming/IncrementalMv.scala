@@ -126,4 +126,29 @@ object IncrementalMv {
         .drop("uv_sketch")
     else s
   }
+
+  /** Pairwise audience overlap BETWEEN event types, answered ENTIRELY from
+    * the maintained MV's sketches — the streaming twin of the oracle-gated
+    * [[graft.operators.Relational.audienceOverlap]] (q118): per-type sketch
+    * = `hll_union_agg` of that type's per-date partials (algebraic — the MV
+    * already paid the only corpus scan), overlap = inclusion-exclusion over
+    * the K(K−1)/2 pair merges of fixed-size sketches. A continuously
+    * maintained cross-corpus overlap report whose read cost is independent
+    * of how much data the stream has absorbed. */
+  def readOverlap(spark: SparkSession, storePath: String): DataFrame = {
+    val s = Io.readDim(spark, storePath)
+    require(s.columns.contains("uv_sketch"),
+      "readOverlap needs a sketch measure — run the MV with distinctCol set")
+    val perType = s.groupBy("event_type")
+      .agg(hll_union_agg(col("uv_sketch")).as("sk"))
+    val a = perType.select(col("event_type").as("type_a"), col("sk").as("sk_a"))
+    val b = perType.select(col("event_type").as("type_b"), col("sk").as("sk_b"))
+    a.join(b, col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"),
+        hll_sketch_estimate(col("sk_a")).as("est_a"),
+        hll_sketch_estimate(col("sk_b")).as("est_b"),
+        (hll_sketch_estimate(col("sk_a")) + hll_sketch_estimate(col("sk_b"))
+          - hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b"))))
+          .as("est_overlap"))
+  }
 }

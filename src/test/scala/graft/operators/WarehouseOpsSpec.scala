@@ -107,4 +107,37 @@ class WarehouseOpsSpec extends SparkSuite {
       assert(dMax - dMin < 2048, s"bucket $zb day span ${dMax - dMin}")
     }
   }
+
+  test("zorderWrite: point predicates on EITHER dim prune most written files") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    Relational.zorderWrite(spark, sf001, out, files = 16)
+    val files = new java.io.File(out).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.getPath).sorted
+    assert(files.length >= 8, s"expected a multi-file layout, got ${files.length}")
+    val epoch = java.time.LocalDate.parse("1992-01-01")
+    // per-file zone maps, as a scan would read them from the footers
+    val zones = files.map { f =>
+      val r = spark.read.parquet(f)
+        .select($"o_custkey".cast("long"), col("o_orderdate").cast("date"))
+        .as[(Long, java.sql.Date)].collect()
+      val days = r.map(x => java.time.temporal.ChronoUnit.DAYS.between(epoch, x._2.toLocalDate))
+      (r.map(_._1).min, r.map(_._1).max, days.min, days.max)
+    }
+    val (cLo, cHi) = (zones.map(_._1).min, zones.map(_._2).max)
+    val (dLo, dHi) = (zones.map(_._3).min, zones.map(_._4).max)
+    // probe mid-domain point predicates; a z-layout must skip most files on
+    // BOTH columns (a single-column sort would pass only its own column)
+    val custProbe = (cLo + cHi) / 2
+    val dayProbe = (dLo + dHi) / 2
+    val custHit = zones.count(z => z._1 <= custProbe && custProbe <= z._2)
+    val dayHit = zones.count(z => z._3 <= dayProbe && dayProbe <= z._4)
+    assert(custHit <= files.length / 2,
+      s"custkey=$custProbe admitted by $custHit/${files.length} files — no cust locality")
+    assert(dayHit <= files.length / 2,
+      s"day=$dayProbe admitted by $dayHit/${files.length} files — no day locality")
+    // and the layout is lossless: same rows as the source
+    val back = spark.read.parquet(out).count()
+    assert(back == graft.Tables.load(spark, sf001, "orders").count())
+  }
 }

@@ -148,6 +148,14 @@ class IncrementalMvSpec extends SparkSuite {
       .select(col("event_type"), col("event_date").cast("string"), col("uv_estimate"))
       .as[(String, String, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
     got.foreach { case (k, (_, est)) => assert(replayed(k) == est, s"$k replay drift") }
+
+    // readOverlap: cross-type audience overlap straight from the maintained
+    // sketches (union per type across dates, inclusion-exclusion per pair).
+    // Users here: view={1,2,3,4}, click={1,9} -> overlap {1}; cardinalities
+    // sit in HLL's exact sparse range, so the estimates are integer-exact
+    val ov = IncrementalMv.readOverlap(spark, dir)
+      .as[(String, String, Double, Double, Double)].collect()
+    assert(ov.toSeq == Seq(("click", "view", 2.0, 4.0, 1.0)), ov.toSeq.toString)
   }
 
   test("concurrent reader never observes a torn or blended row while commits land") {
