@@ -422,6 +422,38 @@ object Oracles {
 
   private val base: Map[String, String] = Map(
 
+    // q121 (epochPlan): the repetition-and-placement plan replayed with the
+    // same integer milli-weights and md5-prefix hash coins — every copy row
+    // and its shard is exact on both engines
+    "q121_epoch_plan" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    cast(regexp_extract(source, '(\d+)$', 1) as bigint) AS n FROM documents),
+        |w AS (SELECT doc_id, source, 500 + (n % 7) * 350 AS wm,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT AS h FROM d),
+        |c AS (SELECT doc_id, source,
+        |    (wm // 1000) + CASE WHEN h * 1000 < (wm % 1000) * 4294967296
+        |      THEN 1 ELSE 0 END AS copies
+        |  FROM w)
+        |SELECT doc_id, source, cast(ci as int) AS copy_idx,
+        |  cast(('0x' || substr(md5(doc_id::VARCHAR || '_' || ci), 1, 8))::UBIGINT
+        |    % 16 as int) AS shard
+        |FROM c, unnest(generate_series(1, copies)) AS t(ci)""".stripMargin,
+
+    // q122 (gapFillHourly): dense hourly axis from the bounds row, left
+    // join of the (type, hour) aggregate, zero-filled — integer-exact
+    "q122_gap_fill" ->
+      """WITH ev AS (SELECT event_type, date_trunc('hour', ts) AS h,
+        |    cast(floor(value * 100) as bigint) AS cents FROM events),
+        |c AS (SELECT event_type, h, count(*) AS ct, sum(cents) AS sum_cents
+        |  FROM ev GROUP BY 1, 2),
+        |b AS (SELECT min(h) AS h0, max(h) AS h1 FROM ev),
+        |axis AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM b),
+        |t AS (SELECT DISTINCT event_type FROM ev)
+        |SELECT t.event_type, strftime(axis.h, '%Y-%m-%d %H:00:00') AS hour,
+        |  coalesce(c.ct, 0) AS ct, cast(coalesce(c.sum_cents, 0) as bigint) AS sum_cents
+        |FROM t CROSS JOIN axis
+        |LEFT JOIN c ON c.event_type = t.event_type AND c.h = axis.h""".stripMargin,
+
     // q118 (audienceOverlap): exact pairwise (user,day)-audience overlap is
     // hash-compared; the sketch inclusion-exclusion estimate differs by HLL
     // implementation, so (q34/q117 pattern) each engine emits its OWN

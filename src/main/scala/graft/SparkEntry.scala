@@ -150,6 +150,8 @@ object SparkEntry {
     "q118_audience_overlap" -> ((s, d) => Relational.audienceOverlap(s, d)),
     "q119_scd2_history"     -> ((s, d) => Relational.scd2History(s, d)),
     "q120_zorder_layout"    -> ((s, d) => Relational.zorderLayout(s, d)),
+    "q121_epoch_plan"       -> ((s, d) => TextOps.epochPlan(s, d)),
+    "q122_gap_fill"         -> ((s, d) => Relational.gapFillHourly(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

@@ -1046,6 +1046,36 @@ object Relational {
       .write.mode("overwrite").parquet(outPath)
   }
 
+  /** TIME-SERIES GAP FILL / RESAMPLE (q122) — the dense-axis step every
+    * downstream window computation silently assumes (a moving average or
+    * anomaly detector over a series with MISSING buckets is wrong, not just
+    * incomplete): hourly per-type counts and sums re-gridded onto the full
+    * [min hour, max hour] axis with zero-filled gaps (~6% of slots at
+    * sf0.01).
+    *
+    * Plan shape: the only corpus-sized work is ONE map-side-combinable
+    * aggregate to (type, hour) grain; the axis is generated from a 1-row
+    * bounds aggregate with `explode(sequence(h0, h1, 1 hour))` — no driver
+    * collect — and every later join touches only post-agg frames whose
+    * size is types × hours, independent of corpus row count. */
+  def gapFillHourly(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events").select(col("event_type"),
+      date_trunc("hour", col("event_time")).as("h"),
+      floor(col("value") * 100).cast("long").as("cents"))
+    val counts = ev.groupBy("event_type", "h")
+      .agg(count(lit(1)).as("ct"), sum(col("cents")).as("sum_cents"))
+    val axis = ev.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(explode(sequence(col("h0"), col("h1"),
+        expr("interval 1 hour"))).as("h"))
+    val types = counts.select("event_type").distinct()
+    types.crossJoin(axis) // bounded: K types × dense axis
+      .join(counts, Seq("event_type", "h"), "left")
+      .select(col("event_type"),
+        date_format(col("h"), "yyyy-MM-dd HH:00:00").as("hour"),
+        coalesce(col("ct"), lit(0L)).as("ct"),
+        coalesce(col("sum_cents"), lit(0L)).as("sum_cents"))
+  }
+
   def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
     val o = t(spark, dir, "orders").select(
       col("o_custkey").cast("long").as("cust"),

@@ -1651,4 +1651,41 @@ object TextOps {
       .groupBy("source")
       .agg(count(lit(1)).as("kept_docs"), sum(col("n_tokens")).as("kept_tokens"))
   }
+
+  /** EPOCH/SHARD TRAINING PLAN (q121) — materialize the "data recipe": each
+    * document appears `w(source)` times in expectation across the training
+    * run (fractional weights resolved per doc by a deterministic hash coin,
+    * so both up- AND down-sampling fall out of one rule), and every copy is
+    * assigned a shard by an independent hash — the deterministic
+    * repetition-and-placement step between curation (q73/q100 choose
+    * weights) and training (shards are the unit a loader pulls).
+    *
+    * Plan shape: MAP-ONLY — weight lookup, repeat count, `explode(sequence)`
+    * and both hashes are all per-row; NO shuffle anywhere, so the plan is a
+    * single scan→write pipeline at any scale (the shard column is what a
+    * partitioned write would key on). Integer-exact milli-weights and
+    * md5-prefix coins replay bit-identically in SQL.
+    *
+    * Weights here derive from the source id (`0.5 + (n mod 7)·0.35` ∈
+    * [0.5, 2.6]) so the oracle needs no side-channel config; a production
+    * run would broadcast a real weight map the same way. */
+  def epochPlan(spark: SparkSession, dir: String, shards: Int = 16): DataFrame =
+    docs(spark, dir).select(col("doc_id"), col("source"))
+      .withColumn("__wm", // milli-weight, exact integer
+        lit(500L) + (regexp_extract(col("source"), "(\\d+)$", 1).cast("long") % 7) * 350L)
+      .withColumn("__h", // 32-bit hash coin for the fractional part
+        conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+          .cast("long"))
+      .withColumn("__copies",
+        floor(col("__wm") / 1000L).cast("long") +
+          // h/2^32 < frac(w) ⟺ h·1000 < (wm mod 1000)·2^32 — exact in longs
+          when(col("__h") * 1000L < (col("__wm") % 1000L) * 4294967296L, 1L)
+            .otherwise(0L))
+      .filter(col("__copies") > 0)
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(1), col("__copies").cast("int"))).as("copy_idx"))
+      .withColumn("shard",
+        pmod(conv(substring(md5(concat_ws("_", col("doc_id"), col("copy_idx"))
+          .cast("binary")), 1, 8), 16, 10).cast("long"), lit(shards.toLong))
+          .cast("int"))
 }

@@ -140,4 +140,43 @@ class WarehouseOpsSpec extends SparkSuite {
     val back = spark.read.parquet(out).count()
     assert(back == graft.Tables.load(spark, sf001, "orders").count())
   }
+
+  test("epochPlan: copies match a driver md5 replay; the plan is map-only (zero Exchange)") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def h32(s: String): Long = java.lang.Long.parseLong(md5hex(s).substring(0, 8), 16)
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+      .select($"doc_id".cast("long"), $"source").as[(Long, String)].collect()
+    val want = docs.flatMap { case (id, src) =>
+      val wm = 500L + (src.replaceAll("^\\D+", "").toLong % 7) * 350L
+      val copies = wm / 1000 + (if (h32(id.toString) * 1000L < (wm % 1000) * 4294967296L) 1 else 0)
+      (1L to copies).map(ci => (id, src, ci.toInt, (h32(s"${id}_$ci") % 16).toInt))
+    }.toSet
+    val plan = TextOps.epochPlan(spark, sf0001)
+    assert(plan.as[(Long, String, Int, Int)].collect().toSet == want)
+    // the 100 TB property: repetition + placement is one scan-to-write
+    // pipeline — no shuffle may appear anywhere in the plan
+    val phys = plan.queryExecution.executedPlan.toString
+    assert(!phys.contains("Exchange"), s"epochPlan must be map-only:\n$phys")
+  }
+
+  test("gapFillHourly: dense axis, zero-filled gaps, totals preserved") {
+    import spark.implicits._
+    val got = Relational.gapFillHourly(spark, sf001)
+      .as[(String, String, Long, Long)].collect()
+    val types = got.map(_._1).toSet
+    val hours = got.map(_._2).toSet
+    // complete grid: every (type, hour) slot exactly once
+    assert(got.length == types.size * hours.size)
+    assert(got.groupBy(r => (r._1, r._2)).forall(_._2.length == 1))
+    // the fixture actually has gaps, and they are zero-filled on BOTH measures
+    val gaps = got.filter(_._3 == 0L)
+    assert(gaps.nonEmpty, "sf0.01 hourly grid should contain empty slots")
+    assert(gaps.forall(_._4 == 0L))
+    // re-gridding must not invent or lose events
+    val totalCt = got.map(_._3).sum
+    assert(totalCt == graft.Tables.load(spark, sf001, "events").count())
+  }
 }
