@@ -222,8 +222,11 @@ object Multimodal {
     * temporal slots); None for anything malformed — a compressed codec
     * payload, a truncated frame, an unknown colorspace — so callers quarantine
     * instead of emitting garbage features. */
-  private[operators] def decodeY4m(payload: Array[Byte],
-                                   bins: Int): Option[(Int, Int, Double, Int, Array[Double])] = {
+  /** Structural Y4M scan shared by [[decodeY4m]] (temporal profile) and
+    * [[decodeY4mFrames]] (per-frame grids): header fields + the byte offset
+    * of every frame's Y plane. None on any malformation (bad header,
+    * unknown chroma, truncated or frameless stream) — callers quarantine. */
+  private def y4mScan(payload: Array[Byte]): Option[(Int, Int, Double, Array[Int])] = {
     def lineEnd(from: Int): Int = {
       var i = from
       while (i < payload.length && payload(i) != '\n'.toByte) i += 1
@@ -252,7 +255,7 @@ object Multimodal {
       else if (cs.startsWith("444")) 2 * ySize
       else if (cs == "mono") 0
       else return None
-    val lumas = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
     var pos = nl + 1
     while (pos < payload.length) {
       val fnl = lineEnd(pos)
@@ -261,14 +264,27 @@ object Multimodal {
       if (!fline.startsWith("FRAME")) return None
       val dataStart = fnl + 1
       if (dataStart + ySize + chromaSize > payload.length) return None // truncated frame
+      offsets += dataStart
+      pos = dataStart + ySize + chromaSize
+    }
+    if (offsets.isEmpty) return None // a frameless stream carries no signal — quarantine
+    Some((w, h, fpsN.toDouble / fpsD, offsets.toArray))
+  }
+
+  private[operators] def decodeY4m(payload: Array[Byte],
+                                   bins: Int): Option[(Int, Int, Double, Int, Array[Double])] = {
+    val (w, h, fps, offsets) = y4mScan(payload) match {
+      case Some(v) => v
+      case None => return None
+    }
+    val ySize = w * h
+    val lumas = offsets.map { dataStart =>
       var s = 0.0
       var i = dataStart
       val end = dataStart + ySize
       while (i < end) { s += (payload(i) & 0xff); i += 1 }
-      lumas += s / ySize / 255.0
-      pos = dataStart + ySize + chromaSize
+      s / ySize / 255.0
     }
-    if (lumas.isEmpty) return None // a frameless stream carries no signal — quarantine
     val nFrames = lumas.length
     // pool per-frame lumas into `bins` temporal slots — same binning as the
     // audio RMS profile, so downstream feature consumers see one shape
@@ -281,7 +297,93 @@ object Multimodal {
       while (j < stop) { s += lumas(j); j += 1 }
       s / math.max(stop - from, 1)
     }
-    Some((w, h, fpsN.toDouble / fpsD, nFrames, profile))
+    Some((w, h, fps, nFrames, profile))
+  }
+
+  /** Per-frame pooled-luminance grids (the video analog of the image
+    * branch's gridH×gridW average pool) — the per-frame signal
+    * [[videoSceneCuts]] segments on. Shares [[y4mScan]]'s one structural
+    * pass; cost is one read of each Y plane, no chroma touched. */
+  private[operators] def decodeY4mFrames(payload: Array[Byte], gridH: Int,
+                                         gridW: Int): Option[(Int, Int, Double, Array[Array[Double]])] = {
+    val (w, h, fps, offsets) = y4mScan(payload) match {
+      case Some(v) => v
+      case None => return None
+    }
+    val grids = offsets.map { dataStart =>
+      val sums = new Array[Double](gridH * gridW)
+      val counts = new Array[Long](gridH * gridW)
+      var y = 0
+      while (y < h) {
+        val gy = math.min(y * gridH / h, gridH - 1)
+        val rowBase = dataStart + y * w
+        var x = 0
+        while (x < w) {
+          val gx = math.min(x * gridW / w, gridW - 1)
+          val c = gy * gridW + gx
+          sums(c) += (payload(rowBase + x) & 0xff) / 255.0
+          counts(c) += 1
+          x += 1
+        }
+        y += 1
+      }
+      Array.tabulate(gridH * gridW)(c =>
+        if (counts(c) == 0) 0.0 else sums(c) / counts(c))
+    }
+    Some((w, h, fps, grids))
+  }
+
+  private val sceneSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("media_id", org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("seg_idx", org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("start_frame", org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_frames", org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("start_s", org.apache.spark.sql.types.DoubleType, nullable = false),
+    org.apache.spark.sql.types.StructField("dur_s", org.apache.spark.sql.types.DoubleType, nullable = false),
+    org.apache.spark.sql.types.StructField("mean_luma", org.apache.spark.sql.types.DoubleType, nullable = false)))
+
+  /** VIDEO SCENE-CUT SEGMENTATION — the temporal segmentation op that turns
+    * raw video into trainable clips (frame-sampling / captioning pipelines
+    * operate per scene, not per file): a cut lands between consecutive
+    * frames whose pooled-luminance grids ([[decodeY4mFrames]]) differ by
+    * more than `threshold` mean absolute cell delta — grid-wise, so a cut
+    * needs STRUCTURAL change (a lighting flicker moves every cell a
+    * little; a scene change moves the layout a lot). Emits one row per
+    * segment with frame and second bounds plus its mean luminance.
+    *
+    * Scale shape: pure flatMap over media rows — each video decodes ONCE,
+    * entirely inside its task (same per-partition discipline as
+    * [[decodeMedia]]); no shuffle, output proportional to detected scenes.
+    * Undecodable/non-video rows emit nothing — the modality audit (q77)
+    * owns quarantine accounting, segmentation stays pure. */
+  def videoSceneCuts(media: DataFrame, gridH: Int = 2, gridW: Int = 4,
+                     threshold: Double = 0.08): DataFrame = {
+    val spark = media.sparkSession
+    val out = media.select("media_id", "payload", "media_type").rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        if (r.isNullAt(1) || r.isNullAt(2) || r.getString(2) != "video") Iterator.empty
+        else decodeY4mFrames(r.getAs[Array[Byte]](1), gridH, gridW) match {
+          case None => Iterator.empty
+          case Some((_, _, fps, grids)) =>
+            val cells = gridH * gridW
+            val cutAt = (1 until grids.length).filter { i =>
+              var d = 0.0
+              var c = 0
+              while (c < cells) { d += math.abs(grids(i)(c) - grids(i - 1)(c)); c += 1 }
+              d / cells > threshold
+            }
+            val bounds = (0 +: cutAt) :+ grids.length
+            bounds.sliding(2).zipWithIndex.map { case (Seq(from, until), seg) =>
+              var s = 0.0
+              var i = from
+              while (i < until) { s += grids(i).sum / cells; i += 1 }
+              Row(r.getLong(0), seg, from, until - from,
+                from / fps, (until - from) / fps, s / (until - from))
+            }
+        }
+      }
+    }
+    spark.createDataFrame(out, sceneSchema)
   }
 
   /** Image perceptual-hash near-dup detection — the IMAGE-modality twin of
