@@ -71,6 +71,28 @@ class Scd2StreamSpec extends SparkSuite {
     assert(readBack(dir) == before, "no-op re-emissions must not grow history")
   }
 
+  test("real events table in 3 time-ordered micro-batches equals the oracle-gated q119 build") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-scd2-real").toString
+    val log = graft.Tables.load(spark, sf0001, "events")
+      .select(col("user_id"), col("event_type").as("state"),
+        col("event_time"), col("event_id"))
+    // three micro-batches split on event time (streaming delivers in rough
+    // time order; in-batch ordering is the operator's job)
+    val cuts = Seq("2024-01-11", "2024-01-21")
+    val batches = Seq(
+      log.filter(col("event_time") < lit(cuts(0)).cast("timestamp")),
+      log.filter(col("event_time") >= lit(cuts(0)).cast("timestamp") &&
+        col("event_time") < lit(cuts(1)).cast("timestamp")),
+      log.filter(col("event_time") >= lit(cuts(1)).cast("timestamp")))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      Scd2Stream.applyBatch(spark, b, dir, epoch = i.toLong)
+    }
+    val want = graft.operators.Relational.scd2History(spark, sf0001)
+      .as[Hist].collect().toSet
+    assert(readBack(dir) == want,
+      "micro-batched SCD2 must reproduce the oracle-gated batch history")
+  }
+
   test("PARTIAL commit: replay fills only the users the crash missed") {
     val dir = java.nio.file.Files.createTempDirectory("graft-scd2-part").toString
     val m = 60000L
