@@ -528,6 +528,70 @@ object Multimodal {
     fingerprintPairs(audioFingerprint(media, tBins, fBands),
       tBins * fBands, nSeg, maxHamming)
 
+  /** Video spatio-temporal fingerprint — [[audioFingerprint]]'s slot
+    * structure with [[imageNearDup]]'s spatial bits: the clip is cut into
+    * `tBins` temporal slots, each slot's frames pool into one gridH×gridW
+    * luminance grid ([[decodeY4mFrames]], one structural pass), and bit
+    * (slot·cells + cell) is set iff that cell outshines the SLOT's mean —
+    * so a uniform brightness/contrast re-encode shifts every cell and the
+    * mean together (bits invariant), while re-composed content moves the
+    * layout and flips bits. tBins=4 × 8 cells = 32 bits, the Long the
+    * blocking skeleton expects. Undecodable/non-video rows drop. */
+  def videoFingerprint(media: DataFrame, tBins: Int = 4, gridH: Int = 2,
+                       gridW: Int = 4): DataFrame = {
+    val cells = gridH * gridW
+    require(tBins * cells <= 64, "fingerprint needs tBins*cells <= 64 bits")
+    val spark = media.sparkSession
+    val out = media.select("media_id", "payload", "media_type").rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        val mediaType = if (r.isNullAt(2)) null else r.getString(2)
+        if (payload == null || mediaType != "video") None
+        else decodeY4mFrames(payload, gridH, gridW).map { case (_, _, _, grids) =>
+          val nF = grids.length
+          var fp = 0L
+          var t = 0
+          while (t < tBins) {
+            val from = t * nF / tBins
+            val stop = math.min(math.max((t + 1) * nF / tBins, from + 1), nF)
+            val slot = new Array[Double](cells)
+            var i = from
+            while (i < stop) {
+              var c = 0
+              while (c < cells) { slot(c) += grids(i)(c); c += 1 }
+              i += 1
+            }
+            val mean = slot.sum / cells // common frame-count factor cancels
+            var c = 0
+            while (c < cells) {
+              if (slot(c) > mean) fp |= 1L << (t * cells + c)
+              c += 1
+            }
+            t += 1
+          }
+          Row(r.getLong(0), fp)
+        }
+      }
+    }
+    spark.createDataFrame(out, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("media_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("fp",
+        org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
+  /** Video perceptual near-dup — completes the per-modality dedup matrix
+    * (text simhash / image aHash / audio spectral / video spatio-temporal):
+    * [[videoFingerprint]] bits + the shared segment-blocked hamming
+    * skeleton. Catches brightness-shifted re-encodes of the same cut;
+    * rejects different compositions and reordered scenes (slot grids
+    * change). Spec-gated on synthesized Y4M twins — no SQL oracle by
+    * necessity (the imageNearDup/audioNearDup evidence class). */
+  def videoNearDup(media: DataFrame, tBins: Int = 4, gridH: Int = 2,
+                   gridW: Int = 4, nSeg: Int = 4, maxHamming: Int = 3): DataFrame =
+    fingerprintPairs(videoFingerprint(media, tBins, gridH, gridW),
+      tBins * gridH * gridW, nSeg, maxHamming)
+
   /** Build a media table from documents (payload = utf-8 bytes) — the fixture
     * generator for the binary plumbing; also the shape a real ingest would use. */
   def mediaFromDocuments(spark: SparkSession, dir: String): DataFrame =
