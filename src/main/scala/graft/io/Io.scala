@@ -195,6 +195,22 @@ object Io {
   def readDim(spark: SparkSession, path: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(path).drop("__bucket")
 
+  /** True iff `path` holds an [[upsertDim]] store WITH at least one
+    * published bucket. The two conditions are both required: upsertDim
+    * writes the `_buckets` marker BEFORE the first bucket publish, so a
+    * crash in that window leaves a marker with zero `__bucket=*` dirs — a
+    * store that is EMPTY, not readable ([[readDim]] has no parquet to infer
+    * a schema from and throws, permanently wedging a replaying stream —
+    * round-9 ADVICE). Every maintenance sink that bootstraps-or-merges on
+    * this store (IncrementalMv, Scd2Stream) must branch on THIS predicate,
+    * not on the marker alone — one definition so the crash-window rule
+    * can't drift between sinks. */
+  def dimStoreHasData(path: String): Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_buckets")) && {
+      val dirs = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      dirs.exists(f => f.isDirectory && f.getName.startsWith("__bucket="))
+    }
+
   /** Publish `tmp` as `target` via rename-aside (single-process test scope;
     * table formats own this in prod): the live version is moved out of the
     * way — not deleted — before the new one lands, so a failed rename can't

@@ -214,18 +214,15 @@ object Multimodal {
       Some((samples, fmt.getSampleRate))
     } catch { case _: Exception => None }
 
-  /** Pure-JVM YUV4MPEG2 (y4m) parse: `YUV4MPEG2 W<w> H<h> F<n>:<d> [C<cs>]\n`
-    * then per frame a `FRAME…\n` line followed by raw planar YUV. Only the Y
-    * (luminance) plane is read — the chroma planes are SKIPPED by size, which
-    * is exactly the cheap sampling a 100 TB feature sweep wants. Returns
-    * (width, height, fps, n_frames, per-frame mean-luma pooled into `bins`
-    * temporal slots); None for anything malformed — a compressed codec
-    * payload, a truncated frame, an unknown colorspace — so callers quarantine
-    * instead of emitting garbage features. */
-  /** Structural Y4M scan shared by [[decodeY4m]] (temporal profile) and
-    * [[decodeY4mFrames]] (per-frame grids): header fields + the byte offset
-    * of every frame's Y plane. None on any malformation (bad header,
-    * unknown chroma, truncated or frameless stream) — callers quarantine. */
+  /** Structural pure-JVM YUV4MPEG2 (y4m) scan shared by [[decodeY4m]]
+    * (temporal profile) and [[decodeY4mFrames]] (per-frame grids):
+    * `YUV4MPEG2 W<w> H<h> F<n>:<d> [C<cs>]\n` header fields + the byte
+    * offset of every frame's Y plane (each frame is a `FRAME…\n` line then
+    * raw planar YUV; chroma planes are SKIPPED by size — only luminance is
+    * ever read, the cheap sampling a 100 TB feature sweep wants). None on
+    * any malformation — a compressed codec payload, a truncated frame, an
+    * unknown colorspace — so callers quarantine instead of emitting
+    * garbage features. */
   private def y4mScan(payload: Array[Byte]): Option[(Int, Int, Double, Array[Int])] = {
     def lineEnd(from: Int): Int = {
       var i = from
@@ -271,6 +268,11 @@ object Multimodal {
     Some((w, h, fpsN.toDouble / fpsD, offsets.toArray))
   }
 
+  /** Temporal luminance profile over [[y4mScan]]: (width, height, fps,
+    * n_frames, per-frame mean luma pooled into `bins` temporal slots) —
+    * the video branch of [[decodeMedia]]'s feature column. Quarantine
+    * contract inherited from the scan: None ⇒ caller emits decode_ok=false,
+    * never garbage features. */
   private[operators] def decodeY4m(payload: Array[Byte],
                                    bins: Int): Option[(Int, Int, Double, Int, Array[Double])] = {
     val (w, h, fps, offsets) = y4mScan(payload) match {
@@ -419,6 +421,15 @@ object Multimodal {
     * `nSeg` hash segments (pigeonhole: full recall for hamming ≤ nSeg−1),
     * verify exact hamming ≤ `maxHamming`. Never all-pairs: the join meets
     * only within-segment-value buckets. */
+  /** (media_id, fp) schema every modality fingerprint emits — one
+    * definition so the frame [[fingerprintPairs]] consumes cannot drift
+    * between the audio and video emitters. */
+  private val fpSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("media_id",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("fp",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+
   private[operators] def fingerprintPairs(fp: DataFrame, nBits: Int, nSeg: Int,
                                           maxHamming: Int): DataFrame = {
     // the pigeonhole recall guarantee (hamming ≤ nSeg−1 ⇒ some segment
@@ -508,11 +519,7 @@ object Multimodal {
         }
       }
     }
-    spark.createDataFrame(out, org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("media_id",
-        org.apache.spark.sql.types.LongType, nullable = false),
-      org.apache.spark.sql.types.StructField("fp",
-        org.apache.spark.sql.types.LongType, nullable = false))))
+    spark.createDataFrame(out, fpSchema)
   }
 
   /** Audio perceptual near-dup — the AUDIO-modality twin of [[imageNearDup]]
@@ -573,11 +580,7 @@ object Multimodal {
         }
       }
     }
-    spark.createDataFrame(out, org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("media_id",
-        org.apache.spark.sql.types.LongType, nullable = false),
-      org.apache.spark.sql.types.StructField("fp",
-        org.apache.spark.sql.types.LongType, nullable = false))))
+    spark.createDataFrame(out, fpSchema)
   }
 
   /** Video perceptual near-dup — completes the per-modality dedup matrix

@@ -1008,9 +1008,13 @@ object Relational {
     * parquet write (one range shuffle, then min/max zone maps come free
     * from the parquet footers); here the bucket stats are computed
     * directly so the layout property itself is oracle-checkable. Keys are
-    * masked to 16 bits (custkey < 65536 through sf1; day-since-1992 < 65536
-    * through year 2171 — documented domain bound, not a correctness
-    * hazard at tested SFs). */
+    * masked to 16 bits — a DOMAIN BOUND on this fixed-domain stats query:
+    * it holds at the tested SFs (custkey ≤ 14,999 at sf0.1; TPC-H-style
+    * ~150k customers/sf outgrows 65,535 around sf0.4) and for order-day
+    * through year 2171. Past the bound the mask aliases keys and the
+    * per-bucket spans blow up — use [[zorderWrite]], whose min/max scaling
+    * handles ANY domain, for real layouts; this query's fixed masking
+    * exists so the oracle can replay the exact same integers. */
   /** The write-side twin of [[zorderLayout]]: physically cluster `orders`
     * by the Morton value — ONE range shuffle (`repartitionByRange(z)`, so
     * files tile the z-curve) + in-partition sort (so row groups tile it
@@ -1032,8 +1036,16 @@ object Relational {
     val o = t(spark, dir, "orders").withColumn("__day",
       datediff(to_date(col("o_orderdate")), lit("1992-01-01").cast("date"))
         .cast("long"))
-    val b = o.agg(min(col("o_custkey")).as("c0"), max(col("o_custkey")).as("c1"),
+    // cast INSIDE the aggregate: Tables admits any integer physical type for
+    // o_custkey (the generator has re-typed columns between rounds before),
+    // and an untyped getLong would ClassCastException on an int32 schema
+    val b = o.agg(min(col("o_custkey").cast("long")).as("c0"),
+      max(col("o_custkey").cast("long")).as("c1"),
       min(col("__day")).as("d0"), max(col("__day")).as("d1")).head()
+    if (b.isNullAt(0)) { // empty source: publish the empty frame, no layout
+      o.drop("__day").write.mode("overwrite").parquet(outPath)
+      return
+    }
     def scale16(c: Column, lo: Long, hi: Long): Column =
       floor((c - lit(lo)) * lit(65535L) / lit(math.max(hi - lo, 1L))).cast("long")
     o.withColumn("__z",

@@ -63,18 +63,8 @@ object IncrementalMv {
                  epoch: Long, distinctCol: Option[String] = None): Unit = {
     val d = deltaAgg(delta, distinctCol).withColumn("k",
       concat_ws("|", col("event_type"), col("event_date").cast("string")))
-    val marker = java.nio.file.Paths.get(storePath, "_buckets")
-    // upsertDim writes the _buckets marker BEFORE publishing any bucket, so a
-    // crash in that window leaves a marker with zero __bucket=* dirs. That
-    // store is EMPTY, not readable — the replay must take the bootstrap
-    // branch, or readDim throws (no parquet to infer a schema from) and the
-    // stream wedges permanently (round-9 ADVICE, medium).
-    val storeHasData = java.nio.file.Files.exists(marker) && {
-      val dirs = Option(new java.io.File(storePath).listFiles()).getOrElse(Array.empty)
-      dirs.exists(f => f.isDirectory && f.getName.startsWith("__bucket="))
-    }
     val merged =
-      if (!storeHasData) d.withColumn("last_epoch", lit(epoch))
+      if (!Io.dimStoreHasData(storePath)) d.withColumn("last_epoch", lit(epoch))
       else {
         val s = Io.readDim(spark, storePath)
         // replay detection: keys whose store row already saw this (or a

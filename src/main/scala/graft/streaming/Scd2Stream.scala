@@ -29,6 +29,12 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *
   * Read back with [[readHistory]], which explodes the array into exactly
   * the q119 interval shape (one row per version, sentinel-closed).
+  *
+  * Ordering contract: batches arrive in rough event-time order (the same
+  * watermark discipline every event-time operator here runs under);
+  * within a batch the operator sorts. A straggler OLDER than a user's
+  * open interval is dropped by a fold guard — see [[applyBatch]] — since
+  * exact late repair would need the full uncompacted log.
   */
 object Scd2Stream {
 
@@ -48,13 +54,8 @@ object Scd2Stream {
       .groupBy("user_id")
       .agg(sort_array(collect_list(struct(
         col("event_time"), col("event_id"), col("state")))).as("__changes"))
-    val marker = java.nio.file.Paths.get(storePath, "_buckets")
-    val storeHasData = java.nio.file.Files.exists(marker) && {
-      val dirs = Option(new java.io.File(storePath).listFiles()).getOrElse(Array.empty)
-      dirs.exists(f => f.isDirectory && f.getName.startsWith("__bucket="))
-    }
     val joined =
-      if (!storeHasData)
+      if (!Io.dimStoreHasData(storePath))
         changes.withColumn("__history", lit(null)
           .cast("array<struct<state:string,valid_from:timestamp," +
             "valid_to:timestamp,version:int>>"))
@@ -68,7 +69,19 @@ object Scd2Stream {
       }
     // per-user epoch gate (replay / partial-commit recovery), then the fold:
     // append each change unless it repeats the current open state; a real
-    // change closes the open interval at the change's timestamp
+    // change closes the open interval at the change's timestamp.
+    //
+    // ORDERING CONTRACT: changes apply at or after the open interval's
+    // valid_from; an OLDER straggler (cross-batch reordering past the
+    // open interval) is dropped by the fold's first branch — without the
+    // guard it would close the open interval with valid_to BEFORE its
+    // valid_from and flip is_current to the stale state. Exact repair of
+    // such stragglers needs the full event log (collapsed no-op events are
+    // unrecoverable from compacted history by construction), so the
+    // watermark discipline applies: bound disorder upstream (the same
+    // contract every event-time window in streaming/ runs under), and the
+    // guard turns what leaks past it from silent corruption into a
+    // dropped-late-row, the standard late-data semantics.
     val merged = joined
       .filter(col("__le").isNull || col("__le") < epoch)
       .select(col("user_id"),
@@ -79,7 +92,9 @@ object Scd2Stream {
               "valid_from:timestamp,valid_to:timestamp,version:int>>")),
           (acc, c) => {
             val last = element_at(acc, -1)
-            when(size(acc) > 0 && last.getField("state") === c.getField("state"), acc)
+            when(size(acc) > 0 &&
+                c.getField("event_time") < last.getField("valid_from"), acc)
+              .when(size(acc) > 0 && last.getField("state") === c.getField("state"), acc)
               .otherwise(concat(
                 slice(acc, lit(1), greatest(size(acc) - 1, lit(0))),
                 when(size(acc) > 0, array(struct(

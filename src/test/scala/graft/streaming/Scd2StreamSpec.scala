@@ -108,6 +108,26 @@ class Scd2StreamSpec extends SparkSuite {
     assert(readBack(dir) == batchBuild(b1 ++ b2))
   }
 
+  test("a straggler older than the open interval is dropped, never corrupts the history") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-scd2-late").toString
+    val m = 60000L
+    Scd2Stream.applyBatch(spark, mkLog(Seq((1L, "view", t0 + 10 * m, 1L))), dir, epoch = 0L)
+    val before = readBack(dir)
+    // a cross-batch straggler from BEFORE the open interval: without the
+    // fold guard this would close the open interval with valid_to earlier
+    // than valid_from and flip is_current to the stale state
+    Scd2Stream.applyBatch(spark, mkLog(Seq((1L, "click", t0, 2L))), dir, epoch = 1L)
+    val after = readBack(dir)
+    assert(after == before, s"late event must be dropped, got $after")
+    // and every row still satisfies the interval invariant
+    after.foreach { h => assert(h._4 > h._3, s"inverted interval: $h") }
+    // a late event INSIDE the same batch as newer ones is ordered, not lost
+    Scd2Stream.applyBatch(spark,
+      mkLog(Seq((2L, "b", t0 + m, 4L), (2L, "a", t0, 3L))), dir, epoch = 2L)
+    val u2 = readBack(dir).filter(_._1 == 2L).toSeq.sortBy(_._5)
+    assert(u2.map(_._2) == Seq("a", "b"), s"in-batch sort owns intra-batch disorder: $u2")
+  }
+
   test("streaming run: MemoryStream batches maintain the history end-to-end") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
