@@ -234,6 +234,33 @@ object Io {
     org.apache.commons.io.FileUtils.deleteDirectory(aside)
   }
 
+  /** Re-bucket an existing [[upsertDim]] store to `newBuckets` — the
+    * missing half of the scaladoc's "raise `buckets` with table size"
+    * growth story: the marker pins the layout forever (an upsert with a
+    * different count would mis-route keys), so growth needs an explicit
+    * migration. The whole new store — `_buckets` marker + every
+    * `__bucket=N` dir — is built COMPLETELY in a sibling tmp dir (one
+    * write job, the store's only full rewrite), then swapped in with the
+    * same checked rename-aside the per-bucket commits use: a crash
+    * anywhere before the swap leaves the old store live and untouched; a
+    * failed swap restores it. `pk` must be the same key column the store
+    * is upserted by — the caller owns that contract, exactly as with
+    * [[upsertDim]] itself. */
+  def rebucketDim(spark: SparkSession, path: String, pk: String,
+                  newBuckets: Int): Unit = {
+    require(newBuckets > 0, s"rebucketDim: newBuckets must be positive, got $newBuckets")
+    require(dimStoreHasData(path), s"rebucketDim: $path is not a dim store with data")
+    val tmp = new java.io.File(path + ".rebucket_tmp")
+    if (tmp.exists()) org.apache.commons.io.FileUtils.deleteDirectory(tmp) // stale crash leftover
+    readDim(spark, path)
+      .withColumn("__bucket",
+        pmod(xxhash64(col(pk).cast("string")), lit(newBuckets.toLong)))
+      .repartition(col("__bucket")) // one file per bucket, the upsertDim layout
+      .write.partitionBy("__bucket").parquet(tmp.getPath)
+    java.nio.file.Files.writeString(tmp.toPath.resolve("_buckets"), newBuckets.toString)
+    swapDir(tmp, new java.io.File(path))
+  }
+
   /** Date/key-partitioned parquet layout — the warehouse persistence pattern
     * at scale: one directory per partition value so downstream readers prune
     * entire partitions (PartitionFilters) instead of scanning files. */

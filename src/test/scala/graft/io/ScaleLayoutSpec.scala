@@ -78,6 +78,40 @@ class ScaleLayoutSpec extends SparkSuite {
       "marker-pinned layout: no duplicate key despite the mismatched buckets param")
   }
 
+  test("rebucketDim migrates the layout losslessly and later upserts route by the NEW marker") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dim-rebucket").toString + "/store"
+    val seed = (1 to 40).map(i => (i.toString, s"v$i", 1L)).toDF("id", "value", "ts")
+    Io.upsertDim(spark, seed, dir, "id", "ts", buckets = 4)
+    // a stale crash-leftover tmp from an aborted migration must not block
+    new java.io.File(dir + ".rebucket_tmp").mkdirs()
+
+    Io.rebucketDim(spark, dir, "id", newBuckets = 8)
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "_buckets")).trim == "8", "marker updated")
+    val rows = Io.readDim(spark, dir).collect()
+      .map(r => r.getAs[String]("id") -> r.getAs[String]("value")).toMap
+    assert(rows.size == 40 && rows("7") == "v7", "migration is lossless")
+    // every key sits in the bucket the NEW count hashes it to — the property
+    // that makes later upserts find it (a mis-placed key would duplicate)
+    val bucketOf = (1 to 40).map { i =>
+      i.toString -> spark.sql(
+        s"select pmod(xxhash64(cast('$i' as string)), 8L)").head.getLong(0)
+    }.toMap
+    new java.io.File(dir).listFiles().filter(_.getName.startsWith("__bucket=")).foreach { d =>
+      val b = d.getName.stripPrefix("__bucket=").toLong
+      spark.read.parquet(d.getPath).select("id").collect().map(_.getString(0)).foreach { id =>
+        assert(bucketOf(id) == b, s"key $id in bucket $b, expected ${bucketOf(id)}")
+      }
+    }
+    // and the migrated store keeps the upsert contract: update one key,
+    // last-writer-wins, no duplicates
+    Io.upsertDim(spark, Seq(("7", "v7b", 2L)).toDF("id", "value", "ts"), dir, "id", "ts")
+    val rows2 = Io.readDim(spark, dir).collect()
+      .map(r => r.getAs[String]("id") -> r.getAs[String]("value")).toMap
+    assert(rows2.size == 40 && rows2("7") == "v7b")
+  }
+
   test("upsertDim writes ALL touched buckets in ONE job (no per-bucket job loop)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("dim-onejob").toString + "/store"
