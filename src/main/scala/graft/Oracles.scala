@@ -2079,5 +2079,147 @@ object Oracles {
         |   sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id) AS cum FROM d)
         |SELECT source, count(*) AS kept_docs, cast(sum(n_tokens) as bigint) AS kept_tokens
         |FROM c WHERE cum <= 1000 GROUP BY 1""".stripMargin,
+
+    // q123 (recordLinkage): multi-pass blocking + additive Fellegi-Sunter
+    // weights; levenshtein is unit-cost on both engines, cents exact
+    "q123_record_linkage" ->
+      """WITH c AS (SELECT c_custkey AS key, c_name AS name, c_nationkey AS nat,
+        |    c_mktsegment AS seg, cast(floor(c_acctbal * 100) as bigint) AS cents
+        |  FROM customer),
+        |p1 AS (SELECT a.key AS ak, b.key AS bk FROM c a JOIN c b ON a.key < b.key
+        |  AND a.nat = b.nat AND a.seg = b.seg
+        |  AND floor(a.cents / 10000.0) = floor(b.cents / 10000.0)),
+        |p2 AS (SELECT a.key AS ak, b.key AS bk FROM c a JOIN c b ON a.key < b.key
+        |  AND a.nat = b.nat AND substr(a.name, -3, 3) = substr(b.name, -3, 3)),
+        |cand AS (SELECT DISTINCT ak, bk FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)),
+        |s AS (SELECT ak, bk, levenshtein(a.name, b.name) AS lev,
+        |   (CASE WHEN levenshtein(a.name, b.name) <= 2 THEN 50 ELSE 0 END)
+        | + (CASE WHEN a.nat = b.nat THEN 15 ELSE 0 END)
+        | + (CASE WHEN a.seg = b.seg THEN 10 ELSE 0 END)
+        | + (CASE WHEN abs(a.cents - b.cents) <= 10000 THEN 10 ELSE 0 END) AS score
+        | FROM cand JOIN c a ON a.key = ak JOIN c b ON b.key = bk)
+        |SELECT ak AS a_key, bk AS b_key, cast(lev as int) AS lev,
+        | cast(score as int) AS score
+        |FROM s WHERE score >= 60""".stripMargin,
+
+    // q124 (hybridRrf): q81's integer-quantized BM25 leg at depth 20 +
+    // q23's cosine leg, fused by integer RRF floor(1e6/(60+rank))
+    "q124_hybrid_rrf" ->
+      """WITH qt(query, term) AS (VALUES ('q1','spark'),('q1','join'),
+        |  ('q2','table'),('q2','scan'),('q3','window'),('q3','agg')),
+        |tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |  FROM documents),
+        |dl AS (SELECT doc_id, cast(len(regexp_extract_all(lower(text), '[a-z0-9]+')) as bigint) AS dl
+        |  FROM documents),
+        |stats AS (SELECT count(*) AS n, cast(sum(dl) as bigint) AS tot FROM dl),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2),
+        |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |cc AS (SELECT q.query, f.doc_id,
+        |    cast(floor(
+        |      (cast(2*(s.n - d.df) + 1 as double) / cast(2*d.df + 1 as double)) *
+        |      ((f.tf * 2.2) / (f.tf + 1.2 * (0.25 + 0.75 * (l.dl / (cast(s.tot as double) / s.n))))) *
+        |      1048576) as bigint) AS cs
+        |  FROM qt q JOIN tf f USING (term) JOIN dft d USING (term)
+        |  JOIN dl l ON l.doc_id = f.doc_id CROSS JOIN stats s),
+        |sc AS (SELECT query, doc_id, cast(sum(cs) as bigint) AS score_q FROM cc GROUP BY 1, 2),
+        |lex AS (SELECT query, doc_id, rnk_lex FROM (SELECT query, doc_id,
+        |    row_number() OVER (PARTITION BY query ORDER BY score_q DESC, doc_id) AS rnk_lex
+        |  FROM sc) WHERE rnk_lex <= 20),
+        |qv AS (SELECT 'q' || vec_id AS query, vec_id AS qid, embedding AS qe
+        |  FROM embeddings WHERE vec_id IN (1, 2, 3)),
+        |dn AS (SELECT query, doc_id, rnk_vec FROM (SELECT q.query, e.vec_id AS doc_id,
+        |    row_number() OVER (PARTITION BY q.query
+        |      ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC, e.vec_id) AS rnk_vec
+        |  FROM qv q, embeddings e WHERE e.vec_id <> q.qid) WHERE rnk_vec <= 20),
+        |f AS (SELECT coalesce(l.query, d.query) AS query,
+        |    coalesce(l.doc_id, d.doc_id) AS doc_id, l.rnk_lex, d.rnk_vec
+        |  FROM lex l FULL OUTER JOIN dn d ON l.query = d.query AND l.doc_id = d.doc_id),
+        |g AS (SELECT query, doc_id,
+        |    coalesce(cast(floor(1000000 / (60 + rnk_lex)) as bigint), 0)
+        |  + coalesce(cast(floor(1000000 / (60 + rnk_vec)) as bigint), 0) AS rrf_score,
+        |    rnk_lex IS NOT NULL AS in_lex, rnk_vec IS NOT NULL AS in_vec FROM f),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query
+        |    ORDER BY rrf_score DESC, doc_id) AS rnk FROM g)
+        |SELECT query, doc_id, rrf_score, cast(rnk as int) AS rnk, in_lex, in_vec
+        |FROM r WHERE rnk <= 10""".stripMargin,
+
+    // q125 (clusterSafeSplit): q32's exact-Jaccard components + singleton
+    // fallback, split hashed on the CLUSTER id with the q48 thresholds
+    "q125_cluster_safe_split" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |s AS (SELECT doc_id, unnest(list_distinct(
+        |   [array_to_string(toks[i:i+2], ' ') FOR i IN generate_series(1, greatest(len(toks) - 2, 0))])) AS sh
+        |  FROM t),
+        |sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY 1),
+        |p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+        |  FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |e0 AS (SELECT da, db FROM p JOIN sz x ON p.da = x.doc_id JOIN sz y ON p.db = y.doc_id
+        |  WHERE cast(inter as double) / (x.n + y.n - inter) >= 0.5),
+        |edges AS (SELECT da AS a, db AS b FROM e0 UNION SELECT db, da FROM e0),
+        |nodes AS (SELECT DISTINCT a AS v FROM edges),
+        |reach AS (SELECT v AS src, v AS node FROM nodes
+        |  UNION SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.node),
+        |lbl AS (SELECT src AS doc_id, min(node) AS cluster_id FROM reach GROUP BY 1),
+        |fl AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+        |  FROM documents d LEFT JOIN lbl l ON l.doc_id = d.doc_id)
+        |SELECT doc_id, cluster_id,
+        | CASE WHEN substr(md5(cast(cluster_id as varchar)), 1, 4) < '1999' THEN 'val'
+        |      WHEN substr(md5(cast(cluster_id as varchar)), 1, 4) < '3333' THEN 'test'
+        |      ELSE 'train' END AS split
+        |FROM fl""".stripMargin,
+
+    // q126 (intervalOverlapJoin): sessions = the q37 gaps-and-islands twin
+    // of session_window (en = last + 30 min, half-open); overlap join is the
+    // PLAIN inequality join — proving the binned Spark plan loses no pair
+    "q126_interval_overlap" ->
+      """WITH s0 AS (SELECT user_id, ts, event_id,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |        OR ts - lag(ts) OVER w >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS UNBOUNDED PRECEDING) AS sid FROM s0),
+        |s AS (SELECT user_id, min(ts) AS st, max(ts) + INTERVAL '30 minutes' AS en,
+        |   count(*) AS events FROM g GROUP BY user_id, sid),
+        |h AS (SELECT DISTINCT event_type, date_trunc('hour', ts) AS h FROM events)
+        |SELECT s.user_id, strftime(s.st, '%Y-%m-%d %H:%M:%S') AS stt,
+        | strftime(s.en, '%Y-%m-%d %H:%M:%S') AS edt, s.events, h.event_type,
+        | strftime(h.h, '%Y-%m-%d %H:00:00') AS hour
+        |FROM s JOIN h ON h.h < s.en AND s.st < h.h + INTERVAL '1 hour'""".stripMargin,
+
+    // q127 (thetaSketchOverlap): KMV sketch replayed exactly — 52-bit
+    // md5-prefix hashes, per-type 1024 smallest, direct theta intersection;
+    // the ESTIMATE itself hash-compares (unlike q118's engine-local HLL)
+    "q127_theta_sketch" ->
+      """WITH el AS (SELECT DISTINCT event_type AS t,
+        |    user_id::VARCHAR || '_' || strftime(cast(ts as date), '%Y-%m-%d') AS u
+        |  FROM events),
+        |hh AS (SELECT t, ('0x' || substr(md5(u), 1, 13))::BIGINT AS h FROM el),
+        |r AS (SELECT t, h FROM (SELECT t, h,
+        |    row_number() OVER (PARTITION BY t ORDER BY h) AS rn FROM hh) WHERE rn <= 1024),
+        |uv AS (SELECT t, count(*) AS uv FROM el GROUP BY 1),
+        |th AS (SELECT t, CASE WHEN count(*) < 1024 THEN 4503599627370496
+        |    ELSE max(h) END AS theta FROM r GROUP BY 1),
+        |pr AS (SELECT a.t AS ta, b.t AS tb, least(a.theta, b.theta) AS theta
+        |  FROM th a JOIN th b ON a.t < b.t),
+        |cm AS (SELECT a.t AS ta, b.t AS tb, count(*) AS common
+        |  FROM r a JOIN r b ON a.h = b.h AND a.t < b.t
+        |  JOIN pr ON pr.ta = a.t AND pr.tb = b.t
+        |  WHERE a.h < pr.theta GROUP BY 1, 2),
+        |ex AS (SELECT a.t AS ta, b.t AS tb, count(*) AS overlap_exact
+        |  FROM el a JOIN el b ON a.u = b.u AND a.t < b.t GROUP BY 1, 2)
+        |SELECT ex.ta AS type_a, ex.tb AS type_b, ua.uv AS uv_a, ub.uv AS uv_b,
+        | cast(coalesce(cm.common, 0) as bigint) AS common,
+        | cast(coalesce(cm.common, 0) as double) * 4503599627370496.0
+        |   / cast(pr.theta as double) AS est_overlap,
+        | ex.overlap_exact,
+        | abs(cast(coalesce(cm.common, 0) as double) * 4503599627370496.0
+        |   / cast(pr.theta as double) - ex.overlap_exact)
+        |   / greatest(ex.overlap_exact, 1) <= 0.15 AS approx_ok
+        |FROM ex
+        |JOIN pr ON pr.ta = ex.ta AND pr.tb = ex.tb
+        |JOIN uv ua ON ua.t = ex.ta JOIN uv ub ON ub.t = ex.tb
+        |LEFT JOIN cm ON cm.ta = ex.ta AND cm.tb = ex.tb""".stripMargin,
   )
 }

@@ -40,7 +40,17 @@ object PlanDump {
       "q114_unigram_prune"  -> "round 9: SentencePiece M-step — alphabet-bounded model broadcast, Viterbi SEGMENTATION map-only over word types, usage one partial-agged groupBy, top-k ranking on a keep-bounded frame",
       "q115_incremental_stats" -> "round 9: MV maintenance — delta micro-batch aggregated + algebraically merged with the stored snapshot; the base table is never re-scanned",
       "q116_retention_cohorts" -> "round 9: retention — (user, day) dedup FIRST, then every downstream agg is plain count/min over unique rows; no holistic distinct anywhere",
-      "q117_incremental_sketch" -> "round 10: MV with mergeable-HLL distinct — hll_sketch_agg partials per side (map-side combinable BINARY), hll_union_agg merge; the holistic measure q115 excluded, made algebraic")
+      "q117_incremental_sketch" -> "round 10: MV with mergeable-HLL distinct — hll_sketch_agg partials per side (map-side combinable BINARY), hll_union_agg merge; the holistic measure q115 excluded, made algebraic",
+      "q118_audience_overlap" -> "round 10: overlap — the element frame is built once (InMemoryTableScan below), the sketch legs aggregate it per type (tiny K-row frames, broadcast pair join), the exact leg self-joins on the element key; no all-pairs, no re-scan per pair",
+      "q119_scd2_history" -> "round 10: SCD2 — both window passes partition by the dim key (bounded per-key history, skew-safe); lag-collapse before interval assembly, no join, no global sort",
+      "q120_zorder_layout" -> "round 10: z-order — pure integer bit-spread projection + ONE bucket-keyed aggregate; the write path adds only a 1-row bounds agg before repartitionByRange",
+      "q121_epoch_plan" -> "round 10: epoch plan — MAP-ONLY (zero Exchange): per-source weights broadcast, copies explode from a generated sequence, shard = md5 per copy",
+      "q122_gap_fill" -> "round 10: gap fill — one partial-agged corpus aggregate; the dense axis explodes from the 1-row bounds agg (no driver collect); all joins after the agg are types x hours",
+      "q123_record_linkage" -> "round 10: record linkage — both blocking passes are equi-joins on their block keys (broadcast here, hash-partitioned at scale), candidate union deduped on the pair key; Levenshtein + weights run on candidates only, never all pairs",
+      "q124_hybrid_rrf" -> "round 10: hybrid RRF — BM25 leg keeps only query terms before any shuffle; dense leg broadcasts 3 query vectors over one corpus scan; WindowGroupLimit prunes each leg to depth k before the full-outer fusion of two tiny rank frames",
+      "q125_cluster_safe_split" -> "round 10: cluster-safe split — near-dup labels broadcast onto the corpus (LeftOuter), split = one map-side md5 on the CLUSTER key; no shuffle of the corpus at all",
+      "q126_interval_overlap" -> "round 10: interval overlap — the non-equi range join rides an EQUI hash join on the 1-hour grid cell (residual predicate as join condition), sessions from the native session_window partial-merging aggregate; no BroadcastNestedLoop over full relations",
+      "q127_theta_sketch" -> "round 10: KMV theta sketch — per-type k-smallest via the k-bounded topK partial agg over the persisted element frame; everything after the sketch build is K arrays of k longs (broadcast pair merges); exact leg = one element-keyed self-join")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries (sf0.1)\n\n")
     sb.append("Generated by `graft.PlanDump`; regenerate after plan-affecting changes.\n")

@@ -152,6 +152,11 @@ object SparkEntry {
     "q120_zorder_layout"    -> ((s, d) => Relational.zorderLayout(s, d)),
     "q121_epoch_plan"       -> ((s, d) => TextOps.epochPlan(s, d)),
     "q122_gap_fill"         -> ((s, d) => Relational.gapFillHourly(s, d)),
+    "q123_record_linkage"   -> ((s, d) => Dedup.recordLinkage(s, d)),
+    "q124_hybrid_rrf"       -> ((s, d) => Similarity.hybridRrf(s, d)),
+    "q125_cluster_safe_split" -> ((s, d) => Dedup.clusterSafeSplit(s, d)),
+    "q126_interval_overlap" -> ((s, d) => Relational.intervalOverlapJoin(s, d)),
+    "q127_theta_sketch"     -> ((s, d) => Relational.thetaSketchOverlap(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

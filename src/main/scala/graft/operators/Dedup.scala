@@ -777,4 +777,95 @@ object Dedup {
       .groupBy("fingerprint")
       .agg(min(col("doc_id")).as("admitted_doc_id"), count(lit(1)).as("batch_dup_ct"))
   }
+
+  /** PROBABILISTIC RECORD LINKAGE (q123) — entity resolution with
+    * multi-pass blocking and Fellegi–Sunter-style additive field weights
+    * [Fellegi & Sunter, JASA 1969; Christen, "Data Matching", 2012]: the
+    * step that collapses one real-world entity spread across feeds (the
+    * same customer ingested from two systems with a typo'd name) BEFORE any
+    * per-entity aggregate is trusted. The reference's dim layer upserts on
+    * exact `id` (DimSink); this is its fuzzy-identity generalization.
+    *
+    * Blocking (the scale move — candidate pairs, never all pairs):
+    *  - pass 1: (nationkey, mktsegment, acctbal/100 bucket) — near-exact
+    *    attribute agreement;
+    *  - pass 2: (nationkey, last 3 name chars) — a name-suffix block that
+    *    catches mid-string typos pass 1's value buckets miss.
+    *  Passes UNION then `distinct` (a pair found by both scores once) —
+    *  the standard multi-pass recall repair, each pass an equi-join on its
+    *  block key: shuffle-partitioned, no quadratic stage. Block sizes are
+    *  value-bounded (pass 1 ≈ uniform buckets; pass 2 = N/1000 per suffix —
+    *  at larger corpora widen to 4+ suffix chars, the documented knob).
+    *
+    * Scoring, on candidates only: additive agreement weights — name edit
+    * distance ≤ 2 (+50), nation equality (+15), segment (+10), balance
+    * within 100.00 (+10, exact cents) — match iff ≥ 60, i.e. a near-name
+    * plus at least one corroborating field. Integers end-to-end; Spark's
+    * `levenshtein` = DuckDB's `levenshtein` (unit-cost edits) ⇒ full
+    * oracle. */
+  def recordLinkage(spark: SparkSession, dir: String,
+                    matchThreshold: Int = 60): DataFrame = {
+    val c = Tables.load(spark, dir, "customer").select(
+      col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_mktsegment"),
+      floor(col("c_acctbal") * 100).cast("long").as("cents"))
+    def side(p: String): DataFrame = c.select(
+      col("c_custkey").as(s"${p}_key"), col("c_name").as(s"${p}_name"),
+      col("c_nationkey").as(s"${p}_nat"), col("c_mktsegment").as(s"${p}_seg"),
+      col("cents").as(s"${p}_cents"))
+    val a = side("a")
+    val b = side("b")
+    val ordered = col("a_key") < col("b_key")
+    val pass1 = a.join(b, ordered &&
+      col("a_nat") === col("b_nat") && col("a_seg") === col("b_seg") &&
+      floor(col("a_cents") / 10000) === floor(col("b_cents") / 10000))
+    val pass2 = a.join(b, ordered &&
+      col("a_nat") === col("b_nat") &&
+      substring(col("a_name"), -3, 3) === substring(col("b_name"), -3, 3))
+    val cand = pass1.unionByName(pass2)
+      .select(col("a_key"), col("b_key"), col("a_name"), col("b_name"),
+        col("a_nat"), col("b_nat"), col("a_seg"), col("b_seg"),
+        col("a_cents"), col("b_cents"))
+      .dropDuplicates("a_key", "b_key")
+    cand
+      .withColumn("lev", levenshtein(col("a_name"), col("b_name")))
+      .withColumn("score",
+        when(col("lev") <= 2, 50).otherwise(0) +
+          when(col("a_nat") === col("b_nat"), 15).otherwise(0) +
+          when(col("a_seg") === col("b_seg"), 10).otherwise(0) +
+          when(abs(col("a_cents") - col("b_cents")) <= 10000, 10).otherwise(0))
+      .filter(col("score") >= matchThreshold)
+      .select(col("a_key"), col("b_key"), col("lev").cast("int").as("lev"),
+        col("score").cast("int").as("score"))
+  }
+
+  /** CLUSTER-ATOMIC SPLIT ASSIGNMENT (q125) — the leakage-SAFE corpus cut:
+    * q48 hashes each `doc_id` independently, so the two halves of a
+    * near-dup pair can land in train AND test — exactly the contamination
+    * q62 measures (its `leaky_pairs` column is nonzero on this corpus).
+    * Here the split key is the near-dup CLUSTER: every member of a
+    * component gets md5(cluster_id)'s split, so related docs move as one
+    * atom and cross-split leakage through the near-dup relation is ZERO BY
+    * CONSTRUCTION (not merely audited after the fact — Lee et al. 2022 and
+    * the split-decontamination practice it codified).
+    *
+    * Shape: labels come from the q32 component machinery (LSH-bounded pair
+    * graph → two-regime connected components); docs outside any pair are
+    * their own singleton cluster (`coalesce(cluster_id, doc_id)`). The
+    * label frame is near-dup-sized ⇒ the join broadcasts; split assignment
+    * itself is one map-side md5 on the cluster key — same thresholds and
+    * hex-compare convention as q48, so the two operators differ ONLY in
+    * the hash key, which is the point. */
+  def clusterSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val lbl = nearDupClusters(spark, dir)
+    docs(spark, dir).select(col("doc_id"), col("lang"))
+      .join(broadcast(lbl), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("h",
+        substring(md5(col("cluster_id").cast("string").cast("binary")), 1, 4))
+      .withColumn("split",
+        when(col("h") < "1999", "val")
+          .when(col("h") < "3333", "test")
+          .otherwise("train"))
+      .select(col("doc_id"), col("cluster_id"), col("split"))
+  }
 }

@@ -758,4 +758,57 @@ object Similarity {
     val vLit = typedLit(v.map(_.toInt).toSeq)
     pts.select(col("vec_id"), call_function("dot_i", col("q"), vLit).as("score_q"))
   }
+
+  /** HYBRID RETRIEVAL VIA RECIPROCAL RANK FUSION (q124) — the standard
+    * two-tower RAG retrieval stack: a LEXICAL leg (BM25, the q81 ranking)
+    * and a DENSE leg (embedding cosine, the q23 ranking) fused by RRF
+    * [Cormack, Clarke & Büttcher, SIGIR 2009]: score(d) = Σ_legs
+    * 1/(60 + rank_leg(d)). RRF needs only RANKS, never the incomparable
+    * raw scores — which is exactly why it is the production default for
+    * mixing BM25 with cosine. Each query q1–q3 pairs its q81 term set with
+    * the embedding of vec_id 1–3 (the doc ≡ vec identity the modality
+    * audit q77 pins).
+    *
+    * Determinism: each leg's rank is already engine-stable (q81's
+    * integer-quantized BM25; q23's cosine with id tiebreak), and the RRF
+    * contribution is the INTEGER floor(10^6/(60+rank)) — so the fused
+    * score is an exact long and the final (score DESC, doc_id) order
+    * replays bit-for-bit in DuckDB.
+    *
+    * Scale shape: both legs are the corpus-scan + broadcast-small-side
+    * plans they already are (q81: query-term semi-filter before any
+    * shuffle; dense: broadcast 3 query vectors, one corpus scan,
+    * k-bounded top-k). The fusion itself touches only 2·K·topN rank rows
+    * — a full outer join on (query, doc) of two tiny frames. Depth 20 per
+    * leg, fused top-10. */
+  def hybridRrf(spark: SparkSession, dir: String,
+                depth: Int = 20, topK: Int = 10): DataFrame = {
+    val lex = TextOps.bm25Search(spark, dir, depth)
+      .select(col("query"), col("doc_id"), col("rnk").as("rnk_lex"))
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id").isin(1, 2, 3))
+      .select(concat(lit("q"), col("vec_id")).as("query"),
+        col("vec_id").as("qid"), col("embedding").as("qv"),
+        normFastCol(col("embedding")).as("qn"))
+    val c = e.select(col("vec_id").as("doc_id"), col("embedding").as("cv"),
+      normFastCol(col("embedding")).as("cn"))
+    val wd = Window.partitionBy(col("query"))
+      .orderBy(col("cos").desc, col("doc_id"))
+    val dense = c.join(broadcast(q), col("qid") =!= col("doc_id"))
+      .withColumn("cos", dotFastCol(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rnk_vec", row_number().over(wd))
+      .filter(col("rnk_vec") <= depth)
+      .select(col("query"), col("doc_id"), col("rnk_vec"))
+    def contrib(rnk: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      coalesce(floor(lit(1000000L) / (lit(60) + rnk)).cast("long"), lit(0L))
+    val wf = Window.partitionBy(col("query"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+    lex.join(dense, Seq("query", "doc_id"), "full_outer")
+      .withColumn("rrf_score", contrib(col("rnk_lex")) + contrib(col("rnk_vec")))
+      .withColumn("rnk", row_number().over(wf))
+      .filter(col("rnk") <= topK)
+      .select(col("query"), col("doc_id"), col("rrf_score"),
+        col("rnk").cast("int").as("rnk"),
+        col("rnk_lex").isNotNull.as("in_lex"), col("rnk_vec").isNotNull.as("in_vec"))
+  }
 }
