@@ -2221,5 +2221,80 @@ object Oracles {
         |JOIN pr ON pr.ta = ex.ta AND pr.tb = ex.tb
         |JOIN uv ua ON ua.t = ex.ta JOIN uv ub ON ub.t = ex.tb
         |LEFT JOIN cm ON cm.ta = ex.ta AND cm.tb = ex.tb""".stripMargin,
+
+    // q128 (kAnonRelease): two-level generalization hierarchy — full
+    // (nat, seg, band) groups >= k, residuals coarsen to (nat, seg, '*'),
+    // what is still < k collapses into the single suppressed row
+    "q128_kanon_release" ->
+      """WITH c AS (SELECT cast(c_nationkey as bigint) AS nat, c_mktsegment AS seg,
+        |    cast(floor(c_acctbal / 1000) as bigint) AS band FROM customer),
+        |l0 AS (SELECT nat, seg, band, count(*) AS ct FROM c GROUP BY 1, 2, 3),
+        |rel0 AS (SELECT cast(nat as varchar) AS nation, seg AS segment,
+        |    cast(band as varchar) AS band, ct AS released, 'full' AS level
+        |  FROM l0 WHERE ct >= 10),
+        |l1 AS (SELECT nat, seg, cast(sum(ct) as bigint) AS ct FROM l0
+        |  WHERE ct < 10 GROUP BY 1, 2),
+        |rel1 AS (SELECT cast(nat as varchar) AS nation, seg AS segment,
+        |    '*' AS band, ct AS released, 'coarse' AS level FROM l1 WHERE ct >= 10),
+        |rel2 AS (SELECT '*' AS nation, '*' AS segment, '*' AS band,
+        |    cast(sum(ct) as bigint) AS released, 'suppressed' AS level
+        |  FROM l1 WHERE ct < 10 HAVING sum(ct) IS NOT NULL)
+        |SELECT * FROM rel0 UNION ALL SELECT * FROM rel1 UNION ALL SELECT * FROM rel2""".stripMargin,
+
+    // q129 (ingestLinkage): arriving rows (custkey % 10 = 0) linked against
+    // the stored registry only; best candidate by (score, -lev, -b_key),
+    // entity = best store key at threshold else self
+    "q129_ingest_linkage" ->
+      """WITH c AS (SELECT c_custkey AS key, c_name AS name, c_nationkey AS nat,
+        |    c_mktsegment AS seg, cast(floor(c_acctbal * 100) as bigint) AS cents
+        |  FROM customer),
+        |a AS (SELECT * FROM c WHERE key % 10 = 0),
+        |b AS (SELECT * FROM c WHERE key % 10 <> 0),
+        |p1 AS (SELECT a.key AS ak, b.key AS bk FROM a JOIN b ON a.nat = b.nat
+        |  AND a.seg = b.seg AND floor(a.cents / 10000.0) = floor(b.cents / 10000.0)),
+        |p2 AS (SELECT a.key AS ak, b.key AS bk FROM a JOIN b ON a.nat = b.nat
+        |  AND substr(a.name, -3, 3) = substr(b.name, -3, 3)),
+        |cand AS (SELECT DISTINCT ak, bk FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)),
+        |s AS (SELECT ak, bk, levenshtein(a.name, b.name) AS lev,
+        |   (CASE WHEN levenshtein(a.name, b.name) <= 2 THEN 50 ELSE 0 END)
+        | + (CASE WHEN a.nat = b.nat THEN 15 ELSE 0 END)
+        | + (CASE WHEN a.seg = b.seg THEN 10 ELSE 0 END)
+        | + (CASE WHEN abs(a.cents - b.cents) <= 10000 THEN 10 ELSE 0 END) AS score
+        | FROM cand JOIN a ON a.key = ak JOIN b ON b.key = bk),
+        |best AS (SELECT ak, bk, lev, score FROM (SELECT *, row_number() OVER
+        |    (PARTITION BY ak ORDER BY score DESC, lev ASC, bk ASC) AS rn FROM s)
+        |  WHERE rn = 1)
+        |SELECT a.key AS batch_key,
+        | CASE WHEN best.score >= 60 THEN best.bk ELSE a.key END AS entity_key,
+        | cast(coalesce(best.score, 0) as int) AS best_score,
+        | coalesce(best.score, 0) >= 60 AS matched
+        |FROM a LEFT JOIN best ON best.ak = a.key""".stripMargin,
+
+    // q130 (entityGroups): connected components over the q123 match pairs,
+    // entity = min custkey of the component, singletons = self
+    "q130_entity_groups" ->
+      """WITH RECURSIVE c AS (SELECT c_custkey AS key, c_name AS name,
+        |    c_nationkey AS nat, c_mktsegment AS seg,
+        |    cast(floor(c_acctbal * 100) as bigint) AS cents FROM customer),
+        |p1 AS (SELECT a.key AS ak, b.key AS bk FROM c a JOIN c b ON a.key < b.key
+        |  AND a.nat = b.nat AND a.seg = b.seg
+        |  AND floor(a.cents / 10000.0) = floor(b.cents / 10000.0)),
+        |p2 AS (SELECT a.key AS ak, b.key AS bk FROM c a JOIN c b ON a.key < b.key
+        |  AND a.nat = b.nat AND substr(a.name, -3, 3) = substr(b.name, -3, 3)),
+        |cand AS (SELECT DISTINCT ak, bk FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)),
+        |s AS (SELECT ak, bk,
+        |   (CASE WHEN levenshtein(a.name, b.name) <= 2 THEN 50 ELSE 0 END)
+        | + (CASE WHEN a.nat = b.nat THEN 15 ELSE 0 END)
+        | + (CASE WHEN a.seg = b.seg THEN 10 ELSE 0 END)
+        | + (CASE WHEN abs(a.cents - b.cents) <= 10000 THEN 10 ELSE 0 END) AS score
+        | FROM cand JOIN c a ON a.key = ak JOIN c b ON b.key = bk),
+        |e0 AS (SELECT ak, bk FROM s WHERE score >= 60),
+        |edges AS (SELECT ak AS a, bk AS b FROM e0 UNION SELECT bk, ak FROM e0),
+        |nodes AS (SELECT DISTINCT a AS v FROM edges),
+        |reach AS (SELECT v AS src, v AS node FROM nodes
+        |  UNION SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.node),
+        |lbl AS (SELECT src AS key, min(node) AS entity FROM reach GROUP BY 1)
+        |SELECT c.key AS c_custkey, coalesce(lbl.entity, c.key) AS entity_id
+        |FROM c LEFT JOIN lbl ON lbl.key = c.key""".stripMargin,
   )
 }

@@ -50,7 +50,10 @@ object PlanDump {
       "q124_hybrid_rrf" -> "round 10: hybrid RRF — BM25 leg keeps only query terms before any shuffle; dense leg broadcasts 3 query vectors over one corpus scan; WindowGroupLimit prunes each leg to depth k before the full-outer fusion of two tiny rank frames",
       "q125_cluster_safe_split" -> "round 10: cluster-safe split — near-dup labels broadcast onto the corpus (LeftOuter), split = one map-side md5 on the CLUSTER key; no shuffle of the corpus at all",
       "q126_interval_overlap" -> "round 10: interval overlap — the non-equi range join rides an EQUI hash join on the 1-hour grid cell (residual predicate as join condition), sessions from the native session_window partial-merging aggregate; no BroadcastNestedLoop over full relations",
-      "q127_theta_sketch" -> "round 10: KMV theta sketch — per-type k-smallest via the k-bounded topK partial agg over the persisted element frame; everything after the sketch build is K arrays of k longs (broadcast pair merges); exact leg = one element-keyed self-join")
+      "q127_theta_sketch" -> "round 10: KMV theta sketch — per-type k-smallest via the k-bounded topK partial agg over the persisted element frame; everything after the sketch build is K arrays of k longs (broadcast pair merges); exact leg = one element-keyed self-join",
+      "q128_kanon_release" -> "round 10: k-anonymous release — ONE map-side-combinable aggregate touches the raw table (cached); the generalization hierarchy re-aggregates only the tiny group frames, residual level-0 rows roll into level-1 without re-scanning rows",
+      "q129_ingest_linkage" -> "round 10: ingest linkage — batch x store blocked equi-joins only (never store x store); best-match via max_by(struct) bounded buffer, NOT a window over the candidate set; no-candidate rows re-enter via the left join",
+      "q130_entity_groups" -> "round 10: entity groups — match-pair components (two-regime clusters), label frame broadcast onto the population, singleton = self via coalesce; the corpus is never shuffled")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries (sf0.1)\n\n")
     sb.append("Generated by `graft.PlanDump`; regenerate after plan-affecting changes.\n")

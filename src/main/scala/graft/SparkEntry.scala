@@ -157,6 +157,9 @@ object SparkEntry {
     "q125_cluster_safe_split" -> ((s, d) => Dedup.clusterSafeSplit(s, d)),
     "q126_interval_overlap" -> ((s, d) => Relational.intervalOverlapJoin(s, d)),
     "q127_theta_sketch"     -> ((s, d) => Relational.thetaSketchOverlap(s, d)),
+    "q128_kanon_release"    -> ((s, d) => Relational.kAnonRelease(s, d)),
+    "q129_ingest_linkage"   -> ((s, d) => Dedup.ingestLinkage(s, d)),
+    "q130_entity_groups"    -> ((s, d) => Dedup.entityGroups(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

@@ -803,39 +803,101 @@ object Dedup {
     * plus at least one corroborating field. Integers end-to-end; Spark's
     * `levenshtein` = DuckDB's `levenshtein` (unit-cost edits) ⇒ full
     * oracle. */
-  def recordLinkage(spark: SparkSession, dir: String,
-                    matchThreshold: Int = 60): DataFrame = {
-    val c = Tables.load(spark, dir, "customer").select(
-      col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_mktsegment"),
-      floor(col("c_acctbal") * 100).cast("long").as("cents"))
-    def side(p: String): DataFrame = c.select(
+  /** Customers projected to the linkage attributes (exact-cents balance). */
+  private def linkSide(spark: SparkSession, dir: String, p: String): DataFrame =
+    Tables.load(spark, dir, "customer").select(
       col("c_custkey").as(s"${p}_key"), col("c_name").as(s"${p}_name"),
       col("c_nationkey").as(s"${p}_nat"), col("c_mktsegment").as(s"${p}_seg"),
-      col("cents").as(s"${p}_cents"))
-    val a = side("a")
-    val b = side("b")
-    val ordered = col("a_key") < col("b_key")
-    val pass1 = a.join(b, ordered &&
+      floor(col("c_acctbal") * 100).cast("long").as(s"${p}_cents"))
+
+  /** Multi-pass blocked candidate pairs between sides `a` and `b` under
+    * `cond` — pass 1 (nation, segment, balance bucket), pass 2 (nation,
+    * name 3-suffix), unioned and deduped on the pair key. Each pass is an
+    * EQUI-join on its block key; never all pairs. */
+  private def linkCandidates(a: DataFrame, b: DataFrame,
+                             cond: org.apache.spark.sql.Column): DataFrame = {
+    val pass1 = a.join(b, cond &&
       col("a_nat") === col("b_nat") && col("a_seg") === col("b_seg") &&
       floor(col("a_cents") / 10000) === floor(col("b_cents") / 10000))
-    val pass2 = a.join(b, ordered &&
+    val pass2 = a.join(b, cond &&
       col("a_nat") === col("b_nat") &&
       substring(col("a_name"), -3, 3) === substring(col("b_name"), -3, 3))
-    val cand = pass1.unionByName(pass2)
+    pass1.unionByName(pass2)
       .select(col("a_key"), col("b_key"), col("a_name"), col("b_name"),
         col("a_nat"), col("b_nat"), col("a_seg"), col("b_seg"),
         col("a_cents"), col("b_cents"))
       .dropDuplicates("a_key", "b_key")
-    cand
-      .withColumn("lev", levenshtein(col("a_name"), col("b_name")))
-      .withColumn("score",
-        when(col("lev") <= 2, 50).otherwise(0) +
-          when(col("a_nat") === col("b_nat"), 15).otherwise(0) +
-          when(col("a_seg") === col("b_seg"), 10).otherwise(0) +
-          when(abs(col("a_cents") - col("b_cents")) <= 10000, 10).otherwise(0))
+  }
+
+  /** Fellegi–Sunter-style additive agreement score on candidates. */
+  private def linkScored(cand: DataFrame): DataFrame = cand
+    .withColumn("lev", levenshtein(col("a_name"), col("b_name")))
+    .withColumn("score",
+      when(col("lev") <= 2, 50).otherwise(0) +
+        when(col("a_nat") === col("b_nat"), 15).otherwise(0) +
+        when(col("a_seg") === col("b_seg"), 10).otherwise(0) +
+        when(abs(col("a_cents") - col("b_cents")) <= 10000, 10).otherwise(0))
+
+  def recordLinkage(spark: SparkSession, dir: String,
+                    matchThreshold: Int = 60): DataFrame =
+    linkScored(linkCandidates(
+      linkSide(spark, dir, "a"), linkSide(spark, dir, "b"),
+      col("a_key") < col("b_key")))
       .filter(col("score") >= matchThreshold)
       .select(col("a_key"), col("b_key"), col("lev").cast("int").as("lev"),
         col("score").cast("int").as("score"))
+
+  /** INCREMENTAL INGEST LINKAGE (q129) — [[recordLinkage]] as the
+    * ingest-time operation a living entity registry actually runs (the
+    * fuzzy-identity [[ingestDedup]]): each ARRIVING row is linked against
+    * the STORED registry only (batch × store, never store × store — the
+    * registry's internal pairs were resolved when ITS rows arrived), and
+    * resolves to its best-scoring stored entity at the match threshold, or
+    * to itself as a brand-new entity. Stand-in split: custkey ≡ 0 (mod 10)
+    * arrives, the rest is the registry.
+    *
+    * Best-match selection is `max_by(struct(score, −lev, −b_key))` — one
+    * bounded buffer per batch key, map-side combinable; NOT a window over
+    * the candidate set (the q36/q78 de-skew rule: a hot batch key with many
+    * registry candidates would pin a sorted reducer). Batch rows with no
+    * blocked candidate never enter the join output and re-enter via the
+    * left join with entity = self. */
+  def ingestLinkage(spark: SparkSession, dir: String,
+                    matchThreshold: Int = 60): DataFrame = {
+    val a = linkSide(spark, dir, "a").filter(pmod(col("a_key"), lit(10)) === 0)
+    val b = linkSide(spark, dir, "b").filter(pmod(col("b_key"), lit(10)) =!= 0)
+    val best = linkScored(linkCandidates(a, b, lit(true)))
+      .groupBy("a_key")
+      .agg(max_by(struct(col("b_key"), col("lev"), col("score")),
+        struct(col("score"), negate(col("lev")), negate(col("b_key")))).as("m"))
+      .select(col("a_key"), col("m.b_key").as("b_key"),
+        col("m.lev").as("lev"), col("m.score").as("score"))
+    a.select(col("a_key").as("batch_key"))
+      .join(best, col("batch_key") === col("a_key"), "left")
+      .select(col("batch_key"),
+        when(col("score") >= matchThreshold, col("b_key"))
+          .otherwise(col("batch_key")).as("entity_key"),
+        coalesce(col("score"), lit(0)).cast("int").as("best_score"),
+        (coalesce(col("score"), lit(0)) >= matchThreshold).as("matched"))
+  }
+
+  /** ENTITY GROUPS (q130) — the resolution step over [[recordLinkage]]'s
+    * match pairs: connected components (the q32 two-regime machinery) give
+    * every customer a canonical `entity_id` = min custkey of its match
+    * component; unmatched customers are their own entity. The match graph
+    * is tiny relative to the population, so the label join broadcasts —
+    * same shape as [[clusterSafeSplit]]'s label attach. Transitivity is
+    * the POINT of components here: A≈B and B≈C land one entity even when
+    * A–C alone would not have matched (the standard ER closure). */
+  def entityGroups(spark: SparkSession, dir: String): DataFrame = {
+    val matches = recordLinkage(spark, dir)
+      .select(col("a_key").as("da"), col("b_key").as("db"))
+    val lbl = clusters(matches)
+      .select(col("doc_id").as("c_custkey"), col("cluster_id"))
+    Tables.load(spark, dir, "customer").select(col("c_custkey"))
+      .join(broadcast(lbl), Seq("c_custkey"), "left")
+      .select(col("c_custkey"),
+        coalesce(col("cluster_id"), col("c_custkey")).as("entity_id"))
   }
 
   /** CLUSTER-ATOMIC SPLIT ASSIGNMENT (q125) — the leakage-SAFE corpus cut:

@@ -1127,13 +1127,22 @@ object Relational {
     * Session build note: `session_window` is a partial-merging aggregate —
     * sessions assemble map-side per key like any hash agg, no per-user
     * window sort (the q37 shape this replaces at scale). */
-  def intervalOverlapJoin(spark: SparkSession, dir: String): DataFrame = {
-    val ev = t(spark, dir, "events")
-    val sessions = ev
-      .groupBy(col("user_id"), session_window(col("event_time"), "30 minutes").as("sw"))
+  /** User sessions via the NATIVE `session_window` aggregate (30-min gap,
+    * half-open `[first_ts, last_ts + gap)`): the declarative form of q37's
+    * gaps-and-islands — a partial-MERGING aggregate (sessions assemble
+    * map-side per key like any hash agg, no per-user window sort). Shared
+    * by [[intervalOverlapJoin]] and the streaming twin
+    * [[graft.streaming.Sessions]] (whose equivalence spec pins that the
+    * watermarked append-mode stream emits exactly these rows). */
+  def userSessions(ev: DataFrame, gap: String = "30 minutes"): DataFrame =
+    ev.groupBy(col("user_id"), session_window(col("event_time"), gap).as("sw"))
       .agg(count(lit(1)).as("events"))
       .select(col("user_id"), col("sw.start").as("st"), col("sw.end").as("en"),
         col("events"))
+
+  def intervalOverlapJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val sessions = userSessions(ev)
     val hours = ev
       .select(col("event_type"), date_trunc("hour", col("event_time")).as("h"))
       .distinct()
@@ -1230,5 +1239,53 @@ object Relational {
         col("overlap_exact"),
         (abs(col("est_overlap") - col("overlap_exact"))
           / greatest(col("overlap_exact"), lit(1)) <= 0.15).as("approx_ok"))
+  }
+
+  /** K-ANONYMOUS RELEASE (q128) — the privacy-thresholded aggregate
+    * publication step [Samarati & Sweeney 1998]: per-group counts over the
+    * quasi-identifier (nation, segment, balance band) are released ONLY
+    * when the group holds ≥ k individuals; smaller groups climb a
+    * generalization hierarchy — first the band coarsens away
+    * (nation, segment, '*'), and what is still < k there collapses into a
+    * single suppressed-remainder row ('*', '*', '*'). Every individual is
+    * counted exactly once at exactly one level (residuals are EXCLUDED
+    * from finer releases), so released counts partition the population —
+    * the invariant the spec pins. This is the gate a corpus-stats or
+    * telemetry release runs before leaving the data boundary; the same
+    * shape thresholds user-level corpus provenance stats before
+    * publication.
+    *
+    * Scale shape: ONE map-side-combinable aggregate touches the raw table;
+    * the hierarchy walk re-aggregates only the (tiny) group frames —
+    * residual level-0 rows sum into level-1 WITHOUT re-scanning rows, like
+    * an incremental rollup. No windows, no joins against the base. */
+  def kAnonRelease(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    kAnonReleaseFrom(t(spark, dir, "customer").select(
+      col("c_nationkey").cast("long").as("nat"),
+      col("c_mktsegment").as("seg"),
+      floor(col("c_acctbal") / 1000).cast("long").as("band")), k)
+
+  /** Frame form of [[kAnonRelease]]: `c` is one row per individual with the
+    * quasi-identifier (nat, seg, band). Which hierarchy levels actually
+    * fire depends on the population density over the identifier grid (at
+    * sf0.01 the customer grid is sparse — everything generalizes); the
+    * spec drives all three levels on a constructed population. */
+  def kAnonReleaseFrom(c: DataFrame, k: Int): DataFrame = {
+    val l0 = c.groupBy("nat", "seg", "band").agg(count(lit(1)).as("ct")).persist()
+    val rel0 = l0.filter(col("ct") >= k).select(
+      col("nat").cast("string").as("nation"), col("seg").as("segment"),
+      col("band").cast("string").as("band"), col("ct").as("released"),
+      lit("full").as("level"))
+    val l1 = l0.filter(col("ct") < k)
+      .groupBy("nat", "seg").agg(sum(col("ct")).as("ct")).persist()
+    val rel1 = l1.filter(col("ct") >= k).select(
+      col("nat").cast("string").as("nation"), col("seg").as("segment"),
+      lit("*").as("band"), col("ct").as("released"), lit("coarse").as("level"))
+    val rel2 = l1.filter(col("ct") < k)
+      .agg(sum(col("ct")).as("ct"))
+      .filter(col("ct").isNotNull) // empty residual ⇒ no suppressed row
+      .select(lit("*").as("nation"), lit("*").as("segment"), lit("*").as("band"),
+        col("ct").as("released"), lit("suppressed").as("level"))
+    rel0.unionByName(rel1).unionByName(rel2)
   }
 }

@@ -204,4 +204,143 @@ class LinkageRetrievalSpec extends SparkSuite {
     assert(small.exists(r => r._5 < 64 || r._6 != r._7.toDouble),
       "k=64 never left the exact regime — sketch branch untested")
   }
+
+  // shared replay of the q123 linkage attributes: (key, name, nat, seg, cents)
+  private def linkRows(): Array[(Long, String, Int, String, Long)] = {
+    import spark.implicits._
+    graft.Tables.load(spark, sf001, "customer")
+      .select($"c_custkey".cast("long"), $"c_name", $"c_nationkey".cast("int"),
+        $"c_mktsegment", $"c_acctbal".cast("double"))
+      .as[(Long, String, Int, String, Double)].collect()
+      .map { case (k, n, nat, seg, bal) => (k, n, nat, seg, math.floor(bal * 100).toLong) }
+      .sortBy(_._1)
+  }
+
+  private def linkScore(a: (Long, String, Int, String, Long),
+                        b: (Long, String, Int, String, Long)): (Int, Int) = {
+    val l = lev(a._2, b._2)
+    ((l), (if (l <= 2) 50 else 0) + (if (a._3 == b._3) 15 else 0) +
+      (if (a._4 == b._4) 10 else 0) + (if (math.abs(a._5 - b._5) <= 10000) 10 else 0))
+  }
+
+  private def blockedPairs(as: Array[(Long, String, Int, String, Long)],
+                           bs: Array[(Long, String, Int, String, Long)]): Set[(Long, Long)] = {
+    def p1key(r: (Long, String, Int, String, Long)) = (1, r._3.toString, r._4, math.floor(r._5 / 10000.0).toLong.toString)
+    def p2key(r: (Long, String, Int, String, Long)) = (2, r._3.toString, r._2.takeRight(3), "")
+    val bIdx = (bs.map(b => p1key(b) -> b) ++ bs.map(b => p2key(b) -> b))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    as.flatMap { a =>
+      (bIdx.getOrElse(p1key(a), Array.empty) ++ bIdx.getOrElse(p2key(a), Array.empty))
+        .map(b => (a._1, b._1))
+    }.toSet
+  }
+
+  test("ingestLinkage: batch rows resolve to the replayed best registry entity or themselves") {
+    import spark.implicits._
+    val rows = linkRows()
+    val batch = rows.filter(_._1 % 10 == 0)
+    val store = rows.filter(_._1 % 10 != 0)
+    val byKey = rows.map(r => r._1 -> r).toMap
+    val cand = blockedPairs(batch, store)
+    val want = batch.map { a =>
+      val best = cand.filter(_._1 == a._1).toSeq
+        .map { case (_, bk) =>
+          val (l, s) = linkScore(a, byKey(bk)); (bk, l, s)
+        }
+        .sortBy { case (bk, l, s) => (-s, l, bk) }.headOption
+      best match {
+        case Some((bk, _, s)) if s >= 60 => (a._1, bk, s, true)
+        case Some((_, _, s)) => (a._1, a._1, s, false)
+        case None => (a._1, a._1, 0, false)
+      }
+    }.toSet
+    val got = Dedup.ingestLinkage(spark, sf001)
+      .as[(Long, Long, Int, Boolean)].collect()
+    assert(got.length == batch.length, "one output row per batch row")
+    assert(got.toSet == want)
+    assert(want.exists(_._4) && want.exists(!_._4),
+      "fixture should exercise both matched and new-entity outcomes")
+    // a matched entity is always a REGISTRY key, never another batch row
+    assert(got.filter(_._4).forall(r => r._2 % 10 != 0))
+  }
+
+  test("entityGroups: components over replayed match pairs; transitive closure; singletons = self") {
+    import spark.implicits._
+    val rows = linkRows()
+    val cand = blockedPairs(rows, rows).filter { case (a, b) => a < b }
+    val matches = cand.toSeq.filter { case (a, b) =>
+      linkScore(rows.find(_._1 == a).get, rows.find(_._1 == b).get)._2 >= 60
+    }
+    // driver union-find
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = { var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r }
+    matches.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val want = rows.map(r => (r._1, find(r._1))).toSet
+    val got = Dedup.entityGroups(spark, sf001)
+      .as[(Long, Long)].collect()
+    assert(got.length == rows.length)
+    assert(got.toSet == want)
+    // entity id is the component minimum; every match pair shares an entity
+    // (multi-hop closure itself is the q32 clusters machinery, gated there)
+    val comps = got.groupBy(_._2)
+    comps.foreach { case (e, ms) => assert(ms.map(_._1).min == e) }
+    val entityOf = got.map(r => r._1 -> r._2).toMap
+    assert(matches.nonEmpty, "no match pairs — test is vacuous")
+    matches.foreach { case (a, b) =>
+      assert(entityOf(a) == entityOf(b), s"match pair ($a, $b) split across entities")
+    }
+  }
+
+  test("kAnonRelease: released groups are >= k at their level, counts partition the population, no group leaks at two levels") {
+    import spark.implicits._
+    val k = 10
+    val rows = graft.Tables.load(spark, sf001, "customer")
+      .select($"c_nationkey".cast("long"), $"c_mktsegment", $"c_acctbal".cast("double"))
+      .as[(Long, String, Double)].collect()
+      .map { case (n, s, b) => (n, s, math.floor(b / 1000).toLong) }
+    val l0 = rows.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val wantFull = l0.filter(_._2 >= k).map { case ((n, s, b), ct) =>
+      (n.toString, s, b.toString, ct, "full") }.toSet
+    val resid0 = l0.filter(_._2 < k)
+    val l1 = resid0.groupBy { case ((n, s, _), _) => (n, s) }
+      .view.mapValues(_.values.sum).toMap
+    val wantCoarse = l1.filter(_._2 >= k).map { case ((n, s), ct) =>
+      (n.toString, s, "*", ct, "coarse") }.toSet
+    val suppressed = l1.filter(_._2 < k).values.sum
+    val wantSup: Set[(String, String, String, Long, String)] =
+      if (suppressed > 0) Set(("*", "*", "*", suppressed, "suppressed")) else Set.empty
+    val got = Relational.kAnonRelease(spark, sf001)
+      .as[(String, String, String, Long, String)].collect().toSet
+    assert(got == wantFull ++ wantCoarse ++ wantSup)
+    // privacy property: everything released below the remainder is >= k
+    assert(got.filter(_._5 != "suppressed").forall(_._4 >= k))
+    // completeness: released counts partition the population exactly
+    assert(got.toSeq.map(_._4).sum == rows.length.toLong)
+  }
+
+  test("kAnonReleaseFrom: all three hierarchy levels fire on a controlled population") {
+    import spark.implicits._
+    // (nat, seg, band): one dense cell (full), one (nat, seg) whose cells
+    // are each < k but sum >= k (coarse), one thin pair (suppressed)
+    val pop =
+      Seq.fill(12)((1L, "A", 0L)) ++                      // full: 12 >= 10
+        Seq.fill(4)((2L, "B", 0L)) ++ Seq.fill(4)((2L, "B", 1L)) ++
+        Seq.fill(4)((2L, "B", 2L)) ++                     // coarse: 4+4+4 = 12
+        Seq.fill(3)((3L, "C", 0L))                        // suppressed: 3
+    val got = Relational.kAnonReleaseFrom(
+      pop.toDF("nat", "seg", "band"), k = 10)
+      .as[(String, String, String, Long, String)].collect().toSet
+    assert(got == Set(
+      ("1", "A", "0", 12L, "full"),
+      ("2", "B", "*", 12L, "coarse"),
+      ("*", "*", "*", 3L, "suppressed")))
+    // and with every group dense, nothing generalizes and no remainder row
+    val dense = Relational.kAnonReleaseFrom(
+      Seq.fill(10)((1L, "A", 0L)).toDF("nat", "seg", "band"), k = 10)
+      .as[(String, String, String, Long, String)].collect().toSet
+    assert(dense == Set(("1", "A", "0", 10L, "full")))
+  }
 }
