@@ -803,19 +803,26 @@ object Dedup {
     * plus at least one corroborating field. Integers end-to-end; Spark's
     * `levenshtein` = DuckDB's `levenshtein` (unit-cost edits) ⇒ full
     * oracle. */
-  /** Customers projected to the linkage attributes (exact-cents balance). */
-  private def linkSide(spark: SparkSession, dir: String, p: String): DataFrame =
-    Tables.load(spark, dir, "customer").select(
+  /** Linkage-attribute projection with side prefix `p`: input needs
+    * (c_custkey, c_name, c_nationkey, c_mktsegment, cents) — shared with
+    * the streaming registry ([[graft.streaming.EntityRegistry]]). */
+  private[graft] def linkPrefixed(df: DataFrame, p: String): DataFrame =
+    df.select(
       col("c_custkey").as(s"${p}_key"), col("c_name").as(s"${p}_name"),
       col("c_nationkey").as(s"${p}_nat"), col("c_mktsegment").as(s"${p}_seg"),
-      floor(col("c_acctbal") * 100).cast("long").as(s"${p}_cents"))
+      col("cents").as(s"${p}_cents"))
+
+  /** Customers projected to the linkage attributes (exact-cents balance). */
+  private def linkSide(spark: SparkSession, dir: String, p: String): DataFrame =
+    linkPrefixed(Tables.load(spark, dir, "customer")
+      .withColumn("cents", floor(col("c_acctbal") * 100).cast("long")), p)
 
   /** Multi-pass blocked candidate pairs between sides `a` and `b` under
     * `cond` — pass 1 (nation, segment, balance bucket), pass 2 (nation,
     * name 3-suffix), unioned and deduped on the pair key. Each pass is an
     * EQUI-join on its block key; never all pairs. */
-  private def linkCandidates(a: DataFrame, b: DataFrame,
-                             cond: org.apache.spark.sql.Column): DataFrame = {
+  private[graft] def linkCandidates(a: DataFrame, b: DataFrame,
+                                    cond: org.apache.spark.sql.Column): DataFrame = {
     val pass1 = a.join(b, cond &&
       col("a_nat") === col("b_nat") && col("a_seg") === col("b_seg") &&
       floor(col("a_cents") / 10000) === floor(col("b_cents") / 10000))
@@ -830,7 +837,7 @@ object Dedup {
   }
 
   /** Fellegi–Sunter-style additive agreement score on candidates. */
-  private def linkScored(cand: DataFrame): DataFrame = cand
+  private[graft] def linkScored(cand: DataFrame): DataFrame = cand
     .withColumn("lev", levenshtein(col("a_name"), col("b_name")))
     .withColumn("score",
       when(col("lev") <= 2, 50).otherwise(0) +
