@@ -2296,5 +2296,141 @@ object Oracles {
         |lbl AS (SELECT src AS key, min(node) AS entity FROM reach GROUP BY 1)
         |SELECT c.key AS c_custkey, coalesce(lbl.entity, c.key) AS entity_id
         |FROM c LEFT JOIN lbl ON lbl.key = c.key""".stripMargin,
+
+    // q131 (qualityChecks): Deequ-style constraint report — fused row-local
+    // measures + key uniqueness on orders, referential integrity fractions
+    // orders->customer and lineitem->orders
+    "q131_quality_checks" ->
+      """WITH om AS (SELECT count(*) AS sz,
+        |    cast(sum(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END) as double) / count(*) AS complete_custkey,
+        |    cast(sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END) as double) / count(*) AS status_ok,
+        |    cast(sum(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END) as double) / count(*) AS price_positive,
+        |    cast(count(DISTINCT o_orderkey) as double) AS dk
+        |  FROM orders),
+        |ri1 AS (SELECT cast(sum(CASE WHEN c.c_custkey IS NOT NULL THEN 1 ELSE 0 END) as double)
+        |    / count(*) AS m
+        |  FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        |    ON o.o_custkey = c.c_custkey),
+        |ri2 AS (SELECT cast(sum(CASE WHEN ok.o_orderkey IS NOT NULL THEN 1 ELSE 0 END) as double)
+        |    / count(*) AS m
+        |  FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) ok
+        |    ON l.l_orderkey = ok.o_orderkey)
+        |SELECT 'size_min' AS check, 'orders' AS entity,
+        |  cast(sz as double) AS metric, sz >= 1 AS passed FROM om
+        |UNION ALL SELECT 'completeness_custkey', 'orders', complete_custkey,
+        |  complete_custkey = 1.0 FROM om
+        |UNION ALL SELECT 'uniqueness_orderkey', 'orders', dk / sz, dk = sz FROM om
+        |UNION ALL SELECT 'compliance_status', 'orders', status_ok, status_ok = 1.0 FROM om
+        |UNION ALL SELECT 'range_totalprice', 'orders', price_positive,
+        |  price_positive = 1.0 FROM om
+        |UNION ALL SELECT 'ri_orders_customer', 'orders', m, m = 1.0 FROM ri1
+        |UNION ALL SELECT 'ri_lineitem_orders', 'lineitem', m, m = 1.0 FROM ri2""".stripMargin,
+
+    // q132 (freqItems): Misra-Gries self-check — exact counts over the
+    // derived geometric key replay exactly; the sketch flags are
+    // theorem-constants (any bound violation would flip them on the Spark
+    // side and hash-mismatch)
+    "q132_freq_items" ->
+      """WITH e AS (SELECT 'lvl_' || cast(
+        |   (CASE WHEN event_id % 1024 >= 1 THEN 1 ELSE 0 END)
+        | + (CASE WHEN event_id % 1024 >= 2 THEN 1 ELSE 0 END)
+        | + (CASE WHEN event_id % 1024 >= 4 THEN 1 ELSE 0 END)
+        | + (CASE WHEN event_id % 1024 >= 8 THEN 1 ELSE 0 END)
+        | + (CASE WHEN event_id % 1024 >= 16 THEN 1 ELSE 0 END)
+        | + (CASE WHEN event_id % 1024 >= 32 THEN 1 ELSE 0 END)
+        | + (CASE WHEN event_id % 1024 >= 64 THEN 1 ELSE 0 END)
+        | + (CASE WHEN event_id % 1024 >= 128 THEN 1 ELSE 0 END)
+        | + (CASE WHEN event_id % 1024 >= 256 THEN 1 ELSE 0 END)
+        | + (CASE WHEN event_id % 1024 >= 512 THEN 1 ELSE 0 END) as varchar) AS key
+        | FROM events),
+        |x AS (SELECT key, count(*) AS exact_ct FROM e GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM e)
+        |SELECT x.key, x.exact_ct, n.n,
+        | x.exact_ct > cast(n.n as double) / 5 AS guaranteed,
+        | TRUE AS presence_ok, TRUE AS bound_ok
+        |FROM x, n""".stripMargin,
+
+    // q133 (marketBasket): A-priori pair mining — brand baskets per order,
+    // frequent items prune before pairing, exact-integer support ratios
+    "q133_market_basket" ->
+      """WITH baskets AS (SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS item
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |nb AS (SELECT count(DISTINCT ok) AS n FROM baskets),
+        |freq AS (SELECT item, count(*) AS item_ct FROM baskets
+        |  GROUP BY 1 HAVING count(*) >= 50),
+        |pruned AS (SELECT b.ok, b.item, f.item_ct FROM baskets b
+        |  JOIN freq f ON f.item = b.item),
+        |pairs AS (SELECT a.item AS item_a, b.item AS item_b,
+        |    a.item_ct AS ct_a, b.item_ct AS ct_b, count(*) AS pair_ct
+        |  FROM pruned a JOIN pruned b ON a.ok = b.ok AND a.item < b.item
+        |  GROUP BY 1, 2, 3, 4 HAVING count(*) >= 50)
+        |SELECT item_a, item_b, pair_ct,
+        | cast(pair_ct as double) / (SELECT n FROM nb) AS support,
+        | cast(pair_ct as double) / ct_a AS confidence,
+        | cast(pair_ct as double) * (SELECT n FROM nb)
+        |   / cast(ct_a * ct_b as double) AS lift
+        |FROM pairs""".stripMargin,
+
+    // q134 (dpRelease): discrete-Laplace noisy counts — noise replayed
+    // exactly via trailing zeros of 52-bit md5 integers (geometric(1/2)
+    // minus geometric(1/2) = two-sided geometric, epsilon = ln 2)
+    "q134_dp_release" -> {
+      def tz(h: String) =
+        (1 to 52).map(j => s"(CASE WHEN $h % ${1L << j} = 0 THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+      s"""WITH g AS (SELECT cast(c_nationkey as bigint) AS nation,
+         |    c_mktsegment AS segment, count(*) AS true_ct
+         |  FROM customer GROUP BY 1, 2),
+         |h AS (SELECT nation, segment, true_ct,
+         |  ('0x' || substr(md5('dp1_' || cast(nation as varchar) || '_' || segment), 1, 13))::BIGINT AS h1,
+         |  ('0x' || substr(md5('dp2_' || cast(nation as varchar) || '_' || segment), 1, 13))::BIGINT AS h2
+         |  FROM g)
+         |SELECT nation, segment,
+         | greatest(true_ct + cast((${tz("h1")}) - (${tz("h2")}) as bigint), 0) AS released,
+         | cast(0.6931471805599453 as double) AS epsilon
+         |FROM h""".stripMargin
+    },
+
+    // q135 (eventTransitions): first-order Markov transition counts and
+    // row-normalized probabilities; lead ties break on event_id
+    "q135_event_transitions" ->
+      """WITH s AS (SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |tr AS (SELECT event_type AS from_type, next_type AS to_type, count(*) AS ct
+        |  FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_type, sum(ct) AS from_total FROM tr GROUP BY 1)
+        |SELECT tr.from_type, tr.to_type, tr.ct,
+        | cast(tr.ct as double) / tot.from_total AS prob
+        |FROM tr JOIN tot ON tot.from_type = tr.from_type""".stripMargin,
+
+    // q136 (abTest): md5-coin 50/50 assignment, per-user conversion bit,
+    // pooled two-proportion z-test — expression tree mirrored so doubles
+    // hash-compare
+    "q136_abtest_ztest" ->
+      """WITH u AS (SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' AND value > 150 THEN 1 ELSE 0 END) AS converted,
+        |    CASE WHEN ('0x' || substr(md5('exp1_' || cast(user_id as varchar)), 1, 13))::BIGINT % 2 = 0
+        |      THEN 'A' ELSE 'B' END AS arm
+        |  FROM events GROUP BY user_id),
+        |a AS (SELECT arm, count(*) AS n, sum(converted) AS conv FROM u GROUP BY 1),
+        |r AS (SELECT
+        |    cast(sum(CASE WHEN arm = 'A' THEN n END) as bigint) AS n_a,
+        |    cast(sum(CASE WHEN arm = 'A' THEN conv END) as bigint) AS conv_a,
+        |    cast(sum(CASE WHEN arm = 'B' THEN n END) as bigint) AS n_b,
+        |    cast(sum(CASE WHEN arm = 'B' THEN conv END) as bigint) AS conv_b
+        |  FROM a),
+        |z AS (SELECT n_a, conv_a, n_b, conv_b,
+        |    cast(conv_a as double) / n_a AS rate_a,
+        |    cast(conv_b as double) / n_b AS rate_b,
+        |    cast(conv_a + conv_b as double) / (n_a + n_b) AS p
+        |  FROM r)
+        |SELECT n_a, conv_a, rate_a, n_b, conv_b, rate_b,
+        | (rate_a - rate_b) / sqrt(p * (cast(1 as double) - p)
+        |   * (cast(1 as double) / n_a + cast(1 as double) / n_b)) AS z_score,
+        | abs((rate_a - rate_b) / sqrt(p * (cast(1 as double) - p)
+        |   * (cast(1 as double) / n_a + cast(1 as double) / n_b)))
+        |   > cast(1.96 as double) AS significant
+        |FROM z""".stripMargin,
   )
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextOps}
+import graft.operators.{Dedup, Multimodal, Quality, Relational, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -160,6 +160,12 @@ object SparkEntry {
     "q128_kanon_release"    -> ((s, d) => Relational.kAnonRelease(s, d)),
     "q129_ingest_linkage"   -> ((s, d) => Dedup.ingestLinkage(s, d)),
     "q130_entity_groups"    -> ((s, d) => Dedup.entityGroups(s, d)),
+    "q131_quality_checks"   -> ((s, d) => Quality.qualityChecks(s, d)),
+    "q132_freq_items"       -> ((s, d) => Relational.freqItems(s, d)),
+    "q133_market_basket"    -> ((s, d) => Relational.marketBasket(s, d)),
+    "q134_dp_release"       -> ((s, d) => Relational.dpRelease(s, d)),
+    "q135_event_transitions" -> ((s, d) => Relational.eventTransitions(s, d)),
+    "q136_abtest_ztest"     -> ((s, d) => Relational.abTest(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

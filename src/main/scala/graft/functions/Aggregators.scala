@@ -153,4 +153,63 @@ object Aggregators {
   def vecSum(c: Column): Column =
     udaf(vecSumAgg,
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Int]]()).apply(c)
+
+  /** MISRA–GRIES frequent-items sketch [Misra & Gries 1982], with the
+    * MERGEABLE combine of Agarwal et al. ("Mergeable Summaries", PODS'12):
+    * k counters bound the state; any item's estimate underestimates its
+    * true count by at most n/(k+1) REGARDLESS of how partial sketches are
+    * merged, and any item with true count > n/(k+1) is guaranteed present
+    * in the final sketch. That order-independence of the GUARANTEE (not of
+    * the counter values — those vary with partitioning) is what makes the
+    * q132 self-check flags deterministic while the sketch itself is not.
+    *
+    * reduce: classic MG — hit increments; miss inserts while capacity
+    * remains, else decrements every counter (dropping zeros). Miss cost is
+    * O(k); at the k ≤ a few dozen this operator uses, that is cheaper than
+    * a heap's constant factor (same call as [[topKAgg]]'s linear buffer).
+    * merge: pointwise-sum both maps, then subtract the (k+1)-th largest
+    * combined count from all and keep positives — the PODS'12 merge, which
+    * is what preserves the n/(k+1) bound under Spark's arbitrary partial-
+    * aggregation merge tree. State is O(k) per group and map-side
+    * combinable: each mapper forwards one k-entry map, never the stream. */
+  def misraGriesAgg(k: Int): Aggregator[String, scala.collection.mutable.HashMap[String, Long], Map[String, Long]] =
+    new Aggregator[String, scala.collection.mutable.HashMap[String, Long], Map[String, Long]] {
+      type Buf = scala.collection.mutable.HashMap[String, Long]
+      def zero: Buf = scala.collection.mutable.HashMap.empty
+      def reduce(s: Buf, v: String): Buf = {
+        s.get(v) match {
+          case Some(c) => s.update(v, c + 1L)
+          case None if s.size < k => s.update(v, 1L)
+          case None =>
+            // decrement-all: every counter loses 1, zeros evict
+            val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+            s.foreach { case (key, c) => if (c == 1L) dead += key else s.update(key, c - 1L) }
+            dead.foreach(s.remove)
+        }
+        s
+      }
+      def merge(a: Buf, b: Buf): Buf = {
+        if (b.isEmpty) return a
+        if (a.isEmpty) return b
+        b.foreach { case (key, c) => a.update(key, a.getOrElse(key, 0L) + c) }
+        if (a.size > k) {
+          // (k+1)-th largest combined count, subtracted from everyone
+          val cut = a.values.toArray.sorted(Ordering[Long].reverse).apply(k)
+          val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+          a.foreach { case (key, c) =>
+            if (c - cut <= 0L) dead += key else a.update(key, c - cut)
+          }
+          dead.foreach(a.remove)
+        }
+        a
+      }
+      def finish(s: Buf): Map[String, Long] = s.toMap
+      def bufferEncoder: Encoder[Buf] = Encoders.kryo[Buf]
+      def outputEncoder: Encoder[Map[String, Long]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+    }
+
+  /** Column form: `misraGries(8, col("key"))` → `map<string,bigint>`. */
+  def misraGries(k: Int, c: Column): Column =
+    udaf(misraGriesAgg(k), Encoders.STRING).apply(c)
 }

@@ -1288,4 +1288,219 @@ object Relational {
         col("ct").as("released"), lit("suppressed").as("level"))
     rel0.unionByName(rel1).unionByName(rel2)
   }
+
+  /** MISRA–GRIES FREQUENT ITEMS (q132) — the deterministic-space counter
+    * sketch completing the mergeable-sketch family (q34 HLL distinct,
+    * q111 CMS point counts, q127 KMV intersections): k counters over an
+    * unbounded key stream, every item with frequency > n/(k+1) guaranteed
+    * caught, every estimate within n/(k+1) of truth — the standard
+    * first-pass for "which keys dominate this 100 TB stream" before any
+    * exact per-key work (skew triage feeding q53's salting, hot-key cache
+    * admission, token-frequency cutoffs).
+    *
+    * The driver's synthetic streams are deliberately UNIFORM (no natural
+    * heavy hitter — q86 measures that), which would make the MG guarantee
+    * vacuous; like q53 constructs its hot key, the fixture derives a
+    * geometric key `lvl_j` (j = bit-length of event_id % 1024, an exact
+    * integer CASE-ladder both engines replay): level j holds ~2^(j-1)/1024
+    * of the stream, so the top levels are true heavy hitters and the
+    * k=4-counter sketch runs in a REAL compression regime (11 keys > k).
+    *
+    * Oracle discipline (the q34/q95 pattern, strengthened): counter VALUES
+    * depend on Spark's merge tree and are excluded from the output; what is
+    * emitted per key is its exact count (deterministic groupBy) plus the
+    * THEOREM flags — `presence_ok` (guaranteed-frequent ⇒ tracked) and
+    * `bound_ok` (tracked ⇒ 0 ≤ exact − est ≤ n/(k+1); untracked ⇒
+    * exact ≤ n/(k+1)) — which the Agarwal et al. merge result makes
+    * deterministically TRUE under ANY partitioning, so the driver
+    * hash-compares them as constants and any implementation bug that
+    * breaks the bound flips a flag loudly.
+    *
+    * Scale shape: the sketch is ONE map-side-combinable aggregate (each
+    * mapper ships a k-entry map); the exact side is a partial-agged groupBy
+    * on an 11-key domain. The 1-row sketch frame broadcasts onto the exact
+    * counts. */
+  def freqItems(spark: SparkSession, dir: String, k: Int = 4): DataFrame = {
+    // bit-length of (event_id % 1024) via exact integer comparisons
+    val x = col("event_id") % 1024
+    val lvl = concat(lit("lvl_"),
+      (0 to 9).map(j => when(x >= math.pow(2, j).toLong, 1).otherwise(0))
+        .reduce(_ + _).cast("string"))
+    val keyed = t(spark, dir, "events").select(lvl.as("key")).persist()
+    val sk = keyed.agg(
+      graft.functions.Aggregators.misraGries(k, col("key")).as("sk"),
+      count(lit(1)).as("n"))
+    val exact = keyed.groupBy("key").agg(count(lit(1)).as("exact_ct"))
+    val bound = col("n").cast("double") / (k + 1)
+    exact.join(broadcast(sk))
+      .withColumn("est", col("sk").getItem(col("key")))
+      .select(
+        col("key"), col("exact_ct"), col("n"),
+        (col("exact_ct") > bound).as("guaranteed"),
+        (!(col("exact_ct") > bound) || col("est").isNotNull).as("presence_ok"),
+        when(col("est").isNotNull,
+          col("est") <= col("exact_ct") &&
+            (col("exact_ct") - col("est")).cast("double") <= bound)
+          .otherwise(col("exact_ct").cast("double") <= bound).as("bound_ok"))
+  }
+
+  /** MARKET-BASKET CO-OCCURRENCE (q133) — frequent item PAIRS with
+    * support / confidence / lift [Agrawal & Srikant, VLDB'94 — the
+    * A-priori candidate discipline]: which part brands sell together
+    * within an order. The same shape mines co-occurring sources in a
+    * training mixture or co-clicked products in the reference's DWS layer.
+    *
+    * Scale shape (each step partial-aggregates before any shuffle):
+    *  1. baskets = distinct (order, brand) — brand arrives via a BROADCAST
+    *     dim join (part is dim-sized), distinct is map-side combinable.
+    *  2. A-priori prune: only items with support ≥ minsup may appear in a
+    *     frequent pair, so baskets filter against the (tiny) frequent-item
+    *     frame via a broadcast semi-join BEFORE pairing — at 100 TB with a
+    *     real item universe this is the step that keeps the pair space
+    *     from exploding (Agrawal's downward-closure property).
+    *  3. pairs form per-basket only (equi-join on the order key, a < b):
+    *     cost Σ per-basket |items|², bounded by the basket width (≤ 7
+    *     lineitems in this schema), never |items|² globally.
+    *  4. metrics are exact-integer ratios cast to double at the edge.
+    */
+  def marketBasket(spark: SparkSession, dir: String, minsup: Long = 50): DataFrame = {
+    val brands = broadcast(t(spark, dir, "part").select("p_partkey", "p_brand"))
+    val baskets = t(spark, dir, "lineitem")
+      .join(brands, col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("ok"), col("p_brand").as("item"))
+      .distinct()
+      .persist()
+    // basket count rides as a broadcast 1-row frame (no driver action, no
+    // second pass over the corpus)
+    val nb = baskets.agg(countDistinct(col("ok")).as("n_baskets"))
+    val freq = baskets.groupBy("item").agg(count(lit(1)).as("item_ct"))
+      .filter(col("item_ct") >= minsup)
+    val pruned = baskets.join(broadcast(freq), Seq("item"))
+    val pairs = pruned.select(col("ok"), col("item").as("item_a"), col("item_ct").as("ct_a"))
+      .join(pruned.select(col("ok"), col("item").as("item_b"), col("item_ct").as("ct_b")), Seq("ok"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b", "ct_a", "ct_b")
+      .agg(count(lit(1)).as("pair_ct"))
+      .filter(col("pair_ct") >= minsup)
+    pairs.crossJoin(broadcast(nb)).select(
+      col("item_a"), col("item_b"), col("pair_ct"),
+      (col("pair_ct").cast("double") / col("n_baskets")).as("support"),
+      (col("pair_ct").cast("double") / col("ct_a")).as("confidence"),
+      (col("pair_ct").cast("double") * col("n_baskets")
+        / (col("ct_a") * col("ct_b")).cast("double")).as("lift"))
+  }
+
+  /** DIFFERENTIALLY-PRIVATE RELEASE (q134) — the noise-calibrated twin of
+    * [[kAnonRelease]]: per-(nation, segment) customer counts released under
+    * the discrete Laplace (two-sided geometric) mechanism [Ghosh, Roughgarden
+    * & Sundararajan, STOC'09 — the universally utility-maximizing mechanism
+    * for counts; Dwork et al. 2006 for the calibration]. Noise is
+    * X = G₁ − G₂ with Gᵢ ~ Geometric(1/2), i.e. discrete Laplace with
+    * ε = ln 2 for sensitivity-1 counting queries.
+    *
+    * Noise derivation is SEEDED, not sampled: Gᵢ = trailing-zero count of a
+    * 52-bit md5-derived integer keyed on (release_id, group) — trailing
+    * zeros of a uniform integer are EXACTLY geometric(1/2), and the whole
+    * computation is integer arithmetic both engines replay bit-for-bit
+    * (the q127 md5→BIGINT construction + a 52-term divisibility ladder).
+    * Deterministic keyed noise is also what production DP systems do (the
+    * US Census TopDown PRNG discipline): re-releasing the same statistic
+    * must NOT spend fresh privacy budget or let averaging cancel the noise
+    * — the seed pins one draw per (release, group) forever.
+    *
+    * Scale shape: ONE map-side-combinable aggregate over the raw table;
+    * noise is a per-GROUP expression (≤ |groups| rows touched). Released
+    * counts clamp at 0 (post-processing preserves DP). */
+  def dpRelease(spark: SparkSession, dir: String): DataFrame = {
+    def u52(seed: String): Column =
+      conv(substring(md5(concat(lit(seed), lit("_"),
+        col("nation"), lit("_"), col("segment")).cast("binary")), 1, 13), 16, 10)
+        .cast("long")
+    def tz(h: Column): Column =
+      (1 to 52).map(j => when(h % lit(math.pow(2, j).toLong) === 0, 1).otherwise(0))
+        .reduce(_ + _)
+    t(spark, dir, "customer")
+      .groupBy(col("c_nationkey").cast("long").as("nation"),
+        col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("true_ct"))
+      .withColumn("noise", (tz(u52("dp1")) - tz(u52("dp2"))).cast("long"))
+      .select(col("nation"), col("segment"),
+        greatest(col("true_ct") + col("noise"), lit(0L)).as("released"),
+        lit(0.6931471805599453).as("epsilon"))
+  }
+
+  /** EVENT TRANSITION MATRIX (q135) — first-order Markov transitions over
+    * per-user event sequences: the DWS "what happens after X" primitive
+    * behind funnel design (q63 checks ONE ordained path; this measures ALL
+    * empirical paths) and behind sequence-model training data QC (transition
+    * mass that shifts between corpus snapshots signals drift — q90's
+    * longitudinal twin for behavior).
+    *
+    * Scale shape: the only per-row work is `lead` over
+    * `Window.partitionBy(user_id)` — per-user sequences are bounded (the
+    * q119 skew argument: state per key is session-history-sized, never
+    * corpus-sized), then transition counts partial-aggregate on a
+    * |types|² ≤ 25-key domain. Probabilities row-normalize on the tiny
+    * count frame — no second corpus scan. Determinism: ties in event_time
+    * break on event_id, so `lead` is replayable. */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("event_time"), col("event_id"))
+    val trans = t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_time"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("ct"))
+    val totals = trans.groupBy("from_type").agg(sum(col("ct")).as("from_total"))
+    trans.join(totals, Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("ct"),
+        (col("ct").cast("double") / col("from_total")).as("prob"))
+  }
+
+  /** A/B EXPERIMENT ANALYSIS (q136) — deterministic hash-bucketed
+    * assignment + two-proportion pooled z-test [standard normal-approx
+    * test; Kohavi et al., "Controlled experiments on the web", KDD'07 for
+    * the methodology]: users split 50/50 by an md5 coin keyed on
+    * (experiment, user) — the industry assignment scheme, stable across
+    * sessions and replayable by any engine — conversion = the user emitted
+    * ≥ 1 'purchase' event; the z-score decides significance at α = 0.05.
+    *
+    * Scale shape: one groupBy(user) collapses events to a per-user
+    * conversion bit (map-side combinable max), one groupBy(arm) reduces
+    * users to 2 rows, and the test statistic is control-plane arithmetic
+    * on those 2 rows (every op — ÷, ×, √ — is IEEE exactly-rounded, and
+    * the expression tree is mirrored in the oracle, so the double
+    * hash-compares). */
+  def abTest(spark: SparkSession, dir: String): DataFrame = {
+    val arm = when(
+      conv(substring(md5(concat(lit("exp1_"),
+        col("user_id").cast("string")).cast("binary")), 1, 13), 16, 10)
+        .cast("long") % 2 === 0, "A").otherwise("B")
+    // conversion = a purchase above the value threshold: every user emits
+    // SOME purchase in this stream, so the raw "any purchase" bit is 1.0
+    // for both arms (zero pooled variance ⇒ the z-test divides by 0); the
+    // thresholded bit sits mid-range (~45%) at every SF
+    val users = t(spark, dir, "events")
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase" && col("value") > 150, 1L)
+        .otherwise(0L)).as("converted"))
+      .withColumn("arm", arm)
+    val arms = users.groupBy("arm")
+      .agg(count(lit(1)).as("n"), sum(col("converted")).as("conv"))
+    val row = arms.agg(
+      sum(when(col("arm") === "A", col("n"))).as("n_a"),
+      sum(when(col("arm") === "A", col("conv"))).as("conv_a"),
+      sum(when(col("arm") === "B", col("n"))).as("n_b"),
+      sum(when(col("arm") === "B", col("conv"))).as("conv_b"))
+    val ra = col("conv_a").cast("double") / col("n_a")
+    val rb = col("conv_b").cast("double") / col("n_b")
+    val p = (col("conv_a") + col("conv_b")).cast("double") / (col("n_a") + col("n_b"))
+    val se = sqrt(p * (lit(1.0) - p)
+      * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+    row.select(
+      col("n_a"), col("conv_a"), ra.as("rate_a"),
+      col("n_b"), col("conv_b"), rb.as("rate_b"),
+      ((ra - rb) / se).as("z_score"),
+      (abs((ra - rb) / se) > 1.96).as("significant"))
+  }
 }

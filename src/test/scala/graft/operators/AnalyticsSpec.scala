@@ -1,0 +1,186 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** q131–q136: data-quality validation, frequent-items sketch, market-basket
+  * mining, DP release, Markov transitions, A/B analysis. */
+class AnalyticsSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  private def u52(s: String): Long =
+    java.lang.Long.parseLong(md5hex(s).substring(0, 13), 16)
+
+  // ---------------- q131 quality checks ----------------
+
+  test("qualityChecks: every constraint passes on the clean synthetic tables") {
+    val rows = Quality.qualityChecks(spark, sf001)
+      .select("check", "passed").as[(String, Boolean)].collect().toMap
+    assert(rows.size == 7)
+    assert(rows.values.forall(identity), s"clean data must pass all checks: $rows")
+  }
+
+  test("qualityChecksFrom: constructed corruptions fail exactly the right checks with the right metrics") {
+    val orders = Seq(
+      (1L, 10L, "O", 5.0), (2L, 10L, "F", 6.0),
+      (2L, 99L, "X", -1.0), // dup key, orphan custkey, bad status, bad price
+      (3L, 11L, "P", 7.0))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val customer = Seq(10L, 11L).toDF("c_custkey")
+    val lineitem = Seq((1L, 1), (7L, 1)).toDF("l_orderkey", "l_linenumber")
+    val got = Quality.qualityChecksFrom(orders, customer, lineitem)
+      .select("check", "metric", "passed").as[(String, Double, Boolean)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("size_min") == ((4.0, true)))
+    assert(got("completeness_custkey") == ((1.0, true)))
+    assert(got("uniqueness_orderkey") == ((0.75, false)), "3 distinct / 4 rows")
+    assert(got("compliance_status") == ((0.75, false)))
+    assert(got("range_totalprice") == ((0.75, false)))
+    assert(got("ri_orders_customer") == ((0.75, false)), "custkey 99 is orphan")
+    assert(got("ri_lineitem_orders") == ((0.5, false)), "orderkey 7 is orphan")
+  }
+
+  // ---------------- q132 Misra-Gries ----------------
+
+  test("misraGries aggregator: bound and presence guarantees hold under every merge order") {
+    val k = 4
+    val stream = (Seq.fill(60)("hot") ++ Seq.fill(25)("warm") ++
+      (1 to 40).map(i => s"cold_$i") ++ Seq.fill(15)("mild")).toVector
+    val n = stream.length
+    val exact = stream.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val agg = graft.functions.Aggregators.misraGriesAgg(k)
+    // three partition splits x two merge orders
+    for (cut <- Seq(20, 70, 120)) {
+      val parts = Seq(stream.take(cut), stream.slice(cut, 2 * cut min n),
+        stream.drop(2 * cut min n))
+      // merge mutates buffers in place (Spark never reuses a merged partial,
+      // so the aggregator is allowed to) — rebuild them per merge order
+      def bufs = parts.map(p => p.foldLeft(agg.zero)(agg.reduce))
+      for (merged <- Seq(
+        agg.finish(bufs.reduce(agg.merge)),
+        agg.finish(bufs.reverse.reduce(agg.merge)))) {
+        exact.foreach { case (key, c) =>
+          if (c > n.toDouble / (k + 1))
+            assert(merged.contains(key), s"frequent '$key' ($c > n/${k + 1}) must be tracked")
+          merged.get(key).foreach { est =>
+            assert(est <= c, s"'$key' overcounted: $est > $c")
+            assert(c - est <= n.toDouble / (k + 1), s"'$key' error ${c - est} > n/(k+1)")
+          }
+        }
+        merged.keys.foreach(key => assert(exact.contains(key)))
+        assert(merged.size <= k)
+      }
+    }
+  }
+
+  test("freqItems: flags are all true and the geometric key derivation matches a driver replay") {
+    val got = Relational.freqItems(spark, sf0001)
+      .select("key", "exact_ct", "guaranteed", "presence_ok", "bound_ok")
+      .as[(String, Long, Boolean, Boolean, Boolean)].collect()
+    assert(got.nonEmpty)
+    assert(got.forall(_._4), "presence_ok must hold everywhere")
+    assert(got.forall(_._5), "bound_ok must hold everywhere")
+    assert(got.exists(_._3), "the top geometric levels must be guaranteed-frequent")
+    val ids = graft.Tables.load(spark, sf0001, "events")
+      .select(col("event_id")).as[Long].collect()
+    val exact = ids.map { id =>
+      val x = id % 1024
+      "lvl_" + (0 to 9).count(j => x >= (1L << j))
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(got.map(r => r._1 -> r._2).toMap == exact)
+  }
+
+  // ---------------- q133 market basket ----------------
+
+  test("marketBasket: pair counts, support, confidence and lift match a brute-force replay") {
+    val minsup = 5L
+    val baskets = graft.Tables.load(spark, sf0001, "lineitem")
+      .join(graft.Tables.load(spark, sf0001, "part"),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as[Long], col("p_brand").as[String])
+      .distinct().collect()
+    val nB = baskets.map(_._1).distinct.length
+    val itemCt = baskets.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val byOrder = baskets.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    val pairCt = byOrder.values.flatMap { items =>
+      for (a <- items; b <- items if a < b) yield (a, b)
+    }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val want = pairCt.collect {
+      case ((a, b), c) if c >= minsup && itemCt(a) >= minsup && itemCt(b) >= minsup =>
+        (a, b, c, c.toDouble / nB, c.toDouble / itemCt(a),
+          c.toDouble * nB / (itemCt(a) * itemCt(b)).toDouble)
+    }.toSet
+    val got = Relational.marketBasket(spark, sf0001, minsup)
+      .as[(String, String, Long, Double, Double, Double)].collect().toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  // ---------------- q134 DP release ----------------
+
+  test("dpRelease: noise replays the seeded two-sided geometric exactly and clamps at zero") {
+    def tz(h: Long): Int = (1 to 52).count(j => h % (1L << j) == 0)
+    val truth = graft.Tables.load(spark, sf0001, "customer")
+      .groupBy(col("c_nationkey").cast("long").as("nation"),
+        col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("ct"))
+      .as[(Long, String, Long)].collect()
+    val want = truth.map { case (nat, seg, ct) =>
+      val noise = tz(u52(s"dp1_${nat}_$seg")) - tz(u52(s"dp2_${nat}_$seg"))
+      (nat, seg) -> math.max(ct + noise, 0L)
+    }.toMap
+    val got = Relational.dpRelease(spark, sf0001)
+      .select("nation", "segment", "released")
+      .as[(Long, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == want)
+    assert(got.values.forall(_ >= 0))
+    // the mechanism must actually perturb something on this fixture
+    assert(truth.exists { case (nat, seg, ct) => want((nat, seg)) != ct })
+  }
+
+  // ---------------- q135 transitions ----------------
+
+  test("eventTransitions: counts match an in-order driver replay; probabilities row-normalize") {
+    val ev = graft.Tables.load(spark, sf0001, "events")
+      .select(col("user_id").as[Long], col("event_id").as[Long],
+        col("event_time").cast("long").as[Long], col("event_type").as[String])
+      .collect()
+    val want = ev.groupBy(_._1).values.flatMap { rows =>
+      val sorted = rows.sortBy(r => (r._3, r._2)).map(_._4)
+      sorted.zip(sorted.tail)
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = Relational.eventTransitions(spark, sf0001)
+      .as[(String, String, Long, Double)].collect()
+    assert(got.map(r => (r._1, r._2) -> r._3).toMap == want)
+    got.groupBy(_._1).values.foreach { rows =>
+      assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-9, "probs must sum to 1 per from_type")
+    }
+  }
+
+  // ---------------- q136 A/B test ----------------
+
+  test("abTest: assignment, conversion and the z statistic match a driver replay") {
+    val ev = graft.Tables.load(spark, sf0001, "events")
+      .select(col("user_id").as[Long], col("event_type").as[String],
+        col("value").as[Double]).collect()
+    val conv = ev.groupBy(_._1).view.mapValues(rows =>
+      if (rows.exists(r => r._2 == "purchase" && r._3 > 150)) 1L else 0L).toMap
+    val arms = conv.keys.toSeq.groupBy(u => if (u52(s"exp1_$u") % 2 == 0) "A" else "B")
+    val (na, xa) = (arms("A").size.toLong, arms("A").map(conv).sum)
+    val (nb, xb) = (arms("B").size.toLong, arms("B").map(conv).sum)
+    val (ra, rb) = (xa.toDouble / na, xb.toDouble / nb)
+    val p = (xa + xb).toDouble / (na + nb)
+    val z = (ra - rb) / math.sqrt(p * (1.0 - p) * (1.0 / na + 1.0 / nb))
+    val row = Relational.abTest(spark, sf0001)
+      .as[(Long, Long, Double, Long, Long, Double, Double, Boolean)].collect().head
+    assert(row == ((na, xa, ra, nb, xb, rb, z, math.abs(z) > 1.96)))
+    assert(na + nb == conv.size, "arms must partition the users")
+  }
+}
