@@ -712,11 +712,18 @@ object Relational {
     * whose estimate clears a threshold) and the exact pass runs only on
     * those candidates; the fixture-scale binding keeps the exact side as
     * ground truth for the audit. */
+  /** Shared CMS cell address: row `r`, column = first 2 hex chars of
+    * md5(r_key) — 4×256 cells, engine-identical strings (q111's derivation,
+    * reused by [[graft.streaming.TopKStream]] so the streaming-maintained
+    * sketch is cell-for-cell comparable with a batch recompute). */
+  def cmsBucket(r: Column, key: Column): Column =
+    substring(md5(concat(r.cast("string"), lit("_"), key.cast("string"))), 1, 2)
+
   def cmsHeavyHitters(spark: SparkSession, dir: String,
                       depth: Int = 4, topN: Int = 10): DataFrame = {
     val ev = t(spark, dir, "events").select(col("user_id"))
     def bucket(r: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      substring(md5(concat(r.cast("string"), lit("_"), col("user_id").cast("string"))), 1, 2)
+      cmsBucket(r, col("user_id"))
     val rows = explode(array((0 until depth).map(lit(_)): _*))
     val cnt = ev
       .select(col("user_id"), rows.as("r"))
@@ -1320,13 +1327,21 @@ object Relational {
     * mapper ships a k-entry map); the exact side is a partial-agged groupBy
     * on an 11-key domain. The 1-row sketch frame broadcasts onto the exact
     * counts. */
-  def freqItems(spark: SparkSession, dir: String, k: Int = 4): DataFrame = {
-    // bit-length of (event_id % 1024) via exact integer comparisons
-    val x = col("event_id") % 1024
-    val lvl = concat(lit("lvl_"),
+  /** Deterministic geometric skew key over an id column: `lvl_j` where j =
+    * bit-length of (id % 1024), computed by an exact integer CASE ladder
+    * both engines replay. Level j holds ~2^(j−1)/1024 of uniform ids — the
+    * synthesized heavy-hitter fixture q132 and the streaming
+    * [[graft.streaming.TopKStream]] spec share. */
+  def geometricLevelKey(id: Column): Column = {
+    val x = id % 1024
+    concat(lit("lvl_"),
       (0 to 9).map(j => when(x >= math.pow(2, j).toLong, 1).otherwise(0))
         .reduce(_ + _).cast("string"))
-    val keyed = t(spark, dir, "events").select(lvl.as("key")).persist()
+  }
+
+  def freqItems(spark: SparkSession, dir: String, k: Int = 4): DataFrame = {
+    val keyed = t(spark, dir, "events")
+      .select(geometricLevelKey(col("event_id")).as("key")).persist()
     val sk = keyed.agg(
       graft.functions.Aggregators.misraGries(k, col("key")).as("sk"),
       count(lit(1)).as("n"))
