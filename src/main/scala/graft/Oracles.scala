@@ -2432,5 +2432,88 @@ object Oracles {
         |   * (cast(1 as double) / n_a + cast(1 as double) / n_b)))
         |   > cast(1.96 as double) AS significant
         |FROM z""".stripMargin,
+
+    // q137 (columnStats): ANALYZE profile via melt — exact stats
+    // hash-compare; each engine pins its OWN approx-NDV-vs-exact flag
+    // (q34 pattern: raw sketch values never cross engines)
+    "q137_column_stats" -> {
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice")
+      val melt = cols.map(c =>
+        s"SELECT '$c' AS col, cast($c as double) AS value FROM lineitem")
+        .mkString(" UNION ALL ")
+      s"""WITH m AS ($melt)
+         |SELECT col, count(value) AS ct, min(value) AS min_val,
+         | max(value) AS max_val, count(DISTINCT value) AS ndv,
+         | abs(approx_count_distinct(value) - count(DISTINCT value))
+         |   <= cast(count(DISTINCT value) as double) * 0.15 AS approx_ok
+         |FROM m GROUP BY col""".stripMargin
+    },
+
+    // q138 (anomalyZscore): trailing 24h z-score over the q122 gap-filled
+    // grid — exact long window sums, mirrored double expression tree
+    "q138_anomaly_zscore" ->
+      """WITH ev AS (SELECT event_type, date_trunc('hour', ts) AS h,
+        |    cast(floor(value * 100) as bigint) AS cents FROM events),
+        |counts AS (SELECT event_type, h, count(*) AS ct FROM ev GROUP BY 1, 2),
+        |axis AS (SELECT unnest(generate_series((SELECT min(h) FROM ev),
+        |    (SELECT max(h) FROM ev), INTERVAL '1 hour')) AS h),
+        |grid AS (SELECT t.event_type, strftime(a.h, '%Y-%m-%d %H:00:00') AS hour,
+        |    coalesce(c.ct, 0) AS ct
+        |  FROM (SELECT DISTINCT event_type FROM counts) t
+        |  CROSS JOIN axis a
+        |  LEFT JOIN counts c ON c.event_type = t.event_type AND c.h = a.h),
+        |win AS (SELECT event_type, hour, ct,
+        |    count(*) OVER w AS n,
+        |    cast(sum(ct) OVER w as bigint) AS s,
+        |    cast(sum(ct * ct) OVER w as bigint) AS ss
+        |  FROM grid
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+        |sc AS (SELECT event_type, hour, ct,
+        |    cast(s as double) / 24 AS mean,
+        |    sqrt((cast(ss as double) - cast(s as double) * s / 24) / 23) AS sd
+        |  FROM win WHERE n = 24)
+        |SELECT event_type, hour, ct, mean,
+        | CASE WHEN sd > 0 THEN (cast(ct as double) - mean) / sd END AS z,
+        | coalesce(sd > 0 AND abs((cast(ct as double) - mean) / sd) > 3, FALSE)
+        |   AS anomaly
+        |FROM sc""".stripMargin,
+
+    // q139 (triangleCounts): degree-ordered triangle enumeration over the
+    // q133 co-occurrence graph (support >= 0.022), per-node clustering
+    "q139_triangle_count" ->
+      """WITH baskets AS (SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS item
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |nb AS (SELECT count(DISTINCT ok) AS n FROM baskets),
+        |freq AS (SELECT item, count(*) AS item_ct FROM baskets
+        |  GROUP BY 1 HAVING count(*) >= 50),
+        |pruned AS (SELECT b.ok, b.item FROM baskets b JOIN freq f ON f.item = b.item),
+        |pairs AS (SELECT a.item AS a, b.item AS b, count(*) AS pair_ct
+        |  FROM pruned a JOIN pruned b ON a.ok = b.ok AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 50),
+        |edges AS (SELECT a, b FROM pairs
+        |  WHERE cast(pair_ct as double) / (SELECT n FROM nb) >= 0.022),
+        |deg AS (SELECT v, count(*) AS d FROM
+        |  (SELECT a AS v FROM edges UNION ALL SELECT b FROM edges) GROUP BY 1),
+        |dir0 AS (SELECT
+        |    CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+        |      THEN e.a ELSE e.b END AS u,
+        |    CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+        |      THEN e.b ELSE e.a END AS v
+        |  FROM edges e JOIN deg da ON da.v = e.a JOIN deg db ON db.v = e.b),
+        |wedges AS (SELECT e1.u, e1.v AS v1, e2.v AS v2
+        |  FROM dir0 e1 JOIN dir0 e2 ON e1.u = e2.u AND e1.v < e2.v),
+        |tri AS (SELECT w.u, w.v1, w.v2 FROM wedges w JOIN dir0 c
+        |  ON (c.u = w.v1 AND c.v = w.v2) OR (c.u = w.v2 AND c.v = w.v1)),
+        |pern AS (SELECT v, count(*) AS triangles FROM
+        |  (SELECT u AS v FROM tri UNION ALL SELECT v1 FROM tri
+        |   UNION ALL SELECT v2 FROM tri) GROUP BY 1)
+        |SELECT deg.v AS item, deg.d AS degree,
+        | coalesce(pern.triangles, 0) AS triangles,
+        | CASE WHEN deg.d >= 2 THEN cast(2.0 as double) * coalesce(pern.triangles, 0)
+        |   / cast(deg.d * (deg.d - 1) as double) ELSE cast(0 as double) END
+        |   AS clustering
+        |FROM deg LEFT JOIN pern ON pern.v = deg.v""".stripMargin,
   )
 }

@@ -166,6 +166,9 @@ object SparkEntry {
     "q134_dp_release"       -> ((s, d) => Relational.dpRelease(s, d)),
     "q135_event_transitions" -> ((s, d) => Relational.eventTransitions(s, d)),
     "q136_abtest_ztest"     -> ((s, d) => Relational.abTest(s, d)),
+    "q137_column_stats"     -> ((s, d) => Quality.columnStats(s, d)),
+    "q138_anomaly_zscore"   -> ((s, d) => Relational.anomalyZscore(s, d)),
+    "q139_triangle_count"   -> ((s, d) => Relational.triangleCounts(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

@@ -103,4 +103,41 @@ object Quality {
 
     (rowChecks ++ refChecks).reduce(_ unionByName _)
   }
+
+  /** ANALYZE-style COLUMN STATISTICS (q137) — the per-column profile a
+    * cost-based optimizer (and the q131 check author) reads before
+    * touching a table: count, min/max, exact NDV, plus the engine's HLL
+    * estimate self-checked against the exact value (the q34/q95 oracle
+    * pattern — raw approx values differ per engine and stay out of the
+    * output; the within-tolerance FLAG is the driver-visible gate).
+    *
+    * Shape: the numeric columns MELT (`stack`) into (column, value) rows —
+    * one pass over the table produces every per-column aggregate in a
+    * single partial-agged groupBy, including the one genuinely holistic
+    * measure (exact NDV) as a per-column two-phase distinct. The melt
+    * multiplies scanned rows by |columns|; the alternative at very wide
+    * tables is one un-melted agg computing ONLY sketched NDVs
+    * (`approx_count_distinct` is an HLL — register-max merge, no Expand,
+    * mergeable map-side) next to min/max/count, trading exact NDV for a
+    * single narrow pass — that variant is this same code minus the melt
+    * and the exact column. Spark's HLL++ here is deterministic (hash-based,
+    * order-independent register max), so the flag is replay-stable. */
+  def columnStats(spark: SparkSession, dir: String, tol: Double = 0.15): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+      "l_extendedprice")
+    val melted = li.select(expr(
+      s"stack(${cols.length}, " +
+        cols.map(c => s"'$c', cast($c as double)").mkString(", ") +
+        ") as (col, value)"))
+    melted.groupBy("col").agg(
+      count(col("value")).as("ct"),
+      min(col("value")).as("min_val"),
+      max(col("value")).as("max_val"),
+      countDistinct(col("value")).as("ndv"),
+      approx_count_distinct(col("value")).as("__andv"))
+      .select(col("col"), col("ct"), col("min_val"), col("max_val"), col("ndv"),
+        (abs(col("__andv") - col("ndv")).cast("double")
+          <= col("ndv").cast("double") * tol).as("approx_ok"))
+  }
 }

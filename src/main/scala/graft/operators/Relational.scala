@@ -1518,4 +1518,113 @@ object Relational {
       ((ra - rb) / se).as("z_score"),
       (abs((ra - rb) / se) > 1.96).as("significant"))
   }
+
+  /** TIME-SERIES ANOMALY DETECTION (q138) — trailing-window z-score over
+    * the gap-filled hourly series (q122's grid is the input: an anomaly
+    * detector that skips empty slots can never flag an OUTAGE, which on
+    * this data is exactly what fires — the zero-filled gap hours sit far
+    * below the trailing mean): for each (type, hour), mean/std over the
+    * previous 24 FULL hours, flag |z| > 3. The control-chart rule every
+    * ingest monitor runs on its arrival-rate series.
+    *
+    * Numeric discipline: window sums are over LONG counts (exact,
+    * order-insensitive — no float accumulation across the frame); mean /
+    * variance / z are computed from (sum, sumsq) with the expression tree
+    * mirrored in the oracle, so the doubles hash-compare. std = 0 (a
+    * constant window) yields z = NULL, anomaly = false. Rows without a
+    * full 24-hour history are not scored.
+    *
+    * Scale shape: the corpus-sized work is q122's one partial-agged
+    * aggregate; the window runs over the types × hours GRID (partitioned
+    * by type — bounded key count, the accepted bounded-key window regime;
+    * a per-sensor deployment with millions of keys partitions by sensor,
+    * which is exactly what Window.partitionBy gives). */
+  def anomalyZscore(spark: SparkSession, dir: String, win: Int = 24): DataFrame =
+    anomalyZscoreFrom(gapFillHourly(spark, dir), win)
+
+  /** Frame form of [[anomalyZscore]]: `grid` is a dense (event_type, hour,
+    * ct) series — the spec injects spikes/outages and pins exactly which
+    * slots flag. */
+  def anomalyZscoreFrom(grid: DataFrame, win: Int = 24): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("hour")
+      .rowsBetween(-win, -1)
+    grid
+      .select(col("event_type"), col("hour"), col("ct"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s", sum(col("ct")).over(w))
+      .withColumn("ss", sum(col("ct") * col("ct")).over(w))
+      .filter(col("n") === win)
+      .withColumn("mean", col("s").cast("double") / win)
+      .withColumn("sd", sqrt(
+        (col("ss").cast("double") - col("s").cast("double") * col("s") / win)
+          / (win - 1)))
+      .withColumn("z", when(col("sd") > 0,
+        (col("ct").cast("double") - col("mean")) / col("sd")))
+      .select(col("event_type"), col("hour"), col("ct"), col("mean"), col("z"),
+        (col("sd") > 0 && abs(col("z")) > 3).as("anomaly"))
+  }
+
+  /** TRIANGLE COUNTING + CLUSTERING COEFFICIENT (q139) — the graph-local
+    * density measure over the [[marketBasket]] co-occurrence graph (edges =
+    * brand pairs with support ≥ the threshold): how clique-ish is each
+    * item's neighborhood. The same operator over a near-dup pair graph
+    * separates template-spam cliques (clustering → 1) from chain-shaped
+    * boilerplate drift (clustering → 0) — q32/q84's structural companion.
+    *
+    * Algorithm: the MapReduce-standard DEGREE ORDERING [Suri &
+    * Vassilvitskii, WWW'11]: orient every edge from its (degree, id)-lower
+    * to its -higher endpoint, so each triangle is counted exactly once at
+    * its lowest vertex, and — the scale point — wedge generation fans out
+    * per OUT-degree, which orientation bounds by O(√E) for any graph
+    * (a star's hub gets in-degree, never out-degree) ⇒ join volume
+    * O(E^1.5) instead of Σdeg² on skewed graphs. Wedges equi-join the
+    * directed edge list on the middle vertex; the closing edge check is a
+    * second equi-join. Per-node counts explode each triangle to its three
+    * corners; clustering = 2·T / (d·(d−1)).
+    *
+    * Scale shape: the corpus scan is q133's (baskets + pair counts,
+    * support-pruned); everything after runs on the EDGE frame. Degrees
+    * broadcast onto edges; both triangle joins are shuffle-free at this
+    * graph size (broadcast) and plain equi-joins at any size. */
+  def triangleCounts(spark: SparkSession, dir: String,
+                     minSupport: Double = 0.022, minsup: Long = 50): DataFrame = {
+    val edges = marketBasket(spark, dir, minsup)
+      .filter(col("support") >= minSupport)
+      .select(col("item_a").as("a"), col("item_b").as("b"))
+      .persist()
+    val deg = edges.select(col("a").as("v"))
+      .unionByName(edges.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    // orient low (d, id) -> high (d, id): every triangle counted once, hub
+    // out-degrees bounded
+    val da = deg.select(col("v").as("a"), col("d").as("da"))
+    val db = deg.select(col("v").as("b"), col("d").as("db"))
+    val dir0 = edges.join(broadcast(da), Seq("a")).join(broadcast(db), Seq("b"))
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("a"))
+          .otherwise(col("b")).as("u"),
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("b"))
+          .otherwise(col("a")).as("v"))
+      .persist()
+    // wedges at u (v1 < v2 dedups the unordered out-pair), closed by v1->v2
+    val wedges = dir0.select(col("u"), col("v").as("v1"))
+      .join(dir0.select(col("u"), col("v").as("v2")), Seq("u"))
+      .filter(col("v1") < col("v2"))
+    val tri = wedges.join(
+      broadcast(dir0.select(col("v").as("w2"), col("u").as("w1"))),
+      (col("v1") === col("w1") && col("v2") === col("w2")) ||
+        (col("v1") === col("w2") && col("v2") === col("w1")))
+      .select(col("u"), col("v1"), col("v2"))
+    val perNode = tri.select(explode(array(col("u"), col("v1"), col("v2"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("triangles"))
+    deg.join(perNode, Seq("v"), "left")
+      .select(col("v").as("item"), col("d").as("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("d") >= 2,
+          lit(2.0) * coalesce(col("triangles"), lit(0L))
+            / (col("d") * (col("d") - 1)).cast("double"))
+          .otherwise(lit(0.0)).as("clustering"))
+  }
 }

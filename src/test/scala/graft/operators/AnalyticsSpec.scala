@@ -183,4 +183,87 @@ class AnalyticsSpec extends SparkSuite {
     assert(row == ((na, xa, ra, nb, xb, rb, z, math.abs(z) > 1.96)))
     assert(na + nb == conv.size, "arms must partition the users")
   }
+
+  // ---------------- q137 column stats ----------------
+
+  test("columnStats: exact stats match a driver replay; every approx-NDV flag holds") {
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+      "l_extendedprice")
+    val li = graft.Tables.load(spark, sf0001, "lineitem")
+      .select(cols.map(c => col(c).cast("double")): _*).collect()
+    val want = cols.zipWithIndex.map { case (c, i) =>
+      val vs = li.map(_.getDouble(i))
+      c -> ((vs.length.toLong, vs.min, vs.max, vs.distinct.length.toLong))
+    }.toMap
+    val got = Quality.columnStats(spark, sf0001)
+      .as[(String, Long, Double, Double, Long, Boolean)].collect()
+    assert(got.map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap == want)
+    assert(got.forall(_._6), "HLL NDV must sit within tolerance of exact on every column")
+  }
+
+  // ---------------- q138 anomaly detection ----------------
+
+  test("anomalyZscoreFrom: a spike and an outage flag; warm-up rows are not scored; baseline stays quiet") {
+    // 40-hour two-day series: alternating 9/11 baseline (nonzero sd), an
+    // outage (0) at hour 28 — whose trailing window is pure baseline — and
+    // a spike (100) at hour 36 (window then contains the outage; still
+    // flags by a wide margin)
+    val grid = (0 until 40).map { h =>
+      val ct = if (h == 28) 0L else if (h == 36) 100L
+        else if (h % 2 == 0) 9L else 11L
+      ("x", f"2024-01-0${1 + h / 24} ${h % 24}%02d:00:00", ct)
+    }.toDF("event_type", "hour", "ct")
+    val got = Relational.anomalyZscoreFrom(grid)
+      .as[(String, String, Long, Double, Option[Double], Boolean)].collect()
+      .map(r => r._2 -> r).toMap
+    assert(got.size == 16, "first 24 hours must be unscored warm-up")
+    val flagged = got.values.filter(_._6).map(_._2).toSet
+    assert(flagged == Set("2024-01-02 04:00:00", "2024-01-02 12:00:00"),
+      s"exactly the outage and the spike must flag, got $flagged")
+    // driver replay of the outage z: its window (hours 4..27) holds 12
+    // nines and 12 elevens -> sum 240, sumsq 2424, mean 10, var 24/23
+    val sd = math.sqrt((2424.0 - 240.0 * 240.0 / 24) / 23)
+    assert(math.abs(got("2024-01-02 04:00:00")._5.get - (0.0 - 10.0) / sd) < 1e-12)
+  }
+
+  // ---------------- q139 triangles ----------------
+
+  test("triangleCounts: per-node triangles and clustering match a brute-force replay") {
+    val got = Relational.triangleCounts(spark, sf0001, minSupport = 0.0, minsup = 5)
+      .as[(String, Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    val minsup = 5L
+    val baskets = graft.Tables.load(spark, sf0001, "lineitem")
+      .join(graft.Tables.load(spark, sf0001, "part"),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as[Long], col("p_brand").as[String])
+      .distinct().collect()
+    val itemCt = baskets.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val byOrder = baskets.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    val edges = byOrder.values.flatMap { items =>
+      for (a <- items; b <- items if a < b) yield (a, b)
+    }.groupBy(identity).view.mapValues(_.size.toLong)
+      .collect { case ((a, b), c)
+        if c >= minsup && itemCt(a) >= minsup && itemCt(b) >= minsup => (a, b) }
+      .toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2))
+    val adj = nodes.map(v => v -> edges.collect {
+      case (a, b) if a == v => b
+      case (a, b) if b == v => a
+    }).toMap
+    val triPerNode = nodes.map { v =>
+      val nb = adj(v).toSeq
+      v -> (for (i <- nb.indices; j <- i + 1 until nb.length
+                 if edges.contains(if (nb(i) < nb(j)) (nb(i), nb(j)) else (nb(j), nb(i))))
+        yield 1).size.toLong
+    }.toMap
+    val want = nodes.map { v =>
+      val d = adj(v).size.toLong
+      val t = triPerNode(v)
+      (v, d, t, if (d >= 2) 2.0 * t / (d * (d - 1)).toDouble else 0.0)
+    }
+    assert(got.toSet == want)
+    // sanity: triangle incidences sum to 3x the number of distinct triangles
+    assert(got.map(_._3).sum % 3 == 0)
+  }
 }
