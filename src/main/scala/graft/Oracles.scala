@@ -2515,5 +2515,117 @@ object Oracles {
         |   / cast(deg.d * (deg.d - 1) as double) ELSE cast(0 as double) END
         |   AS clustering
         |FROM deg LEFT JOIN pern ON pern.v = deg.v""".stripMargin,
+
+    // q140 (welchTtest): unequal-variance t-test over exact integer cents
+    // moments; mirrored double expression tree incl. Satterthwaite df
+    "q140_welch_ttest" ->
+      """WITH p AS (SELECT user_id, cast(floor(value * 100) as bigint) AS c,
+        |    CASE WHEN ('0x' || substr(md5('exp1_' || cast(user_id as varchar)), 1, 13))::BIGINT % 2 = 0
+        |      THEN 'A' ELSE 'B' END AS arm
+        |  FROM events WHERE event_type = 'purchase'),
+        |a AS (SELECT arm, count(*) AS n, cast(sum(c) as bigint) AS s,
+        |    cast(sum(c * c) as bigint) AS ss FROM p GROUP BY 1),
+        |r AS (SELECT
+        |    cast(sum(CASE WHEN arm = 'A' THEN n END) as bigint) AS n_a,
+        |    cast(sum(CASE WHEN arm = 'A' THEN s END) as bigint) AS s_a,
+        |    cast(sum(CASE WHEN arm = 'A' THEN ss END) as bigint) AS ss_a,
+        |    cast(sum(CASE WHEN arm = 'B' THEN n END) as bigint) AS n_b,
+        |    cast(sum(CASE WHEN arm = 'B' THEN s END) as bigint) AS s_b,
+        |    cast(sum(CASE WHEN arm = 'B' THEN ss END) as bigint) AS ss_b
+        |  FROM a),
+        |m AS (SELECT n_a, n_b,
+        |    cast(s_a as double) / n_a AS ma, cast(s_b as double) / n_b AS mb,
+        |    ((cast(ss_a as double) - cast(s_a as double) * s_a / n_a) / (n_a - 1))
+        |      / n_a AS wa,
+        |    ((cast(ss_b as double) - cast(s_b as double) * s_b / n_b) / (n_b - 1))
+        |      / n_b AS wb
+        |  FROM r)
+        |SELECT n_a, ma AS mean_cents_a, n_b, mb AS mean_cents_b,
+        | (ma - mb) / sqrt(wa + wb) AS t_stat,
+        | (wa + wb) * (wa + wb)
+        |   / (wa * wa / (n_a - 1) + wb * wb / (n_b - 1)) AS df,
+        | abs((ma - mb) / sqrt(wa + wb)) > cast(1.96 as double) AS significant
+        |FROM m""".stripMargin,
+
+    // q141 (classifierCalibration): q88's integer score binned fixed-width
+    // against the q66 repetition rule as the independent agreement signal
+    "q141_calibration" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS n
+        |  FROM (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY 1, 2),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h, n FROM tf),
+        |c AS (SELECT doc_id, cast(h % 64 as int) AS d,
+        |    cast(sum(CASE WHEN (h // 64) % 2 = 1 THEN n ELSE -n END) as bigint) AS val
+        |  FROM h GROUP BY 1, 2),
+        |w AS (SELECT j, (('0x' || substr(md5('w_' || j), 1, 2))::INT % 16) - 8 AS w
+        |  FROM (SELECT unnest(generate_series(0, 63)) AS j)),
+        |s AS (SELECT t.doc_id, cast(coalesce(sum(w.w * c.val), 0) as bigint) AS score,
+        |    CASE WHEN 2 * len(list_distinct(any_value(t.toks))) >= len(any_value(t.toks))
+        |      THEN 1 ELSE 0 END AS label
+        |  FROM t LEFT JOIN c ON c.doc_id = t.doc_id LEFT JOIN w ON w.j = c.d
+        |  GROUP BY t.doc_id),
+        |b AS (SELECT min(score) AS lo, max(score) AS hi FROM s),
+        |binned AS (SELECT s.doc_id, s.score, s.label,
+        |    CASE WHEN b.hi = b.lo THEN 0
+        |      ELSE cast(floor(cast((s.score - b.lo) * 10 as double)
+        |        / (b.hi - b.lo + 1)) as bigint) END AS bin
+        |  FROM s, b)
+        |SELECT bin, count(*) AS n,
+        | cast(sum(score) as double) / count(*) AS mean_score,
+        | cast(sum(label) as double) / count(*) AS agree_rate
+        |FROM binned GROUP BY bin""".stripMargin,
+
+    // q142 (mmrRerank): all-integer MMR greedy (lambda = 1/2 => argmax of
+    // rel - maxSim), unrolled to 5 selection rounds
+    "q142_mmr_rerank" -> {
+      def round(k: Int): String = {
+        val prev = s"sel${k - 1}"
+        s"""p$k AS (SELECT t.query_id, t.cand_id,
+           |    t.rel - max(m.sim) AS score
+           |  FROM top t
+           |  JOIN sims m ON m.query_id = t.query_id AND m.ia = t.cand_id
+           |  JOIN $prev s ON s.query_id = m.query_id AND s.cand_id = m.ib
+           |  LEFT JOIN $prev x ON x.query_id = t.query_id AND x.cand_id = t.cand_id
+           |  WHERE x.cand_id IS NULL
+           |  GROUP BY t.query_id, t.cand_id, t.rel),
+           |s$k AS (SELECT query_id, cand_id, score FROM (SELECT *,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id) AS rn
+           |  FROM p$k) WHERE rn = 1),
+           |sel$k AS (SELECT query_id, cand_id FROM $prev
+           |  UNION ALL SELECT query_id, cand_id FROM s$k)""".stripMargin
+      }
+      s"""WITH e1 AS (SELECT vec_id, embedding,
+         |   127.0 / greatest(list_max(list_transform(embedding, x -> abs(cast(x as double)))), 1e-9) AS scale
+         | FROM embeddings),
+         |e2 AS (SELECT vec_id,
+         |   list_transform(embedding, x -> cast(round(cast(x as double) * scale) as int)) AS qv
+         | FROM e1),
+         |q AS (SELECT vec_id AS query_id, qv AS qq FROM e2 WHERE vec_id < 3),
+         |c AS (SELECT vec_id AS cand_id, qv AS cv FROM e2),
+         |rel AS (SELECT query_id, cand_id,
+         |   cast(list_inner_product(qq, cv) as bigint) AS rel, cv
+         | FROM q, c WHERE query_id <> cand_id),
+         |top AS (SELECT query_id, cand_id, rel, cv FROM (SELECT *,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, cand_id) AS rn
+         |  FROM rel) WHERE rn <= 12),
+         |sims AS (SELECT a.query_id, a.cand_id AS ia, b.cand_id AS ib,
+         |   cast(list_inner_product(a.cv, b.cv) as bigint) AS sim
+         | FROM top a JOIN top b
+         |   ON a.query_id = b.query_id AND a.cand_id <> b.cand_id),
+         |s1 AS (SELECT query_id, cand_id, rel AS score FROM (SELECT *,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, cand_id) AS rn
+         |  FROM top) WHERE rn = 1),
+         |sel1 AS (SELECT query_id, cand_id FROM s1),
+         |${round(2)},
+         |${round(3)},
+         |${round(4)},
+         |${round(5)}
+         |SELECT query_id, 1 AS rank, cand_id, score AS mmr_score FROM s1
+         |UNION ALL SELECT query_id, 2, cand_id, score FROM s2
+         |UNION ALL SELECT query_id, 3, cand_id, score FROM s3
+         |UNION ALL SELECT query_id, 4, cand_id, score FROM s4
+         |UNION ALL SELECT query_id, 5, cand_id, score FROM s5""".stripMargin
+    },
   )
 }

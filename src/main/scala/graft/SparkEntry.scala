@@ -169,6 +169,9 @@ object SparkEntry {
     "q137_column_stats"     -> ((s, d) => Quality.columnStats(s, d)),
     "q138_anomaly_zscore"   -> ((s, d) => Relational.anomalyZscore(s, d)),
     "q139_triangle_count"   -> ((s, d) => Relational.triangleCounts(s, d)),
+    "q140_welch_ttest"      -> ((s, d) => Relational.welchTtest(s, d)),
+    "q141_calibration"      -> ((s, d) => TextOps.classifierCalibration(s, d)),
+    "q142_mmr_rerank"       -> ((s, d) => Similarity.mmrRerank(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

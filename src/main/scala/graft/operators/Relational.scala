@@ -1519,6 +1519,51 @@ object Relational {
       (abs((ra - rb) / se) > 1.96).as("significant"))
   }
 
+  /** WELCH'S T-TEST (q140) — the continuous-metric companion of [[abTest]]
+    * (q136 tests a conversion PROPORTION; experiments over revenue/latency
+    * compare MEANS with unequal variances — Welch 1947, the
+    * unequal-variance t-test with the Satterthwaite df): same md5-coin
+    * assignment, metric = purchase amount per EVENT in exact integer cents.
+    *
+    * Numeric discipline: per-arm moments come from ONE map-side-combinable
+    * aggregate of LONG cents (sum and sum-of-squares are exact,
+    * order-insensitive — a double sum here would be partition-order
+    * nondeterministic); mean/variance/t/df are control-plane doubles over
+    * the 2-row frame, expression tree mirrored in the oracle so they
+    * hash-compare. Significance at |t| > 1.96 (normal approximation — df
+    * is in the thousands here; the exact t-quantile would need the engine
+    * to ship an inverse CDF). */
+  def welchTtest(spark: SparkSession, dir: String): DataFrame = {
+    val arm = when(
+      conv(substring(md5(concat(lit("exp1_"),
+        col("user_id").cast("string")).cast("binary")), 1, 13), 16, 10)
+        .cast("long") % 2 === 0, "A").otherwise("B")
+    val cents = t(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), floor(col("value") * 100).cast("long").as("c"))
+      .withColumn("arm", arm)
+    val arms = cents.groupBy("arm").agg(
+      count(lit(1)).as("n"), sum(col("c")).as("s"),
+      sum(col("c") * col("c")).as("ss"))
+    def pick(a: String, c: String) = sum(when(col("arm") === a, col(c)))
+    val row = arms.agg(
+      pick("A", "n").as("n_a"), pick("A", "s").as("s_a"), pick("A", "ss").as("ss_a"),
+      pick("B", "n").as("n_b"), pick("B", "s").as("s_b"), pick("B", "ss").as("ss_b"))
+    def mean(s: String, n: String) = col(s).cast("double") / col(n)
+    def sv(ss: String, s: String, n: String) =
+      (col(ss).cast("double") - col(s).cast("double") * col(s) / col(n)) /
+        (col(n) - 1)
+    val (ma, mb) = (mean("s_a", "n_a"), mean("s_b", "n_b"))
+    val (va, vb) = (sv("ss_a", "s_a", "n_a"), sv("ss_b", "s_b", "n_b"))
+    val (wa, wb) = (va / col("n_a"), vb / col("n_b"))
+    val tstat = (ma - mb) / sqrt(wa + wb)
+    val df = (wa + wb) * (wa + wb) /
+      (wa * wa / (col("n_a") - 1) + wb * wb / (col("n_b") - 1))
+    row.select(
+      col("n_a"), ma.as("mean_cents_a"), col("n_b"), mb.as("mean_cents_b"),
+      tstat.as("t_stat"), df.as("df"), (abs(tstat) > 1.96).as("significant"))
+  }
+
   /** TIME-SERIES ANOMALY DETECTION (q138) — trailing-window z-score over
     * the gap-filled hourly series (q122's grid is the input: an anomaly
     * detector that skips empty slots can never flag an OUTAGE, which on

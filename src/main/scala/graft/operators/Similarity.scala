@@ -811,4 +811,68 @@ object Similarity {
         col("rnk").cast("int").as("rnk"),
         col("rnk_lex").isNotNull.as("in_lex"), col("rnk_vec").isNotNull.as("in_vec"))
   }
+
+  /** MMR DIVERSIFIED RERANKING (q142) — Maximal Marginal Relevance
+    * [Carbonell & Goldstein, SIGIR'98], the standard fix for a retrieval
+    * stack (q23/q81/q124) that returns five copies of the same answer: the
+    * final list is built GREEDILY, each pick maximizing
+    * λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s). At λ = ½ the argmax is
+    * equivalent to the all-INTEGER criterion rel − maxSim (both sides
+    * scaled by 2), so with q51's int8-quantized dot products as rel and
+    * sim, the entire greedy selection — ranking, marginal penalties,
+    * tiebreaks (score DESC, id ASC) — replays bit-for-bit in the oracle's
+    * unrolled rounds. On a near-dup-heavy corpus the reranker provably
+    * demotes the twins the pure-relevance list stacks (spec).
+    *
+    * Scale shape: relevance is the q23 broadcast-queries map-only scan;
+    * per-query candidates come from a k-BOUNDED `topK` partial agg (the
+    * corpus is never sorted); candidate vectors join back via one
+    * broadcast semi-join; the greedy itself runs per query over a
+    * ≤ topC-element array in a UDF — bounded control-plane work per
+    * group, the same budget class as a re-ranker model call, NOT a
+    * corpus-sized loop (the driver never collects anything). */
+  def mmrRerank(spark: SparkSession, dir: String,
+                topC: Int = 12, select: Int = 5): DataFrame = {
+    val e = emb(spark, dir)
+      .withColumn("scale",
+        expr("127.0 / greatest(aggregate(embedding, cast(0.0 as double), " +
+          "(a, x) -> greatest(a, abs(cast(x as double)))), cast(1e-9 as double))"))
+      .withColumn("qv", expr("transform(embedding, x -> cast(round(x * scale) as int))"))
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("qv").as("qq"))
+    val c = e.select(col("vec_id").as("cand_id"), col("qv").as("cv"))
+    val rel = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
+      .withColumn("rel", call_function("dot_i", col("qq"), col("cv")))
+    val top = rel.groupBy("query_id")
+      .agg(graft.functions.Aggregators.topK(
+        topC, col("rel").cast("double"), col("cand_id"), col("rel")).as("top"))
+      .select(col("query_id"), explode(col("top")).as("s"))
+      .select(col("query_id"), col("s.id").as("cand_id"), col("s.p").as("rel"))
+    val packed = top.join(c, Seq("cand_id"))
+      .groupBy("query_id")
+      .agg(sort_array(collect_list(struct(col("cand_id"), col("rel"), col("cv"))))
+        .as("cands"))
+    val mmr = udf { (cands: Seq[org.apache.spark.sql.Row]) =>
+      val cs = cands.map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2)))
+      def dot(a: Seq[Int], b: Seq[Int]): Long = {
+        var s = 0L; var i = 0
+        while (i < a.length) { s += a(i).toLong * b(i); i += 1 }; s
+      }
+      val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Seq[Int])]
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+      while (selected.length < select && selected.length < cs.length) {
+        val remaining = cs.filterNot(c => selected.exists(_._1 == c._1))
+        val best = remaining.map { case (id, r, v) =>
+          val pen = if (selected.isEmpty) 0L else selected.map(s => dot(v, s._3)).max
+          (id, r - pen, v)
+        }.minBy { case (id, sc, _) => (-sc, id) }
+        selected += best
+        out += ((out.length + 1, best._1, best._2))
+      }
+      out.toSeq
+    }
+    packed.select(col("query_id"), explode(mmr(col("cands"))).as("pick"))
+      .select(col("query_id"), col("pick._1").as("rank"),
+        col("pick._2").as("cand_id"), col("pick._3").as("mmr_score"))
+  }
 }

@@ -1443,6 +1443,41 @@ object TextOps {
       .withColumn("score", classifierScoreUdf(tokensCol(col("text"))))
       .select(col("doc_id"), col("score"), (col("score") >= 0).as("keep"))
 
+  /** CLASSIFIER CALIBRATION / RELIABILITY TABLE (q141) — the eval step
+    * between training a quality classifier (q88) and trusting its
+    * threshold: bucket the score range, and per bucket report how often an
+    * independent quality signal agrees (here the q66 repetition rule,
+    * 2·|distinct tokens| ≥ |tokens| — integer-exact on both engines). A
+    * well-calibrated filter's agreement rate rises monotonically with the
+    * score bucket; a flat table means the threshold is arbitrary. Same
+    * methodology as reliability diagrams [DeGroot & Fienberg 1983; Guo et
+    * al., ICML'17 for the modern treatment].
+    *
+    * Scale shape: scoring + labeling is the q88 map pass; binning uses a
+    * broadcast 1-row (min, max) frame and INTEGER fixed-width buckets —
+    * NOT ntile, whose global sort would shuffle the corpus to one ordering
+    * (the q14/q109 anti-pattern); the report aggregate is
+    * map-side-combinable on a ≤ bins-key domain. */
+  def classifierCalibration(spark: SparkSession, dir: String,
+                            bins: Int = 10): DataFrame = {
+    val scored = docs(spark, dir)
+      .withColumn("toks", tokensCol(col("text")))
+      .withColumn("score", classifierScoreUdf(col("toks")))
+      .withColumn("label",
+        (size(array_distinct(col("toks"))) * 2 >= size(col("toks"))).cast("long"))
+      .select(col("doc_id"), col("score"), col("label"))
+    val bounds = scored.agg(min(col("score")).as("lo"), max(col("score")).as("hi"))
+    scored.crossJoin(broadcast(bounds))
+      .withColumn("bin",
+        when(col("hi") === col("lo"), lit(0L)).otherwise(
+          floor((col("score") - col("lo")) * bins / (col("hi") - col("lo") + 1)))
+          .cast("long"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        (sum(col("score")).cast("double") / count(lit(1))).as("mean_score"),
+        (sum(col("label")).cast("double") / count(lit(1))).as("agree_rate"))
+  }
+
   /** BM25 ranked retrieval over the corpus for a fixed query set — the
     * retrieval loop a training-data pipeline runs for RAG corpus QA and
     * recall checks. Standard BM25 shape (k1 = 1.2, b = 0.75) with two

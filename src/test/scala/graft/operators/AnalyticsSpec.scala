@@ -266,4 +266,104 @@ class AnalyticsSpec extends SparkSuite {
     // sanity: triangle incidences sum to 3x the number of distinct triangles
     assert(got.map(_._3).sum % 3 == 0)
   }
+
+  // ---------------- q140 Welch t-test ----------------
+
+  test("welchTtest: moments, t statistic and Satterthwaite df match a driver replay") {
+    val ev = graft.Tables.load(spark, sf0001, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as[Long],
+        floor(col("value") * 100).cast("long").as[Long]).collect()
+    val byArm = ev.groupBy(r => if (u52(s"exp1_${r._1}") % 2 == 0) "A" else "B")
+      .view.mapValues(_.map(_._2)).toMap
+    def stats(xs: Array[Long]) = {
+      val n = xs.length.toLong
+      val s = xs.sum
+      val ss = xs.map(x => x * x).sum
+      val m = s.toDouble / n
+      val w = ((ss.toDouble - s.toDouble * s / n) / (n - 1)) / n
+      (n, m, w)
+    }
+    val (na, ma, wa) = stats(byArm("A"))
+    val (nb, mb, wb) = stats(byArm("B"))
+    val t = (ma - mb) / math.sqrt(wa + wb)
+    val df = (wa + wb) * (wa + wb) / (wa * wa / (na - 1) + wb * wb / (nb - 1))
+    val row = Relational.welchTtest(spark, sf0001)
+      .as[(Long, Double, Long, Double, Double, Double, Boolean)].collect().head
+    assert(row == ((na, ma, nb, mb, t, df, math.abs(t) > 1.96)))
+    assert(df > 1.0 && df < (na + nb).toDouble)
+  }
+
+  // ---------------- q141 calibration ----------------
+
+  test("classifierCalibration: bins partition the corpus and match a driver replay") {
+    val scored = TextOps.classifierFilter(spark, sf0001)
+      .select(col("doc_id").as[Long], col("score").as[Long]).collect().toMap
+    val toks = graft.Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id").as[Long], col("text").as[String]).collect()
+      .map { case (id, text) =>
+        val ts = "[a-z0-9]+".r.findAllIn(text.toLowerCase).toSeq
+        id -> (if (2 * ts.distinct.length >= ts.length) 1L else 0L)
+      }.toMap
+    val (lo, hi) = (scored.values.min, scored.values.max)
+    val want = scored.toSeq.map { case (id, s) =>
+      val bin = if (hi == lo) 0L
+        else math.floor(((s - lo) * 10).toDouble / (hi - lo + 1)).toLong
+      (bin, s, toks(id))
+    }.groupBy(_._1).map { case (bin, rows) =>
+      (bin, rows.length.toLong,
+        rows.map(_._2).sum.toDouble / rows.length,
+        rows.map(_._3).sum.toDouble / rows.length)
+    }.toSet
+    val got = TextOps.classifierCalibration(spark, sf0001)
+      .as[(Long, Long, Double, Double)].collect().toSet
+    assert(got == want)
+    assert(got.map(_._2).sum == scored.size, "bins must partition the corpus")
+  }
+
+  // ---------------- q142 MMR ----------------
+
+  test("mmrRerank: greedy selection matches a driver replay; first pick maximizes relevance; result diversifies") {
+    val e = graft.Tables.load(spark, sf0001, "embeddings")
+      .select(col("vec_id").as[Long], col("embedding").as[Seq[Float]]).collect()
+    val qv = e.map { case (id, v) =>
+      val mx = math.max(v.map(x => math.abs(x.toDouble)).max, 1e-9)
+      val scale = 127.0 / mx
+      id -> v.map(x => math.round(x * scale).toInt).toSeq
+    }.toMap
+    def dot(a: Seq[Int], b: Seq[Int]): Long =
+      a.zip(b).map { case (x, y) => x.toLong * y }.sum
+    val queries = qv.keys.filter(_ < 3)
+    val want = queries.flatMap { q =>
+      val rel = qv.keys.filter(_ != q).map(c => c -> dot(qv(q), qv(c))).toSeq
+      val top = rel.sortBy { case (id, r) => (-r, id) }.take(12)
+      var selected = List.empty[(Long, Long)]
+      (1 to 5).map { rank =>
+        val pick = top.filterNot(c => selected.exists(_._1 == c._1))
+          .map { case (id, r) =>
+            val pen = if (selected.isEmpty) 0L
+              else selected.map(s => dot(qv(id), qv(s._1))).max
+            (id, r - pen)
+          }.minBy { case (id, sc) => (-sc, id) }
+        selected ::= pick
+        (q, rank, pick._1, pick._2)
+      }
+    }.toSet
+    val got = Similarity.mmrRerank(spark, sf0001)
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(got == want)
+    // theorem: rank-1 pick is the pure-relevance argmax
+    for (q <- queries) {
+      val rel = qv.keys.filter(_ != q).map(c => c -> dot(qv(q), qv(c))).toSeq
+      val best = rel.minBy { case (id, r) => (-r, id) }._1
+      assert(got.exists(r => r._1 == q && r._2 == 1 && r._3 == best))
+    }
+    // diversification: somewhere the MMR list departs from pure relevance
+    val diverged = queries.exists { q =>
+      val rel = qv.keys.filter(_ != q).map(c => c -> dot(qv(q), qv(c))).toSeq
+      val pure = rel.sortBy { case (id, r) => (-r, id) }.take(5).map(_._1).toSet
+      got.filter(_._1 == q).map(_._3) != pure
+    }
+    assert(diverged, "MMR must trade some relevance for diversity on this corpus")
+  }
 }
