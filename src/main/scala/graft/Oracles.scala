@@ -2504,8 +2504,9 @@ object Oracles {
         |  FROM edges e JOIN deg da ON da.v = e.a JOIN deg db ON db.v = e.b),
         |wedges AS (SELECT e1.u, e1.v AS v1, e2.v AS v2
         |  FROM dir0 e1 JOIN dir0 e2 ON e1.u = e2.u AND e1.v < e2.v),
-        |tri AS (SELECT w.u, w.v1, w.v2 FROM wedges w JOIN dir0 c
-        |  ON (c.u = w.v1 AND c.v = w.v2) OR (c.u = w.v2 AND c.v = w.v1)),
+        |und AS (SELECT least(u, v) AS v1, greatest(u, v) AS v2 FROM dir0),
+        |tri AS (SELECT w.u, w.v1, w.v2 FROM wedges w
+        |  JOIN und c ON c.v1 = w.v1 AND c.v2 = w.v2),
         |pern AS (SELECT v, count(*) AS triangles FROM
         |  (SELECT u AS v FROM tri UNION ALL SELECT v1 FROM tri
         |   UNION ALL SELECT v2 FROM tri) GROUP BY 1)
@@ -2627,5 +2628,96 @@ object Oracles {
          |UNION ALL SELECT query_id, 4, cand_id, score FROM s4
          |UNION ALL SELECT query_id, 5, cand_id, score FROM s5""".stripMargin
     },
+
+    // q143 (dbscan): key-capped quadratic neighbor stage, int L2^2 via
+    // three integer dots, components over core-core edges (q130 pattern),
+    // border resolved to MIN cluster, noise = -1
+    "q143_dbscan" ->
+      """WITH RECURSIVE e1 AS (SELECT vec_id, embedding,
+        |   127.0 / greatest(list_max(list_transform(embedding, x -> abs(cast(x as double)))), 1e-9) AS scale
+        | FROM embeddings WHERE vec_id < 500),
+        |e2 AS (SELECT vec_id,
+        |   list_transform(embedding, x -> cast(round(cast(x as double) * scale) as int)) AS qv
+        | FROM e1),
+        |sq AS (SELECT vec_id, qv, cast(list_inner_product(qv, qv) as bigint) AS s FROM e2),
+        |pairs AS (SELECT a.vec_id AS va, b.vec_id AS vb
+        |  FROM sq a JOIN sq b ON a.vec_id < b.vec_id
+        |  WHERE a.s + b.s - 2 * cast(list_inner_product(a.qv, b.qv) as bigint) <= 150000),
+        |sym AS (SELECT va, vb FROM pairs UNION ALL SELECT vb, va FROM pairs),
+        |nbc AS (SELECT va AS id, count(*) + 1 AS n FROM sym GROUP BY 1),
+        |core AS (SELECT id FROM nbc WHERE n >= 4),
+        |ce AS (SELECT s.va AS a, s.vb AS b FROM sym s
+        |  JOIN core ca ON ca.id = s.va JOIN core cb ON cb.id = s.vb),
+        |nodes AS (SELECT DISTINCT a AS v FROM ce),
+        |reach AS (SELECT v AS src, v AS node FROM nodes
+        |  UNION SELECT r.src, e.b FROM reach r JOIN ce e ON e.a = r.node),
+        |lbl AS (SELECT src AS id, min(node) AS cluster_id FROM reach GROUP BY 1),
+        |corelbl AS (SELECT c.id, coalesce(l.cluster_id, c.id) AS cluster_id
+        |  FROM core c LEFT JOIN lbl l ON l.id = c.id),
+        |border AS (SELECT s.va AS id, min(cl.cluster_id) AS cluster_id
+        |  FROM sym s JOIN corelbl cl ON cl.id = s.vb
+        |  WHERE s.va NOT IN (SELECT id FROM core) GROUP BY 1)
+        |SELECT e2.vec_id,
+        | CASE WHEN c1.cluster_id IS NOT NULL THEN 'core'
+        |      WHEN c2.cluster_id IS NOT NULL THEN 'border'
+        |      ELSE 'noise' END AS role,
+        | cast(coalesce(c1.cluster_id, c2.cluster_id, -1) as bigint) AS cluster_id
+        |FROM e2
+        |LEFT JOIN corelbl c1 ON c1.id = e2.vec_id
+        |LEFT JOIN border c2 ON c2.id = e2.vec_id""".stripMargin,
+
+    // q144 (groupRegression): closed-form per-nation OLS from exact
+    // integer-cents moments (decimal product sums), doubles mirrored
+    "q144_group_regression" ->
+      """WITH j AS (SELECT cast(c_nationkey as bigint) AS nation,
+        |    cast(floor(c_acctbal * 100) as bigint) AS x,
+        |    cast(floor(o_totalprice * 100) as bigint) AS y
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |m AS (SELECT nation, count(*) AS n,
+        |    cast(sum(x) as bigint) AS sx, cast(sum(y) as bigint) AS sy,
+        |    sum(cast(x * x as decimal(38,0))) AS sxx,
+        |    sum(cast(x * y as decimal(38,0))) AS sxy,
+        |    sum(cast(y * y as decimal(38,0))) AS syy
+        |  FROM j GROUP BY 1),
+        |d AS (SELECT nation, n,
+        |    cast(n as double) AS dn, cast(sx as double) AS dsx,
+        |    cast(sy as double) AS dsy, cast(sxx as double) AS dsxx,
+        |    cast(sxy as double) AS dsxy, cast(syy as double) AS dsyy
+        |  FROM m),
+        |f AS (SELECT nation, n,
+        |    dn * dsxy - dsx * dsy AS cov,
+        |    dn * dsxx - dsx * dsx AS varx,
+        |    dn * dsyy - dsy * dsy AS vary, dsx, dsy, dn
+        |  FROM d)
+        |SELECT nation, n,
+        | CASE WHEN varx > 0 THEN cov / varx END AS slope,
+        | CASE WHEN varx > 0 THEN (dsy - cov / varx * dsx) / dn END AS intercept,
+        | CASE WHEN varx > 0 AND vary > 0 THEN cov * cov / (varx * vary) END AS r2
+        |FROM f""".stripMargin,
+
+    // q145 (chiSquare): full r x c grid incl. zero cells, per-cell terms
+    // floor(x*2^20)-quantized before the cross-cell sum (commutative)
+    "q145_chi_square" ->
+      """WITH cells AS (SELECT cast(c_nationkey as bigint) AS nat,
+        |    c_mktsegment AS seg, count(*) AS o FROM customer GROUP BY 1, 2),
+        |rws AS (SELECT nat, cast(sum(o) as bigint) AS rt FROM cells GROUP BY 1),
+        |cls AS (SELECT seg, cast(sum(o) as bigint) AS ct FROM cells GROUP BY 1),
+        |tot AS (SELECT cast(sum(o) as bigint) AS n,
+        |    count(DISTINCT nat) AS r, count(DISTINCT seg) AS c FROM cells),
+        |grid AS (SELECT rws.nat, cls.seg, rws.rt, cls.ct,
+        |    coalesce(cells.o, 0) AS o
+        |  FROM rws CROSS JOIN cls
+        |  LEFT JOIN cells ON cells.nat = rws.nat AND cells.seg = cls.seg),
+        |q AS (SELECT cast(floor(
+        |    ((cast(o as double) - cast(rt as double) * ct / tot.n)
+        |     * (cast(o as double) - cast(rt as double) * ct / tot.n)
+        |     / (cast(rt as double) * ct / tot.n)) * 1048576) as bigint) AS qv,
+        |    tot.n, tot.r, tot.c
+        |  FROM grid, tot)
+        |SELECT cast(sum(qv) as double) / 1048576 AS chi2,
+        | (r - 1) * (c - 1) AS df,
+        | sqrt(cast(sum(qv) as double) / 1048576
+        |   / cast(n * least(r - 1, c - 1) as double)) AS cramers_v
+        |FROM q GROUP BY n, r, c""".stripMargin,
   )
 }

@@ -53,7 +53,15 @@ object PlanDump {
       "q127_theta_sketch" -> "round 10: KMV theta sketch — per-type k-smallest via the k-bounded topK partial agg over the persisted element frame; everything after the sketch build is K arrays of k longs (broadcast pair merges); exact leg = one element-keyed self-join",
       "q128_kanon_release" -> "round 10: k-anonymous release — ONE map-side-combinable aggregate touches the raw table (cached); the generalization hierarchy re-aggregates only the tiny group frames, residual level-0 rows roll into level-1 without re-scanning rows",
       "q129_ingest_linkage" -> "round 10: ingest linkage — batch x store blocked equi-joins only (never store x store); best-match via max_by(struct) bounded buffer, NOT a window over the candidate set; no-candidate rows re-enter via the left join",
-      "q130_entity_groups" -> "round 10: entity groups — match-pair components (two-regime clusters), label frame broadcast onto the population, singleton = self via coalesce; the corpus is never shuffled")
+      "q130_entity_groups" -> "round 10: entity groups — match-pair components (two-regime clusters), label frame broadcast onto the population, singleton = self via coalesce; the corpus is never shuffled",
+      "q131_quality_checks" -> "round 10: data quality — every row-local constraint is a branch of ONE fused aggregate scan (adding a check adds an expression, not a pass); RI probes are a broadcast keyset and a distinct-key join; the report is 1-row control-plane unions",
+      "q133_market_basket" -> "round 10: market basket — A-priori prune via broadcast semi-join BEFORE pairing; pairs form per basket on the order key; basket count rides as a broadcast 1-row frame (no driver action, no second corpus pass)",
+      "q138_anomaly_zscore" -> "round 10: anomaly detection — the corpus pays one partial-agged hourly aggregate; the trailing window runs over the types x hours GRID (bounded keys), never over raw events",
+      "q139_triangle_count" -> "round 10: triangles — degree-ordered edge orientation bounds wedge fan-out; the closing-edge probe is an EQUI hash join against the canonical undirected edge set (an OR over orientations would plan BroadcastNestedLoop)",
+      "q141_calibration" -> "round 10: calibration — score binning via a broadcast 1-row (min,max) frame and integer fixed-width buckets, NOT ntile (whose global sort would shuffle the whole corpus to one ordering)",
+      "q142_mmr_rerank" -> "round 10: MMR — relevance is a broadcast-queries map-only scan; candidates come from the k-bounded topK partial agg (corpus never sorted); the greedy runs per query over a 12-element array",
+      "q143_dbscan" -> "round 10: DBSCAN — key-capped quadratic verifier pairs (the q24 convention) with L2^2 as three codegen'd integer dots; neighbor counts partial-aggregate; components on the core-edge frame only",
+      "q144_group_regression" -> "round 10: grouped OLS — ONE map-side-combinable aggregate carries all five DECIMAL(38,0)-exact moments; the closed forms evaluate on the 25-row group frame")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries (sf0.1)\n\n")
     sb.append("Generated by `graft.PlanDump`; regenerate after plan-affecting changes.\n")

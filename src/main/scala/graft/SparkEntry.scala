@@ -172,6 +172,9 @@ object SparkEntry {
     "q140_welch_ttest"      -> ((s, d) => Relational.welchTtest(s, d)),
     "q141_calibration"      -> ((s, d) => TextOps.classifierCalibration(s, d)),
     "q142_mmr_rerank"       -> ((s, d) => Similarity.mmrRerank(s, d)),
+    "q143_dbscan"           -> ((s, d) => Similarity.dbscan(s, d)),
+    "q144_group_regression" -> ((s, d) => Relational.groupRegression(s, d)),
+    "q145_chi_square"       -> ((s, d) => Relational.chiSquare(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

@@ -1564,6 +1564,89 @@ object Relational {
       tstat.as("t_stat"), df.as("df"), (abs(tstat) > 1.96).as("significant"))
   }
 
+  /** GROUP-WISE OLS REGRESSION (q144) — closed-form simple linear
+    * regression per group (slope/intercept/R² of order value against
+    * customer balance, per nation): the "fit a line per segment" analytics
+    * primitive (trend per tenant, scaling-law fit per source — the
+    * power-law regressions of LLM data work are this operator on logged
+    * features).
+    *
+    * Numeric discipline: all five moments (n, Σx, Σy, Σxx, Σxy, Σyy) come
+    * from ONE map-side-combinable aggregate over exact integer cents, with
+    * the product sums in DECIMAL(38,0) (x·y ≈ 5·10¹³ per row fits a long,
+    * but n·Σxy at scale does not — decimal sums stay exact and
+    * order-insensitive where double sums would be partition-order
+    * nondeterministic). The closed forms evaluate in doubles over the
+    * per-group 1-row moments, expression tree mirrored in the oracle.
+    * Degenerate groups (constant x) emit NULL slope/R². */
+  def groupRegression(spark: SparkSession, dir: String): DataFrame = {
+    val j = t(spark, dir, "orders")
+      .join(broadcast(t(spark, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey").cast("long").as("nation"),
+        floor(col("c_acctbal") * 100).cast("long").as("x"),
+        floor(col("o_totalprice") * 100).cast("long").as("y"))
+    val m = j.groupBy("nation").agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+      sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+      sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"))
+    def d(c: String) = col(c).cast("double")
+    val cov = d("n") * d("sxy") - d("sx") * d("sy")
+    val varx = d("n") * d("sxx") - d("sx") * d("sx")
+    val vary = d("n") * d("syy") - d("sy") * d("sy")
+    val slope = when(varx > 0, cov / varx)
+    m.select(col("nation"), col("n"),
+      slope.as("slope"),
+      when(varx > 0, (d("sy") - cov / varx * d("sx")) / d("n")).as("intercept"),
+      when(varx > 0 && vary > 0, cov * cov / (varx * vary)).as("r2"))
+  }
+
+  /** CHI-SQUARE INDEPENDENCE TEST (q145) — is the (nation × segment)
+    * contingency table independent? The categorical-association screen
+    * run before trusting a stratified sample or a per-segment model
+    * (Pearson 1900; Cramér's V for effect size).
+    *
+    * Numeric discipline: observed/expected per cell are exact-integer-
+    * derived doubles; the cell terms (o−e)²/e are floor(x·2²⁰)-QUANTIZED
+    * to longs before the cross-cell sum (the q81 trick — a double sum
+    * over 125 cells would be partition-order dependent; the integer sum
+    * is commutative), then scaled back once. Margins and cells come from
+    * one aggregate + two tiny re-aggregations of the cell frame — the
+    * raw table is scanned once. */
+  def chiSquare(spark: SparkSession, dir: String): DataFrame = {
+    val cells = t(spark, dir, "customer")
+      .groupBy(col("c_nationkey").cast("long").as("nat"),
+        col("c_mktsegment").as("seg"))
+      .agg(count(lit(1)).as("o"))
+      .persist()
+    val rows = cells.groupBy("nat").agg(sum(col("o")).as("rt"))
+    val cols_ = cells.groupBy("seg").agg(sum(col("o")).as("ct"))
+    val tot = cells.agg(sum(col("o")).as("n"),
+      countDistinct(col("nat")).as("r"), countDistinct(col("seg")).as("c"))
+    val term = (col("o").cast("double")
+      - col("rt").cast("double") * col("ct") / col("n"))
+    val q = floor((term * term
+      / (col("rt").cast("double") * col("ct") / col("n"))) * (1L << 20))
+      .cast("long")
+    // FULL r x c grid: an absent combination is an observed ZERO cell and
+    // still contributes (0 - e)^2 / e = e — dropping it would understate
+    // chi2 exactly where the association is strongest
+    rows.crossJoin(cols_)
+      .join(cells, Seq("nat", "seg"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .agg(sum(q).as("chi2_q"), first(col("n")).as("n"),
+        first(col("r")).as("r"), first(col("c")).as("c"))
+      .select(
+        (col("chi2_q").cast("double") / (1L << 20)).as("chi2"),
+        ((col("r") - 1) * (col("c") - 1)).as("df"),
+        sqrt(col("chi2_q").cast("double") / (1L << 20)
+          / (col("n") * least(col("r") - 1, col("c") - 1)).cast("double"))
+          .as("cramers_v"))
+  }
+
   /** TIME-SERIES ANOMALY DETECTION (q138) — trailing-window z-score over
     * the gap-filled hourly series (q122's grid is the input: an anomaly
     * detector that skips empty slots can never flag an OUTAGE, which on
@@ -1653,14 +1736,16 @@ object Relational {
           (col("da") === col("db") && col("a") < col("b")), col("b"))
           .otherwise(col("a")).as("v"))
       .persist()
-    // wedges at u (v1 < v2 dedups the unordered out-pair), closed by v1->v2
+    // wedges at u (v1 < v2 dedups the unordered out-pair); the closing-edge
+    // probe is an EQUI-join against the LEXICOGRAPHICALLY canonical edge
+    // set — an OR over both orientations would plan as a nested-loop join,
+    // which is the difference between hash-join and quadratic at scale
     val wedges = dir0.select(col("u"), col("v").as("v1"))
       .join(dir0.select(col("u"), col("v").as("v2")), Seq("u"))
       .filter(col("v1") < col("v2"))
-    val tri = wedges.join(
-      broadcast(dir0.select(col("v").as("w2"), col("u").as("w1"))),
-      (col("v1") === col("w1") && col("v2") === col("w2")) ||
-        (col("v1") === col("w2") && col("v2") === col("w1")))
+    val undirected = dir0.select(
+      least(col("u"), col("v")).as("v1"), greatest(col("u"), col("v")).as("v2"))
+    val tri = wedges.join(broadcast(undirected), Seq("v1", "v2"))
       .select(col("u"), col("v1"), col("v2"))
     val perNode = tri.select(explode(array(col("u"), col("v1"), col("v2"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("triangles"))

@@ -132,12 +132,17 @@ object Similarity {
     * Quantization runs once per ROW (higher-order transform); the per-PAIR
     * kernel is the codegen'd `dot_i` Catalyst expression (exact long
     * arithmetic: 127²·dim ≪ 2⁶³), mirroring the float path's `dot_f`. */
-  def knnQuantized(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir)
-      .withColumn("scale",
-        expr("127.0 / greatest(aggregate(embedding, cast(0.0 as double), " +
-          "(a, x) -> greatest(a, abs(cast(x as double)))), cast(1e-9 as double))"))
+  /** Per-vector symmetric int8 quantization (scale = 127/max|x|, the q51
+    * construction shared by [[knnQuantized]], [[mmrRerank]] and [[dbscan]]):
+    * adds `qv: array<int>`. */
+  private def int8(e: DataFrame): DataFrame =
+    e.withColumn("scale",
+      expr("127.0 / greatest(aggregate(embedding, cast(0.0 as double), " +
+        "(a, x) -> greatest(a, abs(cast(x as double)))), cast(1e-9 as double))"))
       .withColumn("qv", expr("transform(embedding, x -> cast(round(x * scale) as int))"))
+
+  def knnQuantized(spark: SparkSession, dir: String): DataFrame = {
+    val e = int8(emb(spark, dir))
       .withColumn("qn", sqrt(call_function("dot_i", col("qv"), col("qv")).cast("double")))
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("qv").as("qq"), col("qn").as("qqn"))
@@ -833,11 +838,7 @@ object Similarity {
     * corpus-sized loop (the driver never collects anything). */
   def mmrRerank(spark: SparkSession, dir: String,
                 topC: Int = 12, select: Int = 5): DataFrame = {
-    val e = emb(spark, dir)
-      .withColumn("scale",
-        expr("127.0 / greatest(aggregate(embedding, cast(0.0 as double), " +
-          "(a, x) -> greatest(a, abs(cast(x as double)))), cast(1e-9 as double))"))
-      .withColumn("qv", expr("transform(embedding, x -> cast(round(x * scale) as int))"))
+    val e = int8(emb(spark, dir))
     val q = e.filter(col("vec_id") < 3)
       .select(col("vec_id").as("query_id"), col("qv").as("qq"))
     val c = e.select(col("vec_id").as("cand_id"), col("qv").as("cv"))
@@ -874,5 +875,73 @@ object Similarity {
     packed.select(col("query_id"), explode(mmr(col("cands"))).as("pick"))
       .select(col("query_id"), col("pick._1").as("rank"),
         col("pick._2").as("cand_id"), col("pick._3").as("mmr_score"))
+  }
+
+  /** DBSCAN DENSITY CLUSTERING (q143) — [Ester, Kriegel, Sander & Xu,
+    * KDD'96] over the embedding space: the clustering family member
+    * k-means (q108) can't be — no k chosen up front, arbitrary-shape
+    * clusters, and an explicit NOISE verdict, which for a training corpus
+    * is the interesting output (noise = embedding-space outliers the
+    * curation loop inspects; dense cores = semantic duplicate families,
+    * the q79 SemDeDup signal by another route).
+    *
+    * Determinism: distances are int8-quantized L2² via three codegen'd
+    * integer dots (|a−b|² = a·a + b·b − 2a·b) — exact longs, engine-equal;
+    * the classic DBSCAN nondeterminism (a border point within eps of two
+    * clusters joins whichever scanned it first) is resolved to the MIN
+    * cluster id, making the labeling replay-stable and oracle-checkable.
+    * Core components label through [[Dedup.clusters]] (component-min id,
+    * the q32 machinery).
+    *
+    * Scale shape: the neighbor stage here is the QUADRATIC VERIFIER on the
+    * key-capped prefix (vec_id < cap — the q24/q19 all-pairs oracle-path
+    * convention: no oracled query carries an unbounded cartesian). The
+    * 100 TB candidate generator is the same banded LSH/IVF bucketing the
+    * ANN suite uses (q28/q33): neighbors-within-eps per bucket, identical
+    * verify predicate — swap the pair source, keep everything downstream. */
+  def dbscan(spark: SparkSession, dir: String, eps2: Long = 150000L,
+             minPts: Int = 4, cap: Int = 500): DataFrame = {
+    val e = int8(emb(spark, dir)).filter(col("vec_id") < cap)
+      .withColumn("sq", call_function("dot_i", col("qv"), col("qv")))
+      .select(col("vec_id"), col("qv"), col("sq"))
+      .persist()
+    val a = e.select(col("vec_id").as("va"), col("qv").as("qa"), col("sq").as("sa"))
+    val b = e.select(col("vec_id").as("vb"), col("qv").as("qb"), col("sq").as("sb"))
+    val pairs = a.join(b, col("va") < col("vb"))
+      .withColumn("d2",
+        col("sa") + col("sb") - lit(2L) * call_function("dot_i", col("qa"), col("qb")))
+      .filter(col("d2") <= eps2)
+      .select(col("va"), col("vb"))
+      .persist()
+    val sym = pairs.unionByName(pairs.select(col("vb").as("va"), col("va").as("vb")))
+    // |N_eps(p)| counts the point itself (the KDD'96 convention)
+    val nbc = sym.groupBy("va").agg((count(lit(1)) + 1).as("n"))
+    val core = nbc.filter(col("n") >= minPts).select(col("va").as("id"))
+    val coreEdges = sym
+      .join(core.select(col("id").as("va")), Seq("va"), "left_semi")
+      .join(core.select(col("id").as("vb")), Seq("vb"), "left_semi")
+      .select(col("va").as("da"), col("vb").as("db"))
+    // component-min labels; isolated cores fall back to their own id
+    val lbl = graft.operators.Dedup.clusters(coreEdges)
+      .select(col("doc_id").as("id"), col("cluster_id"))
+    val coreLbl = core.join(lbl, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+    // border = non-core within eps of >= 1 core; deterministic MIN-cluster
+    // assignment resolves the classic scan-order ambiguity
+    val borderLbl = sym
+      .join(coreLbl.select(col("id").as("vb"), col("cluster_id")), Seq("vb"))
+      .join(core.select(col("id").as("va")), Seq("va"), "left_anti")
+      .groupBy(col("va").as("id"))
+      .agg(min(col("cluster_id")).as("cluster_id"))
+    e.select(col("vec_id"))
+      .join(coreLbl.select(col("id").as("vec_id"), col("cluster_id").as("c1")),
+        Seq("vec_id"), "left")
+      .join(borderLbl.select(col("id").as("vec_id"), col("cluster_id").as("c2")),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(col("c1").isNotNull, "core")
+          .when(col("c2").isNotNull, "border")
+          .otherwise("noise").as("role"),
+        coalesce(col("c1"), col("c2"), lit(-1L)).as("cluster_id"))
   }
 }

@@ -366,4 +366,105 @@ class AnalyticsSpec extends SparkSuite {
     }
     assert(diverged, "MMR must trade some relevance for diversity on this corpus")
   }
+
+  // ---------------- q143 DBSCAN ----------------
+
+  test("dbscan: labeling matches a driver replay; roles obey the density definitions") {
+    val e = graft.Tables.load(spark, sf0001, "embeddings")
+      .select(col("vec_id").as[Long], col("embedding").as[Seq[Float]]).collect()
+      .filter(_._1 < 500)
+    val qv = e.map { case (id, v) =>
+      val mx = math.max(v.map(x => math.abs(x.toDouble)).max, 1e-9)
+      val scale = 127.0 / mx
+      id -> v.map(x => math.round(x * scale).toInt).toSeq
+    }.toMap
+    def d2(a: Seq[Int], b: Seq[Int]): Long =
+      a.zip(b).map { case (x, y) => val d = (x - y).toLong; d * d }.sum
+    val ids = qv.keys.toSeq.sorted
+    val (eps2, minPts) = (150000L, 4)
+    val neigh = ids.map(i =>
+      i -> ids.filter(j => j != i && d2(qv(i), qv(j)) <= eps2).toSet).toMap
+    val core = ids.filter(i => neigh(i).size + 1 >= minPts).toSet
+    // union-find over core-core edges
+    val par = scala.collection.mutable.Map(core.map(c => c -> c).toSeq: _*)
+    def find(x: Long): Long = { var r = x; while (par(r) != r) r = par(r); r }
+    for (a <- core; b <- neigh(a) if core(b)) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) par(rb) = ra else par(ra) = rb }
+    }
+    // component label = min member id
+    val lbl = core.groupBy(find).flatMap { case (_, m) => m.map(_ -> m.min) }
+    val want = ids.map { i =>
+      if (core(i)) (i, "core", lbl(i))
+      else {
+        val cn = neigh(i).filter(core)
+        if (cn.nonEmpty) (i, "border", cn.map(lbl).min) else (i, "noise", -1L)
+      }
+    }.toSet
+    val got = Similarity.dbscan(spark, sf0001)
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == want)
+    val roles = got.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(roles.getOrElse("core", 0) > 0 && roles.getOrElse("noise", 0) > 0,
+      s"fixture must exercise core and noise roles: $roles")
+    got.foreach { case (_, role, c) =>
+      assert((role == "noise") == (c == -1L), "noise iff cluster_id = -1") }
+  }
+
+  // ---------------- q144 grouped OLS ----------------
+
+  test("groupRegression: per-nation slope/intercept/r2 match an exact-moment driver replay") {
+    val rows = graft.Tables.load(spark, sf0001, "orders")
+      .join(graft.Tables.load(spark, sf0001, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey").cast("long").as[Long],
+        floor(col("c_acctbal") * 100).cast("long").as[Long],
+        floor(col("o_totalprice") * 100).cast("long").as[Long]).collect()
+    val want = rows.groupBy(_._1).map { case (nat, rs) =>
+      val n = rs.length.toLong
+      val (sx, sy) = (rs.map(_._2).sum, rs.map(_._3).sum)
+      val sxx = rs.map(r => BigInt(r._2) * r._2).sum
+      val sxy = rs.map(r => BigInt(r._2) * r._3).sum
+      val syy = rs.map(r => BigInt(r._3) * r._3).sum
+      val (dn, dsx, dsy) = (n.toDouble, sx.toDouble, sy.toDouble)
+      val cov = dn * sxy.toDouble - dsx * dsy
+      val varx = dn * sxx.toDouble - dsx * dsx
+      val vary = dn * syy.toDouble - dsy * dsy
+      (nat, n, cov / varx, (dsy - cov / varx * dsx) / dn,
+        cov * cov / (varx * vary))
+    }.toSet
+    val got = Relational.groupRegression(spark, sf0001)
+      .as[(Long, Long, Double, Double, Double)].collect().toSet
+    assert(got == want)
+    got.foreach { case (nat, _, _, _, r2) =>
+      assert(r2 >= 0 && r2 <= 1, s"nation $nat r2 $r2 out of [0,1]") }
+  }
+
+  // ---------------- q145 chi-square ----------------
+
+  test("chiSquare: statistic matches a driver replay over the FULL grid including zero cells") {
+    val cs = graft.Tables.load(spark, sf0001, "customer")
+      .select(col("c_nationkey").cast("long").as[Long],
+        col("c_mktsegment").as[String]).collect()
+    val cells = cs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nats = cs.map(_._1).distinct
+    val segs = cs.map(_._2).distinct
+    val rt = nats.map(n => n -> cs.count(_._1 == n).toLong).toMap
+    val ct = segs.map(s => s -> cs.count(_._2 == s).toLong).toMap
+    val n = cs.length.toLong
+    val qsum = (for (na <- nats; se <- segs) yield {
+      val o = cells.getOrElse((na, se), 0L)
+      val e = rt(na).toDouble * ct(se) / n
+      math.floor((o.toDouble - e) * (o.toDouble - e) / e * (1L << 20)).toLong
+    }).sum
+    val chi2 = qsum.toDouble / (1L << 20)
+    val df = (nats.length - 1L) * (segs.length - 1L)
+    val v = math.sqrt(chi2 / (n * math.min(nats.length - 1L, segs.length - 1L)).toDouble)
+    val row = Relational.chiSquare(spark, sf0001)
+      .as[(Double, Long, Double)].collect().head
+    assert(row == ((chi2, df, v)))
+    // sf0.001 is sparse over the 125-cell grid: zero cells MUST be present
+    assert(cells.size < nats.length * segs.length,
+      "fixture must exercise the zero-cell branch")
+  }
 }
