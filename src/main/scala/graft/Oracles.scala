@@ -2719,5 +2719,52 @@ object Oracles {
         | sqrt(cast(sum(qv) as double) / 1048576
         |   / cast(n * least(r - 1, c - 1) as double)) AS cramers_v
         |FROM q GROUP BY n, r, c""".stripMargin,
+
+    // q146 (joinSizeEstimate): CMS inner-product join-size estimate —
+    // shared md5 cells make the integer estimate itself hash-compare
+    "q146_join_size" ->
+      """WITH r4 AS (SELECT unnest(generate_series(0, 3)) AS r),
+        |ca AS (SELECT r4.r, substr(md5(cast(r4.r as varchar) || '_' ||
+        |      cast(user_id as varchar)), 1, 2) AS b, count(*) AS c
+        |  FROM events, r4 WHERE event_type = 'click' GROUP BY 1, 2),
+        |cb AS (SELECT r4.r, substr(md5(cast(r4.r as varchar) || '_' ||
+        |      cast(user_id as varchar)), 1, 2) AS b, count(*) AS c
+        |  FROM events, r4 WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |ip AS (SELECT ca.r, cast(sum(ca.c * cb.c) as bigint) AS ip
+        |  FROM ca JOIN cb ON ca.r = cb.r AND ca.b = cb.b GROUP BY 1),
+        |est AS (SELECT cast(min(ip) as bigint) AS est_size FROM ip),
+        |fa AS (SELECT user_id, count(*) AS f FROM events
+        |  WHERE event_type = 'click' GROUP BY 1),
+        |fb AS (SELECT user_id, count(*) AS f FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1),
+        |ex AS (SELECT cast(sum(fa.f * fb.f) as bigint) AS exact_size
+        |  FROM fa JOIN fb ON fa.user_id = fb.user_id)
+        |SELECT ex.exact_size, est.est_size,
+        | est.est_size - ex.exact_size AS overcount,
+        | est.est_size >= ex.exact_size AS never_under
+        |FROM ex, est""".stripMargin,
+
+    // q147 (itemCf): item-item cosine from co-purchase vectors, 2^20
+    // quantized ranking, top-5 per item with lexicographic tiebreak
+    "q147_item_cf" ->
+      """WITH m AS (SELECT o.o_custkey AS u, p.p_brand AS item, count(*) AS ct
+        |  FROM lineitem l
+        |  JOIN part p ON l.l_partkey = p.p_partkey
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1, 2),
+        |norms AS (SELECT item, cast(sum(ct * ct) as bigint) AS n2 FROM m GROUP BY 1),
+        |co AS (SELECT a.item AS ia, b.item AS ib,
+        |    cast(sum(a.ct * b.ct) as bigint) AS dot
+        |  FROM m a JOIN m b ON a.u = b.u AND a.item <> b.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |s AS (SELECT ia, ib, cast(floor(cast(dot as double)
+        |    / (sqrt(cast(na.n2 as double)) * sqrt(cast(nb.n2 as double)))
+        |    * 1048576) as bigint) AS q
+        |  FROM co JOIN norms na ON na.item = ia JOIN norms nb ON nb.item = ib),
+        |r AS (SELECT ia, ib, q,
+        |    row_number() OVER (PARTITION BY ia ORDER BY q DESC, ib) AS rn FROM s)
+        |SELECT ia AS item, ib AS neighbor, cast(rn as int) AS rnk,
+        | cast(q as double) / 1048576 AS cos_q
+        |FROM r WHERE rn <= 5""".stripMargin,
   )
 }

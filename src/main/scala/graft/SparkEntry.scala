@@ -175,6 +175,8 @@ object SparkEntry {
     "q143_dbscan"           -> ((s, d) => Similarity.dbscan(s, d)),
     "q144_group_regression" -> ((s, d) => Relational.groupRegression(s, d)),
     "q145_chi_square"       -> ((s, d) => Relational.chiSquare(s, d)),
+    "q146_join_size"        -> ((s, d) => Relational.joinSizeEstimate(s, d)),
+    "q147_item_cf"          -> ((s, d) => Relational.itemCf(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

@@ -1564,6 +1564,50 @@ object Relational {
       tstat.as("t_stat"), df.as("df"), (abs(tstat) > 1.96).as("significant"))
   }
 
+  /** SKETCH-BASED JOIN-SIZE ESTIMATION (q146) — the CBO input a 100 TB
+    * planner wants BEFORE committing to a shuffle: |A ⋈_k B| = Σ_k
+    * f_A(k)·f_B(k), estimated from each side's Count-Min row as the
+    * cell-wise INNER PRODUCT, min over the depth rows [Cormode &
+    * Muthukrishnan 2005 §4.2; the AGMS/sketch join-size line of work].
+    * Each side is scanned ONCE map-side into ≤ 1024 cells; the estimate
+    * costs a 1024-row join — no data moves. The demo pair is the
+    * many-to-many click ⋈ purchase on user_id (1-N joins make the
+    * estimate exact-by-construction and uninteresting).
+    *
+    * Determinism: the shared md5 cells ([[cmsBucket]]) make the ESTIMATE
+    * itself integer-exact across engines — the q111 discipline, so exact
+    * size, estimate and overcount all hash-compare (no tolerance flag).
+    * The CMS inner product NEVER underestimates (collisions only add
+    * non-negative terms — emitted as the theorem column `never_under`,
+    * deterministically true); the upper side is probabilistic
+    * (≤ exact + |A||B|/width per row in expectation) and is gated in the
+    * spec, not the oracle. */
+  def joinSizeEstimate(spark: SparkSession, dir: String,
+                       depth: Int = 4): DataFrame = {
+    val ev = t(spark, dir, "events").select(col("event_type"), col("user_id"))
+      .persist()
+    def cells(typ: String) = {
+      val rows = explode(array((0 until depth).map(lit(_)): _*))
+      ev.filter(col("event_type") === typ)
+        .select(col("user_id"), rows.as("r"))
+        .withColumn("b", cmsBucket(col("r"), col("user_id")))
+        .groupBy("r", "b").agg(count(lit(1)).as("c"))
+    }
+    val est = cells("click").withColumnRenamed("c", "ca")
+      .join(cells("purchase").withColumnRenamed("c", "cb"), Seq("r", "b"))
+      .groupBy("r").agg(sum(col("ca") * col("cb")).as("ip"))
+      .agg(min(col("ip")).as("est_size"))
+    val exact = ev.filter(col("event_type") === "click")
+      .groupBy("user_id").agg(count(lit(1)).as("fa"))
+      .join(ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(count(lit(1)).as("fb")), Seq("user_id"))
+      .agg(sum(col("fa") * col("fb")).as("exact_size"))
+    exact.crossJoin(broadcast(est))
+      .select(col("exact_size"), col("est_size"),
+        (col("est_size") - col("exact_size")).as("overcount"),
+        (col("est_size") >= col("exact_size")).as("never_under"))
+  }
+
   /** GROUP-WISE OLS REGRESSION (q144) — closed-form simple linear
     * regression per group (slope/intercept/R² of order value against
     * customer balance, per nation): the "fit a line per segment" analytics
@@ -1601,6 +1645,60 @@ object Relational {
       slope.as("slope"),
       when(varx > 0, (d("sy") - cov / varx * d("sx")) / d("n")).as("intercept"),
       when(varx > 0 && vary > 0, cov * cov / (varx * vary)).as("r2"))
+  }
+
+  /** ITEM-ITEM COLLABORATIVE FILTERING (q147) — the neighborhood-model
+    * recommender primitive [Sarwar et al., WWW'01; Linden et al. 2003 —
+    * Amazon's item-to-item CF]: items (brands) are vectors of per-customer
+    * purchase counts; similarity = cosine of co-purchase vectors; output =
+    * top-k most similar items per item.
+    *
+    * Scale shape (why item-item beats user-user at 100 TB, per Linden):
+    * co-occurrence pairs form PER CUSTOMER via a self-join on the customer
+    * key — fan-out bounded by basket width, never |items|²; the pair
+    * aggregate and both norm aggregates are map-side combinable; top-k
+    * per item is the k-bounded [[graft.functions.Aggregators.topK]]
+    * partial agg, not a window sort. A minimum co-occurrence support
+    * prunes noise pairs before ranking (and is what keeps the pair frame
+    * sparse on a real catalog).
+    *
+    * Determinism: co-count and norm² are exact integers; cosine = one
+    * double division of exact values, ranked with floor(x·2²⁰) integer
+    * quantization before the (score, id) tiebreak — the q81 discipline,
+    * so rankings replay across engines. */
+  def itemCf(spark: SparkSession, dir: String, topK: Int = 5,
+             minCo: Long = 2): DataFrame = {
+    val m = t(spark, dir, "lineitem")
+      .join(broadcast(t(spark, dir, "part").select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .join(t(spark, dir, "orders").select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("u"), col("p_brand").as("item"))
+      .agg(count(lit(1)).as("ct"))
+      .persist()
+    val norms = m.groupBy("item")
+      .agg(sum(col("ct") * col("ct")).as("n2"))
+    val co = m.select(col("u"), col("item").as("item_a"), col("ct").as("ca"))
+      .join(m.select(col("u"), col("item").as("item_b"), col("ct").as("cb")), Seq("u"))
+      .filter(col("item_a") =!= col("item_b"))
+      .groupBy("item_a", "item_b")
+      .agg(sum(col("ca") * col("cb")).as("dot"), count(lit(1)).as("co_users"))
+      .filter(col("co_users") >= minCo)
+    val scored = co
+      .join(broadcast(norms.select(col("item").as("item_a"), col("n2").as("na"))),
+        Seq("item_a"))
+      .join(broadcast(norms.select(col("item").as("item_b"), col("n2").as("nb"))),
+        Seq("item_b"))
+      .withColumn("cos", col("dot").cast("double")
+        / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+      .withColumn("q", floor(col("cos") * (1L << 20)).cast("long"))
+    scored.groupBy("item_a")
+      .agg(graft.functions.Aggregators.topKStr(
+        topK, col("q").cast("double"), col("item_b"), col("q")).as("top"))
+      .select(col("item_a"), posexplode(col("top")))
+      .select(col("item_a").as("item"), col("col.id").as("neighbor"),
+        (col("pos") + 1).cast("int").as("rnk"),
+        (col("col.p").cast("double") / (1L << 20)).as("cos_q"))
   }
 
   /** CHI-SQUARE INDEPENDENCE TEST (q145) — is the (nation × segment)

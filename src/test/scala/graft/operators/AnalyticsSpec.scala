@@ -467,4 +467,62 @@ class AnalyticsSpec extends SparkSuite {
     assert(cells.size < nats.length * segs.length,
       "fixture must exercise the zero-cell branch")
   }
+
+  // ---------------- q146 join-size estimate ----------------
+
+  test("joinSizeEstimate: CMS inner product matches a driver replay, never undercounts, overcount plausible") {
+    val ev = graft.Tables.load(spark, sf0001, "events")
+      .select(col("event_type").as[String], col("user_id").as[Long]).collect()
+    def cells(typ: String): Map[(Int, String), Long] =
+      ev.filter(_._1 == typ).flatMap { case (_, u) =>
+        (0 until 4).map(r => (r, md5hex(s"${r}_$u").substring(0, 2)))
+      }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val (ca, cb) = (cells("click"), cells("purchase"))
+    val est = (0 until 4).map { r =>
+      ca.collect { case ((`r`, b), c) => c * cb.getOrElse((r, b), 0L) }.sum
+    }.min
+    val fa = ev.filter(_._1 == "click").groupBy(_._2).view.mapValues(_.length.toLong)
+    val fb = ev.filter(_._1 == "purchase").groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val exact = fa.map { case (u, f) => f * fb.getOrElse(u, 0L) }.sum
+    val row = Relational.joinSizeEstimate(spark, sf0001)
+      .as[(Long, Long, Long, Boolean)].collect().head
+    assert(row == ((exact, est, est - exact, true)))
+    assert(est >= exact, "CMS inner product must never undercount")
+    val (na, nb) = (ev.count(_._1 == "click").toLong, ev.count(_._1 == "purchase").toLong)
+    assert(est - exact <= na * nb / 64,
+      s"overcount ${est - exact} outside the plausible band for |A|=$na |B|=$nb")
+  }
+
+  // ---------------- q147 item-item CF ----------------
+
+  test("itemCf: similarity ranking matches a brute-force co-purchase replay") {
+    val m = graft.Tables.load(spark, sf0001, "lineitem")
+      .join(graft.Tables.load(spark, sf0001, "part"),
+        col("l_partkey") === col("p_partkey"))
+      .join(graft.Tables.load(spark, sf0001, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("u"), col("p_brand").as("item"))
+      .agg(count(lit(1)).as("ct"))
+      .as[(Long, String, Long)].collect()
+    val byUser = m.groupBy(_._1)
+    val n2 = m.groupBy(_._2).view.mapValues(_.map(r => r._3 * r._3).sum).toMap
+    val co = byUser.values.flatMap { rowsArr =>
+      val rows = rowsArr.toSeq
+      for (a <- rows; b <- rows if a._2 != b._2) yield ((a._2, b._2), (a._3 * b._3, 1L))
+    }.groupBy(_._1).view.mapValues(vs => (vs.map(_._2._1).sum, vs.map(_._2._2).sum))
+      .filter(_._2._2 >= 2).toMap
+    val scored = co.map { case ((ia, ib), (dot, _)) =>
+      val cos = dot.toDouble / (math.sqrt(n2(ia).toDouble) * math.sqrt(n2(ib).toDouble))
+      (ia, ib, math.floor(cos * (1L << 20)).toLong)
+    }
+    val want = scored.groupBy(_._1).flatMap { case (ia, rows) =>
+      rows.toSeq.sortBy { case (_, ib, q) => (-q, ib) }.take(5)
+        .zipWithIndex.map { case ((_, ib, q), i) =>
+          (ia, ib, i + 1, q.toDouble / (1L << 20)) }
+    }.toSet
+    val got = Relational.itemCf(spark, sf0001)
+      .as[(String, String, Int, Double)].collect().toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
 }
