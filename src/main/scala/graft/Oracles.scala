@@ -2766,5 +2766,32 @@ object Oracles {
         |SELECT ia AS item, ib AS neighbor, cast(rn as int) AS rnk,
         | cast(q as double) / 1048576 AS cos_q
         |FROM r WHERE rn <= 5""".stripMargin,
+
+    // q148 (aqpEstimate): sampled estimate + CLT interval next to the exact
+    // audit — md5-coin sample, exact long moments, mirrored doubles
+    "q148_aqp_estimate" ->
+      """WITH o AS (SELECT o_orderkey, cast(floor(o_totalprice * 100) as bigint) AS c,
+        |   ('0x' || substr(md5('aqp1_' || cast(o_orderkey as varchar)), 1, 13))::BIGINT % 16 = 0
+        |     AS in_sample
+        |  FROM orders),
+        |m AS (SELECT count(*) AS n_exact, cast(sum(c) as bigint) AS s_exact,
+        |    cast(sum(CASE WHEN in_sample THEN 1 ELSE 0 END) as bigint) AS n_s,
+        |    cast(sum(CASE WHEN in_sample THEN c ELSE 0 END) as bigint) AS s_s,
+        |    cast(sum(CASE WHEN in_sample THEN c * c ELSE 0 END) as bigint) AS ss_s
+        |  FROM o),
+        |f AS (SELECT n_s, n_exact,
+        |    cast(s_s as double) / n_s AS mean_s,
+        |    cast(s_exact as double) / n_exact AS mean_x,
+        |    cast(1.96 as double)
+        |      * sqrt((cast(ss_s as double) - cast(s_s as double) * s_s / n_s)
+        |          / (n_s - 1)) / sqrt(cast(n_s as double)) AS ci,
+        |    cast(s_s as double) * 16 AS est_total, cast(s_exact as double) AS ex_total
+        |  FROM m)
+        |SELECT n_s AS n_sample, n_exact, mean_s AS est_mean_cents,
+        | mean_x AS exact_mean_cents, ci AS ci_half,
+        | abs(mean_s - mean_x) <= ci AS mean_in_ci,
+        | est_total AS est_total_cents, ex_total AS exact_total_cents,
+        | abs(est_total - ex_total) / ex_total AS total_rel_err
+        |FROM f""".stripMargin,
   )
 }

@@ -177,6 +177,7 @@ object SparkEntry {
     "q145_chi_square"       -> ((s, d) => Relational.chiSquare(s, d)),
     "q146_join_size"        -> ((s, d) => Relational.joinSizeEstimate(s, d)),
     "q147_item_cf"          -> ((s, d) => Relational.itemCf(s, d)),
+    "q148_aqp_estimate"     -> ((s, d) => Relational.aqpEstimate(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

@@ -1647,6 +1647,48 @@ object Relational {
       when(varx > 0 && vary > 0, cov * cov / (varx * vary)).as("r2"))
   }
 
+  /** APPROXIMATE QUERY PROCESSING (q148) — the sampled-estimate-with-
+    * error-bars discipline [Hellerstein et al. SIGMOD'97 (online agg);
+    * BlinkDB, EuroSys'13]: answer an aggregate from a deterministic p-rate
+    * sample with a CLT confidence interval, next to the exact answer as
+    * the audit. At 100 TB this is the triage query you run FIRST — the
+    * sample scan is 1/16th of the data (or a pre-materialized sample
+    * table), and the CI tells you whether the full run is even needed.
+    *
+    * Sampling is the q41 md5-coin (seeded, replayable, per-row i.i.d.);
+    * moments are exact LONG cents (order-insensitive); the Horvitz-
+    * Thompson total (sample_sum/p), the mean CI half-width
+    * 1.96·s/√n, and the within-CI audit flags are doubles over the 1-row
+    * moment frame, tree mirrored in the oracle. The flags are fixed
+    * booleans for a fixed (data, seed) — they replay exactly; their
+    * STATISTICAL coverage (~95%) is the spec's business across seeds. */
+  def aqpEstimate(spark: SparkSession, dir: String, rate: Int = 16): DataFrame = {
+    val o = t(spark, dir, "orders").select(
+      col("o_orderkey"), floor(col("o_totalprice") * 100).cast("long").as("c"))
+      .withColumn("in_sample",
+        conv(substring(md5(concat(lit("aqp1_"),
+          col("o_orderkey").cast("string")).cast("binary")), 1, 13), 16, 10)
+          .cast("long") % rate === 0)
+    val m = o.agg(
+      count(lit(1)).as("n_exact"), sum(col("c")).as("s_exact"),
+      sum(when(col("in_sample"), 1L).otherwise(0L)).as("n_s"),
+      sum(when(col("in_sample"), col("c")).otherwise(0L)).as("s_s"),
+      sum(when(col("in_sample"), col("c") * col("c")).otherwise(0L)).as("ss_s"))
+    def d(c: String) = col(c).cast("double")
+    val meanS = d("s_s") / d("n_s")
+    val meanX = d("s_exact") / d("n_exact")
+    val sd = sqrt((d("ss_s") - d("s_s") * col("s_s") / col("n_s")) / (col("n_s") - 1))
+    val ci = lit(1.96) * sd / sqrt(d("n_s"))
+    val estTotal = d("s_s") * rate
+    m.select(
+      col("n_s").as("n_sample"), col("n_exact"),
+      meanS.as("est_mean_cents"), meanX.as("exact_mean_cents"),
+      ci.as("ci_half"),
+      (abs(meanS - meanX) <= ci).as("mean_in_ci"),
+      estTotal.as("est_total_cents"), d("s_exact").as("exact_total_cents"),
+      (abs(estTotal - d("s_exact")) / d("s_exact")).as("total_rel_err"))
+  }
+
   /** ITEM-ITEM COLLABORATIVE FILTERING (q147) — the neighborhood-model
     * recommender primitive [Sarwar et al., WWW'01; Linden et al. 2003 —
     * Amazon's item-to-item CF]: items (brands) are vectors of per-customer

@@ -124,6 +124,22 @@ object TopKStream {
       .select((col("pos") + 1).cast("int").as("rank"),
         col("s.key").as("key"), col("s.est").as("est"))
 
+  /** Join-size estimate BETWEEN two maintained cell stores — the streaming
+    * form of [[Relational.joinSizeEstimate]] (q146): because each store's
+    * cells equal a batch CMS of everything its stream absorbed (the linear-
+    * sketch equality this spec pins), the cell-wise inner product (min over
+    * depth rows) estimates |A ⋈_key B| CONTINUOUSLY from two ≤ 1024-row
+    * frames — the shuffle-size forecast for a planned stream-stream join,
+    * at read cost independent of absorbed volume. Integer-exact and
+    * never under the true size. */
+  def estimateJoinSize(spark: SparkSession, cellsPathA: String,
+                       cellsPathB: String): DataFrame =
+    Io.readDim(spark, cellsPathA).select(col("r"), col("b"), col("c").as("ca"))
+      .join(Io.readDim(spark, cellsPathB).select(col("r"), col("b"), col("c").as("cb")),
+        Seq("r", "b"))
+      .groupBy("r").agg(sum(col("ca") * col("cb")).as("ip"))
+      .agg(min(col("ip")).as("est_size"))
+
   /** Current estimate for ANY key (not just candidates) from the cells. */
   def estimate(spark: SparkSession, cellsPath: String, keys: DataFrame): DataFrame = {
     val cells = Io.readDim(spark, cellsPath).select(col("r"), col("b"), col("c"))

@@ -525,4 +525,39 @@ class AnalyticsSpec extends SparkSuite {
     assert(got == want)
     assert(got.nonEmpty)
   }
+
+  // ---------------- q148 AQP ----------------
+
+  test("aqpEstimate: sampled estimate matches a driver replay; CI coverage plausible across seeds") {
+    val cents = graft.Tables.load(spark, sf0001, "orders")
+      .select(col("o_orderkey").as[Long],
+        floor(col("o_totalprice") * 100).cast("long").as[Long]).collect()
+    def sample(seed: String) = cents.filter { case (k, _) => u52(s"${seed}_$k") % 16 == 0 }
+    val s = sample("aqp1")
+    val (nS, nX) = (s.length.toLong, cents.length.toLong)
+    val (sS, sX) = (s.map(_._2).sum, cents.map(_._2).sum)
+    val ssS = s.map(x => x._2 * x._2).sum
+    val meanS = sS.toDouble / nS
+    val meanX = sX.toDouble / nX
+    val ci = 1.96 * math.sqrt((ssS.toDouble - sS.toDouble * sS / nS) / (nS - 1)) /
+      math.sqrt(nS.toDouble)
+    val estT = sS.toDouble * 16
+    val row = Relational.aqpEstimate(spark, sf0001)
+      .as[(Long, Long, Double, Double, Double, Boolean, Double, Double, Double)]
+      .collect().head
+    assert(row == ((nS, nX, meanS, meanX, ci, math.abs(meanS - meanX) <= ci,
+      estT, sX.toDouble, math.abs(estT - sX.toDouble) / sX.toDouble)))
+    // statistical sanity: across 40 independent seeds, the CLT interval
+    // should cover the true mean ~95% of the time — gate loosely at 80%
+    val covered = (1 to 40).count { i =>
+      val si = sample(s"seed$i")
+      val (n, sm) = (si.length.toLong, si.map(_._2).sum)
+      val ss = si.map(x => x._2 * x._2).sum
+      val m = sm.toDouble / n
+      val c = 1.96 * math.sqrt((ss.toDouble - sm.toDouble * sm / n) / (n - 1)) /
+        math.sqrt(n.toDouble)
+      math.abs(m - meanX) <= c
+    }
+    assert(covered >= 32, s"CI covered the true mean only $covered/40 times")
+  }
 }

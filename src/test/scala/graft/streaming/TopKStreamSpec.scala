@@ -120,6 +120,35 @@ class TopKStreamSpec extends SparkSuite {
     exact.foreach { case (k, c) => assert(got(k) >= c) }
   }
 
+  test("estimateJoinSize between two maintained stores: integer-exact, never under the true join size") {
+    val ev = graft.Tables.load(spark, sf0001, "events")
+      .select(col("event_type"), col("user_id").cast("string").as("key"))
+    val (ca, cc) = (tmp("cells-jA"), tmp("cand-jA"))
+    val (cb, cd) = (tmp("cells-jB"), tmp("cand-jB"))
+    (0 to 1).foreach { i =>
+      TopKStream.applyBatch(spark,
+        ev.filter(col("event_type") === "click")
+          .filter(pmod(xxhash64(col("key")), lit(2)) === i).select("key"), ca, cc, i.toLong)
+      TopKStream.applyBatch(spark,
+        ev.filter(col("event_type") === "purchase")
+          .filter(pmod(xxhash64(col("key")), lit(2)) === i).select("key"), cb, cd, i.toLong)
+    }
+    val est = TopKStream.estimateJoinSize(spark, ca, cb).as[Long].collect().head
+    val rows = ev.select(col("event_type").as[String], col("key").as[String]).collect()
+    val fa = rows.filter(_._1 == "click").groupBy(_._2).view.mapValues(_.length.toLong)
+    val fb = rows.filter(_._1 == "purchase").groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val exact = fa.map { case (k, f) => f * fb.getOrElse(k, 0L) }.sum
+    assert(est >= exact, s"CMS inner product must never undercount ($est < $exact)")
+    // and it equals the one-shot batch sketch of the same data (linearity)
+    val (c1, d1) = (tmp("cells-j1"), tmp("cand-j1"))
+    val (c2, d2) = (tmp("cells-j2"), tmp("cand-j2"))
+    TopKStream.applyBatch(spark,
+      ev.filter(col("event_type") === "click").select("key"), c1, d1, 0L)
+    TopKStream.applyBatch(spark,
+      ev.filter(col("event_type") === "purchase").select("key"), c2, d2, 0L)
+    assert(est == TopKStream.estimateJoinSize(spark, c1, c2).as[Long].collect().head)
+  }
+
   test("MemoryStream end-to-end via run() equals the applyBatch sequence") {
     implicit val sqlCtx = spark.sqlContext
     val (cellsS, candS) = (tmp("cells-s"), tmp("cand-s"))
