@@ -61,7 +61,10 @@ object PlanDump {
       "q141_calibration" -> "round 10: calibration — score binning via a broadcast 1-row (min,max) frame and integer fixed-width buckets, NOT ntile (whose global sort would shuffle the whole corpus to one ordering)",
       "q142_mmr_rerank" -> "round 10: MMR — relevance is a broadcast-queries map-only scan; candidates come from the k-bounded topK partial agg (corpus never sorted); the greedy runs per query over a 12-element array",
       "q143_dbscan" -> "round 10: DBSCAN — key-capped quadratic verifier pairs (the q24 convention) with L2^2 as three codegen'd integer dots; neighbor counts partial-aggregate; components on the core-edge frame only",
-      "q144_group_regression" -> "round 10: grouped OLS — ONE map-side-combinable aggregate carries all five DECIMAL(38,0)-exact moments; the closed forms evaluate on the 25-row group frame")
+      "q144_group_regression" -> "round 10: grouped OLS — ONE map-side-combinable aggregate carries all five DECIMAL(38,0)-exact moments; the closed forms evaluate on the 25-row group frame",
+      "q146_join_size" -> "round 10: join-size estimate — each side scanned once map-side into <=1024 CMS cells; the estimate is a 1024-row join + 4-row min; no data shuffles on the join key at all",
+      "q147_item_cf" -> "round 10: item-item CF — co-pairs form per customer (basket-width fan-out), three map-side-combinable aggregates, broadcast norms, k-bounded topKStr ranking (no window over the pair frame)",
+      "q148_aqp_estimate" -> "round 10: AQP — ONE aggregate carries both the sample and exact moments (the sample predicate is a map-side md5 coin, not a separate scan); everything after is a 1-row projection")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries (sf0.1)\n\n")
     sb.append("Generated by `graft.PlanDump`; regenerate after plan-affecting changes.\n")
