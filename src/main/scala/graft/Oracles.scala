@@ -2793,5 +2793,47 @@ object Oracles {
         | est_total AS est_total_cents, ex_total AS exact_total_cents,
         | abs(est_total - ex_total) / ex_total AS total_rel_err
         |FROM f""".stripMargin,
+
+    // q149 (skyline): Pareto frontier on (acctbal, lifetime spend) — the
+    // oracle is the O(n²) NOT EXISTS dominance definition; the Spark side
+    // is the local-then-merge sweep whose output this verifies exactly
+    "q149_skyline" ->
+      """WITH s AS (SELECT o_custkey, cast(sum(cast(floor(o_totalprice * 100) as bigint)) as bigint) AS sp
+        |  FROM orders GROUP BY 1),
+        |p AS (SELECT c_custkey AS custkey,
+        |    cast(floor(c_acctbal * 100) as bigint) AS bal_cents,
+        |    coalesce(s.sp, 0) AS spend_cents
+        |  FROM customer LEFT JOIN s ON s.o_custkey = c_custkey)
+        |SELECT custkey, bal_cents, spend_cents FROM p q
+        |WHERE NOT EXISTS (SELECT 1 FROM p d
+        |  WHERE d.bal_cents >= q.bal_cents AND d.spend_cents >= q.spend_cents
+        |    AND (d.bal_cents > q.bal_cents OR d.spend_cents > q.spend_cents))""".stripMargin,
+
+    // q151 (kaplanMeier): censoring-aware survival curve — scaled-integer
+    // product fold replayed as a recursive CTE (bigint mul + floor div //)
+    "q151_kaplan_meier" ->
+      """WITH RECURSIVE o AS (SELECT o_custkey, cast(o_orderdate as date) AS d FROM orders),
+        |hor AS (SELECT max(d) - 180 AS cut FROM o),
+        |sp AS (SELECT o_custkey, min(d) AS fd, max(d) AS ld FROM o GROUP BY 1),
+        |cust AS (SELECT cast(date_diff('day', fd, ld) as bigint) AS dur,
+        |    CASE WHEN ld <= (SELECT cut FROM hor) THEN 1 ELSE 0 END AS ev FROM sp),
+        |life AS (SELECT dur, cast(count(*) as bigint) AS total,
+        |    cast(sum(ev) as bigint) AS d_events FROM cust GROUP BY 1),
+        |lt AS (SELECT dur, total, d_events,
+        |    cast(sum(total) OVER (ORDER BY dur DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS n_risk,
+        |    row_number() OVER (ORDER BY dur) AS rn FROM life),
+        |rec AS (
+        |  SELECT rn, dur, n_risk, d_events, total,
+        |    cast((1099511627776 * (n_risk - d_events)) // n_risk as bigint) AS p
+        |  FROM lt WHERE rn = 1
+        |  UNION ALL
+        |  SELECT lt.rn, lt.dur, lt.n_risk, lt.d_events, lt.total,
+        |    cast((rec.p * (lt.n_risk - lt.d_events)) // lt.n_risk as bigint) AS p
+        |  FROM rec JOIN lt ON lt.rn = rec.rn + 1)
+        |SELECT dur AS duration_days, n_risk AS n_at_risk, d_events AS n_events,
+        | total - d_events AS n_censored, p AS surv_scaled,
+        | cast(p as double) / 1099511627776 AS survival
+        |FROM rec""".stripMargin,
   )
 }

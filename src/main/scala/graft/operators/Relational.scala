@@ -1897,4 +1897,117 @@ object Relational {
             / (col("d") * (col("d") - 1)).cast("double"))
           .otherwise(lit(0.0)).as("clustering"))
   }
+
+  /** SKYLINE / PARETO FRONTIER (q149) — the multi-criteria "best customers"
+    * query [Börzsönyi, Kossmann & Stocker, ICDE'01]: customers not dominated
+    * on (account balance, lifetime spend) — p dominates q iff p ≥ q on both
+    * dimensions and > on at least one (equal points never dominate each
+    * other, so exact ties co-exist on the frontier). The training-data twin
+    * is quality-vs-diversity corpus selection: the same operator over
+    * (quality score, rarity) picks the documents no other document beats on
+    * both axes.
+    *
+    * Distributed shape — the canonical LOCAL-THEN-MERGE skyline: the global
+    * skyline is a subset of the union of per-partition skylines, so phase 1
+    * runs a sorted single-pass sweep INSIDE each partition (sort by bal
+    * desc, spend desc; a point survives iff it holds its bal-group's max
+    * spend and strictly beats the running max of all greater-bal groups —
+    * O(n log n) local work, no shuffle beyond the pre-existing layout), and
+    * only the survivors — expected O(log² n) per partition for
+    * non-pathological data — reach the phase-2 merge, which re-runs the
+    * identical sweep on one partition. The merge input is bounded by
+    * (frontier size × partitions), not by n; anti-correlated adversarial
+    * data degrades the bound, never the answer. Both passes are
+    * `sortWithinPartitions` + `mapPartitions` — no global sort, no
+    * quadratic self-join (the naive NOT EXISTS form the oracle uses is
+    * O(n²) and exists only to verify this plan). */
+  def skyline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val spend = t(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("sp"))
+    val points = t(spark, dir, "customer")
+      .join(spend, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey").as("custkey"),
+        floor(col("c_acctbal") * 100).cast("long").as("bal_cents"),
+        coalesce(col("sp"), lit(0L)).as("spend_cents"))
+      .as[(Long, Long, Long)]
+    def sweep(it: Iterator[(Long, Long, Long)]): Iterator[(Long, Long, Long)] = {
+      // requires (bal desc, spend desc) order; emits the non-dominated rows
+      var first = true
+      var curBal = 0L; var groupMax = 0L; var runningMax = Long.MinValue
+      it.flatMap { case r @ (_, bal, spend) =>
+        if (first || bal != curBal) {
+          if (!first) runningMax = math.max(runningMax, groupMax)
+          curBal = bal; groupMax = spend; first = false
+        }
+        if (spend == groupMax && spend > runningMax) Some(r) else None
+      }
+    }
+    val local = points
+      .sortWithinPartitions($"bal_cents".desc, $"spend_cents".desc)
+      .mapPartitions(sweep)
+    local.repartition(1)
+      .sortWithinPartitions($"_2".desc, $"_3".desc)
+      .mapPartitions(sweep)
+      .toDF("custkey", "bal_cents", "spend_cents")
+  }
+
+  /** KAPLAN–MEIER SURVIVAL CURVE (q151) [Kaplan & Meier, JASA 1958] — the
+    * censoring-aware churn/lifetime analysis the naive "average customer
+    * lifetime" gets wrong: a customer's observed span (first→last order) is
+    * an EVENT only if they have verifiably churned (last order ≥ 180 days
+    * before the corpus horizon); still-active customers are right-CENSORED —
+    * they leave the risk set without counting as churn. S(t) =
+    * Π_{tᵢ ≤ t} (nᵢ − dᵢ)/nᵢ over distinct event times, nᵢ = at-risk count.
+    *
+    * Cross-engine determinism: the product fold runs in SCALED INTEGERS —
+    * S₀ = 2⁴⁰, Sᵢ = ⌊Sᵢ₋₁·(nᵢ−dᵢ)/nᵢ⌋ (bigint mul + floor div; exact while
+    * n < 2²³ — beyond that, lower the scale or lift the fold element to
+    * decimal(38,0)) — so the curve hash-compares bit-for-bit against the
+    * oracle's recursive-CTE replay; the reported double is the exact dyadic
+    * Sᵢ/2⁴⁰. No ln/exp anywhere (libm rounding is not IEEE-pinned).
+    *
+    * Scale shape: the corpus contributes ONE partial-agged groupBy
+    * (per-customer span) + one more to the life table, whose size is
+    * bounded by the DAY RANGE of the corpus, not its volume — the
+    * single-partition window and the ordered `aggregate` fold both run on
+    * that bounded table (the q110/q96 control-plane convention). */
+  def kaplanMeier(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("d"))
+    val spans = o.groupBy("o_custkey")
+      .agg(min(col("d")).as("fd"), max(col("d")).as("ld"))
+    val horizon = o.agg(date_sub(max(col("d")), 180).as("cut"))
+    val cust = spans.crossJoin(horizon) // 1-row bounds frame, no collect
+      .select(datediff(col("ld"), col("fd")).cast("long").as("dur"),
+        (col("ld") <= col("cut")).cast("long").as("ev"))
+    val life = cust.groupBy("dur")
+      .agg(count(lit(1)).as("total"), sum(col("ev")).as("d_events"))
+    // at-risk = customers with span >= t: reverse cumulative total over the
+    // day-range-bounded life table (single-partition window is safe here)
+    val lt = life.withColumn("n_risk",
+      sum(col("total")).over(Window.orderBy(col("dur").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .persist()
+    val folded = lt
+      .agg(sort_array(collect_list(struct(
+        col("dur"), col("d_events").as("d"), col("n_risk").as("n")))).as("rows"))
+      .select(explode(expr(
+        """aggregate(rows,
+          |  named_struct('p', 1099511627776L,
+          |    'out', cast(array() as array<struct<dur:bigint,p:bigint>>)),
+          |  (acc, r) -> named_struct(
+          |    'p', (acc.p * (r.n - r.d)) div r.n,
+          |    'out', array_append(acc.out,
+          |      named_struct('dur', r.dur, 'p', (acc.p * (r.n - r.d)) div r.n))),
+          |  acc -> acc.out)""".stripMargin)).as("e"))
+      .select(col("e.dur").as("dur"), col("e.p").as("surv_scaled"))
+    lt.join(folded, Seq("dur"))
+      .select(col("dur").as("duration_days"), col("n_risk").as("n_at_risk"),
+        col("d_events").as("n_events"),
+        (col("total") - col("d_events")).as("n_censored"),
+        col("surv_scaled"),
+        (col("surv_scaled").cast("double") / 1099511627776.0).as("survival"))
+  }
 }

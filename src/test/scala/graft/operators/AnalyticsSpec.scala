@@ -560,4 +560,58 @@ class AnalyticsSpec extends SparkSuite {
     }
     assert(covered >= 32, s"CI covered the true mean only $covered/40 times")
   }
+
+  // ---------------- q149 skyline ----------------
+
+  test("skyline: local-then-merge sweep equals the O(n²) dominance definition; partitioning-invariant") {
+    val pts = graft.Tables.load(spark, sf0001, "customer")
+      .join(graft.Tables.load(spark, sf0001, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("sp")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey").as[Long],
+        floor(col("c_acctbal") * 100).cast("long").as[Long],
+        coalesce(col("sp"), lit(0L)).as[Long])
+      .collect()
+    val brute = pts.filter { q =>
+      !pts.exists(d => d._2 >= q._2 && d._3 >= q._3 &&
+        (d._2 > q._2 || d._3 > q._3))
+    }.toSet
+    val got = Relational.skyline(spark, sf0001)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == brute)
+    // every survivor holds: no other point beats it on both axes
+    got.foreach { q =>
+      assert(!pts.exists(d => d._2 > q._2 && d._3 >= q._3))
+      assert(!pts.exists(d => d._2 >= q._2 && d._3 > q._3))
+    }
+  }
+
+  // ---------------- q151 Kaplan-Meier ----------------
+
+  test("kaplanMeier: scaled-integer curve matches a driver fold; survival is monotone non-increasing") {
+    val rows = Relational.kaplanMeier(spark, sf0001)
+      .orderBy("duration_days")
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    // at-risk at the smallest duration is the whole population
+    val nCust = graft.Tables.load(spark, sf0001, "orders")
+      .select("o_custkey").distinct().count()
+    assert(rows.head._2 == nCust)
+    // driver replay of the scaled product fold over (n, d) in duration order
+    var p = 1099511627776L
+    rows.foreach { case (_, n, d, c, scaled, surv) =>
+      p = p * (n - d) / n
+      assert(scaled == p, "fold mismatch")
+      assert(surv == scaled.toDouble / 1099511627776.0)
+      assert(c >= 0 && d >= 0)
+    }
+    // monotone non-increasing, starts at <= 1
+    rows.map(_._5).sliding(2).foreach {
+      case Array(a, b) => assert(b <= a); case _ =>
+    }
+    // at-risk counts telescope: n(t) - (events+censored at t) = n(next t)
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a._2 - a._3 - a._4 == b._2); case _ =>
+    }
+  }
 }
