@@ -2809,6 +2809,62 @@ object Oracles {
         |  WHERE d.bal_cents >= q.bal_cents AND d.spend_cents >= q.spend_cents
         |    AND (d.bal_cents > q.bal_cents OR d.spend_cents > q.spend_cents))""".stripMargin,
 
+    // q150 (kCore): fixed-round peeling unrolled mechanically (deg/rem/alive/
+    // edge CTE per round) + the converged audit column — the Spark loop's
+    // rounds are mirrored 1:1, so peel_round labels hash-compare exactly
+    "q150_kcore" -> {
+      val k = 6; val rounds = 6
+      val head =
+        """WITH slots AS (SELECT DISTINCT user_id, event_type, date_trunc('day', ts) AS d FROM events),
+          |e0 AS (SELECT x.user_id AS a, y.user_id AS b FROM slots x JOIN slots y
+          |  ON x.event_type = y.event_type AND x.d = y.d AND x.user_id < y.user_id
+          |  GROUP BY 1, 2 HAVING count(*) >= 26),
+          |alive0 AS (SELECT a AS v FROM e0 UNION SELECT b FROM e0)""".stripMargin
+      val steps = (1 to rounds).map { r =>
+        s"""deg$r AS (SELECT v, count(*) AS dg FROM (SELECT a AS v FROM e${r - 1} UNION ALL SELECT b FROM e${r - 1}) GROUP BY 1),
+           |rem$r AS (SELECT al.v FROM alive${r - 1} al LEFT JOIN deg$r d ON d.v = al.v WHERE coalesce(d.dg, 0) < $k),
+           |alive$r AS (SELECT v FROM alive${r - 1} WHERE v NOT IN (SELECT v FROM rem$r)),
+           |e$r AS (SELECT a, b FROM e${r - 1} WHERE a NOT IN (SELECT v FROM rem$r) AND b NOT IN (SELECT v FROM rem$r))""".stripMargin
+      }.mkString(",\n")
+      val peels = (1 to rounds)
+        .map(r => s"SELECT v, $r AS peel_round FROM rem$r").mkString(" UNION ALL ")
+      head + ",\n" + steps + ",\n" +
+        s"""fdeg AS (SELECT v, count(*) AS dg FROM (SELECT a AS v FROM e$rounds UNION ALL SELECT b FROM e$rounds) GROUP BY 1),
+           |conv AS (SELECT count(*) = 0 AS converged FROM alive$rounds al
+           |  LEFT JOIN fdeg d ON d.v = al.v WHERE coalesce(d.dg, 0) < $k),
+           |pr AS ($peels)
+           |SELECT al.v AS user_id, coalesce(pr.peel_round, 0) AS peel_round,
+           |  CASE WHEN pr.v IS NULL THEN coalesce(fdeg.dg, 0) ELSE 0 END AS core_degree,
+           |  (SELECT converged FROM conv) AS converged
+           |FROM alive0 al LEFT JOIN pr ON pr.v = al.v
+           |  LEFT JOIN fdeg ON fdeg.v = al.v""".stripMargin
+    },
+
+    // q152 (ewmaBurst): scaled-integer EWMA over the q122 gap-filled grid,
+    // replayed as a per-type recursive CTE (bigint mul + floor div //)
+    "q152_ewma_burst" ->
+      """WITH RECURSIVE ev AS (SELECT event_type, date_trunc('hour', ts) AS h FROM events),
+        |counts AS (SELECT event_type, h, count(*) AS ct FROM ev GROUP BY 1, 2),
+        |axis AS (SELECT unnest(generate_series((SELECT min(h) FROM ev),
+        |    (SELECT max(h) FROM ev), INTERVAL '1 hour')) AS h),
+        |grid AS (SELECT t.event_type, strftime(a.h, '%Y-%m-%d %H:00:00') AS hour,
+        |    cast(coalesce(c.ct, 0) as bigint) AS ct
+        |  FROM (SELECT DISTINCT event_type FROM counts) t
+        |  CROSS JOIN axis a
+        |  LEFT JOIN counts c ON c.event_type = t.event_type AND c.h = a.h),
+        |g AS (SELECT event_type, hour, ct,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY hour) AS rn FROM grid),
+        |rec AS (
+        |  SELECT event_type, hour, ct, rn, cast(-1 as bigint) AS prev,
+        |    ct * 1048576 AS s FROM g WHERE rn = 1
+        |  UNION ALL
+        |  SELECT g.event_type, g.hour, g.ct, g.rn, rec.s AS prev,
+        |    (g.ct * 1048576 + 3 * rec.s) // 4 AS s
+        |  FROM rec JOIN g ON g.event_type = rec.event_type AND g.rn = rec.rn + 1)
+        |SELECT event_type, hour, ct, cast(s as double) / 1048576 AS ewma,
+        | (prev >= 0 AND ct * 1048576 > 2 * prev AND ct >= 5) AS burst
+        |FROM rec""".stripMargin,
+
     // q151 (kaplanMeier): censoring-aware survival curve — scaled-integer
     // product fold replayed as a recursive CTE (bigint mul + floor div //)
     "q151_kaplan_meier" ->

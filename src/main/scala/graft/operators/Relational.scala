@@ -1953,6 +1953,122 @@ object Relational {
       .toDF("custkey", "bal_cents", "spend_cents")
   }
 
+  /** K-CORE DECOMPOSITION (q150) — iterative peeling [Seidman 1983;
+    * Montresor et al.'s distributed formulation]: repeatedly remove every
+    * node whose CURRENT degree is below k; what survives is the maximal
+    * subgraph with minimum degree ≥ k. Over the user co-activity graph
+    * (edge = two users sharing ≥ `minCo` distinct (event_type, day)
+    * activity slots) the k-core is the engagement nucleus — and over a
+    * near-dup pair graph the same operator separates template-spam CORES
+    * (dense, survive peeling) from incidental chains (peel away), the
+    * structural complement of q139's clustering coefficient.
+    *
+    * Distributed shape: each peel round is ONE partial-agged degree count +
+    * two BROADCAST anti-joins (the removal set is, by definition of
+    * peeling, the small frontier — never the graph); the edge frame is
+    * persisted per round and the loop is a fixed `rounds` unroll with a
+    * `converged` audit column (no node below k after the last round), so a
+    * non-fixpoint run is loudly visible instead of silently partial. Zero
+    * driver-side graph state — the driver holds only DataFrame handles.
+    * The co-activity pair build fans out per (event_type, day) slot
+    * membership — the q133-family co-occurrence shape; a hot slot salts or
+    * AQE-splits like any skewed agg. */
+  def kCore(spark: SparkSession, dir: String, k: Int = 6, minCo: Long = 26,
+            rounds: Int = 6): DataFrame = {
+    val slots = t(spark, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        date_trunc("day", col("event_time")).as("d"))
+      .distinct()
+    val edges0 = slots.as("x").join(slots.as("y"),
+        col("x.event_type") === col("y.event_type") &&
+        col("x.d") === col("y.d") && col("x.user_id") < col("y.user_id"))
+      .groupBy(col("x.user_id").as("a"), col("y.user_id").as("b"))
+      .agg(count(lit(1)).as("co"))
+      .filter(col("co") >= minCo)
+      .select("a", "b")
+      .persist()
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("a").as("v")).unionByName(e.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("dg"))
+    // each round references the prior round's frames several times; the
+    // q32-clusters idiom (persist + fresh LogicalRDD over the cached rows)
+    // keeps the logical plan O(1) per round instead of growing a nested
+    // 6-round tree that Catalyst re-optimizes whole (observed: minutes of
+    // driver-side planning without the cut)
+    def cut(df: DataFrame): DataFrame = {
+      val p = df.persist(); p.count()
+      spark.createDataFrame(p.rdd, p.schema)
+    }
+    var alive = cut(edges0.select(col("a").as("v"))
+      .unionByName(edges0.select(col("b").as("v"))).distinct())
+    val allNodes = alive
+    var edges = edges0
+    var removed: Option[DataFrame] = None
+    for (r <- 1 to rounds) {
+      val low = cut(alive.join(degrees(edges), Seq("v"), "left")
+        .filter(coalesce(col("dg"), lit(0L)) < k)
+        .select("v"))
+      removed = Some(removed.fold(low.withColumn("peel_round", lit(r)))(
+        _.unionByName(low.withColumn("peel_round", lit(r)))))
+      alive = cut(alive.join(broadcast(low), Seq("v"), "left_anti"))
+      edges = cut(edges
+        .join(broadcast(low.withColumnRenamed("v", "a")), Seq("a"), "left_anti")
+        .join(broadcast(low.withColumnRenamed("v", "b")), Seq("b"), "left_anti"))
+    }
+    val fdeg = degrees(edges)
+    val conv = alive.join(fdeg, Seq("v"), "left")
+      .agg((count(when(coalesce(col("dg"), lit(0L)) < k, 1)) === 0)
+        .as("converged"))
+    allNodes
+      .join(removed.get, Seq("v"), "left")
+      .join(fdeg.withColumnRenamed("dg", "fdg"), Seq("v"), "left")
+      .crossJoin(conv) // 1-row audit frame
+      .select(col("v").as("user_id"),
+        coalesce(col("peel_round"), lit(0)).as("peel_round"),
+        when(col("peel_round").isNull, coalesce(col("fdg"), lit(0L)))
+          .otherwise(lit(0L)).as("core_degree"),
+        col("converged"))
+  }
+
+  /** EWMA BURST DETECTION (q152) — the exponentially-weighted control chart
+    * next to q138's fixed-window z-score: per event type, an EWMA of the
+    * hourly count with α = 1/4 folds over the q122 gap-filled grid (zeros
+    * INCLUDED — an outage drags the mean down, a recovery spike flags), and
+    * an hour bursts when its count more than doubles the pre-update EWMA.
+    *
+    * Determinism: the recursion sₜ = ⌊(ctₜ·2²⁰ + 3·sₜ₋₁)/4⌋ runs entirely in
+    * scaled integers (the q151 convention — no float accumulation, no
+    * libm), so every EWMA value and burst flag hash-compares against the
+    * oracle's recursive-CTE replay; the reported double is the exact dyadic
+    * s/2²⁰.
+    *
+    * Scale shape: the corpus contributes one partial-agged (type, hour)
+    * count; the fold runs per type over the TIME-bounded dense axis (a
+    * `collect_list` whose size is the hour range, not the data volume —
+    * the q151/q110 control-plane convention), in parallel across types. */
+  def ewmaBurst(spark: SparkSession, dir: String): DataFrame = {
+    val grid = gapFillHourly(spark, dir).select("event_type", "hour", "ct")
+    grid.groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("hour"), col("ct")))).as("rows"))
+      .select(col("event_type"), explode(expr(
+        """aggregate(rows,
+          |  named_struct('s', -1L,
+          |    'out', cast(array() as array<struct<hour:string,ct:bigint,prev:bigint,s:bigint>>)),
+          |  (acc, r) -> named_struct(
+          |    's', CASE WHEN acc.s < 0L THEN r.ct * 1048576L
+          |         ELSE (r.ct * 1048576L + 3L * acc.s) div 4L END,
+          |    'out', array_append(acc.out, named_struct(
+          |      'hour', r.hour, 'ct', r.ct, 'prev', acc.s,
+          |      's', CASE WHEN acc.s < 0L THEN r.ct * 1048576L
+          |           ELSE (r.ct * 1048576L + 3L * acc.s) div 4L END))),
+          |  acc -> acc.out)""".stripMargin)).as("e"))
+      .select(col("event_type"), col("e.hour").as("hour"),
+        col("e.ct").as("ct"),
+        (col("e.s").cast("double") / 1048576.0).as("ewma"),
+        (col("e.prev") >= 0L && col("e.ct") * 1048576L > col("e.prev") * 2L &&
+          col("e.ct") >= 5L).as("burst"))
+  }
+
   /** KAPLAN–MEIER SURVIVAL CURVE (q151) [Kaplan & Meier, JASA 1958] — the
     * censoring-aware churn/lifetime analysis the naive "average customer
     * lifetime" gets wrong: a customer's observed span (first→last order) is
