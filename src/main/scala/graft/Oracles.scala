@@ -2811,25 +2811,30 @@ object Oracles {
 
     // q150 (kCore): fixed-round peeling unrolled mechanically (deg/rem/alive/
     // edge CTE per round) + the converged audit column — the Spark loop's
-    // rounds are mirrored 1:1, so peel_round labels hash-compare exactly
+    // rounds are mirrored 1:1, so peel_round labels hash-compare exactly.
+    // Every CTE is MATERIALIZED: each round references the prior round's
+    // frames several times, and DuckDB's default inlining expands that into
+    // an exponential scan tree (observed: "too many open files" on the
+    // events parquet at ulimit 20000) — the SQL twin of the Spark side's
+    // per-round persist+cut
     "q150_kcore" -> {
       val k = 6; val rounds = 6
       val head =
-        """WITH slots AS (SELECT DISTINCT user_id, event_type, date_trunc('day', ts) AS d FROM events),
-          |e0 AS (SELECT x.user_id AS a, y.user_id AS b FROM slots x JOIN slots y
+        """WITH slots AS MATERIALIZED (SELECT DISTINCT user_id, event_type, date_trunc('day', ts) AS d FROM events),
+          |e0 AS MATERIALIZED (SELECT x.user_id AS a, y.user_id AS b FROM slots x JOIN slots y
           |  ON x.event_type = y.event_type AND x.d = y.d AND x.user_id < y.user_id
           |  GROUP BY 1, 2 HAVING count(*) >= 26),
-          |alive0 AS (SELECT a AS v FROM e0 UNION SELECT b FROM e0)""".stripMargin
+          |alive0 AS MATERIALIZED (SELECT a AS v FROM e0 UNION SELECT b FROM e0)""".stripMargin
       val steps = (1 to rounds).map { r =>
-        s"""deg$r AS (SELECT v, count(*) AS dg FROM (SELECT a AS v FROM e${r - 1} UNION ALL SELECT b FROM e${r - 1}) GROUP BY 1),
-           |rem$r AS (SELECT al.v FROM alive${r - 1} al LEFT JOIN deg$r d ON d.v = al.v WHERE coalesce(d.dg, 0) < $k),
-           |alive$r AS (SELECT v FROM alive${r - 1} WHERE v NOT IN (SELECT v FROM rem$r)),
-           |e$r AS (SELECT a, b FROM e${r - 1} WHERE a NOT IN (SELECT v FROM rem$r) AND b NOT IN (SELECT v FROM rem$r))""".stripMargin
+        s"""deg$r AS MATERIALIZED (SELECT v, count(*) AS dg FROM (SELECT a AS v FROM e${r - 1} UNION ALL SELECT b FROM e${r - 1}) GROUP BY 1),
+           |rem$r AS MATERIALIZED (SELECT al.v FROM alive${r - 1} al LEFT JOIN deg$r d ON d.v = al.v WHERE coalesce(d.dg, 0) < $k),
+           |alive$r AS MATERIALIZED (SELECT v FROM alive${r - 1} WHERE v NOT IN (SELECT v FROM rem$r)),
+           |e$r AS MATERIALIZED (SELECT a, b FROM e${r - 1} WHERE a NOT IN (SELECT v FROM rem$r) AND b NOT IN (SELECT v FROM rem$r))""".stripMargin
       }.mkString(",\n")
       val peels = (1 to rounds)
         .map(r => s"SELECT v, $r AS peel_round FROM rem$r").mkString(" UNION ALL ")
       head + ",\n" + steps + ",\n" +
-        s"""fdeg AS (SELECT v, count(*) AS dg FROM (SELECT a AS v FROM e$rounds UNION ALL SELECT b FROM e$rounds) GROUP BY 1),
+        s"""fdeg AS MATERIALIZED (SELECT v, count(*) AS dg FROM (SELECT a AS v FROM e$rounds UNION ALL SELECT b FROM e$rounds) GROUP BY 1),
            |conv AS (SELECT count(*) = 0 AS converged FROM alive$rounds al
            |  LEFT JOIN fdeg d ON d.v = al.v WHERE coalesce(d.dg, 0) < $k),
            |pr AS ($peels)
@@ -2891,5 +2896,69 @@ object Oracles {
         | total - d_events AS n_censored, p AS surv_scaled,
         | cast(p as double) / 1099511627776 AS survival
         |FROM rec""".stripMargin,
+
+    // q153 (hdrQuantiles): integer-exact HDR bucketing replayed 1:1 —
+    // msb via length(bin(v)) (both engines' bin() emit no leading zeros),
+    // bucket key = lower bound (top-p-bits mask), rank walk as min(lo) over
+    // cum >= ceil(q*n/100) on the cumulative-count window
+    "q153_hdr_quantiles" ->
+      """WITH v AS (SELECT event_type,
+        |    greatest(cast(floor(value * 100) as bigint), 1) AS cents FROM events),
+        |b AS (SELECT event_type,
+        |    cents // (1::BIGINT << greatest(0, length(bin(cents)) - 1 - 5))
+        |        * (1::BIGINT << greatest(0, length(bin(cents)) - 1 - 5)) AS lo
+        |  FROM v),
+        |bk AS (SELECT event_type, lo, count(*) AS ct FROM b GROUP BY 1, 2),
+        |cum AS (SELECT event_type, lo, ct,
+        |    sum(ct) OVER (PARTITION BY event_type ORDER BY lo) AS cum,
+        |    sum(ct) OVER (PARTITION BY event_type) AS n
+        |  FROM bk),
+        |sel AS (SELECT event_type, cast(max(n) as bigint) AS n,
+        |    min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN lo END) AS p50_lo,
+        |    min(CASE WHEN cum >= (n * 90 + 99) // 100 THEN lo END) AS p90_lo,
+        |    min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN lo END) AS p99_lo
+        |  FROM cum GROUP BY 1)
+        |SELECT event_type, n,
+        |  p50_lo, p50_lo + (1::BIGINT << greatest(0, length(bin(p50_lo)) - 1 - 5)) - 1 AS p50_hi,
+        |  p90_lo, p90_lo + (1::BIGINT << greatest(0, length(bin(p90_lo)) - 1 - 5)) - 1 AS p90_hi,
+        |  p99_lo, p99_lo + (1::BIGINT << greatest(0, length(bin(p99_lo)) - 1 - 5)) - 1 AS p99_hi,
+        |  ((p50_lo + (1::BIGINT << greatest(0, length(bin(p50_lo)) - 1 - 5)) - 1 - p50_lo) * 32 <= p50_lo
+        |   AND (p90_lo + (1::BIGINT << greatest(0, length(bin(p90_lo)) - 1 - 5)) - 1 - p90_lo) * 32 <= p90_lo
+        |   AND (p99_lo + (1::BIGINT << greatest(0, length(bin(p99_lo)) - 1 - 5)) - 1 - p99_lo) * 32 <= p99_lo) AS width_ok
+        |FROM sel""".stripMargin,
+
+    // q154 (sketchRollup): each lattice node computed DIRECTLY (distinct
+    // user hashes per slice, k smallest via row_number) — equality with
+    // Spark's leaf-merge construction is the KMV union theorem, exercised
+    // per node per run; estimates hash-compare (52-bit md5 integers)
+    "q154_sketch_rollup" ->
+      """WITH el AS (SELECT DISTINCT event_type AS t,
+        |    strftime(cast(ts as date), '%Y-%m-%d') AS d, user_id::VARCHAR AS u
+        |  FROM events),
+        |base AS (SELECT t, d, u, ('0x' || substr(md5(u), 1, 13))::BIGINT AS h FROM el),
+        |sl AS (
+        |  SELECT 'leaf' AS level, t AS tk, d AS dk, u, h FROM base
+        |  UNION ALL SELECT 'type', t, '*', u, h FROM base
+        |  UNION ALL SELECT 'day', '*', d, u, h FROM base
+        |  UNION ALL SELECT 'all', '*', '*', u, h FROM base),
+        |ex AS (SELECT level, tk, dk, count(DISTINCT u) AS exact_uv
+        |  FROM sl GROUP BY 1, 2, 3),
+        |dh AS (SELECT DISTINCT level, tk, dk, h FROM sl),
+        |rk AS (SELECT level, tk, dk, h,
+        |    row_number() OVER (PARTITION BY level, tk, dk ORDER BY h) AS rn FROM dh),
+        |st AS (SELECT level, tk, dk,
+        |    cast(least(count(*), 512) as int) AS retained,
+        |    count(*) AS nh,
+        |    max(CASE WHEN rn = 512 THEN h END) AS hk
+        |  FROM rk GROUP BY 1, 2, 3)
+        |SELECT st.level, st.tk AS event_type, st.dk AS day, ex.exact_uv,
+        |  st.retained,
+        |  CASE WHEN st.nh < 512 THEN 4503599627370496 ELSE st.hk END AS theta_h,
+        |  CASE WHEN st.nh < 512 THEN cast(st.retained as double)
+        |    ELSE cast(511 as double) * cast(4503599627370496 as double) / cast(st.hk as double) END AS est,
+        |  abs(CASE WHEN st.nh < 512 THEN cast(st.retained as double)
+        |    ELSE cast(511 as double) * cast(4503599627370496 as double) / cast(st.hk as double) END
+        |    - ex.exact_uv) <= greatest(ex.exact_uv, 1) * 0.15 AS approx_ok
+        |FROM st JOIN ex ON ex.level = st.level AND ex.tk = st.tk AND ex.dk = st.dk""".stripMargin,
   )
 }

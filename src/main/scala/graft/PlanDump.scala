@@ -64,7 +64,12 @@ object PlanDump {
       "q144_group_regression" -> "round 10: grouped OLS — ONE map-side-combinable aggregate carries all five DECIMAL(38,0)-exact moments; the closed forms evaluate on the 25-row group frame",
       "q146_join_size" -> "round 10: join-size estimate — each side scanned once map-side into <=1024 CMS cells; the estimate is a 1024-row join + 4-row min; no data shuffles on the join key at all",
       "q147_item_cf" -> "round 10: item-item CF — co-pairs form per customer (basket-width fan-out), three map-side-combinable aggregates, broadcast norms, k-bounded topKStr ranking (no window over the pair frame)",
-      "q148_aqp_estimate" -> "round 10: AQP — ONE aggregate carries both the sample and exact moments (the sample predicate is a map-side md5 coin, not a separate scan); everything after is a 1-row projection")
+      "q148_aqp_estimate" -> "round 10: AQP — ONE aggregate carries both the sample and exact moments (the sample predicate is a map-side md5 coin, not a separate scan); everything after is a 1-row projection",
+      "q149_skyline" -> "round 10: skyline — per-partition dominance sweep prunes to the local frontier BEFORE the single-partition merge sweep (the classic two-phase skyline; merge input is frontier-sized, not corpus-sized)",
+      "q150_kcore" -> "round 10: k-core — slot keys compacted to dense ints via a broadcast dim before the pair fan-out (composite-key join measured 4x slower); peel rounds are degree-agg + BROADCAST anti-joins with per-round persist cuts keeping the plan O(1); alive is a fused map-side anti-join chain, never re-materialized",
+      "q151_kaplan_meier" -> "round 10: Kaplan-Meier — corpus contributes one partial-agged span groupBy; the survival fold runs over the day-range-bounded life table (control-plane), scaled-integer product so the curve hash-compares",
+      "q153_hdr_quantiles" -> "round 10: HDR quantiles — one partial-agged groupBy into <=2^(p+6) buckets per group (key = bucket lower bound, integer mask); the rank walk folds over the bounded sorted cell list; fully deterministic, unlike approx_percentile",
+      "q154_sketch_rollup" -> "round 10: sketch rollup — ONE corpus scan into k-bounded KMV leaf partials; every coarser lattice node is a flatten+distinct+slice merge over leaf ARRAYS (work ~ leaves*k, corpus-independent); cube pass carries the exact audit only")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries (sf0.1)\n\n")
     sb.append("Generated by `graft.PlanDump`; regenerate after plan-affecting changes.\n")

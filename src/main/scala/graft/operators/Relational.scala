@@ -1975,13 +1975,32 @@ object Relational {
     * AQE-splits like any skewed agg. */
   def kCore(spark: SparkSession, dir: String, k: Int = 6, minCo: Long = 26,
             rounds: Int = 6): DataFrame = {
+    // persisted: slots feeds the slot dim AND both self-join sides — without
+    // the cache the events scan + distinct runs 3× inside the edges0 plan
+    // (ReuseExchange does not fire across the broadcast/window branches;
+    // measured 8.8 s → 5.5 s at sf0.1). Released by the caller's clearCache.
     val slots = t(spark, dir, "events")
       .select(col("user_id"), col("event_type"),
         date_trunc("day", col("event_time")).as("d"))
       .distinct()
-    val edges0 = slots.as("x").join(slots.as("y"),
-        col("x.event_type") === col("y.event_type") &&
-        col("x.d") === col("y.d") && col("x.user_id") < col("y.user_id"))
+      .persist()
+    // the pair fan-out is the dominant cost: compact the composite
+    // (event_type string, day timestamp) slot key to a dense INT id first
+    // (slot dim is bounded by day-range × types — the q122-axis control-plane
+    // argument — so the rank window and the broadcast are both tiny), then
+    // self-join and count on plain ints. Measured at sf0.1: the int-keyed
+    // fan-out + codegen'd hash agg is 2.3 s vs 10.8 s on the composite key.
+    // (A bitmap/popcount emit-once variant was measured WORSE — 17 s — Spark
+    // evaluates higher-order-function lambdas interpreted, not codegen'd,
+    // and the fan-out pays that per row; see NOTES_r10.)
+    val slotDim = slots.select("event_type", "d").distinct()
+      .withColumn("slot_id",
+        row_number().over(Window.orderBy("event_type", "d")).cast("int"))
+    val sl = slots.join(broadcast(slotDim), Seq("event_type", "d"))
+      .select("user_id", "slot_id")
+    val edges0 = sl.as("x").join(sl.as("y"),
+        col("x.slot_id") === col("y.slot_id") &&
+        col("x.user_id") < col("y.user_id"))
       .groupBy(col("x.user_id").as("a"), col("y.user_id").as("b"))
       .agg(count(lit(1)).as("co"))
       .filter(col("co") >= minCo)
@@ -1999,9 +2018,14 @@ object Relational {
       val p = df.persist(); p.count()
       spark.createDataFrame(p.rdd, p.schema)
     }
-    var alive = cut(edges0.select(col("a").as("v"))
+    val allNodes = cut(edges0.select(col("a").as("v"))
       .unionByName(edges0.select(col("b").as("v"))).distinct())
-    val allNodes = alive
+    // alive is NOT cut per round: alive_r = allNodes minus the (cut, tiny)
+    // peel frontiers so far — a chain of ≤`rounds` broadcast anti-joins over
+    // the cached node frame fuses into ONE map-side stage per use, where a
+    // per-round materialization paid a full persist+count action each time
+    // (measured: the peel loop halved from ~10.5 s to ~5 s at sf0.1)
+    var alive = allNodes
     var edges = edges0
     var removed: Option[DataFrame] = None
     for (r <- 1 to rounds) {
@@ -2010,7 +2034,7 @@ object Relational {
         .select("v"))
       removed = Some(removed.fold(low.withColumn("peel_round", lit(r)))(
         _.unionByName(low.withColumn("peel_round", lit(r)))))
-      alive = cut(alive.join(broadcast(low), Seq("v"), "left_anti"))
+      alive = alive.join(broadcast(low), Seq("v"), "left_anti")
       edges = cut(edges
         .join(broadcast(low.withColumnRenamed("v", "a")), Seq("a"), "left_anti")
         .join(broadcast(low.withColumnRenamed("v", "b")), Seq("b"), "left_anti"))
@@ -2125,5 +2149,169 @@ object Relational {
         (col("total") - col("d_events")).as("n_censored"),
         col("surv_scaled"),
         (col("surv_scaled").cast("double") / 1099511627776.0).as("survival"))
+  }
+
+  /** HDR QUANTILE SKETCH (q153) — a log-binned histogram quantile in the
+    * HdrHistogram design [Tene]: value (in cents, ≥ 1) keeps its top `p`
+    * significant bits and zeroes the rest, so the bucket KEY is the bucket's
+    * own lower bound `lo = (v >> s) << s` with `s = max(0, msb(v) − p)`, and
+    * the relative bucket width is ≤ 2⁻ᵖ by construction. Unlike
+    * `approx_percentile` (q95's self-check tolerance) this sketch is
+    * INTEGER-DETERMINISTIC: bucketing, counts and the rank walk all replay
+    * bit-for-bit in the oracle — the first quantile estimate in the suite
+    * that hash-compares cross-engine. And unlike the exact q42 aggregate
+    * (whose buffer holds every distinct value of a group) the state is
+    * bounded: ≤ 64·2ᵖ buckets per group, ADDITIVE under merge — partial
+    * aggregation works, shards merge by plain cell sum, and the same cells
+    * are an exactly-once streaming measure ([[graft.streaming.HdrStream]],
+    * the CMS-cell discipline of TopKStream).
+    *
+    * msb(v) is computed as `length(bin(v)) − 1` — binary-string length, not
+    * `floor(log2)`: libm log rounding at bucket boundaries is exactly the
+    * cross-engine hazard the integer convention exists to avoid (both
+    * engines' bin() emit no leading zeros; verified).
+    *
+    * Output per group: n, and for each of p50/p90/p99 the selected bucket's
+    * [lo, hi] envelope (exact rank value provably inside — spec-pinned vs a
+    * driver sort at sf0.001), plus the width theorem flag
+    * ((hi−lo)·2ᵖ ≤ lo — deterministic TRUE, the q146-style tripwire).
+    *
+    * Scale shape: one partial-agged groupBy over the corpus → ≤ 2ᵖ⁺⁶ rows
+    * per group; the rank walk folds over that bounded, sorted cell list
+    * (the q151/q152 control-plane convention). */
+  def hdrQuantiles(spark: SparkSession, dir: String, p: Int = 5): DataFrame =
+    hdrQuantilesFromCells(hdrCells(t(spark, dir, "events"), p), p)
+
+  /** Rank walk over (event_type, lo, ct) cells → the q153 output shape.
+    * Read cost is cells-proportional (≤ 2ᵖ⁺⁶ per group), independent of the
+    * volume that produced them — which is what makes the streaming read
+    * path ([[graft.streaming.HdrStream.readQuantiles]]) O(sketch). */
+  def hdrQuantilesFromCells(cells: DataFrame, p: Int = 5): DataFrame = {
+    def hiOf(lo: String): Column = expr(
+      s"$lo + shiftleft(1L, greatest(0, length(bin($lo)) - 1 - $p)) - 1L")
+    val sel = cells
+      .groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("lo"), col("ct")))).as("rows"))
+      .withColumn("n", expr("aggregate(rows, 0L, (a, r) -> a + r.ct)"))
+      .withColumn("q", expr(
+        """aggregate(rows,
+          |  named_struct('cum', 0L, 'p50', -1L, 'p90', -1L, 'p99', -1L),
+          |  (acc, r) -> named_struct(
+          |    'cum', acc.cum + r.ct,
+          |    'p50', IF(acc.p50 >= 0L, acc.p50,
+          |      IF(acc.cum + r.ct >= (n * 50L + 99L) div 100L, r.lo, -1L)),
+          |    'p90', IF(acc.p90 >= 0L, acc.p90,
+          |      IF(acc.cum + r.ct >= (n * 90L + 99L) div 100L, r.lo, -1L)),
+          |    'p99', IF(acc.p99 >= 0L, acc.p99,
+          |      IF(acc.cum + r.ct >= (n * 99L + 99L) div 100L, r.lo, -1L))))""".stripMargin))
+    sel.select(col("event_type"), col("n"),
+        col("q.p50").as("p50_lo"), hiOf("q.p50").as("p50_hi"),
+        col("q.p90").as("p90_lo"), hiOf("q.p90").as("p90_hi"),
+        col("q.p99").as("p99_lo"), hiOf("q.p99").as("p99_hi"))
+      .withColumn("width_ok",
+        expr(s"(p50_hi - p50_lo) * shiftleft(1L, $p) <= p50_lo") &&
+        expr(s"(p90_hi - p90_lo) * shiftleft(1L, $p) <= p90_lo") &&
+        expr(s"(p99_hi - p99_lo) * shiftleft(1L, $p) <= p99_lo"))
+  }
+
+  /** The q153 bucket cells alone — shared by [[hdrQuantiles]]'s streaming
+    * twin ([[graft.streaming.HdrStream]]): additive (event_type, lo) counts. */
+  def hdrCells(df: DataFrame, p: Int = 5): DataFrame =
+    df.select(col("event_type"),
+        greatest(floor(col("value") * 100).cast("long"), lit(1L)).as("cents"))
+      .withColumn("s", greatest(lit(0), length(expr("bin(cents)")) - 1 - p))
+      .withColumn("lo", expr("cents div shiftleft(1L, s) * shiftleft(1L, s)"))
+      .groupBy("event_type", "lo")
+      .agg(count(lit(1)).as("ct"))
+
+  /** SKETCH ROLLUP LATTICE (q154) — distinct-user counts for EVERY node of
+    * the (event_type × day) grouping lattice from ONE scan's mergeable
+    * partials. The naive form runs count(distinct) per lattice node — N
+    * scans, or Spark's cube expand that multiplies every input row by the
+    * node count BEFORE the distinct shuffle. Here the corpus is scanned
+    * once into per-(type, day) KMV sketches (q127's k-smallest-hashes, a
+    * k-bounded partial agg), and every coarser node is a SKETCH MERGE:
+    * flatten + distinct + k smallest over leaf arrays — work proportional
+    * to (#leaves · k), independent of corpus size.
+    *
+    * Correctness rests on the KMV union theorem [Beyer et al. SIGMOD'07]:
+    * any of the k smallest distinct hashes of A ∪ B is among the k
+    * smallest of A or of B — so merging leaf sketches yields EXACTLY the
+    * sketch a direct scan of the coarser slice would build, and the
+    * estimate `(k−1)·2⁵²/h_k` replays bit-for-bit in the oracle (which
+    * computes each node DIRECTLY — the equality IS the theorem, exercised
+    * per node per run). Hashes are the q127 52-bit md5 prefixes; a node
+    * retaining < k hashes reports its exact retained count (the sketch is
+    * the set then).
+    *
+    * The exact count(distinct) per node rides along purely as the
+    * driver-visible quality gate (q127's audit discipline; measured err
+    * ≲ 5% at k = 512), via ONE cube pass. At 100 TB you drop the audit
+    * column and keep the sketch path: leaf partials are reusable (new day
+    * = new leaves + re-merge, the q115 incremental discipline), and any
+    * ad-hoc slice union (type IN (...), date range) is answerable from the
+    * stored partials without touching the corpus. */
+  def sketchRollup(spark: SparkSession, dir: String, k: Int = 512,
+                   tol: Double = 0.15): DataFrame = {
+    val theta1 = 4503599627370496L // 2^52 = hash domain size
+    val el = t(spark, dir, "events")
+      .select(col("event_type"),
+        date_format(col("event_time"), "yyyy-MM-dd").as("day"),
+        col("user_id").cast("string").as("u"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hashed = el.select(col("event_type"), col("day"),
+      conv(substring(md5(col("u").cast("binary")), 1, 13), 16, 10)
+        .cast("long").as("h"))
+    // leaf sketches: k smallest hashes per (type, day) — each mapper
+    // forwards <= k rows per leaf, no window sort sees the full slice
+    val leaf = hashed.groupBy("event_type", "day")
+      .agg(graft.functions.Aggregators
+        .topK(k, negate(col("h")).cast("double"), col("h"), col("h")).as("top"))
+      .select(col("event_type"), col("day"),
+        expr("transform(top, s -> s.id)").as("ks"))
+      .persist()
+    // lattice merge: union of KMV sketches = flatten + distinct (one user
+    // active in many days carries ONE hash) + k smallest
+    val merge = expr(s"slice(array_sort(array_distinct(flatten(kss))), 1, $k)")
+    val nodes = leaf
+      .select(lit("leaf").as("level"), col("event_type"), col("day"), col("ks"))
+      .unionByName(leaf.groupBy("event_type")
+        .agg(collect_list(col("ks")).as("kss"))
+        .select(lit("type").as("level"), col("event_type"),
+          lit("*").as("day"), merge.as("ks")))
+      .unionByName(leaf.groupBy("day")
+        .agg(collect_list(col("ks")).as("kss"))
+        .select(lit("day").as("level"), lit("*").as("event_type"),
+          col("day"), merge.as("ks")))
+      .unionByName(leaf
+        .agg(collect_list(col("ks")).as("kss"))
+        .select(lit("all").as("level"), lit("*").as("event_type"),
+          lit("*").as("day"), merge.as("ks")))
+    // exact audit: all four lattice levels in one cube pass
+    val exact = el.cube(col("event_type"), col("day"))
+      .agg(countDistinct(col("u")).as("exact_uv"),
+        grouping(col("event_type")).as("gt"), grouping(col("day")).as("gd"))
+      .select(
+        when(col("gt") === 1 && col("gd") === 1, lit("all"))
+          .when(col("gd") === 1, lit("type"))
+          .when(col("gt") === 1, lit("day"))
+          .otherwise(lit("leaf")).as("level"),
+        coalesce(col("event_type"), lit("*")).as("event_type"),
+        coalesce(col("day"), lit("*")).as("day"),
+        col("exact_uv"))
+    nodes.join(exact, Seq("level", "event_type", "day"))
+      .withColumn("retained", size(col("ks")))
+      .withColumn("theta_h",
+        when(col("retained") < k, lit(theta1))
+          .otherwise(element_at(col("ks"), k)))
+      .withColumn("est",
+        when(col("retained") < k, col("retained").cast("double"))
+          .otherwise(lit((k - 1).toDouble * theta1.toDouble)
+            / col("theta_h").cast("double")))
+      .select(col("level"), col("event_type"), col("day"), col("exact_uv"),
+        col("retained"), col("theta_h"), col("est"),
+        (abs(col("est") - col("exact_uv"))
+          <= greatest(col("exact_uv"), lit(1)) * tol).as("approx_ok"))
   }
 }

@@ -614,4 +614,155 @@ class AnalyticsSpec extends SparkSuite {
       case Array(a, b) => assert(a._2 - a._3 - a._4 == b._2); case _ =>
     }
   }
+
+  // ---------------- q150 k-core ----------------
+
+  test("kCore: peel labels, core degrees and convergence match a driver-side peel replay") {
+    val k = 6; val minCo = 26L; val rounds = 6
+    val slots = graft.Tables.load(spark, sf0001, "events")
+      .select(col("user_id"), col("event_type"),
+        date_trunc("day", col("event_time")).as("d"))
+      .distinct()
+      .as[(Long, String, java.sql.Timestamp)].collect()
+    val co = collection.mutable.Map.empty[(Long, Long), Long]
+    slots.groupBy(s => (s._2, s._3)).values.foreach { grp =>
+      val us = grp.map(_._1).distinct.sorted
+      for (i <- us.indices; j <- (i + 1) until us.length)
+        co((us(i), us(j))) = co.getOrElse((us(i), us(j)), 0L) + 1L
+    }
+    var edges = co.filter(_._2 >= minCo).keys.toSet
+    val allNodes = edges.flatMap(e => Set(e._1, e._2))
+    var alive = allNodes
+    val peel = collection.mutable.Map.empty[Long, Int]
+    for (r <- 1 to rounds) {
+      val deg = collection.mutable.Map.empty[Long, Long]
+      edges.foreach { case (a, b) =>
+        deg(a) = deg.getOrElse(a, 0L) + 1; deg(b) = deg.getOrElse(b, 0L) + 1 }
+      val low = alive.filter(v => deg.getOrElse(v, 0L) < k)
+      low.foreach(v => peel(v) = r)
+      alive = alive -- low
+      edges = edges.filter { case (a, b) => !low(a) && !low(b) }
+    }
+    val fdeg = collection.mutable.Map.empty[Long, Long]
+    edges.foreach { case (a, b) =>
+      fdeg(a) = fdeg.getOrElse(a, 0L) + 1; fdeg(b) = fdeg.getOrElse(b, 0L) + 1 }
+    val conv = alive.forall(v => fdeg.getOrElse(v, 0L) >= k)
+    val got = Relational.kCore(spark, sf0001, k, minCo, rounds)
+      .as[(Long, Int, Long, Boolean)].collect()
+    assert(got.length == allNodes.size)
+    got.foreach { case (v, pr, cd, cv) =>
+      assert(pr == peel.getOrElse(v, 0), s"peel_round for $v")
+      assert(cd == (if (peel.contains(v)) 0L else fdeg.getOrElse(v, 0L)),
+        s"core_degree for $v")
+      assert(cv == conv)
+    }
+    // survivors genuinely form a k-core: every alive node keeps degree >= k
+    if (conv) alive.foreach(v => assert(fdeg.getOrElse(v, 0L) >= k))
+  }
+
+  // ---------------- q152 EWMA burst ----------------
+
+  test("ewmaBurst: scaled-integer EWMA matches a driver fold over the gap-filled grid; zeros included") {
+    val grid = Relational.gapFillHourly(spark, sf0001)
+      .select("event_type", "hour", "ct")
+      .as[(String, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val expect = grid.toSeq.flatMap { case (et, rows) =>
+      var s = -1L
+      rows.map { case (_, h, ct) =>
+        val prev = s
+        s = if (prev < 0) ct * 1048576L else (ct * 1048576L + 3L * prev) / 4L
+        (et, h, ct, s.toDouble / 1048576.0,
+          prev >= 0L && ct * 1048576L > prev * 2L && ct >= 5L)
+      }
+    }.toSet
+    val got = Relational.ewmaBurst(spark, sf0001)
+      .as[(String, String, Long, Double, Boolean)].collect().toSet
+    assert(got == expect)
+    // the gap-filled zeros matter: a zero hour drags the EWMA down, so a
+    // recovery hour after an outage can burst — and at least one row with
+    // ct = 0 must exist in the grid for that claim to be exercised
+    assert(expect.exists(_._3 == 0L))
+  }
+
+  // ---------------- q153 HDR quantile sketch ----------------
+
+  test("hdrQuantiles: every selected bucket contains the exact rank value; width theorem; n exact") {
+    val byType = graft.Tables.load(spark, sf0001, "events")
+      .select(col("event_type"),
+        greatest(floor(col("value") * 100).cast("long"), lit(1L)).as("c"))
+      .as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val rows = Relational.hdrQuantiles(spark, sf0001)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Boolean)]
+      .collect()
+    assert(rows.map(_._1).toSet == byType.keySet)
+    rows.foreach { case (et, n, p50l, p50h, p90l, p90h, p99l, p99h, wok) =>
+      val sorted = byType(et)
+      assert(n == sorted.length.toLong)
+      def exact(q: Long): Long = sorted(((n * q + 99) / 100 - 1).toInt)
+      assert(p50l <= exact(50) && exact(50) <= p50h, s"$et p50")
+      assert(p90l <= exact(90) && exact(90) <= p90h, s"$et p90")
+      assert(p99l <= exact(99) && exact(99) <= p99h, s"$et p99")
+      // relative width <= 2^-p by construction
+      assert(wok)
+      Seq((p50l, p50h), (p90l, p90h), (p99l, p99h)).foreach { case (lo, hi) =>
+        assert((hi - lo) * 32 <= lo)
+      }
+    }
+  }
+
+  // ---------------- q154 sketch rollup lattice ----------------
+
+  test("sketchRollup: merged-sketch estimates equal a direct per-node KMV replay; audit flags true") {
+    val k = 512
+    val el = graft.Tables.load(spark, sf0001, "events")
+      .select(col("event_type"),
+        date_format(col("event_time"), "yyyy-MM-dd").as("day"),
+        col("user_id").cast("string").as("u"))
+      .distinct()
+      .as[(String, String, String)].collect()
+    def h(u: String): Long =
+      java.lang.Long.parseLong(md5hex(u).substring(0, 13), 16)
+    def node(rows: Iterable[(String, String, String)]): (Long, Int, Long, Double) = {
+      val users = rows.map(_._3).toSeq.distinct
+      val hs = users.map(h).distinct.sorted
+      val retained = math.min(hs.length, k)
+      val theta = if (hs.length < k) 4503599627370496L else hs(k - 1)
+      val est = if (hs.length < k) retained.toDouble
+        else (k - 1).toDouble * 4503599627370496.0 / theta.toDouble
+      (users.length.toLong, retained, theta, est)
+    }
+    val want =
+      el.groupBy(r => ("leaf", r._1, r._2)).view.mapValues(a => node(a.toSeq)).toMap ++
+      el.groupBy(r => ("type", r._1, "*")).view.mapValues(a => node(a.toSeq)).toMap ++
+      el.groupBy(r => ("day", "*", r._2)).view.mapValues(a => node(a.toSeq)).toMap +
+      (("all", "*", "*") -> node(el.toIndexedSeq))
+    val got = Relational.sketchRollup(spark, sf0001)
+      .as[(String, String, String, Long, Int, Long, Double, Boolean)].collect()
+    assert(got.length == want.size)
+    got.foreach { case (lvl, et, d, exact, retained, theta, est, ok) =>
+      val (wExact, wRet, wTheta, wEst) = want((lvl, et, d))
+      assert(exact == wExact, s"exact_uv at ($lvl,$et,$d)")
+      // the KMV union theorem: Spark's leaf-merge must equal the direct
+      // per-slice sketch the driver just built
+      assert(retained == wRet && theta == wTheta && est == wEst,
+        s"merged sketch != direct sketch at ($lvl,$et,$d)")
+      assert(ok, s"audit flag at ($lvl,$et,$d): est=$est exact=$exact")
+    }
+  }
+
+  test("hdrCells: additive under any split — shard cells sum to the full-corpus cells") {
+    val ev = graft.Tables.load(spark, sf0001, "events")
+      .select("event_type", "value", "event_id")
+    val full = Relational.hdrCells(ev)
+      .as[(String, Long, Long)].collect().toSet
+    val merged = (0 to 2)
+      .map(i => Relational.hdrCells(ev.filter(col("event_id") % 3 === i))
+        .as[(String, Long, Long)].collect())
+      .flatten
+      .groupBy(r => (r._1, r._2)).view.mapValues(_.map(_._3).sum)
+      .map { case ((et, lo), ct) => (et, lo, ct) }.toSet
+    assert(merged == full)
+  }
 }
