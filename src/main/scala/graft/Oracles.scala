@@ -2960,5 +2960,58 @@ object Oracles {
         |    ELSE cast(511 as double) * cast(4503599627370496 as double) / cast(st.hk as double) END
         |    - ex.exact_uv) <= greatest(ex.exact_uv, 1) * 0.15 AS approx_ok
         |FROM st JOIN ex ON ex.level = st.level AND ex.tk = st.tk AND ex.dk = st.dk""".stripMargin,
+    // q155 (touchAttribution): trailing-24h touch windows replayed as a
+    // range join; first/last via row_number over (tsm, eid); linear credit
+    // in integer micro-units with the remainder on the last touch
+    "q155_attribution" ->
+      """WITH e AS (SELECT user_id, event_type AS tp, epoch_us(ts) AS tsm,
+        |    event_id AS eid FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase')),
+        |p AS (SELECT user_id, eid, tsm FROM e WHERE tp = 'purchase'),
+        |t AS (SELECT user_id, tp, tsm, eid FROM e WHERE tp IN ('view', 'click')),
+        |wt AS (SELECT p.eid AS peid, t.tp, t.tsm, t.eid,
+        |    row_number() OVER (PARTITION BY p.eid ORDER BY t.tsm, t.eid) AS rn,
+        |    count(*) OVER (PARTITION BY p.eid) AS n
+        |  FROM p JOIN t ON t.user_id = p.user_id
+        |    AND t.tsm >= p.tsm - 86400000000 AND t.tsm < p.tsm),
+        |conv AS (SELECT p.eid,
+        |    coalesce(max(CASE WHEN w.rn = 1 THEN w.tp END), '(direct)') AS fst,
+        |    coalesce(max(CASE WHEN w.rn = w.n THEN w.tp END), '(direct)') AS lst,
+        |    coalesce(max(w.n), 0) AS n
+        |  FROM p LEFT JOIN wt w ON w.peid = p.eid GROUP BY 1),
+        |fc AS (SELECT fst AS tp, count(*) AS first_ct FROM conv GROUP BY 1),
+        |lc AS (SELECT lst AS tp, count(*) AS last_ct FROM conv GROUP BY 1),
+        |lin AS (
+        |  SELECT tp, cast(sum(1000000 // n) as bigint) AS m FROM wt GROUP BY 1
+        |  UNION ALL SELECT lst, cast(sum(1000000 - n * (1000000 // n)) as bigint)
+        |    FROM conv WHERE n > 0 GROUP BY 1
+        |  UNION ALL SELECT '(direct)', cast(1000000 * count(*) as bigint)
+        |    FROM conv WHERE n = 0 HAVING count(*) > 0),
+        |li AS (SELECT tp, cast(sum(m) as bigint) AS linear_micro FROM lin GROUP BY 1)
+        |SELECT coalesce(fc.tp, lc.tp, li.tp) AS event_type,
+        |  coalesce(first_ct, 0) AS first_ct, coalesce(last_ct, 0) AS last_ct,
+        |  coalesce(linear_micro, 0) AS linear_micro
+        |FROM fc
+        |FULL JOIN lc ON lc.tp = fc.tp
+        |FULL JOIN li ON li.tp = coalesce(fc.tp, lc.tp)""".stripMargin,
+
+    // q156 (pitJoin): SCD2 intervals rebuilt with the same lag-collapse +
+    // lead windows on RAW timestamps, then the point-in-time containment
+    // join (vf <= ts < vt); unmatched purchases resolve to ('unknown', 0)
+    "q156_pit_join" ->
+      """WITH log AS (SELECT user_id, event_type AS state, ts, event_id
+        |  FROM events WHERE event_type <> 'purchase'),
+        |ch AS (SELECT user_id, state, ts, event_id,
+        |    lag(state) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM log),
+        |fl AS (SELECT user_id, state, ts AS vf,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vt,
+        |    cast(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) as int) AS version
+        |  FROM ch WHERE prev IS NULL OR prev <> state),
+        |p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+        |  coalesce(f.state, 'unknown') AS state, coalesce(f.version, 0) AS version
+        |FROM p LEFT JOIN fl f ON f.user_id = p.user_id
+        |  AND f.vf <= p.ts AND (f.vt IS NULL OR p.ts < f.vt)""".stripMargin,
   )
 }

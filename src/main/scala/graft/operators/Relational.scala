@@ -970,23 +970,139 @@ object Relational {
       .select(col("user_id"), col("event_type").as("state"),
         col("event_time"), col("event_id")))
 
+  /** The q119 interval assembly on RAW timestamps — lag-collapse of
+    * duplicate states, lead-closed `[valid_from_ts, valid_to_ts)` (open
+    * interval = null valid_to_ts), version. Shared by [[scd2HistoryFrom]]
+    * (which formats) and [[pitJoin]] (which joins on the raw timestamps —
+    * the formatted strings truncate sub-second precision, so containment
+    * tests must never run on them). */
+  private def scd2Intervals(log: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("event_time"), col("event_id"))
+    log
+      .withColumn("prev", lag(col("state"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("state"))
+      .withColumn("valid_to_ts", lead(col("event_time"), 1).over(w))
+      .withColumn("version", row_number().over(w).cast("int"))
+      .select(col("user_id"), col("state"), col("event_time").as("valid_from_ts"),
+        col("valid_to_ts"), col("version"))
+  }
+
   /** [[scd2History]] over an explicit change log (user_id, state,
     * event_time, event_id) — shared with the streaming twin
     * [[graft.streaming.Scd2Stream]]'s equivalence spec. */
-  def scd2HistoryFrom(log: DataFrame): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy(col("event_time"), col("event_id"))
-    val changes = log
-      .withColumn("prev", lag(col("state"), 1).over(w))
-      .filter(col("prev").isNull || col("prev") =!= col("state"))
-    changes
-      .withColumn("valid_to_ts", lead(col("event_time"), 1).over(w))
-      .withColumn("version", row_number().over(w))
+  def scd2HistoryFrom(log: DataFrame): DataFrame =
+    scd2Intervals(log)
       .select(col("user_id"), col("state"),
-        date_format(col("event_time"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+        date_format(col("valid_from_ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
         coalesce(date_format(col("valid_to_ts"), "yyyy-MM-dd HH:mm:ss"),
           lit("9999-12-31 23:59:59")).as("valid_to"),
-        col("version").cast("int").as("version"),
+        col("version"),
         col("valid_to_ts").isNull.as("is_current"))
+
+  /** POINT-IN-TIME DIMENSION JOIN (q156) — the consumption side of the
+    * SCD2 history q119 builds: each fact row picks the dim VERSION that was
+    * valid at ITS OWN timestamp (`valid_from ≤ ts < valid_to`), the
+    * correctness rule every time-travel/bitemporal lakehouse query and
+    * every training-data "feature as of label time" join reduces to —
+    * joining facts to the CURRENT dim row instead is the classic label
+    * leakage this operator exists to prevent. Here: purchases joined to
+    * the user's browsing-state history (states = the non-purchase event
+    * types); purchases before a user's first tracked state resolve to
+    * ('unknown', version 0) via the left join.
+    *
+    * Why no extra operator machinery: SCD2 validity intervals PARTITION
+    * each key's timeline — so unlike the generic interval-overlap join
+    * (q126's grid), PIT is a plain equi-join on the key plus a range
+    * filter, with fan-out bounded by versions-per-key (bounded per-user
+    * history — the q119 skew argument), and each fact matches AT MOST one
+    * version (zero-width intervals from same-timestamp changes match
+    * nothing — `vf ≤ ts AND ts < vt` is vacuous at vf = vt; both engines
+    * apply the same rule). At 100 TB: shuffle on user_id both sides, SMJ,
+    * no explosion — the plan you'd want. */
+  def pitJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val hist = scd2Intervals(
+      ev.filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("event_type").as("state"),
+          col("event_time"), col("event_id")))
+    val facts = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("event_time"))
+    facts.join(hist,
+        facts("user_id") === hist("user_id") &&
+        col("valid_from_ts") <= col("event_time") &&
+        (col("valid_to_ts").isNull || col("event_time") < col("valid_to_ts")),
+        "left")
+      .select(col("event_id"), facts("user_id").as("user_id"),
+        date_format(col("event_time"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+        coalesce(col("state"), lit("unknown")).as("state"),
+        coalesce(col("version"), lit(0)).as("version"))
+  }
+
+  /** MULTI-TOUCH ATTRIBUTION (q155) — the marketing-analytics credit
+    * assignment every conversion pipeline runs: each purchase credits the
+    * view/click touchpoints in its trailing 24 h window under three
+    * standard models at once — FIRST-touch, LAST-touch, and LINEAR (equal
+    * split). Zero-touch purchases are '(direct)'.
+    *
+    * Determinism: linear credit is integer MICRO-units — each touch gets
+    * ⌊10⁶/n⌋ and the division remainder goes to the LAST touch, so every
+    * conversion distributes exactly 10⁶ and the totals telescope
+    * (Σ linear_micro = conversions·10⁶ — the spec's conservation check);
+    * no doubles anywhere. Touch order ties break on event_id via
+    * `sort_array` over the collected window (collect_list order is
+    * plan-dependent; the sort makes it not matter).
+    *
+    * Plan shape: ONE pass — a RANGE-framed window (micros, [−24 h, −1])
+    * partitioned by user collects each purchase's trailing touches
+    * (`collect_list(when(...))` skips the nulls of non-touch rows);
+    * per-key rows are one user's activity (bounded — the q119 skew
+    * argument), and the per-purchase window array is bounded by 24 h of
+    * one user's events. Everything downstream aggregates exploded credit
+    * rows — map-side combinable. */
+  def touchAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val micros24h = 86400000000L
+    val ev = t(spark, dir, "events")
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_type").as("tp"),
+        unix_micros(col("event_time")).as("tsm"), col("event_id").as("eid"))
+    val w = Window.partitionBy("user_id").orderBy("tsm")
+      .rangeBetween(-micros24h, -1)
+    val conv = ev
+      .withColumn("wt", sort_array(collect_list(
+        when(col("tp").isin("view", "click"),
+          struct(col("tsm"), col("eid"), col("tp")))).over(w)))
+      .filter(col("tp") === "purchase")
+      .withColumn("n", size(col("wt")))
+      // ANSI: guard the element_at itself, not just the surrounding expr
+      .withColumn("first",
+        when(col("n") > 0, element_at(col("wt"), 1).getField("tp"))
+          .otherwise(lit("(direct)")))
+      .withColumn("last",
+        when(col("n") > 0, element_at(col("wt"), col("n")).getField("tp"))
+          .otherwise(lit("(direct)")))
+      .select(col("eid"), col("first"), col("last"), col("n"), col("wt"))
+      .persist()
+    val firstCt = conv.groupBy(col("first").as("event_type"))
+      .agg(count(lit(1)).as("first_ct"))
+    val lastCt = conv.groupBy(col("last").as("event_type"))
+      .agg(count(lit(1)).as("last_ct"))
+    val base = conv.filter(col("n") > 0)
+      .select(explode(col("wt")).as("t"), col("n"))
+      .select(col("t.tp").as("event_type"),
+        expr("1000000L div n").as("m")) // div: `/` on longs is double division
+    val rem = conv.filter(col("n") > 0)
+      .select(col("last").as("event_type"),
+        expr("1000000L - n * (1000000L div n)").as("m"))
+    val direct = conv.filter(col("n") === 0)
+      .select(lit("(direct)").as("event_type"), lit(1000000L).as("m"))
+    val linear = base.unionByName(rem).unionByName(direct)
+      .groupBy("event_type").agg(sum(col("m")).as("linear_micro"))
+    firstCt.join(lastCt, Seq("event_type"), "full")
+      .join(linear, Seq("event_type"), "full")
+      .select(col("event_type"),
+        coalesce(col("first_ct"), lit(0L)).as("first_ct"),
+        coalesce(col("last_ct"), lit(0L)).as("last_ct"),
+        coalesce(col("linear_micro"), lit(0L)).as("linear_micro"))
   }
 
   /** Morton/Z-ORDER bit-interleave of two 16-bit dimension keys — the

@@ -752,6 +752,89 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
+  // ---------------- q155 multi-touch attribution ----------------
+
+  test("touchAttribution: first/last/linear credits match a driver replay; credit is conserved") {
+    val ev = graft.Tables.load(spark, sf0001, "events")
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id").as[Long], col("event_type").as[String],
+        unix_micros(col("event_time")).as[Long], col("event_id").as[Long])
+      .collect()
+    val byUser = ev.groupBy(_._1)
+    val first = collection.mutable.Map.empty[String, Long]
+    val last = collection.mutable.Map.empty[String, Long]
+    val linear = collection.mutable.Map.empty[String, Long]
+    var purchases = 0L
+    byUser.values.foreach { rows =>
+      val touches = rows.filter(r => r._2 != "purchase")
+      rows.filter(_._2 == "purchase").foreach { case (_, _, pts, _) =>
+        purchases += 1
+        val wt = touches.filter(t => t._3 >= pts - 86400000000L && t._3 < pts)
+          .sortBy(t => (t._3, t._4))
+        if (wt.isEmpty) {
+          first("(direct)") = first.getOrElse("(direct)", 0L) + 1
+          last("(direct)") = last.getOrElse("(direct)", 0L) + 1
+          linear("(direct)") = linear.getOrElse("(direct)", 0L) + 1000000L
+        } else {
+          val n = wt.length
+          first(wt.head._2) = first.getOrElse(wt.head._2, 0L) + 1
+          last(wt.last._2) = last.getOrElse(wt.last._2, 0L) + 1
+          wt.foreach(t => linear(t._2) = linear.getOrElse(t._2, 0L) + 1000000L / n)
+          linear(wt.last._2) = linear(wt.last._2) + (1000000L - n * (1000000L / n))
+        }
+      }
+    }
+    val got = Relational.touchAttribution(spark, sf0001)
+      .as[(String, Long, Long, Long)].collect()
+    val types = (first.keySet ++ last.keySet ++ linear.keySet)
+    assert(got.map(_._1).toSet == types)
+    got.foreach { case (tp, fc, lc, lm) =>
+      assert(fc == first.getOrElse(tp, 0L), s"first_ct($tp)")
+      assert(lc == last.getOrElse(tp, 0L), s"last_ct($tp)")
+      assert(lm == linear.getOrElse(tp, 0L), s"linear_micro($tp)")
+    }
+    // conservation: every conversion distributes exactly 10^6 micro-units
+    assert(got.map(_._4).sum == purchases * 1000000L)
+    assert(got.map(_._2).sum == purchases && got.map(_._3).sum == purchases)
+  }
+
+  // ---------------- q156 point-in-time join ----------------
+
+  test("pitJoin: every purchase resolves to the version valid at its own timestamp") {
+    val ev = graft.Tables.load(spark, sf0001, "events")
+      .select(col("user_id").as[Long], col("event_type").as[String],
+        unix_micros(col("event_time")).as[Long], col("event_id").as[Long])
+      .collect()
+    // driver SCD2: collapse consecutive duplicate states per user
+    val hist = ev.filter(_._2 != "purchase").groupBy(_._1).view.mapValues { rows =>
+      val sorted = rows.sortBy(r => (r._3, r._4))
+      val changes = sorted.foldLeft(Vector.empty[(String, Long)]) { (acc, r) =>
+        if (acc.nonEmpty && acc.last._1 == r._2) acc else acc :+ (r._2 -> r._3)
+      }
+      changes.zipWithIndex.map { case ((st, vf), i) =>
+        (st, vf, if (i + 1 < changes.length) Some(changes(i + 1)._2) else None, i + 1)
+      }
+    }.toMap
+    val got = Relational.pitJoin(spark, sf0001)
+      .as[(Long, Long, String, String, Int)].collect()
+    val purchases = ev.filter(_._2 == "purchase")
+    assert(got.length == purchases.length, "left join keeps every purchase exactly once")
+    val byEid = purchases.map(p => p._4 -> p).toMap
+    got.foreach { case (eid, user, _, state, version) =>
+      val p = byEid(eid)
+      val want = hist.getOrElse(user, Vector.empty)
+        .find(v => v._2 <= p._3 && v._3.forall(p._3 < _))
+      assert(state == want.map(_._1).getOrElse("unknown"), s"state at eid $eid")
+      assert(version == want.map(_._4).getOrElse(0), s"version at eid $eid")
+    }
+    // the leakage contrast: joining to the CURRENT dim row instead would
+    // change at least one purchase's state on this corpus
+    val current = hist.view.mapValues(_.last._1).toMap
+    assert(got.exists { case (eid, user, _, state, _) =>
+      current.get(user).exists(_ != state)
+    }, "PIT must differ from a current-row join somewhere, or the spec is vacuous")
+  }
+
   test("hdrCells: additive under any split — shard cells sum to the full-corpus cells") {
     val ev = graft.Tables.load(spark, sf0001, "events")
       .select("event_type", "value", "event_id")
