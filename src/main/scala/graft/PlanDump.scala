@@ -69,7 +69,9 @@ object PlanDump {
       "q150_kcore" -> "round 10: k-core — slot keys compacted to dense ints via a broadcast dim before the pair fan-out (composite-key join measured 4x slower); peel rounds are degree-agg + BROADCAST anti-joins with per-round persist cuts keeping the plan O(1); alive is a fused map-side anti-join chain, never re-materialized",
       "q151_kaplan_meier" -> "round 10: Kaplan-Meier — corpus contributes one partial-agged span groupBy; the survival fold runs over the day-range-bounded life table (control-plane), scaled-integer product so the curve hash-compares",
       "q153_hdr_quantiles" -> "round 10: HDR quantiles — one partial-agged groupBy into <=2^(p+6) buckets per group (key = bucket lower bound, integer mask); the rank walk folds over the bounded sorted cell list; fully deterministic, unlike approx_percentile",
-      "q154_sketch_rollup" -> "round 10: sketch rollup — ONE corpus scan into k-bounded KMV leaf partials; every coarser lattice node is a flatten+distinct+slice merge over leaf ARRAYS (work ~ leaves*k, corpus-independent); cube pass carries the exact audit only")
+      "q154_sketch_rollup" -> "round 10: sketch rollup — ONE corpus scan into k-bounded KMV leaf partials; every coarser lattice node is a flatten+distinct+slice merge over leaf ARRAYS (work ~ leaves*k, corpus-independent); cube pass carries the exact audit only",
+      "q155_attribution" -> "round 10: attribution — ONE range-framed window pass collects each purchase's trailing touches (per-key rows = one user's activity); credit aggregation is map-side combinable over exploded integer micro-credit rows",
+      "q156_pit_join" -> "round 10: PIT join — equi-join on user_id + range filter (SCD2 intervals partition the timeline, so no grid/explode needed); fan-out bounded by versions-per-key; both sides shuffle once on the key")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries (sf0.1)\n\n")
     sb.append("Generated by `graft.PlanDump`; regenerate after plan-affecting changes.\n")
