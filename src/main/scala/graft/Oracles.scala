@@ -3013,5 +3013,47 @@ object Oracles {
         |  coalesce(f.state, 'unknown') AS state, coalesce(f.version, 0) AS version
         |FROM p LEFT JOIN fl f ON f.user_id = p.user_id
         |  AND f.vf <= p.ts AND (f.vt IS NULL OR p.ts < f.vt)""".stripMargin,
+
+    // q157 (bradleyTerry): the MM iterations unrolled mechanically (denom/
+    // update/renorm CTE triple per iteration, all integer // in the same
+    // canonical order as the Spark fold); MATERIALIZED because each q{t} is
+    // referenced three times by iteration t+1 (the q150 inlining lesson)
+    "q157_bradley_terry" -> {
+      val iters = 10; val S = "1048576"
+      val head =
+        s"""WITH act AS (SELECT user_id, date_trunc('day', ts) AS d,
+           |    event_type AS tp, count(*) AS ct FROM events GROUP BY 1, 2, 3),
+           |mm AS (SELECT CASE WHEN a.ct > b.ct THEN a.tp ELSE b.tp END AS winner,
+           |    CASE WHEN a.ct > b.ct THEN b.tp ELSE a.tp END AS loser
+           |  FROM act a JOIN act b ON a.user_id = b.user_id AND a.d = b.d AND a.tp < b.tp
+           |  WHERE a.ct <> b.ct),
+           |wins AS MATERIALIZED (SELECT winner, loser, count(*) AS w FROM mm GROUP BY 1, 2),
+           |nij AS MATERIALIZED (SELECT i, j, cast(sum(w) as bigint) AS n FROM (
+           |    SELECT winner AS i, loser AS j, w FROM wins
+           |    UNION ALL SELECT loser, winner, w FROM wins) GROUP BY 1, 2),
+           |ty AS MATERIALIZED (SELECT t.tp, coalesce(wi.w, 0) AS wi, coalesce(mi.n, 0) AS mi
+           |  FROM (SELECT DISTINCT event_type AS tp FROM events) t
+           |  LEFT JOIN (SELECT winner AS tp, cast(sum(w) as bigint) AS w FROM wins GROUP BY 1) wi ON wi.tp = t.tp
+           |  LEFT JOIN (SELECT i AS tp, cast(sum(n) as bigint) AS n FROM nij GROUP BY 1) mi ON mi.tp = t.tp),
+           |kk AS (SELECT count(*) AS k FROM ty),
+           |q0 AS (SELECT tp, $S::BIGINT AS p FROM ty)""".stripMargin
+      val steps = (1 to iters).map { t =>
+        s"""d$t AS MATERIALIZED (SELECT n.i AS tp,
+           |    cast(sum((n.n * $S * $S) // (pi.p + pj.p)) as bigint) AS den
+           |  FROM nij n JOIN q${t - 1} pi ON pi.tp = n.i JOIN q${t - 1} pj ON pj.tp = n.j
+           |  GROUP BY 1),
+           |m$t AS MATERIALIZED (SELECT ty.tp, cast(CASE WHEN coalesce(d.den, 0) = 0 THEN p.p
+           |    ELSE (ty.wi * $S * $S) // d.den END as bigint) AS p
+           |  FROM ty JOIN q${t - 1} p ON p.tp = ty.tp LEFT JOIN d$t d ON d.tp = ty.tp),
+           |q$t AS MATERIALIZED (SELECT tp,
+           |    cast((p * (SELECT k FROM kk) * $S) // (SELECT sum(p) FROM m$t) as bigint) AS p
+           |  FROM m$t)""".stripMargin
+      }.mkString(",\n")
+      head + ",\n" + steps + "\n" +
+        s"""SELECT ty.tp AS event_type, ty.wi AS wins, ty.mi AS matches,
+           |  q.p AS strength_scaled, cast(q.p as double) / $S AS strength,
+           |  cast(row_number() OVER (ORDER BY q.p DESC, ty.tp) as int) AS rank
+           |FROM ty JOIN q$iters q ON q.tp = ty.tp""".stripMargin
+    },
   )
 }

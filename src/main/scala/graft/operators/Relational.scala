@@ -2340,6 +2340,92 @@ object Relational {
       .groupBy("event_type", "lo")
       .agg(count(lit(1)).as("ct"))
 
+  /** BRADLEY–TERRY PAIRWISE RANKING (q157) [Bradley & Terry 1952; Hunter's
+    * MM algorithm, Ann. Stat. 2004] — global strengths from pairwise
+    * outcomes, the aggregation an LLM-eval pipeline runs over human/judge
+    * preference pairs (arena-style win/loss → model ranking). Elo — the
+    * other standard — is SEQUENTIAL: each update depends on the previous
+    * rating, so the result depends on match ORDER, which a distributed
+    * shuffle does not preserve; Bradley–Terry's likelihood depends only on
+    * the win MATRIX (order-free, partial-agg-friendly), which is why it —
+    * not Elo — is the distributed-native choice.
+    *
+    * Matches here: per (user, day), each unordered pair of event types
+    * both active that day, won by the higher daily count (ties = no
+    * match). The MM iteration p_i ← W_i / Σ_j n_ij/(p_i+p_j) runs in
+    * 2²⁰ fixed point — every division an integer `div` in canonical
+    * order, renormalization (Σp = K·2²⁰) as separate alternating fold
+    * steps so no sub-expression needs a let-binding — and replays
+    * bit-for-bit in the oracle's mechanically-unrolled iteration CTEs
+    * (the q150 discipline). Magnitude bound: n_ij·2⁴⁰ must fit a long ⇒
+    * n_ij < 2²³ ≈ 8.4M matches per pair; lift to decimal(38,0) beyond.
+    *
+    * Scale shape: the corpus contributes ONE partial-agged (user, day,
+    * type) count; the pair fan-out is per (user, day) with ≤ C(K,2) rows
+    * each (K = #types, bounded); the iteration folds over the K-row /
+    * K²-pair control-plane frame in one expression — no per-iteration
+    * action, no driver loop state. */
+  def bradleyTerry(spark: SparkSession, dir: String, iters: Int = 10): DataFrame = {
+    val S = 1048576L // 2^20 fixed point
+    val act = t(spark, dir, "events")
+      .groupBy(col("user_id"), date_trunc("day", col("event_time")).as("d"),
+        col("event_type").as("tp"))
+      .agg(count(lit(1)).as("ct"))
+    val m = act.as("a").join(act.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.d") === col("b.d") &&
+        col("a.tp") < col("b.tp"))
+      .filter(col("a.ct") =!= col("b.ct"))
+      .select(
+        when(col("a.ct") > col("b.ct"), col("a.tp")).otherwise(col("b.tp")).as("winner"),
+        when(col("a.ct") > col("b.ct"), col("b.tp")).otherwise(col("a.tp")).as("loser"))
+    val wins = m.groupBy("winner", "loser").agg(count(lit(1)).as("w")).persist()
+    // directed pair totals: n(i,j) = wins(i over j) + wins(j over i)
+    val nij = wins.select(col("winner").as("i"), col("loser").as("j"), col("w"))
+      .unionByName(wins.select(col("loser").as("i"), col("winner").as("j"), col("w")))
+      .groupBy("i", "j").agg(sum(col("w")).as("n"))
+    val perType = t(spark, dir, "events").select(col("event_type").as("tp")).distinct()
+      .join(wins.groupBy(col("winner").as("tp")).agg(sum(col("w")).as("wi")), Seq("tp"), "left")
+      .join(nij.groupBy(col("i").as("tp")).agg(sum(col("n")).as("mi")), Seq("tp"), "left")
+      .select(col("tp"), coalesce(col("wi"), lit(0L)).as("wi"),
+        coalesce(col("mi"), lit(0L)).as("mi"))
+    val typesRow = perType
+      .agg(sort_array(collect_list(struct(col("tp"), col("wi"), col("mi")))).as("tw"))
+    val pairsRow = nij
+      .agg(sort_array(collect_list(struct(col("i"), col("j"), col("n")))).as("pr"))
+    val folded = typesRow.crossJoin(pairsRow) // two 1-row control-plane frames
+      .withColumn("tps", expr("transform(tw, t -> t.tp)"))
+      .withColumn("ws", expr("transform(tw, t -> t.wi)"))
+      .withColumn("pairs", expr(
+        """transform(pr, q -> named_struct(
+          |  'ii', cast(array_position(tps, q.i) as int),
+          |  'jj', cast(array_position(tps, q.j) as int), 'n', q.n))""".stripMargin))
+      .withColumn("k", size(col("tps")))
+      // alternating fold: odd step = MM update, even step = renormalize to
+      // sum K*S (fixed-point floors would otherwise drift the scale)
+      .withColumn("p", expr(
+        s"""aggregate(sequence(1, ${2 * iters}),
+           |  transform(tps, t -> ${S}L),
+           |  (p, it) -> CASE WHEN it % 2 = 1 THEN
+           |    transform(sequence(1, k), i ->
+           |      CASE WHEN aggregate(filter(pairs, q -> q.ii = i), 0L,
+           |          (a, q) -> a + (q.n * ${S}L * ${S}L)
+           |            div (element_at(p, i) + element_at(p, q.jj))) = 0L
+           |        THEN element_at(p, i)
+           |      ELSE (element_at(ws, i) * ${S}L * ${S}L)
+           |        div aggregate(filter(pairs, q -> q.ii = i), 0L,
+           |          (a, q) -> a + (q.n * ${S}L * ${S}L)
+           |            div (element_at(p, i) + element_at(p, q.jj))) END)
+           |  ELSE transform(p, x -> (x * k * ${S}L)
+           |    div aggregate(p, 0L, (a, y) -> a + y)) END)""".stripMargin))
+    folded
+      .select(posexplode(arrays_zip(col("tw"), col("p"))).as(Seq("pos", "z")))
+      .select(col("z.tw.tp").as("event_type"), col("z.tw.wi").as("wins"),
+        col("z.tw.mi").as("matches"), col("z.p").as("strength_scaled"),
+        (col("z.p").cast("double") / S.toDouble).as("strength"))
+      .withColumn("rank", row_number().over( // K-row control-plane window
+        Window.orderBy(col("strength_scaled").desc, col("event_type"))).cast("int"))
+  }
+
   /** SKETCH ROLLUP LATTICE (q154) — distinct-user counts for EVERY node of
     * the (event_type × day) grouping lattice from ONE scan's mergeable
     * partials. The naive form runs count(distinct) per lattice node — N

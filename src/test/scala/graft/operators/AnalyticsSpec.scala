@@ -752,6 +752,55 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
+  // ---------------- q157 Bradley-Terry ----------------
+
+  test("bradleyTerry: win matrix and scaled-integer MM iterations match a driver replay; ranking ordered") {
+    val S = 1048576L; val iters = 10
+    val act = graft.Tables.load(spark, sf0001, "events")
+      .groupBy(col("user_id"), date_trunc("day", col("event_time")).as("d"),
+        col("event_type"))
+      .agg(count(lit(1)).as("ct"))
+      .as[(Long, java.sql.Timestamp, String, Long)].collect()
+    val wins = collection.mutable.Map.empty[(String, String), Long]
+    act.groupBy(r => (r._1, r._2)).values.foreach { grp =>
+      val byTp = grp.map(r => r._3 -> r._4)
+      for (a <- byTp; b <- byTp if a._1 < b._1 && a._2 != b._2) {
+        val (w, l) = if (a._2 > b._2) (a._1, b._1) else (b._1, a._1)
+        wins((w, l)) = wins.getOrElse((w, l), 0L) + 1
+      }
+    }
+    val types = act.map(_._3).distinct.sorted
+    val k = types.length
+    def n(i: String, j: String) = wins.getOrElse((i, j), 0L) + wins.getOrElse((j, i), 0L)
+    val wi = types.map(t => types.filter(_ != t).map(o => wins.getOrElse((t, o), 0L)).sum)
+    val mi = types.map(t => types.filter(_ != t).map(o => n(t, o)).sum)
+    var p = Array.fill(k)(S)
+    for (_ <- 1 to iters) {
+      val upd = (0 until k).map { i =>
+        val den = (0 until k).filter(j => j != i && n(types(i), types(j)) > 0)
+          .map(j => n(types(i), types(j)) * S * S / (p(i) + p(j))).sum
+        if (den == 0) p(i) else wi(i) * S * S / den
+      }.toArray
+      val tot = upd.sum
+      p = upd.map(x => x * k * S / tot)
+    }
+    val got = Relational.bradleyTerry(spark, sf0001)
+      .as[(String, Long, Long, Long, Double, Int)].collect().sortBy(_._6)
+    assert(got.map(_._1).toSet == types.toSet)
+    got.foreach { case (tp, w, m, scaled, strength, _) =>
+      val i = types.indexOf(tp)
+      assert(w == wi(i), s"wins($tp)")
+      assert(m == mi(i), s"matches($tp)")
+      assert(scaled == p(i), s"MM fold mismatch at $tp")
+      assert(strength == scaled.toDouble / S)
+    }
+    // rank is (strength desc, type asc) and the fixture has a real ordering
+    assert(got.map(_._6).toSeq == (1 to k))
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 > b._4 || (a._4 == b._4 && a._1 < b._1)); case _ => }
+    assert(got.head._4 != got.last._4, "fixture must produce a non-flat ranking")
+  }
+
   // ---------------- q155 multi-touch attribution ----------------
 
   test("touchAttribution: first/last/linear credits match a driver replay; credit is conserved") {
