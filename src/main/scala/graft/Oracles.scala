@@ -3055,5 +3055,24 @@ object Oracles {
            |  cast(row_number() OVER (ORDER BY q.p DESC, ty.tp) as int) AS rank
            |FROM ty JOIN q$iters q ON q.tp = ty.tp""".stripMargin
     },
+
+    // q158 (trendingScores): anchored dyadic decay replayed with the same
+    // integer shifts; score is the exact dyadic raw/2^maxweek
+    "q158_trending" ->
+      """WITH e AS (SELECT cast(json_extract_string(props, '$.k') as int) AS item,
+        |    date_trunc('day', ts) AS d FROM events),
+        |b AS (SELECT min(d) AS d0, max(d) AS d1 FROM e),
+        |s AS (SELECT item, count(*) AS total_ct,
+        |    cast(sum(1::BIGINT << cast(date_diff('day', b.d0, e.d) // 7 as int)) as bigint) AS raw_scaled,
+        |    max(date_diff('day', b.d0, b.d1) // 7) AS maxw
+        |  FROM e, b GROUP BY 1)
+        |SELECT item, total_ct, raw_scaled,
+        |  cast(raw_scaled as double)
+        |    / cast((1::BIGINT << cast(maxw as int)) as double) AS score,
+        |  cast(raw_scaled as double)
+        |    / cast((1::BIGINT << cast(maxw as int)) as double)
+        |    <= cast(total_ct as double) AS bound_ok,
+        |  cast(row_number() OVER (ORDER BY raw_scaled DESC, item) as int) AS rank
+        |FROM s""".stripMargin,
   )
 }

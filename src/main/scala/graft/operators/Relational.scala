@@ -2426,6 +2426,48 @@ object Relational {
         Window.orderBy(col("strength_scaled").desc, col("event_type"))).cast("int"))
   }
 
+  /** TIME-DECAYED TRENDING SCORES (q158) — recency-weighted popularity per
+    * item (props.k), the trending/ranking primitive: an event's weight
+    * halves per week of age, so a recently-hot item outranks a historically
+    * popular one. The design decision that matters at scale: decay is
+    * ANCHORED TO EVENT TIME (contribution = 2^(weeks since corpus start),
+    * normalized by 2^maxweek at read), NOT to "now" — anchored
+    * contributions are per-event constants, so the per-item score is a
+    * plain SUM: additive, partial-agg-combinable, mergeable across shards,
+    * and maintainable as an exactly-once streaming cell store (the
+    * TopKStream linearity discipline) with NO state rewrite as time
+    * advances; a decay-at-read design (stored · λ^Δ) computes the same
+    * ranking but must rescale or re-anchor state. Dyadic weights (2^w,
+    * never λ^t via pow) keep every number integer-exact: raw sums and the
+    * final score (an exact dyadic raw/2^maxw) hash-compare. A corpus
+    * spanning > 63 weeks would wrap the shift — silently, but the wrapped
+    * weight makes score > total_ct, so the bound_ok tripwire below trips;
+    * multi-year corpora re-anchor per epoch (drop fully-decayed epochs) or
+    * lift the sum to decimal(38,0).
+    *
+    * `score ≤ total_ct` rides as the deterministic tripwire (every
+    * normalized contribution ≤ 1). One partial-agged groupBy over the
+    * corpus; the rank window runs on the bounded item-domain frame. */
+  def trendingScores(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events").select(
+      get_json_object(col("props"), "$.k").cast("int").as("item"),
+      date_trunc("day", col("event_time")).as("d"))
+    val bounds = ev.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+    val scored = ev.crossJoin(broadcast(bounds)) // 1-row bounds frame
+      .groupBy("item")
+      .agg(count(lit(1)).as("total_ct"),
+        sum(expr("shiftleft(1L, cast(datediff(d, d0) div 7 as int))"))
+          .as("raw_scaled"),
+        max(expr("datediff(d1, d0) div 7")).as("maxw"))
+    scored
+      .withColumn("score", col("raw_scaled").cast("double")
+        / expr("cast(shiftleft(1L, cast(maxw as int)) as double)"))
+      .select(col("item"), col("total_ct"), col("raw_scaled"), col("score"),
+        (col("score") <= col("total_ct").cast("double")).as("bound_ok"))
+      .withColumn("rank", row_number().over( // bounded item-domain window
+        Window.orderBy(col("raw_scaled").desc, col("item"))).cast("int"))
+  }
+
   /** SKETCH ROLLUP LATTICE (q154) — distinct-user counts for EVERY node of
     * the (event_type × day) grouping lattice from ONE scan's mergeable
     * partials. The naive form runs count(distinct) per lattice node — N

@@ -801,6 +801,42 @@ class AnalyticsSpec extends SparkSuite {
     assert(got.head._4 != got.last._4, "fixture must produce a non-flat ranking")
   }
 
+  // ---------------- q158 trending ----------------
+
+  test("trendingScores: anchored dyadic decay matches a driver replay; raw scores shard-additive") {
+    val ev = graft.Tables.load(spark, sf0001, "events")
+      .select(get_json_object(col("props"), "$.k").cast("int").as[Int],
+        date_trunc("day", col("event_time")).cast("date").as[java.sql.Date],
+        col("event_id").as[Long])
+      .collect()
+    val d0 = ev.map(_._2.toLocalDate).min
+    val d1 = ev.map(_._2.toLocalDate).max
+    val maxw = java.time.temporal.ChronoUnit.DAYS.between(d0, d1) / 7
+    def w(d: java.sql.Date) =
+      java.time.temporal.ChronoUnit.DAYS.between(d0, d.toLocalDate) / 7
+    val want = ev.groupBy(_._1).map { case (item, rows) =>
+      item -> ((rows.length.toLong, rows.map(r => 1L << w(r._2)).sum))
+    }
+    val got = Relational.trendingScores(spark, sf0001)
+      .as[(Int, Long, Long, Double, Boolean, Int)].collect()
+    assert(got.map(_._1).toSet == want.keySet)
+    got.foreach { case (item, ct, raw, score, ok, _) =>
+      assert((ct, raw) == want(item), s"item $item")
+      assert(score == raw.toDouble / (1L << maxw).toDouble)
+      assert(ok)
+    }
+    // recency matters: ranking must differ from plain-popularity ranking
+    val byRaw = got.sortBy(r => (-r._3, r._1)).map(_._1).toSeq
+    val byCt = got.sortBy(r => (-r._2, r._1)).map(_._1).toSeq
+    assert(byRaw != byCt, "decayed ranking must differ from total-count ranking on this corpus")
+    // additivity (the streaming-maintenance property): shard sums equal the full raw
+    val shards = (0 to 2).map(i => ev.filter(_._3 % 3 == i))
+    val merged = shards.flatMap(_.groupBy(_._1).map { case (item, rows) =>
+      item -> rows.map(r => 1L << w(r._2)).sum
+    }).groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(merged == want.view.mapValues(_._2).toMap)
+  }
+
   // ---------------- q155 multi-touch attribution ----------------
 
   test("touchAttribution: first/last/linear credits match a driver replay; credit is conserved") {
