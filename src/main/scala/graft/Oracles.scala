@@ -3057,15 +3057,17 @@ object Oracles {
     },
 
     // q158 (trendingScores): anchored dyadic decay replayed with the same
-    // integer shifts; score is the exact dyadic raw/2^maxweek
+    // integer shifts over absolute (Monday-epoch) weeks, re-anchored to the
+    // observed span; score is the exact dyadic raw/2^span
     "q158_trending" ->
-      """WITH e AS (SELECT cast(json_extract_string(props, '$.k') as int) AS item,
-        |    date_trunc('day', ts) AS d FROM events),
-        |b AS (SELECT min(d) AS d0, max(d) AS d1 FROM e),
-        |s AS (SELECT item, count(*) AS total_ct,
-        |    cast(sum(1::BIGINT << cast(date_diff('day', b.d0, e.d) // 7 as int)) as bigint) AS raw_scaled,
-        |    max(date_diff('day', b.d0, b.d1) // 7) AS maxw
-        |  FROM e, b GROUP BY 1)
+      """WITH c AS (SELECT cast(json_extract_string(props, '$.k') as int) AS item,
+        |    date_diff('day', DATE '1970-01-05', date_trunc('day', ts)) // 7 AS w,
+        |    count(*) AS ct FROM events GROUP BY 1, 2),
+        |b AS (SELECT min(w) AS w0, max(w) AS w1 FROM c),
+        |s AS (SELECT item, cast(sum(ct) as bigint) AS total_ct,
+        |    cast(sum(ct * (1::BIGINT << cast(c.w - b.w0 as int))) as bigint) AS raw_scaled,
+        |    max(b.w1 - b.w0) AS maxw
+        |  FROM c, b GROUP BY 1)
         |SELECT item, total_ct, raw_scaled,
         |  cast(raw_scaled as double)
         |    / cast((1::BIGINT << cast(maxw as int)) as double) AS score,

@@ -2430,14 +2430,15 @@ object Relational {
     * item (props.k), the trending/ranking primitive: an event's weight
     * halves per week of age, so a recently-hot item outranks a historically
     * popular one. The design decision that matters at scale: decay is
-    * ANCHORED TO EVENT TIME (contribution = 2^(weeks since corpus start),
-    * normalized by 2^maxweek at read), NOT to "now" — anchored
-    * contributions are per-event constants, so the per-item score is a
-    * plain SUM: additive, partial-agg-combinable, mergeable across shards,
-    * and maintainable as an exactly-once streaming cell store (the
-    * TopKStream linearity discipline) with NO state rewrite as time
-    * advances; a decay-at-read design (stored · λ^Δ) computes the same
-    * ranking but must rescale or re-anchor state. Dyadic weights (2^w,
+    * ANCHORED TO EVENT TIME (contribution = 2^(event's absolute week),
+    * normalized by the observed week span at read), NOT to "now" —
+    * anchored contributions are per-event constants, so the per-item state
+    * is a plain SUM of (item, week) counts: additive,
+    * partial-agg-combinable, mergeable across shards, and maintainable as
+    * an exactly-once streaming cell store (the TopKStream linearity
+    * discipline) with NO state rewrite as time advances; a decay-at-read
+    * design (stored · λ^Δ) computes the same ranking but must rescale or
+    * re-anchor state. Dyadic weights (2^w,
     * never λ^t via pow) keep every number integer-exact: raw sums and the
     * final score (an exact dyadic raw/2^maxw) hash-compare. A corpus
     * spanning > 63 weeks would wrap the shift — silently, but the wrapped
@@ -2448,18 +2449,34 @@ object Relational {
     * `score ≤ total_ct` rides as the deterministic tripwire (every
     * normalized contribution ≤ 1). One partial-agged groupBy over the
     * corpus; the rank window runs on the bounded item-domain frame. */
-  def trendingScores(spark: SparkSession, dir: String): DataFrame = {
-    val ev = t(spark, dir, "events").select(
-      get_json_object(col("props"), "$.k").cast("int").as("item"),
-      date_trunc("day", col("event_time")).as("d"))
-    val bounds = ev.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
-    val scored = ev.crossJoin(broadcast(bounds)) // 1-row bounds frame
+  def trendingScores(spark: SparkSession, dir: String): DataFrame =
+    trendingFromCells(trendCells(t(spark, dir, "events")))
+
+  /** The q158 additive state: per (item, absolute week) event counts.
+    * Weeks are ABSOLUTE (Monday-epoch `1970-01-05` anchored), not
+    * corpus-relative — so a batch's cells are constants independent of
+    * what else has been absorbed, which is what lets the streaming twin
+    * ([[graft.streaming.TrendStream]]) merge them with the plain additive
+    * epoch-gated discipline and still agree with this batch operator
+    * EXACTLY (relative anchors would shift week boundaries per batch). */
+  def trendCells(df: DataFrame): DataFrame =
+    df.select(get_json_object(col("props"), "$.k").cast("int").as("item"),
+        expr("datediff(date_trunc('day', event_time), date'1970-01-05') div 7")
+          .as("w"))
+      .groupBy("item", "w").agg(count(lit(1)).as("ct"))
+
+  /** Rank walk over (item, w, ct) cells → the q158 output shape. Decay is
+    * re-anchored to the STORE's own week span at read time (raw =
+    * Σ ct·2^(w−minw), score = raw/2^(maxw−minw)) — cells stay plain counts,
+    * so no stored value ever needs rewriting as time advances and the
+    * shift width is bounded by the observed span. */
+  def trendingFromCells(cells: DataFrame): DataFrame = {
+    val bounds = cells.agg(min(col("w")).as("w0"), max(col("w")).as("w1"))
+    cells.crossJoin(broadcast(bounds)) // 1-row bounds frame
       .groupBy("item")
-      .agg(count(lit(1)).as("total_ct"),
-        sum(expr("shiftleft(1L, cast(datediff(d, d0) div 7 as int))"))
-          .as("raw_scaled"),
-        max(expr("datediff(d1, d0) div 7")).as("maxw"))
-    scored
+      .agg(sum(col("ct")).as("total_ct"),
+        sum(expr("ct * shiftleft(1L, cast(w - w0 as int))")).as("raw_scaled"),
+        max(expr("w1 - w0")).as("maxw"))
       .withColumn("score", col("raw_scaled").cast("double")
         / expr("cast(shiftleft(1L, cast(maxw as int)) as double)"))
       .select(col("item"), col("total_ct"), col("raw_scaled"), col("score"),
@@ -2494,7 +2511,16 @@ object Relational {
     * column and keep the sketch path: leaf partials are reusable (new day
     * = new leaves + re-merge, the q115 incremental discipline), and any
     * ad-hoc slice union (type IN (...), date range) is answerable from the
-    * stored partials without touching the corpus. */
+    * stored partials without touching the corpus.
+    *
+    * Measured crossover (MicrobenchRollup, PLANS.md): at sf0.1 the cube
+    * pass WINS (0.39 s vs 0.96 s) — leaves hold ~107 users < k, so the
+    * KMV forward bound never binds and the hashing is pure overhead. The
+    * sketch's regime is users-per-leaf ≫ k, where cube's expand (node
+    * count × every corpus row into the distinct shuffle) and
+    * count(distinct)'s cardinality-proportional buffers blow up while the
+    * sketch still shuffles ≤ k rows per (leaf, mapper) — plus the
+    * partial-reuse story, which no one-shot form has. */
   def sketchRollup(spark: SparkSession, dir: String, k: Int = 512,
                    tol: Double = 0.15): DataFrame = {
     val theta1 = 4503599627370496L // 2^52 = hash domain size

@@ -32,26 +32,11 @@ object HdrStream {
   /** Merge one micro-batch of (event_type, value) rows into the cell store.
     * Idempotent per (cell, epoch). */
   def applyBatch(spark: SparkSession, delta: DataFrame, cellsPath: String,
-                 epoch: Long, p: Int = 5): Unit = {
-    val d = Relational.hdrCells(delta, p)
-      .withColumn("cell", concat_ws("|", col("event_type"), col("lo")))
-    val merged =
-      if (!Io.dimStoreHasData(cellsPath)) d.withColumn("last_epoch", lit(epoch))
-      else {
-        val s = Io.readDim(spark, cellsPath)
-        val fresh = d
-          .join(s.select(col("cell"), col("last_epoch").as("__se")), Seq("cell"), "left")
-          .filter(col("__se").isNull || col("__se") < epoch)
-          .drop("__se")
-        val prev = s.join(fresh.select("cell"), Seq("cell"), "left_semi")
-          .select(col("cell"), col("ct").as("__pc"))
-        fresh.join(prev, Seq("cell"), "left")
-          .select(col("cell"), col("event_type"), col("lo"),
-            (col("ct") + coalesce(col("__pc"), lit(0L))).as("ct"),
-            lit(epoch).as("last_epoch"))
-      }
-    Io.upsertDim(spark, merged, cellsPath, "cell", "last_epoch")
-  }
+                 epoch: Long, p: Int = 5): Unit =
+    CellStore.mergeAdditive(spark,
+      Relational.hdrCells(delta, p)
+        .withColumn("cell", concat_ws("|", col("event_type"), col("lo"))),
+      cellsPath, epoch, "ct")
 
   /** Current per-group quantile envelopes from the maintained cells — the
     * q153 output shape, definitionally equal to the batch operator over

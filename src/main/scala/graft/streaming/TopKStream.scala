@@ -65,24 +65,9 @@ object TopKStream {
   def applyBatch(spark: SparkSession, delta: DataFrame, cellsPath: String,
                  candPath: String, epoch: Long, topN: Int = 10,
                  batchCand: Int = 32): Unit = {
-    val d = cellAgg(delta)
-      .withColumn("cell", concat_ws("|", col("r"), col("b")))
-    val mergedCells =
-      if (!Io.dimStoreHasData(cellsPath)) d.withColumn("last_epoch", lit(epoch))
-      else {
-        val s = Io.readDim(spark, cellsPath)
-        val fresh = d
-          .join(s.select(col("cell"), col("last_epoch").as("__se")), Seq("cell"), "left")
-          .filter(col("__se").isNull || col("__se") < epoch)
-          .drop("__se")
-        val prev = s.join(fresh.select("cell"), Seq("cell"), "left_semi")
-          .select(col("cell"), col("c").as("__pc"))
-        fresh.join(prev, Seq("cell"), "left")
-          .select(col("cell"), col("r"), col("b"),
-            (col("c") + coalesce(col("__pc"), lit(0L))).as("c"),
-            lit(epoch).as("last_epoch"))
-      }
-    Io.upsertDim(spark, mergedCells, cellsPath, "cell", "last_epoch")
+    CellStore.mergeAdditive(spark,
+      cellAgg(delta).withColumn("cell", concat_ws("|", col("r"), col("b"))),
+      cellsPath, epoch, "c")
 
     // ---- candidates: only after the cells committed ----
     val candFresh = !Io.dimStoreHasData(candPath) ||

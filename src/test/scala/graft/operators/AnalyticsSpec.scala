@@ -809,11 +809,12 @@ class AnalyticsSpec extends SparkSuite {
         date_trunc("day", col("event_time")).cast("date").as[java.sql.Date],
         col("event_id").as[Long])
       .collect()
-    val d0 = ev.map(_._2.toLocalDate).min
-    val d1 = ev.map(_._2.toLocalDate).max
-    val maxw = java.time.temporal.ChronoUnit.DAYS.between(d0, d1) / 7
-    def w(d: java.sql.Date) =
-      java.time.temporal.ChronoUnit.DAYS.between(d0, d.toLocalDate) / 7
+    val anchor = java.time.LocalDate.of(1970, 1, 5) // Monday epoch
+    def wAbs(d: java.sql.Date) =
+      java.time.temporal.ChronoUnit.DAYS.between(anchor, d.toLocalDate) / 7
+    val w0 = ev.map(r => wAbs(r._2)).min
+    val maxw = ev.map(r => wAbs(r._2)).max - w0
+    def w(d: java.sql.Date) = wAbs(d) - w0
     val want = ev.groupBy(_._1).map { case (item, rows) =>
       item -> ((rows.length.toLong, rows.map(r => 1L << w(r._2)).sum))
     }
