@@ -3076,5 +3076,61 @@ object Oracles {
         |    <= cast(total_ct as double) AS bound_ok,
         |  cast(row_number() OVER (ORDER BY raw_scaled DESC, item) as int) AS rank
         |FROM s""".stripMargin,
+
+    // q159 (hierarchyFlatten): the parent chain walked one level at a time
+    // by a recursive CTE — equality with Spark's pointer-doubling is the
+    // log-rounds construction being proved against the sequential walk;
+    // converged mirrors the audit (rounds=4 covers depth 16)
+    "q159_hierarchy" ->
+      """WITH RECURSIVE walk AS (
+        |  SELECT p_partkey AS k, p_partkey AS cur, 0::BIGINT AS d FROM part
+        |  UNION ALL
+        |  SELECT k, cur // 10, d + 1 FROM walk WHERE cur > 9)
+        |SELECT k AS p_partkey, cur AS root, d AS depth,
+        |  (SELECT max(d) <= 16 FROM walk WHERE cur <= 9) AS converged
+        |FROM walk WHERE cur <= 9""".stripMargin,
+
+    // q160 (rfmSegments): HDR-bucket quintile boundaries replayed via
+    // cumulative-count windows; scores compare bucket-lo vs boundary-lo
+    // exactly as the Spark side does
+    "q160_rfm" -> {
+      def lo(c: String) =
+        s"$c // (1::BIGINT << greatest(0, length(bin($c)) - 1 - 5))" +
+          s" * (1::BIGINT << greatest(0, length(bin($c)) - 1 - 5))"
+      def bcte(mt: String) =
+        s"""${mt}bk AS (SELECT lo, count(*) AS ct
+           |  FROM (SELECT ${lo(mt)} AS lo FROM cust) GROUP BY 1),
+           |${mt}cm AS (SELECT lo, sum(ct) OVER (ORDER BY lo) AS cum,
+           |    sum(ct) OVER () AS n FROM ${mt}bk),
+           |${mt}bd AS (SELECT
+           |    min(CASE WHEN cum >= (n + 4) // 5 THEN lo END) AS b1,
+           |    min(CASE WHEN cum >= (2 * n + 4) // 5 THEN lo END) AS b2,
+           |    min(CASE WHEN cum >= (3 * n + 4) // 5 THEN lo END) AS b3,
+           |    min(CASE WHEN cum >= (4 * n + 4) // 5 THEN lo END) AS b4
+           |  FROM ${mt}cm)""".stripMargin
+      def sc(mt: String) =
+        s"1 + CASE WHEN ${lo(mt)} > ${mt}bd.b1 THEN 1 ELSE 0 END" +
+          s" + CASE WHEN ${lo(mt)} > ${mt}bd.b2 THEN 1 ELSE 0 END" +
+          s" + CASE WHEN ${lo(mt)} > ${mt}bd.b3 THEN 1 ELSE 0 END" +
+          s" + CASE WHEN ${lo(mt)} > ${mt}bd.b4 THEN 1 ELSE 0 END"
+      s"""WITH cust AS (SELECT o_custkey AS ck,
+         |    cast(date_diff('day', max(cast(o_orderdate as date)),
+         |      (SELECT max(cast(o_orderdate as date)) FROM orders)) + 1 as bigint) AS r,
+         |    count(*) AS f,
+         |    cast(sum(cast(floor(o_totalprice * 100) as bigint)) as bigint) AS m
+         |  FROM orders GROUP BY 1),
+         |${bcte("r")},
+         |${bcte("f")},
+         |${bcte("m")}
+         |SELECT custkey, recency_days, frequency, monetary_cents,
+         |  r_score, f_score, m_score,
+         |  cast(r_score * 100 + f_score * 10 + m_score as int) AS rfm
+         |FROM (SELECT ck AS custkey, r AS recency_days, f AS frequency,
+         |    m AS monetary_cents,
+         |    cast(6 - (${sc("r")}) as int) AS r_score,
+         |    cast(${sc("f")} as int) AS f_score,
+         |    cast(${sc("m")} as int) AS m_score
+         |  FROM cust, rbd, fbd, mbd)""".stripMargin
+    },
   )
 }

@@ -2426,6 +2426,119 @@ object Relational {
         Window.orderBy(col("strength_scaled").desc, col("event_type"))).cast("int"))
   }
 
+  /** HIERARCHY FLATTENING BY POINTER DOUBLING (q159) [Wyllie 1979;
+    * pointer jumping, JáJá §3] — resolve every node of a parent-chain
+    * hierarchy (category trees, org charts, reply threads) to its ROOT and
+    * DEPTH. The naive distributed form walks one level per iteration —
+    * O(depth) shuffle rounds; pointer doubling squares the jump each round
+    * (each node's known ancestor adopts THAT ancestor's known ancestor and
+    * adds the distances), so rounds = ⌈log₂ depth⌉ — the difference
+    * between 40 shuffles and 6 on a depth-40 catalog.
+    *
+    * Hierarchy here: part k's parent is k div 10 (roots = k ≤ 9), depth ≤ 5
+    * at the tested SFs — `rounds = 4` covers depth 16 and the `converged`
+    * audit column (ALL nodes done) makes an undersized round count loudly
+    * visible (the q150 discipline, per-round persist cuts keeping the plan
+    * O(1)). Every round is ONE self equi-join on the ancestor key — no
+    * broadcast needed, no driver state, skew-free (ancestor fan-in is
+    * bounded by branching factor × jump length). */
+  def hierarchyFlatten(spark: SparkSession, dir: String, rounds: Int = 4): DataFrame = {
+    def cut(df: DataFrame): DataFrame = {
+      val p = df.persist(); p.count()
+      spark.createDataFrame(p.rdd, p.schema)
+    }
+    val nodes = t(spark, dir, "part").select(col("p_partkey").as("k"))
+    var p = cut(nodes
+      .withColumn("anc", expr("k div 10"))
+      .withColumn("d", lit(1L))
+      .withColumn("done", col("k") <= 9)
+      // roots point at themselves with distance 0 so doubling is a no-op
+      .select(col("k"),
+        when(col("done"), col("k")).otherwise(col("anc")).as("anc"),
+        when(col("done"), lit(0L)).otherwise(lit(1L)).as("d"),
+        col("done")))
+    for (_ <- 1 to rounds) {
+      val q = p.select(col("k").as("qk"), col("anc").as("qanc"),
+        col("d").as("qd"), col("done").as("qdone"))
+      p = cut(p.join(q, col("anc") === col("qk"))
+        .select(col("k"),
+          when(col("done"), col("anc")).otherwise(col("qanc")).as("anc"),
+          when(col("done"), col("d")).otherwise(col("d") + col("qd")).as("d"),
+          (col("done") || col("qdone")).as("done")))
+    }
+    val conv = p.agg(count(when(!col("done"), 1)) === 0).as("c")
+    p.crossJoin(conv.toDF("converged")) // 1-row audit frame
+      .select(col("k").as("p_partkey"), col("anc").as("root"),
+        col("d").as("depth"), col("converged"))
+  }
+
+  /** RFM SEGMENTATION (q160) — the classic customer scoring: Recency
+    * (days since last order, LOWER is better), Frequency (order count),
+    * Monetary (lifetime cents), each scored into quintiles 1–5 and
+    * concatenated into the RFM segment code.
+    *
+    * The scale decision is HOW the quintile boundaries are found. ntile /
+    * percent_rank is a GLOBAL SORT of the customer frame per metric — the
+    * hot-key-free discipline this repo rejects; exact `percentile` buffers
+    * every distinct value in one agg buffer (the q42 caveat, and monetary
+    * cents are customer-cardinality distinct). Instead boundaries come
+    * from the q153 HDR cells: one bounded partial agg per metric
+    * (≤ 2ᵖ⁺⁶ buckets), boundary = bucket lower bound at rank ⌈i·n/5⌉ —
+    * deterministic, hash-exact, within 2⁻ᵖ relative of the true quintile.
+    * Scores compare each customer's own bucket-lo against the four
+    * boundaries (so boundary-bucket ties score identically — no
+    * within-bucket order dependence), via a broadcast 1-row boundary
+    * frame. Mass concentrated in one bucket can collapse adjacent
+    * boundaries (b_i = b_{i+1} ⇒ that tier is empty) — inherent to any
+    * tie-respecting quantile, not a sketch artifact. */
+  def rfmSegments(spark: SparkSession, dir: String, p: Int = 5): DataFrame = {
+    def loE(c: String): String = {
+      val s = s"greatest(0, length(bin($c)) - 1 - $p)"
+      s"$c div shiftleft(1L, $s) * shiftleft(1L, $s)"
+    }
+    val o = t(spark, dir, "orders")
+      .select(col("o_custkey").as("ck"), to_date(col("o_orderdate")).as("d"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+    val horizon = o.agg(max(col("d")).as("hd"))
+    val cust = o.crossJoin(broadcast(horizon)) // 1-row bounds frame
+      .groupBy("ck")
+      .agg((datediff(max(col("hd")), max(col("d"))) + 1).cast("long").as("r"),
+        count(lit(1)).as("f"), sum(col("cents")).as("m"))
+      .persist()
+    // quintile boundaries per metric from its HDR cells: lo at rank ceil(i*n/5)
+    def bounds(metric: String): DataFrame =
+      cust.select(expr(loE(metric)).as("lo"))
+        .groupBy("lo").agg(count(lit(1)).as("ct"))
+        .agg(sort_array(collect_list(struct(col("lo"), col("ct")))).as("rows"))
+        .withColumn("n", expr("aggregate(rows, 0L, (a, r) -> a + r.ct)"))
+        .select(expr(
+          """aggregate(rows,
+            |  named_struct('cum', 0L, 'b1', -1L, 'b2', -1L, 'b3', -1L, 'b4', -1L),
+            |  (acc, r) -> named_struct(
+            |    'cum', acc.cum + r.ct,
+            |    'b1', IF(acc.b1 >= 0L, acc.b1, IF(acc.cum + r.ct >= (n + 4L) div 5L, r.lo, -1L)),
+            |    'b2', IF(acc.b2 >= 0L, acc.b2, IF(acc.cum + r.ct >= (2L * n + 4L) div 5L, r.lo, -1L)),
+            |    'b3', IF(acc.b3 >= 0L, acc.b3, IF(acc.cum + r.ct >= (3L * n + 4L) div 5L, r.lo, -1L)),
+            |    'b4', IF(acc.b4 >= 0L, acc.b4, IF(acc.cum + r.ct >= (4L * n + 4L) div 5L, r.lo, -1L))))""".stripMargin)
+          .as(s"${metric}b"))
+    val withB = cust
+      .crossJoin(broadcast(bounds("r"))) // three 1-row boundary frames
+      .crossJoin(broadcast(bounds("f")))
+      .crossJoin(broadcast(bounds("m")))
+    def score(metric: String): Column = {
+      val b = s"${metric}b"
+      expr(s"1 + IF(${loE(metric)} > $b.b1, 1, 0) + IF(${loE(metric)} > $b.b2, 1, 0)" +
+        s" + IF(${loE(metric)} > $b.b3, 1, 0) + IF(${loE(metric)} > $b.b4, 1, 0)")
+    }
+    withB.select(col("ck").as("custkey"), col("r").as("recency_days"),
+        col("f").as("frequency"), col("m").as("monetary_cents"),
+        (lit(6) - score("r")).cast("int").as("r_score"), // recent = low days = high score
+        score("f").cast("int").as("f_score"),
+        score("m").cast("int").as("m_score"))
+      .withColumn("rfm",
+        (col("r_score") * 100 + col("f_score") * 10 + col("m_score")).cast("int"))
+  }
+
   /** TIME-DECAYED TRENDING SCORES (q158) — recency-weighted popularity per
     * item (props.k), the trending/ranking primitive: an event's weight
     * halves per week of age, so a recently-hot item outranks a historically

@@ -801,6 +801,80 @@ class AnalyticsSpec extends SparkSuite {
     assert(got.head._4 != got.last._4, "fixture must produce a non-flat ranking")
   }
 
+  // ---------------- q159 hierarchy flattening ----------------
+
+  test("hierarchyFlatten: pointer doubling equals a sequential parent-chain walk; converged") {
+    val keys = graft.Tables.load(spark, sf0001, "part")
+      .select(col("p_partkey").as[Long]).collect()
+    def walk(k: Long): (Long, Long) = {
+      var cur = k; var d = 0L
+      while (cur > 9) { cur /= 10; d += 1 }
+      (cur, d)
+    }
+    val got = Relational.hierarchyFlatten(spark, sf0001)
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(got.length == keys.length)
+    got.foreach { case (k, root, depth, conv) =>
+      val (wr, wd) = walk(k)
+      assert(root == wr && depth == wd, s"node $k")
+      assert(conv)
+      assert(root <= 9, "every root is a true root")
+    }
+    // the doubling path is only exercised if some chain needs >1 jump
+    // (sf0.001 has 200 parts -> max depth 2; depth-3/4 chains are covered
+    // by the oracle at sf0.01/sf0.1)
+    assert(got.exists(_._3 >= 2), "fixture must contain depth >= 2 chains")
+  }
+
+  // ---------------- q160 RFM ----------------
+
+  test("rfmSegments: HDR-boundary quintile scores match a driver replay; tiers roughly balanced") {
+    val p = 5
+    def lo(v: Long): Long = {
+      val s = math.max(0, (63 - java.lang.Long.numberOfLeadingZeros(v)) - p)
+      (v >> s) << s
+    }
+    val o = graft.Tables.load(spark, sf0001, "orders")
+      .select(col("o_custkey").as[Long],
+        to_date(col("o_orderdate")).cast("string").as[String],
+        floor(col("o_totalprice") * 100).cast("long").as[Long])
+      .collect()
+    val hd = o.map(_._2).max
+    def days(a: String, b: String) = java.time.temporal.ChronoUnit.DAYS.between(
+      java.time.LocalDate.parse(a), java.time.LocalDate.parse(b))
+    val cust = o.groupBy(_._1).map { case (ck, rows) =>
+      (ck, days(rows.map(_._2).max, hd) + 1, rows.length.toLong, rows.map(_._3).sum)
+    }.toSeq
+    def boundsOf(vs: Seq[Long]): Seq[Long] = {
+      val cells = vs.map(lo).groupBy(identity).view.mapValues(_.size.toLong)
+        .toSeq.sortBy(_._1)
+      val n = vs.length.toLong
+      (1 to 4).map { i =>
+        val rank = (i * n + 4) / 5
+        var cum = 0L
+        cells.find { case (_, ct) => cum += ct; cum >= rank }.get._1
+      }
+    }
+    def score(v: Long, bs: Seq[Long]) = 1 + bs.count(b => lo(v) > b)
+    val (rb, fb, mb) =
+      (boundsOf(cust.map(_._2)), boundsOf(cust.map(_._3)), boundsOf(cust.map(_._4)))
+    val want = cust.map { case (ck, r, f, m) =>
+      val (rs, fs, ms) = (6 - score(r, rb), score(f, fb), score(m, mb))
+      ck -> ((r, f, m, rs, fs, ms, rs * 100 + fs * 10 + ms))
+    }.toMap
+    val got = Relational.rfmSegments(spark, sf0001)
+      .as[(Long, Long, Long, Long, Int, Int, Int, Int)].collect()
+    assert(got.length == want.size)
+    got.foreach { case (ck, r, f, m, rs, fs, ms, rfm) =>
+      assert((r, f, m, rs, fs, ms, rfm) == want(ck), s"customer $ck")
+    }
+    // every score level in 1..5 and tiers carry real mass (uniform-ish data)
+    assert(got.forall(g => g._5 >= 1 && g._5 <= 5 && g._6 >= 1 && g._6 <= 5
+      && g._7 >= 1 && g._7 <= 5))
+    val mDist = got.groupBy(_._7).view.mapValues(_.size).toMap
+    assert(mDist.size >= 4, s"monetary tiers collapsed: $mDist")
+  }
+
   // ---------------- q158 trending ----------------
 
   test("trendingScores: anchored dyadic decay matches a driver replay; raw scores shard-additive") {
