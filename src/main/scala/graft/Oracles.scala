@@ -3132,5 +3132,40 @@ object Oracles {
          |    cast(${sc("m")} as int) AS m_score
          |  FROM cust, rbd, fbd, mbd)""".stripMargin
     },
+
+    // q161 (journeyPaths): per-(user, day) ordered type path (ties on
+    // event_id), capped at 8 steps, counted; top-50 by (journeys, path)
+    "q161_journeys" ->
+      """WITH j AS (SELECT user_id, date_trunc('day', ts) AS d,
+        |    string_agg(event_type, '>' ORDER BY epoch_us(ts), event_id) FILTER (
+        |      WHERE rn <= 8) AS path
+        |  FROM (SELECT user_id, ts, event_id, event_type,
+        |      row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+        |        ORDER BY epoch_us(ts), event_id) AS rn
+        |    FROM events)
+        |  GROUP BY 1, 2),
+        |p AS (SELECT path, count(*) AS journeys,
+        |    count(DISTINCT user_id) AS users FROM j GROUP BY 1)
+        |SELECT path, journeys, users,
+        |  cast(row_number() OVER (ORDER BY journeys DESC, path) as int) AS rank
+        |FROM p QUALIFY rank <= 50""".stripMargin,
+
+    // q162 (rankMovers): last-full-week vs prior-week item counts off one
+    // scan; row_number ranks on (ct desc, item); absent weeks count 0
+    "q162_rank_movers" ->
+      """WITH e AS (SELECT cast(json_extract_string(props, '$.k') as int) AS item,
+        |    date_diff('day', DATE '1970-01-05', date_trunc('day', ts)) // 7 AS w
+        |  FROM events),
+        |b AS (SELECT max(w) AS w1 FROM e),
+        |wk AS (SELECT item,
+        |    cast(sum(CASE WHEN w = b.w1 THEN 1 ELSE 0 END) as bigint) AS cur_ct,
+        |    cast(sum(CASE WHEN w = b.w1 - 1 THEN 1 ELSE 0 END) as bigint) AS prev_ct
+        |  FROM e, b WHERE w >= b.w1 - 1 GROUP BY 1)
+        |SELECT item, prev_ct, cur_ct,
+        |  cast(row_number() OVER (ORDER BY prev_ct DESC, item) as int) AS prev_rank,
+        |  cast(row_number() OVER (ORDER BY cur_ct DESC, item) as int) AS cur_rank,
+        |  cast(row_number() OVER (ORDER BY prev_ct DESC, item)
+        |    - row_number() OVER (ORDER BY cur_ct DESC, item) as int) AS rank_delta
+        |FROM wk""".stripMargin,
   )
 }

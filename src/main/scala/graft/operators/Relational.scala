@@ -2472,6 +2472,65 @@ object Relational {
         col("d").as("depth"), col("converged"))
   }
 
+  /** TOP USER-JOURNEY PATHS (q161) — the "how do users actually move
+    * through the product" query: each (user, day) is a journey, its path
+    * is the day's event types in time order (capped at the first 8 steps —
+    * the cap keeps the path string bounded no matter how hot a user-day
+    * is), and the output is every path's frequency plus distinct users,
+    * most common first. Ties in event ordering break on event_id
+    * (`sort_array` on (tsm, eid, type) — collect_list order is
+    * plan-dependent, the sort makes it not matter; same discipline as
+    * q155).
+    *
+    * Scale shape: ONE groupBy to the (user, day) grain (per-key state =
+    * one day of one user's events, bounded), one partial-agged count per
+    * path; distinct users per path is exact because user is IN the
+    * pre-aggregated grain (count distinct over the journey frame, not the
+    * corpus). The path-rank window runs over the path-domain frame
+    * (≤ 5^8 possible, far fewer real). */
+  def journeyPaths(spark: SparkSession, dir: String, cap: Int = 8): DataFrame = {
+    val j = t(spark, dir, "events")
+      .select(col("user_id"), date_trunc("day", col("event_time")).as("d"),
+        unix_micros(col("event_time")).as("tsm"), col("event_id").as("eid"),
+        col("event_type").as("tp"))
+      .groupBy("user_id", "d")
+      .agg(concat_ws(">", slice(expr(
+        "transform(sort_array(collect_list(struct(tsm, eid, tp))), s -> s.tp)"),
+        1, cap)).as("path"))
+    j.groupBy("path")
+      .agg(count(lit(1)).as("journeys"), countDistinct(col("user_id")).as("users"))
+      .withColumn("rank", row_number().over( // bounded path-domain window
+        Window.orderBy(col("journeys").desc, col("path"))).cast("int"))
+      .filter(col("rank") <= 50)
+  }
+
+  /** WEEK-OVER-WEEK RANK MOVERS (q162) — the "top movers" board: items
+    * (props.k) ranked by activity in the corpus's LAST full week vs the
+    * week before, with the rank delta. Pure composition — two filtered
+    * partial-agg counts off one scan, a full outer join on the bounded
+    * item domain, dense ranks on (count desc, item) — but the useful kind:
+    * absent-in-a-week items rank LAST in that week (coalesce to 0 events)
+    * rather than vanishing, so a debut or a die-off shows as a real move.
+    * Weeks are the q158 absolute Monday-epoch weeks. */
+  def rankMovers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events").select(
+      get_json_object(col("props"), "$.k").cast("int").as("item"),
+      expr("datediff(date_trunc('day', event_time), date'1970-01-05') div 7")
+        .as("w"))
+    val bounds = ev.agg(max(col("w")).as("w1"))
+    val wk = ev.crossJoin(broadcast(bounds)) // 1-row bounds frame
+      .filter(col("w") >= col("w1") - 1)
+      .groupBy("item")
+      .agg(sum(when(col("w") === col("w1"), 1L).otherwise(0L)).as("cur_ct"),
+        sum(when(col("w") === col("w1") - 1, 1L).otherwise(0L)).as("prev_ct"))
+    wk.withColumn("cur_rank", row_number().over( // bounded item-domain windows
+        Window.orderBy(col("cur_ct").desc, col("item"))).cast("int"))
+      .withColumn("prev_rank", row_number().over(
+        Window.orderBy(col("prev_ct").desc, col("item"))).cast("int"))
+      .withColumn("rank_delta", (col("prev_rank") - col("cur_rank")).cast("int"))
+      .select("item", "prev_ct", "cur_ct", "prev_rank", "cur_rank", "rank_delta")
+  }
+
   /** RFM SEGMENTATION (q160) — the classic customer scoring: Recency
     * (days since last order, LOWER is better), Frequency (order count),
     * Monetary (lifetime cents), each scored into quintiles 1–5 and

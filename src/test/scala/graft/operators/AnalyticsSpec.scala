@@ -875,6 +875,59 @@ class AnalyticsSpec extends SparkSuite {
     assert(mDist.size >= 4, s"monetary tiers collapsed: $mDist")
   }
 
+  // ---------------- q161 journey paths ----------------
+
+  test("journeyPaths: per-(user, day) ordered capped paths match a driver replay") {
+    val ev = graft.Tables.load(spark, sf0001, "events")
+      .select(col("user_id").as[Long],
+        date_trunc("day", col("event_time")).cast("string").as[String],
+        unix_micros(col("event_time")).as[Long], col("event_id").as[Long],
+        col("event_type").as[String])
+      .collect()
+    // .toSeq BEFORE .map: mapping a Map to (u, path) pairs would re-key by
+    // u and silently collapse a user's journeys
+    val journeys = ev.groupBy(r => (r._1, r._2)).toSeq.map { case ((u, _), rows) =>
+      (u, rows.sortBy(r => (r._3, r._4)).map(_._5).take(8).mkString(">"))
+    }
+    val want = journeys.groupBy(_._2).map { case (path, js) =>
+      path -> ((js.size.toLong, js.map(_._1).distinct.size.toLong))
+    }
+    val ranked = want.toSeq.sortBy { case (p, (j, _)) => (-j, p) }.take(50)
+      .zipWithIndex.map { case ((p, (j, u)), i) => (p, j, u, i + 1) }.toSet
+    val got = Relational.journeyPaths(spark, sf0001)
+      .as[(String, Long, Long, Int)].collect().toSet
+    assert(got == ranked)
+    assert(got.nonEmpty && got.exists(_._1.contains(">")), "multi-step paths present")
+  }
+
+  // ---------------- q162 rank movers ----------------
+
+  test("rankMovers: week-over-week ranks and deltas match a driver replay; a real mover exists") {
+    val anchor = java.time.LocalDate.of(1970, 1, 5)
+    val ev = graft.Tables.load(spark, sf0001, "events")
+      .select(get_json_object(col("props"), "$.k").cast("int").as[Int],
+        date_trunc("day", col("event_time")).cast("date").as[java.sql.Date])
+      .collect()
+      .map(r => (r._1,
+        java.time.temporal.ChronoUnit.DAYS.between(anchor, r._2.toLocalDate) / 7))
+    val w1 = ev.map(_._2).max
+    val items = ev.filter(_._2 >= w1 - 1).map(_._1).distinct
+    val cur = ev.filter(_._2 == w1).groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val prev = ev.filter(_._2 == w1 - 1).groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    def ranks(m: Map[Int, Long]) = items.map(i => (i, m.getOrElse(i, 0L)))
+      .sortBy { case (i, c) => (-c, i) }.zipWithIndex
+      .map { case ((i, _), r) => i -> (r + 1) }.toMap
+    val (cr, pr) = (ranks(cur), ranks(prev))
+    val got = Relational.rankMovers(spark, sf0001)
+      .as[(Int, Long, Long, Int, Int, Int)].collect()
+    assert(got.map(_._1).toSet == items.toSet)
+    got.foreach { case (i, pc, cc, prk, crk, d) =>
+      assert(pc == prev.getOrElse(i, 0L) && cc == cur.getOrElse(i, 0L), s"item $i counts")
+      assert(prk == pr(i) && crk == cr(i) && d == pr(i) - cr(i), s"item $i ranks")
+    }
+    assert(got.exists(_._6 != 0), "fixture must contain a real rank move")
+  }
+
   // ---------------- q158 trending ----------------
 
   test("trendingScores: anchored dyadic decay matches a driver replay; raw scores shard-additive") {
