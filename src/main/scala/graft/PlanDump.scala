@@ -71,7 +71,12 @@ object PlanDump {
       "q153_hdr_quantiles" -> "round 10: HDR quantiles — one partial-agged groupBy into <=2^(p+6) buckets per group (key = bucket lower bound, integer mask); the rank walk folds over the bounded sorted cell list; fully deterministic, unlike approx_percentile",
       "q154_sketch_rollup" -> "round 10: sketch rollup — ONE corpus scan into k-bounded KMV leaf partials; every coarser lattice node is a flatten+distinct+slice merge over leaf ARRAYS (work ~ leaves*k, corpus-independent); cube pass carries the exact audit only",
       "q155_attribution" -> "round 10: attribution — ONE range-framed window pass collects each purchase's trailing touches (per-key rows = one user's activity); credit aggregation is map-side combinable over exploded integer micro-credit rows",
-      "q156_pit_join" -> "round 10: PIT join — equi-join on user_id + range filter (SCD2 intervals partition the timeline, so no grid/explode needed); fan-out bounded by versions-per-key; both sides shuffle once on the key")
+      "q156_pit_join" -> "round 10: PIT join — equi-join on user_id + range filter (SCD2 intervals partition the timeline, so no grid/explode needed); fan-out bounded by versions-per-key; both sides shuffle once on the key",
+      "q157_bradley_terry" -> "round 10: Bradley-Terry — one partial-agged (user,day,type) count, bounded C(K,2) pair fan-out per slot, MM iterations fold over the K-row control-plane in ONE expression (no per-iteration action)",
+      "q159_hierarchy" -> "round 10: pointer doubling — O(log depth) self equi-join rounds instead of one shuffle per level; per-round persist cuts keep the plan O(1); converged audit column",
+      "q160_rfm" -> "round 10: RFM — quintile boundaries from bounded HDR cell aggs (no ntile global sort, no exact-percentile buffer over customer-cardinality values); assignment via broadcast 1-row boundary frames",
+      "q161_journeys" -> "round 10: journeys — one groupBy to the (user,day) grain with a capped sorted path, then partial-agged path counts; rank window runs over the path domain only",
+      "q162_rank_movers" -> "round 10: rank movers — two filtered conditional sums off ONE scan (no second pass per week); rank windows over the bounded item domain")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries (sf0.1)\n\n")
     sb.append("Generated by `graft.PlanDump`; regenerate after plan-affecting changes.\n")
