@@ -3167,5 +3167,107 @@ object Oracles {
         |  cast(row_number() OVER (ORDER BY prev_ct DESC, item)
         |    - row_number() OVER (ORDER BY cur_ct DESC, item) as int) AS rank_delta
         |FROM wk""".stripMargin,
+
+    // q163 (seqPatterns): gap-allowed length-2/3 subsequence support over
+    // (user, day) journeys. The oracle enumerates by POSITIONAL SELF-JOIN
+    // (rn < rn), a different construction from the Spark side's per-row HOF
+    // expansion — equality proves the candidate generation, the presence
+    // distinct, and the support counts. Same cap (8) and threshold (10).
+    "q163_seq_patterns" ->
+      """WITH c AS (SELECT user_id, d, tp, rn FROM (
+        |    SELECT user_id, date_trunc('day', ts) AS d, event_type AS tp,
+        |      row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+        |        ORDER BY epoch_us(ts), event_id) AS rn
+        |    FROM events) WHERE rn <= 8),
+        |p2 AS (SELECT DISTINCT a.user_id, a.d, a.tp || '>' || b.tp AS pattern
+        |  FROM c a JOIN c b ON a.user_id = b.user_id AND a.d = b.d
+        |    AND a.rn < b.rn),
+        |p3 AS (SELECT DISTINCT a.user_id, a.d,
+        |    a.tp || '>' || b.tp || '>' || e.tp AS pattern
+        |  FROM c a JOIN c b ON a.user_id = b.user_id AND a.d = b.d
+        |    AND a.rn < b.rn
+        |  JOIN c e ON b.user_id = e.user_id AND b.d = e.d AND b.rn < e.rn),
+        |u AS (SELECT * FROM p2 UNION ALL SELECT * FROM p3)
+        |SELECT pattern, count(*) AS journeys,
+        |  count(DISTINCT user_id) AS users
+        |FROM u GROUP BY 1 HAVING count(*) >= 10""".stripMargin,
+
+    // q164 (quotaSample): bottom-64 md5 hashes per lang stratum. The oracle
+    // ranks with a window (the construction the Spark side deliberately
+    // avoids) — equality proves the k-bounded aggregator selects exactly
+    // the window's bottom-k with the same tiebreak.
+    "q164_quota_sample" ->
+      """WITH h AS (SELECT lang, doc_id,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 13))::BIGINT AS h
+        |  FROM documents),
+        |s AS (SELECT lang, count(*) AS stratum_docs FROM h GROUP BY 1),
+        |r AS (SELECT lang, doc_id, h,
+        |    cast(row_number() OVER (PARTITION BY lang
+        |      ORDER BY h, doc_id) as int) AS r
+        |  FROM h)
+        |SELECT r.lang, s.stratum_docs, r.r, r.doc_id, r.h
+        |FROM r JOIN s USING (lang) WHERE r.r <= 64""".stripMargin,
+
+    // q165 (dayFunnel): day-grain milestone funnel. The Spark side is a
+    // row-local fold in (tsm, eid) order; the oracle replays the SAME
+    // positional semantics with struct-valued conditional mins (a click at
+    // the view's exact micros counts only if it sorts after it) — a
+    // different construction, so equality proves the fold.
+    "q165_day_funnel" ->
+      """WITH e AS (SELECT user_id, date_trunc('day', ts) AS d,
+        |    epoch_us(ts) AS tsm, event_id AS eid, event_type AS tp
+        |  FROM events),
+        |a1 AS (SELECT user_id, d,
+        |    min(struct_pack(t := tsm, e := eid)) FILTER (WHERE tp = 'view') AS v
+        |  FROM e GROUP BY 1, 2),
+        |a2 AS (SELECT e.user_id, e.d,
+        |    min(struct_pack(t := e.tsm, e := e.eid)) FILTER (
+        |      WHERE e.tp = 'click' AND a1.v IS NOT NULL
+        |        AND struct_pack(t := e.tsm, e := e.eid) > a1.v) AS c
+        |  FROM e JOIN a1 USING (user_id, d) GROUP BY 1, 2),
+        |a3 AS (SELECT e.user_id, e.d,
+        |    min(struct_pack(t := e.tsm, e := e.eid)) FILTER (
+        |      WHERE e.tp = 'purchase' AND a2.c IS NOT NULL
+        |        AND struct_pack(t := e.tsm, e := e.eid) > a2.c) AS p
+        |  FROM e JOIN a2 USING (user_id, d) GROUP BY 1, 2)
+        |SELECT strftime(a1.d, '%Y-%m-%d') AS dt, count(*) AS user_days,
+        |  count(a1.v) AS v_days, count(a2.c) AS vc_days,
+        |  count(a3.p) AS vcp_days
+        |FROM a1 JOIN a2 USING (user_id, d) JOIN a3 USING (user_id, d)
+        |GROUP BY 1""".stripMargin,
+
+    // q166 (holtTrend): scaled-integer Holt level+trend over the q122 grid,
+    // replayed as a per-type recursive CTE. The trend term goes negative;
+    // Spark `div` and DuckDB `//` both TRUNCATE toward zero (measured —
+    // an arithmetic shift would floor and diverge), so div/\// is the
+    // pinned convention.
+    "q166_holt_trend" ->
+      """WITH RECURSIVE ev AS (SELECT event_type, date_trunc('hour', ts) AS h FROM events),
+        |counts AS (SELECT event_type, h, count(*) AS ct FROM ev GROUP BY 1, 2),
+        |axis AS (SELECT unnest(generate_series((SELECT min(h) FROM ev),
+        |    (SELECT max(h) FROM ev), INTERVAL '1 hour')) AS h),
+        |grid AS (SELECT t.event_type, strftime(a.h, '%Y-%m-%d %H:00:00') AS hour,
+        |    cast(coalesce(c.ct, 0) as bigint) AS ct
+        |  FROM (SELECT DISTINCT event_type FROM counts) t
+        |  CROSS JOIN axis a
+        |  LEFT JOIN counts c ON c.event_type = t.event_type AND c.h = a.h),
+        |g AS (SELECT event_type, hour, ct,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY hour) AS rn FROM grid),
+        |rec AS (
+        |  SELECT event_type, hour, ct, rn, cast(0 as bigint) AS n,
+        |    cast(NULL as bigint) AS fc, ct * 1048576 AS l, cast(0 as bigint) AS b
+        |  FROM g WHERE rn = 1
+        |  UNION ALL
+        |  SELECT g.event_type, g.hour, g.ct, g.rn, rec.n + 1,
+        |    rec.l + rec.b AS fc,
+        |    (g.ct * 1048576 + 3 * (rec.l + rec.b)) // 4 AS l,
+        |    (((g.ct * 1048576 + 3 * (rec.l + rec.b)) // 4) - rec.l + 3 * rec.b) // 4 AS b
+        |  FROM rec JOIN g ON g.event_type = rec.event_type AND g.rn = rec.rn + 1)
+        |SELECT event_type, hour, ct,
+        |  cast(l as double) / 1048576 AS level,
+        |  cast(b as double) / 1048576 AS trend,
+        |  cast(fc as double) / 1048576 AS fcast,
+        |  coalesce(2 * abs(ct * 1048576 - fc) > greatest(fc, 5242880), false) AS anomaly
+        |FROM rec""".stripMargin,
   )
 }

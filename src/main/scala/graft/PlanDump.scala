@@ -76,7 +76,11 @@ object PlanDump {
       "q159_hierarchy" -> "round 10: pointer doubling — O(log depth) self equi-join rounds instead of one shuffle per level; per-round persist cuts keep the plan O(1); converged audit column",
       "q160_rfm" -> "round 10: RFM — quintile boundaries from bounded HDR cell aggs (no ntile global sort, no exact-percentile buffer over customer-cardinality values); assignment via broadcast 1-row boundary frames",
       "q161_journeys" -> "round 10: journeys — one groupBy to the (user,day) grain with a capped sorted path, then partial-agged path counts; rank window runs over the path domain only",
-      "q162_rank_movers" -> "round 10: rank movers — two filtered conditional sums off ONE scan (no second pass per week); rank windows over the bounded item domain")
+      "q162_rank_movers" -> "round 10: rank movers — two filtered conditional sums off ONE scan (no second pass per week); rank windows over the bounded item domain",
+      "q163_seq_patterns" -> "round 10: sequential patterns — map-only per-journey HOF expansion (<= cap^3 bounded tuples/row, array_distinct presence before counting) into ONE partial-agged pattern count; no projected databases, no candidate join",
+      "q164_quota_sample" -> "round 10: quota sample — bottom-k per stratum via the k-bounded topK partial agg (mappers forward <= cap rows/stratum); no window, no corpus sort",
+      "q165_day_funnel" -> "round 10: day funnel — one bounded (user, day) groupBy, then the row-local milestone fold (the SAME expression FunnelStream applies incrementally); daily counts partial-agg over the milestone frame",
+      "q166_holt_trend" -> "round 10: Holt trend — one partial-agged (type, hour) count; level+trend fold over the time-bounded dense axis per type (control-plane sized), shiftright floor-division for the negative trend term")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries (sf0.1)\n\n")
     sb.append("Generated by `graft.PlanDump`; regenerate after plan-affecting changes.\n")

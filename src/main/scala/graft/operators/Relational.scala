@@ -416,6 +416,73 @@ object Relational {
         count(col("p")).as("funnel_sessions"))
   }
 
+  /** DAY-GRAIN FUNNEL (q165) — the [[sessionFunnel]] chain at the (user,
+    * day) grain, built to have a STREAMING twin: first view, first click
+    * after it, first purchase after that, per user-day, then daily
+    * conversion counts. The milestone chain is [[milestoneFold]] — the
+    * SAME fold expression `streaming/FunnelStream` applies incrementally —
+    * so stream ≡ batch is definitional over in-order delivery, not two
+    * implementations argued equal. Semantics are POSITIONAL on the
+    * (tsm, event_id) total order (a click at the exact same micros as the
+    * view counts only if it sorts after it), which is what an incremental
+    * consumer can actually maintain; the oracle replays it with
+    * struct-valued conditional mins. */
+  def dayFunnel(spark: SparkSession, dir: String): DataFrame =
+    funnelCounts(userDayMilestones(t(spark, dir, "events")))
+
+  /** Per-(user, day) funnel milestones over an events frame: one bounded
+    * groupBy (state = one user's day), then the row-local [[milestoneFold]]
+    * from the empty state. */
+  def userDayMilestones(ev: DataFrame): DataFrame =
+    ev.select(col("user_id"), date_trunc("day", col("event_time")).as("d"),
+        unix_micros(col("event_time")).as("tsm"), col("event_id").as("eid"),
+        col("event_type").as("tp"))
+      .groupBy("user_id", "d")
+      .agg(sort_array(collect_list(struct(col("tsm"), col("eid"), col("tp"))))
+        .as("evs"))
+      .withColumn("m", milestoneFold(col("evs"), emptyMilestones))
+      .select(col("user_id"), col("d"), col("m.v").as("v"),
+        col("m.c").as("c"), col("m.p").as("p"), col("m.lt").as("lt"))
+
+  /** The empty milestone state: no stage reached, nothing absorbed. */
+  def emptyMilestones: Column =
+    struct(lit(null).cast("long").as("v"), lit(null).cast("long").as("c"),
+      lit(null).cast("long").as("p"), lit(-1L).as("lt"))
+
+  /** The funnel milestone fold — ONE definition for the batch q165 and the
+    * streaming maintainer: events apply in (tsm, event_id) order; a view
+    * sets `v` if unset, a click sets `c` only once `v` is set, a purchase
+    * sets `p` only once `c` is set; `lt` tracks the last absorbed micros.
+    * The first branch drops CROSS-BATCH stragglers older than the absorbed
+    * frontier (the Scd2Stream watermark discipline — a late view cannot
+    * retroactively re-qualify clicks the compacted state no longer holds;
+    * in-batch disorder is owned by the sort upstream). Milestones need no
+    * explicit ts comparisons: in-order application makes `v ≤ c ≤ p`
+    * invariant by construction. */
+  def milestoneFold(evs: Column, init: Column): Column =
+    aggregate(evs, init, (acc, e) =>
+      when(e.getField("tsm") < acc.getField("lt"), acc)
+        .otherwise(struct(
+          when(acc.getField("v").isNull && e.getField("tp") === "view",
+            e.getField("tsm")).otherwise(acc.getField("v")).as("v"),
+          when(acc.getField("c").isNull && acc.getField("v").isNotNull &&
+            e.getField("tp") === "click", e.getField("tsm"))
+            .otherwise(acc.getField("c")).as("c"),
+          when(acc.getField("p").isNull && acc.getField("c").isNotNull &&
+            e.getField("tp") === "purchase", e.getField("tsm"))
+            .otherwise(acc.getField("p")).as("p"),
+          e.getField("tsm").as("lt"))))
+
+  /** Daily conversion counts over a milestone frame (user_id, d, v, c, p) —
+    * shared by q165 and the streaming read path (milestone null-ness is all
+    * the funnel needs; the frame is user-day-sized, the agg partial). */
+  def funnelCounts(m: DataFrame): DataFrame =
+    m.groupBy(date_format(col("d"), "yyyy-MM-dd").as("dt"))
+      .agg(count(lit(1)).as("user_days"),
+        count(col("v")).as("v_days"),
+        count(col("c")).as("vc_days"),
+        count(col("p")).as("vcp_days"))
+
   /** ROLLUP subtotals (beyond the reference; Spark built-in, §2E): order counts
     * and revenue per (mktsegment, orderstatus) with segment and grand totals. */
   def rollupRevenue(spark: SparkSession, dir: String): DataFrame = {
@@ -2209,6 +2276,64 @@ object Relational {
           col("e.ct") >= 5L).as("burst"))
   }
 
+  /** HOLT LINEAR-TREND SMOOTHING (q166) [Holt 1957 / Gardner's ES taxonomy]
+    * — the trend-aware upgrade of q152's EWMA control chart: per event
+    * type over the same gap-filled hourly grid, maintain level l and trend
+    * b (α = β = 1/4), emit the one-step-ahead forecast each hour made
+    * BEFORE seeing it, and flag a TWO-SIDED anomaly when the observation
+    * misses the forecast by more than max(fc, 5)/2 — a drop below trend
+    * flags too, which a burst-only detector (q152) structurally cannot see.
+    *
+    * Determinism: lₜ = (xₜ + 3(lₜ₋₁+bₜ₋₁)) div 4, bₜ = (lₜ−lₜ₋₁+3bₜ₋₁) div 4
+    * in 2²⁰ scaled integers. The NEW wrinkle vs q151/q152 (whose values
+    * never go negative): the trend term DOES, and the two obvious
+    * "divide by 4" forms disagree there — an arithmetic shift FLOORS
+    * (−7 >> 2 = −2) while Spark's `div` and DuckDB's `//` both TRUNCATE
+    * toward zero (−7 div 4 = −1; measured, not assumed — the first draft
+    * shipped the shift and the oracle caught it). Truncating `div`/`//` is
+    * the pinned convention. No libm anywhere; reported doubles are the
+    * exact dyadic values.
+    *
+    * Scale shape: identical to q152 — one partial-agged (type, hour) count
+    * from the corpus, the fold runs over the TIME-bounded dense axis per
+    * type (control-plane sized), in parallel across types. */
+  def holtTrend(spark: SparkSession, dir: String): DataFrame = {
+    val grid = gapFillHourly(spark, dir).select("event_type", "hour", "ct")
+    grid.groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("hour"), col("ct")))).as("rows"))
+      .select(col("event_type"), explode(expr(
+        """aggregate(rows,
+          |  named_struct('n', 0L, 'l', 0L, 'b', 0L,
+          |    'out', cast(array() as array<struct<
+          |      hour:string,ct:bigint,n:bigint,fc:bigint,l:bigint,b:bigint>>)),
+          |  (acc, r) -> CASE WHEN acc.n = 0L THEN named_struct(
+          |      'n', 1L, 'l', r.ct * 1048576L, 'b', 0L,
+          |      'out', array_append(acc.out, named_struct(
+          |        'hour', r.hour, 'ct', r.ct, 'n', 0L, 'fc', 0L,
+          |        'l', r.ct * 1048576L, 'b', 0L)))
+          |    ELSE named_struct(
+          |      'n', acc.n + 1L,
+          |      'l', (r.ct * 1048576L + 3L * (acc.l + acc.b)) div 4L,
+          |      'b', ((r.ct * 1048576L + 3L * (acc.l + acc.b)) div 4L
+          |          - acc.l + 3L * acc.b) div 4L,
+          |      'out', array_append(acc.out, named_struct(
+          |        'hour', r.hour, 'ct', r.ct, 'n', acc.n,
+          |        'fc', acc.l + acc.b,
+          |        'l', (r.ct * 1048576L + 3L * (acc.l + acc.b)) div 4L,
+          |        'b', ((r.ct * 1048576L + 3L * (acc.l + acc.b)) div 4L
+          |            - acc.l + 3L * acc.b) div 4L))) END,
+          |  acc -> acc.out)""".stripMargin)).as("e"))
+      .select(col("event_type"), col("e.hour").as("hour"),
+        col("e.ct").as("ct"),
+        (col("e.l").cast("double") / 1048576.0).as("level"),
+        (col("e.b").cast("double") / 1048576.0).as("trend"),
+        when(col("e.n") > 0L, col("e.fc").cast("double") / 1048576.0)
+          .as("fcast"),
+        (col("e.n") > 0L &&
+          abs(col("e.ct") * 1048576L - col("e.fc")) * 2L >
+            greatest(col("e.fc"), lit(5242880L))).as("anomaly"))
+  }
+
   /** KAPLAN–MEIER SURVIVAL CURVE (q151) [Kaplan & Meier, JASA 1958] — the
     * censoring-aware churn/lifetime analysis the naive "average customer
     * lifetime" gets wrong: a customer's observed span (first→last order) is
@@ -2502,6 +2627,67 @@ object Relational {
       .withColumn("rank", row_number().over( // bounded path-domain window
         Window.orderBy(col("journeys").desc, col("path"))).cast("int"))
       .filter(col("rank") <= 50)
+  }
+
+  /** SEQUENTIAL PATTERN MINING (q163) — gap-allowed frequent subsequences
+    * (the PrefixSpan problem, Pei et al. ICDE'01, at bounded pattern
+    * length): every ORDERED subsequence of length 2–3 of each (user, day)
+    * journey — "view … later cart … later purchase" counts even with other
+    * events between — with support = journeys containing it at least once
+    * (presence, not occurrence count) and exact distinct users. q161
+    * counts whole paths; this mines the patterns INSIDE them, which is
+    * what survives path-length noise.
+    *
+    * Shape instead of PrefixSpan's projected-database recursion: the
+    * journey grain is already bounded (cap events), so the full candidate
+    * expansion is a per-row HOF over ≤ cap³ index tuples — MAP-ONLY, no
+    * projected databases, no candidate↔corpus join, no shuffle before the
+    * single partial-agged pattern count. `array_distinct` inside the row
+    * gives presence semantics before the count ever sees a pattern, so
+    * support is map-side combinable. The interpreted-lambda cost the q150
+    * bitmap attempt measured (17 s at 21.7M rows) doesn't bite here:
+    * ≤ 512 tuples per JOURNEY, and journeys are events/≈10. Pattern
+    * domain is ≤ |types|²+|types|³ — the output frame is control-plane
+    * sized at any corpus scale.
+    *
+    * Ordering ties break on event_id inside the sort_array struct (the
+    * q161/q155 discipline — collect_list order is plan-dependent, the
+    * sort makes it not matter). Support threshold keeps the released
+    * frame to patterns with real evidence; the same constant lives in
+    * the oracle. */
+  def seqPatterns(spark: SparkSession, dir: String, cap: Int = 8,
+      minSupport: Int = 10): DataFrame = {
+    val j = t(spark, dir, "events")
+      .select(col("user_id"), date_trunc("day", col("event_time")).as("d"),
+        unix_micros(col("event_time")).as("tsm"), col("event_id").as("eid"),
+        col("event_type").as("tp"))
+      .groupBy("user_id", "d")
+      .agg(slice(expr(
+        "transform(sort_array(collect_list(struct(tsm, eid, tp))), s -> s.tp)"),
+        1, cap).as("p"))
+    // bounded per-journey expansion: ordered index pairs/triples via
+    // filtered cross products (sequence(1, size) is always ascending —
+    // sequence with start > stop flips direction, so i<j filters, not
+    // sequence(i+1, …) bounds, keep empty/short journeys safe)
+    val subs = j.withColumn("subs", expr(
+      """array_distinct(concat(
+        |  transform(
+        |    filter(flatten(transform(sequence(1, size(p)), i ->
+        |      transform(sequence(1, size(p)), j -> array(i, j)))),
+        |      a -> a[0] < a[1]),
+        |    a -> concat(element_at(p, a[0]), '>', element_at(p, a[1]))),
+        |  transform(
+        |    filter(flatten(flatten(transform(sequence(1, size(p)), i ->
+        |      transform(sequence(1, size(p)), j ->
+        |        transform(sequence(1, size(p)), k -> array(i, j, k)))))),
+        |      a -> a[0] < a[1] AND a[1] < a[2]),
+        |    a -> concat(element_at(p, a[0]), '>', element_at(p, a[1]), '>',
+        |                element_at(p, a[2])))))""".stripMargin))
+      .select(col("user_id"), explode(col("subs")).as("pattern"))
+    subs.groupBy("pattern")
+      .agg(count(lit(1)).as("journeys"),
+        countDistinct(col("user_id")).as("users"))
+      .filter(col("journeys") >= minSupport)
   }
 
   /** WEEK-OVER-WEEK RANK MOVERS (q162) — the "top movers" board: items

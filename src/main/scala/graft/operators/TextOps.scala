@@ -531,6 +531,40 @@ object TextOps {
     * all-pass sentinel 'g…g' (> every hex digit). Scale shape: per-source
     * stats are a tiny agg; thresholds broadcast; the corpus pass is a
     * map-only filter — no window, no per-source sort, no hot key. */
+  /** QUOTA SAMPLING / CORPUS BALANCING (q164) — cap every language
+    * stratum at `cap` documents (the per-lang balanced-eval-slice cut; the
+    * stratum key is a parameter of the shape, not the mechanism). The
+    * selection is the cap SMALLEST 52-bit md5(doc_id) hashes per stratum:
+    * deterministic (re-running the pipeline or adding unrelated strata
+    * never changes a kept doc), uniform within the stratum, and — unlike
+    * [[temperatureSample]]'s probabilistic threshold — EXACTLY cap docs
+    * whenever the stratum has that many, which is the contract "balanced
+    * eval slice / per-domain cap" needs. The released frame carries keys
+    * only — doc attributes come back via the doc_id join like every other
+    * selection operator here.
+    *
+    * Scale shape: bottom-k per stratum via the k-bounded [[Aggregators.topK]]
+    * partial agg on negated hashes — each mapper forwards ≤ cap rows per
+    * stratum it saw, no full shuffle, and NO sort over the corpus — vs
+    * `row_number() OVER (PARTITION BY lang, source ORDER BY h)`, which
+    * shuffles every row and sorts each stratum (the q160/q127 discipline).
+    * Rank r is the array position (h asc, doc_id asc tiebreak), so the
+    * released frame carries its own selection order for downstream
+    * truncation to tighter caps WITHOUT re-ranking. */
+  def quotaSample(spark: SparkSession, dir: String, cap: Int = 64): DataFrame = {
+    val h = docs(spark, dir).select(col("lang"), col("doc_id"),
+      conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
+        .cast("long").as("h"))
+    h.groupBy("lang")
+      .agg(count(lit(1)).as("stratum_docs"),
+        graft.functions.Aggregators.topK(cap,
+          negate(col("h")).cast("double"), col("doc_id"), col("h")).as("top"))
+      .select(col("lang"), col("stratum_docs"), posexplode(col("top")))
+      .select(col("lang"), col("stratum_docs"),
+        (col("pos") + 1).cast("int").as("r"),
+        col("col.id").as("doc_id"), col("col.p").as("h"))
+  }
+
   def temperatureSample(spark: SparkSession, dir: String, budget: Long = 1000): DataFrame =
     temperatureSampleFrom(docs(spark, dir), budget)
 

@@ -900,6 +900,91 @@ class AnalyticsSpec extends SparkSuite {
     assert(got.nonEmpty && got.exists(_._1.contains(">")), "multi-step paths present")
   }
 
+  // ---------------- q166 Holt linear trend ----------------
+
+  test("holtTrend: scaled-integer level/trend/forecast match a driver fold; drops flag too") {
+    // sf0.01, not sf0.001: the grid is the same time-bounded 3600 rows, and
+    // only the denser corpus has forecast levels high enough for DROP-side
+    // anomalies (sf0.001 measured 0 drops / 10 spikes; sf0.01 285 / 363)
+    val grid = Relational.gapFillHourly(spark, sf001)
+      .select(col("event_type").as[String], col("hour").as[String],
+        col("ct").as[Long])
+      .collect()
+    val want = grid.groupBy(_._1).toSeq.flatMap { case (tp, rows) =>
+      var (n, l, b) = (0L, 0L, 0L)
+      rows.sortBy(_._2).map { case (_, hour, ct) =>
+        val x = ct * 1048576L
+        val (n0, fc) = (n, l + b)
+        if (n == 0L) { l = x; b = 0L; n = 1L }
+        else {
+          // Java/Scala `/` truncates toward zero — the pinned convention
+          // (NOT >>, which floors and diverges on negative trend)
+          val l1 = (x + 3L * fc) / 4L
+          b = (l1 - l + 3L * b) / 4L
+          l = l1; n += 1L
+        }
+        val fcast = if (n0 > 0L) Some(fc.toDouble / 1048576.0) else None
+        val anomaly = n0 > 0L && 2L * math.abs(x - fc) > math.max(fc, 5242880L)
+        (tp, hour, ct, l.toDouble / 1048576.0, b.toDouble / 1048576.0,
+          fcast, anomaly)
+      }
+    }.toSet
+    val got = Relational.holtTrend(spark, sf001)
+      .as[(String, String, Long, Double, Double, Option[Double], Boolean)]
+      .collect().toSet
+    assert(got == want)
+    // two-sided: at least one flagged hour UNDERSHOT its forecast (the
+    // capability q152's burst-only chart cannot express)
+    val scaled = got.map(r => (r._3 * 1048576L, r._6, r._7))
+    assert(scaled.exists { case (x, fc, a) => a && fc.exists(_ * 1048576.0 > x) },
+      "no drop-side anomaly on this corpus — fixture lost the property")
+    assert(scaled.exists { case (x, fc, a) => a && fc.exists(_ * 1048576.0 < x) },
+      "no spike-side anomaly on this corpus")
+    // declines produce genuinely negative trend (the trunc-div wrinkle)
+    assert(got.exists(_._5 < 0.0), "no negative trend — shift/floor path unexercised")
+  }
+
+  // ---------------- q163 sequential patterns ----------------
+
+  test("seqPatterns: gap-allowed subsequence support matches a driver replay") {
+    val ev = graft.Tables.load(spark, sf0001, "events")
+      .select(col("user_id").as[Long],
+        date_trunc("day", col("event_time")).cast("string").as[String],
+        unix_micros(col("event_time")).as[Long], col("event_id").as[Long],
+        col("event_type").as[String])
+      .collect()
+    val journeys = ev.groupBy(r => (r._1, r._2)).toSeq.map { case ((u, _), rows) =>
+      (u, rows.sortBy(r => (r._3, r._4)).map(_._5).take(8).toSeq)
+    }
+    // explicit index-increasing selections: Scala's `combinations` is
+    // MULTISET combinations (canonical element order) and misses real
+    // subsequences like view>click>click from (click,view,click,click)
+    val present = journeys.flatMap { case (u, path) =>
+      val n = path.length
+      val s2 = for (i <- 0 until n; j <- i + 1 until n)
+        yield s"${path(i)}>${path(j)}"
+      val s3 = for (i <- 0 until n; j <- i + 1 until n; k <- j + 1 until n)
+        yield s"${path(i)}>${path(j)}>${path(k)}"
+      (s2 ++ s3).distinct.map(p => (u, p))
+    }
+    val want = present.groupBy(_._2).collect {
+      case (pat, hits) if hits.size >= 10 =>
+        pat -> ((hits.size.toLong, hits.map(_._1).distinct.size.toLong))
+    }
+    val got = Relational.seqPatterns(spark, sf0001)
+      .as[(String, Long, Long)].collect()
+    assert(got.map(_._1).toSet == want.keySet)
+    got.foreach { case (pat, j, u) => assert((j, u) == want(pat), s"pattern $pat") }
+    // real mining happened: both lengths present, support ordering nontrivial
+    assert(got.exists(_._1.count(_ == '>') == 1) && got.exists(_._1.count(_ == '>') == 2))
+    // gap-allowed: some frequent pattern is NOT a contiguous substring of
+    // every journey that supports it — i.e. presence came through a gap
+    val paths = journeys.map(_._2.mkString(">"))
+    assert(got.exists { case (pat, j, _) =>
+      paths.count(_.contains(pat)) < j
+    }, "no pattern ever needed the gap — fixture too easy")
+  }
+
   // ---------------- q162 rank movers ----------------
 
   test("rankMovers: week-over-week ranks and deltas match a driver replay; a real mover exists") {

@@ -490,6 +490,28 @@ class TextOpsSpec extends SparkSuite {
     assert(fracSmall > fracBig, s"alpha<1 must boost the small source ($fracSmall vs $fracBig)")
   }
 
+  test("quotaSample: bottom-k per stratum matches a driver replay; real truncation happens") {
+    import spark.implicits._
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h52(id: Long): Long = java.lang.Long.parseLong(
+      md.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(13), 16)
+    val d = graft.Tables.load(spark, sf0001, "documents")
+      .select(col("lang").as[String], col("doc_id").as[Long])
+      .collect()
+    val want = d.groupBy(_._1).toSeq.flatMap { case (lang, rows) =>
+      val sorted = rows.map(r => (h52(r._2), r._2)).sortBy(identity).take(64)
+      sorted.zipWithIndex.map { case ((h, id), i) =>
+        (lang, rows.length.toLong, i + 1, id, h) }
+    }.toSet
+    val got = TextOps.quotaSample(spark, sf0001)
+      .as[(String, Long, Int, Long, Long)].collect().toSet
+    assert(got == want)
+    // the cap binds somewhere (otherwise this is just a projection)
+    assert(d.groupBy(_._1).exists(_._2.length > 64),
+      "fixture has no stratum over the cap")
+    assert(got.groupBy(_._1).forall(_._2.size <= 64))
+  }
+
   test("tokenizerFertility: handcrafted segmentation applied per source, integer micro units") {
     import spark.implicits._
     // merges learned on the union corpus: (a,a), (b,b), (aa,aa) — as the
