@@ -3269,5 +3269,160 @@ object Oracles {
         |  cast(fc as double) / 1048576 AS fcast,
         |  coalesce(2 * abs(ct * 1048576 - fc) > greatest(fc, 5242880), false) AS anomaly
         |FROM rec""".stripMargin,
+
+    // q167 (seqPack): concat-and-chunk sequence packing. The oracle IS the
+    // single-window global prefix sum the Spark side's two-phase
+    // distributed construction exists to avoid — equality proves the
+    // group-offset + within-group decomposition.
+    "q167_seq_pack" ->
+      """WITH t AS (SELECT doc_id,
+        |    cast(len(regexp_extract_all(lower(text), '[a-z0-9]+')) as bigint) AS token_ct
+        |  FROM documents),
+        |p AS (SELECT doc_id, token_ct,
+        |    cast(coalesce(sum(token_ct) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) as bigint) AS tok_offset
+        |  FROM t)
+        |SELECT doc_id, token_ct, tok_offset,
+        |  tok_offset // 512 AS chunk_first,
+        |  (tok_offset + greatest(token_ct, 1) - 1) // 512 AS chunk_last,
+        |  (tok_offset + greatest(token_ct, 1) - 1) // 512
+        |    - tok_offset // 512 AS crosses
+        |FROM p""".stripMargin,
+
+    // q168 (knnBfs): int8-quantized kNN graph (k smallest by the unique
+    // composite d2*cap+vb), symmetrized, BFS from min vec_id. The recursive
+    // (node, hops) UNION is bounded by nodes x maxdist; min(hops) at the
+    // end is the BFS distance.
+    "q168_knn_bfs" ->
+      """WITH RECURSIVE e1 AS (SELECT vec_id, embedding,
+        |   127.0 / greatest(list_max(list_transform(embedding, x -> abs(cast(x as double)))), 1e-9) AS scale
+        | FROM embeddings WHERE vec_id < 2000),
+        |e2 AS (SELECT vec_id,
+        |   list_transform(embedding, x -> cast(round(cast(x as double) * scale) as int)) AS qv
+        | FROM e1),
+        |sq AS (SELECT vec_id, qv, cast(list_inner_product(qv, qv) as bigint) AS s FROM e2),
+        |p AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+        |   (a.s + b.s - 2 * cast(list_inner_product(a.qv, b.qv) as bigint)) * 2000
+        |     + b.vec_id AS comp
+        | FROM sq a JOIN sq b ON a.vec_id <> b.vec_id),
+        |knn AS (SELECT va, vb FROM (SELECT va, vb,
+        |    row_number() OVER (PARTITION BY va ORDER BY comp) AS rn FROM p)
+        |  WHERE rn <= 3),
+        |edges AS (SELECT va AS a, vb AS b FROM knn UNION SELECT vb, va FROM knn),
+        |src AS (SELECT min(vec_id) AS s FROM e2),
+        |reach AS (SELECT s AS node, cast(0 as bigint) AS hops FROM src
+        |  UNION SELECT e.b, r.hops + 1 FROM reach r JOIN edges e ON e.a = r.node
+        |  WHERE r.hops < 32),
+        |d AS (SELECT node, min(hops) AS hops FROM reach GROUP BY 1)
+        |SELECT e2.vec_id, d.hops FROM e2 LEFT JOIN d ON d.node = e2.vec_id""".stripMargin,
+
+    // q169 (bootstrapCi): Poisson-bootstrap CI. The oracle pays the
+    // explode-by-replicate construction (corpus x reps rows) the Spark
+    // side's 64-expression single scan avoids; the Carter-Wegman
+    // (a + rep*b) mod P replicate hash and the ->Poisson(1) threshold
+    // ladder are identical integer arithmetic in both engines.
+    "q169_bootstrap_ci" -> {
+      val thr = Seq(
+        1656781714176973L, 3313563428353947L, 4141954285442434L,
+        4418084571138597L, 4487117142562637L, 4500923656847445L,
+        4503224742561580L, 4503553469092171L, 4503594559908495L)
+      val wt = thr.map(t => s"(CASE WHEN h >= $t THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH j AS (SELECT c_mktsegment AS segment, o_orderkey AS okey,
+         |    cast(floor(o_totalprice * 100) as bigint) AS cents
+         |  FROM orders JOIN customer ON o_custkey = c_custkey),
+         |jh AS (SELECT segment, okey, cents,
+         |    ('0x' || substr(md5('bootA_' || cast(okey as varchar)), 1, 13))::BIGINT AS ha,
+         |    ('0x' || substr(md5('bootB_' || cast(okey as varchar)), 1, 13))::BIGINT AS hb
+         |  FROM j),
+         |r AS (SELECT cast(range as bigint) AS rep FROM range(32)),
+         |w AS (SELECT segment, rep, cents,
+         |    (ha + rep * hb) % 4503599627370449 AS h
+         |  FROM jh CROSS JOIN r),
+         |cells AS (SELECT segment, rep,
+         |    cast(sum(($wt) * cents) as bigint) AS swc,
+         |    cast(sum($wt) as bigint) AS sw
+         |  FROM w GROUP BY 1, 2),
+         |means AS (SELECT segment, rep,
+         |    cast(swc as double) / cast(sw as double) AS m
+         |  FROM cells WHERE sw > 0),
+         |arr AS (SELECT segment, list_sort(list(m)) AS a FROM means GROUP BY 1),
+         |ex AS (SELECT segment, count(*) AS n_orders,
+         |    cast(sum(cents) as bigint) AS sc FROM j GROUP BY 1)
+         |SELECT ex.segment, ex.n_orders,
+         |  cast(ex.sc as double) / cast(ex.n_orders as double) AS exact_mean,
+         |  a[2] AS boot_lo, a[len(a) - 1] AS boot_hi,
+         |  cast(ex.sc as double) / cast(ex.n_orders as double) >= a[2]
+         |    AND cast(ex.sc as double) / cast(ex.n_orders as double)
+         |      <= a[len(a) - 1] AS covered
+         |FROM ex JOIN arr USING (segment)""".stripMargin
+    },
+
+    // q170 (markovAttribution): removal-effect attribution. Journey ->
+    // transition counts -> 2^20 fixed-point absorption recurrence, 12
+    // mechanically unrolled iteration CTEs (the q157 discipline — DuckDB
+    // disallows aggregates over the recursive reference), one scenario row
+    // per (full + each removed channel). Truncating // throughout (the
+    // q166 pinned convention).
+    "q170_markov_attrib" -> {
+      def step(i: Int): String =
+        s"""p$i AS (SELECT b.sc, b.rm, b.s, b.p0,
+           |    b.p0 + cast(coalesce(sum(mc.p20 * q.p), 0) as bigint) // 1048576 AS p
+           |  FROM base b
+           |  LEFT JOIN mc ON mc.f = b.s
+           |  LEFT JOIN p${i - 1} q ON q.sc = b.sc AND q.s = mc.t
+           |    AND (b.rm IS NULL OR mc.t <> b.rm)
+           |  GROUP BY b.sc, b.rm, b.s, b.p0)""".stripMargin
+      s"""WITH e AS (SELECT user_id, date_trunc('day', ts) AS d, ts, event_id, event_type
+         |  FROM events),
+         |pos AS (SELECT *, row_number() OVER (PARTITION BY user_id, d
+         |    ORDER BY ts, event_id) AS rn FROM e),
+         |pp AS (SELECT user_id, d,
+         |    min(CASE WHEN event_type = 'purchase' THEN rn END) AS prn
+         |  FROM pos GROUP BY 1, 2),
+         |kept AS (SELECT pos.*, pp.prn FROM pos JOIN pp USING (user_id, d)
+         |  WHERE pp.prn IS NULL OR pos.rn <= pp.prn),
+         |sq AS (SELECT *, lead(event_type) OVER (PARTITION BY user_id, d
+         |    ORDER BY rn) AS nxt FROM kept),
+         |tr AS (
+         |  SELECT 'START' AS f,
+         |    CASE WHEN event_type = 'purchase' THEN 'CONV' ELSE event_type END AS t
+         |  FROM sq WHERE rn = 1
+         |  UNION ALL
+         |  SELECT event_type,
+         |    CASE WHEN nxt = 'purchase' THEN 'CONV' ELSE nxt END
+         |  FROM sq WHERE nxt IS NOT NULL AND event_type <> 'purchase'
+         |  UNION ALL
+         |  SELECT event_type, 'NULL'
+         |  FROM sq WHERE nxt IS NULL AND event_type <> 'purchase'),
+         |ct AS (SELECT f, t, count(*) AS c FROM tr GROUP BY 1, 2),
+         |tot AS (SELECT f, sum(c) AS tc FROM ct GROUP BY 1),
+         |m AS (SELECT ct.f, ct.t,
+         |    (ct.c * 1048576) // cast(tot.tc as bigint) AS p20
+         |  FROM ct JOIN tot USING (f)),
+         |ch AS (SELECT DISTINCT f AS c FROM ct WHERE f <> 'START'),
+         |mc AS (SELECT * FROM m WHERE t IN (SELECT c FROM ch)),
+         |scen AS (SELECT 'full' AS sc, cast(NULL as varchar) AS rm
+         |  UNION ALL SELECT c, c FROM ch),
+         |states AS (SELECT 'START' AS s UNION ALL SELECT c FROM ch),
+         |base AS (SELECT scen.sc, scen.rm, states.s,
+         |    cast(coalesce((SELECT p20 FROM m
+         |      WHERE m.f = states.s AND m.t = 'CONV'), 0) as bigint) AS p0
+         |  FROM scen CROSS JOIN states),
+         |p0 AS (SELECT sc, rm, s, p0, p0 AS p FROM base),
+         |${(1 to 12).map(step).mkString(",\n")},
+         |res AS (SELECT sc, p FROM p12 WHERE s = 'START'),
+         |fin AS (SELECT r.sc AS channel, f.p AS pf, r.p AS pr
+         |  FROM res r CROSS JOIN (SELECT p FROM res WHERE sc = 'full') f
+         |  WHERE r.sc <> 'full'),
+         |tt AS (SELECT cast(sum(pf - pr) as bigint) AS tre FROM fin)
+         |SELECT channel,
+         |  cast(pf as double) / 1048576 AS p_full,
+         |  cast(pr as double) / 1048576 AS p_removed,
+         |  cast(pf - pr as double) / 1048576 AS removal_effect,
+         |  CASE WHEN tre > 0
+         |    THEN cast(((pf - pr) * 1048576) // tre as double) / 1048576
+         |  END AS share
+         |FROM fin CROSS JOIN tt""".stripMargin
+    },
   )
 }

@@ -2942,4 +2942,212 @@ object Relational {
         (abs(col("est") - col("exact_uv"))
           <= greatest(col("exact_uv"), lit(1)) * tol).as("approx_ok"))
   }
+
+  // ---------------- q169: Poisson-bootstrap confidence intervals ----------------
+
+  /** Poisson(1) inverse-CDF thresholds at 2⁵² scale: `w(h) = #{k : h ≥ T(k)}`
+    * maps a uniform 52-bit integer to a Poisson(1) draw capped at 9 —
+    * P(X > 8) < 1.2e-7, far below any per-row effect a 32-replicate
+    * bootstrap can resolve. Exact integers, identical in both engines. */
+  private[graft] val poissonThresholds: Seq[Long] = Seq(
+    1656781714176973L, 3313563428353947L, 4141954285442434L,
+    4418084571138597L, 4487117142562637L, 4500923656847445L,
+    4503224742561580L, 4503553469092171L, 4503594559908495L)
+
+  /** The q169 input frame: one row per order with its segment and exact
+    * integer cents. */
+  private[graft] def bootstrapJoined(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .join(t(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"),
+        col("o_orderkey").as("okey"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+
+  /** Per-(segment, replicate) bootstrap moment cells from ONE scan of `j`
+    * (columns: segment, okey, cents). Replicate `r`'s weight for a row is a
+    * DETERMINISTIC Poisson(1) draw — the 52-bit md5 of (replicate, key)
+    * against [[poissonThresholds]] — so the whole resample replays
+    * bit-for-bit in any engine [Poisson bootstrap: Hanley & MacGibbon 2006;
+    * Chamandy et al. (Google) 2012 — THE bootstrap that needs no global
+    * resample index, which is what makes it map-side-only].
+    *
+    * Shape: `reps` weighted (Σw·cents, Σw) pairs are 2·reps expressions of
+    * ONE map-side-combinable aggregate — the corpus is scanned once and
+    * never row-multiplied (the naive explode-by-replicate pays a ×reps
+    * scan; the oracle does exactly that, which is the point — different
+    * construction, same integers). The exact moments ride as replicate −1.
+    * Cells are ADDITIVE LONGS ⇒ the streaming twin maintains them with the
+    * shared CellStore merge. */
+  def bootstrapCells(j: DataFrame, reps: Int = 32): DataFrame = {
+    val thr = poissonThresholds
+    // Replicate hashes come from TWO digests per row, not reps digests:
+    // h_r = (a + r·b) mod P with a, b independent 52-bit md5 values and
+    // P = 4503599627370449 (the largest prime < 2⁵²) — the Carter–Wegman
+    // affine family. Measured at sf0.1, 32 md5+conv columns cost 9.0 s of
+    // the scan (md5 ~1 μs/call dominates everything else in the operator);
+    // two digests + 32 integer (a + r·b) mod P are 0.6 s. The trade is
+    // replicates being PAIRWISE-independent rather than mutually (prime
+    // modulus makes every replicate-pair difference invertible); each h_r
+    // stays marginally uniform via `a`, so every replicate is still an
+    // exact Poisson(1) resample, and at reps = 32 the replicate-sampling
+    // noise the interval already carries dwarfs any higher-order dependence
+    // effect. All arithmetic fits a long (a + 31·b < 2⁵⁷) and replays
+    // bit-for-bit in SQL.
+    val P = 4503599627370449L
+    def h52(tag: String): Column =
+      conv(substring(md5(concat(lit(tag),
+        col("okey").cast("string")).cast("binary")), 1, 13), 16, 10).cast("long")
+    val withH = j.withColumn("h_a", h52("bootA_")).withColumn("h_b", h52("bootB_"))
+    val withW = (0 until reps).foldLeft(withH) { (d, r) =>
+      val h = (col("h_a") + lit(r.toLong) * col("h_b")) % P
+      d.withColumn(s"w_$r",
+        thr.map(t => when(h >= t, 1L).otherwise(0L)).reduce(_ + _))
+    }
+    val aggs =
+      Seq(count(lit(1)).as("n"), sum(col("cents")).as("sc")) ++
+        (0 until reps).flatMap { r =>
+          Seq(sum(col(s"w_$r") * col("cents")).as(s"swc_$r"),
+            sum(col(s"w_$r")).as(s"sw_$r"))
+        }
+    val wide0 = withW.groupBy("segment").agg(aggs.head, aggs.tail: _*)
+    // materialize the |segments|-row aggregate ONCE as a local relation
+    // (bounded control plane — strata are a dimension-attribute domain).
+    // The melt below references it twice and q169's read path twice more;
+    // left lazy, each branch re-runs the scan+join+aggregate — measured 4
+    // corpus scans and 10.4 s instead of one scan and 2.6 s at sf0.1 (the
+    // q118 unpersisted-element-frame lesson, solved leak-free here).
+    val spark2 = wide0.sparkSession
+    val wide = spark2.createDataFrame(
+      java.util.Arrays.asList(wide0.collect(): _*), wide0.schema)
+    // melt on the local frame: control-plane
+    val stackArgs = (0 until reps).map(r => s"${r}L, swc_$r, sw_$r").mkString(", ")
+    wide.select(col("segment"),
+      expr(s"stack($reps, $stackArgs) as (rep, swc, sw)"))
+      .select(col("segment"), col("rep"), col("swc"), col("sw"))
+      .unionByName(wide.select(col("segment"), lit(-1L).as("rep"),
+        col("sc").as("swc"), col("n").as("sw")))
+  }
+
+  /** Read path: percentile-bootstrap interval for each segment's mean order
+    * value from the (segment, replicate) cells — exact mean from the
+    * replicate −1 row, the interval = (2nd smallest, 2nd largest) of the
+    * `reps` replicate means (the (1/32, 31/32) empirical quantiles ≈ 93.75%
+    * coverage at reps = 32). Replicate means are IEEE-exact divisions of
+    * exact longs and the sort is over ≤ reps values per segment, so the
+    * doubles hash-compare. */
+  def bootstrapFromCells(cells: DataFrame): DataFrame = {
+    val exact = cells.filter(col("rep") === -1L)
+      .select(col("segment"), col("sw").as("n_orders"),
+        (col("swc").cast("double") / col("sw").cast("double")).as("exact_mean"))
+    val means = cells.filter(col("rep") >= 0L && col("sw") > 0L)
+      .withColumn("m", col("swc").cast("double") / col("sw").cast("double"))
+      .groupBy("segment")
+      .agg(array_sort(collect_list(col("m"))).as("arr"))
+      .select(col("segment"),
+        element_at(col("arr"), 2).as("boot_lo"),
+        element_at(col("arr"), size(col("arr")) - 1).as("boot_hi"))
+    exact.join(means, Seq("segment"))
+      .select(col("segment"), col("n_orders"), col("exact_mean"),
+        col("boot_lo"), col("boot_hi"),
+        (col("exact_mean") >= col("boot_lo")
+          && col("exact_mean") <= col("boot_hi")).as("covered"))
+  }
+
+  /** POISSON-BOOTSTRAP CI (q169) — sampling uncertainty for per-segment mean
+    * order value at corpus scale: the statistic every exec dashboard shows,
+    * with the error bar computed the only way that works in one distributed
+    * pass. Classical bootstrap resampling needs n draws WITH replacement
+    * from the full dataset per replicate — a global index, unshardable;
+    * the Poisson approximation gives each ROW an independent Poisson(1)
+    * multiplicity per replicate, which is map-side arithmetic. 32
+    * replicates = 64 extra aggregate expressions on the one scan, zero
+    * extra shuffles. The `covered` flag is deterministic for a fixed
+    * (data, seed) pair — the multi-seed coverage property is owned by the
+    * spec, the q148 discipline. */
+  def bootstrapCi(spark: SparkSession, dir: String, reps: Int = 32): DataFrame =
+    bootstrapFromCells(bootstrapCells(bootstrapJoined(spark, dir), reps))
+
+  // ---------------- q170: Markov removal-effect attribution ----------------
+
+  /** MARKOV (REMOVAL-EFFECT) ATTRIBUTION (q170) — the algorithmic
+    * counterpart of q155's position heuristics [Anderl, Becker, v.
+    * Wangenheim & Schumann 2014 — the standard data-driven attribution
+    * model]: user-day journeys become a first-order Markov chain over
+    * channels with absorbing CONV/NULL states; a channel's credit is its
+    * REMOVAL EFFECT — how much absorbed conversion probability disappears
+    * when every transition into that channel is redirected to NULL.
+    *
+    * Distributed shape: the ONLY corpus-scale work is the journey →
+    * transition-count reduction (bounded per-(user, day) windows, one
+    * partial-agged groupBy onto the ≤ (|channels|+1)² transition domain).
+    * The chain solve runs on that control-plane matrix: `iters` rounds of
+    * the absorption recurrence pᵢ₊₁(s) = p₀(s) + ⌊Σ_ch m(s,ch)·pᵢ(ch)/2²⁰⌋
+    * in 2²⁰ fixed point with TRUNCATING division (the q166 pinned
+    * cross-engine convention), once per scenario (full + one per removed
+    * channel). Both engines run the same fixed `iters`, so results are
+    * bit-equal even before convergence; removal monotonicity (pᵣₘ ≤ p_full,
+    * hence effects ≥ 0) survives truncation because every step drops
+    * nonnegative terms. The driver-side solve is the bounded control-plane
+    * exception (the k-means-centroid precedent) — at any corpus size the
+    * collected matrix stays ≤ a few dozen rows. */
+  def markovAttribution(spark: SparkSession, dir: String, iters: Int = 12): DataFrame = {
+    val S = 1048576L // 2^20
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"), to_date(col("event_time")).as("d"),
+        col("event_time").as("ts"), col("event_id"), col("event_type"))
+    val w = Window.partitionBy("user_id", "d").orderBy(col("ts"), col("event_id"))
+    val pos = ev.withColumn("rn", row_number().over(w))
+    val firstP = pos.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "d").agg(min(col("rn")).as("prn"))
+    val kept = pos.join(firstP, Seq("user_id", "d"), "left")
+      .filter(col("prn").isNull || col("rn") <= col("prn"))
+    val seq2 = kept.withColumn("nxt",
+      lead(col("event_type"), 1).over(
+        Window.partitionBy("user_id", "d").orderBy(col("rn"))))
+    val toState = (c: Column) => when(c === "purchase", "CONV").otherwise(c)
+    val trans = seq2.filter(col("rn") === 1)
+      .select(lit("START").as("f"), toState(col("event_type")).as("t2"))
+      .unionByName(seq2
+        .filter(col("nxt").isNotNull && col("event_type") =!= "purchase")
+        .select(col("event_type").as("f"), toState(col("nxt")).as("t2")))
+      .unionByName(seq2
+        .filter(col("nxt").isNull && col("event_type") =!= "purchase")
+        .select(col("event_type").as("f"), lit("NULL").as("t2")))
+    val ct = trans.groupBy("f", "t2").agg(count(lit(1)).as("c"))
+    val tot = ct.groupBy("f").agg(sum(col("c")).as("tc"))
+    val m = ct.join(tot, Seq("f"))
+      .select(col("f"), col("t2"), expr(s"(c * $S) div tc").as("p20"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val channels = m.map(_._1).filter(_ != "START").distinct.sorted
+    val states = "START" +: channels
+    val p0 = states.map(s =>
+      s -> m.collectFirst { case (`s`, "CONV", p) => p }.getOrElse(0L)).toMap
+    def solve(removed: Option[String]): Map[String, Long] = {
+      var p = p0
+      for (_ <- 1 to iters) {
+        p = states.map { s =>
+          val flow = m.iterator
+            .filter { case (f, t2, _) =>
+              f == s && channels.contains(t2) && !removed.contains(t2) }
+            .map { case (_, t2, p20) => p20 * p(t2) }
+            .sum
+          s -> (p0(s) + flow / S)
+        }.toMap
+      }
+      p
+    }
+    val pFull = solve(None)("START")
+    val rows = channels.map { c => (c, pFull, solve(Some(c))("START")) }
+    val totRe = rows.map { case (_, pf, pr) => pf - pr }.sum
+    val out = rows.map { case (c, pf, pr) =>
+      val re = pf - pr
+      val share: Option[Double] =
+        if (totRe > 0) Some(((re * S) / totRe).toDouble / S) else None
+      (c, pf.toDouble / S, pr.toDouble / S, re.toDouble / S, share)
+    }.toSeq
+    import spark.implicits._
+    out.toDF("channel", "p_full", "p_removed", "removal_effect", "share")
+  }
 }

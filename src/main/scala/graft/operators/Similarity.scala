@@ -944,4 +944,108 @@ object Similarity {
           .otherwise("noise").as("role"),
         coalesce(col("c1"), col("c2"), lit(-1L)).as("cluster_id"))
   }
+
+  /** kNN-GRAPH BFS (q168) — hop distances over the embedding space's
+    * k-nearest-neighbor graph, from a deterministic source (the min
+    * `vec_id`). The kNN graph is the navigable-small-world substrate that
+    * graph-ANN indexes (NSW/HNSW — Malkov & Yashunin 2018) search over;
+    * its hop-distance profile from a probe point is the connectivity /
+    * expansion diagnostic for that index family (a corpus that BFS cannot
+    * reach in few hops is one greedy search will struggle on), and doubles
+    * as a semantic-diffusion distance for curation (how many neighbor steps
+    * separate a document from a trusted seed).
+    *
+    * Construction, all integer-exact so DuckDB replays it hash-for-hash:
+    *  - int8-quantized vectors (the q51 convention); L2² via three codegen'd
+    *    integer `dot_i` calls (the q143 neighbor stage);
+    *  - per-node k smallest by the composite `d2·cap + vb` (unique ⇒
+    *    deterministic kNN, ties broken toward the smaller id) through the
+    *    k-bounded [[graft.functions.Aggregators.topK]] partial agg — no
+    *    per-node window sort;
+    *  - edges symmetrized (kNN is directed; BFS wants the undirected view);
+    *  - BFS by level-synchronous frontier expansion: each round is ONE
+    *    equi-join of the frontier against the edge list plus anti-joins
+    *    against the LAST TWO layers (sufficient on an undirected graph —
+    *    a neighbor of a hops = r−1 node has hops ≥ r−2) — work
+    *    proportional to the frontier's edge neighborhood, never all-pairs
+    *    and never the O(n) visited union, and rounds are bounded by the
+    *    graph diameter (O(log n) on small-world graphs). One action per
+    *    round both materializes the round's cache and tests emptiness; a
+    *    non-converged run throws (the `Dedup.clusters` discipline) rather
+    *    than returning silent nulls.
+    *
+    * The candidate stage is the key-capped quadratic verifier (the
+    * q24/q19/q143 convention); at 100 TB the LSH/IVF bucketing (q28/q33)
+    * is the documented candidate source — the graph, BFS, and oracle
+    * are unchanged by where candidates come from. */
+  def knnBfs(spark: SparkSession, dir: String, k: Int = 3, cap: Int = 2000,
+             maxRounds: Int = 32): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val e = int8(emb(spark, dir)).filter(col("vec_id") < cap)
+      .withColumn("sq", call_function("dot_i", col("qv"), col("qv")))
+      .select(col("vec_id"), col("qv"), col("sq"))
+      .persist()
+    val b = e.select(col("vec_id").as("vb"), col("qv").as("qb"), col("sq").as("sb"))
+    val knn = e.select(col("vec_id").as("va"), col("qv").as("qa"), col("sq").as("sa"))
+      .join(b, col("va") =!= col("vb"))
+      .withColumn("comp",
+        (col("sa") + col("sb") - lit(2L) * call_function("dot_i", col("qa"), col("qb")))
+          * lit(cap.toLong) + col("vb"))
+      .groupBy("va")
+      .agg(graft.functions.Aggregators.topK(k,
+        negate(col("comp")).cast("double"), col("vb"), col("vb")).as("top"))
+      .select(col("va"), explode(col("top")).as("t"))
+      .select(col("va"), col("t.id").as("vb"))
+    val edges0 = knn.select(col("va").as("ea"), col("vb").as("eb"))
+      .unionByName(knn.select(col("vb").as("ea"), col("va").as("eb")))
+      .distinct()
+      .persist()
+    edges0.count()
+    val edges = spark.createDataFrame(edges0.rdd, edges0.schema)
+    val src = e.agg(min(col("vec_id"))).as[Long].head()
+    // Frontier expansion, two scale-critical moves per round:
+    //  - PLAN CUT (the Dedup.clusters lesson, re-learned here with data):
+    //    each round's frame is rebuilt as a LogicalRDD over the CACHED rows.
+    //    Chaining raw plans — even fully persisted ones — re-analyzes an
+    //    exponentially growing tree and the per-round cost compounds ~5x
+    //    (measured at sf0.1: rounds 1-6 went 0.6/0.6/0.8/2.1/10.1/61.9 s
+    //    chained vs flat ~0.7 s each with the cut — 85 s -> 12 s total).
+    //  - TWO-LAYER VISITED CHECK: on an UNDIRECTED graph a neighbor of a
+    //    hops = r-1 node has hops >= r-2, so the anti-join only needs the
+    //    last two layers — frontier-sized state instead of the O(n) visited
+    //    union every round (the standard level-synchronous BFS trick).
+    val zero = Seq((src, 0L)).toDF("node", "hops").persist()
+    zero.count()
+    def cut(d: DataFrame): DataFrame = spark.createDataFrame(d.rdd, d.schema)
+    var frontier = cut(zero)
+    var prev = frontier.limit(0)
+    val layers = scala.collection.mutable.ArrayBuffer(frontier)
+    var round = 1
+    var done = false
+    while (!done && round <= maxRounds) {
+      val next0 = frontier.join(edges, frontier("node") === edges("ea"))
+        .select(col("eb").as("node")).distinct()
+        .join(frontier, Seq("node"), "left_anti")
+        .join(prev, Seq("node"), "left_anti")
+        .withColumn("hops", lit(round.toLong))
+        .persist()
+      // ONE action: materializes the round's cache AND tests convergence
+      if (next0.count() == 0) { done = true; next0.unpersist() }
+      else {
+        val next = cut(next0)
+        layers += next
+        prev = frontier
+        frontier = next
+        round += 1
+      }
+    }
+    if (!done)
+      throw new IllegalStateException(
+        s"knnBfs frontier still alive after $maxRounds rounds — " +
+          "raise maxRounds (rounds needed = the graph's eccentricity from the source)")
+    val dist = layers.reduce(_ unionByName _)
+    e.select(col("vec_id"))
+      .join(dist.select(col("node").as("vec_id"), col("hops")), Seq("vec_id"), "left")
+  }
 }

@@ -1757,4 +1757,61 @@ object TextOps {
         pmod(conv(substring(md5(concat_ws("_", col("doc_id"), col("copy_idx"))
           .cast("binary")), 1, 8), 16, 10).cast("long"), lit(shards.toLong))
           .cast("int"))
+
+  /** SEQUENCE PACKING (q167) — concat-and-chunk, the GPT-style training-data
+    * layout step [Brown et al. 2020 §2.2; Raffel et al. 2020 (T5) pack the
+    * same way]: documents are concatenated in a deterministic order (ascending
+    * `doc_id`) into one token stream that is cut into fixed-size context
+    * chunks of `chunkTokens`; each doc's placement is fully determined by the
+    * EXCLUSIVE prefix sum of token counts in that order. Output grain is one
+    * row per doc: its offset in the stream, the first/last chunk it touches,
+    * and how many chunk boundaries cross it (`crosses` — the count of
+    * attention-mask seams a masking packer would need, and the truncation
+    * loss a non-splitting packer would pay).
+    *
+    * The scale problem is the GLOBAL prefix sum: `Window.orderBy(doc_id)`
+    * with no partition key plans as a SINGLE-TASK sort of the corpus — the
+    * canonical accidental-serialization bug. This is the two-phase
+    * distributed prefix sum instead:
+    *   1. docs map to `groups` contiguous ranges of the order key (fixed-width
+    *      binning on a broadcast (min, max) — the q141 move; production
+    *      layouts over skewed keys would sample range boundaries the way
+    *      `repartitionByRange` does);
+    *   2. per-group token totals (ONE map-side-combinable agg → `groups`
+    *      rows) turn into exclusive group offsets with a window over that
+    *      control-plane frame;
+    *   3. the within-group running sum partitions BY GROUP, so per-task work
+    *      is corpus/groups and `groups` scales with the cluster, not 1.
+    * Every quantity is an exact long (token counts via [[TextFns.tokensCol]],
+    * mirrored by DuckDB `regexp_extract_all`), so the oracle — the
+    * single-window construction this operator exists to avoid — matches
+    * hash-for-hash. */
+  def seqPack(spark: SparkSession, dir: String, chunkTokens: Long = 512L,
+              groups: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = docs(spark, dir)
+      .select(col("doc_id"), size(tokensCol(col("text"))).cast("long").as("token_ct"))
+    val bounds = t.agg(min(col("doc_id")).as("lo"),
+      (max(col("doc_id")) - min(col("doc_id")) + 1L).as("span"))
+    val grouped = t.crossJoin(broadcast(bounds))
+      .withColumn("g", expr(s"((doc_id - lo) * $groups) div span"))
+      .drop("lo", "span")
+    // group offsets: a window over a <= `groups`-row frame (control plane)
+    val gw = Window.orderBy("g").rowsBetween(Window.unboundedPreceding, -1)
+    val gOff = grouped.groupBy("g").agg(sum(col("token_ct")).as("g_total"))
+      .withColumn("g_off", coalesce(sum(col("g_total")).over(gw), lit(0L)))
+      .select(col("g"), col("g_off"))
+    // within-group inclusive running sum: per-task work = corpus/groups
+    val ww = Window.partitionBy("g").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grouped.join(broadcast(gOff), Seq("g"))
+      .withColumn("tok_offset",
+        col("g_off") + sum(col("token_ct")).over(ww) - col("token_ct"))
+      .withColumn("chunk_first", expr(s"tok_offset div $chunkTokens"))
+      .withColumn("chunk_last",
+        expr(s"(tok_offset + greatest(token_ct, 1) - 1) div $chunkTokens"))
+      .select(col("doc_id"), col("token_ct"), col("tok_offset"),
+        col("chunk_first"), col("chunk_last"),
+        (col("chunk_last") - col("chunk_first")).as("crosses"))
+  }
 }

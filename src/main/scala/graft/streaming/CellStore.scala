@@ -22,7 +22,14 @@ object CellStore {
     * any payload columns (carried from the fresh row). Idempotent per
     * (cell, epoch). */
   def mergeAdditive(spark: SparkSession, d: DataFrame, path: String,
-                    epoch: Long, valueCol: String): Unit = {
+                    epoch: Long, valueCol: String): Unit =
+    mergeAdditive(spark, d, path, epoch, Seq(valueCol))
+
+  /** Multi-column form: every column in `valueCols` is additive long state
+    * merged under the SAME per-cell epoch gate (one row either merges all
+    * of its values or none — the gate is per cell, not per column). */
+  def mergeAdditive(spark: SparkSession, d: DataFrame, path: String,
+                    epoch: Long, valueCols: Seq[String]): Unit = {
     val merged =
       if (!Io.dimStoreHasData(path)) d.withColumn("last_epoch", lit(epoch))
       else {
@@ -32,11 +39,11 @@ object CellStore {
           .filter(col("__se").isNull || col("__se") < epoch)
           .drop("__se")
         val prev = s.join(fresh.select("cell"), Seq("cell"), "left_semi")
-          .select(col("cell"), col(valueCol).as("__pc"))
-        fresh.join(prev, Seq("cell"), "left")
-          .withColumn(valueCol, col(valueCol) + coalesce(col("__pc"), lit(0L)))
-          .drop("__pc")
-          .withColumn("last_epoch", lit(epoch))
+          .select(col("cell") +: valueCols.map(v => col(v).as(s"__p_$v")): _*)
+        valueCols.foldLeft(fresh.join(prev, Seq("cell"), "left")) { (acc, v) =>
+          acc.withColumn(v, col(v) + coalesce(col(s"__p_$v"), lit(0L)))
+            .drop(s"__p_$v")
+        }.withColumn("last_epoch", lit(epoch))
       }
     Io.upsertDim(spark, merged, path, "cell", "last_epoch")
   }
