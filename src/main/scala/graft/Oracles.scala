@@ -3424,5 +3424,75 @@ object Oracles {
          |  END AS share
          |FROM fin CROSS JOIN tt""".stripMargin
     },
+
+    // q171 (positionalIndex): doc-range-chunked postings with 0-based token
+    // positions, serialized as deterministic doc:tf:p1.p2 strings so the
+    // bytes hash-compare (nested array-of-struct output would not).
+    "q171_positional_index" ->
+      """WITH tok AS (
+        |  SELECT doc_id, ts[i + 1] AS term, cast(i as int) AS pos
+        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+        |    FROM documents)
+        |  CROSS JOIN range(4096) t(i) WHERE i < len(ts)),
+        |pd AS (SELECT term, doc_id, list_sort(list(pos)) AS positions,
+        |    count(*) AS tf
+        |  FROM tok GROUP BY 1, 2),
+        |pe AS (SELECT term, doc_id, tf, doc_id // 256 AS chunk,
+        |    doc_id || ':' || tf || ':' || array_to_string(positions, '.') AS entry
+        |  FROM pd)
+        |SELECT term, chunk, count(*) AS df, cast(sum(tf) as bigint) AS cf,
+        |  string_agg(entry, '|' ORDER BY doc_id) AS postings
+        |FROM pe GROUP BY 1, 2""".stripMargin,
+
+    // q172 (whitenEmbeddings): per-dimension z-score on 2^20-quantized
+    // components — exact integer moments, one mirrored double chain for
+    // the final scaled score.
+    "q172_whiten_embed" ->
+      """WITH comp AS (
+        |  SELECT vec_id, cast(i as int) AS dim,
+        |    cast(floor(cast(embedding[i + 1] as double) * 1048576) as bigint) AS xq
+        |  FROM embeddings CROSS JOIN range(64) t(i) WHERE i < len(embedding)),
+        |mom AS (SELECT dim, count(*) AS n,
+        |    sum(cast(xq as hugeint)) AS s, sum(cast(xq as hugeint) * xq) AS s2
+        |  FROM comp GROUP BY 1),
+        |mm AS (SELECT dim, n, s,
+        |    cast(floor(sqrt(cast(n * s2 - s * s as double))) as hugeint) AS r
+        |  FROM mom)
+        |SELECT c.vec_id, c.dim, c.xq,
+        |  CASE WHEN mm.r > 0 THEN
+        |    greatest(cast(-127 as bigint), least(cast(127 as bigint),
+        |      cast(floor(cast(mm.n * c.xq - mm.s as double)
+        |        / cast(mm.r as double) * 32) as bigint)))
+        |  ELSE cast(0 as bigint) END AS z32
+        |FROM comp c JOIN mm USING (dim)""".stripMargin,
+
+    // q173 (prioritySample): weighted priority sampling. The oracle is the
+    // global row_number construction the Spark side's k-bounded topK
+    // partial agg avoids; priorities are one exactly-rounded double
+    // division, estimator weights 2^20 integer-quantized.
+    "q173_priority_sample" ->
+      """WITH d AS (SELECT doc_id, greatest(n_chars, 1) AS w,
+        |    greatest(1, ('0x' || substr(md5('prio_'
+        |      || cast(doc_id as varchar)), 1, 13))::BIGINT) AS h
+        |  FROM documents),
+        |p AS (SELECT doc_id, w,
+        |    cast(w * 4503599627370496 as double) / cast(h as double) AS priority
+        |  FROM d),
+        |rk AS (SELECT *, row_number() OVER (ORDER BY priority DESC, doc_id) AS r
+        |  FROM p),
+        |tau AS (SELECT coalesce(cast(floor(
+        |    max(CASE WHEN r = 65 THEN priority END) * 1048576) as bigint), 0) AS tau20
+        |  FROM rk),
+        |kept AS (SELECT rk.*, tau.tau20 FROM rk CROSS JOIN tau WHERE rk.r <= 64),
+        |est AS (SELECT cast(sum(greatest(w * 1048576, tau20)) as bigint) AS est20
+        |  FROM kept),
+        |ex AS (SELECT cast(sum(w) as bigint) AS exact_total FROM d)
+        |SELECT cast(k.r as int) AS r, k.doc_id, k.w, k.priority,
+        |  cast(greatest(k.w * 1048576, k.tau20) as double) / 1048576 AS w_hat,
+        |  cast(est.est20 as double) / 1048576 AS est_total,
+        |  ex.exact_total,
+        |  abs(est.est20 - ex.exact_total * 1048576) * 20
+        |    <= ex.exact_total * 1048576 * 7 AS est_ok
+        |FROM kept k CROSS JOIN est CROSS JOIN ex""".stripMargin,
   )
 }

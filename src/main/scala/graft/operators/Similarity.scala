@@ -945,6 +945,45 @@ object Similarity {
         coalesce(col("c1"), col("c2"), lit(-1L)).as("cluster_id"))
   }
 
+  /** EMBEDDING WHITENING (q172) — per-dimension z-score normalization of
+    * the embedding table, the standard preprocessing in front of the ANN /
+    * clustering family (distance comparisons assume comparably-scaled
+    * dimensions; a high-variance dimension otherwise dominates every L2 in
+    * q23/q33/q143). Output is an int8-range re-quantization: dimension d's
+    * component becomes clamp(⌊32·z⌋, ±127) with z = (x−μ_d)/σ_d.
+    *
+    * Exactness discipline: components quantize to integers FIRST
+    * (⌊x·2²⁰⌋ — the q28 move), so the per-dimension moment sums are exact
+    * decimals with no float accumulation order; z's numerator is the exact
+    * integer n·x_q − Σ_d, its denominator the per-dim constant
+    * ⌊√(n·Σx² − (Σx)²)⌋ (one exactly-rounded double sqrt of an exact
+    * integer — deterministic in both engines), and the final ⌊32·z⌋ is one
+    * mirrored double op chain. Shape: one posexplode scan → a 64-row
+    * moment aggregate (map-side combinable) → broadcast join back → the
+    * rewrite is map-only. Constant dimensions (σ = 0) emit 0. */
+  def whitenEmbeddings(spark: SparkSession, dir: String): DataFrame = {
+    val comp = emb(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .withColumn("xq", floor(col("x").cast("double") * 1048576L).cast("long"))
+      .select(col("vec_id"), col("dim"), col("xq"))
+    val mom = comp.groupBy("dim").agg(
+      count(lit(1)).as("n"),
+      sum(col("xq").cast("decimal(38,0)")).as("s"),
+      sum((col("xq") * col("xq")).cast("decimal(38,0)")).as("s2"))
+      .withColumn("v", col("n") * col("s2") - col("s") * col("s"))
+      .withColumn("r", floor(sqrt(col("v").cast("double"))).cast("decimal(38,0)"))
+      .select(col("dim"), col("n"), col("s"), col("r"))
+    comp.join(broadcast(mom), Seq("dim"))
+      .withColumn("z",
+        when(col("r") > 0,
+          (col("n").cast("decimal(38,0)") * col("xq") - col("s")).cast("double")
+            / col("r").cast("double"))
+          .otherwise(lit(0.0)))
+      .select(col("vec_id"), col("dim"), col("xq"),
+        greatest(lit(-127L), least(lit(127L),
+          floor(col("z") * 32).cast("long"))).as("z32"))
+  }
+
   /** kNN-GRAPH BFS (q168) — hop distances over the embedding space's
     * k-nearest-neighbor graph, from a deterministic source (the min
     * `vec_id`). The kNN graph is the navigable-small-world substrate that

@@ -1758,16 +1758,123 @@ object TextOps {
           .cast("binary")), 1, 8), 16, 10).cast("long"), lit(shards.toLong))
           .cast("int"))
 
-  /** SEQUENCE PACKING (q167) — concat-and-chunk, the GPT-style training-data
-    * layout step [Brown et al. 2020 §2.2; Raffel et al. 2020 (T5) pack the
-    * same way]: documents are concatenated in a deterministic order (ascending
-    * `doc_id`) into one token stream that is cut into fixed-size context
-    * chunks of `chunkTokens`; each doc's placement is fully determined by the
-    * EXCLUSIVE prefix sum of token counts in that order. Output grain is one
-    * row per doc: its offset in the stream, the first/last chunk it touches,
-    * and how many chunk boundaries cross it (`crosses` — the count of
-    * attention-mask seams a masking packer would need, and the truncation
-    * loss a non-splitting packer would pay).
+  /** PRIORITY SAMPLING (q173) — the WEIGHTED generalization of q164's quota
+    * sample [Duffield, Lund & Thorup, "Priority sampling", JACM 2007]:
+    * draw k documents with probability proportional to weight (here
+    * `n_chars` — in production a quality or importance score, the q101
+    * DSIR shape), and get an UNBIASED Horvitz–Thompson estimate of any
+    * subset-sum from just the sample. Each doc gets priority w/u with u a
+    * deterministic md5 uniform; the k highest priorities are the sample,
+    * the (k+1)-th is the threshold τ, and every kept doc's estimator
+    * weight is max(w, τ) — E[Σ max(w,τ)] is exactly Σw.
+    *
+    * Scale shape is the q164 one: the k-bounded [[graft.functions.Aggregators.topK]]
+    * partial agg — every mapper forwards ≤ k+1 rows, no global sort, no
+    * window (the oracle runs the row_number construction this avoids).
+    * Determinism: priority = w·2⁵²/h is one exactly-rounded double
+    * division (ties broken by doc_id); estimator weights and the estimate
+    * quantize to 2²⁰ longs, so the total is an order-free integer sum and
+    * the ±35% sanity flag is an exact integer comparison (the q148
+    * discipline — the spec owns the accuracy claim, the flag just has to
+    * replay). */
+  def prioritySample(spark: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"),
+      greatest(col("n_chars"), lit(1L)).as("w"))
+      .withColumn("h", greatest(lit(1L),
+        conv(substring(md5(concat(lit("prio_"),
+          col("doc_id").cast("string")).cast("binary")), 1, 13), 16, 10).cast("long")))
+      .withColumn("priority",
+        (col("w") * lit(4503599627370496L)).cast("double") / col("h").cast("double"))
+    val top = d.agg(
+      graft.functions.Aggregators.topK(k + 1, col("priority"), col("doc_id"), col("w"))
+        .as("top"),
+      sum(col("w")).as("exact_total"))
+      .withColumn("tau20",
+        when(size(col("top")) > k,
+          floor(element_at(col("top"), k + 1).getField("v") * 1048576L).cast("long"))
+          .otherwise(0L))
+      .withColumn("kept", slice(col("top"), 1, k))
+      .withColumn("est20", expr(
+        "aggregate(kept, 0L, (acc, e) -> acc + greatest(e.p * 1048576L, tau20))"))
+    top.select(col("exact_total"), col("tau20"), col("est20"),
+      posexplode(col("kept")).as(Seq("pos", "e")))
+      .select(
+        (col("pos") + 1).cast("int").as("r"),
+        col("e.id").as("doc_id"),
+        col("e.p").as("w"),
+        col("e.v").as("priority"),
+        (greatest(col("e.p") * 1048576L, col("tau20")).cast("double") / 1048576L)
+          .as("w_hat"),
+        (col("est20").cast("double") / 1048576L).as("est_total"),
+        col("exact_total"),
+        (abs(col("est20") - col("exact_total") * 1048576L) * 20L
+          <= col("exact_total") * 1048576L * 7L).as("est_ok"))
+  }
+
+  /** POSITIONAL INVERTED INDEX (q171) — the full postings layer under
+    * q81's BM25 and q60's tf-idf, and the structural upgrade of q64's
+    * truncated term dictionary: for every term, the documents containing
+    * it with their term frequency and 0-based token POSITIONS (what phrase
+    * and proximity queries need), plus per-group document/collection
+    * frequency. [Zobel & Moffat, "Inverted files for text search engines",
+    * CSUR 2006 — the standard index organization.]
+    *
+    * The scale problem is the hot term: at web scale a stopword's posting
+    * list has hundreds of millions of entries, so "one row per term with an
+    * array" is a guaranteed OOM and any per-term ordering window is the
+    * pinned-reducer skew bug (the q69/cleanCorpus lesson). Postings are
+    * therefore CHUNKED BY DOC-ID RANGE: `chunk = doc_id div chunkDocs` is
+    * map-side arithmetic (no window, no rank), every (term, chunk) group is
+    * bounded by `chunkDocs` entries regardless of term popularity, and
+    * doc-ordered chunks are exactly what top-k retrieval wants to scan
+    * (doc-at-a-time traversal; a chunk is also the natural unit for the
+    * skip pointers real indexes keep). Within a (term, doc) group the
+    * position list is bounded by the document's own length — row-local
+    * after one `posexplode`.
+    *
+    * Postings serialize as `doc:tf:p1.p2.p3|...` strings — deterministic,
+    * and both engines build the identical bytes (the nested
+    * array-of-struct-of-array alternative does not hash-compare across
+    * engines). */
+  def positionalIndex(spark: SparkSession, dir: String, chunkDocs: Int = 256): DataFrame =
+    positionalIndexFrom(docs(spark, dir), chunkDocs)
+
+  /** Frame form of [[positionalIndex]]: `d` needs (doc_id, text). */
+  def positionalIndexFrom(d: DataFrame, chunkDocs: Int = 256): DataFrame = {
+    val perDoc = d
+      .select(col("doc_id"), posexplode(tokensCol(col("text"))).as(Seq("pos", "term")))
+      .groupBy("term", "doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+      .withColumn("tf", size(col("positions")).cast("long"))
+      .withColumn("entry", concat(col("doc_id"), lit(":"), col("tf"), lit(":"),
+        array_join(col("positions"), ".")))
+    perDoc
+      .withColumn("chunk", expr(s"doc_id div $chunkDocs"))
+      .groupBy("term", "chunk")
+      .agg(
+        count(lit(1)).as("df"),
+        sum(col("tf")).as("cf"),
+        array_join(transform(sort_array(collect_list(struct(col("doc_id"), col("entry")))),
+          e => e.getField("entry")), "|").as("postings"))
+  }
+
+  /** SEQUENCE PACKING, DECLARATIVE FORM (q167) — concat-and-chunk, the
+    * GPT-style training-data layout step [Brown et al. 2020 §2.2; Raffel
+    * et al. 2020 (T5) pack the same way]: documents are concatenated in a
+    * deterministic order (ascending `doc_id`) into one token stream cut
+    * into fixed-size context chunks of `chunkTokens`; each doc's placement
+    * is fully determined by the EXCLUSIVE prefix sum of token counts in
+    * that order. [[sequencePacking]] (q68) computes the same layout by
+    * dropping to the preference ladder's last rung — `mapPartitions` with a
+    * driver-collected partition-total prefix; this operator is the fully
+    * DECLARATIVE twin (range bins + per-group windows, Catalyst all the way
+    * down, whitespace tokens instead of q68's BPE count), kept alongside it
+    * because the two constructions check each other and only this one lets
+    * the optimizer see through the plan. Output grain is one row per doc:
+    * its offset in the stream, the first/last chunk it touches, and how
+    * many chunk boundaries cross it (`crosses` — the attention-mask seams a
+    * masking packer needs, the truncation loss a non-splitting packer
+    * pays).
     *
     * The scale problem is the GLOBAL prefix sum: `Window.orderBy(doc_id)`
     * with no partition key plans as a SINGLE-TASK sort of the corpus — the

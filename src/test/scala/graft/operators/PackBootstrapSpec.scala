@@ -192,4 +192,96 @@ class PackBootstrapSpec extends SparkSuite {
     assert(shareSum > 0.99 && shareSum <= 1.000001,
       s"shares must partition the total effect, got $shareSum")
   }
+
+  // ---------------- q171 positional inverted index ----------------
+
+  test("positionalIndex: equals a driver tokenize->postings replay") {
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val re = "[a-z0-9]+".r
+    val perTermDoc = docs.flatMap { case (id, text) =>
+      re.findAllIn(text.toLowerCase).zipWithIndex.map { case (t, p) => (t, id, p) }
+    }.groupBy(x => (x._1, x._2)).map { case ((t, id), xs) =>
+      val ps = xs.map(_._3).sorted
+      (t, id, ps.length.toLong, s"$id:${ps.length}:${ps.mkString(".")}")
+    }
+    val want = perTermDoc.groupBy(x => (x._1, x._2 / 256)).map { case ((t, c), xs) =>
+      val sorted = xs.toSeq.sortBy(_._2)
+      (t, c) -> ((sorted.length.toLong, sorted.map(_._3).sum,
+        sorted.map(_._4).mkString("|")))
+    }
+    val got = TextOps.positionalIndex(spark, sf0001)
+      .as[(String, Long, Long, Long, String)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(got == want)
+    // positions are real: some term must occur more than once in one doc
+    assert(got.values.exists(_._3.matches(""".*:\d+:\d+\.\d+.*""")),
+      "fixture must exercise multi-position postings")
+  }
+
+  // ---------------- q172 embedding whitening ----------------
+
+  test("whitenEmbeddings: equals a driver exact-moment replay; output is centered and clamped") {
+    val vecs = graft.Tables.load(spark, sf0001, "embeddings")
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    val comp = vecs.flatMap { case (id, v) =>
+      v.zipWithIndex.map { case (x, d) =>
+        (id, d, math.floor(x.toDouble * 1048576L).toLong) }
+    }
+    val byDim = comp.groupBy(_._2).map { case (d, xs) =>
+      val n = BigInt(xs.length)
+      val s = xs.map(x => BigInt(x._3)).sum
+      val s2 = xs.map(x => BigInt(x._3) * x._3).sum
+      val r = BigInt(math.floor(math.sqrt((n * s2 - s * s).toDouble)).toLong)
+      d -> ((n, s, r))
+    }
+    val want = comp.map { case (id, d, xq) =>
+      val (n, s, r) = byDim(d)
+      val z32 =
+        if (r > 0) {
+          val z = (n * xq - s).toDouble / r.toDouble
+          math.max(-127L, math.min(127L, math.floor(z * 32).toLong))
+        } else 0L
+      (id, d, xq) -> z32
+    }.toMap
+    val got = Similarity.whitenEmbeddings(spark, sf0001)
+      .as[(Long, Int, Long, Long)].collect()
+      .map(r => (r._1, r._2, r._3) -> r._4).toMap
+    assert(got == want)
+    assert(got.values.exists(_ == 127L) || got.values.exists(_ == -127L) ||
+      got.values.exists(v => math.abs(v) > 40),
+      "whitened values must actually spread over the int8 range")
+  }
+
+  // ---------------- q173 priority sampling ----------------
+
+  test("prioritySample: equals a driver priority replay; HT estimate is sane across seeds") {
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id"), greatest(col("n_chars"), lit(1L)).as("w"))
+      .as[(Long, Long)].collect()
+    val prio = docs.map { case (id, w) =>
+      val h = math.max(1L, u52(s"prio_$id"))
+      (id, w, (w * 4503599627370496L).toDouble / h.toDouble)
+    }.sortBy(x => (-x._3, x._1))
+    val k = 64
+    val tau20 =
+      if (prio.length > k) math.floor(prio(k)._3 * 1048576L).toLong else 0L
+    val kept = prio.take(k)
+    val est20 = kept.map(x => math.max(x._2 * 1048576L, tau20)).sum
+    val exact = docs.map(_._2).sum
+    val want = kept.zipWithIndex.map { case ((id, w, p), i) =>
+      id -> ((i + 1, w, p, math.max(w * 1048576L, tau20).toDouble / 1048576L,
+        est20.toDouble / 1048576L, exact,
+        math.abs(est20 - exact * 1048576L) * 20L <= exact * 1048576L * 7L))
+    }.toMap
+    val got = TextOps.prioritySample(spark, sf0001)
+      .as[(Int, Long, Long, Double, Double, Double, Long, Boolean)].collect()
+      .map(r => r._2 -> ((r._1, r._3, r._4, r._5, r._6, r._7, r._8))).toMap
+    assert(got == want)
+    // heavier docs are over-represented vs uniform sampling: the kept set's
+    // mean weight must exceed the corpus mean (the point of weighting)
+    val meanKept = kept.map(_._2).sum.toDouble / k
+    val meanAll = exact.toDouble / docs.length
+    assert(meanKept > meanAll)
+  }
 }
