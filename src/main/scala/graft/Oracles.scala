@@ -3494,5 +3494,201 @@ object Oracles {
         |  abs(est.est20 - ex.exact_total * 1048576) * 20
         |    <= ex.exact_total * 1048576 * 7 AS est_ok
         |FROM kept k CROSS JOIN est CROSS JOIN ex""".stripMargin,
+
+    // q174 (knScore): interpolated Kneser-Ney bigram scoring, LM trained on
+    // the store third (q90 split), all docs scored. Probabilities are
+    // rationals over integer counts at discount D=3/4, floor(2^20*p) as ONE
+    // HUGEINT integral division — mirrors Spark's decimal(38,0) div exactly.
+    "q174_kn_score" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |wm AS (SELECT max(doc_id) // 3 AS wm FROM documents),
+        |g0 AS (SELECT doc_id, unnest(
+        |   [array_to_string(toks[i:i+1], ' ') FOR i IN generate_series(1, greatest(len(toks) - 1, 0))]) AS gram
+        |  FROM t),
+        |gr AS (SELECT doc_id, gram, count(*) AS tf FROM g0 GROUP BY 1, 2),
+        |corpus AS (SELECT gram, cast(sum(tf) as bigint) AS c12
+        |  FROM gr CROSS JOIN wm WHERE doc_id < wm GROUP BY 1),
+        |marg AS (SELECT split_part(gram, ' ', 1) AS w1, cast(sum(c12) as bigint) AS c1,
+        |    cast(count(*) as bigint) AS n1p FROM corpus GROUP BY 1),
+        |cont AS (SELECT split_part(gram, ' ', 2) AS w2, cast(count(*) as bigint) AS cw2
+        |  FROM corpus GROUP BY 1),
+        |ct AS (SELECT cast(count(*) as bigint) AS ctot FROM corpus),
+        |qq AS (SELECT g.doc_id, g.tf, c.c12,
+        |    CASE WHEN m.c1 IS NOT NULL THEN
+        |      (1048576::HUGEINT * (greatest(4 * coalesce(c.c12, 0) - 3, 0)::HUGEINT * ct.ctot
+        |         + 3::HUGEINT * m.n1p * coalesce(co.cw2, 0)))
+        |      // (4::HUGEINT * m.c1 * ct.ctot)
+        |    ELSE (1048576::HUGEINT * coalesce(co.cw2, 0)) // ct.ctot END AS q
+        |  FROM gr g
+        |  LEFT JOIN corpus c USING (gram)
+        |  LEFT JOIN marg m ON m.w1 = split_part(g.gram, ' ', 1)
+        |  LEFT JOIN cont co ON co.w2 = split_part(g.gram, ' ', 2)
+        |  CROSS JOIN ct),
+        |sc AS (SELECT doc_id, cast(sum(tf * q) as bigint) AS kn_sum,
+        |    cast(sum(tf) as bigint) AS n_bigrams,
+        |    cast(sum(CASE WHEN c12 IS NULL THEN tf ELSE 0 END) as bigint) AS oov_tf
+        |  FROM qq GROUP BY 1)
+        |SELECT t.doc_id, coalesce(n_bigrams, 0) AS n_bigrams,
+        |  coalesce(kn_sum, 0) AS kn_sum, coalesce(oov_tf, 0) AS oov_tf,
+        |  CASE WHEN coalesce(n_bigrams, 0) > 0
+        |    THEN coalesce(kn_sum, 0) // n_bigrams ELSE -1 END AS avg_q
+        |FROM t LEFT JOIN sc ON sc.doc_id = t.doc_id""".stripMargin,
+
+    // q175 (lpaCommunities): synchronous label propagation on the q168 kNN
+    // graph, 4 unrolled rounds (plurality label, ties to the smaller
+    // label). MATERIALIZED per round — each lN/cN is referenced twice and
+    // naive inlining re-expands the quadratic graph join per reference
+    // (the q150 lesson).
+    "q175_lpa_communities" -> {
+      val rounds = (1 to 4).map { r =>
+        s"""c$r AS MATERIALIZED (SELECT e.b AS node, l.lbl, count(*) AS ct
+           |  FROM edges e JOIN l${r - 1} l ON l.node = e.a GROUP BY 1, 2),
+           |m$r AS MATERIALIZED (SELECT node, max(ct) AS mct FROM c$r GROUP BY 1),
+           |l$r AS MATERIALIZED (SELECT l.node, coalesce(n.nl, l.lbl) AS lbl
+           |  FROM l${r - 1} l LEFT JOIN (SELECT c.node, min(c.lbl) AS nl
+           |    FROM c$r c JOIN m$r m ON m.node = c.node AND c.ct = m.mct
+           |    GROUP BY 1) n ON n.node = l.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e1 AS (SELECT vec_id, embedding,
+         |   127.0 / greatest(list_max(list_transform(embedding, x -> abs(cast(x as double)))), 1e-9) AS scale
+         | FROM embeddings WHERE vec_id < 2000),
+         |e2 AS MATERIALIZED (SELECT vec_id,
+         |   list_transform(embedding, x -> cast(round(cast(x as double) * scale) as int)) AS qv
+         | FROM e1),
+         |sq AS (SELECT vec_id, qv, cast(list_inner_product(qv, qv) as bigint) AS s FROM e2),
+         |p AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+         |   (a.s + b.s - 2 * cast(list_inner_product(a.qv, b.qv) as bigint)) * 2000
+         |     + b.vec_id AS comp
+         | FROM sq a JOIN sq b ON a.vec_id <> b.vec_id),
+         |knn AS (SELECT va, vb FROM (SELECT va, vb,
+         |    row_number() OVER (PARTITION BY va ORDER BY comp) AS rn FROM p)
+         |  WHERE rn <= 3),
+         |edges AS MATERIALIZED (SELECT va AS a, vb AS b FROM knn
+         |  UNION SELECT vb, va FROM knn),
+         |l0 AS MATERIALIZED (SELECT vec_id AS node, vec_id AS lbl FROM e2),
+         |$rounds,
+         |sz AS (SELECT lbl, count(*) AS csize FROM l4 GROUP BY 1)
+         |SELECT l4.node AS vec_id, l4.lbl AS community, sz.csize
+         |FROM l4 JOIN sz USING (lbl)""".stripMargin
+    },
+
+    // q176 (cupedTtest): CUPED variance-reduced Welch test. X/Y are exact
+    // integer cents split at the exact-micros window midpoint; moments in
+    // HUGEINT ≡ Spark decimal(38,0); theta/means/variances/t mirror the
+    // Spark double expression tree operation-for-operation.
+    "q176_cuped" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS us,
+        |    cast(floor(value * 100) as bigint) AS c
+        |  FROM events WHERE event_type = 'purchase'),
+        |b AS (SELECT (min(us) + max(us)) // 2 AS mid FROM ev),
+        |u AS (SELECT user_id,
+        |    cast(sum(CASE WHEN us < mid THEN c ELSE 0 END) as bigint) AS x,
+        |    cast(sum(CASE WHEN us >= mid THEN c ELSE 0 END) as bigint) AS y
+        |  FROM ev CROSS JOIN b GROUP BY 1),
+        |p AS (SELECT x, y,
+        |    CASE WHEN ('0x' || substr(md5('exp1_' || cast(user_id as varchar)), 1, 13))::BIGINT % 2 = 0
+        |      THEN 'A' ELSE 'B' END AS arm
+        |  FROM u),
+        |a AS (SELECT arm, count(*) AS n,
+        |    cast(sum(x) as bigint) AS sx, cast(sum(y) as bigint) AS sy,
+        |    sum(cast(x as hugeint) * x) AS sxx,
+        |    sum(cast(x as hugeint) * y) AS sxy,
+        |    sum(cast(y as hugeint) * y) AS syy
+        |  FROM p GROUP BY 1),
+        |r AS (SELECT
+        |    cast(sum(CASE WHEN arm = 'A' THEN n END) as bigint) AS n_a,
+        |    cast(sum(CASE WHEN arm = 'A' THEN sx END) as bigint) AS sx_a,
+        |    cast(sum(CASE WHEN arm = 'A' THEN sy END) as bigint) AS sy_a,
+        |    sum(CASE WHEN arm = 'A' THEN sxx END) AS sxx_a,
+        |    sum(CASE WHEN arm = 'A' THEN sxy END) AS sxy_a,
+        |    sum(CASE WHEN arm = 'A' THEN syy END) AS syy_a,
+        |    cast(sum(CASE WHEN arm = 'B' THEN n END) as bigint) AS n_b,
+        |    cast(sum(CASE WHEN arm = 'B' THEN sx END) as bigint) AS sx_b,
+        |    cast(sum(CASE WHEN arm = 'B' THEN sy END) as bigint) AS sy_b,
+        |    sum(CASE WHEN arm = 'B' THEN sxx END) AS sxx_b,
+        |    sum(CASE WHEN arm = 'B' THEN sxy END) AS sxy_b,
+        |    sum(CASE WHEN arm = 'B' THEN syy END) AS syy_b
+        |  FROM a),
+        |m AS (SELECT r.*,
+        |    cast(n_a as double) + cast(n_b as double) AS n,
+        |    cast(sx_a as double) + cast(sx_b as double) AS sx,
+        |    cast(sy_a as double) + cast(sy_b as double) AS sy,
+        |    cast(sxx_a as double) + cast(sxx_b as double) AS sxx,
+        |    cast(sxy_a as double) + cast(sxy_b as double) AS sxy
+        |  FROM r),
+        |th AS (SELECT m.*,
+        |    (n * sxy - sx * sy) / (n * sxx - sx * sx) AS theta
+        |  FROM m),
+        |z AS (SELECT th.*,
+        |    (cast(sy_a as double) - theta * cast(sx_a as double)) / cast(n_a as double) AS mz_a,
+        |    (cast(sy_b as double) - theta * cast(sx_b as double)) / cast(n_b as double) AS mz_b,
+        |    cast(sy_a as double) / cast(n_a as double) AS my_a,
+        |    cast(sy_b as double) / cast(n_b as double) AS my_b
+        |  FROM th),
+        |v AS (SELECT z.*,
+        |    (cast(syy_a as double) - 2.0 * theta * cast(sxy_a as double)
+        |      + theta * theta * cast(sxx_a as double)
+        |      - cast(n_a as double) * mz_a * mz_a) / (cast(n_a as double) - 1) AS vz_a,
+        |    (cast(syy_b as double) - 2.0 * theta * cast(sxy_b as double)
+        |      + theta * theta * cast(sxx_b as double)
+        |      - cast(n_b as double) * mz_b * mz_b) / (cast(n_b as double) - 1) AS vz_b,
+        |    (cast(syy_a as double) - cast(sy_a as double) * cast(sy_a as double)
+        |      / cast(n_a as double)) / (cast(n_a as double) - 1) AS vy_a,
+        |    (cast(syy_b as double) - cast(sy_b as double) * cast(sy_b as double)
+        |      / cast(n_b as double)) / (cast(n_b as double) - 1) AS vy_b,
+        |    (cast(syy_a as double) + cast(syy_b as double) - 2.0 * theta * sxy
+        |      + theta * theta * sxx) AS szz,
+        |    (sy - theta * sx) / n AS mz_all
+        |  FROM z),
+        |f AS (SELECT v.*,
+        |    (my_a - my_b) / sqrt(vy_a / cast(n_a as double) + vy_b / cast(n_b as double)) AS t_raw,
+        |    (mz_a - mz_b) / sqrt(vz_a / cast(n_a as double) + vz_b / cast(n_b as double)) AS t_adj,
+        |    (szz - n * mz_all * mz_all) / (n - 1) AS vz_all,
+        |    ((cast(syy_a as double) + cast(syy_b as double)) - sy * sy / n) / (n - 1) AS vy_all
+        |  FROM v)
+        |SELECT n_a, n_b, theta,
+        |  my_a AS mean_raw_a, my_b AS mean_raw_b, t_raw,
+        |  mz_a AS mean_adj_a, mz_b AS mean_adj_b, t_adj,
+        |  1.0 - vz_all / vy_all AS var_reduction,
+        |  abs(t_raw) > cast(1.96 as double) AS sig_raw,
+        |  abs(t_adj) > cast(1.96 as double) AS sig_adj
+        |FROM f""".stripMargin,
+
+    // q177 (alsRank1): rank-1 ALS in 2^20 fixed point, 2 unrolled rounds.
+    // Every iterate is one HUGEINT integral division ≡ Spark decimal div;
+    // the MSE audit re-predicts every observed cell.
+    "q177_als_rank1" ->
+      """WITH r AS MATERIALIZED (SELECT o_custkey AS cust, p_brand AS item,
+        |    cast(sum(l_quantity) as bigint) AS r
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2),
+        |v0 AS (SELECT DISTINCT item, cast(1048576 as bigint) AS v FROM r),
+        |u1 AS MATERIALIZED (SELECT cust,
+        |    cast((1099511627776::HUGEINT * sum(cast(r.r as hugeint) * v))
+        |      // sum(cast(v as hugeint) * v) as bigint) AS u
+        |  FROM r JOIN v0 USING (item) GROUP BY 1),
+        |v1 AS MATERIALIZED (SELECT item,
+        |    cast((1099511627776::HUGEINT * sum(cast(r.r as hugeint) * u))
+        |      // sum(cast(u as hugeint) * u) as bigint) AS v
+        |  FROM r JOIN u1 USING (cust) GROUP BY 1),
+        |u2 AS MATERIALIZED (SELECT cust,
+        |    cast((1099511627776::HUGEINT * sum(cast(r.r as hugeint) * v))
+        |      // sum(cast(v as hugeint) * v) as bigint) AS u
+        |  FROM r JOIN v1 USING (item) GROUP BY 1),
+        |v2 AS MATERIALIZED (SELECT item,
+        |    cast((1099511627776::HUGEINT * sum(cast(r.r as hugeint) * u))
+        |      // sum(cast(u as hugeint) * u) as bigint) AS v
+        |  FROM r JOIN u2 USING (cust) GROUP BY 1),
+        |cells AS (SELECT r.r * 1048576
+        |      - cast((cast(u as hugeint) * v) // 1048576 as bigint) AS err
+        |  FROM r JOIN u2 USING (cust) JOIN v2 USING (item)),
+        |mse AS (SELECT cast(sum(cast(err as hugeint) * err)
+        |      // (count(*)::HUGEINT * 1099511627776) as bigint) AS mse_q
+        |  FROM cells),
+        |nr AS (SELECT item, count(*) AS n_raters FROM r GROUP BY 1)
+        |SELECT v2.item, v2.v AS v_q, nr.n_raters, mse.mse_q
+        |FROM v2 JOIN nr USING (item) CROSS JOIN mse""".stripMargin,
   )
 }

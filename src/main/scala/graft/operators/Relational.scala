@@ -1747,6 +1747,147 @@ object Relational {
       tstat.as("t_stat"), df.as("df"), (abs(tstat) > 1.96).as("significant"))
   }
 
+  /** CUPED VARIANCE REDUCTION (q176) — [Deng, Xu, Kohavi & Walker,
+    * WSDM'13]: the same experiment as [[welchTtest]] but with each user's
+    * PRE-EXPERIMENT covariate regressed out of the metric before testing —
+    * the industry-standard sensitivity fix (a fraction of the metric's
+    * variance is explained by who the user already was; removing it shrinks
+    * the standard error with zero bias, since assignment is independent of
+    * anything pre-experiment). Here the window midpoint splits each user's
+    * purchases into covariate X (first half) and metric Y (second half);
+    * θ = cov(X,Y)/var(X) is fitted POOLED across arms (the paper's
+    * recommendation — per-arm θ reintroduces bias), Y′ = Y − θ(X − X̄),
+    * and Welch's t runs on Y′ next to the raw-Y test it improves on.
+    *
+    * Numeric discipline (q140/q144): per-user X/Y are exact long cents from
+    * ONE conditional-sum groupBy; per-arm moments (n, Σx, Σy, Σxx, Σxy,
+    * Σyy) are ONE map-side-combinable aggregate with the product sums in
+    * decimal(38,0); θ, adjusted means/variances, both t statistics, and the
+    * variance-reduction ratio are doubles over the final 2-row frame with
+    * the expression tree mirrored in the oracle, so everything
+    * hash-compares. The θ(X−X̄) shift is constant within an arm, so
+    * adjusted variances use Z = Y − θX directly (X̄ cancels).
+    *
+    * Scale shape: corpus work is one events scan + one (user) groupBy; the
+    * bounds ride as a broadcast 1-row frame (no driver action); everything
+    * after the per-arm aggregate is control-plane. */
+  def cupedTtest(spark: SparkSession, dir: String): DataFrame = {
+    val arm = when(
+      conv(substring(md5(concat(lit("exp1_"),
+        col("user_id").cast("string")).cast("binary")), 1, 13), 16, 10)
+        .cast("long") % 2 === 0, "A").otherwise("B")
+    val ev = t(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("event_time")).as("us"),
+        floor(col("value") * 100).cast("long").as("c"))
+    // midpoint in exact integer micros (unix_micros ≡ DuckDB epoch_us)
+    val bounds = ev.agg(expr("(min(us) + max(us)) div 2").as("mid"))
+    val users = ev.crossJoin(broadcast(bounds))
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("us") < col("mid"), col("c")).otherwise(0L)).as("x"),
+        sum(when(col("us") >= col("mid"), col("c")).otherwise(0L)).as("y"))
+      .withColumn("arm", arm)
+    val arms = users.groupBy("arm").agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+      sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+      sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"))
+    def pick(a: String, c: String) = sum(when(col("arm") === a, col(c)))
+    val row = arms.agg(
+      pick("A", "n").as("n_a"), pick("A", "sx").as("sx_a"), pick("A", "sy").as("sy_a"),
+      pick("A", "sxx").as("sxx_a"), pick("A", "sxy").as("sxy_a"), pick("A", "syy").as("syy_a"),
+      pick("B", "n").as("n_b"), pick("B", "sx").as("sx_b"), pick("B", "sy").as("sy_b"),
+      pick("B", "sxx").as("sxx_b"), pick("B", "sxy").as("sxy_b"), pick("B", "syy").as("syy_b"))
+    def d(c: String) = col(c).cast("double")
+    val n = d("n_a") + d("n_b")
+    val sx = d("sx_a") + d("sx_b"); val sy = d("sy_a") + d("sy_b")
+    val sxx = d("sxx_a") + d("sxx_b"); val sxy = d("sxy_a") + d("sxy_b")
+    val theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    // per-arm moments of Z = Y - theta*X (the X-bar shift cancels within an arm)
+    def mz(a: String) = (d(s"sy_$a") - theta * d(s"sx_$a")) / d(s"n_$a")
+    def vz(a: String) =
+      (d(s"syy_$a") - lit(2.0) * theta * d(s"sxy_$a") + theta * theta * d(s"sxx_$a")
+        - d(s"n_$a") * mz(a) * mz(a)) / (d(s"n_$a") - 1)
+    def my(a: String) = d(s"sy_$a") / d(s"n_$a")
+    def vy(a: String) =
+      (d(s"syy_$a") - d(s"sy_$a") * d(s"sy_$a") / d(s"n_$a")) / (d(s"n_$a") - 1)
+    val tRaw = (my("a") - my("b")) /
+      sqrt(vy("a") / d("n_a") + vy("b") / d("n_b"))
+    val tAdj = (mz("a") - mz("b")) /
+      sqrt(vz("a") / d("n_a") + vz("b") / d("n_b"))
+    // pooled variance reduction: 1 - var(Z)/var(Y), the CUPED win
+    val szz = d("syy_a") + d("syy_b") - lit(2.0) * theta * sxy +
+      theta * theta * sxx
+    val mzAll = (sy - theta * sx) / n
+    val vzAll = (szz - n * mzAll * mzAll) / (n - 1)
+    val vyAll = ((d("syy_a") + d("syy_b")) - sy * sy / n) / (n - 1)
+    row.select(
+      col("n_a"), col("n_b"), theta.as("theta"),
+      my("a").as("mean_raw_a"), my("b").as("mean_raw_b"), tRaw.as("t_raw"),
+      mz("a").as("mean_adj_a"), mz("b").as("mean_adj_b"), tAdj.as("t_adj"),
+      (lit(1.0) - vzAll / vyAll).as("var_reduction"),
+      (abs(tRaw) > 1.96).as("sig_raw"), (abs(tAdj) > 1.96).as("sig_adj"))
+  }
+
+  /** RANK-1 ALS MATRIX FACTORIZATION (q177) — the latent-factor
+    * recommender primitive [Koren, Bell & Volinsky, IEEE Computer 2009;
+    * Zhou et al., AAIM'08 for the parallel ALS formulation]: factor the
+    * (customer × brand) implicit-rating matrix (total quantity ordered) as
+    * r ≈ u·vᵀ by alternating least squares. Where [[itemCf]] (q147) scores
+    * item-item pairs from co-occurrence alone, ALS learns a global latent
+    * structure — at rank 1 each half-step has the exact closed form
+    * uᵢ = Σⱼ rᵢⱼvⱼ / Σⱼ vⱼ² over user i's OBSERVED items (and symmetrically
+    * for v), which converges to the dominant singular pair.
+    *
+    * Rank 1 is the deliberate choice, not a simplification dodge: higher
+    * rank needs a per-key k×k normal-equation solve (matrix inverse —
+    * nothing either engine can replay exactly), while rank 1 keeps every
+    * iterate ONE integral division in 2²⁰ fixed point (truncating div —
+    * the q166 convention; all quantities non-negative here so truncation
+    * direction never flips), so the whole trajectory hash-compares.
+    *
+    * Scale shape: ratings = one fact-scan groupBy, persisted and never
+    * re-derived; each half-step is ONE equi-join (item side broadcast —
+    * item-domain-bounded; user side a plain hash join that shuffles
+    * O(ratings)) + ONE partial-agged groupBy. Fixed 2 rounds. The MSE
+    * audit is one more pass over the ratings with both factor frames. */
+  def alsRank1(spark: SparkSession, dir: String): DataFrame = {
+    val ratings = t(spark, dir, "lineitem")
+      .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(spark, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("o_custkey").as("cust"), col("p_brand").as("item"))
+      .agg(sum(col("l_quantity")).cast("long").as("r"))
+      .persist()
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val two40 = dec(lit(1099511627776L))
+    def step(frame: DataFrame, key: String, fCol: String): DataFrame =
+      frame.groupBy(key).agg(
+        (two40 * sum(dec(col("r")) * col(fCol))).as("num"),
+        sum(dec(col(fCol)) * col(fCol)).as("den"))
+        .select(col(key), expr("num div den").as(fCol))
+    var v = ratings.select(col("item")).distinct()
+      .withColumn("v", lit(1048576L))
+    var u: DataFrame = null
+    for (_ <- 1 to 2) {
+      u = step(ratings.join(broadcast(v), Seq("item")), "cust", "v")
+        .withColumnRenamed("v", "u")
+      v = step(ratings.join(u, Seq("cust")), "item", "u")
+        .withColumnRenamed("u", "v")
+    }
+    val cells = ratings.join(u, Seq("cust")).join(broadcast(v), Seq("item"))
+      .withColumn("err",
+        col("r") * lit(1048576L) - expr("(cast(u as decimal(38,0)) * v) div 1048576"))
+    val mse = cells.agg(count(lit(1)).as("n_cells"),
+      sum(dec(col("err")) * col("err")).as("sse"))
+      .select(expr("sse div (n_cells * 1099511627776)").as("mse_q"))
+    val nr = ratings.groupBy("item").agg(count(lit(1)).as("n_raters"))
+    v.join(broadcast(nr), Seq("item"))
+      .crossJoin(broadcast(mse))
+      .select(col("item"), col("v").as("v_q"), col("n_raters"), col("mse_q"))
+  }
+
   /** SKETCH-BASED JOIN-SIZE ESTIMATION (q146) — the CBO input a 100 TB
     * planner wants BEFORE committing to a shuffle: |A ⋈_k B| = Σ_k
     * f_A(k)·f_B(k), estimated from each side's Count-Min row as the

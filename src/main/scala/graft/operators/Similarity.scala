@@ -1017,10 +1017,12 @@ object Similarity {
     * q24/q19/q143 convention); at 100 TB the LSH/IVF bucketing (q28/q33)
     * is the documented candidate source — the graph, BFS, and oracle
     * are unchanged by where candidates come from. */
-  def knnBfs(spark: SparkSession, dir: String, k: Int = 3, cap: Int = 2000,
-             maxRounds: Int = 32): DataFrame = {
-    val spark2 = spark
-    import spark2.implicits._
+  /** Shared symmetrized kNN-graph edge frame of q168/q175: int8 vectors,
+    * k smallest by the unique composite `d2·cap + vb` through the k-bounded
+    * topK partial agg, both edge orientations, persisted + plan-cut.
+    * Returns (node frame, edge frame (ea, eb)). */
+  private def knnEdges(spark: SparkSession, dir: String, k: Int,
+                       cap: Int): (DataFrame, DataFrame) = {
     val e = int8(emb(spark, dir)).filter(col("vec_id") < cap)
       .withColumn("sq", call_function("dot_i", col("qv"), col("qv")))
       .select(col("vec_id"), col("qv"), col("sq"))
@@ -1041,7 +1043,14 @@ object Similarity {
       .distinct()
       .persist()
     edges0.count()
-    val edges = spark.createDataFrame(edges0.rdd, edges0.schema)
+    (e, spark.createDataFrame(edges0.rdd, edges0.schema))
+  }
+
+  def knnBfs(spark: SparkSession, dir: String, k: Int = 3, cap: Int = 2000,
+             maxRounds: Int = 32): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val (e, edges) = knnEdges(spark, dir, k, cap)
     val src = e.agg(min(col("vec_id"))).as[Long].head()
     // Frontier expansion, two scale-critical moves per round:
     //  - PLAN CUT (the Dedup.clusters lesson, re-learned here with data):
@@ -1086,5 +1095,50 @@ object Similarity {
     val dist = layers.reduce(_ unionByName _)
     e.select(col("vec_id"))
       .join(dist.select(col("node").as("vec_id"), col("hops")), Seq("vec_id"), "left")
+  }
+
+  /** LABEL-PROPAGATION COMMUNITIES (q175) — [Raghavan, Albert & Kumara,
+    * Phys. Rev. E 2007] over the q168 kNN graph: the k-free community
+    * detector. Where [[Dedup.entityGroups]]-style connected components
+    * merge everything touching (one bridge edge fuses two clusters), LPA
+    * assigns each node the label the PLURALITY of its neighbors carry —
+    * dense semantic neighborhoods keep their label, bridges don't
+    * propagate majorities — which is the "semantic clusters without
+    * choosing k" pass of corpus curation (k-means q108 needs k; DBSCAN
+    * q143 needs ε; LPA needs neither).
+    *
+    * Determinism (the published algorithm is randomized — random order,
+    * random tie-break; that would never oracle): SYNCHRONOUS rounds at a
+    * FIXED count, argmax by (count desc, label asc) via ONE
+    * `max(struct(ct, -lbl))` partial agg, labels initialized to vec_id.
+    * Fixed rounds also sidestep synchronous LPA's known bipartite
+    * oscillation (convergence-looping could live-lock; R bounded ends).
+    *
+    * Scale shape: corpus work = the kNN candidate stage (key-capped here,
+    * LSH/IVF-bucketed at 100 TB — the q168 note); each round is ONE
+    * equi-join edges⋈labels + ONE (node, lbl) partial agg + ONE node agg —
+    * O(E) shuffle per round, bounded rounds, no window, per-round plan cut
+    * (the Dedup.clusters discipline). Community sizes: one final groupBy. */
+  def lpaCommunities(spark: SparkSession, dir: String, k: Int = 3,
+                     cap: Int = 2000, rounds: Int = 4): DataFrame = {
+    val (e, edges) = knnEdges(spark, dir, k, cap)
+    def cut(d: DataFrame): DataFrame = {
+      d.persist(); d.count()
+      spark.createDataFrame(d.rdd, d.schema)
+    }
+    var labels = cut(e.select(col("vec_id").as("node"), col("vec_id").as("lbl")))
+    for (_ <- 1 to rounds) {
+      val cand = edges.join(labels, edges("ea") === labels("node"))
+        .groupBy(col("eb").as("n2"), col("lbl"))
+        .agg(count(lit(1)).as("ct"))
+        .groupBy(col("n2"))
+        .agg(max(struct(col("ct"), negate(col("lbl")).as("nl"))).as("m"))
+        .select(col("n2"), negate(col("m.nl")).as("new_lbl"))
+      labels = cut(labels.join(cand, labels("node") === cand("n2"), "left")
+        .select(col("node"), coalesce(col("new_lbl"), col("lbl")).as("lbl")))
+    }
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("csize"))
+    labels.join(broadcast(sizes), Seq("lbl"))
+      .select(col("node").as("vec_id"), col("lbl").as("community"), col("csize"))
   }
 }

@@ -1921,4 +1921,71 @@ object TextOps {
         col("chunk_first"), col("chunk_last"),
         (col("chunk_last") - col("chunk_first")).as("crosses"))
   }
+
+  /** INTERPOLATED KNESER-NEY LM SCORING (q174) — the KenLM-family quality
+    * filter [Kneser & Ney, ICASSP'95; Chen & Goodman, CSL'99]: q92's MLE
+    * bigram LM scores a doc 0 on any unseen bigram, so it can only rank
+    * docs against the corpus they were counted from; the production filter
+    * (CCNet's KenLM stage) trains ONCE on a reference store and scores a
+    * NEVER-SEEN stream, which demands smoothing mass for unseen events.
+    * KN gives it with the continuation-count insight: the backoff weight of
+    * w2 is how many distinct contexts w2 follows (not its raw frequency), so
+    * "Francisco" (frequent, one context) stops inflating unseen bigrams.
+    *
+    * Split = the q90 ingest discipline: LM trained on the store third
+    * (doc_id < max/3), ALL docs scored — unseen bigrams genuinely occur and
+    * take the discounted-interpolation path.
+    *
+    * Cross-engine discipline: probabilities are RATIONALS over integer
+    * counts with discount D = 3/4, so floor(2²⁰·p) is ONE integer division —
+    * for a seen context, p = (max(c₁₂−D,0) + D·N₁₊(w1,·)·cw2/ctot)/c1 put
+    * over the common denominator 4·c1·ctot gives
+    * q = (2²⁰·(max(4c₁₂−3,0)·ctot + 3·n1p·cw2)) div (4·c1·ctot);
+    * for an unseen context, pure continuation: q = (2²⁰·cw2) div ctot.
+    * decimal(38,0) keeps the products exact (num ≈ 4·c₁₂·ctot·2²⁰ overflows
+    * a long at web scale but stays < 10³⁸ — the q144 lift), and HUGEINT
+    * replays them exactly in DuckDB. No float touches the pipeline.
+    *
+    * Scale shape: the LM tables are vocabulary-bounded (the q70/q92
+    * broadcast argument — at the billions-of-types web scale you'd prune to
+    * the count≥k head first, the q92-pruned precedent); corpus-sized work is
+    * the per-doc gram kernel + ONE partial-agged per-doc sum. */
+  def knScore(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val wm = d.agg(expr("max(doc_id) div 3").as("wm"))
+    val grams = d.select(col("doc_id"), explode(gramCountsUdf(2)(col("text"))))
+      .select(col("doc_id"), col("key").as("gram"), col("value").cast("long").as("tf"))
+    val corpus = grams.crossJoin(broadcast(wm)).filter(col("doc_id") < col("wm"))
+      .groupBy("gram").agg(sum(col("tf")).as("c12"))
+    val marg = corpus.groupBy(expr("substring_index(gram, ' ', 1)").as("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1p"))
+    val cont = corpus.groupBy(expr("substring_index(gram, ' ', -1)").as("w2"))
+      .agg(count(lit(1)).as("cw2"))
+    val ctot = corpus.agg(count(lit(1)).as("ctot"))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val scored = grams
+      .withColumn("gw1", expr("substring_index(gram, ' ', 1)"))
+      .withColumn("gw2", expr("substring_index(gram, ' ', -1)"))
+      .join(broadcast(corpus), Seq("gram"), "left")
+      .join(broadcast(marg), col("gw1") === col("w1"), "left")
+      .join(broadcast(cont), col("gw2") === col("w2"), "left")
+      .crossJoin(broadcast(ctot))
+      .withColumn("q_num", when(col("c1").isNotNull,
+        dec(lit(1048576L)) * (dec(greatest(lit(4L) * coalesce(col("c12"), lit(0L)) - 3L, lit(0L))) * dec(col("ctot"))
+          + dec(lit(3L)) * dec(col("n1p")) * dec(coalesce(col("cw2"), lit(0L)))))
+        .otherwise(dec(lit(1048576L)) * dec(coalesce(col("cw2"), lit(0L)))))
+      .withColumn("q_den", when(col("c1").isNotNull,
+        dec(lit(4L)) * dec(col("c1")) * dec(col("ctot"))).otherwise(dec(col("ctot"))))
+      .withColumn("q", expr("q_num div q_den"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf") * col("q")).as("kn_sum"), sum(col("tf")).as("n_bigrams"),
+        sum(when(col("c12").isNull, col("tf")).otherwise(lit(0L))).as("oov_tf"))
+    d.select("doc_id").join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("kn_sum"), lit(0L)).as("kn_sum"),
+        coalesce(col("oov_tf"), lit(0L)).as("oov_tf"))
+      .withColumn("avg_q",
+        when(col("n_bigrams") > 0, expr("kn_sum div n_bigrams")).otherwise(lit(-1L)))
+  }
 }

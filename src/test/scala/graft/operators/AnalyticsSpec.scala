@@ -1146,4 +1146,93 @@ class AnalyticsSpec extends SparkSuite {
       .map { case ((et, lo), ct) => (et, lo, ct) }.toSet
     assert(merged == full)
   }
+
+  // ---------------- q176 CUPED ----------------
+
+  test("cupedTtest: theta, adjusted means and both t statistics match a driver replay; variance shrinks") {
+    val ev = graft.Tables.load(spark, sf0001, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as[Long], unix_micros(col("event_time")).as[Long],
+        floor(col("value") * 100).cast("long").as[Long]).collect()
+    val mid = (ev.map(_._2).min + ev.map(_._2).max) / 2
+    val users = ev.groupBy(_._1).map { case (u, rows) =>
+      (u, rows.filter(_._2 < mid).map(_._3).sum, rows.filter(_._2 >= mid).map(_._3).sum)
+    }.toArray
+    val byArm = users.groupBy(r => if (u52(s"exp1_${r._1}") % 2 == 0) "A" else "B")
+    def mom(rs: Array[(Long, Long, Long)]) = {
+      val n = rs.length.toLong
+      (n, rs.map(_._2).sum, rs.map(_._3).sum,
+        rs.map(r => BigInt(r._2) * r._2).sum, rs.map(r => BigInt(r._2) * r._3).sum,
+        rs.map(r => BigInt(r._3) * r._3).sum)
+    }
+    val (na, sxa, sya, sxxa, sxya, syya) = mom(byArm("A"))
+    val (nb, sxb, syb, sxxb, sxyb, syyb) = mom(byArm("B"))
+    val n = na.toDouble + nb.toDouble
+    val sx = sxa.toDouble + sxb.toDouble; val sy = sya.toDouble + syb.toDouble
+    val sxx = sxxa.toDouble + sxxb.toDouble; val sxy = sxya.toDouble + sxyb.toDouble
+    val theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    def mz(syA: Long, sxA: Long, nA: Long) = (syA.toDouble - theta * sxA.toDouble) / nA.toDouble
+    def vz(syy: BigInt, sxy: BigInt, sxx: BigInt, nA: Long, m: Double) =
+      (syy.toDouble - 2.0 * theta * sxy.toDouble + theta * theta * sxx.toDouble
+        - nA.toDouble * m * m) / (nA.toDouble - 1)
+    def vy(syy: BigInt, syA: Long, nA: Long) =
+      (syy.toDouble - syA.toDouble * syA.toDouble / nA.toDouble) / (nA.toDouble - 1)
+    val (mza, mzb) = (mz(sya, sxa, na), mz(syb, sxb, nb))
+    val tAdj = (mza - mzb) / math.sqrt(
+      vz(syya, sxya, sxxa, na, mza) / na + vz(syyb, sxyb, sxxb, nb, mzb) / nb)
+    val tRaw = (sya.toDouble / na - syb.toDouble / nb) / math.sqrt(
+      vy(syya, sya, na) / na + vy(syyb, syb, nb) / nb)
+    val row = Relational.cupedTtest(spark, sf0001).collect().head
+    assert(row.getAs[Long]("n_a") == na && row.getAs[Long]("n_b") == nb)
+    assert(row.getAs[Double]("theta") == theta)
+    assert(row.getAs[Double]("t_adj") == tAdj, "adjusted t must replay bit-for-bit")
+    assert(row.getAs[Double]("t_raw") == tRaw)
+    // CUPED's point: the covariate carries signal, so variance must shrink
+    val vr = row.getAs[Double]("var_reduction")
+    assert(vr > 0.0 && vr < 1.0, s"variance reduction out of range: $vr")
+    assert(theta > 0.0, "pre-period spend must correlate positively with post-period spend")
+  }
+
+  // ---------------- q177 rank-1 ALS ----------------
+
+  test("alsRank1: fixed-point ALS trajectory matches a BigInt driver replay; the fit beats the zero predictor") {
+    val ratings = graft.Tables.load(spark, sf0001, "lineitem")
+      .join(graft.Tables.load(spark, sf0001, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(graft.Tables.load(spark, sf0001, "part"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("o_custkey"), col("p_brand"))
+      .agg(sum(col("l_quantity")).cast("long").as("r"))
+      .select(col("o_custkey").as[Long], col("p_brand").as[String], col("r").as[Long])
+      .collect()
+    val two40 = BigInt(1099511627776L)
+    var v = ratings.map(_._2).distinct.map(_ -> BigInt(1048576L)).toMap
+    var u = Map.empty[Long, BigInt]
+    for (_ <- 1 to 2) {
+      u = ratings.groupBy(_._1).map { case (c, rs) =>
+        c -> (two40 * rs.map(r => BigInt(r._3) * v(r._2)).sum) /
+          rs.map(r => v(r._2) * v(r._2)).sum
+      }
+      v = ratings.groupBy(_._2).map { case (i, rs) =>
+        i -> (two40 * rs.map(r => BigInt(r._3) * u(r._1)).sum) /
+          rs.map(r => u(r._1) * u(r._1)).sum
+      }
+    }
+    val sse = ratings.map { r =>
+      val err = BigInt(r._3) * 1048576 - (u(r._1) * v(r._2)) / 1048576
+      err * err
+    }.sum
+    val mseQ = (sse / (BigInt(ratings.length) * two40)).toLong
+    val got = Relational.alsRank1(spark, sf0001).collect()
+      .map(r => r.getAs[String]("item") ->
+        (r.getAs[Long]("v_q"), r.getAs[Long]("n_raters"), r.getAs[Long]("mse_q"))).toMap
+    assert(got.keySet == v.keySet)
+    val nr = ratings.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    for ((i, vq) <- v)
+      assert(got(i) == ((vq.toLong, nr(i), mseQ)), s"item $i diverges from replay")
+    // the factorization must explain variance: MSE below the zero predictor
+    val zeroMse = ratings.map(r => BigInt(r._3) * r._3).sum / ratings.length
+    assert(mseQ < zeroMse.toLong,
+      s"rank-1 fit ($mseQ) no better than predicting 0 ($zeroMse)")
+  }
 }

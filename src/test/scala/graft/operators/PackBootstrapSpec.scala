@@ -102,6 +102,60 @@ class PackBootstrapSpec extends SparkSuite {
       "the kNN graph must have non-trivial depth or BFS proves nothing")
   }
 
+  // ---------------- q175 label-propagation communities ----------------
+
+  test("lpaCommunities: equals a driver synchronous-LPA replay; communities are non-trivial") {
+    val cap = 2000
+    val vecs = graft.Tables.load(spark, sf0001, "embeddings")
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+      .filter(_._1 < cap)
+    def quant(v: Array[Float]): Array[Int] = {
+      val mx = math.max(v.map(x => math.abs(x.toDouble)).max, 1e-9)
+      val scale = 127.0 / mx
+      v.map(x => BigDecimal(x.toDouble * scale)
+        .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toInt)
+    }
+    val q = vecs.map { case (id, v) => id -> quant(v) }.toMap
+    def d2(a: Array[Int], b: Array[Int]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { val d = (a(i) - b(i)).toLong; s += d * d; i += 1 }
+      s
+    }
+    val ids = vecs.map(_._1)
+    val knn = ids.flatMap { va =>
+      ids.filter(_ != va)
+        .map(vb => (d2(q(va), q(vb)) * cap + vb, vb))
+        .sortBy(_._1).take(3).map { case (_, vb) => (va, vb) }
+    }
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    knn.foreach { case (a, b) => adj(a) = adj(a) + b; adj(b) = adj(b) + a }
+    var labels = ids.map(id => id -> id).toMap
+    for (_ <- 1 to 4) {
+      labels = ids.map { v =>
+        val nbr = adj(v)
+        if (nbr.isEmpty) v -> labels(v)
+        else {
+          val counts = nbr.toSeq.map(labels).groupBy(identity)
+            .map { case (l, o) => (l, o.size) }
+          val mct = counts.values.max
+          v -> counts.collect { case (l, c) if c == mct => l }.min
+        }
+      }.toMap
+    }
+    val got = Similarity.lpaCommunities(spark, sf0001)
+      .as[(Long, Long, Long)].collect()
+      .map { case (v, c, s) => v -> (c, s) }.toMap
+    val sizes = labels.values.groupBy(identity).map { case (l, o) => l -> o.size.toLong }
+    assert(got.keySet == ids.toSet)
+    for (v <- ids)
+      assert(got(v) == (labels(v), sizes(labels(v))), s"node $v diverges from replay")
+    // plurality propagation must actually cluster: several communities, and
+    // real ones (a max-size-1 result would mean no propagation happened)
+    assert(sizes.size > 1, "everything collapsed into one community")
+    assert(sizes.values.max >= 5, s"no community of size >= 5: $sizes")
+  }
+
   // ---------------- q169 Poisson bootstrap ----------------
 
   test("bootstrapCi: equals a driver md5->Poisson replay, doubles exact") {

@@ -917,4 +917,53 @@ class TextOpsSpec extends SparkSuite {
     assert(!got(2L)._2(3), "doc 2 must fail rule_dup_5")
     assert(got(3L)._3 && got(4L)._3, "sub-n and empty docs trip nothing")
   }
+
+  test("knScore: driver-side BigInt Kneser-Ney replay; unseen-bigram backoff fires on batch docs") {
+    val d = graft.Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def grams(text: String): Map[String, Long] =
+      "[a-z0-9]+".r.findAllIn(text.toLowerCase).toVector.sliding(2)
+        .filter(_.size == 2).map(_.mkString(" ")).toVector
+        .groupBy(identity).map { case (g, o) => g -> o.size.toLong }
+    val wm = d.keys.max / 3
+    val corpus = d.filter(_._1 < wm).values.map(grams)
+      .foldLeft(Map.empty[String, Long]) { (acc, m) =>
+        m.foldLeft(acc) { case (a, (g, c)) => a.updated(g, a.getOrElse(g, 0L) + c) } }
+    val marg = corpus.groupBy(_._1.split(' ')(0))
+      .map { case (w1, m) => w1 -> (m.values.sum, m.size.toLong) }
+    val cont = corpus.groupBy(_._1.split(' ')(1)).map { case (w2, m) => w2 -> m.size.toLong }
+    val ctot = BigInt(corpus.size)
+    def q(g: String, c12: Option[Long]): BigInt = {
+      val Array(w1, w2) = g.split(' ')
+      val cw2 = BigInt(cont.getOrElse(w2, 0L))
+      marg.get(w1) match {
+        case Some((c1, n1p)) =>
+          (BigInt(1048576) * ((BigInt(4) * BigInt(c12.getOrElse(0L)) - 3).max(0) * ctot
+            + BigInt(3) * BigInt(n1p) * cw2)) / (BigInt(4) * BigInt(c1) * ctot)
+        case None => (BigInt(1048576) * cw2) / ctot
+      }
+    }
+    val expect = d.map { case (id, text) =>
+      val g = grams(text)
+      val knSum = g.map { case (gr, tf) => BigInt(tf) * q(gr, corpus.get(gr)) }.sum
+      val oov = g.collect { case (gr, tf) if !corpus.contains(gr) => tf }.sum
+      id -> (g.values.sum, knSum.toLong, oov)
+    }
+    val got = TextOps.knScore(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Long]("kn_sum"), r.getAs[Long]("oov_tf"))).toMap
+    assert(got.keySet == expect.keySet)
+    for ((id, e) <- expect) assert(got(id) == e, s"doc $id: got ${got(id)}, expect $e")
+    // the split is the point: batch docs must hit genuinely unseen bigrams
+    assert(expect.collect { case (id, (_, _, oov)) if id >= wm && oov > 0 => id }.nonEmpty,
+      "no batch doc exercised the unseen-bigram backoff path")
+    // and backoff must not be the zero backoff: some unseen bigram with a
+    // seen continuation scores > 0 (the KN interpolation, not q92's zero)
+    val someMass = d.exists { case (_, text) =>
+      grams(text).exists { case (gr, _) =>
+        !corpus.contains(gr) && q(gr, None) > 0 }
+    }
+    assert(someMass, "every unseen bigram scored 0 — interpolation never fired")
+  }
 }
