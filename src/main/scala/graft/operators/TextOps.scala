@@ -1988,4 +1988,67 @@ object TextOps {
       .withColumn("avg_q",
         when(col("n_bigrams") > 0, expr("kn_sum div n_bigrams")).otherwise(lit(-1L)))
   }
+
+  /** RAKE KEYPHRASE EXTRACTION (q178) — Rapid Automatic Keyword Extraction
+    * [Rose et al. 2010]: candidate phrases are maximal runs of non-stopword
+    * tokens, each word scores deg(w)/freq(w) over the candidate set (deg =
+    * Σ length of the phrases it appears in — words that travel in long
+    * phrases score high), and a phrase scores the sum of its words. Output
+    * grain: each document's best phrase (ties broken by lexicographically
+    * LARGEST phrase — max over a (score, phrase) struct) plus its phrase
+    * count — the "what is this doc about" column a curation pipeline keys
+    * facet filters on.
+    *
+    * Two deterministic departures from the paper, both documented contract:
+    * runs split at STOPWORDS only (the driver corpus has no punctuation;
+    * a sentence-split would be dead code here), and runs are CHUNKED into
+    * ≤ maxLen-token candidates from the run start (the paper drops
+    * over-long candidates outright; on a stopword-sparse corpus that would
+    * discard most of the text — chunking keeps every token while bounding
+    * candidate length, and replays exactly in SQL).
+    *
+    * Cross-engine exactness: word ratio = (deg·2²⁰) div freq — integer;
+    * phrase score = Σ ratios — integer; the per-doc argmax is a max over
+    * a (score, phrase) struct (both engines compare structs
+    * lexicographically; tokens are ASCII so string order agrees).
+    *
+    * Scale shape: the corpus-sized frames are the token explode and one
+    * groupBy to (doc, run, chunk) grain; both windows partition by doc_id
+    * (bounded per-doc token count — the q119 bounded-key regime). Word
+    * stats are vocab-sized and BROADCAST back onto members; the per-doc
+    * argmax is one max-struct partial agg — no global sort anywhere. */
+  def rakeKeyphrases(spark: SparkSession, dir: String, maxLen: Int = 4): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val stop = graft.functions.TextFns.StopwordsEn
+    val tok = docs(spark, dir)
+      .select(col("doc_id"), posexplode(tokensCol(col("text"))).as(Seq("pos", "tok")))
+    val runs = tok.filter(!col("tok").isInCollection(stop))
+      .withColumn("run",
+        col("pos") - row_number().over(w.partitionBy("doc_id").orderBy("pos")))
+    val members = runs
+      .withColumn("rn2",
+        row_number().over(w.partitionBy("doc_id", "run").orderBy("pos")))
+      .withColumn("ci", expr(s"(rn2 - 1) div $maxLen"))
+      .withColumn("plen",
+        count(lit(1)).over(w.partitionBy("doc_id", "run", "ci")))
+      .persist()
+    val wordStats = members.groupBy("tok")
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      .withColumn("ratio", expr("(deg * 1048576) div freq"))
+    val phrases = members
+      .join(broadcast(wordStats.select("tok", "ratio")), Seq("tok"))
+      .groupBy("doc_id", "run", "ci")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as("phrase"),
+        sum(col("ratio")).as("score"),
+        count(lit(1)).as("n_words"))
+    phrases.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_phrases"),
+        max(struct(col("score"), col("phrase"))).as("m"))
+      .select(col("doc_id"), col("n_phrases"),
+        col("m").getField("phrase").as("top_phrase"),
+        col("m").getField("score").as("score_q"))
+  }
 }
