@@ -89,23 +89,45 @@ object Bench {
       val vals = samples.map(_(i))
       name -> (if (vals.exists(_ < 0)) -1.0 else vals.min)
     }
-    // The driver captures only the last 2000 chars of stdout and parses the
-    // JSON from there. Two measures keep the line parseable forever:
-    // build.sbt's run/outputStrategy := StdoutOutput drops sbt's "[info] "
-    // prefix (the line must start with '{'), and the queries map uses the
-    // short qNN prefix of each query name (full names are in BENCH_FLOOR.json
-    // and SparkEntry.queries) so the line stays ~1 KB even as queries grow.
+    // The driver captures only the last 2000 chars of stdout, finds the last
+    // complete JSON line in it, and json-parses it (verified against the
+    // BENCH_r09 artifact: parsed == the one complete line in the tail;
+    // BENCH_r10 got parsed:null because 177 queries at "qNN":%.2f made the
+    // line 2.1 KB — longer than the tail window minus sbt's ~70-char
+    // [success] suffix, so no complete line survived). Three measures keep
+    // the numbers ingestible forever:
+    //  1. BENCH_LOCAL.json (cwd = repo root under sbt) gets the FULL
+    //     precision line — full query names, seconds — the stable file a
+    //     human, the judge, or a future driver reads whole.
+    //  2. stderr gets the same full line (sbt passes stderr through raw).
+    //  3. stdout's LAST line is a COMPACT variant sized for the tail
+    //     window: short qNN keys, integer CENTISECOND values (self-described
+    //     by "queries_unit":"centiseconds"; 2-3 chars vs 4-5 for %.2f). If
+    //     even that tops 1900 chars (~190+ queries), keys drop their 'q'
+    //     ("key_prefix":"q" says so) for another ~180 chars of headroom.
+    //     tools/check_bench.py normalizes both compact forms.
     def s2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    val qs = results.map { case (k, v) => s""""${k.takeWhile(_ != '_')}":${s2(v)}""" }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":${s2(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val fullQs = results.map { case (k, v) => s""""$k":${s2(v)}""" }.mkString("{", ",", "}")
+    val fullLine =
+      s"""{"metric":"total","value":${s2(total)},"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"), fullLine + "\n")
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] BENCH_LOCAL.json write failed: ${e.getMessage}") }
+    System.err.println(fullLine)
+    val centi = results.map { case (k, v) =>
+      (k.takeWhile(_ != '_'), if (v < 0) "-1" else math.round(v * 100).toString)
+    }
+    def compact(stripQ: Boolean): String = {
+      val qs = centi.map { case (k, cv) =>
+        s""""${if (stripQ) k.drop(1) else k}":$cv""" }.mkString("{", ",", "}")
+      val kp = if (stripQ) """"key_prefix":"q",""" else ""
+      s"""{"metric":"total","value":${s2(total)},"unit":"sec",$kp""" +
+        s""""queries_unit":"centiseconds","queries":$qs,"sf":"$sfDir"}"""
+    }
+    val line = { val l = compact(stripQ = false); if (l.length <= 1900) l else compact(stripQ = true) }
     println(line)
-    // belt-and-braces: the driver captures a merged-output tail, and stderr
-    // passes through sbt raw — so the line reaches it starting with '{' even
-    // if a logger ever prefixes stdout again (rounds 1-4 lost their bench to
-    // exactly that)
-    System.err.println(line)
     spark.stop()
   }
 }

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Dev tool: phase breakdown of q150 kCore at sf0.1 — edge build vs the
+  * 6-round peel — to target the right half of its ~10 s. */
+object MicrobenchKcore {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.1"
+    val (k, minCo) = (6, 26L)
+
+    def t[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"PHASE $label%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+
+    val slots = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        date_trunc("day", col("event_time")).as("d"))
+      .distinct().persist()
+    t("slots distinct")(slots.count())
+    val slotDim = slots.select("event_type", "d").distinct()
+      .withColumn("slot_id",
+        row_number().over(Window.orderBy("event_type", "d")).cast("int"))
+    val sl0 = slots.join(broadcast(slotDim), Seq("event_type", "d"))
+      .select("user_id", "slot_id")
+    val eligible = sl0.groupBy("user_id").agg(count(lit(1)).as("ns"))
+      .filter(col("ns") >= minCo).select("user_id")
+    val sl = sl0.join(eligible, Seq("user_id")).persist()
+    t("sl eligible persist")(sl.count())
+    val edges0 = sl.as("x").join(sl.as("y"),
+        col("x.slot_id") === col("y.slot_id") &&
+        col("x.user_id") < col("y.user_id"))
+      .groupBy(col("x.user_id").as("a"), col("y.user_id").as("b"))
+      .agg(count(lit(1)).as("co"))
+      .filter(col("co") >= minCo)
+      .select("a", "b")
+      .persist()
+    t("edge fan-out + agg")(edges0.count())
+
+    def degrees(e: org.apache.spark.sql.DataFrame) =
+      e.select(col("a").as("v")).unionByName(e.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("dg"))
+    def cut(df: org.apache.spark.sql.DataFrame) = {
+      val p = df.persist(); p.count()
+      spark.createDataFrame(p.rdd, p.schema)
+    }
+    val allNodes = t("allNodes")(cut(edges0.select(col("a").as("v"))
+      .unionByName(edges0.select(col("b").as("v"))).distinct()))
+    var alive = allNodes
+    var edges = edges0
+    for (r <- 1 to 6) t(s"peel round $r") {
+      val low = cut(alive.join(degrees(edges), Seq("v"), "left")
+        .filter(coalesce(col("dg"), lit(0L)) < k)
+        .select("v"))
+      alive = alive.join(broadcast(low), Seq("v"), "left_anti")
+      edges = cut(edges
+        .join(broadcast(low.withColumnRenamed("v", "a")), Seq("a"), "left_anti")
+        .join(broadcast(low.withColumnRenamed("v", "b")), Seq("b"), "left_anti"))
+    }
+    spark.stop()
+  }
+}

@@ -3289,10 +3289,12 @@ object Oracles {
         |    - tok_offset // 512 AS crosses
         |FROM p""".stripMargin,
 
-    // q168 (knnBfs): int8-quantized kNN graph (k smallest by the unique
-    // composite d2*cap+vb), symmetrized, BFS from min vec_id. The recursive
-    // (node, hops) UNION is bounded by nodes x maxdist; min(hops) at the
-    // end is the BFS distance.
+    // q168 (knnBfs): int8-quantized LSH-kNN graph (hamming<=1 hyperplane
+    // buckets gate the candidate pairs — the q28 pl/sg/bk construction,
+    // bit-identical planes from md5 over the 2^20 grid; k smallest by the
+    // unique composite d2*cap+vb), symmetrized, BFS from min vec_id. The
+    // recursive (node, hops) UNION is bounded by nodes x maxdist;
+    // min(hops) at the end is the BFS distance.
     "q168_knn_bfs" ->
       """WITH RECURSIVE e1 AS (SELECT vec_id, embedding,
         |   127.0 / greatest(list_max(list_transform(embedding, x -> abs(cast(x as double)))), 1e-9) AS scale
@@ -3301,10 +3303,23 @@ object Oracles {
         |   list_transform(embedding, x -> cast(round(cast(x as double) * scale) as int)) AS qv
         | FROM e1),
         |sq AS (SELECT vec_id, qv, cast(list_inner_product(qv, qv) as bigint) AS s FROM e2),
+        |pl AS (SELECT p, d,
+        |   CASE WHEN ('0x' || substr(md5(p::VARCHAR || '_' || d::VARCHAR), 1, 2))::INT & 1 = 1
+        |        THEN 1 ELSE -1 END AS s
+        |  FROM generate_series(0, 3) t1(p), generate_series(0, 63) t2(d)),
+        |sg AS (SELECT e.vec_id, pl.p,
+        |   sum(cast(floor(e.embedding[pl.d + 1]::DOUBLE * 1048576) as bigint) * pl.s) AS dot
+        |  FROM e1 e, pl GROUP BY 1, 2),
+        |bk AS MATERIALIZED (SELECT vec_id,
+        |   cast(sum(CASE WHEN dot >= 0 THEN 1 << p ELSE 0 END) as int) AS bucket
+        |  FROM sg GROUP BY 1),
         |p AS (SELECT a.vec_id AS va, b.vec_id AS vb,
         |   (a.s + b.s - 2 * cast(list_inner_product(a.qv, b.qv) as bigint)) * 2000
         |     + b.vec_id AS comp
-        | FROM sq a JOIN sq b ON a.vec_id <> b.vec_id),
+        | FROM sq a JOIN bk ba ON ba.vec_id = a.vec_id
+        |      JOIN bk bb ON bit_count(xor(ba.bucket, bb.bucket)) <= 1
+        |      JOIN sq b ON b.vec_id = bb.vec_id
+        | WHERE a.vec_id <> b.vec_id),
         |knn AS (SELECT va, vb FROM (SELECT va, vb,
         |    row_number() OVER (PARTITION BY va ORDER BY comp) AS rn FROM p)
         |  WHERE rn <= 3),
@@ -3430,10 +3445,12 @@ object Oracles {
     // bytes hash-compare (nested array-of-struct output would not).
     "q171_positional_index" ->
       """WITH tok AS (
-        |  SELECT doc_id, ts[i + 1] AS term, cast(i as int) AS pos
+        |  -- zipped unnests enumerate EVERY position (the old range(4096)
+        |  -- cross join silently truncated docs longer than 4096 tokens)
+        |  SELECT doc_id, unnest(ts) AS term,
+        |    cast(unnest(range(len(ts))) as int) AS pos
         |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
-        |    FROM documents)
-        |  CROSS JOIN range(4096) t(i) WHERE i < len(ts)),
+        |    FROM documents)),
         |pd AS (SELECT term, doc_id, list_sort(list(pos)) AS positions,
         |    count(*) AS tf
         |  FROM tok GROUP BY 1, 2),
@@ -3476,7 +3493,7 @@ object Oracles {
         |      || cast(doc_id as varchar)), 1, 13))::BIGINT) AS h
         |  FROM documents),
         |p AS (SELECT doc_id, w,
-        |    cast(w * 4503599627370496 as double) / cast(h as double) AS priority
+        |    cast(w as double) * 4503599627370496 / cast(h as double) AS priority
         |  FROM d),
         |rk AS (SELECT *, row_number() OVER (ORDER BY priority DESC, doc_id) AS r
         |  FROM p),
@@ -3557,10 +3574,23 @@ object Oracles {
          |   list_transform(embedding, x -> cast(round(cast(x as double) * scale) as int)) AS qv
          | FROM e1),
          |sq AS (SELECT vec_id, qv, cast(list_inner_product(qv, qv) as bigint) AS s FROM e2),
+         |pl AS (SELECT p, d,
+         |   CASE WHEN ('0x' || substr(md5(p::VARCHAR || '_' || d::VARCHAR), 1, 2))::INT & 1 = 1
+         |        THEN 1 ELSE -1 END AS s
+         |  FROM generate_series(0, 3) t1(p), generate_series(0, 63) t2(d)),
+         |sg AS (SELECT e.vec_id, pl.p,
+         |   sum(cast(floor(e.embedding[pl.d + 1]::DOUBLE * 1048576) as bigint) * pl.s) AS dot
+         |  FROM e1 e, pl GROUP BY 1, 2),
+         |bk AS MATERIALIZED (SELECT vec_id,
+         |   cast(sum(CASE WHEN dot >= 0 THEN 1 << p ELSE 0 END) as int) AS bucket
+         |  FROM sg GROUP BY 1),
          |p AS (SELECT a.vec_id AS va, b.vec_id AS vb,
          |   (a.s + b.s - 2 * cast(list_inner_product(a.qv, b.qv) as bigint)) * 2000
          |     + b.vec_id AS comp
-         | FROM sq a JOIN sq b ON a.vec_id <> b.vec_id),
+         | FROM sq a JOIN bk ba ON ba.vec_id = a.vec_id
+         |      JOIN bk bb ON bit_count(xor(ba.bucket, bb.bucket)) <= 1
+         |      JOIN sq b ON b.vec_id = bb.vec_id
+         | WHERE a.vec_id <> b.vec_id),
          |knn AS (SELECT va, vb FROM (SELECT va, vb,
          |    row_number() OVER (PARTITION BY va ORDER BY comp) AS rn FROM p)
          |  WHERE rn <= 3),
@@ -3690,5 +3720,40 @@ object Oracles {
         |nr AS (SELECT item, count(*) AS n_raters FROM r GROUP BY 1)
         |SELECT v2.item, v2.v AS v_q, nr.n_raters, mse.mse_q
         |FROM v2 JOIN nr USING (item) CROSS JOIN mse""".stripMargin,
+
+    // q178 (rakeKeyphrases): RAKE — non-stopword runs (gaps-and-islands via
+    // pos - row_number), chunked to <=4-token candidates, word ratio
+    // (deg*2^20) div freq, phrase score = sum of ratios, per-doc argmax by
+    // (score desc, phrase desc). All-integer scores; argmax as row_number.
+    "q178_rake_keyphrases" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(ts) AS tok,
+        |    cast(unnest(range(len(ts))) as int) AS pos
+        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+        |    FROM documents)),
+        |nz AS (SELECT doc_id, tok, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS run
+        |  FROM tok WHERE tok NOT IN ('the','a','of','and','is','to','in')),
+        |mem AS (SELECT doc_id, tok, pos, run,
+        |    (row_number() OVER (PARTITION BY doc_id, run ORDER BY pos) - 1) // 4 AS ci
+        |  FROM nz),
+        |m2 AS (SELECT m.*, count(*) OVER (PARTITION BY doc_id, run, ci) AS plen
+        |  FROM mem m),
+        |ws AS (SELECT tok,
+        |    (cast(sum(plen) as bigint) * 1048576) // count(*) AS ratio
+        |  FROM m2 GROUP BY 1),
+        |ph AS (SELECT m.doc_id,
+        |    string_agg(m.tok, ' ' ORDER BY m.pos) AS phrase,
+        |    cast(sum(ws.ratio) as bigint) AS score
+        |  FROM m2 m JOIN ws USING (tok)
+        |  GROUP BY m.doc_id, m.run, m.ci),
+        |r AS (SELECT doc_id, phrase, score,
+        |    count(*) OVER (PARTITION BY doc_id) AS n_phrases,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, phrase DESC) AS rn
+        |  FROM ph)
+        |SELECT doc_id, cast(n_phrases as bigint) AS n_phrases,
+        |  phrase AS top_phrase, score AS score_q
+        |FROM r WHERE rn = 1""".stripMargin,
   )
 }

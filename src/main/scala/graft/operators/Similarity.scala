@@ -969,7 +969,9 @@ object Similarity {
     val mom = comp.groupBy("dim").agg(
       count(lit(1)).as("n"),
       sum(col("xq").cast("decimal(38,0)")).as("s"),
-      sum((col("xq") * col("xq")).cast("decimal(38,0)")).as("s2"))
+      // dec-first: xq ≈ x·2^20 wraps in long when squared past |x| ≈ 2900;
+      // cast the factors before the product (oracle is HUGEINT-first too).
+      sum(col("xq").cast("decimal(38,0)") * col("xq").cast("decimal(38,0)")).as("s2"))
       .withColumn("v", col("n") * col("s2") - col("s") * col("s"))
       .withColumn("r", floor(sqrt(col("v").cast("double"))).cast("decimal(38,0)"))
       .select(col("dim"), col("n"), col("s"), col("r"))
@@ -1013,23 +1015,41 @@ object Similarity {
     *    non-converged run throws (the `Dedup.clusters` discipline) rather
     *    than returning silent nulls.
     *
-    * The candidate stage is the key-capped quadratic verifier (the
-    * q24/q19/q143 convention); at 100 TB the LSH/IVF bucketing (q28/q33)
-    * is the documented candidate source — the graph, BFS, and oracle
-    * are unchanged by where candidates come from. */
-  /** Shared symmetrized kNN-graph edge frame of q168/q175: int8 vectors,
-    * k smallest by the unique composite `d2·cap + vb` through the k-bounded
-    * topK partial agg, both edge orientations, persisted + plan-cut.
+    * The candidate stage is the q28 random-hyperplane LSH bucketing with
+    * hamming-1 multi-probe — the plan IS the 100 TB path, not a documented
+    * alternative: candidates are the pairs whose 4-bit signatures differ in
+    * ≤ 1 bit (an equi-join on the probed bucket, 5/16 of the quadratic
+    * pair count at 4 planes; at corpus scale `planes` grows ~log₂(n) to
+    * keep buckets bounded). The graph is therefore the LSH-kNN graph —
+    * approximate like every production kNN-graph build (NN-Descent, HNSW
+    * construction); recall vs the brute kNN edges is measured in
+    * DedupSimilaritySpec (the q28 discipline), and the oracle replays the
+    * identical bucketing (md5-derived ±1 planes over the 2²⁰ grid — exact
+    * integer dots both engines) so correctness stays hash-gated. */
+  /** Shared symmetrized LSH-kNN-graph edge frame of q168/q175: int8
+    * vectors, hamming≤1 bucket candidates, k smallest by the unique
+    * composite `d2·cap + vb` through the k-bounded topK partial agg, both
+    * edge orientations, persisted + plan-cut.
     * Returns (node frame, edge frame (ea, eb)). */
-  private def knnEdges(spark: SparkSession, dir: String, k: Int,
-                       cap: Int): (DataFrame, DataFrame) = {
+  private[graft] def knnEdges(spark: SparkSession, dir: String, k: Int,
+                              cap: Int, planes: Int = 4): (DataFrame, DataFrame) = {
+    val sigU = hyperplaneSigUdf(planes)
     val e = int8(emb(spark, dir)).filter(col("vec_id") < cap)
       .withColumn("sq", call_function("dot_i", col("qv"), col("qv")))
-      .select(col("vec_id"), col("qv"), col("sq"))
+      .withColumn("bucket", sigU(col("embedding")))
+      .select(col("vec_id"), col("qv"), col("sq"), col("bucket"))
       .persist()
-    val b = e.select(col("vec_id").as("vb"), col("qv").as("qb"), col("sq").as("sb"))
-    val knn = e.select(col("vec_id").as("va"), col("qv").as("qa"), col("sq").as("sa"))
-      .join(b, col("va") =!= col("vb"))
+    // Self-probe + hamming-1 probes on ONE side turn the hamming≤1 pair
+    // predicate into an equi-join on bucket; each qualifying pair matches
+    // exactly one probe (xor(b, 1<<i) ≠ b), so no dedup is needed.
+    val probe = explode(array(
+      col("bucket") +: (0 until planes).map(i => col("bucket").bitwiseXOR(lit(1 << i))): _*))
+    val b = e.select(col("vec_id").as("vb"), col("qv").as("qb"), col("sq").as("sb"),
+      col("bucket"))
+    val knn = e.select(col("vec_id").as("va"), col("qv").as("qa"), col("sq").as("sa"),
+        probe.as("bucket"))
+      .join(b, Seq("bucket"))
+      .filter(col("va") =!= col("vb"))
       .withColumn("comp",
         (col("sa") + col("sb") - lit(2L) * call_function("dot_i", col("qa"), col("qb")))
           * lit(cap.toLong) + col("vb"))
@@ -1071,7 +1091,11 @@ object Similarity {
     val layers = scala.collection.mutable.ArrayBuffer(frontier)
     var round = 1
     var done = false
-    while (!done && round <= maxRounds) {
+    // <= maxRounds + 1: the final allowed layer (hops = maxRounds) still
+    // needs one follow-up empty-frontier probe to be declared converged —
+    // without it a graph whose eccentricity equals maxRounds exactly would
+    // throw despite being fully explored.
+    while (!done && round <= maxRounds + 1) {
       val next0 = frontier.join(edges, frontier("node") === edges("ea"))
         .select(col("eb").as("node")).distinct()
         .join(frontier, Seq("node"), "left_anti")

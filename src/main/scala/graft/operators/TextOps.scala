@@ -1784,7 +1784,10 @@ object TextOps {
         conv(substring(md5(concat(lit("prio_"),
           col("doc_id").cast("string")).cast("binary")), 1, 13), 16, 10).cast("long")))
       .withColumn("priority",
-        (col("w") * lit(4503599627370496L)).cast("double") / col("h").cast("double"))
+        // w must reach double BEFORE the 2^52 scale-up: w·2^52 in long
+        // silently wraps once w >= 2048 (routine document lengths), while
+        // double·2^52 is an exact power-of-two rescale for any w < 2^53.
+        col("w").cast("double") * lit(4503599627370496.0) / col("h").cast("double"))
     val top = d.agg(
       graft.functions.Aggregators.topK(k + 1, col("priority"), col("doc_id"), col("w"))
         .as("top"),

@@ -58,34 +58,52 @@ class PackBootstrapSpec extends SparkSuite {
     assert(rows.head._3 == 0L)
   }
 
-  // ---------------- q168 kNN-graph BFS ----------------
+  // ---------------- shared q168/q175 LSH-kNN graph replay ----------------
 
-  test("knnBfs: equals a driver quantize+kNN+BFS replay on sf0.001") {
-    val cap = 2000
+  private val knnCap = 2000
+
+  private def quant(v: Array[Float]): Array[Int] = {
+    val mx = math.max(v.map(x => math.abs(x.toDouble)).max, 1e-9)
+    val scale = 127.0 / mx
+    v.map(x => BigDecimal(x.toDouble * scale)
+      .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toInt)
+  }
+
+  private def d2(a: Array[Int], b: Array[Int]): Long = {
+    var s = 0L; var i = 0
+    while (i < a.length) { val d = (a(i) - b(i)).toLong; s += d * d; i += 1 }
+    s
+  }
+
+  /** Driver replay of the knnEdges contract: per-node top-3 by the unique
+    * composite among LSH candidates (hamming ≤ 1 on the 4-bit hyperplane
+    * signature — the q28 construction), symmetrized. `lshGate = false`
+    * gives the brute-kNN graph for the recall gate. */
+  private def knnReplay(lshGate: Boolean = true)
+      : (Seq[Long], Seq[(Long, Long)], Map[Long, Set[Long]]) = {
     val vecs = graft.Tables.load(spark, sf0001, "embeddings")
       .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
-      .filter(_._1 < cap)
-    def quant(v: Array[Float]): Array[Int] = {
-      val mx = math.max(v.map(x => math.abs(x.toDouble)).max, 1e-9)
-      val scale = 127.0 / mx
-      v.map(x => BigDecimal(x.toDouble * scale)
-        .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toInt)
-    }
+      .filter(_._1 < knnCap)
     val q = vecs.map { case (id, v) => id -> quant(v) }.toMap
-    def d2(a: Array[Int], b: Array[Int]): Long = {
-      var s = 0L; var i = 0
-      while (i < a.length) { val d = (a(i) - b(i)).toLong; s += d * d; i += 1 }
-      s
-    }
-    val ids = vecs.map(_._1)
+    val bkt = vecs.map { case (id, v) =>
+      id -> graft.functions.VectorFns.hyperplaneSig(v.toSeq, 4) }.toMap
+    val ids = vecs.map(_._1).toSeq
     val knn = ids.flatMap { va =>
-      ids.filter(_ != va)
-        .map(vb => (d2(q(va), q(vb)) * cap + vb, vb))
+      ids.filter(vb => vb != va &&
+          (!lshGate || Integer.bitCount(bkt(va) ^ bkt(vb)) <= 1))
+        .map(vb => (d2(q(va), q(vb)) * knnCap + vb, vb))
         .sortBy(_._1).take(3).map { case (_, vb) => (va, vb) }
     }
     val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
       .withDefaultValue(Set.empty)
     knn.foreach { case (a, b) => adj(a) = adj(a) + b; adj(b) = adj(b) + a }
+    (ids, knn, adj.toMap.withDefaultValue(Set.empty))
+  }
+
+  // ---------------- q168 kNN-graph BFS ----------------
+
+  test("knnBfs: equals a driver LSH-gate+kNN+BFS replay on sf0.001") {
+    val (ids, _, adj) = knnReplay()
     val src = ids.min
     val dist = scala.collection.mutable.Map(src -> 0L)
     var frontier = List(src)
@@ -102,34 +120,24 @@ class PackBootstrapSpec extends SparkSuite {
       "the kNN graph must have non-trivial depth or BFS proves nothing")
   }
 
+  test("knnEdges: LSH-gated candidates keep decent recall of the brute kNN edges") {
+    val (_, lsh, _) = knnReplay(lshGate = true)
+    val (_, brute, _) = knnReplay(lshGate = false)
+    // Spark side ≡ the gated replay (the hash gate in miniature), then the
+    // approximation quality claim: the q28 discipline — modest bound on
+    // random 64-dim data, where sign-hash locality is weakest.
+    val (_, got) = Similarity.knnEdges(spark, sf0001, k = 3, cap = knnCap)
+    val gotDirectedPairs = got.select("ea", "eb").as[(Long, Long)].collect().toSet
+    val wantSym = lsh.toSet.flatMap((p: (Long, Long)) => Set(p, p.swap))
+    assert(gotDirectedPairs == wantSym, "Spark edges must equal the gated replay")
+    val recall = brute.toSet.intersect(lsh.toSet).size.toDouble / brute.size
+    assert(recall >= 0.3, s"LSH-kNN edge recall $recall vs brute kNN")
+  }
+
   // ---------------- q175 label-propagation communities ----------------
 
   test("lpaCommunities: equals a driver synchronous-LPA replay; communities are non-trivial") {
-    val cap = 2000
-    val vecs = graft.Tables.load(spark, sf0001, "embeddings")
-      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
-      .filter(_._1 < cap)
-    def quant(v: Array[Float]): Array[Int] = {
-      val mx = math.max(v.map(x => math.abs(x.toDouble)).max, 1e-9)
-      val scale = 127.0 / mx
-      v.map(x => BigDecimal(x.toDouble * scale)
-        .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toInt)
-    }
-    val q = vecs.map { case (id, v) => id -> quant(v) }.toMap
-    def d2(a: Array[Int], b: Array[Int]): Long = {
-      var s = 0L; var i = 0
-      while (i < a.length) { val d = (a(i) - b(i)).toLong; s += d * d; i += 1 }
-      s
-    }
-    val ids = vecs.map(_._1)
-    val knn = ids.flatMap { va =>
-      ids.filter(_ != va)
-        .map(vb => (d2(q(va), q(vb)) * cap + vb, vb))
-        .sortBy(_._1).take(3).map { case (_, vb) => (va, vb) }
-    }
-    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
-      .withDefaultValue(Set.empty)
-    knn.foreach { case (a, b) => adj(a) = adj(a) + b; adj(b) = adj(b) + a }
+    val (ids, _, adj) = knnReplay()
     var labels = ids.map(id => id -> id).toMap
     for (_ <- 1 to 4) {
       labels = ids.map { v =>

@@ -134,6 +134,44 @@ class RelationalSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("ratingsBucketed: layout equals the direct fact-fact build; q147's " +
+      "self-join on u is bucket-aligned (zero Exchange on the join key)") {
+    import org.apache.spark.sql.functions._
+    // value contract: the stored layout IS the (cust, item) matrix both
+    // q147 and q177 would build from the raw facts
+    val direct = graft.Tables.load(spark, sf0001, "lineitem")
+      .join(graft.Tables.load(spark, sf0001, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(graft.Tables.load(spark, sf0001, "part"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("o_custkey").as("cust"), col("p_brand").as("item"))
+      .agg(sum(col("l_quantity")).cast("long").as("r"), count(lit(1)).as("ct"))
+      .collect().toSet
+    val layout = Relational.ratingsBucketed(spark, sf0001)
+    assert(layout.collect().toSet == direct)
+    // plan contract: the per-customer co-occurrence self-join (q147's hot
+    // path) must ride the buckets — no Exchange on the join key, both scans
+    // bucketed (broadcast disabled so bucketing is what's under test)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val m = layout.select(col("cust").as("u"), col("item"), col("ct"))
+      val co = m.select(col("u"), col("item").as("item_a"), col("ct").as("ca"))
+        .join(m.select(col("u"), col("item").as("item_b"), col("ct").as("cb")),
+          Seq("u"))
+        .filter(col("item_a") =!= col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(sum(col("ca") * col("cb")).as("dot"))
+      val plan = physicalPlan(co)
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange hashpartitioning(u") &&
+        !plan.contains("Exchange hashpartitioning(cust"),
+        s"bucketed ratings self-join must not shuffle either side:\n$plan")
+      assert(plan.contains("Bucketed: true"), plan)
+      assert(!plan.contains("Bucketed: false"), plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("entry flagship query returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }

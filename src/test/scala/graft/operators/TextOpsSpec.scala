@@ -966,4 +966,43 @@ class TextOpsSpec extends SparkSuite {
     }
     assert(someMass, "every unseen bigram scored 0 — interpolation never fired")
   }
+
+  test("rakeKeyphrases: driver RAKE replay (runs, chunks, deg/freq ratios, argmax)") {
+    val stop = StopwordsEn.toSet
+    val d = graft.Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def toks(text: String): Vector[String] =
+      "[a-z0-9]+".r.findAllIn(text.toLowerCase).toVector
+    // candidate phrases per doc: maximal non-stopword runs chunked to <=4
+    val cands: Map[Long, Vector[Vector[String]]] = d.map { case (id, text) =>
+      val runs = scala.collection.mutable.ArrayBuffer.empty[Vector[String]]
+      var cur = Vector.empty[String]
+      toks(text).foreach { t =>
+        if (stop(t)) { if (cur.nonEmpty) { runs += cur; cur = Vector.empty } }
+        else cur = cur :+ t
+      }
+      if (cur.nonEmpty) runs += cur
+      id -> runs.toVector.flatMap(_.grouped(4))
+    }
+    val all = cands.values.flatten.toVector
+    val freq = all.flatten.groupBy(identity).map { case (w, o) => w -> o.size.toLong }
+    val deg = all.flatMap(p => p.map(w => w -> p.size.toLong))
+      .groupBy(_._1).map { case (w, o) => w -> o.map(_._2).sum }
+    val ratio = freq.map { case (w, f) => w -> (deg(w) * 1048576L) / f }
+    val expect = cands.collect { case (id, ps) if ps.nonEmpty =>
+      val scored = ps.map(p => (p.map(ratio).sum, p.mkString(" ")))
+      id -> ((ps.size.toLong, scored.max._2, scored.max._1))
+    }
+    val got = TextOps.rakeKeyphrases(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_phrases"), r.getAs[String]("top_phrase"),
+          r.getAs[Long]("score_q")))).toMap
+    assert(got.keySet == expect.keySet)
+    for ((id, e) <- expect) assert(got(id) == e, s"doc $id: got ${got(id)}, expect $e")
+    // the fixture must actually exercise multi-word phrases and stopword
+    // splits, or the run/chunk machinery is untested
+    assert(expect.values.exists(_._2.contains(' ')), "no multi-word top phrase")
+    assert(expect.values.exists(_._1 > 1), "every doc had a single candidate")
+  }
 }

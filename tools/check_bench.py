@@ -82,8 +82,18 @@ def load_line(path: str) -> dict:
     sys.exit(f"no bench queries found in {path}")
 
 
+def normalize(d: dict) -> dict:
+    """Undo the compact stdout encodings (round 11+): integer centisecond
+    values ("queries_unit":"centiseconds") back to seconds, and q-stripped
+    keys ("key_prefix":"q") back to qNN. Full-format lines pass through."""
+    qs = d["queries"]
+    prefix = d.get("key_prefix", "")
+    scale = 0.01 if d.get("queries_unit") == "centiseconds" else 1.0
+    return {prefix + k: (v if v < 0 else v * scale) for k, v in qs.items()}
+
+
 def main(bench_path: str, floor_path: str = "BENCH_FLOOR.json") -> int:
-    bench = load_line(bench_path)["queries"]
+    bench = normalize(load_line(bench_path))
     floor = {k: v for k, v in json.load(open(floor_path)).items()
              if not k.startswith("_")}
     # Bench emits the short qNN prefix as the key (keeps the driver's

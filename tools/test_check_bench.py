@@ -16,7 +16,7 @@ import sys
 import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from check_bench import load_line  # noqa: E402
+from check_bench import load_line, normalize  # noqa: E402
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -80,10 +80,39 @@ def test_truncated_tail_regex_fallback():
     print("ok  truncated tail via escaped-regex fallback")
 
 
+def test_normalize_compact_centiseconds():
+    # round 11+: compact stdout line — qNN keys, integer centisecond values
+    line = ('{"metric":"total","value":1.50,"unit":"sec",'
+            '"queries_unit":"centiseconds","queries":{"q01":50,"q02":100,'
+            '"q03":-1},"sf":"/tmp/sf"}')
+    qs = normalize(load_line(tmpfile(line + "\n")))
+    assert qs == {"q01": 0.50, "q02": 1.00, "q03": -1}, qs
+    print("ok  compact centisecond line normalizes to seconds")
+
+
+def test_normalize_compact_stripped_keys():
+    # round 11+ overflow tier: keys lose their 'q', key_prefix restores it
+    line = ('{"metric":"total","value":1.50,"unit":"sec","key_prefix":"q",'
+            '"queries_unit":"centiseconds","queries":{"01":50,"178":123},'
+            '"sf":"/tmp/sf"}')
+    qs = normalize(load_line(tmpfile(line + "\n")))
+    assert qs == {"q01": 0.50, "q178": 1.23}, qs
+    print("ok  q-stripped compact line normalizes")
+
+
+def test_normalize_full_format_passthrough():
+    qs = normalize(load_line(tmpfile(BENCH_LINE + "\n")))
+    assert qs == {"q01": 0.50, "q02": 1.00}, qs
+    print("ok  full-format line passes through normalize unchanged")
+
+
 if __name__ == "__main__":
     test_real_driver_artifact()
     test_real_driver_artifact_r06()
     test_raw_bench_stdout()
     test_driver_wrapper_null_parsed()
     test_truncated_tail_regex_fallback()
+    test_normalize_compact_centiseconds()
+    test_normalize_compact_stripped_keys()
+    test_normalize_full_format_passthrough()
     print("all load_line format tests passed")
