@@ -3755,5 +3755,50 @@ object Oracles {
         |SELECT doc_id, cast(n_phrases as bigint) AS n_phrases,
         |  phrase AS top_phrase, score AS score_q
         |FROM r WHERE rn = 1""".stripMargin,
+
+    // q179 (videoSegments): the video scene-cut + fingerprint logic
+    // replayed from the synthY4m integer recipe — binary grid cells make
+    // every float exact-dyadic: cut iff ANY cell flips (k/8 > 0.08 iff
+    // k >= 1), mean_luma = (sum ones / 8.0) / n (one inexact division,
+    // same op order), fingerprint bit iff 8*slot > total. Spark walks the
+    // real Y4M container; this replays the arithmetic.
+    "q179_video_segments" ->
+      """WITH m AS (SELECT doc_id AS media_id, 2 + doc_id % 3 AS L,
+        |    8 + (doc_id % 5) * 4 AS nf
+        |  FROM documents WHERE doc_id < 64),
+        |f AS (SELECT media_id, L, nf, cast(unnest(range(nf)) as bigint) AS fr FROM m),
+        |g AS (SELECT media_id, nf, fr,
+        |    cast(c.c as bigint) AS c,
+        |    CASE WHEN (media_id * 31 + (fr // L) * 97 + c.c * 13) % 5 < 2
+        |      THEN 1 ELSE 0 END AS v
+        |  FROM f CROSS JOIN (SELECT unnest(range(8)) AS c) c),
+        |diff AS (SELECT a.media_id, a.fr,
+        |    max(CASE WHEN a.v <> b.v THEN 1 ELSE 0 END) AS cut
+        |  FROM g a JOIN g b ON b.media_id = a.media_id AND b.fr = a.fr - 1
+        |    AND b.c = a.c
+        |  GROUP BY 1, 2),
+        |fs AS (SELECT f.media_id, f.nf, f.fr,
+        |    cast(coalesce(sum(d.cut)
+        |      OVER (PARTITION BY f.media_id ORDER BY f.fr), 0) as int) AS seg
+        |  FROM f LEFT JOIN diff d ON d.media_id = f.media_id AND d.fr = f.fr),
+        |fones AS (SELECT media_id, fr, sum(v) AS ones FROM g GROUP BY 1, 2),
+        |sgm AS (SELECT fs.media_id, fs.seg AS seg_idx,
+        |    cast(min(fs.fr) as int) AS start_frame,
+        |    cast(count(*) as int) AS n_frames,
+        |    cast(min(fs.fr) as int) / 25.0 AS start_s,
+        |    cast(count(*) as int) / 25.0 AS dur_s,
+        |    (sum(fo.ones) / 8.0) / count(*) AS mean_luma
+        |  FROM fs JOIN fones fo ON fo.media_id = fs.media_id AND fo.fr = fs.fr
+        |  GROUP BY 1, 2),
+        |sl AS (SELECT media_id, (fr * 4) // nf AS t, c, sum(v) AS sv
+        |  FROM g GROUP BY 1, 2, 3),
+        |tot AS (SELECT media_id, t, sum(sv) AS tv FROM sl GROUP BY 1, 2),
+        |fp AS (SELECT media_id,
+        |    cast(sum(CASE WHEN 8 * sv > tv
+        |      THEN 1::BIGINT << cast(t * 8 + c as int) ELSE 0 END) as bigint) AS fp
+        |  FROM sl JOIN tot USING (media_id, t) GROUP BY 1)
+        |SELECT s.media_id, s.seg_idx, s.start_frame, s.n_frames,
+        |  s.start_s, s.dur_s, s.mean_luma, fp.fp
+        |FROM sgm s JOIN fp USING (media_id)""".stripMargin,
   )
 }

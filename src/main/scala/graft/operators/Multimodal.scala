@@ -617,4 +617,76 @@ object Multimodal {
         sum("n_bytes").as("total_bytes"),
         countDistinct(col("header")).as("distinct_headers"))
   }
+
+  /** Deterministic Y4M synthesizer behind the ORACLE-GATED video path
+    * (q179): one 8×4 C420 video per doc_id, scene length 2 + id mod 3
+    * frames, 8 + 4·(id mod 5) frames total (always divisible by the
+    * fingerprint's 4 temporal bins), and every 2×2 grid-cell region filled
+    * with a SINGLE byte that is either 0 or 255 by the integer recipe
+    * `(id·31 + scene·97 + cell·13) mod 5 < 2`. Binary cells are the design
+    * point: each pooled grid value decodes to exactly 0.0 or 1.0, so every
+    * float the cut metric, segment mean, and fingerprint thresholds touch
+    * is an exact dyadic rational — DuckDB replays the whole pipeline from
+    * the recipe NUMERICALLY while Spark walks the REAL container bytes
+    * (y4mScan header/frame parse, Y-plane pooling, chroma skip). */
+  private[operators] def synthY4m(id: Long): Array[Byte] = {
+    val (w, h) = (8, 4)
+    val sceneLen = 2 + (id % 3).toInt
+    val nFrames = 8 + (id % 5).toInt * 4
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("YUV4MPEG2 W8 H4 F25:1 Ip A1:1 C420\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    val chroma = Array.fill(2 * ((w + 1) / 2) * ((h + 1) / 2))(128.toByte)
+    val frameMark = "FRAME\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    var f = 0
+    while (f < nFrames) {
+      out.write(frameMark)
+      val scene = f / sceneLen
+      val plane = new Array[Byte](w * h)
+      var yy = 0
+      while (yy < h) {
+        var xx = 0
+        while (xx < w) {
+          val cell = (yy * 2 / h) * 4 + (xx * 4 / w)
+          val on = (id * 31 + scene.toLong * 97 + cell.toLong * 13) % 5 < 2
+          plane(yy * w + xx) = if (on) 255.toByte else 0.toByte
+          xx += 1
+        }
+        yy += 1
+      }
+      out.write(plane)
+      out.write(chroma)
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  /** The synthesized-video media frame: one video per document id below
+    * `nMedia` (ids are the oracle's replay key — the payload is a pure
+    * function of the id). */
+  private[graft] def synthVideos(spark: SparkSession, dir: String,
+                                 nMedia: Int = 64): DataFrame = {
+    val synthU = udf((id: Long) => synthY4m(id))
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id").as("media_id"))
+      .filter(col("media_id") < nMedia)
+      .withColumn("payload", synthU(col("media_id")))
+      .withColumn("media_type", lit("video"))
+  }
+
+  /** ORACLE-GATED VIDEO PATH (q179) — the [[videoSceneCuts]] segmentation
+    * and [[videoFingerprint]] bits over [[synthVideos]], the q30 pattern
+    * taken all the way: the decode is the real container walk, and because
+    * the synthetic grids are binary the segment bounds, second bounds,
+    * mean luminance, and fingerprint comparisons all replay bit-for-bit
+    * from the integer recipe in SQL — the video logic gets a full DuckDB
+    * hash gate instead of the spec-only evidence class. */
+  def videoSegments(spark: SparkSession, dir: String, nMedia: Int = 64): DataFrame = {
+    val media = synthVideos(spark, dir, nMedia)
+    videoSceneCuts(media)
+      .join(videoFingerprint(media), Seq("media_id"))
+      .select(col("media_id"), col("seg_idx"), col("start_frame"),
+        col("n_frames"), col("start_s"), col("dur_s"), col("mean_luma"),
+        col("fp"))
+  }
 }

@@ -1953,13 +1953,32 @@ object TextOps {
     * broadcast argument — at the billions-of-types web scale you'd prune to
     * the count≥k head first, the q92-pruned precedent); corpus-sized work is
     * the per-doc gram kernel + ONE partial-agged per-doc sum. */
+  /** Training-side bigram counts of the KN LM — one (gram, c12) row per
+    * distinct bigram over `trainDocs`. This is the maintainer's ADDITIVE
+    * state: a batch's counts simply add per gram, so
+    * [[graft.streaming.LmStream]] carries exactly this frame in the shared
+    * CellStore and everything else (marginals, continuation counts, ctot)
+    * derives from it at read time. */
+  def knGramCounts(trainDocs: DataFrame): DataFrame =
+    trainDocs.select(explode(gramCountsUdf(2)(col("text"))))
+      .select(col("key").as("gram"), col("value").cast("long").as("tf"))
+      .groupBy("gram").agg(sum(col("tf")).as("c12"))
+
   def knScore(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
     val wm = d.agg(expr("max(doc_id) div 3").as("wm"))
+    val train = d.crossJoin(broadcast(wm)).filter(col("doc_id") < col("wm"))
+    knScoreWith(d, knGramCounts(train))
+  }
+
+  /** Score every doc in `d` (doc_id, text) against a trained corpus frame
+    * (gram, c12) — the read half shared by batch q174 and the streaming
+    * maintainer (maintained counts ≡ recomputed counts is LmStreamSpec's
+    * gate; this function makes the score equality definitional). */
+  def knScoreWith(d: DataFrame, corpus0: DataFrame): DataFrame = {
+    val corpus = corpus0
     val grams = d.select(col("doc_id"), explode(gramCountsUdf(2)(col("text"))))
       .select(col("doc_id"), col("key").as("gram"), col("value").cast("long").as("tf"))
-    val corpus = grams.crossJoin(broadcast(wm)).filter(col("doc_id") < col("wm"))
-      .groupBy("gram").agg(sum(col("tf")).as("c12"))
     val marg = corpus.groupBy(expr("substring_index(gram, ' ', 1)").as("w1"))
       .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1p"))
     val cont = corpus.groupBy(expr("substring_index(gram, ' ', -1)").as("w2"))
