@@ -3800,5 +3800,60 @@ object Oracles {
         |SELECT s.media_id, s.seg_idx, s.start_frame, s.n_frames,
         |  s.start_s, s.dur_s, s.mean_luma, fp.fp
         |FROM sgm s JOIN fp USING (media_id)""".stripMargin,
+
+    // q180 (minKProb): min-k% probability membership score — the q174 KN
+    // LM CTEs verbatim, then per doc an ordered cumulative take of the
+    // ceil(20%) lowest-q tokens (tie-invariant: equal-q tokens contribute
+    // equal addends however the boundary splits), mean = integer div,
+    // suspect = above the corpus mean of means.
+    "q180_mink_prob" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |wm AS (SELECT max(doc_id) // 3 AS wm FROM documents),
+        |g0 AS (SELECT doc_id, unnest(
+        |   [array_to_string(toks[i:i+1], ' ') FOR i IN generate_series(1, greatest(len(toks) - 1, 0))]) AS gram
+        |  FROM t),
+        |gr AS (SELECT doc_id, gram, count(*) AS tf FROM g0 GROUP BY 1, 2),
+        |corpus AS (SELECT gram, cast(sum(tf) as bigint) AS c12
+        |  FROM gr CROSS JOIN wm WHERE doc_id < wm GROUP BY 1),
+        |marg AS (SELECT split_part(gram, ' ', 1) AS w1, cast(sum(c12) as bigint) AS c1,
+        |    cast(count(*) as bigint) AS n1p FROM corpus GROUP BY 1),
+        |cont AS (SELECT split_part(gram, ' ', 2) AS w2, cast(count(*) as bigint) AS cw2
+        |  FROM corpus GROUP BY 1),
+        |ct AS (SELECT cast(count(*) as bigint) AS ctot FROM corpus),
+        |qq AS (SELECT g.doc_id, cast(g.tf as bigint) AS tf,
+        |    cast(CASE WHEN m.c1 IS NOT NULL THEN
+        |      (1048576::HUGEINT * (greatest(4 * coalesce(c.c12, 0) - 3, 0)::HUGEINT * ct.ctot
+        |         + 3::HUGEINT * m.n1p * coalesce(co.cw2, 0)))
+        |      // (4::HUGEINT * m.c1 * ct.ctot)
+        |    ELSE (1048576::HUGEINT * coalesce(co.cw2, 0)) // ct.ctot END as bigint) AS q
+        |  FROM gr g
+        |  LEFT JOIN corpus c USING (gram)
+        |  LEFT JOIN marg m ON m.w1 = split_part(g.gram, ' ', 1)
+        |  LEFT JOIN cont co ON co.w2 = split_part(g.gram, ' ', 2)
+        |  CROSS JOIN ct),
+        |nb AS (SELECT doc_id, cast(sum(tf) as bigint) AS n_bigrams,
+        |    (cast(sum(tf) as bigint) + 4) // 5 AS k_tokens
+        |  FROM qq GROUP BY 1),
+        |ord AS (SELECT doc_id, q, tf,
+        |    coalesce(sum(tf) OVER (PARTITION BY doc_id ORDER BY q, tf
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+        |  FROM qq),
+        |mk AS (SELECT o.doc_id,
+        |    cast(sum(greatest(least(nb.k_tokens - o.prior, o.tf), 0) * o.q) as bigint) AS mink_sum
+        |  FROM ord o JOIN nb USING (doc_id) GROUP BY 1),
+        |sc AS (SELECT t.doc_id,
+        |    coalesce(nb.n_bigrams, 0) AS n_bigrams,
+        |    coalesce(nb.k_tokens, 0) AS k_tokens,
+        |    coalesce(mk.mink_sum, 0) AS mink_sum,
+        |    CASE WHEN coalesce(nb.k_tokens, 0) > 0
+        |      THEN coalesce(mk.mink_sum, 0) // nb.k_tokens ELSE -1 END AS mink_mean_q
+        |  FROM t LEFT JOIN nb ON nb.doc_id = t.doc_id
+        |    LEFT JOIN mk ON mk.doc_id = t.doc_id),
+        |thr AS (SELECT cast(sum(mink_mean_q) as bigint) // count(*) AS mean_all
+        |  FROM sc WHERE k_tokens > 0)
+        |SELECT sc.doc_id, sc.n_bigrams, sc.k_tokens, sc.mink_sum,
+        |  sc.mink_mean_q, sc.mink_mean_q > thr.mean_all AS suspect
+        |FROM sc CROSS JOIN thr""".stripMargin,
   )
 }

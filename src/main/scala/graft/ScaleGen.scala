@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool: build a ~10× scale probe dataset from sf0.1 by UNION of key-
+  * offset replicas — the VERDICT-r10 #5 ask (measure the top-10 queries'
+  * scaling exponents instead of arguing them in scaladoc).
+  *
+  * Scale model = MORE HISTORY, not denser days: each events replica shifts
+  * its timestamps by i × (day range), so the (event_type, day) slot domain
+  * grows 10× while per-slot membership stays flat — the production shape
+  * for a longer crawl/log horizon. (The other axis — 10× users on the SAME
+  * days — makes any per-slot co-occurrence quadratically denser; that
+  * hazard is owned by q150's minCo pre-filter and documented there.)
+  * Key spaces (orderkey/custkey/user/doc/vec ids) are offset per replica so
+  * joins keep their selectivity; dims (part/region/nation/supplier) stay
+  * fixed like a real catalog. Fact distributions within a replica are the
+  * driver's own sf0.1 rows, untouched. */
+object ScaleGen {
+  def main(args: Array[String]): Unit = {
+    val src = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val dst = if (args.length > 1) args(1) else "/tmp/graft_sf1"
+    val reps = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def raw(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
+    def write(df: DataFrame, name: String): Unit = {
+      df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+      println(s"[scalegen] $name done")
+    }
+    def keyMax(df: DataFrame, c: String): Long =
+      df.agg(max(col(c))).head().getLong(0) + 1L
+
+    def replicate(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until reps).map(i => f(df, i)).reduce(_ unionByName _)
+
+    // dims: fixed catalog
+    Seq("region", "nation", "supplier", "part").foreach(n => write(raw(n), n))
+
+    val cust = raw("customer"); val custOff = keyMax(cust, "c_custkey")
+    write(replicate(cust)((d, i) =>
+      d.withColumn("c_custkey", col("c_custkey") + lit(i * custOff))), "customer")
+
+    val ord = raw("orders"); val okOff = keyMax(ord, "o_orderkey")
+    write(replicate(ord)((d, i) =>
+      d.withColumn("o_orderkey", col("o_orderkey") + lit(i * okOff))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * custOff))), "orders")
+
+    val li = raw("lineitem")
+    write(replicate(li)((d, i) =>
+      d.withColumn("l_orderkey", col("l_orderkey") + lit(i * okOff))), "lineitem")
+
+    val ev = raw("events")
+    val uOff = keyMax(ev, "user_id")
+    val eOff = keyMax(ev, "event_id")
+    val spanDays = ev.agg(
+      (datediff(max(to_date(col("ts"))), min(to_date(col("ts")))) + 1).cast("long"))
+      .head().getLong(0)
+    write(replicate(ev)((d, i) =>
+      d.withColumn("event_id", col("event_id") + lit(i * eOff))
+        .withColumn("user_id", col("user_id") + lit(i * uOff))
+        .withColumn("ts", col("ts") + expr(s"make_interval(0, 0, 0, ${i * spanDays}, 0, 0, 0)"))),
+      "events")
+
+    val docs = raw("documents"); val dOff = keyMax(docs, "doc_id")
+    write(replicate(docs)((d, i) =>
+      d.withColumn("doc_id", col("doc_id") + lit(i * dOff))), "documents")
+
+    val emb = raw("embeddings"); val vOff = keyMax(emb, "vec_id")
+    write(replicate(emb)((d, i) =>
+      d.withColumn("vec_id", col("vec_id") + lit(i * vOff))), "embeddings")
+
+    spark.stop()
+  }
+}

@@ -1975,8 +1975,10 @@ object TextOps {
     * (gram, c12) — the read half shared by batch q174 and the streaming
     * maintainer (maintained counts ≡ recomputed counts is LmStreamSpec's
     * gate; this function makes the score equality definitional). */
-  def knScoreWith(d: DataFrame, corpus0: DataFrame): DataFrame = {
-    val corpus = corpus0
+  /** Per-(doc, gram) KN score frame (doc_id, gram, tf, c12, q with q a
+    * LONG 2²⁰-scaled probability) — the shared kernel under q174's per-doc
+    * mean and q180's min-k% tail. */
+  private def knGramScores(d: DataFrame, corpus: DataFrame): DataFrame = {
     val grams = d.select(col("doc_id"), explode(gramCountsUdf(2)(col("text"))))
       .select(col("doc_id"), col("key").as("gram"), col("value").cast("long").as("tf"))
     val marg = corpus.groupBy(expr("substring_index(gram, ' ', 1)").as("w1"))
@@ -1985,7 +1987,7 @@ object TextOps {
       .agg(count(lit(1)).as("cw2"))
     val ctot = corpus.agg(count(lit(1)).as("ctot"))
     def dec(c: Column): Column = c.cast("decimal(38,0)")
-    val scored = grams
+    grams
       .withColumn("gw1", expr("substring_index(gram, ' ', 1)"))
       .withColumn("gw2", expr("substring_index(gram, ' ', -1)"))
       .join(broadcast(corpus), Seq("gram"), "left")
@@ -1999,6 +2001,10 @@ object TextOps {
       .withColumn("q_den", when(col("c1").isNotNull,
         dec(lit(4L)) * dec(col("c1")) * dec(col("ctot"))).otherwise(dec(col("ctot"))))
       .withColumn("q", expr("q_num div q_den"))
+  }
+
+  def knScoreWith(d: DataFrame, corpus: DataFrame): DataFrame = {
+    val scored = knGramScores(d, corpus)
       .groupBy("doc_id")
       .agg(sum(col("tf") * col("q")).as("kn_sum"), sum(col("tf")).as("n_bigrams"),
         sum(when(col("c12").isNull, col("tf")).otherwise(lit(0L))).as("oov_tf"))
@@ -2009,6 +2015,61 @@ object TextOps {
         coalesce(col("oov_tf"), lit(0L)).as("oov_tf"))
       .withColumn("avg_q",
         when(col("n_bigrams") > 0, expr("kn_sum div n_bigrams")).otherwise(lit(-1L)))
+  }
+
+  /** MIN-K% PROBABILITY MEMBERSHIP SCORE (q180) — [Shi et al., "Detecting
+    * Pretraining Data from Large Language Models", ICLR'24]: the standard
+    * contamination / membership-inference signal. A document the LM was
+    * trained on has few LOW-probability tokens (the model absorbed even its
+    * rare grams); a held-out document's tail is what gives it away. Score =
+    * the mean probability of the k% LEAST-probable bigram tokens under the
+    * q174 KN LM (trained on the store third) — the exact-integer sibling of
+    * the paper's mean-log-prob (log is monotone, so ranking by mean tail
+    * prob ranks identically per fixed k; avoiding log keeps the whole score
+    * a rational over integer counts, the q174 discipline). `suspect` flags
+    * docs whose tail mean exceeds the corpus mean — the "likely member"
+    * triage bit (the spec owns separation quality: members must be flagged
+    * at a higher rate than held-out docs; the flag just has to replay).
+    *
+    * Determinism where the paper has none: tokens enter the tail in
+    * (q, tf) sort order and the take-sum is tie-invariant (equal-q tokens
+    * contribute equal addends however the boundary splits), so the integer
+    * score replays in SQL as an ordered-window cumulative take.
+    *
+    * Scale shape: the LM tables are vocab-bounded broadcasts (q174); the
+    * per-doc tail is a sort_array over the DOC's OWN distinct grams — the
+    * q119 bounded-per-key regime, no global sort; the corpus-mean
+    * threshold rides back as a broadcast 1-row frame. */
+  def minKProb(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val wm = d.agg(expr("max(doc_id) div 3").as("wm"))
+    val train = d.crossJoin(broadcast(wm)).filter(col("doc_id") < col("wm"))
+    val perDoc = knGramScores(d, knGramCounts(train))
+      .select(col("doc_id"), col("q").cast("long").as("q"), col("tf"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_bigrams"),
+        sort_array(collect_list(struct(col("q"), col("tf")))).as("arr"))
+      .withColumn("k_tokens", expr("(n_bigrams + 4) div 5")) // ceil(20%)
+      .withColumn("mink_sum", expr(
+        """aggregate(arr, named_struct('rem', k_tokens, 's', 0L),
+          |  (acc, e) -> named_struct(
+          |    'rem', greatest(acc.rem - e.tf, 0L),
+          |    's', acc.s + least(acc.rem, e.tf) * e.q),
+          |  acc -> acc.s)""".stripMargin))
+      .select(col("doc_id"), col("n_bigrams"), col("k_tokens"), col("mink_sum"))
+    val scored = d.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("k_tokens"), lit(0L)).as("k_tokens"),
+        coalesce(col("mink_sum"), lit(0L)).as("mink_sum"))
+      .withColumn("mink_mean_q",
+        when(col("k_tokens") > 0, expr("mink_sum div k_tokens")).otherwise(lit(-1L)))
+    val thr = scored.filter(col("k_tokens") > 0)
+      .agg(expr("sum(mink_mean_q) div count(1)").as("mean_all"))
+    scored.crossJoin(broadcast(thr))
+      .select(col("doc_id"), col("n_bigrams"), col("k_tokens"),
+        col("mink_sum"), col("mink_mean_q"),
+        (col("mink_mean_q") > col("mean_all")).as("suspect"))
   }
 
   /** RAKE KEYPHRASE EXTRACTION (q178) — Rapid Automatic Keyword Extraction

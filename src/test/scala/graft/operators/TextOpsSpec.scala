@@ -967,6 +967,68 @@ class TextOpsSpec extends SparkSuite {
     assert(someMass, "every unseen bigram scored 0 — interpolation never fired")
   }
 
+  test("minKProb: driver replay of the ordered tail take; members score higher than held-out docs") {
+    val d = graft.Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def grams(text: String): Map[String, Long] =
+      "[a-z0-9]+".r.findAllIn(text.toLowerCase).toVector.sliding(2)
+        .filter(_.size == 2).map(_.mkString(" ")).toVector
+        .groupBy(identity).map { case (g, o) => g -> o.size.toLong }
+    val wm = d.keys.max / 3
+    val corpus = d.filter(_._1 < wm).values.map(grams)
+      .foldLeft(Map.empty[String, Long]) { (acc, m) =>
+        m.foldLeft(acc) { case (a, (g, c)) => a.updated(g, a.getOrElse(g, 0L) + c) } }
+    val marg = corpus.groupBy(_._1.split(' ')(0))
+      .map { case (w1, m) => w1 -> (m.values.sum, m.size.toLong) }
+    val cont = corpus.groupBy(_._1.split(' ')(1)).map { case (w2, m) => w2 -> m.size.toLong }
+    val ctot = BigInt(corpus.size)
+    def q(g: String): Long = {
+      val Array(w1, w2) = g.split(' ')
+      val cw2 = BigInt(cont.getOrElse(w2, 0L))
+      (marg.get(w1) match {
+        case Some((c1, n1p)) =>
+          (BigInt(1048576) * ((BigInt(4) * BigInt(corpus.getOrElse(g, 0L)) - 3).max(0) * ctot
+            + BigInt(3) * BigInt(n1p) * cw2)) / (BigInt(4) * BigInt(c1) * ctot)
+        case None => (BigInt(1048576) * cw2) / ctot
+      }).toLong
+    }
+    val expect = d.map { case (id, text) =>
+      val gs = grams(text)
+      val n = gs.values.sum
+      val k = (n + 4) / 5
+      // ordered tail take, exactly the operator's (q, tf) sort + fold
+      var rem = k; var s = 0L
+      gs.toSeq.map { case (g, tf) => (q(g), tf) }.sorted.foreach { case (qv, tf) =>
+        val take = math.min(rem, tf); s += take * qv; rem -= take
+      }
+      id -> ((n, k, s, if (k > 0) s / k else -1L))
+    }
+    val meanAll = {
+      val ms = expect.values.collect { case (_, k, _, m) if k > 0 => m }
+      ms.sum / ms.size
+    }
+    val got = TextOps.minKProb(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("k_tokens"),
+          r.getAs[Long]("mink_sum"), r.getAs[Long]("mink_mean_q"),
+          r.getAs[Boolean]("suspect")))).toMap
+    assert(got.keySet == expect.keySet)
+    for ((id, (n, k, s, m)) <- expect)
+      assert(got(id) == ((n, k, s, m, m > meanAll)), s"doc $id diverges from replay")
+    // the paper's separation property on this fixture: training members'
+    // tails average strictly higher probability than held-out docs' (the
+    // mean of means is the sensitive statistic at 50 docs; the binary
+    // suspect flag ties at coin-flip rates on uniform synthetic text)
+    def meanScore(ids: Iterable[Long]) = {
+      val ms = ids.map(got(_)._4).filter(_ >= 0); ms.sum.toDouble / ms.size
+    }
+    val members = d.keys.filter(_ < wm)
+    val heldOut = d.keys.filter(_ >= wm)
+    assert(meanScore(members) > meanScore(heldOut),
+      s"member tail mean ${meanScore(members)} must exceed held-out ${meanScore(heldOut)}")
+  }
+
   test("rakeKeyphrases: driver RAKE replay (runs, chunks, deg/freq ratios, argmax)") {
     val stop = StopwordsEn.toSet
     val d = graft.Tables.load(spark, sf0001, "documents")
