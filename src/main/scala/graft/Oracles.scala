@@ -3855,5 +3855,42 @@ object Oracles {
         |SELECT sc.doc_id, sc.n_bigrams, sc.k_tokens, sc.mink_sum,
         |  sc.mink_mean_q, sc.mink_mean_q > thr.mean_all AS suspect
         |FROM sc CROSS JOIN thr""".stripMargin,
+
+    // q181 (sourceSelect): greedy max-coverage over (source, distinct-term)
+    // sets, 4 unrolled rounds — argmax by (gain desc, source asc), covered
+    // terms MATERIALIZED per round (the q175 inlining lesson), covered
+    // total = running sum of gains.
+    "q181_source_select" -> {
+      val rounds = (2 to 4).map { r =>
+        val prev = (1 until r).map(i => s"SELECT source FROM p$i").mkString(" UNION ALL ")
+        s"""s$r AS (SELECT st.source, count(*) AS gain FROM st
+           |  LEFT JOIN c${r - 1} c ON c.term = st.term
+           |  WHERE c.term IS NULL AND st.source NOT IN ($prev)
+           |  GROUP BY 1),
+           |p$r AS MATERIALIZED (SELECT source, cast(gain as bigint) AS gain
+           |  FROM s$r ORDER BY gain DESC, source LIMIT 1),
+           |c$r AS MATERIALIZED (SELECT term FROM c${r - 1}
+           |  UNION SELECT st.term FROM st JOIN p$r USING (source))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH st AS MATERIALIZED (SELECT DISTINCT source, term FROM
+         |  (SELECT source, unnest(
+         |     [array_to_string(toks[i:i+2], ' ')
+         |      FOR i IN generate_series(1, greatest(len(toks) - 2, 0))]) AS term
+         |   FROM (SELECT source, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         |         FROM documents))),
+         |s1 AS (SELECT source, count(*) AS gain FROM st GROUP BY 1),
+         |p1 AS MATERIALIZED (SELECT source, cast(gain as bigint) AS gain
+         |  FROM s1 ORDER BY gain DESC, source LIMIT 1),
+         |c1 AS MATERIALIZED (SELECT DISTINCT st.term
+         |  FROM st JOIN p1 USING (source)),
+         |$rounds
+         |SELECT cast(r as int) AS rank, source, gain,
+         |  cast(sum(gain) OVER (ORDER BY r) as bigint) AS covered_total
+         |FROM (
+         |  SELECT 1 AS r, source, gain FROM p1
+         |  UNION ALL SELECT 2, source, gain FROM p2
+         |  UNION ALL SELECT 3, source, gain FROM p3
+         |  UNION ALL SELECT 4, source, gain FROM p4)""".stripMargin
+    },
   )
 }

@@ -2072,6 +2072,66 @@ object TextOps {
         (col("mink_mean_q") > col("mean_all")).as("suspect"))
   }
 
+  /** GREEDY MAX-COVERAGE SOURCE SELECTION (q181) — the submodular
+    * data-mixing primitive [Nemhauser, Wolsey & Fisher 1978: greedy gives
+    * (1−1/e) of the optimal coverage; CELF (Leskovec et al. KDD'07) is the
+    * production variant]: pick k sources whose UNION of distinct
+    * vocabulary covers the most terms — "which crawls add new content"
+    * rather than q80's volume quotas or q164's per-stratum samples. Each
+    * round scores every unselected source by its MARGINAL gain (terms not
+    * yet covered by the selection) and takes the argmax, ties to the
+    * lexicographically smaller source — the determinism the paper leaves
+    * unspecified.
+    *
+    * Coverage unit = distinct 3-token SHINGLES (the q26/q32 near-dup unit),
+    * not unigrams: the driver corpus draws from a ~31-word vocabulary, so
+    * any single source covers every unigram and greedy saturates in one
+    * round — shingles (16k+ at sf0.01, sources covering ~8% each) give the
+    * operator the coverage structure real crawls have.
+    *
+    * Scale shape: corpus work happens ONCE — the (source, shingle)
+    * distinct is the only document scan, persisted for the k rounds. Each
+    * round is ONE anti-join against the covered-terms frame + ONE
+    * partial-agged groupBy(source) — shingle-vocab-sized, never
+    * corpus-sized; the argmax collects a 1-row frame (the control-plane
+    * exception, bounded by the source dimension) and the covered total is
+    * the running sum of gains (coverage gain IS the new-term count, so no
+    * extra action). k is the mixing knob, source count the domain — both
+    * control-plane small. */
+  def sourceSelect(spark: SparkSession, dir: String, k: Int = 4): DataFrame = {
+    import spark.implicits._
+    val st = docs(spark, dir)
+      .select(col("source"), explode(distinctShinglesUdf(3)(col("text"))).as("term"))
+      .distinct()
+      .persist()
+    val picks = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long, Long)]
+    var coveredTotal = 0L
+    var done = false
+    for (r <- 1 to k if !done) {
+      val selected = picks.map(_._2).toSeq
+      val covered = if (selected.isEmpty) null
+        else st.filter(col("source").isInCollection(selected))
+          .select("term").distinct()
+      val remaining = if (covered == null) st
+        else st.join(covered, Seq("term"), "left_anti")
+      val gains = remaining
+        .filter(if (selected.isEmpty) lit(true) else !col("source").isInCollection(selected))
+        .groupBy("source").agg(count(lit(1)).as("gain"))
+        .orderBy(col("gain").desc, col("source"))
+        .limit(1)
+        .as[(String, Long)].collect()
+      if (gains.isEmpty) done = true
+      else {
+        val (src, gain) = gains.head
+        coveredTotal += gain
+        picks += ((r, src, gain, coveredTotal))
+      }
+    }
+    picks.toSeq.toDF("rank", "source", "gain", "covered_total")
+      .select(col("rank").cast("int").as("rank"), col("source"),
+        col("gain"), col("covered_total"))
+  }
+
   /** RAKE KEYPHRASE EXTRACTION (q178) — Rapid Automatic Keyword Extraction
     * [Rose et al. 2010]: candidate phrases are maximal runs of non-stopword
     * tokens, each word scores deg(w)/freq(w) over the candidate set (deg =

@@ -1029,6 +1029,41 @@ class TextOpsSpec extends SparkSuite {
       s"member tail mean ${meanScore(members)} must exceed held-out ${meanScore(heldOut)}")
   }
 
+  test("sourceSelect: driver greedy max-coverage replay; greedy beats naive size-ranked picks") {
+    val rows = graft.Tables.load(spark, sf0001, "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val bySource: Map[String, Set[String]] = rows.groupBy(_._1).map { case (s, docs) =>
+      s -> docs.flatMap { case (_, text) =>
+        val toks = "[a-z0-9]+".r.findAllIn(text.toLowerCase).toVector
+        toks.sliding(3).filter(_.size == 3).map(_.mkString(" "))
+      }.toSet
+    }
+    var covered = Set.empty[String]
+    var picked = Vector.empty[(Int, String, Long, Long)]
+    for (r <- 1 to 4) {
+      val cands = bySource.view.filterKeys(s => !picked.exists(_._2 == s))
+        .mapValues(v => (v -- covered).size.toLong).toSeq
+        .filter(_._2 > 0)
+      if (cands.nonEmpty) {
+        val (src, gain) = cands.minBy { case (s, g) => (-g, s) }
+        covered ++= bySource(src)
+        picked :+= ((r, src, gain, covered.size.toLong))
+      }
+    }
+    val got = TextOps.sourceSelect(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3))).toVector
+      .sortBy(_._1)
+    assert(got == picked, s"greedy trace diverges:\n got  $got\n want $picked")
+    assert(picked.size == 4 && picked.last._4 > picked.head._4,
+      "fixture must sustain 4 non-degenerate rounds")
+    // the submodular point: greedy coverage >= the naive biggest-vocab picks
+    val naive = bySource.toSeq.sortBy { case (s, v) => (-v.size, s) }
+      .take(4).flatMap(_._2).toSet.size
+    assert(picked.last._4 >= naive,
+      s"greedy ${picked.last._4} must cover at least naive-top-4 $naive")
+  }
+
   test("rakeKeyphrases: driver RAKE replay (runs, chunks, deg/freq ratios, argmax)") {
     val stop = StopwordsEn.toSet
     val d = graft.Tables.load(spark, sf0001, "documents")
