@@ -3892,5 +3892,45 @@ object Oracles {
          |  UNION ALL SELECT 3, source, gain FROM p3
          |  UNION ALL SELECT 4, source, gain FROM p4)""".stripMargin
     },
+
+    // q182 (budgetAllocate): capped water-filling budget split — same
+    // quantized ratio sort, exact cross-multiplied prefix test with the
+    // running-AND, floor'd proportional fill for the uncapped tail.
+    "q182_budget_allocate" ->
+      """WITH av AS (SELECT source, cast(sum(len(
+        |    regexp_extract_all(lower(text), '[a-z0-9]+'))) as bigint) AS avail
+        |  FROM documents GROUP BY 1),
+        |wt AS (SELECT source, cast(count(*) as bigint) AS weight FROM
+        |  (SELECT DISTINCT source, sh FROM
+        |    (SELECT source, unnest(
+        |       [array_to_string(toks[i:i+2], ' ')
+        |        FOR i IN generate_series(1, greatest(len(toks) - 2, 0))]) AS sh
+        |     FROM (SELECT source, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |           FROM documents)))
+        |  GROUP BY 1),
+        |src AS (SELECT av.source, av.avail, wt.weight,
+        |    (av.avail::HUGEINT * 1099511627776) // wt.weight AS rk
+        |  FROM av JOIN wt USING (source)),
+        |tot AS (SELECT cast(sum(avail) as bigint) AS tot_avail,
+        |    cast(sum(avail) as bigint) // 5 AS budget FROM src),
+        |walked AS (SELECT s.*, t.budget,
+        |    coalesce(sum(avail) OVER (ORDER BY rk, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix_avail,
+        |    sum(weight) OVER (ORDER BY rk, source
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS suffix_w
+        |  FROM src s CROSS JOIN tot t),
+        |passed AS (SELECT *, CASE WHEN avail::HUGEINT * suffix_w
+        |      <= (budget - prefix_avail)::HUGEINT * weight THEN 1 ELSE 0 END AS pass
+        |  FROM walked),
+        |cp AS (SELECT *, min(pass) OVER (ORDER BY rk, source
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1 AS capped
+        |  FROM passed),
+        |lam AS (SELECT max(budget) - cast(sum(CASE WHEN capped THEN avail ELSE 0 END) as bigint) AS num,
+        |    cast(sum(CASE WHEN NOT capped THEN weight ELSE 0 END) as bigint) AS den
+        |  FROM cp)
+        |SELECT cp.source, cp.avail, cp.weight, cp.budget, cp.capped,
+        |  CASE WHEN cp.capped THEN cp.avail
+        |    ELSE cast((cp.weight::HUGEINT * lam.num) // lam.den as bigint) END AS allocated
+        |FROM cp CROSS JOIN lam""".stripMargin,
   )
 }

@@ -2132,6 +2132,70 @@ object TextOps {
         col("gain"), col("covered_total"))
   }
 
+  /** CAPPED WATER-FILLING BUDGET ALLOCATION (q182) — the mixture-EXECUTION
+    * step after q73/q80/q181 choose proportions: split a token budget B
+    * across sources proportionally to a weight, except no source can give
+    * more than it has — the max-min-fair / water-filling allocation
+    * [Bertsekas & Gallager, "Data Networks" §6.5; the same construction
+    * behind DoReMi-style mixture realization]. a_s = min(avail_s, λ·w_s)
+    * with λ the water level making Σ a_s = B.
+    *
+    * Exact threshold construction, no iteration: sort sources by the
+    * avail/weight ratio (2⁴⁰-quantized integer key, ties to the smaller
+    * source — both engines sort identically); a prefix of that order is
+    * capped, and row i is capped iff avail_i·W≥i ≤ R_i·w_i (exact integer
+    * cross-multiplication; R_i = B − Σ_{j<i} avail_j, W≥i = suffix weight
+    * sum) AND every earlier row passed (running min — the quantized sort
+    * key can locally misorder near-equal ratios, and the running AND keeps
+    * the prefix well-defined identically in both engines). Uncapped rows
+    * get floor(w_s·(B − Σ_capped avail)/Σ_uncapped w) — allocation ≤ B
+    * with undershoot < |uncapped| tokens (documented, not redistributed:
+    * largest-remainder rounding would add a second sort for < 20 tokens).
+    *
+    * Scale shape: ONE corpus scan builds per-source (avail, weight); the
+    * walk is three window passes over the SOURCE-dimension frame — the
+    * q122-axis control-plane argument (single-partition windows over a
+    * bounded domain, never the corpus). decimal(38,0) products: token
+    * counts at 100 TB times budgets overflow a long. */
+  def budgetAllocate(spark: SparkSession, dir: String): DataFrame = {
+    val Window = org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("rk"), col("source"))
+    // (avail, weight) live at different grains — two partial aggs
+    val avail = docs(spark, dir)
+      .groupBy("source")
+      .agg(sum(size(tokensCol(col("text"))).cast("long")).as("avail"))
+    val weight = docs(spark, dir)
+      .select(col("source"), explode(distinctShinglesUdf(3)(col("text"))).as("sh"))
+      .distinct()
+      .groupBy("source").agg(count(lit(1)).as("weight"))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val src = avail.join(weight, Seq("source"))
+      .withColumn("rk",
+        expr("(cast(avail as decimal(38,0)) * 1099511627776) div weight"))
+    val tot = src.agg(sum(col("avail")).as("tot_avail"))
+      .withColumn("budget", expr("tot_avail div 5"))
+    val walked = src.crossJoin(broadcast(tot))
+      .withColumn("prefix_avail",
+        coalesce(sum(col("avail")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("suffix_w",
+        sum(col("weight")).over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .withColumn("pass",
+        when(dec(col("avail")) * dec(col("suffix_w"))
+          <= dec(col("budget") - col("prefix_avail")) * dec(col("weight")), 1L)
+          .otherwise(0L))
+      .withColumn("capped",
+        min(col("pass")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) === 1L)
+    val lam = walked.agg(
+      (max(col("budget")) - sum(when(col("capped"), col("avail")).otherwise(0L))).as("num"),
+      sum(when(!col("capped"), col("weight")).otherwise(0L)).as("den"))
+    walked.crossJoin(broadcast(lam))
+      .select(col("source"), col("avail"), col("weight"), col("budget"), col("capped"),
+        when(col("capped"), col("avail"))
+          .otherwise(expr(
+            "cast((cast(weight as decimal(38,0)) * num) div den as bigint)"))
+          .as("allocated"))
+  }
+
   /** RAKE KEYPHRASE EXTRACTION (q178) — Rapid Automatic Keyword Extraction
     * [Rose et al. 2010]: candidate phrases are maximal runs of non-stopword
     * tokens, each word scores deg(w)/freq(w) over the candidate set (deg =

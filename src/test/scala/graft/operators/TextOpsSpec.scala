@@ -1064,6 +1064,52 @@ class TextOpsSpec extends SparkSuite {
       s"greedy ${picked.last._4} must cover at least naive-top-4 $naive")
   }
 
+  test("budgetAllocate: driver water-filling replay; allocation feasible, budget-tight, cap-respecting") {
+    val rows = graft.Tables.load(spark, sf0001, "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val avail = rows.groupBy(_._1).map { case (s, ds) =>
+      s -> ds.map(d => "[a-z0-9]+".r.findAllIn(d._2.toLowerCase).size.toLong).sum }
+    val weight = rows.groupBy(_._1).map { case (s, ds) =>
+      s -> ds.flatMap { case (_, t) =>
+        val toks = "[a-z0-9]+".r.findAllIn(t.toLowerCase).toVector
+        toks.sliding(3).filter(_.size == 3).map(_.mkString(" "))
+      }.toSet.size.toLong }
+    val budget = avail.values.sum / 5
+    val order = avail.keys.toSeq.sortBy(s =>
+      ((BigInt(avail(s)) * BigInt(1099511627776L) / weight(s)), s))
+    // prefix walk with the running AND, exactly the operator's construction
+    var prefixAvail = 0L
+    var running = true
+    val capped = scala.collection.mutable.LinkedHashMap.empty[String, Boolean]
+    order.zipWithIndex.foreach { case (s, i) =>
+      val suffixW = order.drop(i).map(weight).sum
+      val pass = BigInt(avail(s)) * suffixW <= BigInt(budget - prefixAvail) * weight(s)
+      running = running && pass
+      capped(s) = running
+      prefixAvail += avail(s)
+    }
+    val num = budget - capped.collect { case (s, true) => avail(s) }.sum
+    val den = capped.collect { case (s, false) => weight(s) }.sum
+    val expect = order.map { s =>
+      s -> ((avail(s), weight(s), budget, capped(s),
+        if (capped(s)) avail(s) else (BigInt(weight(s)) * num / den).toLong))
+    }.toMap
+    val got = TextOps.budgetAllocate(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getLong(5)))).toMap
+    assert(got == expect)
+    // allocation invariants: feasible per source, within budget, tight
+    // (undershoot only from floors: < |uncapped|), and both regimes occur
+    got.foreach { case (s, (av, _, _, _, al)) => assert(al <= av, s) }
+    val total = got.values.map(_._5).sum
+    val nUncapped = got.values.count(!_._4)
+    assert(total <= budget && budget - total < math.max(nUncapped, 1).toLong,
+      s"total $total vs budget $budget with $nUncapped uncapped")
+    assert(got.values.exists(_._4) || nUncapped == got.size,
+      "degenerate fixture: no capped source and not all uncapped")
+  }
+
   test("rakeKeyphrases: driver RAKE replay (runs, chunks, deg/freq ratios, argmax)") {
     val stop = StopwordsEn.toSet
     val d = graft.Tables.load(spark, sf0001, "documents")
