@@ -3932,5 +3932,37 @@ object Oracles {
         |  CASE WHEN cp.capped THEN cp.avail
         |    ELSE cast((cp.weight::HUGEINT * lam.num) // lam.den as bigint) END AS allocated
         |FROM cp CROSS JOIN lam""".stripMargin,
+
+    // q183 (dimAblation): Matryoshka prefix-dim recall — 2^20-grid integer
+    // components, q51's exact double cosine over each prefix slice,
+    // (qcos desc, neighbor) ranking, recall vs the 64-dim top-3.
+    "q183_dim_ablation" ->
+      """WITH e2 AS (SELECT vec_id, list_transform(embedding,
+        |    x -> cast(floor(cast(x as double) * 1048576.0) as bigint)) AS qv
+        |  FROM embeddings),
+        |dm AS (SELECT unnest([8, 16, 32, 64]) AS dim),
+        |q AS (SELECT vec_id AS query_id, qv AS qq FROM e2 WHERE vec_id < 10),
+        |p AS (SELECT dm.dim, q.query_id, c.vec_id AS neighbor_id,
+        |    q.qq[1:dm.dim] AS qs, c.qv[1:dm.dim] AS cs
+        |  FROM q, e2 c, dm WHERE q.query_id <> c.vec_id),
+        |s AS (SELECT dim, query_id, neighbor_id,
+        |    sqrt(cast(list_inner_product(qs, qs) as double)) AS qn,
+        |    sqrt(cast(list_inner_product(cs, cs) as double)) AS cn,
+        |    cast(list_inner_product(qs, cs) as double) AS dt
+        |  FROM p),
+        |r AS (SELECT dim, query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY dim, query_id ORDER BY
+        |      CASE WHEN qn * cn > 0 THEN dt / (qn * cn) ELSE -2.0 END DESC,
+        |      neighbor_id) AS rnk
+        |  FROM s),
+        |tk AS (SELECT dim, query_id, neighbor_id FROM r WHERE rnk <= 3),
+        |tr AS (SELECT query_id, neighbor_id FROM tk WHERE dim = 64)
+        |SELECT tk.dim, cast(count(*) as bigint) AS possible,
+        |  cast(sum(CASE WHEN tr.query_id IS NOT NULL THEN 1 ELSE 0 END) as bigint) AS hits,
+        |  (cast(sum(CASE WHEN tr.query_id IS NOT NULL THEN 1 ELSE 0 END) as bigint)
+        |    * 1048576) // cast(count(*) as bigint) AS recall_q
+        |FROM tk LEFT JOIN tr ON tr.query_id = tk.query_id
+        |  AND tr.neighbor_id = tk.neighbor_id
+        |GROUP BY 1""".stripMargin,
   )
 }

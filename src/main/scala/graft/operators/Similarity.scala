@@ -592,6 +592,60 @@ object Similarity {
   private def qgridCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     transform(c, x => floor(x.cast("double") * lit(1048576.0d)).cast("int"))
 
+  /** DIMENSION-ABLATION RECALL CURVE (q183) — the Matryoshka evaluation
+    * [Kusupati et al., "Matryoshka Representation Learning", NeurIPS'22]:
+    * how much top-k retrieval quality each PREFIX of the embedding keeps.
+    * Truncating to the first d dims is the standard storage/latency lever
+    * (a d-dim index is 64/d× smaller and faster); this measures what it
+    * costs: for each d ∈ {8, 16, 32, 64}, brute top-k cosine on the
+    * d-prefix for the probe queries, recall = overlap with the full-dim
+    * top-k (d = 64 is its own ground truth, recall 1 — the audit row).
+    *
+    * Determinism: 2²⁰-grid integer components (the q108/kmeans grid), so
+    * every dot is an exact long; cosine is the q51 double construction
+    * (one sqrt per side, one division — replays in SQL); ranking by
+    * (qcos desc, neighbor_id); recall 2²⁰-quantized — the integer div of
+    * two exact counts.
+    *
+    * Scale shape: queries are broadcast (the q23 bounded-query-side
+    * argument), the corpus is scanned ONCE with the dim axis EXPLODED
+    * map-side (4 slices of an already-loaded row — no re-scan per dim);
+    * per-(dim, query) ranking is a bounded-key window; recall is one
+    * |dims|-row aggregate. At 100 TB the brute pair stage swaps for the
+    * LSH/IVF candidate source like every ANN query here — the ablation
+    * logic (slice, rank, overlap) is unchanged. */
+  def dimAblation(spark: SparkSession, dir: String,
+                  dims: Seq[Int] = Seq(8, 16, 32, 64), k: Int = 3): DataFrame = {
+    VectorExpressions.register(spark)
+    val e = emb(spark, dir).select(col("vec_id"), qgridCol(col("embedding")).as("qv"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("qv").as("qq"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("qv").as("cv"))
+    val w = Window.partitionBy(col("dim"), col("query_id"))
+      .orderBy(col("qcos").desc, col("neighbor_id"))
+    val topk = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        explode(array(dims.map(lit(_)): _*)).as("dim"), col("qq"), col("cv"))
+      .withColumn("qs", expr("slice(qq, 1, dim)"))
+      .withColumn("cs", expr("slice(cv, 1, dim)"))
+      .withColumn("qn", sqrt(call_function("dot_i", col("qs"), col("qs")).cast("double")))
+      .withColumn("cn", sqrt(call_function("dot_i", col("cs"), col("cs")).cast("double")))
+      .withColumn("qcos", when(col("qn") * col("cn") > 0,
+        call_function("dot_i", col("qs"), col("cs")).cast("double") / (col("qn") * col("cn")))
+        .otherwise(lit(-2.0)))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("dim"), col("query_id"), col("neighbor_id"))
+      .persist()
+    val truth = topk.filter(col("dim") === dims.max)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    topk.join(broadcast(truth), Seq("query_id", "neighbor_id"), "left")
+      .groupBy("dim")
+      .agg(count(lit(1)).as("possible"),
+        sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      .withColumn("recall_q", expr("(hits * 1048576) div possible"))
+  }
+
   /** Distributed Lloyd's k-means over the FULL embedding corpus — the
     * training-at-scale sibling of [[trainCentroids]]. The sample-to-driver
     * trainer is right for a coarse ANN quantizer; cluster-based CURATION

@@ -469,6 +469,42 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(ann.nonEmpty)
   }
 
+  test("dimAblation: driver prefix-slice replay; full-dim row audits at recall 1") {
+    val vecs = graft.Tables.load(spark, sf001, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val grid = vecs.map { case (id, v) =>
+      id -> v.map(x => math.floor(x.toDouble * 1048576.0).toLong) }.toMap
+    val ids = vecs.map(_._1)
+    def topk(d: Int): Map[Long, Seq[Long]] =
+      ids.filter(_ < 10).map { qid =>
+        val qs = grid(qid).take(d)
+        val qn = math.sqrt(qs.map(x => (x * x).toDouble).sum)
+        qid -> ids.filter(_ != qid).map { nid =>
+          val cs = grid(nid).take(d)
+          val cn = math.sqrt(cs.map(x => (x * x).toDouble).sum)
+          val dot = qs.zip(cs).map { case (a, b) => a * b }.sum.toDouble
+          val qcos = if (qn * cn > 0) dot / (qn * cn) else -2.0
+          (qcos, nid)
+        }.sortBy { case (qc, nid) => (-qc, nid) }.take(3).map(_._2).toSeq
+      }.toMap
+    val truth = topk(64)
+    val expect = Seq(8, 16, 32, 64).map { d =>
+      val t = topk(d)
+      val hits = t.map { case (q, ns) => ns.count(truth(q).contains) }.sum.toLong
+      val possible = t.values.map(_.size).sum.toLong
+      d.toLong -> ((possible, hits, hits * 1048576L / possible))
+    }.toMap
+    val got = Similarity.dimAblation(spark, sf001).collect()
+      .map(r => r.getAs[Int]("dim").toLong ->
+        ((r.getAs[Long]("possible"), r.getAs[Long]("hits"),
+          r.getAs[Long]("recall_q")))).toMap
+    assert(got == expect, s"got $got\nexpect $expect")
+    assert(got(64L)._3 == 1048576L, "full-dim recall must audit at exactly 1")
+    assert(got(8L)._3 < 1048576L,
+      "an 8-dim prefix recalling perfectly means the fixture tests nothing")
+  }
+
   test("winnowPairs recovers the strongest near-duplicates with verified containment") {
     val strong = Dedup.ngramJaccard(spark, sf001)
       .filter(col("jac") >= 0.9).select("da", "db")
