@@ -3964,5 +3964,51 @@ object Oracles {
         |FROM tk LEFT JOIN tr ON tr.query_id = tk.query_id
         |  AND tr.neighbor_id = tk.neighbor_id
         |GROUP BY 1""".stripMargin,
+
+    // q184 (conformalThreshold): split-conformal calibration — the q88
+    // score replay, a bottom-64-by-md5 calibration sample, per-alpha
+    // threshold = floor((n+1)*alpha/100)-th smallest calibration score,
+    // exact coverage counts on the held-out rest.
+    "q184_conformal" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS n
+        |  FROM (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY 1, 2),
+        |hh AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h, n FROM tf),
+        |c AS (SELECT doc_id, cast(h % 64 as int) AS d,
+        |    cast(sum(CASE WHEN (h // 64) % 2 = 1 THEN n ELSE -n END) as bigint) AS val
+        |  FROM hh GROUP BY 1, 2),
+        |w AS (SELECT j, (('0x' || substr(md5('w_' || j), 1, 2))::INT % 16) - 8 AS w
+        |  FROM (SELECT unnest(generate_series(0, 63)) AS j)),
+        |sc AS (SELECT t.doc_id, cast(coalesce(sum(w.w * c.val), 0) as bigint) AS score,
+        |    ('0x' || substr(md5('conf_' || cast(t.doc_id as varchar)), 1, 13))::BIGINT AS hs
+        |  FROM t LEFT JOIN c ON c.doc_id = t.doc_id LEFT JOIN w ON w.j = c.d
+        |  GROUP BY 1, 3),
+        |cal AS (SELECT doc_id, score FROM
+        |  (SELECT doc_id, score, row_number() OVER (ORDER BY hs, doc_id) AS rn FROM sc)
+        |  WHERE rn <= 64),
+        |nc AS (SELECT cast(count(*) as bigint) AS n_cal FROM cal),
+        |cr AS (SELECT score, row_number() OVER (ORDER BY score) AS r FROM cal),
+        |al AS (SELECT unnest([5, 10, 20]) AS alpha_pct),
+        |th AS (SELECT al.alpha_pct, nc.n_cal,
+        |    ((nc.n_cal + 1) * al.alpha_pct) // 100 AS k_rank
+        |  FROM al CROSS JOIN nc),
+        |thv AS (SELECT th.*, CASE WHEN th.k_rank >= 1
+        |    THEN (SELECT cr.score FROM cr WHERE cr.r = th.k_rank)
+        |    ELSE -9223372036854775808 END AS threshold
+        |  FROM th),
+        |test AS (SELECT score FROM sc
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM cal))
+        |SELECT cast(thv.alpha_pct as int) AS alpha_pct, thv.n_cal, thv.k_rank,
+        |  thv.threshold,
+        |  cast(count(*) as bigint) AS n_test,
+        |  cast(sum(CASE WHEN test.score >= thv.threshold THEN 1 ELSE 0 END) as bigint)
+        |    AS n_pass,
+        |  CASE WHEN count(*) > 0 THEN
+        |    (cast(sum(CASE WHEN test.score >= thv.threshold THEN 1 ELSE 0 END) as bigint)
+        |      * 1048576) // cast(count(*) as bigint)
+        |  ELSE -1 END AS coverage_q
+        |FROM thv CROSS JOIN test
+        |GROUP BY 1, 2, 3, 4""".stripMargin,
   )
 }

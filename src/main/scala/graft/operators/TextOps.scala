@@ -1512,6 +1512,56 @@ object TextOps {
         (sum(col("label")).cast("double") / count(lit(1))).as("agree_rate"))
   }
 
+  /** SPLIT-CONFORMAL THRESHOLD CALIBRATION (q184) — [Vovk et al. 2005;
+    * Papadopoulos et al. 2002 (split CP); Angelopoulos & Bates 2023
+    * tutorial]: where q141's reliability table ASSESSES the q88 quality
+    * classifier, this CALIBRATES it with a finite-sample guarantee — pick
+    * threshold t_α = the ⌊(n+1)α⌋-th SMALLEST calibration score, and for
+    * any exchangeable test doc P(score < t_α) ≤ α, distribution-free, no
+    * model assumptions. The "cull the worst α of the stream with a
+    * provable rate" knob a production filter wants instead of an eyeballed
+    * cutoff.
+    *
+    * Scale shape — why the calibration set is a BOUNDED deterministic
+    * sample (the smallest `calK` md5 hashes, the q164 bottom-k machinery,
+    * k-bounded topK agg): conformal validity needs only exchangeability
+    * of the calibration draw, and its precision improves as 1/√n — a few
+    * hundred points give percent-level α resolution, so shipping the whole
+    * corpus into a global order statistic (the ntile anti-pattern) buys
+    * nothing. Thresholds are EXACT integer order statistics of the
+    * 2²⁰-free integer classifier scores; coverage on the held-out rest is
+    * two exact counts + one integer div. One corpus scan; the calibration
+    * array and per-α thresholds ride a broadcast 1-row frame. */
+  def conformalThreshold(spark: SparkSession, dir: String, calK: Int = 64,
+                         alphas: Seq[Int] = Seq(5, 10, 20)): DataFrame = {
+    val scored = docs(spark, dir)
+      .select(col("doc_id"), classifierScoreUdf(tokensCol(col("text"))).as("score"))
+      .withColumn("h",
+        conv(substring(md5(concat(lit("conf_"),
+          col("doc_id").cast("string")).cast("binary")), 1, 13), 16, 10).cast("long"))
+    val cal = scored.agg(graft.functions.Aggregators.topK(
+        calK, negate(col("h")).cast("double"), col("doc_id"), col("score")).as("cal"))
+      .select(
+        size(col("cal")).cast("long").as("n_cal"),
+        array_sort(expr("transform(cal, e -> e.p)")).as("cal_scores"),
+        expr("transform(cal, e -> e.id)").as("cal_ids"))
+    val withCal = scored.crossJoin(broadcast(cal))
+      .withColumn("is_cal", array_contains(col("cal_ids"), col("doc_id")))
+    withCal
+      .select(col("score"), col("is_cal"), col("n_cal"), col("cal_scores"),
+        explode(array(alphas.map(lit(_)): _*)).as("alpha_pct"))
+      .withColumn("k_rank", expr("((n_cal + 1) * alpha_pct) div 100"))
+      .withColumn("threshold",
+        when(col("k_rank") >= 1, element_at(col("cal_scores"), col("k_rank").cast("int")))
+          .otherwise(lit(Long.MinValue)))
+      .filter(!col("is_cal"))
+      .groupBy(col("alpha_pct"), col("n_cal"), col("k_rank"), col("threshold"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("score") >= col("threshold"), 1L).otherwise(0L)).as("n_pass"))
+      .withColumn("coverage_q",
+        when(col("n_test") > 0, expr("(n_pass * 1048576) div n_test")).otherwise(lit(-1L)))
+  }
+
   /** BM25 ranked retrieval over the corpus for a fixed query set — the
     * retrieval loop a training-data pipeline runs for RAG corpus QA and
     * recall checks. Standard BM25 shape (k1 = 1.2, b = 0.75) with two

@@ -1110,6 +1110,42 @@ class TextOpsSpec extends SparkSuite {
       "degenerate fixture: no capped source and not all uncapped")
   }
 
+  test("conformalThreshold: driver order-statistic replay; empirical coverage honors the guarantee") {
+    val rows = graft.Tables.load(spark, sf001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def score(text: String): Long =
+      classifierScore("[a-z0-9]+".r.findAllIn(text.toLowerCase).toSeq)
+    def u52(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 13), 16)
+    val scored = rows.map { case (id, t) => (id, score(t), u52(s"conf_$id")) }
+    val cal = scored.sortBy { case (id, _, h) => (h, id) }.take(64)
+    val calScores = cal.map(_._2).sorted
+    val calIds = cal.map(_._1).toSet
+    val test = scored.filterNot(s => calIds(s._1)).map(_._2)
+    val expect = Seq(5, 10, 20).map { a =>
+      val k = (cal.length + 1) * a / 100
+      val thr = if (k >= 1) calScores(k - 1) else Long.MinValue
+      val nPass = test.count(_ >= thr).toLong
+      a -> ((cal.length.toLong, k.toLong, thr, test.length.toLong, nPass,
+        nPass * 1048576L / test.length))
+    }.toMap
+    val got = TextOps.conformalThreshold(spark, sf001).collect()
+      .map(r => r.getAs[Int]("alpha_pct") ->
+        ((r.getAs[Long]("n_cal"), r.getAs[Long]("k_rank"), r.getAs[Long]("threshold"),
+          r.getAs[Long]("n_test"), r.getAs[Long]("n_pass"),
+          r.getAs[Long]("coverage_q")))).toMap
+    assert(got == expect, s"got $got\nexpect $expect")
+    // the split-CP guarantee, empirically: held-out pass rate >= 1 - alpha
+    // minus sampling slack (both splits draw from the same synthetic pool)
+    for ((a, (_, _, _, _, _, cov)) <- got)
+      assert(cov >= ((100 - a) * 1048576L / 100) - 1048576L / 10,
+        s"alpha=$a% coverage ${cov / 1048576.0} far below ${1 - a / 100.0}")
+    // thresholds must tighten as alpha grows (more culling allowed)
+    assert(got(5)._3 <= got(10)._3 && got(10)._3 <= got(20)._3)
+  }
+
   test("rakeKeyphrases: driver RAKE replay (runs, chunks, deg/freq ratios, argmax)") {
     val stop = StopwordsEn.toSet
     val d = graft.Tables.load(spark, sf0001, "documents")
