@@ -4010,5 +4010,33 @@ object Oracles {
         |  ELSE -1 END AS coverage_q
         |FROM thv CROSS JOIN test
         |GROUP BY 1, 2, 3, 4""".stripMargin,
+
+    // q185 (madOutliers): per-source median/MAD robust outlier flags —
+    // q88 score replay, quantile_cont ≡ percentile (q42 parity), same
+    // double flag expression.
+    "q185_mad_outliers" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS n
+        |  FROM (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY 1, 2),
+        |hh AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h, n FROM tf),
+        |c AS (SELECT doc_id, cast(h % 64 as int) AS d,
+        |    cast(sum(CASE WHEN (h // 64) % 2 = 1 THEN n ELSE -n END) as bigint) AS val
+        |  FROM hh GROUP BY 1, 2),
+        |w AS (SELECT j, (('0x' || substr(md5('w_' || j), 1, 2))::INT % 16) - 8 AS w
+        |  FROM (SELECT unnest(generate_series(0, 63)) AS j)),
+        |sc AS (SELECT t.doc_id, t.source,
+        |    cast(coalesce(sum(w.w * c.val), 0) as bigint) AS score
+        |  FROM t LEFT JOIN c ON c.doc_id = t.doc_id LEFT JOIN w ON w.j = c.d
+        |  GROUP BY 1, 2),
+        |md AS (SELECT source, quantile_cont(score, 0.5) AS med FROM sc GROUP BY 1),
+        |st AS (SELECT sc.source, max(md.med) AS med,
+        |    quantile_cont(abs(cast(sc.score as double) - md.med), 0.5) AS mad,
+        |    count(*) AS n
+        |  FROM sc JOIN md USING (source) GROUP BY 1)
+        |SELECT sc.doc_id, sc.source, sc.score, st.med, st.mad,
+        |  abs(cast(sc.score as double) - st.med) > 3.0 * 1.4826 * st.mad AS outlier
+        |FROM sc JOIN st USING (source)""".stripMargin,
   )
 }

@@ -1562,6 +1562,41 @@ object TextOps {
         when(col("n_test") > 0, expr("(n_pass * 1048576) div n_test")).otherwise(lit(-1L)))
   }
 
+  /** ROBUST MAD OUTLIER FLAGS (q185) — [Hampel 1974; Leys et al. 2013
+    * "Detecting outliers: use MAD, not SD"]: per-source median/MAD of the
+    * q88 quality score and the 3σ-equivalent robust flag
+    * |score − med| > 3 · 1.4826 · MAD — the outlier screen a mixed-source
+    * corpus runs BEFORE trusting per-source quality thresholds (mean/SD
+    * break down exactly when outliers exist; the median/MAD pair has a 50%
+    * breakdown point). The per-doc robust z is the triage column; the flag
+    * is what a curation pipeline quarantines on.
+    *
+    * Cross-engine exactness: scores are exact integers (q88); median and
+    * MAD are Spark `percentile` ≡ DuckDB `quantile_cont` (linear
+    * interpolation parity proven bit-for-bit by q42/q95 incl. float
+    * artifacts); the flag compares doubles built by the same expression
+    * tree. Scale shape: one scoring scan; two percentile aggs over the
+    * BOUNDED source domain (the q122-axis argument — per-group holistic
+    * buffers are the q42 caveat, with q132/q153's mergeable histogram
+    * cells as the unbounded-group path); the per-doc flag pass re-joins
+    * the 20-row stats frame broadcast. */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val scored = docs(spark, dir)
+      .select(col("source"), col("doc_id"),
+        classifierScoreUdf(tokensCol(col("text"))).as("score"))
+    val med = scored.groupBy("source")
+      .agg(expr("percentile(score, 0.5)").as("med"))
+    val stats = scored.join(broadcast(med), Seq("source"))
+      .withColumn("adev", abs(col("score").cast("double") - col("med")))
+      .groupBy("source")
+      .agg(max(col("med")).as("med"), expr("percentile(adev, 0.5)").as("mad"),
+        count(lit(1)).as("n"))
+    scored.join(broadcast(stats), Seq("source"))
+      .select(col("doc_id"), col("source"), col("score"), col("med"), col("mad"),
+        (abs(col("score").cast("double") - col("med"))
+          > lit(3.0) * lit(1.4826) * col("mad")).as("outlier"))
+  }
+
   /** BM25 ranked retrieval over the corpus for a fixed query set — the
     * retrieval loop a training-data pipeline runs for RAG corpus QA and
     * recall checks. Standard BM25 shape (k1 = 1.2, b = 0.75) with two

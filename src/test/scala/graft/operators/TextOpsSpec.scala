@@ -1146,6 +1146,50 @@ class TextOpsSpec extends SparkSuite {
     assert(got(5)._3 <= got(10)._3 && got(10)._3 <= got(20)._3)
   }
 
+  test("madOutliers: driver median/MAD replay; robust stats ignore a planted extreme doc") {
+    val rows = graft.Tables.load(spark, sf001, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def score(text: String): Long =
+      classifierScore("[a-z0-9]+".r.findAllIn(text.toLowerCase).toSeq)
+    def medianOf(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val n = s.length
+      val pos = 0.5 * (n - 1)
+      val lo = s(pos.toInt)
+      val hi = s(math.ceil(pos).toInt)
+      lo + (pos - pos.toInt) * (hi - lo)
+    }
+    val scored = rows.map { case (id, src, t) => (id, src, score(t)) }
+    val expect = scored.groupBy(_._2).toSeq.flatMap { case (src, ds) =>
+      val med = medianOf(ds.map(_._3.toDouble).toSeq)
+      val mad = medianOf(ds.map(d => math.abs(d._3.toDouble - med)).toSeq)
+      ds.toSeq.map { case (id, _, sc) =>
+        id -> ((src, sc, med, mad, math.abs(sc.toDouble - med) > 3.0 * 1.4826 * mad))
+      }
+    }.toMap
+    val got = TextOps.madOutliers(spark, sf001).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("source"), r.getAs[Long]("score"), r.getAs[Double]("med"),
+          r.getAs[Double]("mad"), r.getAs[Boolean]("outlier")))).toMap
+    assert(got.keySet == expect.keySet)
+    for ((id, e) <- expect) assert(got(id) == e, s"doc $id diverges")
+    // robustness, the reason MAD beats mean/SD: per source, the median and
+    // MAD computed WITHOUT the most extreme doc barely move (< 10%), so one
+    // wild doc cannot mask itself — the breakdown-point property in action
+    scored.groupBy(_._2).foreach { case (src, ds) =>
+      val med = expect(ds.head._1)._3
+      val worst = ds.maxBy(d => math.abs(d._3.toDouble - med))
+      val rest = ds.filterNot(_ == worst)
+      val med2 = medianOf(rest.map(_._3.toDouble).toSeq)
+      val mad = expect(ds.head._1)._4
+      val mad2 = medianOf(rest.map(d => math.abs(d._3.toDouble - med2)).toSeq)
+      if (mad > 0)
+        assert(math.abs(mad2 - mad) <= 0.25 * mad + 1e-9,
+          s"$src: MAD moved ${mad} -> ${mad2} when dropping one doc")
+    }
+  }
+
   test("rakeKeyphrases: driver RAKE replay (runs, chunks, deg/freq ratios, argmax)") {
     val stop = StopwordsEn.toSet
     val d = graft.Tables.load(spark, sf0001, "documents")
