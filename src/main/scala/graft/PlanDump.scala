@@ -63,10 +63,10 @@ object PlanDump {
       "q143_dbscan" -> "round 10: DBSCAN — key-capped quadratic verifier pairs (the q24 convention) with L2^2 as three codegen'd integer dots; neighbor counts partial-aggregate; components on the core-edge frame only",
       "q144_group_regression" -> "round 10: grouped OLS — ONE map-side-combinable aggregate carries all five DECIMAL(38,0)-exact moments; the closed forms evaluate on the 25-row group frame",
       "q146_join_size" -> "round 10: join-size estimate — each side scanned once map-side into <=1024 CMS cells; the estimate is a 1024-row join + 4-row min; no data shuffles on the join key at all",
-      "q147_item_cf" -> "round 10: item-item CF — co-pairs form per customer (basket-width fan-out), three map-side-combinable aggregates, broadcast norms, k-bounded topKStr ranking (no window over the pair frame)",
+      "q147_item_cf" -> "round 11: item-item CF — the per-customer co-pair self-join now reads the SHARED cust-bucketed ratings layout (ratingsBucketed, built once per process): SortMergeJoin over bucket-aligned scans with zero Exchange on the join key; three map-side-combinable aggregates, broadcast norms, k-bounded topKStr ranking",
       "q148_aqp_estimate" -> "round 10: AQP — ONE aggregate carries both the sample and exact moments (the sample predicate is a map-side md5 coin, not a separate scan); everything after is a 1-row projection",
       "q149_skyline" -> "round 10: skyline — per-partition dominance sweep prunes to the local frontier BEFORE the single-partition merge sweep (the classic two-phase skyline; merge input is frontier-sized, not corpus-sized)",
-      "q150_kcore" -> "round 10: k-core — slot keys compacted to dense ints via a broadcast dim before the pair fan-out (composite-key join measured 4x slower); peel rounds are degree-agg + BROADCAST anti-joins with per-round persist cuts keeping the plan O(1); alive is a fused map-side anti-join chain, never re-materialized",
+      "q150_kcore" -> "round 11: k-core — the < minCo-slots user pre-filter (provably edge-preserving) shrinks both fan-out sides BEFORE the slot self-join; peel rounds are degree-agg + BROADCAST anti-joins with per-round persist cuts AND a fixpoint early-exit (a round peeling nobody ends the loop — peeling is monotone); alive is a fused map-side anti-join chain",
       "q151_kaplan_meier" -> "round 10: Kaplan-Meier — corpus contributes one partial-agged span groupBy; the survival fold runs over the day-range-bounded life table (control-plane), scaled-integer product so the curve hash-compares",
       "q153_hdr_quantiles" -> "round 10: HDR quantiles — one partial-agged groupBy into <=2^(p+6) buckets per group (key = bucket lower bound, integer mask); the rank walk folds over the bounded sorted cell list; fully deterministic, unlike approx_percentile",
       "q154_sketch_rollup" -> "round 10: sketch rollup — ONE corpus scan into k-bounded KMV leaf partials; every coarser lattice node is a flatten+distinct+slice merge over leaf ARRAYS (work ~ leaves*k, corpus-independent); cube pass carries the exact audit only",
@@ -80,7 +80,18 @@ object PlanDump {
       "q163_seq_patterns" -> "round 10: sequential patterns — map-only per-journey HOF expansion (<= cap^3 bounded tuples/row, array_distinct presence before counting) into ONE partial-agged pattern count; no projected databases, no candidate join",
       "q164_quota_sample" -> "round 10: quota sample — bottom-k per stratum via the k-bounded topK partial agg (mappers forward <= cap rows/stratum); no window, no corpus sort",
       "q165_day_funnel" -> "round 10: day funnel — one bounded (user, day) groupBy, then the row-local milestone fold (the SAME expression FunnelStream applies incrementally); daily counts partial-agg over the milestone frame",
-      "q166_holt_trend" -> "round 10: Holt trend — one partial-agged (type, hour) count; level+trend fold over the time-bounded dense axis per type (control-plane sized), shiftright floor-division for the negative trend term")
+      "q166_holt_trend" -> "round 10: Holt trend — one partial-agged (type, hour) count; level+trend fold over the time-bounded dense axis per type (control-plane sized), shiftright floor-division for the negative trend term",
+      "q168_knn_bfs" -> "round 11: kNN graph — the candidate stage is the LSH equi-join on the probed hyperplane bucket (hamming<=1 pairs; the capped-quadratic theta-join is GONE), k smallest via the k-bounded topK partial agg; BFS rounds are frontier equi-joins with two-layer anti-join visited checks over plan-cut LogicalRDDs",
+      "q175_lpa_communities" -> "round 11: LPA — shares q168's LSH-bucketed edge build; each round ONE edges-labels equi-join + two partial aggs (max(struct) argmax), per-round plan cut, O(E) shuffle, fixed rounds",
+      "q177_als_rank1" -> "round 11: rank-1 ALS — ratings come from the SHARED cust-bucketed layout (one fact-fact shuffle per process, q147 rides the same table); each half-step ONE equi-join (item side broadcast) + ONE partial-agged groupBy in decimal fixed point",
+      "q178_rake_keyphrases" -> "round 11: RAKE — both windows partition by doc_id (bounded per-key), word stats vocab-sized + broadcast back, per-doc argmax = one max(struct) partial agg; no global sort",
+      "q179_video_segments" -> "round 11: video — pure flatMap over media rows (each video decodes once inside its task, zero shuffle until the per-media segment/fingerprint join of two tiny frames)",
+      "q180_mink_prob" -> "round 11: min-k% — LM tables vocab-bounded broadcasts (the q174 kernel shared); per-doc tail = sort_array over the doc's OWN grams (bounded per key, no global sort); corpus-mean threshold broadcast back",
+      "q181_source_select" -> "round 11: greedy max-coverage — ONE corpus scan builds the persisted (source, shingle) distinct; each round = one anti-join vs covered + one partial-agged groupBy(source) + a 1-row argmax collect (control-plane)",
+      "q182_budget_allocate" -> "round 11: water-filling — one corpus scan per input grain; the threshold walk is three windows over the SOURCE-dimension frame (bounded domain), decimal(38,0) cross-multiplications",
+      "q183_dim_ablation" -> "round 11: dim ablation — corpus scanned ONCE with the dim axis exploded map-side; queries broadcast; per-(dim, query) bounded-key ranking; recall = one |dims|-row agg",
+      "q184_conformal" -> "round 11: conformal — calibration set via the k-bounded topK agg (bottom-k by md5, theory-bounded sample); thresholds ride a broadcast 1-row frame; coverage = one aggregate over the held-out scan",
+      "q185_mad_outliers" -> "round 11: MAD outliers — one scoring scan; two percentile aggs over the bounded source domain; per-doc flags re-join the 20-row stats frame broadcast")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries (sf0.1)\n\n")
     sb.append("Generated by `graft.PlanDump`; regenerate after plan-affecting changes.\n")
