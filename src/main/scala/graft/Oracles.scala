@@ -4038,5 +4038,55 @@ object Oracles {
         |SELECT sc.doc_id, sc.source, sc.score, st.med, st.mad,
         |  abs(cast(sc.score as double) - st.med) > 3.0 * 1.4826 * st.mad AS outlier
         |FROM sc JOIN st USING (source)""".stripMargin,
+
+    // q186 (noveltyCurve): per-source Heaps-growth curve over doc_id mod 8
+    // slices — slice tokens, distinct shingles seen, first-seen vocab,
+    // cumulatives, 2^20 novelty ratio. All integers.
+    "q186_novelty_curve" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    cast(('0x' || substr(md5('slice_' || cast(doc_id as varchar)), 1, 13))::BIGINT
+        |      % 8 as int) AS slice,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |tk AS (SELECT source, slice, cast(sum(len(toks)) as bigint) AS slice_tokens
+        |  FROM d GROUP BY 1, 2),
+        |sh AS (SELECT DISTINCT source, slice, sh FROM
+        |  (SELECT source, slice, unnest(
+        |     [array_to_string(toks[i:i+2], ' ')
+        |      FOR i IN generate_series(1, greatest(len(toks) - 2, 0))]) AS sh
+        |   FROM d)),
+        |seen AS (SELECT source, slice, cast(count(*) as bigint) AS slice_seen
+        |  FROM sh GROUP BY 1, 2),
+        |fresh AS (SELECT source, slice, cast(count(*) as bigint) AS slice_new FROM
+        |  (SELECT source, sh, min(slice) AS slice FROM sh GROUP BY 1, 2)
+        |  GROUP BY 1, 2)
+        |SELECT tk.source, tk.slice, tk.slice_tokens, seen.slice_seen,
+        |  coalesce(fresh.slice_new, 0) AS slice_new,
+        |  cast(sum(tk.slice_tokens) OVER (PARTITION BY tk.source ORDER BY tk.slice)
+        |    as bigint) AS cum_tokens,
+        |  cast(sum(coalesce(fresh.slice_new, 0))
+        |    OVER (PARTITION BY tk.source ORDER BY tk.slice) as bigint) AS cum_vocab,
+        |  (coalesce(fresh.slice_new, 0) * 1048576) // seen.slice_seen AS novelty_q
+        |FROM tk JOIN seen ON seen.source = tk.source AND seen.slice = tk.slice
+        |  LEFT JOIN fresh ON fresh.source = tk.source AND fresh.slice = tk.slice""".stripMargin,
+
+    // q187 (sourceOverlap): exact pairwise distinct-shingle intersection +
+    // Broder Jaccard/containment per source pair.
+    "q187_source_overlap" ->
+      """WITH st AS (SELECT DISTINCT source, sh FROM
+        |  (SELECT source, unnest(
+        |     [array_to_string(toks[i:i+2], ' ')
+        |      FOR i IN generate_series(1, greatest(len(toks) - 2, 0))]) AS sh
+        |   FROM (SELECT source, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |         FROM documents))),
+        |sz AS (SELECT source, cast(count(*) as bigint) AS n FROM st GROUP BY 1),
+        |iv AS (SELECT a.source AS src_a, b.source AS src_b,
+        |    cast(count(*) as bigint) AS inter
+        |  FROM st a JOIN st b ON a.sh = b.sh AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT iv.src_a, iv.src_b, x.n AS na, y.n AS nb, iv.inter,
+        |  (iv.inter * 1048576) // (x.n + y.n - iv.inter) AS jaccard_q,
+        |  (iv.inter * 1048576) // least(x.n, y.n) AS containment_q
+        |FROM iv JOIN sz x ON x.source = iv.src_a JOIN sz y ON y.source = iv.src_b""".stripMargin,
   )
 }

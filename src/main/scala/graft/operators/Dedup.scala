@@ -937,4 +937,42 @@ object Dedup {
           .otherwise("train"))
       .select(col("doc_id"), col("cluster_id"), col("split"))
   }
+
+  /** CROSS-SOURCE OVERLAP MATRIX (q187) — the dedup-PLANNING diagnostic
+    * run before committing to a cross-corpus dedup pass: for every source
+    * pair, the exact distinct-3-gram-shingle intersection plus Jaccard and
+    * containment (Broder's resemblance/containment pair, 1997). High
+    * containment of a small source in a big one = mirror/subset (drop it);
+    * high symmetric Jaccard = shared boilerplate (route to q69's span
+    * dedup); near-zero everywhere = cross-source dedup is a waste of a
+    * shuffle. The SOURCE-grain sibling of q105's corpus diff and q118's
+    * audience overlap.
+    *
+    * Scale shape: one corpus scan to the (source, shingle) distinct; the
+    * pair counts come from ONE self-equi-join on the shingle key — fan-out
+    * per shingle is bounded by the SOURCE DOMAIN (≤ K(K−1)/2 pairs per
+    * shingle, never corpus²) and the count agg is partial; per-source
+    * sizes ride back as a broadcast K-row frame. At a billion-type shingle
+    * space the exact join is still one shuffle of the type dictionary;
+    * q118's sketch inclusion-exclusion is the cheaper first pass when only
+    * triage is needed. */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val st = docs(spark, dir)
+      .select(col("source"), explode(distinctShinglesUdf(3)(col("text"))).as("sh"))
+      .distinct()
+      .persist()
+    val sizes = st.groupBy("source").agg(count(lit(1)).as("n"))
+    val inter = st.as("a").join(st.as("b"),
+        col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("n").as("na"))),
+        Seq("src_a"))
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("n").as("nb"))),
+        Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("na"), col("nb"), col("inter"),
+        expr("(inter * 1048576) div (na + nb - inter)").as("jaccard_q"),
+        expr("(inter * 1048576) div least(na, nb)").as("containment_q"))
+  }
 }

@@ -1597,6 +1597,55 @@ object TextOps {
           > lit(3.0) * lit(1.4826) * col("mad")).as("outlier"))
   }
 
+  /** VOCABULARY NOVELTY CURVE (q186) — Heaps'-law growth made operational
+    * [Heaps 1978; Baeza-Yates & Navarro 2000 on V(n) ≈ K·n^β]: per source,
+    * how much NEW 3-gram vocabulary each successive slice of the corpus
+    * contributes — the crawl-exhaustion signal (a saturating curve says
+    * more of this source buys no new content; the q181 selection's
+    * within-source counterpart). Docs land in 8 slices by an md5-derived
+    * hash of the doc id — map-side arithmetic, NOT a per-source row_number
+    * (whose partition grows with the source at 100 TB); a plain
+    * `doc_id mod 8` would ALIAS against the fixture's mod-20 source
+    * assignment (gcd 4 ⇒ two slices per source — measured), and Heaps
+    * growth holds under random-order exposure, which hash-slicing is.
+    *
+    * All-integer outputs (the log-log Heaps FIT is deliberately out: ln's
+    * last ulp differs across libm builds — the q81 lesson; the raw curve
+    * carries strictly more information and hash-compares): per
+    * (source, slice) the slice token count, distinct shingles SEEN in the
+    * slice, shingles first seen there (new vocab), the cumulatives, and
+    * novelty_q = 2²⁰·new/seen.
+    *
+    * Scale shape: one corpus scan to (source, shingle, slice) grain; new
+    * vocab = a min-slice partial agg over (source, shingle); per-slice
+    * seen = a distinct count at bounded (source, slice) grain; cumulatives
+    * are windows over the 8-row-per-source frame — control-plane. */
+  def noveltyCurve(spark: SparkSession, dir: String, slices: Int = 8): DataFrame = {
+    val Window = org.apache.spark.sql.expressions.Window
+    val d = docs(spark, dir)
+      .withColumn("slice",
+        pmod(conv(substring(md5(concat(lit("slice_"),
+          col("doc_id").cast("string")).cast("binary")), 1, 13), 16, 10).cast("long"),
+          lit(slices.toLong)).cast("int"))
+    val toks = d.groupBy("source", "slice")
+      .agg(sum(size(tokensCol(col("text"))).cast("long")).as("slice_tokens"))
+    val sh = d.select(col("source"), col("slice"),
+        explode(distinctShinglesUdf(3)(col("text"))).as("sh"))
+      .distinct()
+    val seen = sh.groupBy("source", "slice").agg(count(lit(1)).as("slice_seen"))
+    val fresh = sh.groupBy("source", "sh").agg(min(col("slice")).as("m"))
+      .groupBy(col("source"), col("m").as("slice"))
+      .agg(count(lit(1)).as("slice_new"))
+    val w = Window.partitionBy("source").orderBy("slice")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks.join(seen, Seq("source", "slice"))
+      .join(fresh, Seq("source", "slice"), "left")
+      .withColumn("slice_new", coalesce(col("slice_new"), lit(0L)))
+      .withColumn("cum_tokens", sum(col("slice_tokens")).over(w))
+      .withColumn("cum_vocab", sum(col("slice_new")).over(w))
+      .withColumn("novelty_q", expr("(slice_new * 1048576) div slice_seen"))
+  }
+
   /** BM25 ranked retrieval over the corpus for a fixed query set — the
     * retrieval loop a training-data pipeline runs for RAG corpus QA and
     * recall checks. Standard BM25 shape (k1 = 1.2, b = 0.75) with two

@@ -505,6 +505,37 @@ class DedupSimilaritySpec extends SparkSuite {
       "an 8-dim prefix recalling perfectly means the fixture tests nothing")
   }
 
+  test("sourceOverlap: driver set-intersection replay; Broder inequalities hold") {
+    val rows = graft.Tables.load(spark, sf001, "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val sets = rows.groupBy(_._1).map { case (s, ds) =>
+      s -> ds.flatMap { case (_, t) =>
+        val toks = "[a-z0-9]+".r.findAllIn(t.toLowerCase).toVector
+        toks.sliding(3).filter(_.size == 3).map(_.mkString(" "))
+      }.toSet
+    }
+    val srcs = sets.keys.toSeq.sorted
+    val expect = (for {
+      a <- srcs; b <- srcs if a < b
+    } yield {
+      val (na, nb) = (sets(a).size.toLong, sets(b).size.toLong)
+      val inter = sets(a).intersect(sets(b)).size.toLong
+      (a, b) -> ((na, nb, inter,
+        inter * 1048576L / (na + nb - inter), inter * 1048576L / math.min(na, nb)))
+    }).toMap
+    val got = Dedup.sourceOverlap(spark, sf001).collect()
+      .map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b")) ->
+        ((r.getAs[Long]("na"), r.getAs[Long]("nb"), r.getAs[Long]("inter"),
+          r.getAs[Long]("jaccard_q"), r.getAs[Long]("containment_q")))).toMap
+    assert(got == expect)
+    assert(got.size == srcs.size * (srcs.size - 1) / 2, "every pair must be present")
+    // Broder: jaccard <= containment <= 1, and the fixture carries signal
+    got.values.foreach { case (_, _, _, j, c) =>
+      assert(j <= c && c <= 1048576L) }
+    assert(got.values.exists(_._3 > 0), "no overlapping pair — matrix tests nothing")
+  }
+
   test("winnowPairs recovers the strongest near-duplicates with verified containment") {
     val strong = Dedup.ngramJaccard(spark, sf001)
       .filter(col("jac") >= 0.9).select("da", "db")

@@ -1190,6 +1190,56 @@ class TextOpsSpec extends SparkSuite {
     }
   }
 
+  test("noveltyCurve: driver replay; first slice is all-new, cumulative vocab closes the total") {
+    def u52(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 13), 16)
+    val rows = graft.Tables.load(spark, sf001, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def shingles(t: String): Set[String] = {
+      val toks = "[a-z0-9]+".r.findAllIn(t.toLowerCase).toVector
+      toks.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+    }
+    val sliced = rows.map { case (id, src, t) =>
+      (src, (u52(s"slice_$id") % 8).toInt, id, t) }
+    val bySrc = sliced.groupBy(_._1)
+    val expect = bySrc.toSeq.flatMap { case (src, ds) =>
+      val bySlice = ds.groupBy(_._2)
+      val perSliceSh = bySlice.map { case (sl, d2) =>
+        sl -> d2.flatMap(d => shingles(d._4)).toSet }
+      val firstSeen = perSliceSh.toSeq.flatMap { case (sl, ss) => ss.map(_ -> sl) }
+        .groupBy(_._1).map { case (sh, o) => sh -> o.map(_._2).min }
+      val slicesSorted = bySlice.keys.toSeq.sorted
+      var cumT = 0L; var cumV = 0L
+      slicesSorted.map { sl =>
+        val tokens = bySlice(sl).map(d =>
+          "[a-z0-9]+".r.findAllIn(d._4.toLowerCase).size.toLong).sum
+        val seen = perSliceSh(sl).size.toLong
+        val fresh = firstSeen.count(_._2 == sl).toLong
+        cumT += tokens; cumV += fresh
+        (src, sl) -> ((tokens, seen, fresh, cumT, cumV, fresh * 1048576L / seen))
+      }
+    }.toMap
+    val got = TextOps.noveltyCurve(spark, sf001).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Int]("slice")) ->
+        ((r.getAs[Long]("slice_tokens"), r.getAs[Long]("slice_seen"),
+          r.getAs[Long]("slice_new"), r.getAs[Long]("cum_tokens"),
+          r.getAs[Long]("cum_vocab"), r.getAs[Long]("novelty_q")))).toMap
+    assert(got == expect)
+    // structural properties: the first slice of every source is ALL new
+    // vocabulary; the final cumulative closes the source's distinct total
+    bySrc.foreach { case (src, ds) =>
+      val first = ds.map(_._2).min
+      assert(got((src, first))._6 == 1048576L, s"$src first slice not all-new")
+      val total = ds.flatMap(d => shingles(d._4)).toSet.size.toLong
+      val last = ds.map(_._2).max
+      assert(got((src, last))._5 == total, s"$src cumulative vocab must close at $total")
+    }
+    // the signal exists: later slices are less novel than the first
+    assert(got.values.exists(_._6 < 1048576L), "no saturation anywhere — curve is flat")
+  }
+
   test("rakeKeyphrases: driver RAKE replay (runs, chunks, deg/freq ratios, argmax)") {
     val stop = StopwordsEn.toSet
     val d = graft.Tables.load(spark, sf0001, "documents")
