@@ -4088,5 +4088,27 @@ object Oracles {
         |  (iv.inter * 1048576) // (x.n + y.n - iv.inter) AS jaccard_q,
         |  (iv.inter * 1048576) // least(x.n, y.n) AS containment_q
         |FROM iv JOIN sz x ON x.source = iv.src_a JOIN sz y ON y.source = iv.src_b""".stripMargin,
+
+    // q188 (termBurstiness): Church-Gale VMR per term over per-doc counts
+    // (zeros fold out of every sum), HUGEINT-exact, 2^20-quantized,
+    // top-20 by (vmr desc, term asc).
+    "q188_term_burstiness" ->
+      """WITH n AS (SELECT cast(count(*) as bigint) AS n_docs FROM documents),
+        |tf AS (SELECT doc_id, tok AS term, cast(count(*) as bigint) AS tf
+        |  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |st AS (SELECT term, cast(count(*) as bigint) AS df,
+        |    cast(sum(tf) as bigint) AS tf_sum,
+        |    sum(tf::HUGEINT * tf) AS tf2_sum
+        |  FROM tf GROUP BY 1 HAVING count(*) >= 5),
+        |v AS (SELECT term, df, tf_sum,
+        |    cast((1048576 * (n.n_docs::HUGEINT * st.tf2_sum
+        |        - st.tf_sum::HUGEINT * st.tf_sum))
+        |      // (n.n_docs::HUGEINT * st.tf_sum) as bigint) AS vmr_q
+        |  FROM st CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER (ORDER BY vmr_q DESC, term) AS rnk FROM v)
+        |SELECT cast(rnk as int) AS rnk, term, df, tf_sum, vmr_q
+        |FROM r WHERE rnk <= 20""".stripMargin,
   )
 }

@@ -1646,6 +1646,47 @@ object TextOps {
       .withColumn("novelty_q", expr("(slice_new * 1048576) div slice_seen"))
   }
 
+  /** TERM BURSTINESS / VMR (q188) — [Church & Gale 1995, "Poisson
+    * mixtures"]: a term's variance-to-mean ratio of per-document counts
+    * separates CONTENT terms (bursty — absent from most docs, repeated
+    * where present; VMR ≫ 1) from FUNCTION-word-like terms (≈ Poisson,
+    * VMR ≈ 1). The corpus-linguistics screen behind stopword induction,
+    * boilerplate detection (template phrases are extreme bursts), and
+    * tf-idf sanity — which terms idf can be trusted on.
+    *
+    * Exact integers end-to-end: with zero-count docs included, mean =
+    * Σtf/N and the biased variance fold into
+    * VMR = (N·Σtf² − (Σtf)²) / (N·Σtf) — three decimal(38,0)-lifted sums
+    * from ONE (term) partial agg over the term-doc tf frame (zeros
+    * contribute nothing to any Σ, so the frame stays sparse), quantized
+    * floor(2²⁰·VMR). Ranking = k-bounded topKStr by (vmr, term) — no
+    * vocabulary sort. df ≥ minDf keeps rare-term noise out (a df-1 term is
+    * trivially "bursty"). */
+  def termBurstiness(spark: SparkSession, dir: String, topK: Int = 20,
+                     minDf: Long = 5): DataFrame = {
+    val d = docs(spark, dir)
+    val n = d.agg(count(lit(1)).as("n_docs"))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val stats = d.select(col("doc_id"), explode(gramCountsUdf(1)(col("text"))))
+      .select(col("key").as("term"), col("value").cast("long").as("tf"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_sum"),
+        sum(dec(col("tf")) * dec(col("tf"))).as("tf2_sum"))
+      .filter(col("df") >= minDf)
+      .crossJoin(broadcast(n))
+      .withColumn("vmr_q", expr(
+        """cast((1048576 * (cast(n_docs as decimal(38,0)) * tf2_sum
+          |  - cast(tf_sum as decimal(38,0)) * tf_sum))
+          | div (cast(n_docs as decimal(38,0)) * tf_sum) as bigint)""".stripMargin))
+    stats.agg(graft.functions.Aggregators.topKStr(
+        topK, col("vmr_q").cast("double"), col("term"), col("vmr_q")).as("top"))
+      .select(posexplode(col("top")).as(Seq("pos", "e")))
+      .select((col("pos") + 1).cast("int").as("rnk"),
+        col("e.id").as("term"), col("e.p").as("vmr_q"))
+      .join(stats.select("term", "df", "tf_sum"), Seq("term"))
+      .select(col("rnk"), col("term"), col("df"), col("tf_sum"), col("vmr_q"))
+  }
+
   /** BM25 ranked retrieval over the corpus for a fixed query set — the
     * retrieval loop a training-data pipeline runs for RAG corpus QA and
     * recall checks. Standard BM25 shape (k1 = 1.2, b = 0.75) with two

@@ -1240,6 +1240,38 @@ class TextOpsSpec extends SparkSuite {
     assert(got.values.exists(_._6 < 1048576L), "no saturation anywhere — curve is flat")
   }
 
+  test("termBurstiness: driver VMR replay; a planted bursty term outranks a spread-out one") {
+    val real = graft.Tables.load(spark, sf001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def counts(t: String): Map[String, Long] =
+      "[a-z0-9]+".r.findAllIn(t.toLowerCase).toSeq
+        .groupBy(identity).map { case (w, o) => w -> o.size.toLong }
+    val n = real.length.toLong
+    val perTerm = real.flatMap { case (_, t) => counts(t).toSeq }
+      .groupBy(_._1).map { case (term, o) =>
+        val tfs = o.map(_._2)
+        term -> ((tfs.size.toLong, tfs.sum, tfs.map(x => BigInt(x) * x).sum))
+      }.filter(_._2._1 >= 5)
+    val vmr = perTerm.map { case (term, (df, s, s2)) =>
+      term -> ((df, s, ((BigInt(1048576) * (BigInt(n) * s2 - BigInt(s) * s))
+        / (BigInt(n) * s)).toLong))
+    }
+    val expect = vmr.toSeq.sortBy { case (term, (_, _, v)) => (-v, term) }.take(20)
+      .zipWithIndex.map { case ((term, (df, s, v)), i) => (i + 1, term, df, s, v) }.toSet
+    val got = TextOps.termBurstiness(spark, sf001).collect()
+      .map(r => (r.getAs[Int]("rnk"), r.getAs[String]("term"), r.getAs[Long]("df"),
+        r.getAs[Long]("tf_sum"), r.getAs[Long]("vmr_q"))).toSet
+    assert(got == expect, s"got ${got.toSeq.sortBy(_._1)}\nexpect ${expect.toSeq.sortBy(_._1)}")
+    // the Church-Gale point, on a synthetic pair with equal total mass:
+    // 50 occurrences in one doc must out-VMR 1-per-doc across 50 docs
+    def vmrOf(tfs: Seq[Long], nDocs: Long): Double = {
+      val s = tfs.sum.toDouble; val s2 = tfs.map(x => x.toDouble * x).sum
+      (nDocs * s2 - s * s) / (nDocs * s)
+    }
+    assert(vmrOf(Seq(50L), 100L) > vmrOf(Seq.fill(50)(1L), 100L) * 10)
+  }
+
   test("rakeKeyphrases: driver RAKE replay (runs, chunks, deg/freq ratios, argmax)") {
     val stop = StopwordsEn.toSet
     val d = graft.Tables.load(spark, sf0001, "documents")
