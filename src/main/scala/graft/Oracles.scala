@@ -4110,5 +4110,89 @@ object Oracles {
         |r AS (SELECT *, row_number() OVER (ORDER BY vmr_q DESC, term) AS rnk FROM v)
         |SELECT cast(rnk as int) AS rnk, term, df, tf_sum, vmr_q
         |FROM r WHERE rnk <= 20""".stripMargin,
+
+    // q189 (filterKappa): Cohen's kappa per source between the q88
+    // classifier and the repetition rule — exact rational, HUGEINT mirror,
+    // truncating div (both engines truncate toward zero on negatives).
+    "q189_filter_kappa" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS n
+        |  FROM (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY 1, 2),
+        |hh AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h, n FROM tf),
+        |c AS (SELECT doc_id, cast(h % 64 as int) AS d,
+        |    cast(sum(CASE WHEN (h // 64) % 2 = 1 THEN n ELSE -n END) as bigint) AS val
+        |  FROM hh GROUP BY 1, 2),
+        |w AS (SELECT j, (('0x' || substr(md5('w_' || j), 1, 2))::INT % 16) - 8 AS w
+        |  FROM (SELECT unnest(generate_series(0, 63)) AS j)),
+        |lab AS (SELECT t.doc_id, t.source,
+        |    cast(coalesce(sum(w.w * c.val), 0) as bigint) >= 0 AS a,
+        |    2 * len(list_distinct(max(t.toks))) >= len(max(t.toks)) AS b
+        |  FROM t LEFT JOIN c ON c.doc_id = t.doc_id LEFT JOIN w ON w.j = c.d
+        |  GROUP BY 1, 2),
+        |cf AS (SELECT source,
+        |    cast(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) as bigint) AS n11,
+        |    cast(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) as bigint) AS n10,
+        |    cast(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) as bigint) AS n01,
+        |    cast(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) as bigint) AS n00
+        |  FROM lab GROUP BY 1),
+        |k AS (SELECT *, n11 + n10 + n01 + n00 AS n,
+        |    (n11 + n10)::HUGEINT * (n11 + n01)
+        |      + (n01 + n00)::HUGEINT * (n10 + n00) AS e
+        |  FROM cf)
+        |SELECT source, n11, n10, n01, n00,
+        |  CASE WHEN n::HUGEINT * n - e <> 0 THEN
+        |    cast((1048576 * (n::HUGEINT * (n11 + n00) - e))
+        |      // (n::HUGEINT * n - e) as bigint)
+        |  END AS kappa_q
+        |FROM k""".stripMargin,
+
+    // q190 (cusumDrift): tabular CUSUM over 64 doc_id-range chunk means of
+    // the q88 score — integer chunk means / target / allowance, the
+    // two-sided recursion replayed as a recursive CTE over chunk rank.
+    "q190_cusum_drift" ->
+      """WITH RECURSIVE t AS (SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS n
+        |  FROM (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY 1, 2),
+        |hh AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h, n FROM tf),
+        |cc AS (SELECT doc_id, cast(h % 64 as int) AS d,
+        |    cast(sum(CASE WHEN (h // 64) % 2 = 1 THEN n ELSE -n END) as bigint) AS val
+        |  FROM hh GROUP BY 1, 2),
+        |w AS (SELECT j, (('0x' || substr(md5('w_' || j), 1, 2))::INT % 16) - 8 AS w
+        |  FROM (SELECT unnest(generate_series(0, 63)) AS j)),
+        |sc AS (SELECT t.doc_id, cast(coalesce(sum(w.w * cc.val), 0) as bigint) AS score
+        |  FROM t LEFT JOIN cc ON cc.doc_id = t.doc_id LEFT JOIN w ON w.j = cc.d
+        |  GROUP BY 1),
+        |wd AS (SELECT max(doc_id) // 64 + 1 AS width FROM sc),
+        |ch AS (SELECT cast(doc_id // wd.width as int) AS chunk,
+        |    cast(count(*) as bigint) AS n_docs, cast(sum(score) as bigint) AS s
+        |  FROM sc CROSS JOIN wd GROUP BY 1, wd.width),
+        |cm AS (SELECT chunk, n_docs, (s * 1048576) // n_docs AS mean_q, s FROM ch),
+        |gl AS (SELECT (cast(sum(s) as bigint) * 1048576) // sum(n_docs) AS mu_q,
+        |    cast(count(*) as bigint) AS n_chunks
+        |  FROM cm),
+        |kk AS (SELECT cast(sum(abs(cm.mean_q - gl.mu_q)) as bigint)
+        |      // (2 * max(gl.n_chunks)) AS k_q,
+        |    max(gl.mu_q) AS mu_q
+        |  FROM cm CROSS JOIN gl),
+        |rk AS (SELECT cm.*, row_number() OVER (ORDER BY chunk) AS r FROM cm),
+        |cu AS (
+        |  SELECT rk.r, rk.chunk, rk.n_docs, rk.mean_q,
+        |    greatest(0, rk.mean_q - kk.mu_q - kk.k_q) AS sp,
+        |    greatest(0, -(rk.mean_q - kk.mu_q) - kk.k_q) AS sn
+        |  FROM rk CROSS JOIN kk WHERE rk.r = 1
+        |  UNION ALL
+        |  SELECT rk.r, rk.chunk, rk.n_docs, rk.mean_q,
+        |    greatest(0, cu.sp + rk.mean_q - kk.mu_q - kk.k_q),
+        |    greatest(0, cu.sn - (rk.mean_q - kk.mu_q) - kk.k_q)
+        |  FROM cu JOIN rk ON rk.r = cu.r + 1 CROSS JOIN kk)
+        |SELECT cu.chunk, cu.n_docs, cast(cu.mean_q as bigint) AS mean_q,
+        |  cast(kk.mu_q as bigint) AS mu_q, cast(kk.k_q as bigint) AS k_q,
+        |  cast(cu.sp as bigint) AS s_pos, cast(cu.sn as bigint) AS s_neg,
+        |  cu.sp > 4 * kk.k_q OR cu.sn > 4 * kk.k_q AS alarm
+        |FROM cu CROSS JOIN kk""".stripMargin,
   )
 }

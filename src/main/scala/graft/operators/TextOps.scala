@@ -1687,6 +1687,107 @@ object TextOps {
       .select(col("rnk"), col("term"), col("df"), col("tf_sum"), col("vmr_q"))
   }
 
+  /** FILTER AGREEMENT / COHEN'S KAPPA (q189) — [Cohen 1960]: per source,
+    * the chance-corrected agreement between two INDEPENDENT quality
+    * filters — the q88 classifier (score ≥ 0) and the q66/q141 repetition
+    * rule (2·|distinct| ≥ |tokens|). Raw agreement is misleading when both
+    * filters say "keep" to almost everything; κ subtracts the agreement
+    * two coin-flips with the same marginals would get. Low κ on a source =
+    * the filters disagree there = the docs a human should look at first
+    * (the label-noise triage of curation pipelines).
+    *
+    * Exact rational κ: with confusion counts (n11, n10, n01, n00) and
+    * N = their sum, κ = (N·(n11+n00) − E) / (N² − E) where
+    * E = (n11+n10)(n11+n01) + (n01+n00)(n10+n00) — all integers from ONE
+    * conditional-sum aggregate per source; floor(2²⁰·κ) in decimal(38,0)
+    * (κ can be negative — worse than chance — and integral `div` truncates
+    * toward zero IDENTICALLY in both engines). Degenerate sources (both
+    * filters constant ⇒ denominator 0) emit null. */
+  def filterKappa(spark: SparkSession, dir: String): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val labeled = docs(spark, dir)
+      .withColumn("toks", tokensCol(col("text")))
+      .select(col("source"),
+        (classifierScoreUdf(col("toks")) >= 0).as("a"),
+        (size(array_distinct(col("toks"))) * 2 >= size(col("toks"))).as("b"))
+    val conf = labeled.groupBy("source").agg(
+      sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("n11"),
+      sum(when(col("a") && !col("b"), 1L).otherwise(0L)).as("n10"),
+      sum(when(!col("a") && col("b"), 1L).otherwise(0L)).as("n01"),
+      sum(when(!col("a") && !col("b"), 1L).otherwise(0L)).as("n00"))
+    conf
+      .withColumn("n", col("n11") + col("n10") + col("n01") + col("n00"))
+      .withColumn("e",
+        dec(col("n11") + col("n10")) * dec(col("n11") + col("n01"))
+          + dec(col("n01") + col("n00")) * dec(col("n10") + col("n00")))
+      .withColumn("num", dec(col("n")) * dec(col("n11") + col("n00")) - col("e"))
+      .withColumn("den", dec(col("n")) * dec(col("n")) - col("e"))
+      .select(col("source"), col("n11"), col("n10"), col("n01"), col("n00"),
+        when(col("den") =!= dec(lit(0L)),
+          expr("cast((1048576 * num) div den as bigint)")).as("kappa_q"))
+  }
+
+  /** CUSUM QUALITY-DRIFT DETECTOR (q190) — [Page 1954; the tabular CUSUM
+    * of Montgomery's SPC text]: two one-sided cumulative sums over the
+    * corpus's ingest order detect a SUSTAINED shift in mean quality score
+    * that per-chunk thresholds miss (each chunk individually in-range, the
+    * drift only visible accumulated) — the "did the crawler/extractor
+    * silently degrade mid-ingest" alarm. Ingest order = 64 doc_id-range
+    * chunks (map-side arithmetic off a broadcast 1-row max); signal =
+    * chunk mean of the q88 score; allowance k = half the mean absolute
+    * chunk deviation, decision interval h = 4k (the textbook δ/2, 4σ-ish
+    * defaults, made deterministic).
+    *
+    * Exact integers: chunk means and the global target are 2²⁰-scaled
+    * integral divisions; the recursions sp_t = max(0, sp_{t−1} + x_t − μ − k)
+    * and sn_t = max(0, sn_{t−1} − (x_t − μ) − k) fold in plain longs (the
+    * q152 EWMA convention), so every sp/sn/alarm hash-compares against the
+    * oracle's recursive-CTE replay.
+    *
+    * Scale shape: one scoring scan into a 64-key partial agg; the fold
+    * runs over the chunk-count-bounded sorted list — control-plane. */
+  def cusumDrift(spark: SparkSession, dir: String, chunks: Int = 64): DataFrame = {
+    val scored = docs(spark, dir)
+      .select(col("doc_id"), classifierScoreUdf(tokensCol(col("text"))).as("score"))
+    val mx = scored.agg(expr(s"max(doc_id) div $chunks + 1").cast("long").as("width"))
+    val ch = scored.crossJoin(broadcast(mx))
+      .withColumn("chunk", expr("doc_id div width").cast("int"))
+      .groupBy("chunk")
+      .agg(count(lit(1)).as("n_docs"), sum(col("score")).as("s"))
+      .withColumn("mean_q", expr("(s * 1048576) div n_docs"))
+    val glob = ch.agg(
+      expr("(sum(s) * 1048576) div sum(n_docs)").as("mu_q"),
+      count(lit(1)).as("n_chunks"))
+    val withK = ch.crossJoin(broadcast(glob))
+      .withColumn("adev", abs(col("mean_q") - col("mu_q")))
+    val kFrame = withK.agg(
+      expr("sum(adev) div (2 * max(n_chunks))").as("k_q"),
+      max(col("mu_q")).as("mu_q"))
+    withK.select("chunk", "n_docs", "mean_q")
+      .crossJoin(broadcast(kFrame))
+      .groupBy("mu_q", "k_q")
+      .agg(sort_array(collect_list(struct(col("chunk"), col("n_docs"),
+        col("mean_q")))).as("rows"))
+      .select(col("mu_q"), col("k_q"), explode(expr(
+        """aggregate(rows,
+          |  named_struct('sp', 0L, 'sn', 0L,
+          |    'out', cast(array() as array<struct<chunk:int,n_docs:bigint,
+          |      mean_q:bigint,s_pos:bigint,s_neg:bigint>>)),
+          |  (acc, r) -> named_struct(
+          |    'sp', greatest(0L, acc.sp + r.mean_q - mu_q - k_q),
+          |    'sn', greatest(0L, acc.sn - (r.mean_q - mu_q) - k_q),
+          |    'out', array_append(acc.out, named_struct(
+          |      'chunk', r.chunk, 'n_docs', r.n_docs, 'mean_q', r.mean_q,
+          |      's_pos', greatest(0L, acc.sp + r.mean_q - mu_q - k_q),
+          |      's_neg', greatest(0L, acc.sn - (r.mean_q - mu_q) - k_q)))),
+          |  acc -> acc.out)""".stripMargin)).as("e"))
+      .select(col("e.chunk").as("chunk"), col("e.n_docs").as("n_docs"),
+        col("e.mean_q").as("mean_q"), col("mu_q"), col("k_q"),
+        col("e.s_pos").as("s_pos"), col("e.s_neg").as("s_neg"),
+        (col("e.s_pos") > lit(4L) * col("k_q") ||
+          col("e.s_neg") > lit(4L) * col("k_q")).as("alarm"))
+  }
+
   /** BM25 ranked retrieval over the corpus for a fixed query set — the
     * retrieval loop a training-data pipeline runs for RAG corpus QA and
     * recall checks. Standard BM25 shape (k1 = 1.2, b = 0.75) with two

@@ -1272,6 +1272,89 @@ class TextOpsSpec extends SparkSuite {
     assert(vmrOf(Seq(50L), 100L) > vmrOf(Seq.fill(50)(1L), 100L) * 10)
   }
 
+  test("filterKappa: driver confusion replay; kappa corrects the chance a raw rate hides") {
+    val rows = graft.Tables.load(spark, sf001, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val lab = rows.map { case (src, t) =>
+      val toks = "[a-z0-9]+".r.findAllIn(t.toLowerCase).toVector
+      (src, classifierScore(toks) >= 0, toks.distinct.size * 2 >= toks.size)
+    }
+    val expect = lab.groupBy(_._1).map { case (src, ds) =>
+      val n11 = ds.count(d => d._2 && d._3).toLong
+      val n10 = ds.count(d => d._2 && !d._3).toLong
+      val n01 = ds.count(d => !d._2 && d._3).toLong
+      val n00 = ds.count(d => !d._2 && !d._3).toLong
+      val n = n11 + n10 + n01 + n00
+      val e = BigInt(n11 + n10) * (n11 + n01) + BigInt(n01 + n00) * (n10 + n00)
+      val den = BigInt(n) * n - e
+      val k = if (den != 0)
+        Some(((BigInt(1048576) * (BigInt(n) * (n11 + n00) - e)) / den).toLong)
+      else None
+      src -> ((n11, n10, n01, n00, k))
+    }
+    val got = TextOps.filterKappa(spark, sf001).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n11"), r.getAs[Long]("n10"), r.getAs[Long]("n01"),
+          r.getAs[Long]("n00"),
+          if (r.isNullAt(5)) None else Some(r.getAs[Long]("kappa_q"))))).toMap
+    assert(got == expect)
+    got.values.flatMap(_._5).foreach(k => assert(k >= -1048576L && k <= 1048576L))
+    // the chance-correction point, locally: two raters that agree on 90%
+    // only because both say "keep" to ~everything get a LOW kappa
+    def kappaOf(n11: Long, n10: Long, n01: Long, n00: Long): Double = {
+      val n = n11 + n10 + n01 + n00
+      val e = ((n11 + n10).toDouble * (n11 + n01) + (n01 + n00).toDouble * (n10 + n00))
+      (n * (n11 + n00) - e) / (n.toDouble * n - e)
+    }
+    assert(kappaOf(90, 5, 5, 0) < 0.0 && kappaOf(45, 5, 5, 45) > 0.7)
+  }
+
+  test("cusumDrift: driver two-sided fold replay; alarm is exactly the 4k crossing") {
+    val rows = graft.Tables.load(spark, sf001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def score(t: String): Long =
+      classifierScore("[a-z0-9]+".r.findAllIn(t.toLowerCase).toSeq)
+    val width = rows.map(_._1).max / 64 + 1
+    val byChunk = rows.groupBy { case (id, _) => (id / width).toInt }
+      .map { case (c, ds) =>
+        val s = ds.map(d => score(d._2)).sum
+        c -> ((ds.size.toLong, s, s * 1048576L / ds.size))
+      }
+    val chunksSorted = byChunk.keys.toSeq.sorted
+    val muQ = {
+      val st = byChunk.values.map(_._2).sum
+      val nt = byChunk.values.map(_._1).sum
+      st * 1048576L / nt
+    }
+    val kQ = chunksSorted.map(c => math.abs(byChunk(c)._3 - muQ)).sum /
+      (2L * chunksSorted.size)
+    var sp = 0L; var sn = 0L
+    val expect = chunksSorted.map { c =>
+      val m = byChunk(c)._3
+      sp = math.max(0L, sp + m - muQ - kQ)
+      sn = math.max(0L, sn - (m - muQ) - kQ)
+      c -> ((byChunk(c)._1, m, muQ, kQ, sp, sn, sp > 4 * kQ || sn > 4 * kQ))
+    }.toMap
+    val got = TextOps.cusumDrift(spark, sf001).collect()
+      .map(r => r.getAs[Int]("chunk") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("mean_q"), r.getAs[Long]("mu_q"),
+          r.getAs[Long]("k_q"), r.getAs[Long]("s_pos"), r.getAs[Long]("s_neg"),
+          r.getAs[Boolean]("alarm")))).toMap
+    assert(got == expect)
+    // fold invariants: both sums nonnegative, alarm exactly the crossing
+    got.values.foreach { case (_, _, _, k, p, nn, a) =>
+      assert(p >= 0 && nn >= 0 && a == (p > 4 * k || nn > 4 * k)) }
+    // the CUSUM point, locally: a sustained +k drift alarms even though no
+    // single observation exceeds mu + 5k (a per-chunk threshold stays silent)
+    var s = 0L
+    val drift = Seq.fill(12)(2L) // x - mu = +2k every step
+    val kk = 1L
+    val crossed = drift.map { d => s = math.max(0L, s + d * kk - kk); s }
+    assert(crossed.last > 4 * kk && drift.forall(_ * kk < 5 * kk))
+  }
+
   test("rakeKeyphrases: driver RAKE replay (runs, chunks, deg/freq ratios, argmax)") {
     val stop = StopwordsEn.toSet
     val d = graft.Tables.load(spark, sf0001, "documents")
