@@ -46,9 +46,13 @@ object Multimodal {
     StructField("header", StringType),       // first 4 payload bytes, hex
     StructField("feature", ArrayType(DoubleType)))) // stub "embedding"
 
-  /** STUB DECODER — deterministic fake standing in for image/audio decode.
-    * A production build replaces the body marked below with a real codec call;
-    * the partition-batched shape, schema, and null handling stay identical. */
+  /** STUB DECODER — deterministic fake standing in for image/audio decode,
+    * kept DELIBERATELY next to the real [[decodeMedia]]/[[decodeY4mFrames]]
+    * paths (this is the brief's mandated shape-documentation variant, and
+    * q30's oracle-able plumbing gate rides it: schema, partition batching,
+    * and null handling are the product; the fake feature is labeled below).
+    * A production build replaces the body marked below with a real codec
+    * call; everything around it stays identical. */
   def decodeStub(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     val out = media.select("media_id", "payload", "media_type").rdd.mapPartitions { rows =>
