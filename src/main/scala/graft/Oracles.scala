@@ -4194,5 +4194,29 @@ object Oracles {
         |  cast(cu.sp as bigint) AS s_pos, cast(cu.sn as bigint) AS s_neg,
         |  cu.sp > 4 * kk.k_q OR cu.sn > 4 * kk.k_q AS alarm
         |FROM cu CROSS JOIN kk""".stripMargin,
+
+    // q191 (chao1Vocab): per-source Chao1 unseen-vocabulary estimate over
+    // 3-gram shingle frequency-of-frequencies. All integers.
+    "q191_chao1_vocab" ->
+      """WITH g AS (SELECT source, sh, cast(count(*) as bigint) AS ct FROM
+        |  (SELECT source, unnest(
+        |     [array_to_string(toks[i:i+2], ' ')
+        |      FOR i IN generate_series(1, greatest(len(toks) - 2, 0))]) AS sh
+        |   FROM (SELECT source, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |         FROM documents))
+        |  GROUP BY 1, 2),
+        |f AS (SELECT source, cast(count(*) as bigint) AS v_obs,
+        |    cast(sum(ct) as bigint) AS tokens,
+        |    cast(sum(CASE WHEN ct = 1 THEN 1 ELSE 0 END) as bigint) AS n1,
+        |    cast(sum(CASE WHEN ct = 2 THEN 1 ELSE 0 END) as bigint) AS n2
+        |  FROM g GROUP BY 1),
+        |e AS (SELECT *, CASE WHEN n2 > 0 THEN (n1 * n1) // (2 * n2)
+        |    ELSE (n1 * (n1 - 1)) // (2 * (n2 + 1)) END AS chao1_extra
+        |  FROM f)
+        |SELECT source, v_obs, tokens, n1, n2, chao1_extra,
+        |  v_obs + chao1_extra AS v_hat,
+        |  (v_obs * 1048576) // (v_obs + chao1_extra) AS coverage_q,
+        |  ((tokens - n1) * 1048576) // tokens AS cov_gt_q
+        |FROM e""".stripMargin,
   )
 }

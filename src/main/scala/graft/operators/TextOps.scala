@@ -1788,6 +1788,40 @@ object TextOps {
           col("e.s_neg") > lit(4L) * col("k_q")).as("alarm"))
   }
 
+  /** UNSEEN-VOCABULARY ESTIMATE / CHAO1 (q191) — [Chao 1984; Good–Turing
+    * 1953 is the same frequency-of-frequencies idea]: per source, estimate
+    * the vocabulary NOT yet observed from the hapax/dis legomena counts —
+    * V̂ = V + n₁²/(2·n₂) (bias-corrected n₁(n₁−1)/(2(n₂+1)) when n₂ = 0).
+    * The prediction companion of q186's observed growth curve: q186 says
+    * how fast new vocabulary arrived, Chao1 says how much is left — "is
+    * this source worth crawling deeper" with an estimator instead of an
+    * extrapolated eyeball.
+    *
+    * Exact integers: V, n₁, n₂ from ONE frequency-of-frequencies pass
+    * (type totals per source → count of totals = 1 / = 2); the estimate is
+    * one integral division, 2²⁰-scaled coverage = V·2²⁰ div V̂ alongside
+    * (Good–Turing sample coverage 1 − n₁/tokens rides as cov_gt_q). The
+    * type unit is the 3-gram SHINGLE (the q186/q187 vocabulary): the
+    * synthetic unigram space is 31 fully-saturated types with zero
+    * hapaxes — Chao1 over it would estimate nothing. */
+  def chao1Vocab(spark: SparkSession, dir: String): DataFrame = {
+    val tf = docs(spark, dir)
+      .select(col("source"), explode(gramCountsUdf(3)(col("text"))))
+      .select(col("source"), col("key").as("term"), col("value").cast("long").as("tf"))
+      .groupBy("source", "term").agg(sum(col("tf")).as("ct"))
+    tf.groupBy("source").agg(
+        count(lit(1)).as("v_obs"),
+        sum(col("ct")).as("tokens"),
+        sum(when(col("ct") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("ct") === 2, 1L).otherwise(0L)).as("n2"))
+      .withColumn("chao1_extra", expr(
+        """CASE WHEN n2 > 0 THEN (n1 * n1) div (2 * n2)
+          |     ELSE (n1 * (n1 - 1)) div (2 * (n2 + 1)) END""".stripMargin))
+      .withColumn("v_hat", col("v_obs") + col("chao1_extra"))
+      .withColumn("coverage_q", expr("(v_obs * 1048576) div v_hat"))
+      .withColumn("cov_gt_q", expr("((tokens - n1) * 1048576) div tokens"))
+  }
+
   /** BM25 ranked retrieval over the corpus for a fixed query set — the
     * retrieval loop a training-data pipeline runs for RAG corpus QA and
     * recall checks. Standard BM25 shape (k1 = 1.2, b = 0.75) with two

@@ -1355,6 +1355,44 @@ class TextOpsSpec extends SparkSuite {
     assert(crossed.last > 4 * kk && drift.forall(_ * kk < 5 * kk))
   }
 
+  test("chao1Vocab: driver frequency-of-frequencies replay; the estimator sees through subsampling") {
+    val rows = graft.Tables.load(spark, sf001, "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def tri(t: String): Seq[String] = {
+      val toks = "[a-z0-9]+".r.findAllIn(t.toLowerCase).toVector
+      toks.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSeq
+    }
+    def stats(grams: Seq[String]): (Long, Long, Long, Long) = {
+      val cts = grams.groupBy(identity).map(_._2.size.toLong)
+      (cts.size.toLong, cts.sum, cts.count(_ == 1L).toLong, cts.count(_ == 2L).toLong)
+    }
+    def chao1(v: Long, n1: Long, n2: Long): Long =
+      v + (if (n2 > 0) n1 * n1 / (2 * n2) else n1 * (n1 - 1) / (2 * (n2 + 1)))
+    val expect = rows.groupBy(_._1).map { case (src, ds) =>
+      val (v, tk, n1, n2) = stats(ds.toSeq.flatMap(d => tri(d._2)))
+      val vh = chao1(v, n1, n2)
+      src -> ((v, tk, n1, n2, vh - v, vh, v * 1048576L / vh, (tk - n1) * 1048576L / tk))
+    }
+    val got = TextOps.chao1Vocab(spark, sf001).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("v_obs"), r.getAs[Long]("tokens"), r.getAs[Long]("n1"),
+          r.getAs[Long]("n2"), r.getAs[Long]("chao1_extra"), r.getAs[Long]("v_hat"),
+          r.getAs[Long]("coverage_q"), r.getAs[Long]("cov_gt_q")))).toMap
+    assert(got == expect)
+    // estimator property, locally: a half-subsample's Chao1 recovers a
+    // large share of the FULL observed vocabulary (the "is more crawling
+    // worth it" use) — run on the corpus-wide gram multiset
+    val all = rows.toSeq.flatMap(d => tri(d._2))
+    val (vFull, _, _, _) = stats(all)
+    val half = all.zipWithIndex.collect { case (g, i) if i % 2 == 0 => g }
+    val (vH, _, n1H, n2H) = stats(half)
+    val est = chao1(vH, n1H, n2H)
+    assert(est > vH, "subsample estimate must predict unseen types")
+    assert(est.toDouble >= 0.6 * vFull,
+      s"Chao1 on a half-sample ($est) should reach well toward the full $vFull")
+  }
+
   test("rakeKeyphrases: driver RAKE replay (runs, chunks, deg/freq ratios, argmax)") {
     val stop = StopwordsEn.toSet
     val d = graft.Tables.load(spark, sf0001, "documents")
