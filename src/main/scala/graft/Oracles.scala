@@ -4218,5 +4218,27 @@ object Oracles {
         |  (v_obs * 1048576) // (v_obs + chao1_extra) AS coverage_q,
         |  ((tokens - n1) * 1048576) // tokens AS cov_gt_q
         |FROM e""".stripMargin,
+
+    // q192 (packingPlan): pad-vs-pack capacity table per context length —
+    // pure integer arithmetic over per-doc token counts.
+    "q192_packing_plan" ->
+      """WITH d AS (SELECT cast(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+        |    as bigint) AS len
+        |  FROM documents),
+        |x AS (SELECT d.len, cast(l.l as bigint) AS l
+        |  FROM d CROSS JOIN (SELECT unnest([128, 512, 2048]) AS l) l),
+        |a AS (SELECT l, cast(count(*) as bigint) AS n_docs,
+        |    cast(sum(len) as bigint) AS total_tokens,
+        |    cast(sum(least(len, l)) as bigint) AS kept_tokens,
+        |    cast(sum(greatest(len - l, 0)) as bigint) AS truncated_tokens,
+        |    cast(sum(l - least(len, l)) as bigint) AS pad_waste
+        |  FROM x GROUP BY 1)
+        |SELECT l, n_docs, total_tokens, kept_tokens, truncated_tokens, pad_waste,
+        |  n_docs AS pad_bins,
+        |  (total_tokens + l - 1) // l AS pack_bins,
+        |  (kept_tokens * 1048576) // (n_docs * l) AS pad_efficiency_q,
+        |  (total_tokens * 1048576) // (((total_tokens + l - 1) // l) * l)
+        |    AS pack_efficiency_q
+        |FROM a""".stripMargin,
   )
 }

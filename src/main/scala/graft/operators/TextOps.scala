@@ -1822,6 +1822,37 @@ object TextOps {
       .withColumn("cov_gt_q", expr("((tokens - n1) * 1048576) div tokens"))
   }
 
+  /** CONTEXT-LENGTH PACKING PLANNER (q192) — the capacity table behind the
+    * q68/q167 packing choice [GPT-3 §2.2 concat-and-chunk vs pad-per-doc;
+    * Krell et al. 2021 on packing efficiency]: for each candidate context
+    * length L, what one epoch costs under (a) PAD-PER-DOC with truncation —
+    * bins = docs, waste = Σ(L − min(len, L)), truncated = Σ max(len − L, 0)
+    * — versus (b) CONCAT-AND-PACK — bins = ⌈Σlen/L⌉, waste < L total. The
+    * efficiency column (real tokens per slot, 2²⁰-scaled) is the number a
+    * training-infra owner reads before picking L; the truncation column is
+    * what the pad path silently destroys.
+    *
+    * Scale shape: ONE map pass to per-doc token counts, the L axis
+    * exploded map-side (|Ls| integers per row), one |Ls|-key partial agg —
+    * no shuffle of anything corpus-shaped. All integers. */
+  def packingPlan(spark: SparkSession, dir: String,
+                  lengths: Seq[Int] = Seq(128, 512, 2048)): DataFrame = {
+    docs(spark, dir)
+      .select(size(tokensCol(col("text"))).cast("long").as("len"))
+      .select(col("len"), explode(array(lengths.map(l => lit(l.toLong)): _*)).as("l"))
+      .groupBy("l")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("len")).as("total_tokens"),
+        sum(least(col("len"), col("l"))).as("kept_tokens"),
+        sum(greatest(col("len") - col("l"), lit(0L))).as("truncated_tokens"),
+        sum(col("l") - least(col("len"), col("l"))).as("pad_waste"))
+      .withColumn("pad_bins", col("n_docs"))
+      .withColumn("pack_bins", expr("(total_tokens + l - 1) div l"))
+      .withColumn("pad_efficiency_q", expr("(kept_tokens * 1048576) div (n_docs * l)"))
+      .withColumn("pack_efficiency_q",
+        expr("(total_tokens * 1048576) div (((total_tokens + l - 1) div l) * l)"))
+  }
+
   /** BM25 ranked retrieval over the corpus for a fixed query set — the
     * retrieval loop a training-data pipeline runs for RAG corpus QA and
     * recall checks. Standard BM25 shape (k1 = 1.2, b = 0.75) with two

@@ -1393,6 +1393,39 @@ class TextOpsSpec extends SparkSuite {
       s"Chao1 on a half-sample ($est) should reach well toward the full $vFull")
   }
 
+  test("packingPlan: driver arithmetic replay; packing strictly beats padding where docs vary") {
+    val lens = graft.Tables.load(spark, sf001, "documents")
+      .select("text").collect()
+      .map(r => "[a-z0-9]+".r.findAllIn(r.getString(0).toLowerCase).size.toLong)
+    val expect = Seq(128L, 512L, 2048L).map { l =>
+      val kept = lens.map(x => math.min(x, l)).sum
+      val total = lens.sum
+      val packBins = (total + l - 1) / l
+      l -> ((lens.length.toLong, total, kept,
+        lens.map(x => math.max(x - l, 0L)).sum,
+        lens.map(x => l - math.min(x, l)).sum,
+        lens.length.toLong, packBins,
+        kept * 1048576L / (lens.length * l),
+        total * 1048576L / (packBins * l)))
+    }.toMap
+    val got = TextOps.packingPlan(spark, sf001).collect()
+      .map(r => r.getAs[Long]("l") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("total_tokens"),
+          r.getAs[Long]("kept_tokens"), r.getAs[Long]("truncated_tokens"),
+          r.getAs[Long]("pad_waste"), r.getAs[Long]("pad_bins"),
+          r.getAs[Long]("pack_bins"), r.getAs[Long]("pad_efficiency_q"),
+          r.getAs[Long]("pack_efficiency_q")))).toMap
+    assert(got == expect)
+    // the planner's point: pack efficiency is near 1 at every L and never
+    // below pad efficiency; pad pays real waste at the long-context end
+    got.foreach { case (l, row) =>
+      assert(row._9 >= row._8, s"L=$l: packing must not lose to padding")
+      assert(row._9 >= 1048576L * 9 / 10, s"L=$l: pack efficiency must be near 1")
+    }
+    assert(got(2048L)._8 < 1048576L / 2,
+      "long-context padding on short docs must show < 50% slot utilization")
+  }
+
   test("rakeKeyphrases: driver RAKE replay (runs, chunks, deg/freq ratios, argmax)") {
     val stop = StopwordsEn.toSet
     val d = graft.Tables.load(spark, sf0001, "documents")
