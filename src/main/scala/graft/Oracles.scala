@@ -4240,5 +4240,26 @@ object Oracles {
         |  (total_tokens * 1048576) // (((total_tokens + l - 1) // l) * l)
         |    AS pack_efficiency_q
         |FROM a""".stripMargin,
+
+    // q193 (centroidDrift): per-source 2^20-grid mean embeddings, pairwise
+    // exact L2^2 between truncated-integer-mean centroids.
+    "q193_centroid_drift" ->
+      """WITH e AS (SELECT d.source,
+        |    list_transform(em.embedding,
+        |      x -> cast(floor(cast(x as double) * 1048576.0) as bigint)) AS q
+        |  FROM (SELECT vec_id, embedding FROM embeddings) em
+        |  JOIN (SELECT doc_id AS vec_id, source FROM documents) d USING (vec_id)),
+        |dims AS (SELECT source, cast(i as int) AS dim, q[i + 1] AS x
+        |  FROM e CROSS JOIN (SELECT unnest(range(64)) AS i) t WHERE i < len(q)),
+        |cg AS (SELECT source, dim, cast(sum(x) as bigint) AS s,
+        |    cast(count(*) as bigint) AS n
+        |  FROM dims GROUP BY 1, 2),
+        |cent AS (SELECT source, dim, s // n AS c, n FROM cg),
+        |p AS (SELECT a.source AS src_a, b.source AS src_b,
+        |    max(a.n) AS n_a, max(b.n) AS n_b,
+        |    cast(sum((a.c - b.c) * (a.c - b.c)) as bigint) AS l2sq
+        |  FROM cent a JOIN cent b ON a.dim = b.dim AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, n_a, n_b, l2sq FROM p""".stripMargin,
   )
 }

@@ -592,6 +592,45 @@ object Similarity {
   private def qgridCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     transform(c, x => floor(x.cast("double") * lit(1048576.0d)).cast("int"))
 
+  /** EMBEDDING CENTROID DRIFT (q193) — the classifier-free distribution
+    * check between sources: per-source mean embedding (the linear-kernel
+    * MMD statistic [Gretton et al., JMLR 2012 — with k(x,y) = x·y, MMD² is
+    * exactly the squared centroid distance]) and the pairwise L2² matrix
+    * between the means. Large drift = the sources occupy different
+    * embedding regions (mixing them changes the training distribution;
+    * routing/curation should know); near-zero everywhere = one domain. The
+    * EMBEDDING-space sibling of q90's token drift and q187's lexical
+    * overlap.
+    *
+    * Exact integers: components on the 2²⁰ grid, per-source sums via the
+    * element-wise [[graft.functions.Aggregators.vecSum]] partial agg
+    * (mappers forward ≤ K dim-length rows), centroid = truncated integer
+    * mean per dim (the q33/q108 convention), pairwise distance = exact
+    * long Σδ² over the K-row control-plane frame.
+    *
+    * Scale shape: ONE corpus scan (embeddings ⋈ broadcast-joined source
+    * labels at test scale; co-partitioned ids at 100 TB), one K-group
+    * partial agg, then K(K−1)/2 fixed-size centroid pairs — no all-pairs
+    * over rows anywhere. */
+  def centroidDrift(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.load(spark, dir, "documents").select(
+      col("doc_id").as("vec_id"), col("source"))
+    val cent = emb(spark, dir)
+      .join(src, Seq("vec_id"))
+      .select(col("source"), qgridCol(col("embedding")).as("q"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        graft.functions.Aggregators.vecSum(col("q")).as("s"))
+      .select(col("source"), col("n"),
+        expr("transform(s, x -> x div n)").as("c"))
+    val a = cent.select(col("source").as("src_a"), col("n").as("n_a"), col("c").as("ca"))
+    val b = cent.select(col("source").as("src_b"), col("n").as("n_b"), col("c").as("cb"))
+    a.join(b, col("src_a") < col("src_b"))
+      .withColumn("l2sq", expr(
+        "aggregate(zip_with(ca, cb, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("l2sq"))
+  }
+
   /** DIMENSION-ABLATION RECALL CURVE (q183) — the Matryoshka evaluation
     * [Kusupati et al., "Matryoshka Representation Learning", NeurIPS'22]:
     * how much top-k retrieval quality each PREFIX of the embedding keeps.

@@ -536,6 +536,40 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(got.values.exists(_._3 > 0), "no overlapping pair — matrix tests nothing")
   }
 
+  test("centroidDrift: driver centroid replay; a shifted clone of a source drifts, the source itself doesn't") {
+    val docs = graft.Tables.load(spark, sf001, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val embs = graft.Tables.load(spark, sf001, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .filter { case (id, _) => docs.contains(id) }
+    val grid = embs.map { case (id, v) =>
+      id -> v.map(x => math.floor(x.toDouble * 1048576.0).toLong) }
+    val cents = grid.groupBy { case (id, _) => docs(id) }.map { case (src, vs) =>
+      val n = vs.length.toLong
+      val sums = vs.map(_._2).transpose.map(_.sum)
+      src -> ((n, sums.map(_ / n).toArray))
+    }
+    val srcs = cents.keys.toSeq.sorted
+    val expect = (for { a <- srcs; b <- srcs if a < b } yield {
+      val d = cents(a)._2.zip(cents(b)._2).map { case (x, y) => (x - y) * (x - y) }.sum
+      (a, b) -> ((cents(a)._1, cents(b)._1, d))
+    }).toMap
+    val got = Similarity.centroidDrift(spark, sf001).collect()
+      .map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b")) ->
+        ((r.getAs[Long]("n_a"), r.getAs[Long]("n_b"), r.getAs[Long]("l2sq")))).toMap
+    assert(got == expect)
+    assert(got.size == srcs.size * (srcs.size - 1) / 2)
+    // the MMD point, locally: a +0.5-per-dim shifted clone of src0's
+    // vectors drifts ~64*(0.5*2^20)^2 from src0, while src0 vs itself is 0
+    val c0 = cents(srcs.head)._2
+    val shifted = c0.map(_ + (1048576L / 2))
+    val drift = c0.zip(shifted).map { case (x, y) => (x - y) * (x - y) }.sum
+    assert(drift == 64L * (1048576L / 2) * (1048576L / 2))
+    assert(c0.zip(c0).map { case (x, y) => (x - y) * (x - y) }.sum == 0L)
+  }
+
   test("winnowPairs recovers the strongest near-duplicates with verified containment") {
     val strong = Dedup.ngramJaccard(spark, sf001)
       .filter(col("jac") >= 0.9).select("da", "db")
