@@ -612,17 +612,29 @@ object Similarity {
     * labels at test scale; co-partitioned ids at 100 TB), one K-group
     * partial agg, then K(K−1)/2 fixed-size centroid pairs — no all-pairs
     * over rows anywhere. */
-  def centroidDrift(spark: SparkSession, dir: String): DataFrame = {
+  def centroidDrift(spark: SparkSession, dir: String): DataFrame =
+    driftFromSums(centroidSums(spark, dir))
+
+  /** The (source, n, Σq) sufficient-statistic frame under q193 — ADDITIVE
+    * per source (count and element-wise vector sum), which is exactly what
+    * [[graft.streaming.CentroidStream]] maintains incrementally. */
+  def centroidSums(spark: SparkSession, dir: String): DataFrame = {
     val src = Tables.load(spark, dir, "documents").select(
       col("doc_id").as("vec_id"), col("source"))
-    val cent = emb(spark, dir)
+    emb(spark, dir)
       .join(src, Seq("vec_id"))
       .select(col("source"), qgridCol(col("embedding")).as("q"))
       .groupBy("source")
       .agg(count(lit(1)).as("n"),
         graft.functions.Aggregators.vecSum(col("q")).as("s"))
-      .select(col("source"), col("n"),
-        expr("transform(s, x -> x div n)").as("c"))
+  }
+
+  /** Pairwise drift matrix from a (source, n, s) sufficient-statistic
+    * frame — the read half shared by batch q193 and the streaming
+    * maintainer (centroid = truncated integer mean, exact long L2²). */
+  def driftFromSums(sums: DataFrame): DataFrame = {
+    val cent = sums.select(col("source"), col("n"),
+      expr("transform(s, x -> x div n)").as("c"))
     val a = cent.select(col("source").as("src_a"), col("n").as("n_a"), col("c").as("ca"))
     val b = cent.select(col("source").as("src_b"), col("n").as("n_b"), col("c").as("cb"))
     a.join(b, col("src_a") < col("src_b"))
