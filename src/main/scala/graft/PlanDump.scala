@@ -91,7 +91,11 @@ object PlanDump {
       "q182_budget_allocate" -> "round 11: water-filling — one corpus scan per input grain; the threshold walk is three windows over the SOURCE-dimension frame (bounded domain), decimal(38,0) cross-multiplications",
       "q183_dim_ablation" -> "round 11: dim ablation — corpus scanned ONCE with the dim axis exploded map-side; queries broadcast; per-(dim, query) bounded-key ranking; recall = one |dims|-row agg",
       "q184_conformal" -> "round 11: conformal — calibration set via the k-bounded topK agg (bottom-k by md5, theory-bounded sample); thresholds ride a broadcast 1-row frame; coverage = one aggregate over the held-out scan",
-      "q185_mad_outliers" -> "round 11: MAD outliers — one scoring scan; two percentile aggs over the bounded source domain; per-doc flags re-join the 20-row stats frame broadcast")
+      "q185_mad_outliers" -> "round 11: MAD outliers — one scoring scan; two percentile aggs over the bounded source domain; per-doc flags re-join the 20-row stats frame broadcast",
+      "q187_source_overlap" -> "round 11: overlap matrix — ONE self-equi-join on the shingle key (per-shingle fan-out bounded by the source domain, never corpus^2), partial-agged pair counts, K-row sizes broadcast back",
+      "q190_cusum_drift" -> "round 11: CUSUM — one scoring scan into a 64-key partial agg; target/allowance ride broadcast 1-row frames; the two-sided recursion folds over the chunk-bounded sorted list (control-plane)",
+      "q191_chao1_vocab" -> "round 11: Chao1 — one frequency-of-frequencies pass (per-source gram totals then conditional sums); the estimator is row-local arithmetic on the K-row frame",
+      "q193_centroid_drift" -> "round 11: centroid drift — one corpus scan into the element-wise vecSum partial agg (mappers forward <= K dim-length rows); pairwise L2^2 on the K-row control plane, no row-level pairs anywhere")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries (sf0.1)\n\n")
     sb.append("Generated by `graft.PlanDump`; regenerate after plan-affecting changes.\n")
