@@ -4261,5 +4261,47 @@ object Oracles {
         |  FROM cent a JOIN cent b ON a.dim = b.dim AND a.source < b.source
         |  GROUP BY 1, 2)
         |SELECT src_a, src_b, n_a, n_b, l2sq FROM p""".stripMargin,
+
+    // q194 (ksMatrix): bucketized two-sample KS per source pair — q88
+    // score replay, q141 fixed-width 256-bin grid, cross-multiplied
+    // integer CDF gap.
+    "q194_ks_matrix" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS n
+        |  FROM (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY 1, 2),
+        |hh AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h, n FROM tf),
+        |cx AS (SELECT doc_id, cast(h % 64 as int) AS d,
+        |    cast(sum(CASE WHEN (h // 64) % 2 = 1 THEN n ELSE -n END) as bigint) AS val
+        |  FROM hh GROUP BY 1, 2),
+        |w AS (SELECT j, (('0x' || substr(md5('w_' || j), 1, 2))::INT % 16) - 8 AS w
+        |  FROM (SELECT unnest(generate_series(0, 63)) AS j)),
+        |sc AS (SELECT t.doc_id, t.source,
+        |    cast(coalesce(sum(w.w * cx.val), 0) as bigint) AS score
+        |  FROM t LEFT JOIN cx ON cx.doc_id = t.doc_id LEFT JOIN w ON w.j = cx.d
+        |  GROUP BY 1, 2),
+        |bd AS (SELECT min(score) AS lo, max(score) AS hi FROM sc),
+        |bn AS (SELECT source,
+        |    CASE WHEN bd.hi = bd.lo THEN 0
+        |      ELSE cast(floor((score - bd.lo) * 256.0 / (bd.hi - bd.lo + 1)) as bigint)
+        |    END AS b, cast(count(*) as bigint) AS ct
+        |  FROM sc CROSS JOIN bd GROUP BY 1, 2),
+        |grid AS (SELECT s.source, g.b FROM (SELECT DISTINCT source FROM bn) s
+        |  CROSS JOIN (SELECT cast(unnest(range(256)) as bigint) AS b) g),
+        |cdf AS (SELECT grid.source, grid.b,
+        |    cast(sum(coalesce(bn.ct, 0)) OVER (PARTITION BY grid.source
+        |      ORDER BY grid.b) as bigint) AS cum
+        |  FROM grid LEFT JOIN bn ON bn.source = grid.source AND bn.b = grid.b),
+        |nn AS (SELECT source, cast(sum(ct) as bigint) AS n FROM bn GROUP BY 1),
+        |pr AS (SELECT a.source AS src_a, b.source AS src_b,
+        |    max(na.n) AS n_a, max(nb.n) AS n_b,
+        |    max(abs(a.cum * nb.n - b.cum * na.n)) AS max_gap
+        |  FROM cdf a JOIN cdf b ON a.b = b.b AND a.source < b.source
+        |  JOIN nn na ON na.source = a.source JOIN nn nb ON nb.source = b.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, n_a, n_b, cast(max_gap as bigint) AS max_gap,
+        |  (cast(max_gap as bigint) * 1048576) // (n_a * n_b) AS ks_q
+        |FROM pr""".stripMargin,
   )
 }

@@ -1853,6 +1853,55 @@ object TextOps {
         expr("(total_tokens * 1048576) div (((total_tokens + l - 1) div l) * l)"))
   }
 
+  /** TWO-SAMPLE KS DISTANCE MATRIX (q194) — [Kolmogorov 1933; Smirnov
+    * 1939]: the max-CDF-gap distance between every source pair's quality-
+    * score DISTRIBUTIONS — the SHAPE-drift companion of q193's mean-only
+    * centroid drift (two sources can share a mean and still have one
+    * bimodal, one tight; KS sees it, MMD-with-linear-kernel doesn't) and
+    * of q185's per-doc outliers. The "are these sources exchangeable for
+    * mixing purposes" screen.
+    *
+    * Scale discipline: KS is computed on a FIXED 256-bucket grid (the q141
+    * fixed-width binning off a broadcast (min, max) frame — never ntile's
+    * global sort, never a per-source window over raw rows), so everything
+    * after the one (source, bucket) partial agg is bounded: cumulative
+    * CDFs are windows over ≤ 256-row partitions of the DENSE exploded
+    * grid, and the pair max runs over K(K−1)/2 × 256 control-plane rows.
+    * Bucketized KS lower-bounds the true statistic with resolution = one
+    * grid cell of the score range (the documented trade; exact enough for
+    * mixing triage, and the grid sharpens by raising `bins`).
+    *
+    * Exact integers: the gap is |cumA·nB − cumB·nA| (cross-multiplied), so
+    * ks_q = 2²⁰·maxGap div (nA·nB) hash-compares with no float CDFs. */
+  def ksMatrix(spark: SparkSession, dir: String, bins: Int = 256): DataFrame = {
+    val Window = org.apache.spark.sql.expressions.Window
+    val scored = docs(spark, dir)
+      .select(col("source"), classifierScoreUdf(tokensCol(col("text"))).as("score"))
+    val bounds = scored.agg(min(col("score")).as("lo"), max(col("score")).as("hi"))
+    val binned = scored.crossJoin(broadcast(bounds))
+      .withColumn("b",
+        when(col("hi") === col("lo"), lit(0L)).otherwise(
+          floor((col("score") - col("lo")) * bins / (col("hi") - col("lo") + 1)))
+          .cast("long"))
+      .groupBy("source", "b").agg(count(lit(1)).as("ct"))
+    val grid = binned.select("source").distinct()
+      .crossJoin(spark.range(bins).select(col("id").as("b")))
+    val cdf = grid.join(binned, Seq("source", "b"), "left")
+      .withColumn("ct", coalesce(col("ct"), lit(0L)))
+      .withColumn("cum", sum(col("ct"))
+        .over(Window.partitionBy("source").orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val n = binned.groupBy("source").agg(sum(col("ct")).as("n"))
+    val a = cdf.join(n, Seq("source"))
+      .select(col("source").as("src_a"), col("b"), col("cum").as("ca"), col("n").as("n_a"))
+    val b = cdf.join(n, Seq("source"))
+      .select(col("source").as("src_b"), col("b"), col("cum").as("cb"), col("n").as("n_b"))
+    a.join(b, Seq("b")).filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b", "n_a", "n_b")
+      .agg(max(abs(col("ca") * col("n_b") - col("cb") * col("n_a"))).as("max_gap"))
+      .withColumn("ks_q", expr("(max_gap * 1048576) div (n_a * n_b)"))
+  }
+
   /** BM25 ranked retrieval over the corpus for a fixed query set — the
     * retrieval loop a training-data pipeline runs for RAG corpus QA and
     * recall checks. Standard BM25 shape (k1 = 1.2, b = 0.75) with two

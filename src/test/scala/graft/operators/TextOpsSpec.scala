@@ -1426,6 +1426,44 @@ class TextOpsSpec extends SparkSuite {
       "long-context padding on short docs must show < 50% slot utilization")
   }
 
+  test("ksMatrix: driver bucketized-CDF replay; KS separates a shape shift a mean check misses") {
+    val rows = graft.Tables.load(spark, sf001, "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0),
+        classifierScore("[a-z0-9]+".r.findAllIn(r.getString(1).toLowerCase).toSeq)))
+    val lo = rows.map(_._2).min; val hi = rows.map(_._2).max
+    def bin(s: Long): Long =
+      if (hi == lo) 0L else math.floor((s - lo).toDouble * 256 / (hi - lo + 1)).toLong
+    val bySrc = rows.groupBy(_._1).map { case (src, ds) =>
+      val cts = ds.map(d => bin(d._2)).groupBy(identity).map { case (b, o) => b -> o.size.toLong }
+      val cum = (0L until 256L).scanLeft(0L)((acc, b) => acc + cts.getOrElse(b, 0L)).tail
+      src -> ((ds.length.toLong, cum))
+    }
+    val srcs = bySrc.keys.toSeq.sorted
+    val expect = (for { a <- srcs; b <- srcs if a < b } yield {
+      val (na, ca) = bySrc(a); val (nb, cb) = bySrc(b)
+      val gap = ca.zip(cb).map { case (x, y) => math.abs(x * nb - y * na) }.max
+      (a, b) -> ((na, nb, gap, gap * 1048576L / (na * nb)))
+    }).toMap
+    val got = TextOps.ksMatrix(spark, sf001).collect()
+      .map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b")) ->
+        ((r.getAs[Long]("n_a"), r.getAs[Long]("n_b"), r.getAs[Long]("max_gap"),
+          r.getAs[Long]("ks_q")))).toMap
+    assert(got == expect)
+    got.values.foreach { case (_, _, _, k) => assert(k >= 0 && k <= 1048576L) }
+    // the shape-vs-mean point, locally: two equal-mean samples — one tight,
+    // one split to the extremes — have KS = 0.5 while their means coincide
+    def ks(a: Seq[Long], b: Seq[Long]): Double = {
+      val vals = (a ++ b).distinct.sorted
+      vals.map(v => math.abs(
+        a.count(_ <= v).toDouble / a.size - b.count(_ <= v).toDouble / b.size)).max
+    }
+    val tight = Seq.fill(100)(50L)
+    val split = Seq.fill(50)(0L) ++ Seq.fill(50)(100L)
+    assert(tight.sum / tight.size == split.sum / split.size)
+    assert(ks(tight, split) == 0.5)
+  }
+
   test("rakeKeyphrases: driver RAKE replay (runs, chunks, deg/freq ratios, argmax)") {
     val stop = StopwordsEn.toSet
     val d = graft.Tables.load(spark, sf0001, "documents")
