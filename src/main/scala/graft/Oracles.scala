@@ -4303,5 +4303,49 @@ object Oracles {
         |SELECT src_a, src_b, n_a, n_b, cast(max_gap as bigint) AS max_gap,
         |  (cast(max_gap as bigint) * 1048576) // (n_a * n_b) AS ks_q
         |FROM pr""".stripMargin,
+
+    // q195 (sourceAblation): leave-one-source-out deltas — q88 score
+    // replay, source-unique shingle counts, exact-rational mean delta.
+    "q195_source_ablation" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS n
+        |  FROM (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY 1, 2),
+        |hh AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h, n FROM tf),
+        |cx AS (SELECT doc_id, cast(h % 64 as int) AS d,
+        |    cast(sum(CASE WHEN (h // 64) % 2 = 1 THEN n ELSE -n END) as bigint) AS val
+        |  FROM hh GROUP BY 1, 2),
+        |w AS (SELECT j, (('0x' || substr(md5('w_' || j), 1, 2))::INT % 16) - 8 AS w
+        |  FROM (SELECT unnest(generate_series(0, 63)) AS j)),
+        |sc AS (SELECT t.doc_id, t.source, len(max(t.toks)) AS n_toks,
+        |    cast(coalesce(sum(w.w * cx.val), 0) as bigint) AS score
+        |  FROM t LEFT JOIN cx ON cx.doc_id = t.doc_id LEFT JOIN w ON w.j = cx.d
+        |  GROUP BY 1, 2),
+        |per AS (SELECT source, cast(count(*) as bigint) AS n_docs,
+        |    cast(sum(n_toks) as bigint) AS tokens, cast(sum(score) as bigint) AS s
+        |  FROM sc GROUP BY 1),
+        |uv AS (SELECT source, cast(count(*) as bigint) AS unique_vocab FROM
+        |  (SELECT max(source) AS source FROM
+        |    (SELECT DISTINCT source, sh FROM
+        |      (SELECT source, unnest(
+        |         [array_to_string(toks[i:i+2], ' ')
+        |          FOR i IN generate_series(1, greatest(len(toks) - 2, 0))]) AS sh
+        |       FROM t))
+        |   GROUP BY sh HAVING count(DISTINCT source) = 1)
+        |  GROUP BY 1),
+        |tot AS (SELECT cast(sum(n_docs) as bigint) AS tn,
+        |    cast(sum(tokens) as bigint) AS tt, cast(sum(s) as bigint) AS ts
+        |  FROM per)
+        |SELECT per.source, per.n_docs, per.tokens,
+        |  (per.tokens * 1048576) // tot.tt AS token_share_q,
+        |  coalesce(uv.unique_vocab, 0) AS unique_vocab,
+        |  cast((1048576 * ((tot.ts - per.s)::HUGEINT * tot.tn
+        |      - tot.ts::HUGEINT * (tot.tn - per.n_docs)))
+        |    // (tot.tn::HUGEINT * (tot.tn - per.n_docs)) as bigint) AS dmean_q,
+        |  cast((1048576 * ((tot.ts - per.s)::HUGEINT * tot.tn
+        |      - tot.ts::HUGEINT * (tot.tn - per.n_docs)))
+        |    // (tot.tn::HUGEINT * (tot.tn - per.n_docs)) as bigint) > 0 AS cut_candidate
+        |FROM per LEFT JOIN uv USING (source) CROSS JOIN tot""".stripMargin,
   )
 }

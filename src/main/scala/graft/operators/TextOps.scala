@@ -1902,6 +1902,53 @@ object TextOps {
       .withColumn("ks_q", expr("(max_gap * 1048576) div (n_a * n_b)"))
   }
 
+  /** SOURCE ABLATION REPORT (q195) — leave-one-source-out deltas, the
+    * report a mixing decision actually reads (the evaluation half of
+    * q181's greedy selection, and the "what do we lose" answer where q187
+    * only says "how much overlaps"): per source, its token share, the
+    * vocabulary ONLY it carries (shingles with source-df = 1 — lost
+    * outright if dropped), and how the corpus mean quality score moves
+    * without it (a positive delta = dropping it RAISES mean quality — the
+    * cut candidate; negative = it props quality up).
+    *
+    * Exact integers: unique-vocab counts from one (shingle → distinct
+    * sources) aggregate (count-distinct on the SOURCE domain — bounded per
+    * shingle); the quality delta is the exact rational
+    * (ΣS−s_i)/(N−n_i) − ΣS/N put over the common denominator and
+    * 2²⁰-quantized in decimal(38,0). One scan per input grain, then
+    * everything lives on the K-row source frame. */
+  def sourceAblation(spark: SparkSession, dir: String): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val scored = docs(spark, dir)
+      .select(col("source"), size(tokensCol(col("text"))).cast("long").as("n_toks"),
+        classifierScoreUdf(tokensCol(col("text"))).as("score"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("tokens"),
+        sum(col("score")).as("s"))
+    val uniq = docs(spark, dir)
+      .select(col("source"), explode(distinctShinglesUdf(3)(col("text"))).as("sh"))
+      .distinct()
+      .groupBy("sh").agg(countDistinct(col("source")).as("nsrc"),
+        max(col("source")).as("only_src"))
+      .filter(col("nsrc") === 1)
+      .groupBy(col("only_src").as("source"))
+      .agg(count(lit(1)).as("unique_vocab"))
+    val tot = scored.agg(sum(col("n_docs")).as("tn"), sum(col("tokens")).as("tt"),
+      sum(col("s")).as("ts"))
+    scored.join(uniq, Seq("source"), "left")
+      .withColumn("unique_vocab", coalesce(col("unique_vocab"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("token_share_q", expr("(tokens * 1048576) div tt"))
+      // Δmean·2²⁰ = 2²⁰·((ts−s)·tn − ts·(tn−n_docs)) div (tn·(tn−n_docs))
+      .withColumn("dmean_q",
+        expr("""cast((1048576 * (cast(ts - s as decimal(38,0)) * tn
+          | - cast(ts as decimal(38,0)) * (tn - n_docs)))
+          | div (cast(tn as decimal(38,0)) * (tn - n_docs)) as bigint)""".stripMargin))
+      .select(col("source"), col("n_docs"), col("tokens"), col("token_share_q"),
+        col("unique_vocab"), col("dmean_q"),
+        (col("dmean_q") > 0).as("cut_candidate"))
+  }
+
   /** BM25 ranked retrieval over the corpus for a fixed query set — the
     * retrieval loop a training-data pipeline runs for RAG corpus QA and
     * recall checks. Standard BM25 shape (k1 = 1.2, b = 0.75) with two

@@ -1464,6 +1464,45 @@ class TextOpsSpec extends SparkSuite {
     assert(ks(tight, split) == 0.5)
   }
 
+  test("sourceAblation: driver LOO replay; deltas sum-check against the exact means") {
+    val rows = graft.Tables.load(spark, sf001, "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def toks(t: String) = "[a-z0-9]+".r.findAllIn(t.toLowerCase).toVector
+    val per = rows.groupBy(_._1).map { case (src, ds) =>
+      src -> ((ds.length.toLong, ds.map(d => toks(d._2).size.toLong).sum,
+        ds.map(d => classifierScore(toks(d._2))).sum))
+    }
+    val uniq = rows.groupBy(_._1).map { case (src, ds) =>
+      src -> ds.flatMap(d => toks(d._2).sliding(3).filter(_.size == 3)
+        .map(_.mkString(" "))).toSet
+    }
+    val uniqCt = uniq.map { case (src, ss) =>
+      val others = uniq.collect { case (o, s2) if o != src => s2 }
+        .foldLeft(Set.empty[String])(_ ++ _)
+      src -> (ss -- others).size.toLong
+    }
+    val (tn, tt, ts) = (per.values.map(_._1).sum, per.values.map(_._2).sum,
+      per.values.map(_._3).sum)
+    val expect = per.map { case (src, (n, tk, s)) =>
+      val d = ((BigInt(1048576) * (BigInt(ts - s) * tn - BigInt(ts) * (tn - n)))
+        / (BigInt(tn) * (tn - n))).toLong
+      src -> ((n, tk, tk * 1048576L / tt, uniqCt(src), d, d > 0))
+    }
+    val got = TextOps.sourceAblation(spark, sf001).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("tokens"),
+          r.getAs[Long]("token_share_q"), r.getAs[Long]("unique_vocab"),
+          r.getAs[Long]("dmean_q"), r.getAs[Boolean]("cut_candidate")))).toMap
+    assert(got == expect)
+    // semantic check: the source with the LOWEST mean score must be a cut
+    // candidate (dropping the worst source raises the mean by definition),
+    // and the HIGHEST-mean source must not be
+    val means = per.map { case (src, (n, _, s)) => src -> s.toDouble / n }
+    assert(got(means.minBy(_._2)._1)._6, "dropping the worst source must raise the mean")
+    assert(!got(means.maxBy(_._2)._1)._6, "dropping the best source must lower the mean")
+  }
+
   test("rakeKeyphrases: driver RAKE replay (runs, chunks, deg/freq ratios, argmax)") {
     val stop = StopwordsEn.toSet
     val d = graft.Tables.load(spark, sf0001, "documents")
