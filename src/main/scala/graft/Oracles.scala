@@ -4347,5 +4347,31 @@ object Oracles {
         |      - tot.ts::HUGEINT * (tot.tn - per.n_docs)))
         |    // (tot.tn::HUGEINT * (tot.tn - per.n_docs)) as bigint) > 0 AS cut_candidate
         |FROM per LEFT JOIN uv USING (source) CROSS JOIN tot""".stripMargin,
+
+    // q196 (sourceRedundancy): mean pairwise shingle Jaccard over a
+    // per-source bottom-32-by-md5 doc sample — exact intersections,
+    // quantize-then-average integer mean.
+    "q196_source_redundancy" ->
+      """WITH d AS (SELECT source, doc_id,
+        |    list_distinct([array_to_string(toks[i:i+2], ' ')
+        |      FOR i IN generate_series(1, greatest(len(toks) - 2, 0))]) AS shs,
+        |    ('0x' || substr(md5('red_' || cast(doc_id as varchar)), 1, 13))::BIGINT AS h
+        |  FROM (SELECT source, doc_id,
+        |        regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |        FROM documents)),
+        |smp AS (SELECT source, doc_id, shs FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+        |   FROM d)
+        |  WHERE rn <= 32),
+        |p AS (SELECT a.source,
+        |    cast(len(list_intersect(a.shs, b.shs)) as bigint) AS inter,
+        |    cast(len(a.shs) + len(b.shs) as bigint) AS szsum
+        |  FROM smp a JOIN smp b ON a.source = b.source AND a.doc_id < b.doc_id),
+        |j AS (SELECT source, CASE WHEN szsum - inter > 0
+        |    THEN (inter * 1048576) // (szsum - inter) ELSE 0 END AS jac_q
+        |  FROM p)
+        |SELECT source, cast(count(*) as bigint) AS n_pairs,
+        |  cast(sum(jac_q) as bigint) // count(*) AS mean_jac_q
+        |FROM j GROUP BY 1""".stripMargin,
   )
 }

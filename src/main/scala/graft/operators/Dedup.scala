@@ -956,6 +956,53 @@ object Dedup {
     * space the exact join is still one shuffle of the type dictionary;
     * q118's sketch inclusion-exclusion is the cheaper first pass when only
     * triage is needed. */
+  /** WITHIN-SOURCE REDUNDANCY (q196) — the INTERNAL-similarity companion
+    * of [[sourceOverlap]]'s cross-source matrix: per source, the mean
+    * pairwise shingle Jaccard among its OWN documents — a template-heavy
+    * or boilerplate-stamped source scores high and is the q69/q26 dedup
+    * passes' first target; a diverse source scores near zero. The
+    * "internal redundancy" column of the mixing report (q195 says what a
+    * source ADDS; this says how much of the source is itself).
+    *
+    * Scale discipline: exact all-pairs within a source is quadratic in its
+    * doc count, so pairs form over a per-source BOUNDED sample — the
+    * smallest `sampleK` md5 hashes via the k-bounded topK agg (the q184
+    * sampling argument: the mean-Jaccard estimate's precision is set by
+    * the pair count, not the corpus; K=32 gives 496 exact pairs/source).
+    * Everything after the sample is control-plane: K·(K−1)/2 exact
+    * array-intersections per source.
+    *
+    * Exact integers: per-pair jac_q = 2²⁰·|∩| div |∪|; the mean is the
+    * integer mean of quantized pairs (documented: quantize-then-average,
+    * exact to replay, within 2⁻²⁰·pairs of average-then-quantize). */
+  def sourceRedundancy(spark: SparkSession, dir: String,
+                       sampleK: Int = 32): DataFrame = {
+    val d = docs(spark, dir)
+      .select(col("source"), col("doc_id"),
+        distinctShinglesUdf(3)(col("text")).as("shs"))
+      .withColumn("h",
+        conv(substring(md5(concat(lit("red_"),
+          col("doc_id").cast("string")).cast("binary")), 1, 13), 16, 10).cast("long"))
+    val sampleIds = d.groupBy("source")
+      .agg(graft.functions.Aggregators.topK(sampleK,
+        negate(col("h")).cast("double"), col("doc_id"), col("doc_id")).as("top"))
+      .select(col("source"), explode(expr("transform(top, s -> s.id)")).as("doc_id"))
+    val s = d.join(sampleIds, Seq("source", "doc_id"))
+      .select(col("source"), col("doc_id"), col("shs"))
+    val pairs = s.as("a").join(s.as("b"),
+        col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.source").as("source"),
+        size(array_intersect(col("a.shs"), col("b.shs"))).cast("long").as("inter"),
+        (size(col("a.shs")) + size(col("b.shs"))).cast("long").as("szsum"))
+      .withColumn("jac_q",
+        when(col("szsum") - col("inter") > 0,
+          expr("(inter * 1048576) div (szsum - inter)")).otherwise(lit(0L)))
+    pairs.groupBy("source")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("jac_q")).as("jac_sum"))
+      .withColumn("mean_jac_q", expr("jac_sum div n_pairs"))
+      .select(col("source"), col("n_pairs"), col("mean_jac_q"))
+  }
+
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
     val st = docs(spark, dir)
       .select(col("source"), explode(distinctShinglesUdf(3)(col("text"))).as("sh"))

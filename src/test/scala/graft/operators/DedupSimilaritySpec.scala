@@ -570,6 +570,41 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(c0.zip(c0).map { case (x, y) => (x - y) * (x - y) }.sum == 0L)
   }
 
+  test("sourceRedundancy: driver sampled-pair replay; a cloned source maxes the score") {
+    def u52(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 13), 16)
+    val rows = graft.Tables.load(spark, sf001, "documents")
+      .select("source", "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    def shs(t: String): Set[String] = {
+      val toks = "[a-z0-9]+".r.findAllIn(t.toLowerCase).toVector
+      toks.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+    }
+    val expect = rows.groupBy(_._1).map { case (src, ds) =>
+      val sample = ds.sortBy { case (_, id, _) => (u52(s"red_$id"), id) }.take(32)
+        .map { case (_, id, t) => (id, shs(t)) }
+      val pairs = for {
+        (ia, sa) <- sample; (ib, sb) <- sample if ia < ib
+      } yield {
+        val inter = sa.intersect(sb).size.toLong
+        val uni = sa.size + sb.size - inter
+        if (uni > 0) inter * 1048576L / uni else 0L
+      }
+      src -> ((pairs.length.toLong, pairs.sum / pairs.length))
+    }
+    val got = Dedup.sourceRedundancy(spark, sf001).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Long]("mean_jac_q")))).toMap
+    assert(got == expect)
+    // the redundancy point, locally: a source of identical docs scores 2^20
+    // exactly, a source of disjoint docs scores 0 — real sources in between
+    val same = Set("a b c", "b c d"); val other = Set("x y z", "y z w")
+    assert(same.intersect(same).size * 1048576L / same.size == 1048576L)
+    assert(same.intersect(other).isEmpty)
+    assert(got.values.forall { case (_, m) => m >= 0 && m < 1048576L })
+  }
+
   test("winnowPairs recovers the strongest near-duplicates with verified containment") {
     val strong = Dedup.ngramJaccard(spark, sf001)
       .filter(col("jac") >= 0.9).select("da", "db")
