@@ -899,9 +899,9 @@ object Relational {
     * only when the catalog doesn't hold the table yet; every later caller
     * gets bucket-aligned scans for free. The shared lifecycle of
     * [[bucketedJoin]] (q113) and [[ratingsBucketed]] (q147/q177). */
-  private def layoutTable(spark: SparkSession, dir: String, name: String,
-                          buckets: Int, key: String)
-                         (build: => DataFrame): DataFrame = {
+  private[operators] def layoutTable(spark: SparkSession, dir: String, name: String,
+                                     buckets: Int, key: String)
+                                    (build: => DataFrame): DataFrame = {
     val tag = layoutTag(dir)
     val table = s"graft_bkt_${name}_$tag"
     if (!spark.catalog.tableExists(table)) {
