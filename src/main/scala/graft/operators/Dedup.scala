@@ -1007,7 +1007,7 @@ object Dedup {
     val st = docs(spark, dir)
       .select(col("source"), explode(distinctShinglesUdf(3)(col("text"))).as("sh"))
       .distinct()
-      .persist()
+      .persist() // feeds sizes AND both self-join sides; released by the caller's clearCache
     val sizes = st.groupBy("source").agg(count(lit(1)).as("n"))
     val inter = st.as("a").join(st.as("b"),
         col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))

@@ -885,6 +885,22 @@ object Relational {
     *
     * Output is integer-exact (line counts + floor-cents revenue) so the
     * DuckDB oracle hash-matches without float-accumulation-order hazards. */
+  /** Max mtime over the source dir's entries (two levels — a regenerated
+    * parquet table rewrites files, which bumps both the files' and their
+    * parent dir's mtimes). Folded into [[layoutTag]] so a layout DERIVED
+    * from the old bytes is never served stale after the source dir is
+    * regenerated mid-process (round-11 ADVICE #3): the new bytes get a new
+    * tag, a new catalog name, and a fresh build. */
+  private def dirFingerprint(dir: String): Long = {
+    def maxMtime(f: java.io.File, depth: Int): Long = {
+      val own = f.lastModified
+      if (depth == 0 || !f.isDirectory) own
+      else Option(f.listFiles()).map(_.foldLeft(own)((m, c) => math.max(m, maxMtime(c, depth - 1))))
+        .getOrElse(own)
+    }
+    maxMtime(new java.io.File(dir), 2)
+  }
+
   // tag includes the PID: the layout dir is in the SHARED java.io.tmpdir,
   // and two concurrent JVMs (test suite + bench on one machine) would both
   // see tableExists=false for an md5(dir)-only key and race overwrite
@@ -892,26 +908,50 @@ object Relational {
   // keep the within-JVM reuse (bench passes) that amortizes the layout.
   private def layoutTag(dir: String): String =
     java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8) +
+      .digest(s"$dir@${dirFingerprint(dir)}".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8) +
       "_p" + ProcessHandle.current().pid()
+
+  // One lock object per layout table name: two concurrent FIRST callers in
+  // one JVM (parallel suites sharing the session, or q147 and q177 issued
+  // together) must not both see tableExists=false and race overwrite
+  // writes into the same path — the in-process twin of the cross-process
+  // hazard the PID tag closes (round-11 ADVICE #2).
+  private val layoutLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** Create-once (per process per source dir) bucketed table: `build` runs
     * only when the catalog doesn't hold the table yet; every later caller
     * gets bucket-aligned scans for free. The shared lifecycle of
-    * [[bucketedJoin]] (q113) and [[ratingsBucketed]] (q147/q177). */
+    * [[bucketedJoin]] (q113), [[ratingsBucketed]] (q147/q177) and
+    * Similarity.knnEdges (q168/q175).
+    *
+    * Crash safety (round-11 VERDICT #6): trust requires BOTH the catalog
+    * entry AND a commit marker written only after `saveAsTable` returns.
+    * A build that died mid-write (task failure, kill) leaves no marker, so
+    * the next caller rebuilds from scratch instead of trusting a
+    * half-written directory; the marker is deleted BEFORE any rebuild so a
+    * rebuild that itself crashes can't resurrect a stale marker. */
   private[operators] def layoutTable(spark: SparkSession, dir: String, name: String,
                                      buckets: Int, key: String)
                                     (build: => DataFrame): DataFrame = {
     val tag = layoutTag(dir)
     val table = s"graft_bkt_${name}_$tag"
-    if (!spark.catalog.tableExists(table)) {
+    val lock = layoutLocks.computeIfAbsent(table, _ => new Object)
+    lock.synchronized {
       val base = java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir"), "graft_bucketed", tag)
-      build.write
-        .bucketBy(buckets, key).sortBy(key)
-        .option("path", base.resolve(name).toString)
-        .mode("overwrite")
-        .saveAsTable(table)
+      val marker = base.resolve(s"$name._graft_committed")
+      if (!spark.catalog.tableExists(table) || !java.nio.file.Files.exists(marker)) {
+        java.nio.file.Files.createDirectories(base)
+        java.nio.file.Files.deleteIfExists(marker)
+        spark.sql(s"DROP TABLE IF EXISTS $table")
+        build.write
+          .bucketBy(buckets, key).sortBy(key)
+          .option("path", base.resolve(name).toString)
+          .mode("overwrite")
+          .saveAsTable(table)
+        java.nio.file.Files.write(marker, "committed".getBytes("UTF-8"))
+      }
     }
     spark.table(table)
   }
@@ -2368,7 +2408,7 @@ object Relational {
     val sl = slots.join(broadcast(slotDim), Seq("event_type", "d"))
       .join(eligible, Seq("user_id"))
       .select("user_id", "slot_id")
-      .persist()
+      .persist() // both fan-out sides; released by the caller's clearCache
     val edges0 = sl.as("x").join(sl.as("y"),
         col("x.slot_id") === col("y.slot_id") &&
         col("x.user_id") < col("y.user_id"))

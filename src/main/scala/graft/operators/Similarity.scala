@@ -687,7 +687,7 @@ object Similarity {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("dim"), col("query_id"), col("neighbor_id"))
-      .persist()
+      .persist() // feeds truth AND the recall join; released by the caller's clearCache
     val truth = topk.filter(col("dim") === dims.max)
       .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
     topk.join(broadcast(truth), Seq("query_id", "neighbor_id"), "left")

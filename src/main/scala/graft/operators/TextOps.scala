@@ -2564,6 +2564,7 @@ object TextOps {
         picks += ((r, src, gain, coveredTotal))
       }
     }
+    st.unpersist() // result below is driver-local; the shingle cache can go
     picks.toSeq.toDF("rank", "source", "gain", "covered_total")
       .select(col("rank").cast("int").as("rank"), col("source"),
         col("gain"), col("covered_total"))
@@ -2675,7 +2676,7 @@ object TextOps {
       .withColumn("ci", expr(s"(rn2 - 1) div $maxLen"))
       .withColumn("plen",
         count(lit(1)).over(w.partitionBy("doc_id", "run", "ci")))
-      .persist()
+      .persist() // feeds wordStats AND phrases; released by the caller's clearCache
     val wordStats = members.groupBy("tok")
       .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
       .withColumn("ratio", expr("(deg * 1048576) div freq"))

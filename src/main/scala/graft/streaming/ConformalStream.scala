@@ -61,12 +61,25 @@ object ConformalStream {
             col("cands").as("__sc"), col("total_docs").as("__pc"),
             col("last_epoch").as("__le")),
           Seq("k"), "left")
+    // Dedup is per (h, doc_id), NOT per full struct: a doc re-delivered
+    // with a mutated score must yield ONE calibration entry, with the MAX
+    // score as the deterministic winner (round-11 ADVICE #4 — the old
+    // array_distinct kept both rows). Ascending struct sort puts the max
+    // score LAST within each (h, doc_id) group, so keep each element whose
+    // successor starts a different doc. total_docs, by contrast, counts
+    // DELIVERIES: the store contract is each doc_id ingested once (same-
+    // epoch replays are gated below); cross-epoch re-ingestion drifts the
+    // count by the duplicate rate — exact dedup there would need per-doc
+    // state, which this one-row store exists to avoid.
     val merged = joined
       .filter(col("__le").isNull || col("__le") < epoch)
+      .withColumn("__all", array_sort(
+        concat(coalesce(col("__sc"), emptyCands), col("__cands"))))
       .select(col("k"),
         (col("__delta_ct") + coalesce(col("__pc"), lit(0L))).as("total_docs"),
-        slice(array_sort(array_distinct(
-          concat(coalesce(col("__sc"), emptyCands), col("__cands")))),
+        slice(expr(
+          "filter(__all, (x, i) -> i + 1 >= size(__all) OR NOT " +
+            "(__all[i+1].h = x.h AND __all[i+1].doc_id = x.doc_id))"),
           1, calK).as("cands"),
         lit(epoch).as("last_epoch"))
     Io.upsertDim(spark, merged, storePath, "k", "last_epoch")

@@ -134,6 +134,57 @@ class RelationalSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("layoutTable: two concurrent first callers build exactly once (in-JVM race)") {
+    import org.apache.spark.sql.functions._
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    def call(): Long = Relational.layoutTable(spark, sf0001, "spec_conc", 4, "id") {
+      builds.incrementAndGet()
+      spark.range(100).toDF("id").withColumn("v", col("id") * 2)
+    }.count()
+    val errs = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val counts = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val ts = Seq.fill(2)(new Thread(() =>
+      try counts.add(call()) catch { case t: Throwable => errs.set(t) }))
+    ts.foreach(_.start()); ts.foreach(_.join())
+    Option(errs.get).foreach(t => throw t)
+    assert(builds.get == 1, s"concurrent first callers must build once, built ${builds.get}")
+    assert(counts.size == 2 && counts.stream().allMatch(_ == 100L))
+  }
+
+  test("layoutTable: a half-written layout (no commit marker) is rebuilt, not trusted") {
+    import org.apache.spark.sql.functions._
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    def call(): Set[org.apache.spark.sql.Row] =
+      Relational.layoutTable(spark, sf0001, "spec_marker", 4, "id") {
+        builds.incrementAndGet()
+        spark.range(50).toDF("id").withColumn("v", col("id") + 7)
+      }.collect().toSet
+    val first = call()
+    assert(builds.get == 1)
+    assert(call() == first && builds.get == 1, "committed layout must be reused")
+    // simulate a build that died between saveAsTable and the marker write:
+    // the catalog entry exists, the data is garbage, the marker is absent
+    val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"), "graft_bucketed")
+    val markers = java.nio.file.Files.walk(tmp).iterator()
+    var found = false
+    markers.forEachRemaining { p =>
+      if (p.getFileName.toString == "spec_marker._graft_committed") {
+        java.nio.file.Files.delete(p)
+        found = true
+        // corrupt the data dir the catalog points at
+        val data = p.getParent.resolve("spec_marker")
+        if (java.nio.file.Files.isDirectory(data)) {
+          val fs = java.nio.file.Files.list(data).iterator()
+          fs.forEachRemaining(f => if (!java.nio.file.Files.isDirectory(f))
+            java.nio.file.Files.delete(f))
+        }
+      }
+    }
+    assert(found, "the commit marker must exist after a successful build")
+    assert(call() == first, "rebuild must restore the exact layout content")
+    assert(builds.get == 2, "a marker-less layout must trigger a rebuild")
+  }
+
   test("ratingsBucketed: layout equals the direct fact-fact build; q147's " +
       "self-join on u is bucket-aligned (zero Exchange on the join key)") {
     import org.apache.spark.sql.functions._

@@ -89,4 +89,22 @@ class ConformalStreamSpec extends SparkSuite {
       "thresholds must be unchanged by re-absorption")
     assert(after.head._5 > before.head._5, "the count column is additive by design")
   }
+
+  test("a doc re-delivered with a MUTATED score keeps one calibration entry (max-score winner)") {
+    val store = tmp("store-m")
+    // small corpus so every doc is a calibration member (no eviction noise)
+    val first = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("doc_id", "score")
+    ConformalStream.applyBatch(spark, first, store, epoch = 0L)
+    // doc 2 comes back with a DIFFERENT score: lower and higher variants —
+    // the old full-struct array_distinct kept both rows per doc
+    val mutated = Seq((2L, 5L), (2L, 25L)).toDF("doc_id", "score")
+    ConformalStream.applyBatch(spark, mutated, store, epoch = 1L)
+    val cands = graft.io.Io.readDim(spark, store)
+      .selectExpr("explode(cands) AS c").select(col("c.doc_id"), col("c.score"))
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(cands.map(_._1) == cands.map(_._1).distinct,
+      s"one calibration entry per doc_id required, got $cands")
+    assert(cands.contains((2L, 25L)) && !cands.exists(c => c._1 == 2L && c._2 != 25L),
+      s"the max score must win deterministically, got $cands")
+  }
 }

@@ -70,6 +70,16 @@ def load_line(path: str) -> dict:
         if isinstance(d, dict) and isinstance(d.get("queries"), dict) \
                 and d["queries"]:
             return d
+    # terminal compact tier (196+ queries): the stdout line carries no
+    # per-query map, only a "queries_in" pointer at the full-precision
+    # BENCH_LOCAL.json the Bench main writes beside the repo root
+    import os
+    for d in candidates:
+        if isinstance(d, dict) and d.get("queries_in"):
+            for base in (os.path.dirname(os.path.abspath(path)), os.getcwd()):
+                p = os.path.join(base, d["queries_in"])
+                if os.path.exists(p):
+                    return load_line(p)
     # truncated/garbled capture: find a queries object in the text, whether
     # JSON-escaped (inside a "tail" string: \"queries\":) or pretty-printed
     # ("queries": { with whitespace)

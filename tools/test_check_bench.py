@@ -106,6 +106,22 @@ def test_normalize_full_format_passthrough():
     print("ok  full-format line passes through normalize unchanged")
 
 
+def test_queries_in_pointer_terminal_tier():
+    # round 12+ terminal tier: stdout line has NO queries map, only a
+    # pointer at BENCH_LOCAL.json sitting beside the artifact
+    d = tempfile.mkdtemp()
+    with open(os.path.join(d, "BENCH_LOCAL.json"), "w") as f:
+        f.write(BENCH_LINE + "\n")
+    ptr = os.path.join(d, "stdout.json")
+    with open(ptr, "w") as f:
+        f.write('{"metric":"total","value":1.50,"unit":"sec",'
+                '"queries_in":"BENCH_LOCAL.json","n_queries":2,"failed":0,'
+                '"sf":"/tmp/sf"}\n')
+    qs = normalize(load_line(ptr))
+    assert qs == {"q01": 0.50, "q02": 1.00}, qs
+    print("ok  queries_in pointer tier resolves via BENCH_LOCAL.json")
+
+
 if __name__ == "__main__":
     test_real_driver_artifact()
     test_real_driver_artifact_r06()
@@ -115,4 +131,5 @@ if __name__ == "__main__":
     test_normalize_compact_centiseconds()
     test_normalize_compact_stripped_keys()
     test_normalize_full_format_passthrough()
+    test_queries_in_pointer_terminal_tier()
     print("all load_line format tests passed")
