@@ -366,7 +366,11 @@ object Io {
   private[io] def isTransient(t: Throwable): Boolean = {
     val msg = Option(t.getMessage).getOrElse("").toLowerCase(java.util.Locale.ROOT)
     val transientTexts = Seq(
-      "conflict",            // DuckDB write-write / catalog conflicts
+      // the SPECIFIC DuckDB optimistic-abort texts, not the bare substring
+      // "conflict" — a permanent engine error whose message merely contains
+      // the word (e.g. a constraint named "conflict") must NOT burn the
+      // whole retry budget before surfacing (round-12 ADVICE #1)
+      "write-write conflict", "transaction conflict",
       "could not set lock", "lock on file", "database is locked",
       "deadlock", "serialization failure",
       "connection was closed", "connection is closed", "connection reset")
@@ -435,31 +439,43 @@ object Io {
     }
     retryTransient(s"upsertDimJdbc merge $table") {
       val conn = connect(url, props)
+      // Once conn.commit() returns the batch is durably in the live table
+      // and NOTHING after that point may fail the retried op: a transient
+      // error during post-commit cleanup (stage drop, autocommit reset,
+      // close) would re-run the merge against a possibly-already-dropped
+      // stage and die PERMANENTLY on "table does not exist" even though the
+      // batch landed (round-12 ADVICE #2). So post-commit failures of any
+      // kind are swallowed — a leftover stage or unclosed handle is
+      // garbage, not corruption; a lost batch would be.
+      var committed = false
       try {
-        conn.setAutoCommit(false)
-        val st = conn.createStatement()
         try {
-          // first batch: the live table may not exist yet — create empty
-          // with the stage's schema, then merge uniformly
-          st.executeUpdate(
-            s"CREATE TABLE IF NOT EXISTS $table AS SELECT * FROM $stage WHERE 1=0")
-          st.executeUpdate(
-            s"DELETE FROM $table USING $stage WHERE $table.$pk = $stage.$pk")
-          st.executeUpdate(s"INSERT INTO $table SELECT * FROM $stage")
-          conn.commit()
-        } catch {
-          case t: Throwable =>
-            try conn.rollback() catch { case _: java.sql.SQLException => () }
-            throw t
-        } finally st.close()
-        // stage cleanup is OUTSIDE the merge transaction and best-effort:
-        // a leftover stage is garbage, not corruption
-        conn.setAutoCommit(true)
-        val drop = conn.createStatement()
-        try drop.executeUpdate(s"DROP TABLE IF EXISTS $stage")
-        catch { case _: java.sql.SQLException => () }
-        finally drop.close()
-      } finally conn.close()
+          conn.setAutoCommit(false)
+          val st = conn.createStatement()
+          try {
+            // first batch: the live table may not exist yet — create empty
+            // with the stage's schema, then merge uniformly
+            st.executeUpdate(
+              s"CREATE TABLE IF NOT EXISTS $table AS SELECT * FROM $stage WHERE 1=0")
+            st.executeUpdate(
+              s"DELETE FROM $table USING $stage WHERE $table.$pk = $stage.$pk")
+            st.executeUpdate(s"INSERT INTO $table SELECT * FROM $stage")
+            conn.commit()
+            committed = true
+          } catch {
+            case t: Throwable if !committed =>
+              try conn.rollback() catch { case _: java.sql.SQLException => () }
+              throw t
+          } finally st.close()
+          // stage cleanup is OUTSIDE the merge transaction and best-effort:
+          // a leftover stage is garbage, not corruption
+          conn.setAutoCommit(true)
+          val drop = conn.createStatement()
+          try drop.executeUpdate(s"DROP TABLE IF EXISTS $stage")
+          catch { case _: java.sql.SQLException => () }
+          finally drop.close()
+        } finally conn.close()
+      } catch { case _: Throwable if committed => () }
     }
   }
 

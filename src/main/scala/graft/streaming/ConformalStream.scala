@@ -78,8 +78,13 @@ object ConformalStream {
       .select(col("k"),
         (col("__delta_ct") + coalesce(col("__pc"), lit(0L))).as("total_docs"),
         slice(expr(
+          // null-SAFE <=> (round-12 ADVICE #4): with plain `=`, a null
+          // h/doc_id makes the predicate NULL and filter() silently DROPS
+          // the element from the calibration set; <=> keeps the keep/dedup
+          // decision total even if an upstream change violates the current
+          // non-null contract
           "filter(__all, (x, i) -> i + 1 >= size(__all) OR NOT " +
-            "(__all[i+1].h = x.h AND __all[i+1].doc_id = x.doc_id))"),
+            "(__all[i+1].h <=> x.h AND __all[i+1].doc_id <=> x.doc_id))"),
           1, calK).as("cands"),
         lit(epoch).as("last_epoch"))
     Io.upsertDim(spark, merged, storePath, "k", "last_epoch")

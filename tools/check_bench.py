@@ -30,7 +30,7 @@ RATIO = 1.5
 ABS_SLACK = 0.4
 
 
-def load_line(path: str) -> dict:
+def load_line(path: str, _depth: int = 0) -> dict:
     """Accept either format:
     1. raw Bench stdout — one JSON line {"metric":"total",...,"queries":{...}}
        (possibly duplicated across stdout/stderr in a merged capture);
@@ -75,11 +75,25 @@ def load_line(path: str) -> dict:
     # BENCH_LOCAL.json the Bench main writes beside the repo root
     import os
     for d in candidates:
-        if isinstance(d, dict) and d.get("queries_in"):
+        # cap pointer-follow depth at 1: a self-referencing or chained
+        # pointer must not recurse (round-12 ADVICE #3)
+        if isinstance(d, dict) and d.get("queries_in") and _depth < 1:
             for base in (os.path.dirname(os.path.abspath(path)), os.getcwd()):
                 p = os.path.join(base, d["queries_in"])
                 if os.path.exists(p):
-                    return load_line(p)
+                    resolved = load_line(p, _depth=_depth + 1)
+                    # consistency gate: a stale/foreign BENCH_LOCAL.json
+                    # (e.g. overwritten by a later sf0.01 run) must not
+                    # silently gate the wrong numbers — the compact line
+                    # carries n_queries for exactly this cross-check
+                    n_expect = d.get("n_queries")
+                    n_got = len(resolved.get("queries") or {})
+                    if isinstance(n_expect, int) and n_got != n_expect:
+                        sys.exit(
+                            f"queries_in pointer mismatch: {path} says "
+                            f"n_queries={n_expect} but {p} holds {n_got} — "
+                            f"stale or foreign BENCH_LOCAL.json, refusing to gate")
+                    return resolved
     # truncated/garbled capture: find a queries object in the text, whether
     # JSON-escaped (inside a "tail" string: \"queries\":) or pretty-printed
     # ("queries": { with whitespace)
