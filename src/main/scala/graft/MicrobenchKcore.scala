@@ -10,9 +10,17 @@ object MicrobenchKcore {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.ui.enabled", "false").getOrCreate()
+      // mirror Bench: without small splits the events scan (and everything
+      // cached downstream of it) sits on a handful of fat partitions
+      .config("spark.sql.files.maxPartitionBytes", "8m")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    // dev knob: SPARK_KCORE_CONF="spark.x=y;spark.a=b" for plan bisection
+    sys.env.get("SPARK_KCORE_CONF").foreach(_.split(';').foreach { kv =>
+      val Array(ck, cv) = kv.split("=", 2); spark.conf.set(ck, cv)
+    })
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.1"
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val (k, minCo) = (6, 26L)
 
     def t[A](label: String)(f: => A): A = {
@@ -32,17 +40,17 @@ object MicrobenchKcore {
       .select("user_id", "slot_id")
     val eligible = sl0.groupBy("user_id").agg(count(lit(1)).as("ns"))
       .filter(col("ns") >= minCo).select("user_id")
+    // persist but do NOT count: materializing sl's cache before the edge
+    // build hands AQE exact (tiny) size stats for the prefix self-join and
+    // it re-plans the slot_id join as a broadcast against a 150-key build
+    // side — measured 267-400 s vs 66 s for the whole of kCore on the
+    // dense-10x probe. kCore leaves sl lazy for exactly this reason; the
+    // microbench must mirror it to measure the same plan.
     val sl = sl0.join(eligible, Seq("user_id")).persist()
-    t("sl eligible persist")(sl.count())
-    val edges0 = sl.as("x").join(sl.as("y"),
-        col("x.slot_id") === col("y.slot_id") &&
-        col("x.user_id") < col("y.user_id"))
-      .groupBy(col("x.user_id").as("a"), col("y.user_id").as("b"))
-      .agg(count(lit(1)).as("co"))
-      .filter(col("co") >= minCo)
-      .select("a", "b")
-      .persist()
-    t("edge fan-out + agg")(edges0.count())
+    val edges0 = operators.Relational.coActivityEdges(sl, minCo).persist()
+    t("edges (prefix+verify)")(println(s"  edges=${edges0.count()}"))
+    if (sys.env.contains("SPARK_KCORE_PLAN"))
+      println("MB-PLAN\n" + edges0.queryExecution.executedPlan.toString)
 
     def degrees(e: org.apache.spark.sql.DataFrame) =
       e.select(col("a").as("v")).unionByName(e.select(col("b").as("v")))

@@ -7,12 +7,19 @@ import org.apache.spark.sql.functions._
   * offset replicas — the VERDICT-r10 #5 ask (measure the top-10 queries'
   * scaling exponents instead of arguing them in scaladoc).
   *
-  * Scale model = MORE HISTORY, not denser days: each events replica shifts
-  * its timestamps by i × (day range), so the (event_type, day) slot domain
-  * grows 10× while per-slot membership stays flat — the production shape
-  * for a longer crawl/log horizon. (The other axis — 10× users on the SAME
-  * days — makes any per-slot co-occurrence quadratically denser; that
-  * hazard is owned by q150's minCo pre-filter and documented there.)
+  * TWO scale axes (4th arg, default "shift"):
+  *  - "shift" = MORE HISTORY: each events replica shifts its timestamps by
+  *    i × (day range), so the (event_type, day) slot domain grows 10×
+  *    while per-slot membership stays flat — the production shape for a
+  *    longer crawl/log horizon.
+  *  - "dense" = MORE USERS ON THE SAME DAYS: user/event ids offset but
+  *    timestamps UNTOUCHED, so the slot domain stays fixed and every
+  *    slot's membership grows 10× — the axis that makes per-slot
+  *    co-occurrence quadratically denser (each cross-replica user-twin
+  *    pair shares its full slot set, so the co-activity graph genuinely
+  *    densifies). This is the hazard ScaleGen's own round-11 comment
+  *    documented but never probed (VERDICT r12 #2); q150's prefix filter
+  *    + eligibility pre-filter own it.
   * Key spaces (orderkey/custkey/user/doc/vec ids) are offset per replica so
   * joins keep their selectivity; dims (part/region/nation/supplier) stay
   * fixed like a real catalog. Fact distributions within a replica are the
@@ -22,6 +29,8 @@ object ScaleGen {
     val src = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val dst = if (args.length > 1) args(1) else "/tmp/graft_sf1"
     val reps = if (args.length > 2) args(2).toInt else 10
+    val mode = if (args.length > 3) args(3) else "shift"
+    require(mode == "shift" || mode == "dense", s"unknown mode $mode")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -63,11 +72,13 @@ object ScaleGen {
     val spanDays = ev.agg(
       (datediff(max(to_date(col("ts"))), min(to_date(col("ts")))) + 1).cast("long"))
       .head().getLong(0)
-    write(replicate(ev)((d, i) =>
-      d.withColumn("event_id", col("event_id") + lit(i * eOff))
+    write(replicate(ev)((d, i) => {
+      val base = d.withColumn("event_id", col("event_id") + lit(i * eOff))
         .withColumn("user_id", col("user_id") + lit(i * uOff))
-        .withColumn("ts", col("ts") + expr(s"make_interval(0, 0, 0, ${i * spanDays}, 0, 0, 0)"))),
-      "events")
+      if (mode == "dense") base // same days: slots densify, domain fixed
+      else base.withColumn("ts",
+        col("ts") + expr(s"make_interval(0, 0, 0, ${i * spanDays}, 0, 0, 0)"))
+    }), "events")
 
     val docs = raw("documents"); val dOff = keyMax(docs, "doc_id")
     write(replicate(docs)((d, i) =>

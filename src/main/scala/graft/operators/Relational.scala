@@ -2366,9 +2366,9 @@ object Relational {
     * `converged` audit column (no node below k after the last round), so a
     * non-fixpoint run is loudly visible instead of silently partial. Zero
     * driver-side graph state — the driver holds only DataFrame handles.
-    * The co-activity pair build fans out per (event_type, day) slot
-    * membership — the q133-family co-occurrence shape; a hot slot salts or
-    * AQE-splits like any skewed agg. */
+    * The co-activity pair build is prefix-filtered ([[coActivityCandidates]])
+    * then exact-verified ([[coActivityEdges]]) — a hot slot is bounded by
+    * construction, not salted after the fact. */
   def kCore(spark: SparkSession, dir: String, k: Int = 6, minCo: Long = 26,
             rounds: Int = 6): DataFrame = {
     // persisted: slots feeds the slot dim AND both self-join sides — without
@@ -2408,15 +2408,8 @@ object Relational {
     val sl = slots.join(broadcast(slotDim), Seq("event_type", "d"))
       .join(eligible, Seq("user_id"))
       .select("user_id", "slot_id")
-      .persist() // both fan-out sides; released by the caller's clearCache
-    val edges0 = sl.as("x").join(sl.as("y"),
-        col("x.slot_id") === col("y.slot_id") &&
-        col("x.user_id") < col("y.user_id"))
-      .groupBy(col("x.user_id").as("a"), col("y.user_id").as("b"))
-      .agg(count(lit(1)).as("co"))
-      .filter(col("co") >= minCo)
-      .select("a", "b")
-      .persist()
+      .persist() // feeds prefix + verify sides; released by caller's clearCache
+    val edges0 = coActivityEdges(sl, minCo).persist()
     def degrees(e: DataFrame): DataFrame =
       e.select(col("a").as("v")).unionByName(e.select(col("b").as("v")))
         .groupBy("v").agg(count(lit(1)).as("dg"))
@@ -2480,6 +2473,79 @@ object Relational {
         when(col("peel_round").isNull, coalesce(col("fdg"), lit(0L)))
           .otherwise(lit(0L)).as("core_degree"),
         col("converged"))
+  }
+
+  /** PREFIX-FILTERED candidate pairs for the co-activity edge build
+    * [Chaudhuri/Ganti/Kaushik SSJoin 2006; Xiao et al. PPJoin 2011]. Input
+    * `sl` is the eligibility-filtered (user_id, slot_id) membership frame;
+    * output is every (a, b), a < b, that COULD share >= minCo slots.
+    *
+    * Why every qualifying edge survives: fix the total order "global slot
+    * frequency asc, slot_id asc" (ties broken by id, so both sides agree),
+    * and give each user a PREFIX of their ns - minCo + 1 smallest slots in
+    * that order. If a and b share >= minCo slots but their prefixes were
+    * disjoint, take whichever prefix ends EARLIER in the order (say a's,
+    * ending at slot p): every shared slot in a's prefix would have to sit
+    * in b's set but past b's prefix end — i.e. strictly after p — yet it
+    * sits at or before p. So ALL >= minCo shared slots would have to sit
+    * in a's non-prefix tail, which holds only minCo - 1 slots.
+    * Contradiction — the prefixes must collide, and fanning each user out
+    * on only their prefix slots loses no edge.
+    *
+    * Why this bounds the hot slot (the round-12 scale-killer): the hottest
+    * slot sorts LAST, so it enters a user's prefix only when nearly ALL of
+    * that user's slots are at least as common — a user with minCo or more
+    * rarer slots never fans out on it at all. One (event_type, day) slot
+    * shared by n heavy users costs n^2/2 pairs in a naive slot self-join
+    * regardless of eligibility; here it costs only the handful of members
+    * whose prefix reaches it (the hot-slot fixture in AnalyticsSpec pins
+    * this: 10^4 co-members, zero candidate pairs). Per-user ns and the
+    * prefix rank ride ONE shuffle by user_id (two window specs, same
+    * partitioning); slot frequencies are a slot-dim-sized broadcast — the
+    * q122-axis control-plane argument. */
+  private[graft] def coActivityCandidates(sl: DataFrame, minCo: Long): DataFrame = {
+    val slotFreq = sl.groupBy("slot_id").agg(count(lit(1)).as("sfq"))
+    val byUser = Window.partitionBy("user_id")
+    val prefix = sl.join(broadcast(slotFreq), Seq("slot_id"))
+      .withColumn("rn",
+        row_number().over(byUser.orderBy(col("sfq"), col("slot_id"))))
+      .withColumn("ns", count(lit(1)).over(byUser))
+      .filter(col("rn") <= col("ns") - lit(minCo) + lit(1))
+      .select("user_id", "slot_id")
+    // EXPLICIT broadcast of the x side: a slot_id equi-join has only
+    // day-range × types distinct keys, so a shuffle join here is maximally
+    // skewed BY CONSTRUCTION — replicating one (prefix-trimmed) side is the
+    // textbook skew strategy, and it buys a second property: the pair
+    // stream keeps the y side's user_id hash partitioning, which CLUSTERS
+    // (a, b) by b, so the distinct below needs NO exchange of the fan-out
+    // (the whole candidate build after the window is one codegen stage).
+    // Left unhinted this plan is one stats estimate away from flipping:
+    // with sl's cache materialized (accurate sizes) the static planner
+    // plans the shuffle join, AQE converts it to broadcast only AFTER the
+    // stream-side slot_id exchange has run, and the distinct then
+    // re-shuffles the 10^8-row pair stream — measured 4-5x slower on the
+    // dense-10x probe (351 s vs 76 s edge build; see PLANS.md round 13).
+    broadcast(prefix.as("x")).join(prefix.as("y"),
+        col("x.slot_id") === col("y.slot_id") &&
+        col("x.user_id") < col("y.user_id"))
+      .select(col("x.user_id").as("a"), col("y.user_id").as("b"))
+      .distinct()
+  }
+
+  /** Co-activity edges (a < b sharing >= minCo slots): prefix-filtered
+    * candidates, then EXACT verification — each user's slot set is a
+    * bounded int array (<= the slot dim, the day-range x types control
+    * plane), so overlap is one codegen'd array_intersect per candidate
+    * instead of a per-slot pair fan-out. The verify joins are keyed on a
+    * then b against the user-dim-sized slot-set frame; candidate count is
+    * edges + prefix false-positives, never the quadratic slot fan-out. */
+  private[graft] def coActivityEdges(sl: DataFrame, minCo: Long): DataFrame = {
+    val userSlots = sl.groupBy("user_id").agg(collect_list(col("slot_id")).as("ss"))
+    coActivityCandidates(sl, minCo)
+      .join(userSlots.select(col("user_id").as("a"), col("ss").as("sa")), Seq("a"))
+      .join(userSlots.select(col("user_id").as("b"), col("ss").as("sb")), Seq("b"))
+      .filter(size(array_intersect(col("sa"), col("sb"))) >= minCo)
+      .select("a", "b")
   }
 
   /** EWMA BURST DETECTION (q152) — the exponentially-weighted control chart

@@ -660,6 +660,59 @@ class AnalyticsSpec extends SparkSuite {
     if (conv) alive.foreach(v => assert(fdeg.getOrElse(v, 0L) >= k))
   }
 
+  test("kCore edge build: one hot slot with 10^4 members yields ZERO candidate pairs; real cliques survive the prefix filter exactly") {
+    val minCo = 3L
+    val n = 10000
+    // hot slot 0: every user 0..n-1 holds it, PLUS minCo unique rare slots
+    // each — eligible (ns = minCo + 1), but no pair shares more than the
+    // hot slot (co = 1 < minCo), so the TRUE edge set over them is empty.
+    // A naive slot self-join fans the hot slot into n^2/2 ~ 5*10^7 pairs;
+    // the prefix filter (rarest ns-minCo+1 = 2 slots per user: their
+    // unique ones) must fan it into zero.
+    val hot = (0 until n).map(u => (u.toLong, 0))
+    val rare = for { u <- 0 until n; j <- 1 to minCo.toInt }
+      yield (u.toLong, u * minCo.toInt + j)
+    // a genuine 10-clique: shared minCo slots, each of frequency 10 —
+    // every pair has co = minCo and MUST survive end-to-end
+    val cliqueUsers = (0 until 10).map(u => 100000L + u)
+    val cliqueSlots = (1 to minCo.toInt).map(j => 900000 + j)
+    val clique = for { u <- cliqueUsers; s <- cliqueSlots } yield (u, s)
+    val sl = (hot ++ rare ++ clique).toDF("user_id", "slot_id")
+    val cand = Relational.coActivityCandidates(sl, minCo)
+      .as[(Long, Long)].collect().toSet
+    // the quadratic-explosion gate: only the clique's 45 pairs, none of the
+    // 49,995,000 hot-slot pairs
+    assert(cand == (for { i <- cliqueUsers; j <- cliqueUsers if i < j }
+      yield (i, j)).toSet, s"candidates must be exactly the clique pairs, got ${cand.size}")
+    val edges = Relational.coActivityEdges(sl, minCo)
+      .as[(Long, Long)].collect().toSet
+    assert(edges == cand, "every clique pair verifies at co = minCo")
+  }
+
+  test("kCore edge build: prefix-filtered edges equal the naive quadratic edge set on real sf0.001 slots") {
+    val minCo = 26L
+    val slots = graft.Tables.load(spark, sf0001, "events")
+      .select(col("user_id"), col("event_type"),
+        date_trunc("day", col("event_time")).as("d"))
+      .distinct()
+    val slotDim = slots.select("event_type", "d").distinct()
+      .withColumn("slot_id", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("event_type", "d")).cast("int"))
+    val sl = slots.join(broadcast(slotDim), Seq("event_type", "d"))
+      .select("user_id", "slot_id")
+    val naive = sl.as("x").join(sl.as("y"),
+        col("x.slot_id") === col("y.slot_id") && col("x.user_id") < col("y.user_id"))
+      .groupBy(col("x.user_id").as("a"), col("y.user_id").as("b"))
+      .agg(count(lit(1)).as("co"))
+      .filter(col("co") >= minCo)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val eligible = sl.groupBy("user_id").agg(count(lit(1)).as("ns"))
+      .filter(col("ns") >= minCo).select("user_id")
+    val got = Relational.coActivityEdges(sl.join(eligible, Seq("user_id")), minCo)
+      .as[(Long, Long)].collect().toSet
+    assert(got == naive, s"prefix-filtered edge set must equal naive (naive=${naive.size}, got=${got.size})")
+  }
+
   // ---------------- q152 EWMA burst ----------------
 
   test("ewmaBurst: scaled-integer EWMA matches a driver fold over the gap-filled grid; zeros included") {
