@@ -1278,14 +1278,28 @@ object Oracles {
         | cast(max(octet_length(encode(text))) as bigint) AS max_bytes
         |FROM documents GROUP BY 1""".stripMargin,
 
-    // the stub "decode" reads the first 4 payload bytes as the header; for the
-    // ASCII corpus that is exactly the first 4 characters, so distinct-header
-    // counting is SQL-expressible without replicating the hex encoding
+    // q30 (mediaFeatures): per-modality rollup of the REAL decodeMedia over
+    // synthBmp/synthWav payloads, replayed numerically from the integer
+    // recipes — image f0 is exactly 0/1 (binary 2x2 cells, white luma is
+    // exactly 1.0 in IEEE doubles), audio f0 is sqrt(sum/k) over exact
+    // 1/16-multiples, min/max are order-free comparisons
     "q30_media_features" ->
-      """SELECT 'text' AS media_type, count(*) AS n_media,
-        | cast(sum(octet_length(encode(text))) as bigint) AS total_bytes,
-        | count(distinct substr(text, 1, 4)) AS distinct_headers
-        |FROM documents GROUP BY 1""".stripMargin,
+      """WITH m AS (SELECT doc_id AS media_id FROM documents WHERE doc_id < 64),
+        |img AS (SELECT media_id, 'image' AS media_type, 150::BIGINT AS n_bytes,
+        |  CASE WHEN (media_id * 31) % 5 < 2 THEN (1.0)::DOUBLE ELSE (0.0)::DOUBLE END AS f0
+        | FROM m),
+        |aud0 AS (SELECT media_id, 64 + (media_id % 5) * 16 AS n FROM m),
+        |audj AS (SELECT media_id, n, cast(unnest(range(n // 8)) as bigint) AS j FROM aud0),
+        |audv AS (SELECT media_id, n,
+        |  (((media_id * 31 + j * 7) % 5) - 2) * (0.25)::DOUBLE AS v FROM audj),
+        |aud AS (SELECT media_id, 'audio' AS media_type,
+        |  cast(44 + 2 * n as bigint) AS n_bytes,
+        |  sqrt(sum(v * v) / (n // 8)) AS f0 FROM audv GROUP BY media_id, n),
+        |u AS (SELECT * FROM img UNION ALL SELECT * FROM aud)
+        |SELECT media_type, count(*) AS n_media,
+        |  cast(sum(n_bytes) as bigint) AS total_bytes,
+        |  count(*) AS n_decoded, min(f0) AS f0_min, max(f0) AS f0_max
+        |FROM u GROUP BY 1""".stripMargin,
 
     // the oracle is the UNSALTED query: passing proves the two-stage salted
     // aggregation is value-identical to the plain groupBy
@@ -3800,6 +3814,35 @@ object Oracles {
         |SELECT s.media_id, s.seg_idx, s.start_frame, s.n_frames,
         |  s.start_s, s.dur_s, s.mean_luma, fp.fp
         |FROM sgm s JOIN fp USING (media_id)""".stripMargin,
+
+    // q197 (mediaDecode): the q179 recipe trick for the other two
+    // modalities — Spark walks REAL BMP (javax.imageio) and REAL PCM-WAV
+    // (javax.sound) container bytes from synthBmp/synthWav; this replays
+    // every pooled-luma cell (exactly 0/1: binary 2x2 cells, white luma
+    // exactly 1.0) and every RMS bin (sqrt of an exact 1/16-multiple sum
+    // over (n/8)-sized bins, one identically-rounded division + sqrt)
+    "q197_media_decode" ->
+      """WITH m AS (SELECT doc_id AS media_id FROM documents WHERE doc_id < 64),
+        |cells AS (SELECT cast(c.c as int) AS slot
+        |  FROM (SELECT unnest(range(8)) AS c) c),
+        |img AS (SELECT media_id, 'image' AS media_type, 150::BIGINT AS n_bytes,
+        |  true AS decode_ok, 8 AS width, 4 AS height,
+        |  CAST(NULL AS DOUBLE) AS sample_rate, CAST(NULL AS DOUBLE) AS duration_s,
+        |  slot,
+        |  CASE WHEN (media_id * 31 + slot * 13) % 5 < 2
+        |    THEN (1.0)::DOUBLE ELSE (0.0)::DOUBLE END AS fval
+        | FROM m CROSS JOIN cells),
+        |aud0 AS (SELECT media_id, 64 + (media_id % 5) * 16 AS n FROM m),
+        |audj AS (SELECT media_id, n, cast(unnest(range(n)) as bigint) AS j FROM aud0),
+        |audv AS (SELECT media_id, n, cast((j * 8) // n as int) AS slot,
+        |  (((media_id * 31 + j * 7) % 5) - 2) * (0.25)::DOUBLE AS v FROM audj),
+        |aud AS (SELECT media_id, 'audio' AS media_type,
+        |  cast(44 + 2 * n as bigint) AS n_bytes, true AS decode_ok,
+        |  CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
+        |  (8000.0)::DOUBLE AS sample_rate, n / (8000.0)::DOUBLE AS duration_s,
+        |  slot, sqrt(sum(v * v) / (n // 8)) AS fval
+        | FROM audv GROUP BY media_id, n, slot)
+        |SELECT * FROM img UNION ALL SELECT * FROM aud""".stripMargin,
 
     // q180 (minKProb): min-k% probability membership score — the q174 KN
     // LM CTEs verbatim, then per doc an ordered cumulative take of the

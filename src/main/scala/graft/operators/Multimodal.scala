@@ -39,45 +39,6 @@ object Multimodal {
       StructField("declared_format", StringType),
       StructField("n_bytes", LongType))))))
 
-  val featureSchema: StructType = StructType(Seq(
-    StructField("media_id", LongType, nullable = false),
-    StructField("media_type", StringType),
-    StructField("n_bytes", LongType),
-    StructField("header", StringType),       // first 4 payload bytes, hex
-    StructField("feature", ArrayType(DoubleType)))) // stub "embedding"
-
-  /** STUB DECODER — deterministic fake standing in for image/audio decode,
-    * kept DELIBERATELY next to the real [[decodeMedia]]/[[decodeY4mFrames]]
-    * paths (this is the brief's mandated shape-documentation variant, and
-    * q30's oracle-able plumbing gate rides it: schema, partition batching,
-    * and null handling are the product; the fake feature is labeled below).
-    * A production build replaces the body marked below with a real codec
-    * call; everything around it stays identical. */
-  def decodeStub(media: DataFrame): DataFrame = {
-    val spark = media.sparkSession
-    val out = media.select("media_id", "payload", "media_type").rdd.mapPartitions { rows =>
-      // real decoder: init codec ONCE here (per partition), then stream rows
-      rows.map { r =>
-        val mediaId = r.getLong(0)
-        val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
-        val mediaType = if (r.isNullAt(2)) null else r.getString(2)
-        if (payload == null) Row(mediaId, mediaType, 0L, null, null)
-        else {
-          val header = payload.take(4).map(b => f"${b & 0xff}%02x").mkString
-          // ??? real decode goes here; deterministic fake feature instead:
-          val feature = Array.tabulate(8) { i =>
-            var h = 0xcbf29ce484222325L
-            var j = i
-            while (j < payload.length) { h ^= (payload(j) & 0xffL); h *= 0x100000001b3L; j += 8 }
-            (h >>> 11).toDouble / (1L << 53).toDouble
-          }
-          Row(mediaId, mediaType, payload.length.toLong, header, feature.toSeq)
-        }
-      }
-    }
-    spark.createDataFrame(out, featureSchema)
-  }
-
   /** Unified decoded-media schema: per-modality metadata columns are null for
     * the other modalities; `feature` is the modality's embedding-ready vector. */
   val decodedSchema: StructType = StructType(Seq(
@@ -599,28 +560,125 @@ object Multimodal {
     fingerprintPairs(videoFingerprint(media, tBins, gridH, gridW),
       tBins * gridH * gridW, nSeg, maxHamming)
 
-  /** Build a media table from documents (payload = utf-8 bytes) — the fixture
-    * generator for the binary plumbing; also the shape a real ingest would use. */
-  def mediaFromDocuments(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "documents")
-      .select(
-        col("doc_id").as("media_id"),
-        col("text").cast("binary").as("payload"),
-        lit("text").as("media_type"),
-        struct(
-          col("source").as("declared_format"),
-          octet_length(col("text")).cast("long").as("n_bytes")).as("meta"))
+  /** Deterministic 24-bit BMP synthesizer — the IMAGE leg of the q179
+    * recipe trick: an 8×4 image whose 2×2-pixel cells (exactly
+    * [[decodeMedia]]'s default 2×4 pooling grid) are each uniformly black
+    * or white by the integer recipe `(id·31 + cell·13) mod 5 < 2`. White
+    * luma is EXACTLY 1.0 in IEEE doubles ((0.299+0.587+0.114)·255/255
+    * rounds to 255.0/255 = 1.0) and black exactly 0.0, and a uniform cell's
+    * mean is its value regardless of summation order — so every pooled
+    * feature decodes to exactly 0.0 or 1.0 and DuckDB replays the whole
+    * decode numerically from the recipe while Spark walks the REAL BMP
+    * container bytes through javax.imageio. n_bytes = 54 + 4·24 = 150. */
+  private[operators] def synthBmp(id: Long): Array[Byte] = {
+    val (w, h) = (8, 4)
+    val stride = w * 3 // 24 bytes, already 4-aligned: no row padding
+    val out = new Array[Byte](54 + stride * h)
+    def p32(off: Int, v: Int): Unit = {
+      out(off) = v.toByte; out(off + 1) = (v >> 8).toByte
+      out(off + 2) = (v >> 16).toByte; out(off + 3) = (v >> 24).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    p32(2, out.length); p32(10, 54)         // file size, pixel-data offset
+    p32(14, 40); p32(18, w); p32(22, h)     // info header, dims (h>0: bottom-up)
+    out(26) = 1; out(28) = 24               // planes, bpp
+    p32(34, stride * h)                     // image size
+    var fileRow = 0
+    while (fileRow < h) {
+      val y = h - 1 - fileRow // bottom-up row order
+      var x = 0
+      while (x < w) {
+        val cell = (y / 2) * 4 + (x / 2)
+        val v: Byte = if ((id * 31 + cell.toLong * 13) % 5 < 2) 255.toByte else 0
+        val off = 54 + fileRow * stride + x * 3
+        out(off) = v; out(off + 1) = v; out(off + 2) = v // B, G, R
+        x += 1
+      }
+      fileRow += 1
+    }
+    out
+  }
 
-  /** Feature extraction end-to-end over the documents-derived media table —
-    * exposed as a SparkEntry query so the plumbing is exercised by the driver. */
-  def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
-    val feats = decodeStub(mediaFromDocuments(spark, dir))
-    feats.groupBy("media_type")
+  /** Deterministic PCM-WAV synthesizer — the AUDIO leg of the recipe trick:
+    * mono 16-bit little-endian at 8000 Hz, 64 + 16·(id mod 5) frames
+    * (always divisible by [[decodeMedia]]'s 8 RMS bins), sample j =
+    * ((id·31 + j·7) mod 5 − 2) · 8192 — so every decoded amplitude is an
+    * exact dyadic (±0.5, ±0.25, 0), every squared term an exact multiple
+    * of 1/16, every bin's energy sum EXACT in any summation order, and the
+    * final sqrt(sum/k) one identically-rounded IEEE op in both engines.
+    * Spark decodes the real RIFF/WAVE container through javax.sound;
+    * DuckDB replays the RMS profile from the recipe. n_bytes = 44 + 2·n. */
+  private[operators] def synthWav(id: Long): Array[Byte] = {
+    val n = 64 + (id % 5).toInt * 16
+    val out = new Array[Byte](44 + 2 * n)
+    def p32(off: Int, v: Int): Unit = {
+      out(off) = v.toByte; out(off + 1) = (v >> 8).toByte
+      out(off + 2) = (v >> 16).toByte; out(off + 3) = (v >> 24).toByte
+    }
+    def tag(off: Int, s: String): Unit =
+      s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+        .zipWithIndex.foreach { case (b, i) => out(off + i) = b }
+    tag(0, "RIFF"); p32(4, 36 + 2 * n); tag(8, "WAVE")
+    tag(12, "fmt "); p32(16, 16)
+    out(20) = 1; out(22) = 1                 // PCM, mono
+    p32(24, 8000); p32(28, 16000)            // sample rate, byte rate
+    out(32) = 2; out(34) = 16                // block align, bits/sample
+    tag(36, "data"); p32(40, 2 * n)
+    var j = 0
+    while (j < n) {
+      val s = (((id * 31 + j.toLong * 7) % 5).toInt - 2) * 8192
+      out(44 + 2 * j) = s.toByte
+      out(45 + 2 * j) = (s >> 8).toByte
+      j += 1
+    }
+    out
+  }
+
+  /** The synthesized image+audio media frame: for every document id below
+    * `nMedia`, one REAL BMP payload and one REAL PCM-WAV payload (ids are
+    * the oracle's replay key — each payload is a pure function of the id).
+    * This is [[synthVideos]]' pattern extended to the other two
+    * modalities, and what retired the old `decodeStub`: the decode is the
+    * real container walk, the features replay numerically in SQL. */
+  private[graft] def synthImageAudio(spark: SparkSession, dir: String,
+                                     nMedia: Int = 64): DataFrame = {
+    val bmpU = udf((id: Long) => synthBmp(id))
+    val wavU = udf((id: Long) => synthWav(id))
+    val ids = Tables.load(spark, dir, "documents")
+      .select(col("doc_id").as("media_id"))
+      .filter(col("media_id") < nMedia)
+    ids.withColumn("payload", bmpU(col("media_id")))
+      .withColumn("media_type", lit("image"))
+      .unionByName(ids.withColumn("payload", wavU(col("media_id")))
+        .withColumn("media_type", lit("audio")))
+  }
+
+  /** ORACLE-GATED IMAGE+AUDIO DECODE (q197) — the REAL [[decodeMedia]]
+    * (javax.imageio BMP parse + javax.sound WAV parse, per-partition
+    * batches) over [[synthImageAudio]], features UNNESTED to scalar rows
+    * so the DuckDB hash gate compares every pooled-luma / RMS value
+    * exactly. The dual of q179 for the remaining two modalities. */
+  def mediaDecode(spark: SparkSession, dir: String, nMedia: Int = 64): DataFrame =
+    decodeMedia(synthImageAudio(spark, dir, nMedia))
+      .select(col("media_id"), col("media_type"), col("n_bytes"),
+        col("decode_ok"), col("width"), col("height"),
+        col("sample_rate"), col("duration_s"),
+        posexplode(col("feature")).as(Seq("slot", "fval")))
+
+  /** Per-modality decode rollup over the synthesized media (q30) — the
+    * REAL decoder end-to-end: counts, byte totals, decode successes, and
+    * the min/max of the leading feature slot (order-free comparisons of
+    * exact-dyadic values, so the rollup replays in SQL with no float-
+    * accumulation hazard). */
+  def mediaFeatures(spark: SparkSession, dir: String): DataFrame =
+    decodeMedia(synthImageAudio(spark, dir))
+      .groupBy("media_type")
       .agg(
         count(lit(1)).as("n_media"),
         sum("n_bytes").as("total_bytes"),
-        countDistinct(col("header")).as("distinct_headers"))
-  }
+        sum(when(col("decode_ok"), 1L).otherwise(0L)).as("n_decoded"),
+        min(element_at(col("feature"), 1)).as("f0_min"),
+        max(element_at(col("feature"), 1)).as("f0_max"))
 
   /** Deterministic Y4M synthesizer behind the ORACLE-GATED video path
     * (q179): one 8×4 C420 video per doc_id, scene length 2 + id mod 3
