@@ -2535,12 +2535,22 @@ object TextOps {
     * the running sum of gains (coverage gain IS the new-term count, so no
     * extra action). k is the mixing knob, source count the domain — both
     * control-plane small. */
-  def sourceSelect(spark: SparkSession, dir: String, k: Int = 4): DataFrame = {
+  def sourceSelect(spark: SparkSession, dir: String, k: Int = 4): DataFrame =
+    sourceSelectFrom(spark,
+      docs(spark, dir)
+        .select(col("source"), explode(distinctShinglesUdf(3)(col("text"))).as("term"))
+        .distinct(),
+      k)
+
+  /** The greedy max-coverage walk over an arbitrary (source, term) DISTINCT
+    * frame — shared verbatim by the batch operator above and
+    * [[graft.streaming.MixtureStream]]'s read path (which feeds it the
+    * maintained first-seen shingle cells), so maintained ≡ batch is the
+    * determinism of this one function. */
+  private[graft] def sourceSelectFrom(spark: SparkSession, st0: DataFrame,
+                                      k: Int): DataFrame = {
     import spark.implicits._
-    val st = docs(spark, dir)
-      .select(col("source"), explode(distinctShinglesUdf(3)(col("text"))).as("term"))
-      .distinct()
-      .persist()
+    val st = st0.persist()
     val picks = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long, Long)]
     var coveredTotal = 0L
     var done = false
@@ -2596,8 +2606,6 @@ object TextOps {
     * bounded domain, never the corpus). decimal(38,0) products: token
     * counts at 100 TB times budgets overflow a long. */
   def budgetAllocate(spark: SparkSession, dir: String): DataFrame = {
-    val Window = org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("rk"), col("source"))
     // (avail, weight) live at different grains — two partial aggs
     val avail = docs(spark, dir)
       .groupBy("source")
@@ -2606,8 +2614,18 @@ object TextOps {
       .select(col("source"), explode(distinctShinglesUdf(3)(col("text"))).as("sh"))
       .distinct()
       .groupBy("source").agg(count(lit(1)).as("weight"))
+    allocateFromStats(avail.join(weight, Seq("source")))
+  }
+
+  /** The water-filling walk over an arbitrary (source, avail, weight)
+    * frame — shared verbatim by the batch operator above and
+    * [[graft.streaming.MixtureStream]]'s read path (avail and the shingle
+    * cells backing weight are its maintained sufficient statistics). */
+  private[graft] def allocateFromStats(stats: DataFrame): DataFrame = {
+    val Window = org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("rk"), col("source"))
     def dec(c: Column): Column = c.cast("decimal(38,0)")
-    val src = avail.join(weight, Seq("source"))
+    val src = stats
       .withColumn("rk",
         expr("(cast(avail as decimal(38,0)) * 1099511627776) div weight"))
     val tot = src.agg(sum(col("avail")).as("tot_avail"))

@@ -1,0 +1,98 @@
+package graft.streaming
+
+import graft.io.Io
+import graft.functions.TextFns
+import graft.operators.TextOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** STREAMING MIXTURE-DECISION MAINTENANCE — the streaming twin of
+  * q181/q182 (VERDICT r12 #5): the mixture report's per-source inputs are
+  * sufficient statistics, so the decisions are incrementally maintainable
+  * like the other measure classes instead of re-scanning the corpus.
+  *
+  * Two stores, two store classes:
+  *  - **avail** (q182's token supply) is SCALAR-ADDITIVE: one row per
+  *    source under the CellStore per-key epoch gate (same discipline as
+  *    the count/sum maintainers — a replayed epoch is a no-op).
+  *  - **shingle cells** (q181's coverage sets AND q182's weight) are
+  *    FIRST-SEEN (source, 3-shingle) rows — the LM-count-table store
+  *    class: vocabulary × source bounded, and maintenance is set union,
+  *    which is idempotent BY CONSTRUCTION (re-upserting a cell rewrites
+  *    the same row), so this store needs no epoch gate for correctness.
+  *    `weight` falls out as a per-source cell count; the greedy
+  *    max-coverage walk reads the cells themselves.
+  *
+  * Both read paths then REPLAY through the exact batch walks
+  * ([[TextOps.sourceSelectFrom]] / [[TextOps.allocateFromStats]]), so
+  * maintained ≡ batch-over-absorbed is definitional once the statistics
+  * match — MixtureStreamSpec pins the statistics, the q181 picks, and the
+  * q182 allocation after a 3-batch ingest, plus epoch-replay no-ops.
+  *
+  * The production reading: "which sources do we keep crawling, and how do
+  * we split the next training run's token budget" re-decided continuously
+  * as ingest absorbs documents, from two control-plane stores — no corpus
+  * re-scan at decision time. */
+object MixtureStream {
+
+  /** Merge one micro-batch of (source, text) document rows into the two
+    * stores. Idempotent per (source, epoch) on avail; unconditionally
+    * idempotent on the shingle cells. */
+  def applyBatch(spark: SparkSession, delta: DataFrame, availStore: String,
+                 shingleStore: String, epoch: Long): Unit = {
+    val fresh = delta.groupBy("source")
+      .agg(sum(size(TextFns.tokensCol(col("text"))).cast("long")).as("__da"))
+    val joined =
+      if (!Io.dimStoreHasData(availStore))
+        fresh.withColumn("__pa", lit(0L)).withColumn("__le", lit(null).cast("long"))
+      else
+        fresh.join(
+          Io.readDim(spark, availStore).select(col("source"),
+            col("avail").as("__pa"), col("last_epoch").as("__le")),
+          Seq("source"), "left")
+    val merged = joined
+      .filter(col("__le").isNull || col("__le") < epoch)
+      .select(col("source"),
+        (col("__da") + coalesce(col("__pa"), lit(0L))).as("avail"),
+        lit(epoch).as("last_epoch"))
+    Io.upsertDim(spark, merged, availStore, "source", "last_epoch")
+
+    val cells = delta
+      .select(col("source"),
+        explode(TextFns.distinctShinglesUdf(3)(col("text"))).as("term"))
+      .distinct()
+      // composite (source, term) key in one pk column; U+0001 cannot occur
+      // in either side (sources are identifiers, shingles are tokenized text)
+      .select(concat_ws("\u0001", col("source"), col("term")).as("k"),
+        col("source"), col("term"), lit(epoch).as("last_epoch"))
+    Io.upsertDim(spark, cells, shingleStore, "k", "last_epoch")
+  }
+
+  /** Current q182 allocation over everything absorbed — the batch
+    * water-filling walk fed from the maintained statistics. */
+  def readBudget(spark: SparkSession, availStore: String,
+                 shingleStore: String): DataFrame =
+    TextOps.allocateFromStats(
+      Io.readDim(spark, availStore).select("source", "avail")
+        .join(Io.readDim(spark, shingleStore)
+          .groupBy("source").agg(count(lit(1)).as("weight")),
+          Seq("source")))
+
+  /** Current q181 greedy source selection over everything absorbed — the
+    * batch max-coverage walk fed the maintained first-seen cells. */
+  def readSelect(spark: SparkSession, shingleStore: String,
+                 k: Int = 4): DataFrame =
+    TextOps.sourceSelectFrom(spark,
+      Io.readDim(spark, shingleStore).select("source", "term"), k)
+
+  /** Drive the maintenance from a streaming (source, text) frame. */
+  def run(spark: SparkSession, rows: DataFrame, availStore: String,
+          shingleStore: String, checkpoint: String): StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (delta: DataFrame, epoch: Long) =>
+        applyBatch(spark, delta, availStore, shingleStore, epoch)
+      }
+      .start()
+}

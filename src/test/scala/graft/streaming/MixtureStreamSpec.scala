@@ -1,0 +1,97 @@
+package graft.streaming
+
+import graft.SparkSuite
+import graft.operators.TextOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming mixture-decision maintenance (MixtureStream): the q182
+  * water-filling inputs (avail = per-source token sum, weight = per-source
+  * distinct-shingle count) and the q181 coverage sets are maintained
+  * across micro-batches, and the decisions read back through the SAME
+  * batch walks — 3-batch maintain must equal batch recompute exactly. */
+class MixtureStreamSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-mix-$tag").toString
+
+  private def batches: Seq[DataFrame] =
+    (0 to 2).map(i => graft.Tables.load(spark, sf001, "documents")
+      .filter(col("doc_id") % 3 === i)
+      .select("source", "text"))
+
+  private type ARow = (String, Long, Long, Long, Boolean, Long)
+  private type SRow = (Int, String, Long, Long)
+
+  test("3-batch maintenance: q182 allocation and q181 selection equal the batch operators exactly") {
+    val (av, sh) = (tmp("avail"), tmp("shingle"))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      MixtureStream.applyBatch(spark, b, av, sh, epoch = i.toLong)
+    }
+    // the maintained sufficient statistics equal the batch aggregations
+    val wantAvail = graft.Tables.load(spark, sf001, "documents")
+      .groupBy("source")
+      .agg(sum(size(graft.functions.TextFns.tokensCol(col("text"))).cast("long")).as("a"))
+      .as[(String, Long)].collect().toMap
+    val gotAvail = graft.io.Io.readDim(spark, av).select("source", "avail")
+      .as[(String, Long)].collect().toMap
+    assert(gotAvail == wantAvail, "maintained avail must equal the batch token sums")
+    // decisions replay identically through the shared walks
+    assert(MixtureStream.readBudget(spark, av, sh).as[ARow].collect().toSet ==
+      TextOps.budgetAllocate(spark, sf001).as[ARow].collect().toSet,
+      "maintained q182 allocation must equal the batch operator exactly")
+    assert(MixtureStream.readSelect(spark, sh).as[SRow].collect().toSet ==
+      TextOps.sourceSelect(spark, sf001).as[SRow].collect().toSet,
+      "maintained q181 selection must equal the batch operator exactly")
+  }
+
+  test("full replay of the last epoch is a no-op on both stores") {
+    val (av, sh) = (tmp("avail-r"), tmp("shingle-r"))
+    val bs = batches
+    bs.zipWithIndex.foreach { case (b, i) =>
+      MixtureStream.applyBatch(spark, b, av, sh, epoch = i.toLong)
+    }
+    val beforeA = graft.io.Io.readDim(spark, av)
+      .select("source", "avail").as[(String, Long)].collect().toSet
+    val beforeS = graft.io.Io.readDim(spark, sh)
+      .select("source", "term").as[(String, String)].collect().toSet
+    MixtureStream.applyBatch(spark, bs.last, av, sh, epoch = 2L)
+    assert(graft.io.Io.readDim(spark, av)
+      .select("source", "avail").as[(String, Long)].collect().toSet == beforeA,
+      "replayed epoch must not double-add avail")
+    assert(graft.io.Io.readDim(spark, sh)
+      .select("source", "term").as[(String, String)].collect().toSet == beforeS,
+      "replayed epoch must not change the shingle cell set")
+  }
+
+  test("partial commit: avail half-landed and shingle cells missed entirely -> replay fills only the gaps, once") {
+    val (avA, shA) = (tmp("avail-pa"), tmp("shingle-pa"))
+    val (avB, shB) = (tmp("avail-pb"), tmp("shingle-pb"))
+    val bs = batches
+    // reference: both epochs applied cleanly
+    MixtureStream.applyBatch(spark, bs(0), avA, shA, epoch = 0L)
+    MixtureStream.applyBatch(spark, bs(1), avA, shA, epoch = 1L)
+    // crash sim: epoch 1 committed the avail rows of HALF the sources and
+    // none of the shingle cells (the writes are ordered avail-then-cells)
+    MixtureStream.applyBatch(spark, bs(0), avB, shB, epoch = 0L)
+    val d1 = bs(1).groupBy("source")
+      .agg(sum(size(graft.functions.TextFns.tokensCol(col("text"))).cast("long")).as("__da"))
+    val partial = d1.filter(abs(hash(col("source"))) % 2 === 0)
+      .join(graft.io.Io.readDim(spark, avB)
+        .select(col("source"), col("avail").as("__pa")), Seq("source"), "left")
+      .select(col("source"),
+        (col("__da") + coalesce(col("__pa"), lit(0L))).as("avail"),
+        lit(1L).as("last_epoch"))
+    graft.io.Io.upsertDim(spark, partial, avB, "source", "last_epoch")
+    // checkpoint replay of epoch 1: committed sources skip (epoch gate),
+    // missed sources and all cells fill exactly once
+    MixtureStream.applyBatch(spark, bs(1), avB, shB, epoch = 1L)
+    def readAvail(p: String) = graft.io.Io.readDim(spark, p)
+      .select("source", "avail").as[(String, Long)].collect().toSet
+    def readCells(p: String) = graft.io.Io.readDim(spark, p)
+      .select("source", "term").as[(String, String)].collect().toSet
+    assert(readAvail(avB) == readAvail(avA), "avail must converge to the clean run")
+    assert(readCells(shB) == readCells(shA), "cells must converge to the clean run")
+  }
+}
