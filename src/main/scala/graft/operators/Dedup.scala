@@ -1003,10 +1003,17 @@ object Dedup {
       .select(col("source"), col("n_pairs"), col("mean_jac_q"))
   }
 
-  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val st = docs(spark, dir)
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame =
+    sourceOverlapFrom(docs(spark, dir)
       .select(col("source"), explode(distinctShinglesUdf(3)(col("text"))).as("sh"))
-      .distinct()
+      .distinct())
+
+  /** The overlap-matrix walk over an arbitrary (source, sh) DISTINCT
+    * frame — shared by the batch operator above and
+    * [[graft.streaming.MixtureStream.readOverlap]], whose maintained
+    * first-seen shingle cells are this exact frame. */
+  private[graft] def sourceOverlapFrom(st0: DataFrame): DataFrame = {
+    val st = st0
       .persist() // feeds sizes AND both self-join sides; released by the caller's clearCache
     val sizes = st.groupBy("source").agg(count(lit(1)).as("n"))
     val inter = st.as("a").join(st.as("b"),

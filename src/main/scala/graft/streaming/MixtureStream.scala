@@ -86,6 +86,14 @@ object MixtureStream {
     TextOps.sourceSelectFrom(spark,
       Io.readDim(spark, shingleStore).select("source", "term"), k)
 
+  /** Current q187 cross-source overlap matrix over everything absorbed —
+    * the same cells feed a THIRD report: the maintained (source, shingle)
+    * set IS sourceOverlap's input frame. */
+  def readOverlap(spark: SparkSession, shingleStore: String): DataFrame =
+    graft.operators.Dedup.sourceOverlapFrom(
+      Io.readDim(spark, shingleStore)
+        .select(col("source"), col("term").as("sh")))
+
   /** Drive the maintenance from a streaming (source, text) frame. */
   def run(spark: SparkSession, rows: DataFrame, availStore: String,
           shingleStore: String, checkpoint: String): StreamingQuery =

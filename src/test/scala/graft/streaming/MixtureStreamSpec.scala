@@ -23,6 +23,7 @@ class MixtureStreamSpec extends SparkSuite {
 
   private type ARow = (String, Long, Long, Long, Boolean, Long)
   private type SRow = (Int, String, Long, Long)
+  private type ORow = (String, String, Long, Long, Long, Long, Long)
 
   test("3-batch maintenance: q182 allocation and q181 selection equal the batch operators exactly") {
     val (av, sh) = (tmp("avail"), tmp("shingle"))
@@ -44,6 +45,10 @@ class MixtureStreamSpec extends SparkSuite {
     assert(MixtureStream.readSelect(spark, sh).as[SRow].collect().toSet ==
       TextOps.sourceSelect(spark, sf001).as[SRow].collect().toSet,
       "maintained q181 selection must equal the batch operator exactly")
+    // the same cells feed the q187 overlap matrix
+    assert(MixtureStream.readOverlap(spark, sh).as[ORow].collect().toSet ==
+      graft.operators.Dedup.sourceOverlap(spark, sf001).as[ORow].collect().toSet,
+      "maintained q187 overlap matrix must equal the batch operator exactly")
   }
 
   test("full replay of the last epoch is a no-op on both stores") {
