@@ -17,7 +17,11 @@ object MicrobenchKcore {
       .getOrCreate()
     // dev knob: SPARK_KCORE_CONF="spark.x=y;spark.a=b" for plan bisection
     sys.env.get("SPARK_KCORE_CONF").foreach(_.split(';').foreach { kv =>
-      val Array(ck, cv) = kv.split("=", 2); spark.conf.set(ck, cv)
+      kv.split("=", 2) match {
+        case Array(ck, cv) if ck.nonEmpty => spark.conf.set(ck, cv)
+        case _ if kv.trim.isEmpty          => () // trailing/double ';'
+        case _ => sys.error(s"SPARK_KCORE_CONF: bad segment '$kv' (want k=v;k=v)")
+      }
     })
     spark.sparkContext.setLogLevel("ERROR")
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

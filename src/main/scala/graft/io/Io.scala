@@ -369,8 +369,15 @@ object Io {
       // the SPECIFIC DuckDB optimistic-abort texts, not the bare substring
       // "conflict" — a permanent engine error whose message merely contains
       // the word (e.g. a constraint named "conflict") must NOT burn the
-      // whole retry budget before surfacing (round-12 ADVICE #1)
+      // whole retry budget before surfacing (round-12 ADVICE #1). The list
+      // is verified against `strings libduckdb_java.so` (duckdb_jdbc
+      // 1.0.0): "Catalog write-write conflict on ...", "Transaction
+      // conflict: ...", and the ROW-LEVEL aborts "Conflict on tuple
+      // deletion!" / "Conflict on update!" that two pipelines merging the
+      // SAME pk raise — dropping those (round-13 review) would re-open the
+      // round-11 lost-batch regression for same-key upserts.
       "write-write conflict", "transaction conflict",
+      "conflict on tuple deletion", "conflict on update",
       "could not set lock", "lock on file", "database is locked",
       "deadlock", "serialization failure",
       "connection was closed", "connection is closed", "connection reset")

@@ -1011,16 +1011,22 @@ object Dedup {
   /** The overlap-matrix walk over an arbitrary (source, sh) DISTINCT
     * frame — shared by the batch operator above and
     * [[graft.streaming.MixtureStream.readOverlap]], whose maintained
-    * first-seen shingle cells are this exact frame. */
+    * first-seen shingle cells are this exact frame. Returns a LOCAL-backed
+    * frame: the matrix is K²-bounded control plane (the q181 argmax
+    * exception class), and materializing it here lets the shingle cache be
+    * released before returning — the streaming read path calls this
+    * repeatedly in a long-lived session, where a persist left to "the
+    * caller's clearCache" would accumulate across reads (round-13
+    * review). */
   private[graft] def sourceOverlapFrom(st0: DataFrame): DataFrame = {
     val st = st0
-      .persist() // feeds sizes AND both self-join sides; released by the caller's clearCache
+      .persist() // feeds sizes AND both self-join sides; released below
     val sizes = st.groupBy("source").agg(count(lit(1)).as("n"))
     val inter = st.as("a").join(st.as("b"),
         col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
       .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
       .agg(count(lit(1)).as("inter"))
-    inter
+    val out = inter
       .join(broadcast(sizes.select(col("source").as("src_a"), col("n").as("na"))),
         Seq("src_a"))
       .join(broadcast(sizes.select(col("source").as("src_b"), col("n").as("nb"))),
@@ -1028,5 +1034,9 @@ object Dedup {
       .select(col("src_a"), col("src_b"), col("na"), col("nb"), col("inter"),
         expr("(inter * 1048576) div (na + nb - inter)").as("jaccard_q"),
         expr("(inter * 1048576) div least(na, nb)").as("containment_q"))
+    val rows = out.collect()
+    st.unpersist(blocking = false)
+    st0.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), out.schema)
   }
 }

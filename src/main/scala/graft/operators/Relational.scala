@@ -2506,26 +2506,41 @@ object Relational {
   private[graft] def coActivityCandidates(sl: DataFrame, minCo: Long): DataFrame = {
     val slotFreq = sl.groupBy("slot_id").agg(count(lit(1)).as("sfq"))
     val byUser = Window.partitionBy("user_id")
+    // persisted: the frame feeds BOTH self-join sides (without the cache
+    // the window stage runs twice) and the count below is the action that
+    // materializes it. Released by the caller's clearCache, like sl.
     val prefix = sl.join(broadcast(slotFreq), Seq("slot_id"))
       .withColumn("rn",
         row_number().over(byUser.orderBy(col("sfq"), col("slot_id"))))
       .withColumn("ns", count(lit(1)).over(byUser))
       .filter(col("rn") <= col("ns") - lit(minCo) + lit(1))
       .select("user_id", "slot_id")
-    // EXPLICIT broadcast of the x side: a slot_id equi-join has only
-    // day-range × types distinct keys, so a shuffle join here is maximally
-    // skewed BY CONSTRUCTION — replicating one (prefix-trimmed) side is the
-    // textbook skew strategy, and it buys a second property: the pair
-    // stream keeps the y side's user_id hash partitioning, which CLUSTERS
-    // (a, b) by b, so the distinct below needs NO exchange of the fan-out
-    // (the whole candidate build after the window is one codegen stage).
-    // Left unhinted this plan is one stats estimate away from flipping:
-    // with sl's cache materialized (accurate sizes) the static planner
-    // plans the shuffle join, AQE converts it to broadcast only AFTER the
-    // stream-side slot_id exchange has run, and the distinct then
-    // re-shuffles the 10^8-row pair stream — measured 4-5x slower on the
-    // dense-10x probe (351 s vs 76 s edge build; see PLANS.md round 13).
-    broadcast(prefix.as("x")).join(prefix.as("y"),
+      .persist()
+    // EXPLICIT but SIZE-GUARDED broadcast of the x side: a slot_id
+    // equi-join has only day-range × types distinct keys, so a shuffle
+    // join here is maximally skewed BY CONSTRUCTION — replicating one
+    // (prefix-trimmed) side is the textbook skew strategy, and it buys a
+    // second property: the pair stream keeps the y side's user_id hash
+    // partitioning, which CLUSTERS (a, b) by b, so the distinct below
+    // needs NO exchange of the fan-out (the whole candidate build after
+    // the window is one codegen stage). Left unhinted this plan is one
+    // stats estimate away from flipping: with sl's cache materialized
+    // (accurate sizes) the static planner plans the shuffle join, AQE
+    // converts it to broadcast only AFTER the stream-side slot_id exchange
+    // has run, and the distinct then re-shuffles the 10^8-row pair stream
+    // — measured 4-5x slower on the dense-10x probe (351 s vs 76 s edge
+    // build; see PLANS.md round 13). The guard: prefix is DATA-plane sized
+    // (~eligible users × (ns − minCo + 1) rows, NOT slot-dim bounded), so
+    // an unconditional hint would hit Spark's 8 GB broadcast / driver
+    // memory cliff at extreme user counts — above the row budget (2^25
+    // rows ≈ 0.5 GB) fall back to the unhinted join and accept the
+    // pair-stream shuffle; at that scale it is the unavoidable one. The
+    // count is one partial agg over the freshly-cached prefix, not a
+    // corpus pass.
+    val x =
+      if (prefix.count() <= (1L << 25)) broadcast(prefix.as("x"))
+      else prefix.as("x")
+    x.join(prefix.as("y"),
         col("x.slot_id") === col("y.slot_id") &&
         col("x.user_id") < col("y.user_id"))
       .select(col("x.user_id").as("a"), col("y.user_id").as("b"))

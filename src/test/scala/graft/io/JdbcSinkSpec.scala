@@ -247,6 +247,32 @@ class JdbcSinkSpec extends SparkSuite {
     }
   }
 
+  test("upsertDimJdbc: concurrent upserts to the SAME pk converge to one winner, 20 rounds (row-level 'Conflict on tuple deletion!' aborts retried)") {
+    import spark.implicits._
+    // Same-key races hit a DIFFERENT abort path than the disjoint-key test
+    // above: both merges DELETE the same live tuple, so the loser dies with
+    // DuckDB's row-level "Conflict on tuple deletion!" / "Conflict on
+    // update!" — texts that contain neither 'write-write conflict' nor
+    // 'transaction conflict' (round-13 review: the narrowed classifier had
+    // dropped them, silently re-opening the round-11 lost-batch regression
+    // for exactly this contract — last-writer-wins by pk across pipelines).
+    for (round <- 1 to 20) {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-jdbc-same$round")
+      val url = s"jdbc:duckdb:${dir.resolve("same.duckdb")}"
+      Io.upsertDimJdbc(Seq(1L -> "seed", 2L -> "keep").toDF("id", "name"), url, "dim", "id")
+      val t1 = new Rethrowing(
+        Io.upsertDimJdbc(Seq(1L -> "a").toDF("id", "name"), url, "dim", "id")).start()
+      val t2 = new Rethrowing(
+        Io.upsertDimJdbc(Seq(1L -> "b").toDF("id", "name"), url, "dim", "id")).start()
+      t1.join(); t2.join()
+      val got = spark.read.jdbc(url, "dim", new java.util.Properties())
+        .select($"id", $"name").as[(Long, String)].collect().sortBy(_._1).toSeq
+      assert(got.length == 2 && got.head._1 == 1L &&
+        (got.head._2 == "a" || got.head._2 == "b") && got(1) == (2L -> "keep"),
+        s"round $round: same-key race must converge to exactly one winner: $got")
+    }
+  }
+
   test("retryTransient: non-'conflict' transient texts are retried, permanent errors fail loudly, budget exhaustion rethrows") {
     // a DuckDB cross-process lock text — no 'conflict' substring anywhere
     var calls = 0
@@ -266,6 +292,18 @@ class JdbcSinkSpec extends SparkSuite {
         new java.sql.SQLException("TransactionContext Error: write-write conflict on table dim"))
     }
     assert(wrapped == 2, "wrapped conflict must be found through the cause chain")
+
+    // DuckDB's ROW-LEVEL abort texts (strings in libduckdb_java.so 1.0.0):
+    // neither contains 'write-write' nor 'transaction', and both must retry
+    Seq("TransactionContext Error: Conflict on tuple deletion!",
+      "TransactionContext Error: Conflict on update!").foreach { text =>
+      var n = 0
+      Io.retryTransient[Unit]("probe-row", budgetMs = 5000L) {
+        n += 1
+        if (n < 2) throw new java.sql.SQLException(text)
+      }
+      assert(n == 2, s"row-level abort '$text' must be classified transient")
+    }
 
     // permanent: a binder error must rethrow on the FIRST attempt
     var perm = 0
