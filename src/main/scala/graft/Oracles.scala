@@ -1286,12 +1286,13 @@ object Oracles {
     "q30_media_features" ->
       """WITH m AS (SELECT doc_id AS media_id FROM documents WHERE doc_id < 64),
         |img AS (SELECT media_id, 'image' AS media_type, 150::BIGINT AS n_bytes,
-        |  CASE WHEN (media_id * 31) % 5 < 2 THEN (1.0)::DOUBLE ELSE (0.0)::DOUBLE END AS f0
+        |  CASE WHEN (media_id * 31 + (media_id // 5) * 3) % 5 < 2
+        |    THEN (1.0)::DOUBLE ELSE (0.0)::DOUBLE END AS f0
         | FROM m),
         |aud0 AS (SELECT media_id, 64 + (media_id % 5) * 16 AS n FROM m),
         |audj AS (SELECT media_id, n, cast(unnest(range(n // 8)) as bigint) AS j FROM aud0),
         |audv AS (SELECT media_id, n,
-        |  (((media_id * 31 + j * 7) % 5) - 2) * (0.25)::DOUBLE AS v FROM audj),
+        |  (((media_id * 31 + (media_id // 5) * 3 + j * 7) % 5) - 2) * (0.25)::DOUBLE AS v FROM audj),
         |aud AS (SELECT media_id, 'audio' AS media_type,
         |  cast(44 + 2 * n as bigint) AS n_bytes,
         |  sqrt(sum(v * v) / (n // 8)) AS f0 FROM audv GROUP BY media_id, n),
@@ -3829,13 +3830,13 @@ object Oracles {
         |  true AS decode_ok, 8 AS width, 4 AS height,
         |  CAST(NULL AS DOUBLE) AS sample_rate, CAST(NULL AS DOUBLE) AS duration_s,
         |  slot,
-        |  CASE WHEN (media_id * 31 + slot * 13) % 5 < 2
+        |  CASE WHEN (media_id * 31 + (media_id // 5) * 3 + slot * 13) % 5 < 2
         |    THEN (1.0)::DOUBLE ELSE (0.0)::DOUBLE END AS fval
         | FROM m CROSS JOIN cells),
         |aud0 AS (SELECT media_id, 64 + (media_id % 5) * 16 AS n FROM m),
         |audj AS (SELECT media_id, n, cast(unnest(range(n)) as bigint) AS j FROM aud0),
         |audv AS (SELECT media_id, n, cast((j * 8) // n as int) AS slot,
-        |  (((media_id * 31 + j * 7) % 5) - 2) * (0.25)::DOUBLE AS v FROM audj),
+        |  (((media_id * 31 + (media_id // 5) * 3 + j * 7) % 5) - 2) * (0.25)::DOUBLE AS v FROM audj),
         |aud AS (SELECT media_id, 'audio' AS media_type,
         |  cast(44 + 2 * n as bigint) AS n_bytes, true AS decode_ok,
         |  CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,

@@ -563,7 +563,11 @@ object Multimodal {
   /** Deterministic 24-bit BMP synthesizer — the IMAGE leg of the q179
     * recipe trick: an 8×4 image whose 2×2-pixel cells (exactly
     * [[decodeMedia]]'s default 2×4 pooling grid) are each uniformly black
-    * or white by the integer recipe `(id·31 + cell·13) mod 5 < 2`. White
+    * or white by the integer recipe
+    * `(id·31 + (id div 5)·3 + cell·13) mod 5 < 2` (the `id div 5` term
+    * mixes a second digit of the id: 31 ≡ 1 mod 5, so without it every
+    * id ≡ id' (mod 5) would emit the SAME payload and the gate would see
+    * only five distinct images). White
     * luma is EXACTLY 1.0 in IEEE doubles ((0.299+0.587+0.114)·255/255
     * rounds to 255.0/255 = 1.0) and black exactly 0.0, and a uniform cell's
     * mean is its value regardless of summation order — so every pooled
@@ -589,7 +593,9 @@ object Multimodal {
       var x = 0
       while (x < w) {
         val cell = (y / 2) * 4 + (x / 2)
-        val v: Byte = if ((id * 31 + cell.toLong * 13) % 5 < 2) 255.toByte else 0
+        val v: Byte =
+          if ((id * 31 + (id / 5) * 3 + cell.toLong * 13) % 5 < 2) 255.toByte
+          else 0
         val off = 54 + fileRow * stride + x * 3
         out(off) = v; out(off + 1) = v; out(off + 2) = v // B, G, R
         x += 1
@@ -602,7 +608,8 @@ object Multimodal {
   /** Deterministic PCM-WAV synthesizer — the AUDIO leg of the recipe trick:
     * mono 16-bit little-endian at 8000 Hz, 64 + 16·(id mod 5) frames
     * (always divisible by [[decodeMedia]]'s 8 RMS bins), sample j =
-    * ((id·31 + j·7) mod 5 − 2) · 8192 — so every decoded amplitude is an
+    * ((id·31 + (id div 5)·3 + j·7) mod 5 − 2) · 8192 (the `id div 5` term
+    * mixes a second id digit, as in [[synthBmp]]) — so every decoded amplitude is an
     * exact dyadic (±0.5, ±0.25, 0), every squared term an exact multiple
     * of 1/16, every bin's energy sum EXACT in any summation order, and the
     * final sqrt(sum/k) one identically-rounded IEEE op in both engines.
@@ -626,7 +633,7 @@ object Multimodal {
     tag(36, "data"); p32(40, 2 * n)
     var j = 0
     while (j < n) {
-      val s = (((id * 31 + j.toLong * 7) % 5).toInt - 2) * 8192
+      val s = (((id * 31 + (id / 5) * 3 + j.toLong * 7) % 5).toInt - 2) * 8192
       out(44 + 2 * j) = s.toByte
       out(45 + 2 * j) = (s >> 8).toByte
       j += 1
