@@ -482,7 +482,15 @@ object Io {
           catch { case _: java.sql.SQLException => () }
           finally drop.close()
         } finally conn.close()
-      } catch { case _: Throwable if committed => () }
+      } catch {
+        // post-commit cleanup is best-effort, but only NON-fatal failures
+        // may be swallowed: an OOM/VM error must surface, and an interrupt
+        // must keep its thread status even though the committed data makes
+        // the cleanup itself skippable (round-13 ADVICE #1)
+        case _: InterruptedException if committed =>
+          Thread.currentThread().interrupt()
+        case scala.util.control.NonFatal(_) if committed => ()
+      }
     }
   }
 

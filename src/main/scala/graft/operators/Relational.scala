@@ -2536,15 +2536,35 @@ object Relational {
     // rows ≈ 0.5 GB) fall back to the unhinted join and accept the
     // pair-stream shuffle; at that scale it is the unavoidable one. The
     // count is one partial agg over the freshly-cached prefix, not a
-    // corpus pass.
-    val x =
-      if (prefix.count() <= (1L << 25)) broadcast(prefix.as("x"))
-      else prefix.as("x")
-    x.join(prefix.as("y"),
+    // corpus pass. Budget is 2^23 rows: a broadcast hashed relation costs
+    // ~32-48 B/row for this 2-int-column frame (UnsafeRow + LongToUnsafeRow
+    // map overhead, NOT the 16 B of raw payload), so 2^23 ≈ 0.3-0.4 GB on
+    // the driver and per executor — the old 2^25 estimate assumed payload
+    // bytes and could really cost 1-1.6 GB near the threshold (round-13
+    // ADVICE #2). SPARK_GRAFT_KCORE_NO_BCAST is the dev knob that forces
+    // the fallback regime so its plan can be measured (VERDICT r13 #2);
+    // never set outside probes.
+    val forceFallback = sys.env.contains("SPARK_GRAFT_KCORE_NO_BCAST")
+    val hinted = !forceFallback && prefix.count() <= (1L << 23)
+    val x = if (hinted) broadcast(prefix.as("x")) else prefix.as("x")
+    val pairs = x.join(prefix.as("y"),
         col("x.slot_id") === col("y.slot_id") &&
         col("x.user_id") < col("y.user_id"))
       .select(col("x.user_id").as("a"), col("y.user_id").as("b"))
-      .distinct()
+    // Fallback regime: the shuffle join leaves the pair stream partitioned
+    // by slot_id (150-ish keys, maximally skewed), so the distinct's own
+    // exchange re-shuffles the full fan-out from pathological partitions
+    // (the 4.6x flip measured in PLANS.md round 13). Re-partitioning by `b`
+    // first restores the property the broadcast plan gets for free —
+    // HashPartitioning(b) satisfies the distinct's ClusteredDistribution
+    // (a, b) as a key subset, so the distinct then needs NO further
+    // exchange and runs within balanced b-partitions. A/B'd on dense-10x
+    // (PLANS.md round 14); SPARK_GRAFT_KCORE_RAW_FALLBACK is the dev knob
+    // that strips it to re-measure the natural plan.
+    val fb =
+      if (hinted || sys.env.contains("SPARK_GRAFT_KCORE_RAW_FALLBACK")) pairs
+      else pairs.repartition(col("b"))
+    fb.distinct()
   }
 
   /** Co-activity edges (a < b sharing >= minCo slots): prefix-filtered

@@ -76,7 +76,14 @@ def load_line(path: str, _depth: int = 0) -> dict:
     import os
     for d in candidates:
         # cap pointer-follow depth at 1: a self-referencing or chained
-        # pointer must not recurse (round-12 ADVICE #3)
+        # pointer must not recurse (round-12 ADVICE #3) — and must FAIL BY
+        # NAME rather than fall through to the garbled-text scan's generic
+        # "no bench queries" error (round-13 ADVICE #4)
+        if isinstance(d, dict) and d.get("queries_in") and _depth >= 1:
+            sys.exit(
+                f"chained queries_in pointer: {path} points at "
+                f"{d['queries_in']} but is itself pointer-resolved — "
+                f"refusing to follow a pointer chain")
         if isinstance(d, dict) and d.get("queries_in") and _depth < 1:
             for base in (os.path.dirname(os.path.abspath(path)), os.getcwd()):
                 p = os.path.join(base, d["queries_in"])
