@@ -35,6 +35,53 @@ object Oracles {
     * pc·10¹⁵ // (ca·cb) over HUGEINTs, matching the Spark side's
     * DECIMAL(38,0) DIV bit-for-bit (both floor a positive quotient that
     * fits a long). */
+  /** Shared WITH-clause body (`e1` .. `edges`) replaying
+    * [[graft.operators.Similarity.knnEdges]]: int8 grid quantization, md5
+    * ±1 hyperplanes (4 planes), bucket-SALTED hamming≤1 candidates
+    * (per-bucket nsalt = ceil(m / bucketCap); member salt and per-node
+    * probe salt are md5 mod nsalt — identity when every bucket fits, which
+    * is the driver-data regime), k smallest by the unique composite
+    * d2·cap + vb, symmetrized. Factored so q168, q175 and the KnnSaltSpec
+    * cross-engine gate (which exercises nsalt > 1 on a hot-blob fixture)
+    * all run literally the same SQL. */
+  private[graft] def knnEdgeCtes(cap: Int, k: Int, bucketCap: Int = 512): String =
+    s"""e1 AS (SELECT vec_id, embedding,
+       |   127.0 / greatest(list_max(list_transform(embedding, x -> abs(cast(x as double)))), 1e-9) AS scale
+       | FROM embeddings WHERE vec_id < $cap),
+       |e2 AS MATERIALIZED (SELECT vec_id,
+       |   list_transform(embedding, x -> cast(round(cast(x as double) * scale) as int)) AS qv
+       | FROM e1),
+       |sq AS (SELECT vec_id, qv, cast(list_inner_product(qv, qv) as bigint) AS s FROM e2),
+       |pl AS (SELECT p, d,
+       |   CASE WHEN ('0x' || substr(md5(p::VARCHAR || '_' || d::VARCHAR), 1, 2))::INT & 1 = 1
+       |        THEN 1 ELSE -1 END AS s
+       |  FROM generate_series(0, 3) t1(p), generate_series(0, 63) t2(d)),
+       |sg AS (SELECT e.vec_id, pl.p,
+       |   sum(cast(floor(e.embedding[pl.d + 1]::DOUBLE * 1048576) as bigint) * pl.s) AS dot
+       |  FROM e1 e, pl GROUP BY 1, 2),
+       |bk AS MATERIALIZED (SELECT vec_id,
+       |   cast(sum(CASE WHEN dot >= 0 THEN 1 << p ELSE 0 END) as int) AS bucket
+       |  FROM sg GROUP BY 1),
+       |occ AS (SELECT bucket,
+       |   cast(ceil(cast(count(*) as double) / $bucketCap) as bigint) AS nsalt
+       |  FROM bk GROUP BY 1),
+       |bs AS MATERIALIZED (SELECT bk.vec_id, bk.bucket, occ.nsalt,
+       |   ('0x' || substr(md5('salt_' || bk.vec_id::VARCHAR || '_' || bk.bucket::VARCHAR), 1, 8))::BIGINT % occ.nsalt AS salt
+       |  FROM bk JOIN occ USING (bucket)),
+       |p AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+       |   (a.s + b.s - 2 * cast(list_inner_product(a.qv, b.qv) as bigint)) * $cap
+       |     + b.vec_id AS comp
+       | FROM sq a JOIN bk ba ON ba.vec_id = a.vec_id
+       |      JOIN bs bb ON bit_count(xor(ba.bucket, bb.bucket)) <= 1
+       |       AND ('0x' || substr(md5('probe_' || a.vec_id::VARCHAR || '_' || bb.bucket::VARCHAR), 1, 8))::BIGINT % bb.nsalt = bb.salt
+       |      JOIN sq b ON b.vec_id = bb.vec_id
+       | WHERE a.vec_id <> b.vec_id),
+       |knn AS (SELECT va, vb FROM (SELECT va, vb,
+       |    row_number() OVER (PARTITION BY va ORDER BY comp) AS rn FROM p)
+       |  WHERE rn <= $k),
+       |edges AS MATERIALIZED (SELECT va AS a, vb AS b FROM knn
+       |  UNION SELECT vb, va FROM knn)""".stripMargin
+
   private def wpRound(n: Int): String = {
     val p = n - 1
     s"""cs$n AS (SELECT s AS sym, cast(sum(ct) as bigint) AS c
@@ -3306,39 +3353,13 @@ object Oracles {
 
     // q168 (knnBfs): int8-quantized LSH-kNN graph (hamming<=1 hyperplane
     // buckets gate the candidate pairs — the q28 pl/sg/bk construction,
-    // bit-identical planes from md5 over the 2^20 grid; k smallest by the
-    // unique composite d2*cap+vb), symmetrized, BFS from min vec_id. The
-    // recursive (node, hops) UNION is bounded by nodes x maxdist;
-    // min(hops) at the end is the BFS distance.
+    // bit-identical planes from md5 over the 2^20 grid; bucket-salted
+    // candidates via [[knnEdgeCtes]]; k smallest by the unique composite
+    // d2*cap+vb), symmetrized, BFS from min vec_id. The recursive
+    // (node, hops) UNION is bounded by nodes x maxdist; min(hops) at the
+    // end is the BFS distance.
     "q168_knn_bfs" ->
-      """WITH RECURSIVE e1 AS (SELECT vec_id, embedding,
-        |   127.0 / greatest(list_max(list_transform(embedding, x -> abs(cast(x as double)))), 1e-9) AS scale
-        | FROM embeddings WHERE vec_id < 2000),
-        |e2 AS (SELECT vec_id,
-        |   list_transform(embedding, x -> cast(round(cast(x as double) * scale) as int)) AS qv
-        | FROM e1),
-        |sq AS (SELECT vec_id, qv, cast(list_inner_product(qv, qv) as bigint) AS s FROM e2),
-        |pl AS (SELECT p, d,
-        |   CASE WHEN ('0x' || substr(md5(p::VARCHAR || '_' || d::VARCHAR), 1, 2))::INT & 1 = 1
-        |        THEN 1 ELSE -1 END AS s
-        |  FROM generate_series(0, 3) t1(p), generate_series(0, 63) t2(d)),
-        |sg AS (SELECT e.vec_id, pl.p,
-        |   sum(cast(floor(e.embedding[pl.d + 1]::DOUBLE * 1048576) as bigint) * pl.s) AS dot
-        |  FROM e1 e, pl GROUP BY 1, 2),
-        |bk AS MATERIALIZED (SELECT vec_id,
-        |   cast(sum(CASE WHEN dot >= 0 THEN 1 << p ELSE 0 END) as int) AS bucket
-        |  FROM sg GROUP BY 1),
-        |p AS (SELECT a.vec_id AS va, b.vec_id AS vb,
-        |   (a.s + b.s - 2 * cast(list_inner_product(a.qv, b.qv) as bigint)) * 2000
-        |     + b.vec_id AS comp
-        | FROM sq a JOIN bk ba ON ba.vec_id = a.vec_id
-        |      JOIN bk bb ON bit_count(xor(ba.bucket, bb.bucket)) <= 1
-        |      JOIN sq b ON b.vec_id = bb.vec_id
-        | WHERE a.vec_id <> b.vec_id),
-        |knn AS (SELECT va, vb FROM (SELECT va, vb,
-        |    row_number() OVER (PARTITION BY va ORDER BY comp) AS rn FROM p)
-        |  WHERE rn <= 3),
-        |edges AS (SELECT va AS a, vb AS b FROM knn UNION SELECT vb, va FROM knn),
+      s"""WITH RECURSIVE ${knnEdgeCtes(2000, 3)},
         |src AS (SELECT min(vec_id) AS s FROM e2),
         |reach AS (SELECT s AS node, cast(0 as bigint) AS hops FROM src
         |  UNION SELECT e.b, r.hops + 1 FROM reach r JOIN edges e ON e.a = r.node
@@ -3582,35 +3603,7 @@ object Oracles {
            |    FROM c$r c JOIN m$r m ON m.node = c.node AND c.ct = m.mct
            |    GROUP BY 1) n ON n.node = l.node)""".stripMargin
       }.mkString(",\n")
-      s"""WITH e1 AS (SELECT vec_id, embedding,
-         |   127.0 / greatest(list_max(list_transform(embedding, x -> abs(cast(x as double)))), 1e-9) AS scale
-         | FROM embeddings WHERE vec_id < 2000),
-         |e2 AS MATERIALIZED (SELECT vec_id,
-         |   list_transform(embedding, x -> cast(round(cast(x as double) * scale) as int)) AS qv
-         | FROM e1),
-         |sq AS (SELECT vec_id, qv, cast(list_inner_product(qv, qv) as bigint) AS s FROM e2),
-         |pl AS (SELECT p, d,
-         |   CASE WHEN ('0x' || substr(md5(p::VARCHAR || '_' || d::VARCHAR), 1, 2))::INT & 1 = 1
-         |        THEN 1 ELSE -1 END AS s
-         |  FROM generate_series(0, 3) t1(p), generate_series(0, 63) t2(d)),
-         |sg AS (SELECT e.vec_id, pl.p,
-         |   sum(cast(floor(e.embedding[pl.d + 1]::DOUBLE * 1048576) as bigint) * pl.s) AS dot
-         |  FROM e1 e, pl GROUP BY 1, 2),
-         |bk AS MATERIALIZED (SELECT vec_id,
-         |   cast(sum(CASE WHEN dot >= 0 THEN 1 << p ELSE 0 END) as int) AS bucket
-         |  FROM sg GROUP BY 1),
-         |p AS (SELECT a.vec_id AS va, b.vec_id AS vb,
-         |   (a.s + b.s - 2 * cast(list_inner_product(a.qv, b.qv) as bigint)) * 2000
-         |     + b.vec_id AS comp
-         | FROM sq a JOIN bk ba ON ba.vec_id = a.vec_id
-         |      JOIN bk bb ON bit_count(xor(ba.bucket, bb.bucket)) <= 1
-         |      JOIN sq b ON b.vec_id = bb.vec_id
-         | WHERE a.vec_id <> b.vec_id),
-         |knn AS (SELECT va, vb FROM (SELECT va, vb,
-         |    row_number() OVER (PARTITION BY va ORDER BY comp) AS rn FROM p)
-         |  WHERE rn <= 3),
-         |edges AS MATERIALIZED (SELECT va AS a, vb AS b FROM knn
-         |  UNION SELECT vb, va FROM knn),
+      s"""WITH ${knnEdgeCtes(2000, 3)},
          |l0 AS MATERIALIZED (SELECT vec_id AS node, vec_id AS lbl FROM e2),
          |$rounds,
          |sz AS (SELECT lbl, count(*) AS csize FROM l4 GROUP BY 1)

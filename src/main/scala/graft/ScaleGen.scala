@@ -20,6 +20,21 @@ import org.apache.spark.sql.functions._
   *    densifies). This is the hazard ScaleGen's own round-11 comment
   *    documented but never probed (VERDICT r12 #2); q150's prefix filter
   *    + eligibility pre-filter own it.
+  *  - "clustered" = REAL-CORPUS EMBEDDING GEOMETRY (VERDICT r13 #1): every
+  *    other table replicates exactly like "shift", but the embedding
+  *    column is REWRITTEN as a skewed mixture around K=8 deterministic
+  *    centroids (Zipf-ish weights, the hottest blob holds ~50% of all
+  *    vectors) with ±10% of the original per-dim value kept as
+  *    within-blob noise. The driver's synthetic embeddings are
+  *    near-uniform on the sphere, so random-hyperplane signatures come
+  *    out balanced BY LUCK — real embedding corpora cluster, all members
+  *    of one tight blob share the sign on EVERY hyperplane (the noise
+  *    never flips a dot the centroid dominates), and the hottest LSH/IVF
+  *    bucket inherits the hottest blob's mass. This mode manufactures
+  *    that worst case so the bucket-join family (q28/q33/q79/q85 and the
+  *    q168/q175 kNN graph) can be probed on it instead of argued about.
+  *    Blob assignment hashes the REPLICATED vec_id, so 10× is 10×
+  *    independent draws from the same mixture, not 10 twins per blob.
   * Key spaces (orderkey/custkey/user/doc/vec ids) are offset per replica so
   * joins keep their selectivity; dims (part/region/nation/supplier) stay
   * fixed like a real catalog. Fact distributions within a replica are the
@@ -30,7 +45,8 @@ object ScaleGen {
     val dst = if (args.length > 1) args(1) else "/tmp/graft_sf1"
     val reps = if (args.length > 2) args(2).toInt else 10
     val mode = if (args.length > 3) args(3) else "shift"
-    require(mode == "shift" || mode == "dense", s"unknown mode $mode")
+    require(mode == "shift" || mode == "dense" || mode == "clustered",
+      s"unknown mode $mode")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -85,9 +101,45 @@ object ScaleGen {
       d.withColumn("doc_id", col("doc_id") + lit(i * dOff))), "documents")
 
     val emb = raw("embeddings"); val vOff = keyMax(emb, "vec_id")
-    write(replicate(emb)((d, i) =>
-      d.withColumn("vec_id", col("vec_id") + lit(i * vOff))), "embeddings")
+    val embOut = replicate(emb)((d, i) =>
+      d.withColumn("vec_id", col("vec_id") + lit(i * vOff)))
+    write(if (mode == "clustered") clusterEmbeddings(embOut) else embOut,
+      "embeddings")
 
     spark.stop()
+  }
+
+  /** Skewed-mixture rewrite of the embedding column ("clustered" mode).
+    * K = 8 blobs; mass split 50/20/12/8/5/3/1.5/0.5 % (cumulative per-mille
+    * thresholds below). Centroid components come from a seeded splitmix64
+    * walk (pure function of (blob, dim) — regenerable by any engine, no
+    * Random state). new = 0.9·centroid + 0.1·old keeps the original value
+    * as within-blob noise: the centroid term (~O(0.5) per dim) dominates
+    * every hyperplane dot, so blob members share LSH signatures — the
+    * manufactured hot bucket. All arithmetic is Column-level (no UDF):
+    * one codegen'd map pass, zero shuffles. */
+  private[graft] def clusterEmbeddings(e: DataFrame, dim: Int = 64): DataFrame = {
+    val weightsPerMille = Seq(500L, 700L, 820L, 900L, 950L, 980L, 995L, 1000L)
+    def splitmix(seed: Long): Long = {
+      var z = seed + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    // centroid component in [-1, 1): blob c, dim d -> splitmix(c*dim+d)
+    val cents: Seq[Seq[Float]] = (0 until weightsPerMille.size).map(c =>
+      (0 until dim).map(d =>
+        (splitmix(c.toLong * dim + d).toDouble / 9.223372036854776e18).toFloat))
+    val centLit = array(cents.map(cv => array(cv.map(lit): _*)): _*)
+    val u = pmod(xxhash64(col("vec_id")), lit(1000L))
+    val blob = weightsPerMille.zipWithIndex.init.reverse
+      .foldLeft(lit(weightsPerMille.size - 1)) { case (acc, (thr, i)) =>
+        when(u < lit(thr), lit(i)).otherwise(acc)
+      }
+    e.withColumn("blob", blob)
+      .withColumn("embedding",
+        zip_with(col("embedding"), element_at(centLit, col("blob") + 1),
+          (x, c) => (c * lit(0.9f) + x * lit(0.1f)).cast("float")))
+      .drop("blob")
   }
 }

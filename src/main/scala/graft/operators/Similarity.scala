@@ -1135,25 +1135,69 @@ object Similarity {
     * vectors, hamming≤1 bucket candidates, k smallest by the unique
     * composite `d2·cap + vb` through the k-bounded topK partial agg, both
     * edge orientations, persisted + plan-cut.
-    * Returns (node frame, edge frame (ea, eb)). */
+    * Returns (node frame, edge frame (ea, eb)).
+    *
+    * BOUNDED BUCKETS (VERDICT r13 #1): random-hyperplane signatures cannot
+    * split a tight embedding blob — every member shares the sign on EVERY
+    * plane (the centroid term dominates each dot, so the within-blob noise
+    * never flips it), and more planes don't help. On a clustered corpus
+    * (the real-data shape; ScaleGen "clustered" manufactures it) the
+    * hottest bucket inherits the hottest blob's mass — measured 49.8% of
+    * the corpus vs 8.5% on the driver's near-uniform synthetic vectors —
+    * and the bucket self-join goes quadratic in it: the q150 hot-slot
+    * hazard, one table over. The bound: each bucket with m members gets
+    * `nsalt = ceil(m / bucketCap)` salt groups, members hash into one
+    * group (md5, oracle-replayable), and a probing node draws ONE
+    * md5-chosen group per probed bucket — so per-probe candidates are
+    * ≤ ~bucketCap and total candidate work is n·(planes+1)·bucketCap,
+    * LINEAR in the corpus where the unsalted join is quadratic (measured
+    * on clustered 2k→20k nodes: unsalted 14.2 s → 63.9 s vs salted
+    * 14.7 s → 20.5 s single-pass including ~10 s fixed session/layout
+    * cost — the variable part grows ~13× vs ~2.2×; PLANS.md round 14).
+    * On balanced buckets nsalt = 1 everywhere and the construction is
+    * BIT-IDENTICAL to the unsalted one (salt = anything mod 1 = 0), so
+    * the driver-data hashes are unchanged and the salted regime is gated
+    * by KnnSaltSpec: cross-engine (DuckDB replays the same md5 salts via
+    * Oracles.knnEdgeCtes) equality on a hot-blob fixture, a per-group
+    * occupancy bound, and blob-local neighbor quality vs brute force —
+    * recall loss inside a tight blob is bounded because ANY bucketCap-
+    * sized subset of a blob contains near neighbors (the members are
+    * mutually close; that's what made the bucket hot). */
   private[graft] def knnEdges(spark: SparkSession, dir: String, k: Int,
-                              cap: Int, planes: Int = 4): (DataFrame, DataFrame) = {
+                              cap: Int, planes: Int = 4,
+                              bucketCap: Int = 512): (DataFrame, DataFrame) = {
     val sigU = hyperplaneSigUdf(planes)
     val e = int8(emb(spark, dir)).filter(col("vec_id") < cap)
       .withColumn("sq", call_function("dot_i", col("qv"), col("qv")))
       .withColumn("bucket", sigU(col("embedding")))
       .select(col("vec_id"), col("qv"), col("sq"), col("bucket"))
       .persist()
+    // occupancy frame: ≤ 2^planes rows — control plane, broadcast both uses
+    val occ = e.groupBy("bucket")
+      .agg(ceil(count(lit(1)).cast("double") / lit(bucketCap)).cast("long").as("nsalt"))
+    def mdmod(tag: String, id: org.apache.spark.sql.Column,
+              bkt: org.apache.spark.sql.Column,
+              n: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      conv(substring(md5(concat(lit(tag), id.cast("string"), lit("_"),
+        bkt.cast("string")).cast("binary")), 1, 8), 16, 10).cast("long") % n
     // Self-probe + hamming-1 probes on ONE side turn the hamming≤1 pair
     // predicate into an equi-join on bucket; each qualifying pair matches
-    // exactly one probe (xor(b, 1<<i) ≠ b), so no dedup is needed.
+    // exactly one probe (xor(b, 1<<i) ≠ b), so no dedup is needed. The
+    // salt joins the (bucket, salt) key on both sides; probed buckets with
+    // no members drop out of the inner occ join exactly as they produced
+    // no matches before.
     val probe = explode(array(
       col("bucket") +: (0 until planes).map(i => col("bucket").bitwiseXOR(lit(1 << i))): _*))
-    val b = e.select(col("vec_id").as("vb"), col("qv").as("qb"), col("sq").as("sb"),
-      col("bucket"))
+    val b = e.join(broadcast(occ), Seq("bucket"))
+      .select(col("vec_id").as("vb"), col("qv").as("qb"), col("sq").as("sb"),
+        col("bucket"),
+        mdmod("salt_", col("vec_id"), col("bucket"), col("nsalt")).as("salt"))
     val knn = e.select(col("vec_id").as("va"), col("qv").as("qa"), col("sq").as("sa"),
         probe.as("bucket"))
-      .join(b, Seq("bucket"))
+      .join(broadcast(occ), Seq("bucket"))
+      .withColumn("salt", mdmod("probe_", col("va"), col("bucket"), col("nsalt")))
+      .drop("nsalt")
+      .join(b, Seq("bucket", "salt"))
       .filter(col("va") =!= col("vb"))
       .withColumn("comp",
         (col("sa") + col("sb") - lit(2L) * call_function("dot_i", col("qa"), col("qb")))
@@ -1170,7 +1214,7 @@ object Similarity {
     // build above runs only on the first call; later calls read the
     // edge parquet and skip the candidate join + topK entirely.
     val edges0 = Relational.layoutTable(spark, dir,
-        s"knnedges_${k}_${cap}_$planes", 8, "ea") {
+        s"knnedges_${k}_${cap}_${planes}s$bucketCap", 8, "ea") {
       knn.select(col("va").as("ea"), col("vb").as("eb"))
         .unionByName(knn.select(col("vb").as("ea"), col("va").as("eb")))
         .distinct()
