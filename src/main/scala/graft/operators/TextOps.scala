@@ -1873,17 +1873,34 @@ object TextOps {
     *
     * Exact integers: the gap is |cumA·nB − cumB·nA| (cross-multiplied), so
     * ks_q = 2²⁰·maxGap div (nA·nB) hash-compares with no float CDFs. */
-  def ksMatrix(spark: SparkSession, dir: String, bins: Int = 256): DataFrame = {
+  def ksMatrix(spark: SparkSession, dir: String, bins: Int = 256): DataFrame =
+    ksMatrixFromHist(
+      docs(spark, dir)
+        .select(col("source"), classifierScoreUdf(tokensCol(col("text"))).as("score"))
+        .groupBy("source", "score").agg(count(lit(1)).as("ct")),
+      bins)
+
+  /** The [[ksMatrix]] walk from a (source, score, ct) HISTOGRAM — the
+    * sufficient statistic the streaming maintainer keeps
+    * ([[graft.streaming.MixtureStream.applyKsBatch]]): score counts are
+    * scalar-additive cells, and the data-dependent parts of the report —
+    * the (lo, hi) bounds AND the bucket assignment — are recomputed at
+    * read time from the histogram, so absorbing a batch that widens the
+    * score range re-bins old mass correctly (bucket counts themselves are
+    * NOT additive under drifting bounds; score-level counts are). The
+    * grid/CDF/pair stages run on the control-plane (source × bins) frame
+    * exactly as before; binning the histogram instead of raw rows is the
+    * same arithmetic (b is a function of score; counts sum). */
+  def ksMatrixFromHist(hist: DataFrame, bins: Int = 256): DataFrame = {
     val Window = org.apache.spark.sql.expressions.Window
-    val scored = docs(spark, dir)
-      .select(col("source"), classifierScoreUdf(tokensCol(col("text"))).as("score"))
-    val bounds = scored.agg(min(col("score")).as("lo"), max(col("score")).as("hi"))
-    val binned = scored.crossJoin(broadcast(bounds))
+    val spark = hist.sparkSession
+    val bounds = hist.agg(min(col("score")).as("lo"), max(col("score")).as("hi"))
+    val binned = hist.crossJoin(broadcast(bounds))
       .withColumn("b",
         when(col("hi") === col("lo"), lit(0L)).otherwise(
           floor((col("score") - col("lo")) * bins / (col("hi") - col("lo") + 1)))
           .cast("long"))
-      .groupBy("source", "b").agg(count(lit(1)).as("ct"))
+      .groupBy("source", "b").agg(sum(col("ct")).as("ct"))
     val grid = binned.select("source").distinct()
       .crossJoin(spark.range(bins).select(col("id").as("b")))
     val cdf = grid.join(binned, Seq("source", "b"), "left")
@@ -1917,17 +1934,30 @@ object TextOps {
     * (ΣS−s_i)/(N−n_i) − ΣS/N put over the common denominator and
     * 2²⁰-quantized in decimal(38,0). One scan per input grain, then
     * everything lives on the K-row source frame. */
-  def sourceAblation(spark: SparkSession, dir: String): DataFrame = {
-    def dec(c: Column): Column = c.cast("decimal(38,0)")
-    val scored = docs(spark, dir)
-      .select(col("source"), size(tokensCol(col("text"))).cast("long").as("n_toks"),
-        classifierScoreUdf(tokensCol(col("text"))).as("score"))
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("tokens"),
-        sum(col("score")).as("s"))
-    val uniq = docs(spark, dir)
-      .select(col("source"), explode(distinctShinglesUdf(3)(col("text"))).as("sh"))
-      .distinct()
+  def sourceAblation(spark: SparkSession, dir: String): DataFrame =
+    ablationFrom(
+      docs(spark, dir)
+        .select(col("source"), size(tokensCol(col("text"))).cast("long").as("n_toks"),
+          classifierScoreUdf(tokensCol(col("text"))).as("score"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("tokens"),
+          sum(col("score")).as("s")),
+      docs(spark, dir)
+        .select(col("source"), explode(distinctShinglesUdf(3)(col("text"))).as("sh"))
+        .distinct())
+
+  /** The [[sourceAblation]] walk from its two sufficient statistics — the
+    * per-source scalar sums (source, n_docs, tokens, s) and the distinct
+    * (source, sh) 3-shingle cells. The scalars are an additive CellStore
+    * row per source; the cells are the SAME first-seen (source, shingle)
+    * store q181/q182/q187 already maintain
+    * ([[graft.streaming.MixtureStream]]) — q195 is a FOURTH report off
+    * that one store plus a K-row scalar frame, with no corpus re-scan at
+    * decision time. Unique vocabulary (shingles with source-df = 1) is a
+    * read-time rollup of the cells: first-seen set union makes it exact
+    * over everything absorbed. */
+  def ablationFrom(scored: DataFrame, cells: DataFrame): DataFrame = {
+    val uniq = cells
       .groupBy("sh").agg(countDistinct(col("source")).as("nsrc"),
         max(col("source")).as("only_src"))
       .filter(col("nsrc") === 1)

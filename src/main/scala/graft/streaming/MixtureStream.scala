@@ -94,6 +94,89 @@ object MixtureStream {
       Io.readDim(spark, shingleStore)
         .select(col("source"), col("term").as("sh")))
 
+  /** q195 scalar stats store (VERDICT r13 #5): one row per source
+    * (n_docs, tokens, s = Σscore) — scalar-additive under the same per-key
+    * epoch gate as avail (a replayed epoch is a no-op per source row). */
+  def applyAblationBatch(spark: SparkSession, delta: DataFrame,
+                         statsStore: String, epoch: Long): Unit = {
+    val toks = TextFns.tokensCol(col("text"))
+    val fresh = delta
+      .select(col("source"), size(toks).cast("long").as("__dt"),
+        TextFns.classifierScoreUdf(toks).as("__ds"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("__dn"), sum(col("__dt")).as("__dtok"),
+        sum(col("__ds")).as("__dsc"))
+    val joined =
+      if (!Io.dimStoreHasData(statsStore))
+        fresh.withColumn("__pn", lit(0L)).withColumn("__pt", lit(0L))
+          .withColumn("__ps", lit(0L)).withColumn("__le", lit(null).cast("long"))
+      else
+        fresh.join(
+          Io.readDim(spark, statsStore).select(col("source"),
+            col("n_docs").as("__pn"), col("tokens").as("__pt"),
+            col("s").as("__ps"), col("last_epoch").as("__le")),
+          Seq("source"), "left")
+    val merged = joined
+      .filter(col("__le").isNull || col("__le") < epoch)
+      .select(col("source"),
+        (col("__dn") + coalesce(col("__pn"), lit(0L))).as("n_docs"),
+        (col("__dtok") + coalesce(col("__pt"), lit(0L))).as("tokens"),
+        (col("__dsc") + coalesce(col("__ps"), lit(0L))).as("s"),
+        lit(epoch).as("last_epoch"))
+    Io.upsertDim(spark, merged, statsStore, "source", "last_epoch")
+  }
+
+  /** Current q195 ablation report over everything absorbed: the scalar
+    * stats row per source plus the SAME first-seen shingle cells the
+    * q181/q182/q187 reads share — unique vocabulary is a read-time rollup
+    * of the cells (source-df = 1), exact because first-seen union absorbs
+    * duplicates. */
+  def readAblation(spark: SparkSession, statsStore: String,
+                   shingleStore: String): DataFrame =
+    TextOps.ablationFrom(
+      Io.readDim(spark, statsStore).select("source", "n_docs", "tokens", "s"),
+      Io.readDim(spark, shingleStore).select(col("source"), col("term").as("sh")))
+
+  /** q194 histogram store (VERDICT r13 #5): (source, score) count cells,
+    * scalar-additive, epoch-gated per cell. SCORE-level counts, not bucket
+    * counts: the KS grid's (lo, hi) bounds drift as batches absorb, so
+    * bucket membership of OLD mass changes — bucket counts are not
+    * additive, score counts are, and the read path re-bins at read time
+    * through the shared [[TextOps.ksMatrixFromHist]] walk. Store size is
+    * the distinct (source, score) domain — the 64-weight integer
+    * classifier concentrates scores heavily, and the store never exceeds
+    * the absorbed doc count even degenerate. */
+  def applyKsBatch(spark: SparkSession, delta: DataFrame,
+                   histStore: String, epoch: Long): Unit = {
+    val fresh = delta
+      .select(col("source"),
+        TextFns.classifierScoreUdf(TextFns.tokensCol(col("text"))).as("score"))
+      .groupBy("source", "score").agg(count(lit(1)).as("__dc"))
+      // composite (source, score) key; U+0001 cannot occur in a source id
+      .withColumn("k", concat_ws("\u0001", col("source"), col("score")))
+    val joined =
+      if (!Io.dimStoreHasData(histStore))
+        fresh.withColumn("__pc", lit(0L)).withColumn("__le", lit(null).cast("long"))
+      else
+        fresh.join(
+          Io.readDim(spark, histStore).select(col("k"),
+            col("ct").as("__pc"), col("last_epoch").as("__le")),
+          Seq("k"), "left")
+    val merged = joined
+      .filter(col("__le").isNull || col("__le") < epoch)
+      .select(col("k"), col("source"), col("score"),
+        (col("__dc") + coalesce(col("__pc"), lit(0L))).as("ct"),
+        lit(epoch).as("last_epoch"))
+    Io.upsertDim(spark, merged, histStore, "k", "last_epoch")
+  }
+
+  /** Current q194 KS matrix over everything absorbed — the batch walk fed
+    * the maintained score histogram; bounds and bins recomputed at read
+    * time, so late mass that widens the range re-bins correctly. */
+  def readKs(spark: SparkSession, histStore: String, bins: Int = 256): DataFrame =
+    TextOps.ksMatrixFromHist(
+      Io.readDim(spark, histStore).select("source", "score", "ct"), bins)
+
   /** Drive the maintenance from a streaming (source, text) frame. */
   def run(spark: SparkSession, rows: DataFrame, availStore: String,
           shingleStore: String, checkpoint: String): StreamingQuery =

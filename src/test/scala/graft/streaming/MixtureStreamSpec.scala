@@ -24,6 +24,8 @@ class MixtureStreamSpec extends SparkSuite {
   private type ARow = (String, Long, Long, Long, Boolean, Long)
   private type SRow = (Int, String, Long, Long)
   private type ORow = (String, String, Long, Long, Long, Long, Long)
+  private type KRow = (String, String, Long, Long, Long, Long)
+  private type BRow = (String, Long, Long, Long, Long, Long, Boolean)
 
   test("3-batch maintenance: q182 allocation and q181 selection equal the batch operators exactly") {
     val (av, sh) = (tmp("avail"), tmp("shingle"))
@@ -49,6 +51,46 @@ class MixtureStreamSpec extends SparkSuite {
     assert(MixtureStream.readOverlap(spark, sh).as[ORow].collect().toSet ==
       graft.operators.Dedup.sourceOverlap(spark, sf001).as[ORow].collect().toSet,
       "maintained q187 overlap matrix must equal the batch operator exactly")
+  }
+
+  test("3-batch maintenance: q194 KS matrix and q195 ablation equal the batch operators exactly") {
+    val (st, sh, hi) = (tmp("stats"), tmp("shingle2"), tmp("hist"))
+    val av2 = tmp("avail2")
+    batches.zipWithIndex.foreach { case (b, i) =>
+      MixtureStream.applyBatch(spark, b, av2, sh, epoch = i.toLong)
+      MixtureStream.applyAblationBatch(spark, b, st, epoch = i.toLong)
+      MixtureStream.applyKsBatch(spark, b, hi, epoch = i.toLong)
+    }
+    assert(MixtureStream.readKs(spark, hi).as[KRow].collect().toSet ==
+      TextOps.ksMatrix(spark, sf001).as[KRow].collect().toSet,
+      "maintained q194 KS matrix must equal the batch operator exactly")
+    assert(MixtureStream.readAblation(spark, st, sh).as[BRow].collect().toSet ==
+      TextOps.sourceAblation(spark, sf001).as[BRow].collect().toSet,
+      "maintained q195 ablation report must equal the batch operator exactly")
+  }
+
+  test("q194/q195 stores: full replay of the last epoch is a no-op") {
+    val (st, hi) = (tmp("stats-r"), tmp("hist-r"))
+    val bs = batches
+    bs.zipWithIndex.foreach { case (b, i) =>
+      MixtureStream.applyAblationBatch(spark, b, st, epoch = i.toLong)
+      MixtureStream.applyKsBatch(spark, b, hi, epoch = i.toLong)
+    }
+    val beforeSt = graft.io.Io.readDim(spark, st)
+      .select("source", "n_docs", "tokens", "s")
+      .as[(String, Long, Long, Long)].collect().toSet
+    val beforeHi = graft.io.Io.readDim(spark, hi)
+      .select("source", "score", "ct").as[(String, Long, Long)].collect().toSet
+    MixtureStream.applyAblationBatch(spark, bs.last, st, epoch = 2L)
+    MixtureStream.applyKsBatch(spark, bs.last, hi, epoch = 2L)
+    assert(graft.io.Io.readDim(spark, st)
+      .select("source", "n_docs", "tokens", "s")
+      .as[(String, Long, Long, Long)].collect().toSet == beforeSt,
+      "replayed epoch must not double-add the q195 scalar stats")
+    assert(graft.io.Io.readDim(spark, hi)
+      .select("source", "score", "ct")
+      .as[(String, Long, Long)].collect().toSet == beforeHi,
+      "replayed epoch must not double-count the q194 histogram cells")
   }
 
   test("full replay of the last epoch is a no-op on both stores") {
