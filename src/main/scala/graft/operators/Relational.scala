@@ -2371,6 +2371,18 @@ object Relational {
     * construction, not salted after the fact. */
   def kCore(spark: SparkSession, dir: String, k: Int = 6, minCo: Long = 26,
             rounds: Int = 6): DataFrame = {
+    val sl = coActivitySl(spark, dir, minCo)
+    val edges0 = coActivityEdges(sl, minCo).persist()
+    kCoreFromEdges(spark, edges0, k, rounds)
+  }
+
+  /** The eligibility-filtered (user_id, slot_id) membership frame feeding
+    * q150's candidate build — factored from [[kCore]] unchanged so
+    * ExecutedPlanSpec can gate [[coActivityCandidates]]' executed plan on
+    * the production input. Returns the persisted frame; released by the
+    * harness's per-query clearCache (or the caller's unpersist). */
+  private[graft] def coActivitySl(spark: SparkSession, dir: String,
+                                  minCo: Long): DataFrame = {
     // persisted: slots feeds the slot dim AND both self-join sides — without
     // the cache the events scan + distinct runs 3× inside the edges0 plan
     // (ReuseExchange does not fire across the broadcast/window branches;
@@ -2405,11 +2417,16 @@ object Relational {
     // dimension genuinely outgrows broadcast.
     val eligible = slots.groupBy("user_id").agg(count(lit(1)).as("ns"))
       .filter(col("ns") >= minCo).select("user_id")
-    val sl = slots.join(broadcast(slotDim), Seq("event_type", "d"))
+    slots.join(broadcast(slotDim), Seq("event_type", "d"))
       .join(eligible, Seq("user_id"))
       .select("user_id", "slot_id")
       .persist() // feeds prefix + verify sides; released by caller's clearCache
-    val edges0 = coActivityEdges(sl, minCo).persist()
+  }
+
+  /** The k-core peel loop from a materialized edge frame — the second half
+    * of [[kCore]], factored unchanged. */
+  private def kCoreFromEdges(spark: SparkSession, edges0: DataFrame, k: Int,
+                             rounds: Int): DataFrame = {
     def degrees(e: DataFrame): DataFrame =
       e.select(col("a").as("v")).unionByName(e.select(col("b").as("v")))
         .groupBy("v").agg(count(lit(1)).as("dg"))
@@ -2543,8 +2560,11 @@ object Relational {
     // bytes and could really cost 1-1.6 GB near the threshold (round-13
     // ADVICE #2). SPARK_GRAFT_KCORE_NO_BCAST is the dev knob that forces
     // the fallback regime so its plan can be measured (VERDICT r13 #2);
-    // never set outside probes.
-    val forceFallback = sys.env.contains("SPARK_GRAFT_KCORE_NO_BCAST")
+    // never set outside probes. The sys.props twin exists so ExecutedPlanSpec
+    // can prove its own invariants go red when the hint is stripped
+    // (env vars cannot be set in-process).
+    val forceFallback = sys.env.contains("SPARK_GRAFT_KCORE_NO_BCAST") ||
+      sys.props.contains("graft.kcore.nobcast")
     val hinted = !forceFallback && prefix.count() <= (1L << 23)
     val x = if (hinted) broadcast(prefix.as("x")) else prefix.as("x")
     val pairs = x.join(prefix.as("y"),
@@ -2562,7 +2582,8 @@ object Relational {
     // (PLANS.md round 14); SPARK_GRAFT_KCORE_RAW_FALLBACK is the dev knob
     // that strips it to re-measure the natural plan.
     val fb =
-      if (hinted || sys.env.contains("SPARK_GRAFT_KCORE_RAW_FALLBACK")) pairs
+      if (hinted || sys.env.contains("SPARK_GRAFT_KCORE_RAW_FALLBACK") ||
+          sys.props.contains("graft.kcore.rawfallback")) pairs
       else pairs.repartition(col("b"))
     fb.distinct()
   }

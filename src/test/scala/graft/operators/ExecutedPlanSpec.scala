@@ -1,0 +1,139 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.DataFrame
+
+/** EXECUTED-plan shape gates for the top-cost queries (VERDICT r13 #3).
+  *
+  * RelationalSpec pins STATIC plan properties (pushdown, pruning, broadcast
+  * at planning time); this spec pins the FINAL ADAPTIVE plan after
+  * execution, because the two multi-× regressions this project has caught
+  * were both AQE-era flips invisible statically: q150 round 13 (accurate
+  * cache stats → static shuffle join → AQE converts to broadcast only
+  * AFTER the stream-side exchange ran → the distinct re-shuffles the
+  * 10⁸-row pair stream; 4.6×) and q168 round 10 (plan-chaining re-analysis;
+  * 12×). A Spark upgrade or stats drift now fails a test instead of
+  * silently multiplying a query.
+  *
+  * The exchange counts pinned here are the known-good plan's — they are
+  * tripwires, not laws; an INTENTIONAL plan change updates the pin in the
+  * same commit. The q150 test proves its own sensitivity: stripping the
+  * broadcast hint through the dev knob must add exchanges.
+  */
+class ExecutedPlanSpec extends SparkSuite {
+
+  /** Execute (AQE finalizes) and return ONLY the final-plan section —
+    * AdaptiveSparkPlanExec.toString appends the initial plan too, which
+    * would double every count. */
+  private def finalPlan(df: DataFrame): String = {
+    df.count()
+    val s = df.queryExecution.executedPlan.toString
+    val cut = s.indexOf("== Initial Plan ==")
+    if (cut >= 0) s.substring(0, cut) else s
+  }
+
+  private def n(plan: String, token: String): Int =
+    java.util.regex.Pattern.quote(token).r.findAllMatchIn(plan).length
+
+  private def shuffles(plan: String): Int = n(plan, "Exchange hashpartitioning")
+
+  /** The q150 candidate input, materialized to a LogicalRDD so the
+    * candidate subplan is measured alone AND the input side carries
+    * accurate in-memory stats — the exact regime that flipped the plan in
+    * round 13 when the hint was absent. */
+  private lazy val slCut: DataFrame = {
+    val sl = Relational.coActivitySl(spark, sf001, minCo = 26)
+    sl.count()
+    spark.createDataFrame(sl.rdd, sl.schema)
+  }
+
+  test("q150 candidates (hinted): broadcast prefix join, no shuffle join, distinct adds no exchange") {
+    val p = finalPlan(Relational.coActivityCandidates(slCut, 26))
+    assert(n(p, "BroadcastHashJoin") >= 1, s"prefix self-join must broadcast:\n$p")
+    assert(n(p, "SortMergeJoin") == 0, s"no shuffle join on the 150-key slot_id:\n$p")
+    // slotFreq agg + prefix window = 2; the candidate distinct must ride
+    // the y side's user_id partitioning (hash(b) satisfies the (a, b)
+    // clustering) and add NOTHING
+    assert(shuffles(p) == 2,
+      s"expected exactly 2 exchanges (slotFreq agg, prefix window), got ${shuffles(p)}:\n$p")
+  }
+
+  test("q150 candidates: the hint wins when stats say don't-broadcast, and stripping it goes red") {
+    // At sf0.01 everything fits the 10 MB broadcast threshold, so the
+    // unhinted plan broadcasts anyway and no flip is visible. Model the
+    // at-scale regime round 13 measured (accurate stats steering the
+    // planner AWAY from broadcast) by disabling the threshold: the hint
+    // must still pin the broadcast plan, and removing it (dev knob) must
+    // add exchanges — proving the first test's invariant catches the flip.
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    keys.foreach(spark.conf.set(_, "-1"))
+    try {
+      val hinted = finalPlan(Relational.coActivityCandidates(slCut, 26))
+      assert(n(hinted, "BroadcastHashJoin") >= 1 && shuffles(hinted) == 2,
+        s"the explicit hint must override the stats regime:\n$hinted")
+      sys.props("graft.kcore.nobcast") = "1"
+      sys.props("graft.kcore.rawfallback") = "1" // the bare fallback, no repair
+      val p = finalPlan(Relational.coActivityCandidates(slCut, 26))
+      assert(shuffles(p) > 2,
+        s"unhinted plan should shuffle the pair stream (the round-13 4.6x flip); " +
+          s"if this starts planning clean, re-evaluate the hint:\n$p")
+    } finally {
+      sys.props.remove("graft.kcore.nobcast")
+      sys.props.remove("graft.kcore.rawfallback")
+      saved.foreach { case (k, v) =>
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+    }
+  }
+
+  test("q168 edge build: candidate join broadcasts, no sort-merge/nested-loop in the build plan") {
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit =
+        captured.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      // unique bucketCap -> unique layout name -> the build always executes
+      Similarity.knnEdges(spark, sf001, k = 3, cap = 2000, bucketCap = 513)
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      def build: Option[String] = {
+        import scala.jdk.CollectionConverters._
+        captured.asScala.find(_.contains("dot_i"))
+      }
+      while (build.isEmpty && System.nanoTime() < deadline) Thread.sleep(100)
+      val p0 = build.getOrElse(fail("no captured plan contains the candidate join (dot_i)"))
+      val cut = p0.indexOf("== Initial Plan ==")
+      val p = if (cut >= 0) p0.substring(0, cut) else p0
+      assert(n(p, "BroadcastHashJoin") >= 1,
+        s"cap-bounded candidate sides must broadcast-join on (bucket, salt):\n$p")
+      assert(n(p, "SortMergeJoin") == 0 && n(p, "NestedLoop") == 0 &&
+        n(p, "CartesianProduct") == 0, s"no blowup joins in the edge build:\n$p")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("q139 triangles: closing-edge probe stays an equi hash join — no unpinned nested-loop") {
+    val p = finalPlan(Relational.triangleCounts(spark, sf001))
+    // exactly ONE BroadcastNestedLoopJoin is the plan: marketBasket's 1-row
+    // basket-count totals frame (bounded by construction). The regression
+    // this pins — the closing-edge probe as an OR over orientations — would
+    // plan a SECOND nested loop over edge-sized relations.
+    assert(n(p, "BroadcastNestedLoopJoin") <= 1 && n(p, "CartesianProduct") == 0,
+      s"the OR-over-orientations regression plans an extra nested loop:\n$p")
+    assert(n(p, "BroadcastHashJoin") >= 1, s"degree/closing-edge joins broadcast:\n$p")
+  }
+
+  test("q133 market basket: a-priori prune is a broadcast semi-join — no unpinned nested-loop") {
+    val p = finalPlan(Relational.marketBasket(spark, sf001))
+    // the single allowed BroadcastNestedLoopJoin is the 1-row totals frame
+    assert(n(p, "BroadcastNestedLoopJoin") <= 1 && n(p, "CartesianProduct") == 0, p)
+    assert(n(p, "BroadcastHashJoin") >= 1, s"frequent-item prune should broadcast:\n$p")
+    assert(n(p, "SortMergeJoin") == 0, s"basket self-pairing happens per order key, not by SMJ:\n$p")
+  }
+}
