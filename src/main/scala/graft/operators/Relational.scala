@@ -2567,25 +2567,22 @@ object Relational {
       sys.props.contains("graft.kcore.nobcast")
     val hinted = !forceFallback && prefix.count() <= (1L << 23)
     val x = if (hinted) broadcast(prefix.as("x")) else prefix.as("x")
-    val pairs = x.join(prefix.as("y"),
+    // Fallback regime EXECUTED on dense-10x (VERDICT r13 #2; PLANS.md
+    // round 14 A/B/A): the natural unhinted plan — shuffle join on slot_id,
+    // then the distinct's own exchange of the pair stream — ran 141.9 s vs
+    // 113.9/118.8 s for the pinned broadcast plan (1.22x), NOT the feared
+    // round-13 4.6x (that flip needed AQE's post-exchange broadcast
+    // conversion, which the genuinely-above-threshold regime never takes).
+    // A pre-`distinct` repartition(b) "repair" (restoring the clustering
+    // the broadcast plan gets free) was A/B'd and measured WORSE — 160.4 s
+    // — because it ships the full raw fan-out a second time; the fallback
+    // therefore stays the plain unhinted join: at that scale one pair-
+    // stream shuffle is the unavoidable cost, and it plans sanely.
+    x.join(prefix.as("y"),
         col("x.slot_id") === col("y.slot_id") &&
         col("x.user_id") < col("y.user_id"))
       .select(col("x.user_id").as("a"), col("y.user_id").as("b"))
-    // Fallback regime: the shuffle join leaves the pair stream partitioned
-    // by slot_id (150-ish keys, maximally skewed), so the distinct's own
-    // exchange re-shuffles the full fan-out from pathological partitions
-    // (the 4.6x flip measured in PLANS.md round 13). Re-partitioning by `b`
-    // first restores the property the broadcast plan gets for free —
-    // HashPartitioning(b) satisfies the distinct's ClusteredDistribution
-    // (a, b) as a key subset, so the distinct then needs NO further
-    // exchange and runs within balanced b-partitions. A/B'd on dense-10x
-    // (PLANS.md round 14); SPARK_GRAFT_KCORE_RAW_FALLBACK is the dev knob
-    // that strips it to re-measure the natural plan.
-    val fb =
-      if (hinted || sys.env.contains("SPARK_GRAFT_KCORE_RAW_FALLBACK") ||
-          sys.props.contains("graft.kcore.rawfallback")) pairs
-      else pairs.repartition(col("b"))
-    fb.distinct()
+      .distinct()
   }
 
   /** Co-activity edges (a < b sharing >= minCo slots): prefix-filtered

@@ -74,14 +74,12 @@ class ExecutedPlanSpec extends SparkSuite {
       assert(n(hinted, "BroadcastHashJoin") >= 1 && shuffles(hinted) == 2,
         s"the explicit hint must override the stats regime:\n$hinted")
       sys.props("graft.kcore.nobcast") = "1"
-      sys.props("graft.kcore.rawfallback") = "1" // the bare fallback, no repair
       val p = finalPlan(Relational.coActivityCandidates(slCut, 26))
       assert(shuffles(p) > 2,
         s"unhinted plan should shuffle the pair stream (the round-13 4.6x flip); " +
           s"if this starts planning clean, re-evaluate the hint:\n$p")
     } finally {
       sys.props.remove("graft.kcore.nobcast")
-      sys.props.remove("graft.kcore.rawfallback")
       saved.foreach { case (k, v) =>
         v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
     }
