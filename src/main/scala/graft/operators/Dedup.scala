@@ -977,18 +977,34 @@ object Dedup {
     * exact to replay, within 2⁻²⁰·pairs of average-then-quantize). */
   def sourceRedundancy(spark: SparkSession, dir: String,
                        sampleK: Int = 32): DataFrame = {
-    val d = docs(spark, dir)
+    val d = redDocs(docs(spark, dir))
+    val sampleIds = d.groupBy("source")
+      .agg(graft.functions.Aggregators.topK(sampleK,
+        negate(col("h")).cast("double"), col("doc_id"), col("doc_id")).as("top"))
+      .select(col("source"), explode(expr("transform(top, s -> s.id)")).as("doc_id"))
+    redundancyFrom(d.join(sampleIds, Seq("source", "doc_id"))
+      .select(col("source"), col("doc_id"), col("shs")))
+  }
+
+  /** The q196 per-doc sampling frame (source, doc_id, h, shs): h is the
+    * md5 sampling hash (pure function of doc_id, so any subset of the
+    * corpus reproduces it) and shs the distinct 3-shingle set — factored so
+    * the streaming maintainer ([[graft.streaming.RedundancyStream]]) hashes
+    * its micro-batches with literally the batch operator's arithmetic. */
+  private[graft] def redDocs(docFrame: DataFrame): DataFrame =
+    docFrame
       .select(col("source"), col("doc_id"),
         distinctShinglesUdf(3)(col("text")).as("shs"))
       .withColumn("h",
         conv(substring(md5(concat(lit("red_"),
           col("doc_id").cast("string")).cast("binary")), 1, 13), 16, 10).cast("long"))
-    val sampleIds = d.groupBy("source")
-      .agg(graft.functions.Aggregators.topK(sampleK,
-        negate(col("h")).cast("double"), col("doc_id"), col("doc_id")).as("top"))
-      .select(col("source"), explode(expr("transform(top, s -> s.id)")).as("doc_id"))
-    val s = d.join(sampleIds, Seq("source", "doc_id"))
-      .select(col("source"), col("doc_id"), col("shs"))
+
+  /** The q196 pair walk from a (source, doc_id, shs) SAMPLE frame — shared
+    * by the batch operator and the maintained read path. Bottom-k-by-md5
+    * samples are MERGEABLE (k smallest of a union = k smallest of the
+    * per-part k-smallest), so a maintained sample equals the batch sample
+    * over everything absorbed, and this walk makes the reports equal too. */
+  private[graft] def redundancyFrom(s: DataFrame): DataFrame = {
     val pairs = s.as("a").join(s.as("b"),
         col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.source").as("source"),
