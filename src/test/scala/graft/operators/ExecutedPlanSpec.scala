@@ -127,6 +127,17 @@ class ExecutedPlanSpec extends SparkSuite {
     assert(n(p, "BroadcastHashJoin") >= 1, s"degree/closing-edge joins broadcast:\n$p")
   }
 
+  test("q169 bootstrap CI: one fact scan — dim join broadcasts, no shuffle join, pinned exchanges") {
+    val p = finalPlan(Relational.bootstrapCi(spark, sf001))
+    assert(n(p, "BroadcastHashJoin") >= 1, s"orders-customer dim join must broadcast:\n$p")
+    assert(n(p, "SortMergeJoin") == 0 && n(p, "CartesianProduct") == 0,
+      s"no shuffle join / cartesian on the fact path:\n$p")
+    // the 64 replicate expressions ride ONE partial-agged (segment) shuffle;
+    // anything above it is control-plane (1-row / segment-row frames)
+    assert(shuffles(p) <= 2,
+      s"expected at most 2 exchanges (segment agg + control plane), got ${shuffles(p)}:\n$p")
+  }
+
   test("q133 market basket: a-priori prune is a broadcast semi-join — no unpinned nested-loop") {
     val p = finalPlan(Relational.marketBasket(spark, sf001))
     // the single allowed BroadcastNestedLoopJoin is the 1-row totals frame
