@@ -44,7 +44,8 @@ object Oracles {
     * d2·cap + vb, symmetrized. Factored so q168, q175 and the KnnSaltSpec
     * cross-engine gate (which exercises nsalt > 1 on a hot-blob fixture)
     * all run literally the same SQL. */
-  private[graft] def knnEdgeCtes(cap: Int, k: Int, bucketCap: Int = 512): String =
+  private[graft] def knnEdgeCtes(cap: Int, k: Int,
+      bucketCap: Int = graft.operators.Similarity.KnnBucketCap): String =
     s"""e1 AS (SELECT vec_id, embedding,
        |   127.0 / greatest(list_max(list_transform(embedding, x -> abs(cast(x as double)))), 1e-9) AS scale
        | FROM embeddings WHERE vec_id < $cap),

@@ -31,8 +31,8 @@ object ProbeBuckets {
       val rows = df.groupBy(c).agg(count(lit(1)).as("m"))
         .orderBy(col("m").desc).limit(5).collect()
       val mx = rows.headOption.map(_.getLong(1)).getOrElse(0L)
-      println(s"[$c] n=$n distinct>=${rows.length} max=$mx " +
-        s"(${100.0 * mx / n}%%) top5=" +
+      println(f"[$c] n=$n distinct>=${rows.length} max=$mx " +
+        f"(${100.0 * mx / n}%.1f%%) top5=" +
         rows.map(r => s"${r.get(0)}:${r.getLong(1)}").mkString(","))
     }
     top(e.withColumn("sig", hyperplaneSigUdf(4)(col("embedding"))), "sig")

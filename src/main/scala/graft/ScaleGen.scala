@@ -120,16 +120,11 @@ object ScaleGen {
     * one codegen'd map pass, zero shuffles. */
   private[graft] def clusterEmbeddings(e: DataFrame, dim: Int = 64): DataFrame = {
     val weightsPerMille = Seq(500L, 700L, 820L, 900L, 950L, 980L, 995L, 1000L)
-    def splitmix(seed: Long): Long = {
-      var z = seed + 0x9e3779b97f4a7c15L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
-    }
-    // centroid component in [-1, 1): blob c, dim d -> splitmix(c*dim+d)
+    // centroid component in [-1, 1): blob c, dim d -> splitmix64(c*dim+d)
     val cents: Seq[Seq[Float]] = (0 until weightsPerMille.size).map(c =>
       (0 until dim).map(d =>
-        (splitmix(c.toLong * dim + d).toDouble / 9.223372036854776e18).toFloat))
+        (graft.functions.TextFns.splitmix64(c.toLong * dim + d).toDouble
+          / 9.223372036854776e18).toFloat))
     val centLit = array(cents.map(cv => array(cv.map(lit): _*)): _*)
     val u = pmod(xxhash64(col("vec_id")), lit(1000L))
     val blob = weightsPerMille.zipWithIndex.init.reverse

@@ -23,6 +23,15 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
+  /** Salt threshold of the [[knnEdges]] bounded-bucket construction — the
+    * ONE definition both engines read: Spark through knnEdges' default and
+    * DuckDB through [[graft.Oracles.knnEdgeCtes]]' default. Tuning it in
+    * one place keeps the cross-engine constructions identical; a split
+    * value would diverge only when some bucket exceeds the smaller cap —
+    * exactly the regime the sf0.01 hash gate cannot see (round-14
+    * review). */
+  private[graft] val KnnBucketCap = 512
+
   private def emb(spark: SparkSession, dir: String): DataFrame = {
     VectorExpressions.register(spark)
     Tables.load(spark, dir, "embeddings")
@@ -1165,7 +1174,7 @@ object Similarity {
     * mutually close; that's what made the bucket hot). */
   private[graft] def knnEdges(spark: SparkSession, dir: String, k: Int,
                               cap: Int, planes: Int = 4,
-                              bucketCap: Int = 512): (DataFrame, DataFrame) = {
+                              bucketCap: Int = KnnBucketCap): (DataFrame, DataFrame) = {
     val sigU = hyperplaneSigUdf(planes)
     val e = int8(emb(spark, dir)).filter(col("vec_id") < cap)
       .withColumn("sq", call_function("dot_i", col("qv"), col("qv")))

@@ -36,27 +36,45 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * re-scan at decision time. */
 object MixtureStream {
 
+  /** Shared additive-CellStore merge (round-14 review: this gate existed
+    * in three copy-pasted variants): left-join the delta aggregate against
+    * the store on `pk`, drop rows whose cell already absorbed this epoch
+    * (replay no-op, per key), add each additive column onto its stored
+    * value, upsert. `adds` = (store column, delta column) pairs; `carry` =
+    * non-additive columns re-emitted verbatim (composite-key parts). */
+  private def mergeAdditive(spark: SparkSession, fresh: DataFrame,
+                            store: String, pk: String,
+                            adds: Seq[(String, String)], carry: Seq[String],
+                            epoch: Long): Unit = {
+    val joined =
+      if (!Io.dimStoreHasData(store))
+        adds.foldLeft(fresh) { case (d, (sc, _)) =>
+          d.withColumn(s"__p_$sc", lit(0L)) }
+          .withColumn("__le", lit(null).cast("long"))
+      else
+        fresh.join(
+          Io.readDim(spark, store).select(
+            col(pk) +: (adds.map { case (sc, _) => col(sc).as(s"__p_$sc") } :+
+              col("last_epoch").as("__le")): _*),
+          Seq(pk), "left")
+    val merged = joined
+      .filter(col("__le").isNull || col("__le") < epoch)
+      .select(col(pk) +: (carry.map(col) ++
+        adds.map { case (sc, dc) =>
+          (col(dc) + coalesce(col(s"__p_$sc"), lit(0L))).as(sc) } :+
+        lit(epoch).as("last_epoch")): _*)
+    Io.upsertDim(spark, merged, store, pk, "last_epoch")
+  }
+
   /** Merge one micro-batch of (source, text) document rows into the two
     * stores. Idempotent per (source, epoch) on avail; unconditionally
     * idempotent on the shingle cells. */
   def applyBatch(spark: SparkSession, delta: DataFrame, availStore: String,
                  shingleStore: String, epoch: Long): Unit = {
-    val fresh = delta.groupBy("source")
-      .agg(sum(size(TextFns.tokensCol(col("text"))).cast("long")).as("__da"))
-    val joined =
-      if (!Io.dimStoreHasData(availStore))
-        fresh.withColumn("__pa", lit(0L)).withColumn("__le", lit(null).cast("long"))
-      else
-        fresh.join(
-          Io.readDim(spark, availStore).select(col("source"),
-            col("avail").as("__pa"), col("last_epoch").as("__le")),
-          Seq("source"), "left")
-    val merged = joined
-      .filter(col("__le").isNull || col("__le") < epoch)
-      .select(col("source"),
-        (col("__da") + coalesce(col("__pa"), lit(0L))).as("avail"),
-        lit(epoch).as("last_epoch"))
-    Io.upsertDim(spark, merged, availStore, "source", "last_epoch")
+    mergeAdditive(spark,
+      delta.groupBy("source")
+        .agg(sum(size(TextFns.tokensCol(col("text"))).cast("long")).as("__da")),
+      availStore, "source", Seq("avail" -> "__da"), Nil, epoch)
 
     val cells = delta
       .select(col("source"),
@@ -100,30 +118,15 @@ object MixtureStream {
   def applyAblationBatch(spark: SparkSession, delta: DataFrame,
                          statsStore: String, epoch: Long): Unit = {
     val toks = TextFns.tokensCol(col("text"))
-    val fresh = delta
-      .select(col("source"), size(toks).cast("long").as("__dt"),
-        TextFns.classifierScoreUdf(toks).as("__ds"))
-      .groupBy("source")
-      .agg(count(lit(1)).as("__dn"), sum(col("__dt")).as("__dtok"),
-        sum(col("__ds")).as("__dsc"))
-    val joined =
-      if (!Io.dimStoreHasData(statsStore))
-        fresh.withColumn("__pn", lit(0L)).withColumn("__pt", lit(0L))
-          .withColumn("__ps", lit(0L)).withColumn("__le", lit(null).cast("long"))
-      else
-        fresh.join(
-          Io.readDim(spark, statsStore).select(col("source"),
-            col("n_docs").as("__pn"), col("tokens").as("__pt"),
-            col("s").as("__ps"), col("last_epoch").as("__le")),
-          Seq("source"), "left")
-    val merged = joined
-      .filter(col("__le").isNull || col("__le") < epoch)
-      .select(col("source"),
-        (col("__dn") + coalesce(col("__pn"), lit(0L))).as("n_docs"),
-        (col("__dtok") + coalesce(col("__pt"), lit(0L))).as("tokens"),
-        (col("__dsc") + coalesce(col("__ps"), lit(0L))).as("s"),
-        lit(epoch).as("last_epoch"))
-    Io.upsertDim(spark, merged, statsStore, "source", "last_epoch")
+    mergeAdditive(spark,
+      delta
+        .select(col("source"), size(toks).cast("long").as("__dt"),
+          TextFns.classifierScoreUdf(toks).as("__ds"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("__dn"), sum(col("__dt")).as("__dtok"),
+          sum(col("__ds")).as("__dsc")),
+      statsStore, "source",
+      Seq("n_docs" -> "__dn", "tokens" -> "__dtok", "s" -> "__dsc"), Nil, epoch)
   }
 
   /** Current q195 ablation report over everything absorbed: the scalar
@@ -147,28 +150,15 @@ object MixtureStream {
     * classifier concentrates scores heavily, and the store never exceeds
     * the absorbed doc count even degenerate. */
   def applyKsBatch(spark: SparkSession, delta: DataFrame,
-                   histStore: String, epoch: Long): Unit = {
-    val fresh = delta
-      .select(col("source"),
-        TextFns.classifierScoreUdf(TextFns.tokensCol(col("text"))).as("score"))
-      .groupBy("source", "score").agg(count(lit(1)).as("__dc"))
-      // composite (source, score) key; U+0001 cannot occur in a source id
-      .withColumn("k", concat_ws("\u0001", col("source"), col("score")))
-    val joined =
-      if (!Io.dimStoreHasData(histStore))
-        fresh.withColumn("__pc", lit(0L)).withColumn("__le", lit(null).cast("long"))
-      else
-        fresh.join(
-          Io.readDim(spark, histStore).select(col("k"),
-            col("ct").as("__pc"), col("last_epoch").as("__le")),
-          Seq("k"), "left")
-    val merged = joined
-      .filter(col("__le").isNull || col("__le") < epoch)
-      .select(col("k"), col("source"), col("score"),
-        (col("__dc") + coalesce(col("__pc"), lit(0L))).as("ct"),
-        lit(epoch).as("last_epoch"))
-    Io.upsertDim(spark, merged, histStore, "k", "last_epoch")
-  }
+                   histStore: String, epoch: Long): Unit =
+    mergeAdditive(spark,
+      delta
+        .select(col("source"),
+          TextFns.classifierScoreUdf(TextFns.tokensCol(col("text"))).as("score"))
+        .groupBy("source", "score").agg(count(lit(1)).as("__dc"))
+        // composite (source, score) key; U+0001 cannot occur in a source id
+        .withColumn("k", concat_ws("\u0001", col("source"), col("score"))),
+      histStore, "k", Seq("ct" -> "__dc"), Seq("source", "score"), epoch)
 
   /** Current q194 KS matrix over everything absorbed — the batch walk fed
     * the maintained score histogram; bounds and bins recomputed at read

@@ -35,6 +35,11 @@ object RedundancyStream {
       if (!Io.dimStoreHasData(store)) fresh
       else fresh.unionByName(
         Io.readDim(spark, store)
+          // only sources the batch touches: an untouched source's bottom-k
+          // cannot change, and re-merging it would rewrite its bucket and
+          // bump its last_epoch every batch — table-proportional write
+          // amplification for nothing (round-14 review)
+          .join(fresh.select("source").distinct(), Seq("source"), "left_semi")
           .select(col("source"), explode(col("sample")).as("s"))
           .select(col("source"), col("s.doc_id").as("doc_id"),
             col("s.h").as("h"), col("s.shs").as("shs")))

@@ -22,14 +22,17 @@ import org.apache.spark.sql.DataFrame
   */
 class ExecutedPlanSpec extends SparkSuite {
 
-  /** Execute (AQE finalizes) and return ONLY the final-plan section —
-    * AdaptiveSparkPlanExec.toString appends the initial plan too, which
-    * would double every count. */
-  private def finalPlan(df: DataFrame): String = {
-    df.count()
-    val s = df.queryExecution.executedPlan.toString
+  /** AdaptiveSparkPlanExec.toString appends the INITIAL plan after the
+    * final one; every count below must run on the final section only or
+    * each operator is double-counted. One definition (round-14 review). */
+  private def cutInitial(s: String): String = {
     val cut = s.indexOf("== Initial Plan ==")
     if (cut >= 0) s.substring(0, cut) else s
+  }
+
+  private def finalPlan(df: DataFrame): String = {
+    df.count()
+    cutInitial(df.queryExecution.executedPlan.toString)
   }
 
   private def n(plan: String, token: String): Int =
@@ -106,9 +109,8 @@ class ExecutedPlanSpec extends SparkSuite {
         captured.asScala.find(_.contains("dot_i"))
       }
       while (build.isEmpty && System.nanoTime() < deadline) Thread.sleep(100)
-      val p0 = build.getOrElse(fail("no captured plan contains the candidate join (dot_i)"))
-      val cut = p0.indexOf("== Initial Plan ==")
-      val p = if (cut >= 0) p0.substring(0, cut) else p0
+      val p = cutInitial(
+        build.getOrElse(fail("no captured plan contains the candidate join (dot_i)")))
       assert(n(p, "BroadcastHashJoin") >= 1,
         s"cap-bounded candidate sides must broadcast-join on (bucket, salt):\n$p")
       assert(n(p, "SortMergeJoin") == 0 && n(p, "NestedLoop") == 0 &&

@@ -18,14 +18,10 @@ class KnnSaltSpec extends SparkSuite {
   private val dim = 64
   private val bucketCap = 128
 
-  // seeded splitmix64 walk -> [-1, 1): deterministic fixture randomness
-  private def mix(seed: Long): Double = {
-    var z = seed + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z = z ^ (z >>> 31)
-    z.toDouble / 9.223372036854776e18
-  }
+  // seeded splitmix64 walk -> [-1, 1): deterministic fixture randomness,
+  // the same generator ScaleGen's clustered mode uses (one definition)
+  private def mix(seed: Long): Double =
+    graft.functions.TextFns.splitmix64(seed).toDouble / 9.223372036854776e18
 
   /** 640 vectors: blob A = 500 members (ids 0-499, one hot hyperplane
     * bucket), blob B = 100 (ids 500-599), 40 unclustered (ids 600-639).
