@@ -381,8 +381,19 @@ object Io {
       "could not set lock", "lock on file", "database is locked",
       "deadlock", "serialization failure",
       "connection was closed", "connection is closed", "connection reset")
+    // DuckDB WAL-replay open race (duckdb_jdbc 1.0.0, reproduced twice by
+    // the 20-round concurrency spec under full-suite load): an OPENING
+    // connection lists the database's .wal, another handle checkpoints it
+    // away first, and the open dies with ENOENT on the .wal it meant to
+    // remove. Transient BY CONSTRUCTION — the file is gone because someone
+    // else already replayed it, so the retried open finds a clean database.
+    // All three fragments are required: a permission/IO failure removing a
+    // .wal would carry a different errno text and stays permanent.
+    val walOpenRace = msg.contains(".wal") &&
+      msg.contains("could not remove file") &&
+      msg.contains("no such file or directory")
     t.isInstanceOf[java.sql.SQLTransientException] ||
-      transientTexts.exists(msg.contains) ||
+      transientTexts.exists(msg.contains) || walOpenRace ||
       Option(t.getCause).exists(isTransient)
   }
 

@@ -1804,11 +1804,22 @@ object TextOps {
     * type unit is the 3-gram SHINGLE (the q186/q187 vocabulary): the
     * synthetic unigram space is 31 fully-saturated types with zero
     * hapaxes — Chao1 over it would estimate nothing. */
-  def chao1Vocab(spark: SparkSession, dir: String): DataFrame = {
-    val tf = docs(spark, dir)
+  def chao1Vocab(spark: SparkSession, dir: String): DataFrame =
+    chao1From(docs(spark, dir)
       .select(col("source"), explode(gramCountsUdf(3)(col("text"))))
       .select(col("source"), col("key").as("term"), col("value").cast("long").as("tf"))
-      .groupBy("source", "term").agg(sum(col("tf")).as("ct"))
+      .groupBy("source", "term").agg(sum(col("tf")).as("ct")))
+
+  /** The [[chao1Vocab]] estimator from a (source, term, ct) COUNT-TABLE
+    * frame — per-(source, term) totals are scalar-additive cells (the LM
+    * count-table store class), so the streaming maintainer
+    * ([[graft.streaming.MixtureStream.applyChao1Batch]]) keeps them under
+    * the shared epoch gate and this read walk makes maintained ≡ batch
+    * definitional. n₁/n₂ (hapax/dis counts) are read-time rollups — a term
+    * crossing ct 1→2 as batches absorb moves between them correctly
+    * because the rollup sees current totals, never frozen frequency-of-
+    * frequencies (which would NOT be additive). */
+  def chao1From(tf: DataFrame): DataFrame = {
     tf.groupBy("source").agg(
         count(lit(1)).as("v_obs"),
         sum(col("ct")).as("tokens"),

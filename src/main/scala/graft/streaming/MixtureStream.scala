@@ -167,6 +167,30 @@ object MixtureStream {
     TextOps.ksMatrixFromHist(
       Io.readDim(spark, histStore).select("source", "score", "ct"), bins)
 
+  /** q191 count-table store: (source, term) gram totals — the LM
+    * count-table class under the shared additive epoch gate. Chao1's
+    * n₁/n₂ (hapax/dis counts) CANNOT be stored directly (a term crossing
+    * ct 1→2 moves between them — frequency-of-frequencies is not
+    * additive); the TERM totals are, and n₁/n₂ roll up at read time in
+    * the shared [[TextOps.chao1From]] walk. "Is this source worth
+    * crawling deeper" re-answered continuously as ingest absorbs. */
+  def applyChao1Batch(spark: SparkSession, delta: DataFrame,
+                      termStore: String, epoch: Long): Unit =
+    mergeAdditive(spark,
+      delta
+        .select(col("source"), explode(TextFns.gramCountsUdf(3)(col("text"))))
+        .select(col("source"), col("key").as("term"),
+          col("value").cast("long").as("tf"))
+        .groupBy("source", "term").agg(sum(col("tf")).as("__dct"))
+        .withColumn("k", concat_ws("\u0001", col("source"), col("term"))),
+      termStore, "k", Seq("ct" -> "__dct"), Seq("source", "term"), epoch)
+
+  /** Current q191 estimate over everything absorbed — the batch estimator
+    * fed the maintained count table. */
+  def readChao1(spark: SparkSession, termStore: String): DataFrame =
+    TextOps.chao1From(
+      Io.readDim(spark, termStore).select("source", "term", "ct"))
+
   /** Drive the maintenance from a streaming (source, text) frame. */
   def run(spark: SparkSession, rows: DataFrame, availStore: String,
           shingleStore: String, checkpoint: String): StreamingQuery =

@@ -235,14 +235,21 @@ class JdbcSinkSpec extends SparkSuite {
       val t2 = new Rethrowing(
         Io.upsertDimJdbc(Seq(4L -> "c", 5L -> "d").toDF("id", "name"), url, "dim", "id")).start()
       t1.join(); t2.join()
-      val got = spark.read.jdbc(url, "dim", new java.util.Properties())
-        .select($"id", $"name").as[(Long, String)].collect().sorted.toSeq
+      // verification reads retried: the OPEN itself can lose the DuckDB
+      // WAL-replay race against a late-closing writer handle (ENOENT on
+      // the .wal another handle checkpointed away — now classified
+      // transient in Io.isTransient; reproduced twice under full-suite
+      // load before this wrap)
+      val got = Io.retryTransient("conc verify read")(
+        spark.read.jdbc(url, "dim", new java.util.Properties())
+          .select($"id", $"name").as[(Long, String)].collect()).sorted.toSeq
       assert(got == Seq(1L -> "seed", 2L -> "a", 3L -> "b", 4L -> "c", 5L -> "d"),
         s"round $round: both concurrent batches must land intact: $got")
       // and no stage table leaks
-      val leftover = spark.read.jdbc(url,
-        "(SELECT table_name FROM information_schema.tables WHERE table_name LIKE 'dim__stage%') s",
-        new java.util.Properties()).count()
+      val leftover = Io.retryTransient("conc stage-leak read")(
+        spark.read.jdbc(url,
+          "(SELECT table_name FROM information_schema.tables WHERE table_name LIKE 'dim__stage%') s",
+          new java.util.Properties()).count())
       assert(leftover == 0, s"round $round: stage tables must be dropped after the merge")
     }
   }
@@ -265,8 +272,9 @@ class JdbcSinkSpec extends SparkSuite {
       val t2 = new Rethrowing(
         Io.upsertDimJdbc(Seq(1L -> "b").toDF("id", "name"), url, "dim", "id")).start()
       t1.join(); t2.join()
-      val got = spark.read.jdbc(url, "dim", new java.util.Properties())
-        .select($"id", $"name").as[(Long, String)].collect().sortBy(_._1).toSeq
+      val got = Io.retryTransient("same-pk verify read")(
+        spark.read.jdbc(url, "dim", new java.util.Properties())
+          .select($"id", $"name").as[(Long, String)].collect()).sortBy(_._1).toSeq
       assert(got.length == 2 && got.head._1 == 1L &&
         (got.head._2 == "a" || got.head._2 == "b") && got(1) == (2L -> "keep"),
         s"round $round: same-key race must converge to exactly one winner: $got")
@@ -292,6 +300,20 @@ class JdbcSinkSpec extends SparkSuite {
         new java.sql.SQLException("TransactionContext Error: write-write conflict on table dim"))
     }
     assert(wrapped == 2, "wrapped conflict must be found through the cause chain")
+
+    // the WAL-replay open race (round-14: reproduced twice under full-suite
+    // load): ENOENT removing a .wal someone else checkpointed — transient;
+    // the same message with a different errno, or ENOENT on a non-wal file,
+    // stays permanent
+    assert(Io.isTransient(new java.sql.SQLException(
+      "IO Error: Could not remove file \"/x/conc.duckdb.wal\": No such file or directory")),
+      "WAL-replay ENOENT race must classify transient")
+    assert(!Io.isTransient(new java.sql.SQLException(
+      "IO Error: Could not remove file \"/x/conc.duckdb.wal\": Permission denied")),
+      "a real IO failure on the wal stays permanent")
+    assert(!Io.isTransient(new java.sql.SQLException(
+      "IO Error: Could not remove file \"/x/data.parquet\": No such file or directory")),
+      "ENOENT on a non-wal file stays permanent")
 
     // DuckDB's ROW-LEVEL abort texts (strings in libduckdb_java.so 1.0.0):
     // neither contains 'write-write' nor 'transaction', and both must retry

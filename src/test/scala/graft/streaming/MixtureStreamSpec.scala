@@ -26,6 +26,7 @@ class MixtureStreamSpec extends SparkSuite {
   private type ORow = (String, String, Long, Long, Long, Long, Long)
   private type KRow = (String, String, Long, Long, Long, Long)
   private type BRow = (String, Long, Long, Long, Long, Long, Boolean)
+  private type CRow = (String, Long, Long, Long, Long, Long, Long, Long, Long)
 
   test("3-batch maintenance: q182 allocation and q181 selection equal the batch operators exactly") {
     val (av, sh) = (tmp("avail"), tmp("shingle"))
@@ -67,6 +68,40 @@ class MixtureStreamSpec extends SparkSuite {
     assert(MixtureStream.readAblation(spark, st, sh).as[BRow].collect().toSet ==
       TextOps.sourceAblation(spark, sf001).as[BRow].collect().toSet,
       "maintained q195 ablation report must equal the batch operator exactly")
+  }
+
+  test("3-batch maintenance: q191 Chao1 estimate equals the batch operator exactly (incl. hapax->dis transitions)") {
+    val term = tmp("terms")
+    val bs = batches
+    bs.zipWithIndex.foreach { case (b, i) =>
+      MixtureStream.applyChao1Batch(spark, b, term, epoch = i.toLong)
+    }
+    assert(MixtureStream.readChao1(spark, term).as[CRow].collect().toSet ==
+      TextOps.chao1Vocab(spark, sf001).as[CRow].collect().toSet,
+      "maintained q191 estimate must equal the batch operator exactly")
+    // the count-table store is the right sufficient statistic PRECISELY
+    // because hapax/dis counts are not additive: pin that the fixture
+    // exercises the regime (a store where every ct stayed 1 would let a
+    // frozen-n1 store pass this test by luck) — some term must sit at
+    // ct >= 2 AFTER the merge while appearing at most once per batch
+    val perBatchMax = bs.map(_.select(col("source"),
+        explode(graft.functions.TextFns.gramCountsUdf(3)(col("text"))))
+      .groupBy("source", "key").agg(sum(col("value").cast("long")).as("c")))
+      .reduce(_ unionByName _)
+      .groupBy(col("source"), col("key").as("term")).agg(max(col("c")).as("mx"))
+    val crossGrown = graft.io.Io.readDim(spark, term)
+      .select("source", "term", "ct")
+      .join(perBatchMax, Seq("source", "term"))
+      .filter(col("ct") > col("mx")).count()
+    assert(crossGrown > 0,
+      "fixture must contain terms whose total only exceeds 1x-batch counts across batches")
+    // replay no-op
+    val before = graft.io.Io.readDim(spark, term)
+      .select("source", "term", "ct").as[(String, String, Long)].collect().toSet
+    MixtureStream.applyChao1Batch(spark, bs.last, term, epoch = 2L)
+    assert(graft.io.Io.readDim(spark, term)
+      .select("source", "term", "ct").as[(String, String, Long)].collect().toSet == before,
+      "replayed epoch must not double-count the term cells")
   }
 
   test("q194/q195 stores: full replay of the last epoch is a no-op") {
