@@ -1847,16 +1847,30 @@ object TextOps {
     * exploded map-side (|Ls| integers per row), one |Ls|-key partial agg —
     * no shuffle of anything corpus-shaped. All integers. */
   def packingPlan(spark: SparkSession, dir: String,
-                  lengths: Seq[Int] = Seq(128, 512, 2048)): DataFrame = {
-    docs(spark, dir)
-      .select(size(tokensCol(col("text"))).cast("long").as("len"))
-      .select(col("len"), explode(array(lengths.map(l => lit(l.toLong)): _*)).as("l"))
+                  lengths: Seq[Int] = Seq(128, 512, 2048)): DataFrame =
+    packingFromLens(
+      docs(spark, dir)
+        .select(size(tokensCol(col("text"))).cast("long").as("len"))
+        .groupBy("len").agg(count(lit(1)).as("n")),
+      lengths)
+
+  /** The [[packingPlan]] capacity table from a (len, n) LENGTH-HISTOGRAM
+    * frame — every output column is linear in the per-length doc count
+    * (Σ f(len) = Σ_len f(len)·n), so the histogram is the additive
+    * sufficient statistic the streaming maintainer keeps
+    * ([[graft.streaming.MixtureStream.applyPackingBatch]]) and this walk
+    * makes maintained ≡ batch definitional. */
+  def packingFromLens(lens: DataFrame,
+                      lengths: Seq[Int] = Seq(128, 512, 2048)): DataFrame = {
+    lens
+      .select(col("len"), col("n"),
+        explode(array(lengths.map(l => lit(l.toLong)): _*)).as("l"))
       .groupBy("l")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("len")).as("total_tokens"),
-        sum(least(col("len"), col("l"))).as("kept_tokens"),
-        sum(greatest(col("len") - col("l"), lit(0L))).as("truncated_tokens"),
-        sum(col("l") - least(col("len"), col("l"))).as("pad_waste"))
+      .agg(sum(col("n")).as("n_docs"),
+        sum(col("len") * col("n")).as("total_tokens"),
+        sum(least(col("len"), col("l")) * col("n")).as("kept_tokens"),
+        sum(greatest(col("len") - col("l"), lit(0L)) * col("n")).as("truncated_tokens"),
+        sum((col("l") - least(col("len"), col("l"))) * col("n")).as("pad_waste"))
       .withColumn("pad_bins", col("n_docs"))
       .withColumn("pack_bins", expr("(total_tokens + l - 1) div l"))
       .withColumn("pad_efficiency_q", expr("(kept_tokens * 1048576) div (n_docs * l)"))

@@ -33,7 +33,17 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * The production reading: "which sources do we keep crawling, and how do
   * we split the next training run's token budget" re-decided continuously
   * as ingest absorbs documents, from two control-plane stores — no corpus
-  * re-scan at decision time. */
+  * re-scan at decision time.
+  *
+  * Rounds 13-14 grew this object into the home of the whole
+  * DECISION-REPORT maintenance family: the same two store classes
+  * (additive cells under [[mergeAdditive]]'s per-key epoch gate;
+  * first-seen/set-idempotent rows) now also feed q194's KS matrix
+  * (score histogram), q195's ablation (scalar stats + the shared shingle
+  * cells), q191's Chao1 (term count table) and q192's packing capacity
+  * (length histogram) — seven reports, and every read path replays the
+  * batch operator's own factored walk so maintained ≡ batch stays
+  * definitional per store. */
 object MixtureStream {
 
   /** Shared additive-CellStore merge (round-14 review: this gate existed
@@ -190,6 +200,26 @@ object MixtureStream {
   def readChao1(spark: SparkSession, termStore: String): DataFrame =
     TextOps.chao1From(
       Io.readDim(spark, termStore).select("source", "term", "ct"))
+
+  /** q192 length-histogram store: (len, n) doc-count cells — additive
+    * under the shared epoch gate (pk = the length value itself; the domain
+    * is the distinct token-length set, bounded by the max doc length).
+    * Every packing-capacity column is linear in per-length doc count, so
+    * the table re-derives whole from the histogram at read time — "which
+    * context length do we train at" re-answered continuously as ingest
+    * absorbs, no corpus re-scan. */
+  def applyPackingBatch(spark: SparkSession, delta: DataFrame,
+                        lenStore: String, epoch: Long): Unit =
+    mergeAdditive(spark,
+      delta.select(size(TextFns.tokensCol(col("text"))).cast("long").as("len"))
+        .groupBy("len").agg(count(lit(1)).as("__dn")),
+      lenStore, "len", Seq("n" -> "__dn"), Nil, epoch)
+
+  /** Current q192 capacity table over everything absorbed. */
+  def readPacking(spark: SparkSession, lenStore: String,
+                  lengths: Seq[Int] = Seq(128, 512, 2048)): DataFrame =
+    TextOps.packingFromLens(
+      Io.readDim(spark, lenStore).select("len", "n"), lengths)
 
   /** Drive the maintenance from a streaming (source, text) frame. */
   def run(spark: SparkSession, rows: DataFrame, availStore: String,

@@ -27,6 +27,7 @@ class MixtureStreamSpec extends SparkSuite {
   private type KRow = (String, String, Long, Long, Long, Long)
   private type BRow = (String, Long, Long, Long, Long, Long, Boolean)
   private type CRow = (String, Long, Long, Long, Long, Long, Long, Long, Long)
+  private type PRow = (Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)
 
   test("3-batch maintenance: q182 allocation and q181 selection equal the batch operators exactly") {
     val (av, sh) = (tmp("avail"), tmp("shingle"))
@@ -102,6 +103,24 @@ class MixtureStreamSpec extends SparkSuite {
     assert(graft.io.Io.readDim(spark, term)
       .select("source", "term", "ct").as[(String, String, Long)].collect().toSet == before,
       "replayed epoch must not double-count the term cells")
+  }
+
+  test("3-batch maintenance: q192 packing table equals the batch operator exactly") {
+    val lenStore = tmp("lens")
+    val bs = batches
+    bs.zipWithIndex.foreach { case (b, i) =>
+      MixtureStream.applyPackingBatch(spark, b, lenStore, epoch = i.toLong)
+    }
+    assert(MixtureStream.readPacking(spark, lenStore).as[PRow].collect().toSet ==
+      TextOps.packingPlan(spark, sf001).as[PRow].collect().toSet,
+      "maintained q192 capacity table must equal the batch operator exactly")
+    // replay no-op on the histogram cells
+    val before = graft.io.Io.readDim(spark, lenStore)
+      .select("len", "n").as[(Long, Long)].collect().toSet
+    MixtureStream.applyPackingBatch(spark, bs.last, lenStore, epoch = 2L)
+    assert(graft.io.Io.readDim(spark, lenStore)
+      .select("len", "n").as[(Long, Long)].collect().toSet == before,
+      "replayed epoch must not double-count the length cells")
   }
 
   test("q194/q195 stores: full replay of the last epoch is a no-op") {
