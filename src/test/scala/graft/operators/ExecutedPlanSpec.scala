@@ -104,9 +104,14 @@ class ExecutedPlanSpec extends SparkSuite {
       // unique bucketCap -> unique layout name -> the build always executes
       Similarity.knnEdges(spark, sf001, k = 3, cap = 2000, bucketCap = 513)
       val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      // the session (and so the listener) is SHARED across concurrently
+      // running suites — other suites' dot_i queries land in the capture
+      // queue too, so the filter must also match THIS build's unique
+      // layout-table name (the bucketCap=513 CTAS), not just the kernel
       def build: Option[String] = {
         import scala.jdk.CollectionConverters._
-        captured.asScala.find(_.contains("dot_i"))
+        captured.asScala.find(p =>
+          p.contains("dot_i") && p.contains("knnedges_3_2000_4s513"))
       }
       while (build.isEmpty && System.nanoTime() < deadline) Thread.sleep(100)
       val p = cutInitial(
