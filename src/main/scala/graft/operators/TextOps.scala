@@ -1621,17 +1621,34 @@ object TextOps {
     * seen = a distinct count at bounded (source, slice) grain; cumulatives
     * are windows over the 8-row-per-source frame — control-plane. */
   def noveltyCurve(spark: SparkSession, dir: String, slices: Int = 8): DataFrame = {
+    val d = docs(spark, dir).withColumn("slice", noveltySlice(slices))
+    noveltyFrom(
+      d.groupBy("source", "slice")
+        .agg(sum(size(tokensCol(col("text"))).cast("long")).as("slice_tokens")),
+      d.select(col("source"), col("slice"),
+          explode(distinctShinglesUdf(3)(col("text"))).as("sh"))
+        .distinct())
+  }
+
+  /** The md5-derived slice assignment of [[noveltyCurve]] — a PURE function
+    * of doc_id (map-side, order-free), which is what makes the curve
+    * incrementally maintainable: a doc's slice never changes as the corpus
+    * grows, so the (source, slice, shingle) presence cells are first-seen
+    * rows and the (source, slice) token sums are additive. */
+  private[graft] def noveltySlice(slices: Int): Column =
+    pmod(conv(substring(md5(concat(lit("slice_"),
+      col("doc_id").cast("string")).cast("binary")), 1, 13), 16, 10).cast("long"),
+      lit(slices.toLong)).cast("int")
+
+  /** The [[noveltyCurve]] walk from its two sufficient statistics — the
+    * (source, slice, slice_tokens) sums and the DISTINCT
+    * (source, slice, sh) presence cells. Per-slice seen counts, first-seen
+    * slices (new vocab = min slice per (source, sh)) and the cumulatives
+    * all derive from the cells at read time, so the maintained store
+    * ([[graft.streaming.MixtureStream.applyNoveltyBatch]]) replays the
+    * batch curve exactly. */
+  def noveltyFrom(toks: DataFrame, sh: DataFrame): DataFrame = {
     val Window = org.apache.spark.sql.expressions.Window
-    val d = docs(spark, dir)
-      .withColumn("slice",
-        pmod(conv(substring(md5(concat(lit("slice_"),
-          col("doc_id").cast("string")).cast("binary")), 1, 13), 16, 10).cast("long"),
-          lit(slices.toLong)).cast("int"))
-    val toks = d.groupBy("source", "slice")
-      .agg(sum(size(tokensCol(col("text"))).cast("long")).as("slice_tokens"))
-    val sh = d.select(col("source"), col("slice"),
-        explode(distinctShinglesUdf(3)(col("text"))).as("sh"))
-      .distinct()
     val seen = sh.groupBy("source", "slice").agg(count(lit(1)).as("slice_seen"))
     val fresh = sh.groupBy("source", "sh").agg(min(col("slice")).as("m"))
       .groupBy(col("source"), col("m").as("slice"))
@@ -1703,18 +1720,28 @@ object TextOps {
     * (κ can be negative — worse than chance — and integral `div` truncates
     * toward zero IDENTICALLY in both engines). Degenerate sources (both
     * filters constant ⇒ denominator 0) emit null. */
-  def filterKappa(spark: SparkSession, dir: String): DataFrame = {
-    def dec(c: Column): Column = c.cast("decimal(38,0)")
-    val labeled = docs(spark, dir)
+  def filterKappa(spark: SparkSession, dir: String): DataFrame =
+    kappaFrom(kappaConf(docs(spark, dir)))
+
+  /** The per-source confusion-count aggregate of [[filterKappa]] — both
+    * filter labels are doc-pure, so the four counts are ADDITIVE cells
+    * (the streaming maintainer's sufficient statistic). */
+  private[graft] def kappaConf(docFrame: DataFrame): DataFrame =
+    docFrame
       .withColumn("toks", tokensCol(col("text")))
       .select(col("source"),
         (classifierScoreUdf(col("toks")) >= 0).as("a"),
         (size(array_distinct(col("toks"))) * 2 >= size(col("toks"))).as("b"))
-    val conf = labeled.groupBy("source").agg(
-      sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("n11"),
-      sum(when(col("a") && !col("b"), 1L).otherwise(0L)).as("n10"),
-      sum(when(!col("a") && col("b"), 1L).otherwise(0L)).as("n01"),
-      sum(when(!col("a") && !col("b"), 1L).otherwise(0L)).as("n00"))
+      .groupBy("source").agg(
+        sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("n11"),
+        sum(when(col("a") && !col("b"), 1L).otherwise(0L)).as("n10"),
+        sum(when(!col("a") && col("b"), 1L).otherwise(0L)).as("n01"),
+        sum(when(!col("a") && !col("b"), 1L).otherwise(0L)).as("n00"))
+
+  /** The κ arithmetic from a (source, n11, n10, n01, n00) confusion frame —
+    * shared by the batch operator and the maintained read path. */
+  def kappaFrom(conf: DataFrame): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
     conf
       .withColumn("n", col("n11") + col("n10") + col("n01") + col("n00"))
       .withColumn("e",

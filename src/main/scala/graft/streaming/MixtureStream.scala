@@ -221,6 +221,54 @@ object MixtureStream {
     TextOps.packingFromLens(
       Io.readDim(spark, lenStore).select("len", "n"), lengths)
 
+  /** q189 confusion store: one row per source of filter-agreement counts
+    * (n11, n10, n01, n00) — both labels are doc-pure, so the four counters
+    * are additive cells and κ is read-time arithmetic
+    * ([[TextOps.kappaFrom]]). "Where do the quality filters disagree"
+    * re-answered continuously. */
+  def applyKappaBatch(spark: SparkSession, delta: DataFrame,
+                      confStore: String, epoch: Long): Unit =
+    mergeAdditive(spark, TextOps.kappaConf(delta), confStore, "source",
+      Seq("n11" -> "n11", "n10" -> "n10", "n01" -> "n01", "n00" -> "n00"),
+      Nil, epoch)
+
+  /** Current q189 agreement report over everything absorbed. */
+  def readKappa(spark: SparkSession, confStore: String): DataFrame =
+    TextOps.kappaFrom(
+      Io.readDim(spark, confStore).select("source", "n11", "n10", "n01", "n00"))
+
+  /** q186 novelty stores: the slice assignment is a PURE md5 of doc_id
+    * (TextOps.noveltySlice), so a doc's slice never moves as the corpus
+    * grows — (source, slice) token sums are additive cells and the
+    * (source, slice, shingle) presence rows are first-seen (set-idempotent,
+    * the q181 store class, one slice dimension wider). Per-slice seen,
+    * first-seen-new and the cumulatives all roll up at read time in
+    * [[TextOps.noveltyFrom]], so "is this source's vocabulary saturating"
+    * maintains exactly. */
+  def applyNoveltyBatch(spark: SparkSession, delta: DataFrame,
+                        tokStore: String, cellStore: String, epoch: Long,
+                        slices: Int = 8): Unit = {
+    val d = delta.withColumn("slice", TextOps.noveltySlice(slices))
+    mergeAdditive(spark,
+      d.groupBy("source", "slice")
+        .agg(sum(size(TextFns.tokensCol(col("text"))).cast("long")).as("__dt"))
+        .withColumn("k", concat_ws("\u0001", col("source"), col("slice"))),
+      tokStore, "k", Seq("slice_tokens" -> "__dt"), Seq("source", "slice"), epoch)
+    val cells = d.select(col("source"), col("slice"),
+        explode(TextFns.distinctShinglesUdf(3)(col("text"))).as("sh"))
+      .distinct()
+      .select(concat_ws("\u0001", col("source"), col("slice"), col("sh")).as("k"),
+        col("source"), col("slice"), col("sh"), lit(epoch).as("last_epoch"))
+    Io.upsertDim(spark, cells, cellStore, "k", "last_epoch")
+  }
+
+  /** Current q186 novelty curve over everything absorbed. */
+  def readNovelty(spark: SparkSession, tokStore: String,
+                  cellStore: String): DataFrame =
+    TextOps.noveltyFrom(
+      Io.readDim(spark, tokStore).select("source", "slice", "slice_tokens"),
+      Io.readDim(spark, cellStore).select("source", "slice", "sh"))
+
   /** Drive the maintenance from a streaming (source, text) frame. */
   def run(spark: SparkSession, rows: DataFrame, availStore: String,
           shingleStore: String, checkpoint: String): StreamingQuery =

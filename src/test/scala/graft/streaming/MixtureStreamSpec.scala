@@ -28,6 +28,8 @@ class MixtureStreamSpec extends SparkSuite {
   private type BRow = (String, Long, Long, Long, Long, Long, Boolean)
   private type CRow = (String, Long, Long, Long, Long, Long, Long, Long, Long)
   private type PRow = (Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)
+  private type XRow = (String, Long, Long, Long, Long, Option[Long])
+  private type NRow = (String, Int, Long, Long, Long, Long, Long, Long)
 
   test("3-batch maintenance: q182 allocation and q181 selection equal the batch operators exactly") {
     val (av, sh) = (tmp("avail"), tmp("shingle"))
@@ -121,6 +123,38 @@ class MixtureStreamSpec extends SparkSuite {
     assert(graft.io.Io.readDim(spark, lenStore)
       .select("len", "n").as[(Long, Long)].collect().toSet == before,
       "replayed epoch must not double-count the length cells")
+  }
+
+  test("3-batch maintenance: q189 kappa and q186 novelty curve equal the batch operators exactly") {
+    val (conf, ntok, ncell) = (tmp("kappa"), tmp("ntok"), tmp("ncell"))
+    val bs = (0 to 2).map(i => graft.Tables.load(spark, sf001, "documents")
+      .filter(col("doc_id") % 3 === i)
+      .select("source", "doc_id", "text"))
+    bs.zipWithIndex.foreach { case (b, i) =>
+      MixtureStream.applyKappaBatch(spark, b, conf, epoch = i.toLong)
+      MixtureStream.applyNoveltyBatch(spark, b, ntok, ncell, epoch = i.toLong)
+    }
+    assert(MixtureStream.readKappa(spark, conf).as[XRow].collect().toSet ==
+      TextOps.filterKappa(spark, sf001).as[XRow].collect().toSet,
+      "maintained q189 agreement report must equal the batch operator exactly")
+    assert(MixtureStream.readNovelty(spark, ntok, ncell).as[NRow].collect().toSet ==
+      TextOps.noveltyCurve(spark, sf001).as[NRow].collect().toSet,
+      "maintained q186 novelty curve must equal the batch operator exactly")
+    // replay no-ops on all three stores
+    def confSnap = graft.io.Io.readDim(spark, conf)
+      .select("source", "n11", "n10", "n01", "n00")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    def tokSnap = graft.io.Io.readDim(spark, ntok)
+      .select("source", "slice", "slice_tokens")
+      .as[(String, Int, Long)].collect().toSet
+    def cellSnap = graft.io.Io.readDim(spark, ncell)
+      .select("source", "slice", "sh")
+      .as[(String, Int, String)].collect().toSet
+    val (c0, t0, s0) = (confSnap, tokSnap, cellSnap)
+    MixtureStream.applyKappaBatch(spark, bs.last, conf, epoch = 2L)
+    MixtureStream.applyNoveltyBatch(spark, bs.last, ntok, ncell, epoch = 2L)
+    assert(confSnap == c0 && tokSnap == t0 && cellSnap == s0,
+      "replayed epoch must not change any of the q189/q186 stores")
   }
 
   test("q194/q195 stores: full replay of the last epoch is a no-op") {
