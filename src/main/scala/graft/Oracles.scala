@@ -188,6 +188,51 @@ object Oracles {
        |  FROM ept p JOIN c$iters c USING (d) GROUP BY p.vec_id, c.cell)""".stripMargin
   }
 
+  /** q199 (kcenterCoreset): greedy farthest-point traversal unrolled — s0
+    * seeds at the minimum vec_id; each round i ≥ 1 carries the running
+    * min-dist² frame m_i (m_1 = dist to the seed, m_{i+1} = least of m_i
+    * and the dist to round i's pick) and s_i selects its (mind DESC,
+    * vec_id) maximum; the final Voronoi assignment ranks (d², round) per
+    * point. Integer-exact on the shared 2²⁰ grid, so every distance, the
+    * selection trace, and the per-center loads hash-compare. */
+  private def kcenterSql(k: Int): String = {
+    def distTo(s: String): String =
+      s"SELECT p.vec_id, sum((p.x - c.x)*(p.x - c.x)) AS nd\n" +
+        s"   FROM pts p JOIN $s s ON true\n" +
+        s"   JOIN pts c ON c.d = p.d AND c.vec_id = s.cid GROUP BY 1"
+    val mCtes = (1 until k).map { i =>
+      val m =
+        if (i == 1)
+          s"m1 AS MATERIALIZED (SELECT vec_id, nd AS mind FROM (\n  ${distTo("s0")}))"
+        else
+          s"m$i AS MATERIALIZED (SELECT m.vec_id, least(m.mind, n.nd) AS mind\n" +
+            s"  FROM m${i - 1} m JOIN (\n  ${distTo(s"s${i - 1}")}) n USING (vec_id))"
+      val sel = s"s$i AS (SELECT vec_id AS cid, mind AS sel FROM m$i\n" +
+        s"  ORDER BY mind DESC, vec_id LIMIT 1)"
+      s"$m,\n$sel"
+    }.mkString(",\n")
+    val centerRows = (s"SELECT 0 AS rnd, cid, cast(0 as bigint) AS sel FROM s0" +:
+      (1 until k).map(i => s"SELECT $i, cid, cast(sel as bigint) FROM s$i"))
+      .mkString("\n  UNION ALL ")
+    s"""WITH p0 AS (SELECT vec_id, embedding,
+       |    unnest(generate_series(1, len(embedding))) AS d FROM embeddings),
+       |pts AS MATERIALIZED (SELECT vec_id, d,
+       |    cast(floor(embedding[d]::DOUBLE * 1048576) as bigint) AS x FROM p0),
+       |s0 AS (SELECT min(vec_id) AS cid FROM pts),
+       |$mCtes,
+       |centers AS ($centerRows),
+       |cd AS (SELECT p.vec_id, c.rnd, sum((p.x - q.x)*(p.x - q.x)) AS d2
+       |  FROM centers c JOIN pts q ON q.vec_id = c.cid JOIN pts p ON p.d = q.d
+       |  GROUP BY 1, 2),
+       |asg AS (SELECT vec_id, rnd, d2,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, rnd) AS rn FROM cd)
+       |SELECT cast(c.rnd as int) AS sel_round, c.cid AS center_vec_id,
+       |  c.sel AS sel_d2, cast(count(*) as bigint) AS n_assigned,
+       |  cast(max(a.d2) as bigint) AS max_d2, cast(sum(a.d2) as bigint) AS sum_d2
+       |FROM centers c JOIN asg a ON a.rn = 1 AND a.rnd = c.rnd
+       |GROUP BY 1, 2, 3""".stripMargin
+  }
+
   /** q108 (kmeansAssign): the distributed full-corpus Lloyd run replayed as
     * an unrolled CTE chain — same integer grid, truncated `//` means,
     * (dist, cid) tie order, and seed rule (cid = vec_id < k) as the Spark
@@ -4411,5 +4456,36 @@ object Oracles {
         |SELECT source, cast(count(*) as bigint) AS n_pairs,
         |  cast(sum(jac_q) as bigint) // count(*) AS mean_jac_q
         |FROM j GROUP BY 1""".stripMargin,
+
+    // q198 (vocabCoverage): the TEXTBOOK rank-window construction — rank
+    // the whole 3-shingle vocabulary by (ct DESC, term), sum the top V per
+    // candidate size. The Spark side never sorts the vocabulary (it walks
+    // the frequency-of-frequencies frame); coverage is tie-invariant, so
+    // the two constructions are provably equal and this gate checks the
+    // theorem, not a replay.
+    "q198_vocab_coverage" ->
+      """WITH tc AS (SELECT sh AS term, cast(count(*) as bigint) AS ct FROM
+        |  (SELECT unnest(
+        |     [array_to_string(toks[i:i+2], ' ')
+        |      FOR i IN generate_series(1, greatest(len(toks) - 2, 0))]) AS sh
+        |   FROM (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |         FROM documents))
+        |  GROUP BY 1),
+        |r AS (SELECT ct, row_number() OVER (ORDER BY ct DESC, term) AS rn FROM tc),
+        |tot AS (SELECT cast(sum(ct) as bigint) AS total_tokens,
+        |    cast(count(*) as bigint) AS v_obs FROM tc),
+        |vs AS (SELECT cast(unnest([256, 1024, 4096, 16384]) as bigint) AS v)
+        |SELECT vs.v, min(r.ct) AS threshold_ct,
+        |  cast(sum(r.ct) as bigint) AS covered_tokens,
+        |  max(tot.total_tokens) AS total_tokens, max(tot.v_obs) AS v_obs,
+        |  ((max(tot.total_tokens) - cast(sum(r.ct) as bigint)) * 1000000)
+        |    // max(tot.total_tokens) AS oov_ppm
+        |FROM vs JOIN r ON r.rn <= vs.v CROSS JOIN tot
+        |GROUP BY 1""".stripMargin,
+
+    // q199 (kcenterCoreset): the greedy farthest-point traversal replayed
+    // as unrolled CTE rounds — same 2²⁰ integer grid, (d² DESC, vec_id)
+    // selection and (d², round) assignment tie orders as the Spark loop.
+    "q199_kcenter_coreset" -> kcenterSql(8),
   )
 }

@@ -392,8 +392,31 @@ object Io {
     val walOpenRace = msg.contains(".wal") &&
       msg.contains("could not remove file") &&
       msg.contains("no such file or directory")
+    // DuckDB 1.0.0 catalog-visibility race under concurrent writers
+    // (reproduced by the 20-round concurrency spec under full-suite load):
+    // Spark's write.jdbc resolves the just-written table's schema on a
+    // FRESH connection (`SELECT * FROM <stage>` via JDBCRDD.resolveTable),
+    // and that open can land inside another transaction's abort cleanup
+    // and miss the committed catalog entry — "Catalog Error: Table with
+    // name X__stage_UUID does not exist!". Scoped to OUR per-call-unique
+    // stage names: the retried op (re)creates its own stage from scratch,
+    // so the retry is idempotent by construction, while a missing USER
+    // table keeps failing permanently on the first attempt.
+    val stageCatalogRace = msg.contains("__stage_") &&
+      msg.contains("does not exist")
+    // DuckDB 1.0.0 segment-statistics race under concurrent writers (same
+    // reproduction): the INTERNAL string-statistics update aborts with
+    // "Invalid Input Error: Invalid unicode (byte sequence mismatch)
+    // detected in segment statistics update". Genuinely invalid input
+    // cannot reach this path through JDBC (Java's UTF-8 encoder never
+    // emits invalid byte sequences), and the abort rolls the transaction
+    // back cleanly — both fragments required so a real invalid-value error
+    // raised at ingestion stays permanent.
+    val statsRace = msg.contains("invalid unicode") &&
+      msg.contains("segment statistics update")
     t.isInstanceOf[java.sql.SQLTransientException] ||
       transientTexts.exists(msg.contains) || walOpenRace ||
+      stageCatalogRace || statsRace ||
       Option(t.getCause).exists(isTransient)
   }
 

@@ -774,6 +774,79 @@ object Similarity {
         best(centroids).getField("rd")).as("dist"))
   }
 
+  /** GREEDY k-CENTER CORESET (q199) — farthest-point traversal [Gonzalez
+    * 1985, a 2-approximation to the optimal k-center cover; the coreset
+    * selection of Sener & Savarese ICLR 2018]: seed at the lowest vec_id,
+    * then k−1 times pick the point FARTHEST from everything chosen — the k
+    * exemplars that cover the embedding space with minimal radius. The
+    * diversity complement of density-biased curation: [[semanticDedup]] and
+    * [[kmeansPrototypes]] keep the TYPICAL, k-center keeps the SPREAD (the
+    * rare modes a proportional sample would miss). Output, one row per
+    * center: selection order, sel_d2 = its distance² to the
+    * previously-chosen set at selection (a non-increasing curve that IS
+    * the k-vs-cover-radius decision table — read it to pick k), and the
+    * final Voronoi load (n_assigned / max_d2 / sum_d2; max_d2 over centers
+    * is the cover radius the 2-approximation bounds).
+    *
+    * Scale shape: k bounded rounds, each ONE map-only corpus pass — the
+    * chosen set rides as literals into the codegen'd `dot_i`
+    * (min-dist² = |q|² + min over centers of (|c|² − 2·q·c), exact longs on
+    * the 2²⁰ grid: |rd| ≤ 3·64·2⁴² ≪ 2⁶³) reduced by ONE tie-free max_by
+    * partial agg to a single driver row, so O(k) rows ever reach the driver
+    * and nothing corpus-shaped shuffles (the [[trainCentroids]] /
+    * [[kmeansAssignFrom]] control-plane discipline; the final assignment
+    * pass is a k-key partial-agged groupBy). Replays bit-identically as
+    * unrolled SQL: grid ints, long arithmetic, (d², round) assignment tie
+    * order and (d² DESC, vec_id) selection tie order. */
+  def kcenterCoreset(spark: SparkSession, dir: String, k: Int = 8): DataFrame =
+    kcenterCoresetFrom(emb(spark, dir), k)
+
+  /** Frame form of [[kcenterCoreset]]: `e` needs vec_id + embedding. */
+  def kcenterCoresetFrom(e: DataFrame, k: Int = 8): DataFrame = {
+    val spark = e.sparkSession
+    VectorExpressions.register(spark)
+    import spark.implicits._
+    val pts = e.select(col("vec_id"), qgridCol(col("embedding")).as("q")).persist()
+    try {
+      def selfDot(c: org.apache.spark.sql.Column) = call_function("dot_i", c, c)
+      case class Ctr(round: Int, vecId: Long, qv: Seq[Int], selD2: Long)
+      val seed = pts
+        .select(min_by(struct(col("vec_id"), col("q")), col("vec_id")).as("s"))
+        .select(col("s.vec_id"), col("s.q")).as[(Long, Seq[Int])].head()
+      val centers = scala.collection.mutable.ArrayBuffer(Ctr(0, seed._1, seed._2, 0L))
+      // rd(c) = |c|² − 2·q·c, so d²(q, c) = |q|² + rd(c)
+      def rds = centers.toSeq.map { c =>
+        val c2 = c.qv.foldLeft(0L)((a, v) => a + v.toLong * v)
+        (lit(c2) - lit(2L) * call_function("dot_i", col("q"), typedLit(c.qv)), c.round)
+      }
+      for (r <- 1 until k) {
+        val mind2 = selfDot(col("q")) + array_min(array(rds.map(_._1): _*))
+        val far = pts
+          .select(max_by(struct(col("vec_id"), col("q"), mind2.as("d2")),
+            struct(mind2, negate(col("vec_id")))).as("s"))
+          .select(col("s.vec_id"), col("s.q"), col("s.d2"))
+          .as[(Long, Seq[Int], Long)].head()
+        centers += Ctr(r, far._1, far._2, far._3)
+      }
+      // Voronoi assignment: nearest center, ties to the earliest round —
+      // array_min over (rd, rnd) structs is the (d², round) lexicographic
+      // order because |q|² is a per-row constant
+      val bestS = array_min(array(rds.map { case (rd, rnd) =>
+        struct(rd.as("rd"), lit(rnd).as("rnd")) }: _*))
+      val stats = pts
+        .select((selfDot(col("q")) + bestS.getField("rd")).as("d2"),
+          bestS.getField("rnd").as("rnd"))
+        .groupBy("rnd")
+        .agg(count(lit(1)).as("n_assigned"), max(col("d2")).as("max_d2"),
+          sum(col("d2")).as("sum_d2"))
+      val trace = centers.toSeq.map(c => (c.round, c.vecId, c.selD2))
+        .toDF("sel_round", "center_vec_id", "sel_d2")
+      trace.join(stats, col("sel_round") === col("rnd"))
+        .select(col("sel_round"), col("center_vec_id"), col("sel_d2"),
+          col("n_assigned"), col("max_d2"), col("sum_d2"))
+    } finally { pts.unpersist(); () }
+  }
+
   /** SSL-prototype data pruning (Sorscher et al. 2022, "Beyond neural
     * scaling laws"): keep, per k-means cluster, the m MOST CENTRAL points —
     * the prototypical examples whose distance-to-centroid ranks lowest.

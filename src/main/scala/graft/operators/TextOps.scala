@@ -1860,6 +1860,107 @@ object TextOps {
       .withColumn("cov_gt_q", expr("((tokens - n1) * 1048576) div tokens"))
   }
 
+  /** TOKENIZER-VOCABULARY COVERAGE CURVE (q198) — the vocab-size decision
+    * table [Zipf's law; the coverage criterion SentencePiece/BPE users tune
+    * V against, cf. Kudo 2018 §4]: for each candidate inventory size V, the
+    * corpus token mass covered by the V most frequent type units, the OOV
+    * rate left over (parts per million, integral), and the frequency
+    * threshold where the cut lands. q191 (Chao1) answers "how much
+    * vocabulary is left to SEE"; this answers "how much vocabulary is worth
+    * KEEPING" — the two ends of the tokenizer-inventory decision. Type unit
+    * = the 3-gram shingle (the q186/q187/q191 vocabulary — the synthetic
+    * unigram space is 31 saturated types and would make every V total).
+    *
+    * Scale shape — NO global sort of the vocabulary: coverage is
+    * tie-invariant (every term at the cut frequency contributes the same
+    * mass, so WHICH tied terms make the cut cannot change the curve), which
+    * lets the whole table read off the frequency-of-frequencies frame
+    * F = (ct, n_terms). |F| ≤ ⌈√(2·total_tokens)⌉ for ANY corpus (distinct
+    * counts are distinct positive integers: total ≥ 1+2+…+|F| = |F|(|F|+1)/2),
+    * so the one ordered suffix-sum walk over F is bounded control plane
+    * (≤ 1.5 M rows even at 10¹² tokens) — where the textbook rank window
+    * over the term table itself would sort the full 10⁸+-type vocabulary
+    * onto one reducer. The oracle deliberately IS that textbook window
+    * (rank terms, sum the top V): tie-invariance makes the two
+    * constructions provably equal, so the gate checks the theorem, not a
+    * replay. */
+  def vocabCoverage(spark: SparkSession, dir: String,
+                    sizes: Seq[Int] = Seq(256, 1024, 4096, 16384)): DataFrame =
+    vocabCoverageFrom(
+      docs(spark, dir)
+        .select(explode(gramCountsUdf(3)(col("text"))))
+        .select(col("key").as("term"), col("value").cast("long").as("tf"))
+        .groupBy("term").agg(sum(col("tf")).as("ct")),
+      sizes)
+
+  /** The [[vocabCoverage]] curve from a (term, ct) COUNT-TABLE frame — the
+    * same additive sufficient statistic as [[chao1From]], so the q191
+    * maintained store summed over sources feeds this read path
+    * ([[graft.streaming.MixtureStream.readVocabCoverage]]) with no new
+    * store and no corpus re-scan. */
+  def vocabCoverageFrom(tc: DataFrame,
+                        sizes: Seq[Int] = Seq(256, 1024, 4096, 16384)): DataFrame = {
+    val f = tc.groupBy(col("ct")).agg(count(lit(1)).as("n_terms"))
+      .withColumn("mass", col("ct") * col("n_terms"))
+    // suffix sums EXCLUSIVE of the current row, walking frequencies DESC —
+    // the single-task window is safe by the |F| ≤ √(2N) bound above
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.orderBy(col("ct").desc).rowsBetween(W.unboundedPreceding, -1)
+    val walk = f
+      .withColumn("terms_above", coalesce(sum(col("n_terms")).over(w), lit(0L)))
+      .withColumn("mass_above", coalesce(sum(col("mass")).over(w), lit(0L)))
+    val totals = f.agg(sum(col("mass")).as("total_tokens"),
+      sum(col("n_terms")).as("v_obs"))
+    val vs = tc.sparkSession.range(1)
+      .select(explode(array(sizes.map(s => lit(s.toLong)): _*)).as("v"))
+    // crossing row per V = the max-terms_above row still strictly below V
+    // (terms_above strictly increases walking DESC, so max_by is tie-free);
+    // covered = full rows above the cut + the partial tie group at it —
+    // `least` also absorbs V ≥ |vocab| (covered saturates at total)
+    walk.join(broadcast(vs), col("terms_above") < col("v"))
+      .groupBy("v")
+      .agg(max_by(
+        struct(col("ct"), col("n_terms"), col("terms_above"), col("mass_above")),
+        col("terms_above")).as("k"))
+      .crossJoin(broadcast(totals))
+      .select(
+        col("v"),
+        col("k.ct").as("threshold_ct"),
+        (col("k.mass_above") +
+          least(col("k.n_terms"), col("v") - col("k.terms_above")) * col("k.ct"))
+          .as("covered_tokens"),
+        col("total_tokens"), col("v_obs"))
+      .withColumn("oov_ppm",
+        expr("((total_tokens - covered_tokens) * 1000000) div total_tokens"))
+  }
+
+  /** The textbook rank-window form of [[vocabCoverage]] — kept ONLY as the
+    * spec reference for the tie-invariance equality gate (TextOpsSpec);
+    * never call it on real data (it sorts the whole vocabulary on one
+    * reducer — exactly what the F-walk exists to avoid). */
+  private[graft] def vocabCoverageWindowed(spark: SparkSession, dir: String,
+                                           sizes: Seq[Int] = Seq(256, 1024, 4096, 16384)): DataFrame = {
+    val tc = docs(spark, dir)
+      .select(explode(gramCountsUdf(3)(col("text"))))
+      .select(col("key").as("term"), col("value").cast("long").as("tf"))
+      .groupBy("term").agg(sum(col("tf")).as("ct"))
+    val W = org.apache.spark.sql.expressions.Window
+    val r = tc.withColumn("rn",
+      row_number().over(W.orderBy(col("ct").desc, col("term"))))
+    val totals = tc.agg(sum(col("ct")).as("total_tokens"),
+      count(lit(1)).as("v_obs"))
+    val vs = spark.range(1)
+      .select(explode(array(sizes.map(s => lit(s.toLong)): _*)).as("v"))
+    r.join(broadcast(vs), col("rn") <= col("v"))
+      .groupBy("v")
+      .agg(min(col("ct")).as("threshold_ct"),
+        sum(col("ct")).as("covered_tokens"))
+      .crossJoin(broadcast(totals))
+      .withColumn("oov_ppm",
+        expr("((total_tokens - covered_tokens) * 1000000) div total_tokens"))
+      .select("v", "threshold_ct", "covered_tokens", "total_tokens", "v_obs", "oov_ppm")
+  }
+
   /** CONTEXT-LENGTH PACKING PLANNER (q192) — the capacity table behind the
     * q68/q167 packing choice [GPT-3 §2.2 concat-and-chunk vs pad-per-doc;
     * Krell et al. 2021 on packing efficiency]: for each candidate context

@@ -201,6 +201,17 @@ object MixtureStream {
     TextOps.chao1From(
       Io.readDim(spark, termStore).select("source", "term", "ct"))
 
+  /** Current q198 vocabulary-coverage curve over everything absorbed — the
+    * q191 term store summed over sources IS q198's (term, ct) sufficient
+    * statistic, so the vocab-size decision rides the SAME maintained cells
+    * as Chao1: one store, two reports, no corpus re-scan. */
+  def readVocabCoverage(spark: SparkSession, termStore: String,
+                        sizes: Seq[Int] = Seq(256, 1024, 4096, 16384)): DataFrame =
+    TextOps.vocabCoverageFrom(
+      Io.readDim(spark, termStore).select("term", "ct")
+        .groupBy("term").agg(sum(col("ct")).as("ct")),
+      sizes)
+
   /** q192 length-histogram store: (len, n) doc-count cells — additive
     * under the shared epoch gate (pk = the length value itself; the domain
     * is the distinct token-length set, bounded by the max doc length).

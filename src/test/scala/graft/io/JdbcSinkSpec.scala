@@ -315,6 +315,29 @@ class JdbcSinkSpec extends SparkSuite {
       "IO Error: Could not remove file \"/x/data.parquet\": No such file or directory")),
       "ENOENT on a non-wal file stays permanent")
 
+    // the catalog-visibility race on Spark's post-write stage-schema probe
+    // (round-14 cont.: reproduced under full-suite load): a vanished STAGE
+    // table is transient — the retried op recreates its own stage — while
+    // a missing USER table stays permanent
+    assert(Io.isTransient(new java.sql.SQLException(
+      "Catalog Error: Table with name dim__stage_ed90d3 does not exist!\n" +
+        "Did you mean \"dim\"?\nLINE 1: SELECT * FROM dim__stage_ed90d3")),
+      "missing just-written stage table must classify transient")
+    assert(!Io.isTransient(new java.sql.SQLException(
+      "Catalog Error: Table with name dim does not exist!")),
+      "a missing user table stays permanent")
+
+    // the segment-statistics race under concurrent writers (same
+    // reproduction): the internal stats-update abort is transient; a real
+    // invalid-value error raised anywhere else stays permanent
+    assert(Io.isTransient(new java.sql.SQLException(
+      "Invalid Input Error: Invalid unicode (byte sequence mismatch) " +
+        "detected in segment statistics update")),
+      "segment-statistics unicode race must classify transient")
+    assert(!Io.isTransient(new java.sql.SQLException(
+      "Invalid Input Error: Invalid unicode (byte sequence mismatch) detected in value construction")),
+      "invalid unicode outside the stats-update path stays permanent")
+
     // DuckDB's ROW-LEVEL abort texts (strings in libduckdb_java.so 1.0.0):
     // neither contains 'write-write' nor 'transaction', and both must retry
     Seq("TransactionContext Error: Conflict on tuple deletion!",

@@ -1541,4 +1541,29 @@ class TextOpsSpec extends SparkSuite {
     assert(expect.values.exists(_._2.contains(' ')), "no multi-word top phrase")
     assert(expect.values.exists(_._1 > 1), "every doc had a single candidate")
   }
+
+  test("vocabCoverage: F-walk equals the rank-window construction; monotone; saturates at |vocab|") {
+    import spark.implicits._
+    val got = TextOps.vocabCoverage(spark, sf001).as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    val ref = TextOps.vocabCoverageWindowed(spark, sf001).as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == ref,
+      "tie-invariance theorem: the frequency-of-frequencies walk must equal the textbook rank window")
+    // custom sizes force a cut INSIDE a tie group (v = 1, 7) and past the
+    // vocabulary end (v = 10^7); the curve must be monotone and saturate
+    val sizes = Seq(1, 7, 100, 10000000)
+    val curve = TextOps.vocabCoverage(spark, sf0001, sizes)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(curve.length == sizes.length, "one row per candidate size")
+    assert(curve.map(_._3).sliding(2).forall(s => s.head <= s.last),
+      "covered_tokens must be monotone in V")
+    val (total, vObs) = (curve.head._4, curve.head._5)
+    assert(curve.filter(_._1 >= vObs).forall(r => r._3 == total && r._6 == 0L),
+      "V >= |vocab| must cover the full token mass with zero OOV")
+    assert(curve.exists(r => r._3 < total && r._6 > 0L),
+      "small V must leave OOV mass (non-degenerate fixture)")
+    val refCurve = TextOps.vocabCoverageWindowed(spark, sf0001, sizes)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(curve.toSeq == refCurve.toSeq,
+      "equality must hold on partial-tie cuts too")
+  }
 }

@@ -30,6 +30,7 @@ class MixtureStreamSpec extends SparkSuite {
   private type PRow = (Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)
   private type XRow = (String, Long, Long, Long, Long, Option[Long])
   private type NRow = (String, Int, Long, Long, Long, Long, Long, Long)
+  private type VcRow = (Long, Long, Long, Long, Long, Long)
 
   test("3-batch maintenance: q182 allocation and q181 selection equal the batch operators exactly") {
     val (av, sh) = (tmp("avail"), tmp("shingle"))
@@ -82,6 +83,11 @@ class MixtureStreamSpec extends SparkSuite {
     assert(MixtureStream.readChao1(spark, term).as[CRow].collect().toSet ==
       TextOps.chao1Vocab(spark, sf001).as[CRow].collect().toSet,
       "maintained q191 estimate must equal the batch operator exactly")
+    // the SAME maintained cells (summed over sources) feed the q198
+    // vocabulary-coverage curve — one store, two decision reports
+    assert(MixtureStream.readVocabCoverage(spark, term).as[VcRow].collect().toSet ==
+      TextOps.vocabCoverage(spark, sf001).as[VcRow].collect().toSet,
+      "maintained q198 coverage curve must equal the batch operator exactly")
     // the count-table store is the right sufficient statistic PRECISELY
     // because hapax/dis counts are not additive: pin that the fixture
     // exercises the regime (a store where every ct stayed 1 would let a
