@@ -801,47 +801,77 @@ object Similarity {
   def kcenterCoreset(spark: SparkSession, dir: String, k: Int = 8): DataFrame =
     kcenterCoresetFrom(emb(spark, dir), k)
 
+  /** One chosen k-center: selection round, the point, its grid vector, and
+    * its distance² to the previously-chosen set at selection. */
+  private[graft] final case class KCenter(round: Int, vecId: Long,
+                                          qv: Seq[Int], selD2: Long)
+
+  /** The greedy selection loop of [[kcenterCoresetFrom]] over a PRE-GRIDDED
+    * (vec_id, q: array<int>) frame — factored out so the streaming
+    * composable-coreset maintainer ([[graft.streaming.KCenterStream]]) runs
+    * the IDENTICAL traversal per micro-batch and again over the stored
+    * candidates at read time. Deterministic: seed = lowest vec_id, each
+    * round the (min-dist² DESC, vec_id) maximum; O(k) driver rows. */
+  private[graft] def kcenterSelect(pts: DataFrame, k: Int): Seq[KCenter] = {
+    val spark = pts.sparkSession
+    VectorExpressions.register(spark)
+    import spark.implicits._
+    val seed = pts
+      .select(min_by(struct(col("vec_id"), col("q")), col("vec_id")).as("s"))
+      .select(col("s.vec_id"), col("s.q")).as[(Long, Seq[Int])].head()
+    val centers = scala.collection.mutable.ArrayBuffer(KCenter(0, seed._1, seed._2, 0L))
+    for (r <- 1 until k) {
+      val mind2 = call_function("dot_i", col("q"), col("q")) +
+        array_min(array(kcenterRds(centers.toSeq).map(_._1): _*))
+      val far = pts
+        .select(max_by(struct(col("vec_id"), col("q"), mind2.as("d2")),
+          struct(mind2, negate(col("vec_id")))).as("s"))
+        .select(col("s.vec_id"), col("s.q"), col("s.d2"))
+        .as[(Long, Seq[Int], Long)].head()
+      centers += KCenter(r, far._1, far._2, far._3)
+    }
+    centers.toSeq
+  }
+
+  /** rd(c) = |c|² − 2·q·c per chosen center, so d²(q, c) = |q|² + rd(c) —
+    * the chosen set as literals into the codegen'd `dot_i`. */
+  private def kcenterRds(centers: Seq[KCenter])
+  : Seq[(org.apache.spark.sql.Column, Int)] = centers.map { c =>
+    val c2 = c.qv.foldLeft(0L)((a, v) => a + v.toLong * v)
+    (lit(c2) - lit(2L) * call_function("dot_i", col("q"), typedLit(c.qv)), c.round)
+  }
+
+  /** The 2²⁰ grid as a (vec_id, q) frame — shared by the batch operator and
+    * the streaming maintainer's per-batch selection. */
+  private[graft] def kcenterPts(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), qgridCol(col("embedding")).as("q"))
+
+  /** Voronoi load of a chosen set over `pts`: one row per center round with
+    * n_assigned / max_d2 / sum_d2; assignment ties go to the earliest round
+    * (array_min over (rd, rnd) structs is the (d², round) lexicographic
+    * order because |q|² is a per-row constant). */
+  private[graft] def kcenterLoads(pts: DataFrame, centers: Seq[KCenter]): DataFrame = {
+    val bestS = array_min(array(kcenterRds(centers).map { case (rd, rnd) =>
+      struct(rd.as("rd"), lit(rnd).as("rnd")) }: _*))
+    pts
+      .select((call_function("dot_i", col("q"), col("q")) + bestS.getField("rd")).as("d2"),
+        bestS.getField("rnd").as("rnd"))
+      .groupBy("rnd")
+      .agg(count(lit(1)).as("n_assigned"), max(col("d2")).as("max_d2"),
+        sum(col("d2")).as("sum_d2"))
+  }
+
   /** Frame form of [[kcenterCoreset]]: `e` needs vec_id + embedding. */
   def kcenterCoresetFrom(e: DataFrame, k: Int = 8): DataFrame = {
     val spark = e.sparkSession
     VectorExpressions.register(spark)
     import spark.implicits._
-    val pts = e.select(col("vec_id"), qgridCol(col("embedding")).as("q")).persist()
+    val pts = kcenterPts(e).persist()
     try {
-      def selfDot(c: org.apache.spark.sql.Column) = call_function("dot_i", c, c)
-      case class Ctr(round: Int, vecId: Long, qv: Seq[Int], selD2: Long)
-      val seed = pts
-        .select(min_by(struct(col("vec_id"), col("q")), col("vec_id")).as("s"))
-        .select(col("s.vec_id"), col("s.q")).as[(Long, Seq[Int])].head()
-      val centers = scala.collection.mutable.ArrayBuffer(Ctr(0, seed._1, seed._2, 0L))
-      // rd(c) = |c|² − 2·q·c, so d²(q, c) = |q|² + rd(c)
-      def rds = centers.toSeq.map { c =>
-        val c2 = c.qv.foldLeft(0L)((a, v) => a + v.toLong * v)
-        (lit(c2) - lit(2L) * call_function("dot_i", col("q"), typedLit(c.qv)), c.round)
-      }
-      for (r <- 1 until k) {
-        val mind2 = selfDot(col("q")) + array_min(array(rds.map(_._1): _*))
-        val far = pts
-          .select(max_by(struct(col("vec_id"), col("q"), mind2.as("d2")),
-            struct(mind2, negate(col("vec_id")))).as("s"))
-          .select(col("s.vec_id"), col("s.q"), col("s.d2"))
-          .as[(Long, Seq[Int], Long)].head()
-        centers += Ctr(r, far._1, far._2, far._3)
-      }
-      // Voronoi assignment: nearest center, ties to the earliest round —
-      // array_min over (rd, rnd) structs is the (d², round) lexicographic
-      // order because |q|² is a per-row constant
-      val bestS = array_min(array(rds.map { case (rd, rnd) =>
-        struct(rd.as("rd"), lit(rnd).as("rnd")) }: _*))
-      val stats = pts
-        .select((selfDot(col("q")) + bestS.getField("rd")).as("d2"),
-          bestS.getField("rnd").as("rnd"))
-        .groupBy("rnd")
-        .agg(count(lit(1)).as("n_assigned"), max(col("d2")).as("max_d2"),
-          sum(col("d2")).as("sum_d2"))
-      val trace = centers.toSeq.map(c => (c.round, c.vecId, c.selD2))
+      val centers = kcenterSelect(pts, k)
+      val trace = centers.map(c => (c.round, c.vecId, c.selD2))
         .toDF("sel_round", "center_vec_id", "sel_d2")
-      trace.join(stats, col("sel_round") === col("rnd"))
+      trace.join(kcenterLoads(pts, centers), col("sel_round") === col("rnd"))
         .select(col("sel_round"), col("center_vec_id"), col("sel_d2"),
           col("n_assigned"), col("max_d2"), col("sum_d2"))
     } finally { pts.unpersist(); () }
