@@ -363,6 +363,12 @@ object Io {
     * lock contention, and SQLite-style engines say "database is locked".
     * Deliberately NOT matched: binder/catalog/syntax errors ("column not
     * found", "syntax error") — retrying those loops forever on a bug. */
+  /** The stage-catalog-race signature: the MISSING table must itself be one
+    * of our per-call-unique `<table>__stage_<32-hex-uuid>` names (matched
+    * against the classifier's lowercased message). */
+  private val StageMissingRe =
+    "table with name \\S*__stage_[0-9a-f]{32} does not exist".r
+
   private[io] def isTransient(t: Throwable): Boolean = {
     val msg = Option(t.getMessage).getOrElse("").toLowerCase(java.util.Locale.ROOT)
     val transientTexts = Seq(
@@ -399,11 +405,12 @@ object Io {
     // and that open can land inside another transaction's abort cleanup
     // and miss the committed catalog entry — "Catalog Error: Table with
     // name X__stage_UUID does not exist!". Scoped to OUR per-call-unique
-    // stage names: the retried op (re)creates its own stage from scratch,
-    // so the retry is idempotent by construction, while a missing USER
-    // table keeps failing permanently on the first attempt.
-    val stageCatalogRace = msg.contains("__stage_") &&
-      msg.contains("does not exist")
+    // stage names AND anchored so the stage name is the MISSING table
+    // itself — a missing USER table whose 'Did you mean "X__stage_..."'
+    // suggestion merely MENTIONS a live stage must stay permanent. The
+    // retried op (re)creates its own stage from scratch, so the retry is
+    // idempotent by construction.
+    val stageCatalogRace = StageMissingRe.findFirstIn(msg).isDefined
     // DuckDB 1.0.0 segment-statistics race under concurrent writers (same
     // reproduction): the INTERNAL string-statistics update aborts with
     // "Invalid Input Error: Invalid unicode (byte sequence mismatch)

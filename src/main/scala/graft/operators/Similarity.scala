@@ -811,16 +811,22 @@ object Similarity {
     * composable-coreset maintainer ([[graft.streaming.KCenterStream]]) runs
     * the IDENTICAL traversal per micro-batch and again over the stored
     * candidates at read time. Deterministic: seed = lowest vec_id, each
-    * round the (min-dist² DESC, vec_id) maximum; O(k) driver rows. */
+    * round the (min-dist² DESC, vec_id) maximum; O(k) driver rows. Rounds
+    * clamp at the point count — with fewer than k points every point IS a
+    * center, and unclamped rounds would re-pick exhausted points as
+    * duplicate sel_d2 = 0 centers (a wrong k-vs-radius table); an empty
+    * frame fails loudly instead of NPE-ing inside the seed decode. */
   private[graft] def kcenterSelect(pts: DataFrame, k: Int): Seq[KCenter] = {
     val spark = pts.sparkSession
     VectorExpressions.register(spark)
     import spark.implicits._
+    val n = pts.count()
+    require(n > 0L, "kcenterSelect: empty input frame (no embeddings)")
     val seed = pts
       .select(min_by(struct(col("vec_id"), col("q")), col("vec_id")).as("s"))
       .select(col("s.vec_id"), col("s.q")).as[(Long, Seq[Int])].head()
     val centers = scala.collection.mutable.ArrayBuffer(KCenter(0, seed._1, seed._2, 0L))
-    for (r <- 1 until k) {
+    for (r <- 1 until math.min(k.toLong, n).toInt) {
       val mind2 = call_function("dot_i", col("q"), col("q")) +
         array_min(array(kcenterRds(centers.toSeq).map(_._1): _*))
       val far = pts

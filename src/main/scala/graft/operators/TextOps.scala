@@ -1884,8 +1884,14 @@ object TextOps {
     * (rank terms, sum the top V): tie-invariance makes the two
     * constructions provably equal, so the gate checks the theorem, not a
     * replay. */
+  /** The default q198 candidate vocab sizes — ONE definition for the batch
+    * operator, the windowed spec reference, and the maintained read path
+    * (the q198 oracle SQL hard-codes the same list; editing this without
+    * the oracle desyncs the gate LOUDLY, which is the point). */
+  val VocabSizes: Seq[Int] = Seq(256, 1024, 4096, 16384)
+
   def vocabCoverage(spark: SparkSession, dir: String,
-                    sizes: Seq[Int] = Seq(256, 1024, 4096, 16384)): DataFrame =
+                    sizes: Seq[Int] = VocabSizes): DataFrame =
     vocabCoverageFrom(
       docs(spark, dir)
         .select(explode(gramCountsUdf(3)(col("text"))))
@@ -1899,7 +1905,7 @@ object TextOps {
     * ([[graft.streaming.MixtureStream.readVocabCoverage]]) with no new
     * store and no corpus re-scan. */
   def vocabCoverageFrom(tc: DataFrame,
-                        sizes: Seq[Int] = Seq(256, 1024, 4096, 16384)): DataFrame = {
+                        sizes: Seq[Int] = VocabSizes): DataFrame = {
     val f = tc.groupBy(col("ct")).agg(count(lit(1)).as("n_terms"))
       .withColumn("mass", col("ct") * col("n_terms"))
     // suffix sums EXCLUSIVE of the current row, walking frequencies DESC —
@@ -1939,7 +1945,7 @@ object TextOps {
     * never call it on real data (it sorts the whole vocabulary on one
     * reducer — exactly what the F-walk exists to avoid). */
   private[graft] def vocabCoverageWindowed(spark: SparkSession, dir: String,
-                                           sizes: Seq[Int] = Seq(256, 1024, 4096, 16384)): DataFrame = {
+                                           sizes: Seq[Int] = VocabSizes): DataFrame = {
     val tc = docs(spark, dir)
       .select(explode(gramCountsUdf(3)(col("text"))))
       .select(col("key").as("term"), col("value").cast("long").as("tf"))

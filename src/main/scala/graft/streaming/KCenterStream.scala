@@ -39,9 +39,10 @@ object KCenterStream {
                  epoch: Long, k: Int = 8): Unit = {
     val pts = Similarity.kcenterPts(delta).persist()
     try {
-      val n = pts.count()
-      if (n > 0L) {
-        val centers = Similarity.kcenterSelect(pts, math.min(k.toLong, n).toInt)
+      // an empty micro-batch is a normal no-op; kcenterSelect itself clamps
+      // rounds at the point count and rejects empty frames loudly
+      if (pts.count() > 0L) {
+        val centers = Similarity.kcenterSelect(pts, k)
         val rows = centers.map(c => (c.vecId, c.qv, c.round, c.selD2, epoch))
         val cand = spark.createDataFrame(rows)
           .toDF("vec_id", "q", "batch_round", "sel_d2", "last_epoch")

@@ -206,7 +206,7 @@ object MixtureStream {
     * statistic, so the vocab-size decision rides the SAME maintained cells
     * as Chao1: one store, two reports, no corpus re-scan. */
   def readVocabCoverage(spark: SparkSession, termStore: String,
-                        sizes: Seq[Int] = Seq(256, 1024, 4096, 16384)): DataFrame =
+                        sizes: Seq[Int] = TextOps.VocabSizes): DataFrame =
     TextOps.vocabCoverageFrom(
       Io.readDim(spark, termStore).select("term", "ct")
         .groupBy("term").agg(sum(col("ct")).as("ct")),

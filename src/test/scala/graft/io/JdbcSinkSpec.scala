@@ -318,14 +318,20 @@ class JdbcSinkSpec extends SparkSuite {
     // the catalog-visibility race on Spark's post-write stage-schema probe
     // (round-14 cont.: reproduced under full-suite load): a vanished STAGE
     // table is transient — the retried op recreates its own stage — while
-    // a missing USER table stays permanent
+    // a missing USER table stays permanent, EVEN when DuckDB's 'Did you
+    // mean' suggestion happens to name a live stage table
+    val stageUuid = "ed90d300331849dd88f08887fba7d2d5"
     assert(Io.isTransient(new java.sql.SQLException(
-      "Catalog Error: Table with name dim__stage_ed90d3 does not exist!\n" +
-        "Did you mean \"dim\"?\nLINE 1: SELECT * FROM dim__stage_ed90d3")),
+      s"Catalog Error: Table with name dim__stage_$stageUuid does not exist!\n" +
+        s"Did you mean \"dim\"?\nLINE 1: SELECT * FROM dim__stage_$stageUuid")),
       "missing just-written stage table must classify transient")
     assert(!Io.isTransient(new java.sql.SQLException(
       "Catalog Error: Table with name dim does not exist!")),
       "a missing user table stays permanent")
+    assert(!Io.isTransient(new java.sql.SQLException(
+      "Catalog Error: Table with name dim does not exist!\n" +
+        s"Did you mean \"dim__stage_$stageUuid\"?")),
+      "a missing user table stays permanent even when the suggestion names a stage")
 
     // the segment-statistics race under concurrent writers (same
     // reproduction): the internal stats-update abort is transient; a real

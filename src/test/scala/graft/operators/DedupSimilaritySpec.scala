@@ -1080,48 +1080,20 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(!exchangedText, s"join keys/outputs must not include raw text:\n$plan")
   }
 
-  /** Driver-side greedy k-center (Gonzalez traversal) on the 2²⁰ grid — the
-    * q199 reference: returns the selection trace (round, vec_id, sel_d2)
-    * and every point's (d², round) Voronoi assignment. */
-  private def kcenterReference(pts: Array[(Long, Array[Long])], k: Int)
-      : (Seq[(Int, Long, Long)], Map[Long, (Long, Int)]) = {
-    def d2(a: Array[Long], b: Array[Long]): Long = {
-      var s = 0L; var i = 0
-      while (i < a.length) { val t = a(i) - b(i); s += t * t; i += 1 }
-      s
-    }
-    val sorted = pts.sortBy(_._1)
-    val centers = scala.collection.mutable.ArrayBuffer(
-      (0, sorted.head._1, 0L, sorted.head._2))
-    val mind = scala.collection.mutable.Map(
-      sorted.map(p => p._1 -> d2(p._2, sorted.head._2)).toSeq: _*)
-    for (r <- 1 until k) {
-      val (vid, dd) = sorted.map(p => (p._1, mind(p._1)))
-        .maxBy { case (id, d) => (d, -id) }
-      val qv = sorted.find(_._1 == vid).get._2
-      centers += ((r, vid, dd, qv))
-      sorted.foreach(p => mind(p._1) = math.min(mind(p._1), d2(p._2, qv)))
-    }
-    val asg = sorted.map { p =>
-      p._1 -> centers.map(c => (d2(p._2, c._4), c._1)).minBy(identity)
-    }.toMap
-    (centers.toSeq.map(c => (c._1, c._2, c._3)), asg)
-  }
-
   test("kcenterCoreset: matches the driver greedy replay; radius curve non-increasing; Voronoi loads exact") {
     import spark.implicits._
     val raw = spark.read.parquet(s"$sf0001/embeddings.parquet")
       .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
-    val qpts = raw.map { case (id, v) =>
-      id -> v.map(x => math.floor(x.toDouble * 1048576.0).toLong).toArray }
-    val (trace, asg) = kcenterReference(qpts, 8)
-    val want = trace.flatMap { case (r, vid, sel) =>
+    val qpts = raw.toSeq.map { case (id, v) => id -> graft.KCenterRef.grid(v) }
+    val trace = graft.KCenterRef.greedy(qpts, 8)
+    val asg = graft.KCenterRef.assign(qpts, trace.map(c => (c._1, c._4)))
+    val want = trace.flatMap { case (r, vid, sel, _) =>
       val mine = asg.values.filter(_._2 == r).map(_._1)
       if (mine.isEmpty) None
       else Some((r, vid, sel, mine.size.toLong, mine.max, mine.sum))
     }.toSet
-    val got = Similarity.kcenterCoreset(spark, sf0001)
-      .as[(Int, Long, Long, Long, Long, Long)].collect().toSet
+    val df = Similarity.kcenterCoreset(spark, sf0001)
+    val got = df.as[(Int, Long, Long, Long, Long, Long)].collect().toSet
     assert(got == want,
       s"distributed greedy must equal the driver replay:\n got=$got\nwant=$want")
     val byRound = got.toSeq.sortBy(_._1)
@@ -1134,10 +1106,9 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(sels.head > 0L, "non-degenerate corpus: the first pick must be distinct from the seed")
 
     // Scale shape: each selection round reduces the corpus with ONE
-    // partial-agged max_by — the selected-round plan has no Exchange beyond
-    // the single aggregate pair, and the assignment output is a k-key agg
-    val plan = Similarity.kcenterCoreset(spark, sf0001)
-      .queryExecution.executedPlan.toString
+    // partial-agged max_by, and the assignment output is a k-key agg —
+    // read the plan off the SAME DataFrame the equality gate collected
+    val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"no window anywhere in the q199 plan:\n$plan")
   }
 }

@@ -23,34 +23,8 @@ class KCenterStreamSpec extends SparkSuite {
   private def batches: Seq[DataFrame] =
     (0 to 2).map(i => emb.filter(col("vec_id") % 3 === i))
 
-  // ---- driver reference: the same grid + greedy in plain Scala ----
-
-  private def grid(v: Seq[Float]): Array[Long] =
-    v.map(x => math.floor(x.toDouble * 1048576.0).toLong).toArray
-
-  private def d2(a: Array[Long], b: Array[Long]): Long = {
-    var s = 0L; var i = 0
-    while (i < a.length) { val t = a(i) - b(i); s += t * t; i += 1 }
-    s
-  }
-
-  /** Gonzalez traversal: returns (round, vecId, selD2, qv) in order. */
-  private def greedy(pts: Seq[(Long, Array[Long])], k: Int)
-  : Seq[(Int, Long, Long, Array[Long])] = {
-    val sorted = pts.sortBy(_._1)
-    val chosen = scala.collection.mutable.ArrayBuffer(
-      (0, sorted.head._1, 0L, sorted.head._2))
-    val mind = scala.collection.mutable.Map(
-      sorted.map(p => p._1 -> d2(p._2, sorted.head._2)).toSeq: _*)
-    for (r <- 1 until math.min(k, sorted.length)) {
-      val (vid, dd) = sorted.map(p => (p._1, mind(p._1)))
-        .maxBy { case (id, d) => (d, -id) }
-      val qv = sorted.find(_._1 == vid).get._2
-      chosen += ((r, vid, dd, qv))
-      sorted.foreach(p => mind(p._1) = math.min(mind(p._1), d2(p._2, qv)))
-    }
-    chosen.toSeq
-  }
+  // driver reference: the shared graft.KCenterRef grid + greedy
+  import graft.KCenterRef.{d2, greedy, grid}
 
   private def collected(df: DataFrame): Seq[(Long, Array[Long])] =
     df.as[(Long, Seq[Float])].collect().toSeq.map { case (id, v) => id -> grid(v) }
@@ -94,6 +68,24 @@ class KCenterStreamSpec extends SparkSuite {
     assert(rs <= 16L * rb,
       s"streamed cover d2 $rs must be within 16x of single-level $rb")
     assert(rs > 0L && rb > 0L, "non-degenerate cover radii")
+  }
+
+  test("sparse store: fewer candidates than k yields exactly that many centers, no duplicates; empty input fails loudly") {
+    val store = tmp("store-s")
+    val five = emb.filter(col("vec_id") < 5)
+    KCenterStream.applyBatch(spark, five, store, epoch = 0L)
+    val got = KCenterStream.readCenters(spark, store, k = 8)
+      .as[(Int, Long, Long)].collect().toSeq.sortBy(_._1)
+    val want = greedy(collected(five), 8).map(c => (c._1, c._2, c._3))
+    assert(got == want, "clamped read must equal the clamped reference")
+    assert(got.size == 5 && got.map(_._2).distinct.size == 5,
+      "every point is a center exactly once when |candidates| < k")
+    val err = intercept[IllegalArgumentException] {
+      Similarity.kcenterCoresetFrom(
+        Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")).collect()
+    }
+    assert(err.getMessage.contains("empty input frame"),
+      "an empty corpus must fail with a named error, not an encoder NPE")
   }
 
   test("replay of the last epoch is a no-op; partial candidate commit heals on replay") {
