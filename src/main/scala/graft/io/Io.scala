@@ -261,6 +261,37 @@ object Io {
     swapDir(tmp, new java.io.File(path))
   }
 
+  /** Rewrite a dim store's CONTENT wholesale (same pk, same bucket count) —
+    * the SHRINK primitive: [[upsertDim]] can only add or overwrite by key,
+    * never remove, so compaction/retention for stores whose rows can be
+    * superseded as a set (e.g. [[graft.streaming.KCenterStream.compact]])
+    * goes through this instead. Same crash discipline as [[rebucketDim]]:
+    * the replacement builds COMPLETELY in a sibling tmp (marker + all
+    * buckets, one write job) and lands via the checked rename-aside swap —
+    * a crash before the swap leaves the old store live; a stale crash
+    * leftover tmp is cleaned. The write job reads `rows` (which may derive
+    * from the store itself) fully into the tmp BEFORE the swap touches the
+    * live directory. */
+  def rewriteDim(spark: SparkSession, path: String, pk: String,
+                 rows: DataFrame): Unit = {
+    require(dimStoreHasData(path), s"rewriteDim: $path is not a dim store with data")
+    val buckets = java.nio.file.Files
+      .readString(java.nio.file.Paths.get(path, "_buckets")).trim.toInt
+    val tmp = new java.io.File(path + ".rewrite_tmp")
+    if (tmp.exists()) org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+    rows
+      .withColumn("__bucket",
+        pmod(xxhash64(col(pk).cast("string")), lit(buckets.toLong)))
+      .repartition(col("__bucket")) // one file per bucket, the upsertDim layout
+      .write.partitionBy("__bucket").parquet(tmp.getPath)
+    require(Option(tmp.listFiles())
+      .exists(_.exists(_.getName.startsWith("__bucket="))),
+      s"rewriteDim: refusing to swap an EMPTY replacement into $path — " +
+        "a marker-only store wedges readers (readDim has no schema to infer)")
+    java.nio.file.Files.writeString(tmp.toPath.resolve("_buckets"), buckets.toString)
+    swapDir(tmp, new java.io.File(path))
+  }
+
   /** Date/key-partitioned parquet layout — the warehouse persistence pattern
     * at scale: one directory per partition value so downstream readers prune
     * entire partitions (PartitionFilters) instead of scanning files. */

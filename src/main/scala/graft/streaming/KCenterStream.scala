@@ -61,6 +61,40 @@ object KCenterStream {
       .toDF("sel_round", "center_vec_id", "sel_d2")
   }
 
+  /** CAP-TRIGGERED COMPACTION — the unbounded-growth fix for a long-running
+    * stream: the candidate store grows O(k) per micro-batch (a day of
+    * 10-second batches is ~70k rows), so once it exceeds `capRows` it is
+    * REPLACED by the `keep` Gonzalez-selected candidates of its own union —
+    * a coreset of the coreset, landed through [[Io.rewriteDim]]'s
+    * rename-aside swap (a crash before the swap leaves the old store live;
+    * compaction is a pure function of the store content, so a retry
+    * recomputes the same replacement). Each compaction composes one more
+    * constant-factor level onto the approximation (the merge-and-reduce
+    * trade [Indyk et al. PODS'14]); `keep` defaults to 8× the read k so the
+    * compounding is slow — at cap 2¹⁶ and k = 8 a compaction absorbs ~8k
+    * micro-batches, so levels stay logarithmically rare. A replayed
+    * pre-compaction epoch may re-add candidates compaction removed; that
+    * only REFINES the coreset (extra candidates are never wrong), and the
+    * next compaction re-bounds it. `keep` rounds over the capped store are
+    * the same bounded-literal expression class the k-round read path uses.
+    * Compacted rows carry last_epoch = -1 (they no longer belong to one
+    * source epoch; the store takes no epoch gate — see the class doc). */
+  def compact(spark: SparkSession, storePath: String, capRows: Long = 1L << 16,
+              keep: Int = 64): Unit = {
+    require(keep > 0, s"compact: keep must be positive, got $keep")
+    if (!Io.dimStoreHasData(storePath)) return
+    val cand = Io.readDim(spark, storePath).select("vec_id", "q").persist()
+    try {
+      if (cand.count() > capRows) {
+        val kept = Similarity.kcenterSelect(cand, keep)
+        val rows = kept.map(c => (c.vecId, c.qv, c.round, c.selD2, -1L))
+        Io.rewriteDim(spark, storePath, "vec_id",
+          spark.createDataFrame(rows)
+            .toDF("vec_id", "q", "batch_round", "sel_d2", "last_epoch"))
+      }
+    } finally { cand.unpersist(); () }
+  }
+
   /** The chosen set itself (with grid vectors) — the spec's radius audit
     * assigns the corpus against it. */
   private[graft] def readChosen(spark: SparkSession, storePath: String,

@@ -88,6 +88,53 @@ class KCenterStreamSpec extends SparkSuite {
       "an empty corpus must fail with a named error, not an encoder NPE")
   }
 
+  test("compaction: over-cap store is replaced by its own Gonzalez coreset; under-cap is a no-op; store stays a live upsert target") {
+    val store = tmp("store-c")
+    val bs = batches
+    bs.take(2).zipWithIndex.foreach { case (b, i) =>
+      KCenterStream.applyBatch(spark, b, store, epoch = i.toLong)
+    }
+    // under cap: no-op
+    val before = graft.io.Io.readDim(spark, store)
+      .select("vec_id", "batch_round", "sel_d2", "last_epoch")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    KCenterStream.compact(spark, store, capRows = 1000L, keep = 12)
+    assert(graft.io.Io.readDim(spark, store)
+      .select("vec_id", "batch_round", "sel_d2", "last_epoch")
+      .as[(Long, Int, Long, Long)].collect().toSet == before,
+      "a store under the cap must be left untouched")
+    // over cap (16 candidates > 10): replaced by greedy-12 over the union
+    KCenterStream.compact(spark, store, capRows = 10L, keep = 12)
+    val union = bs.take(2).flatMap(b => greedy(collected(b), 8))
+      .map(c => c._2 -> c._4)
+    val wantKept = greedy(union, 12).map(c => (c._1, c._2, c._3)).toSet
+    val gotKept = graft.io.Io.readDim(spark, store)
+      .select("batch_round", "vec_id", "sel_d2")
+      .as[(Int, Long, Long)].collect().toSet
+    assert(gotKept == wantKept,
+      "the compacted store must be exactly the Gonzalez coreset of the candidate union")
+    assert(graft.io.Io.readDim(spark, store)
+      .select("last_epoch").as[Long].collect().forall(_ == -1L),
+      "compacted rows carry the -1 epoch marker")
+    // the store remains a working upsert target after the swap (marker and
+    // bucket routing preserved) and the read path still answers
+    KCenterStream.applyBatch(spark, bs(2), store, epoch = 2L)
+    val post = KCenterStream.readCenters(spark, store)
+      .as[(Int, Long, Long)].collect()
+    assert(post.length == 8 && post.map(_._2).distinct.length == 8,
+      "post-compaction store must keep absorbing batches and answering reads")
+    // and the compacted coreset still covers the absorbed corpus within the
+    // composable bound against single-level greedy
+    val absorbed = collected(emb)
+    val chosen = KCenterStream.readChosen(spark, store)
+      .map(_.qv.map(_.toLong).toArray)
+    val single = greedy(absorbed, 8).map(_._4)
+    def coverD2(cs: Seq[Array[Long]]): Long =
+      absorbed.map(p => cs.map(c => d2(p._2, c)).min).max
+    assert(coverD2(chosen) <= 16L * coverD2(single),
+      "post-compaction cover must stay within the approximation headroom")
+  }
+
   test("replay of the last epoch is a no-op; partial candidate commit heals on replay") {
     val (a, b) = (tmp("store-p"), tmp("store-f"))
     val bs = batches
