@@ -1565,5 +1565,19 @@ class TextOpsSpec extends SparkSuite {
       .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
     assert(curve.toSeq == refCurve.toSeq,
       "equality must hold on partial-tie cuts too")
+    // plan pin for the no-vocab-sort property the √(2N) bound licenses: the
+    // single Window walks the frequency-of-frequencies frame (ordered by ct
+    // alone); a regression back to the textbook rank window would order by
+    // (ct, term) and light up `term` in the Window line
+    val plan = TextOps.vocabCoverage(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    val winLines = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(winLines.size == 1, s"exactly one Window in the q198 plan:\n$plan")
+    // `term#` is the attribute-reference print of the term column; the
+    // F-walk window orders by ct alone (its `n_terms#` sum aggregate does
+    // NOT print `term#`), while the textbook rank window orders by
+    // (ct, term) and would light it up
+    assert(!winLines.head.contains("term#"),
+      s"the Window must never sort the term table:\n${winLines.head}")
   }
 }
