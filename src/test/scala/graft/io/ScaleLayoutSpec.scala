@@ -112,6 +112,42 @@ class ScaleLayoutSpec extends SparkSuite {
     assert(rows2.size == 40 && rows2("7") == "v7b")
   }
 
+  test("rewriteDim shrinks a store in place, tolerates a stale tmp, refuses an empty replacement, keeps the upsert contract") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dim-rewrite").toString + "/store"
+    val seed = (1 to 40).map(i => (i.toString, s"v$i", 1L)).toDF("id", "value", "ts")
+    Io.upsertDim(spark, seed, dir, "id", "ts", buckets = 4)
+    // a stale crash-leftover tmp from an aborted rewrite must not block
+    new java.io.File(dir + ".rewrite_tmp").mkdirs()
+
+    // shrink to the even keys only — the operation upsertDim cannot express
+    val keep = (2 to 40 by 2).map(i => (i.toString, s"v$i", 1L)).toDF("id", "value", "ts")
+    Io.rewriteDim(spark, dir, "id", keep)
+    val rows = Io.readDim(spark, dir).collect()
+      .map(r => r.getAs[String]("id") -> r.getAs[String]("value")).toMap
+    assert(rows.size == 20 && rows.keySet.forall(_.toInt % 2 == 0),
+      "the rewrite must replace the content wholesale (odd keys gone)")
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "_buckets")).trim == "4",
+      "the bucket-count marker survives the swap")
+    // every surviving key still routes by the preserved marker — the
+    // property that keeps the store a live upsert target
+    Io.upsertDim(spark, Seq(("2", "v2b", 2L)).toDF("id", "value", "ts"), dir, "id", "ts")
+    val rows2 = Io.readDim(spark, dir).collect()
+      .map(r => r.getAs[String]("id") -> r.getAs[String]("value")).toMap
+    assert(rows2.size == 20 && rows2("2") == "v2b",
+      "post-rewrite upserts must merge, not duplicate")
+    // an empty replacement must be refused (a marker-only store wedges
+    // readers) and must leave the live store untouched
+    val err = intercept[IllegalArgumentException] {
+      Io.rewriteDim(spark, dir, "id",
+        seed.filter(col("id") === "none-such"))
+    }
+    assert(err.getMessage.contains("EMPTY replacement"), err.getMessage)
+    assert(Io.readDim(spark, dir).count() == 20,
+      "a refused rewrite must not have touched the live store")
+  }
+
   test("upsertDim writes ALL touched buckets in ONE job (no per-bucket job loop)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("dim-onejob").toString + "/store"
