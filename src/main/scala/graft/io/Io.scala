@@ -482,6 +482,20 @@ object Io {
     throw new IllegalStateException("unreachable")
   }
 
+  /** The [[upsertDimJdbc]] snapshot-visibility guard, factored out so the
+    * spec can drive the mismatch branch directly: the merge transaction
+    * must see EXACTLY the rows the stage write committed, or it aborts as
+    * transient and retries on a fresh connection. */
+  private[io] def requireStageComplete(st: java.sql.Statement, stage: String,
+                                       expected: Long): Unit = {
+    val rs = st.executeQuery(s"SELECT count(*) FROM $stage")
+    val visible = try { rs.next(); rs.getLong(1) } finally rs.close()
+    if (visible != expected)
+      throw new java.sql.SQLTransientException(
+        s"stage visibility mismatch: $stage shows $visible of $expected " +
+          "committed rows — stale snapshot, retrying the merge")
+  }
+
   /** A6 twin landing in a REAL JDBC database — the production face of the
     * reference's Phoenix `upsert into` (DimSink.java:78-93, last-writer-wins
     * by pk). Set-based, no driver-side key collection: the batch lands in a
@@ -513,9 +527,18 @@ object Io {
     // contains("conflict") classifier missed DuckDB's lock texts and the
     // batch died in a detached writer thread). Gated by JdbcSinkSpec's
     // repeated two-thread concurrency test, which makes the conflict real.
-    retryTransient(s"upsertDimJdbc stage $stage") {
-      batch.write.mode("overwrite").jdbc(url, stage, props)
-    }
+    // Ground-truth row count BEFORE anything lands: the merge transaction
+    // anchors on it (below). persist() so the count and the stage write
+    // compute the batch once.
+    val anchored = batch.persist()
+    val expected =
+      try {
+        val n = anchored.count()
+        retryTransient(s"upsertDimJdbc stage $stage") {
+          anchored.write.mode("overwrite").jdbc(url, stage, props)
+        }
+        n
+      } finally { anchored.unpersist(); () }
     retryTransient(s"upsertDimJdbc merge $table") {
       val conn = connect(url, props)
       // Once conn.commit() returns the batch is durably in the live table
@@ -532,6 +555,19 @@ object Io {
           conn.setAutoCommit(false)
           val st = conn.createStatement()
           try {
+            // SNAPSHOT-VISIBILITY GUARD (round-14 cont.): duckdb_jdbc 1.0.0
+            // under concurrent writers can hand a freshly-opened connection
+            // a snapshot that does not yet show the stage's COMMITTED rows
+            // — the merge would then DELETE+INSERT zero rows and "commit"
+            // an empty merge, silently losing the batch (reproduced once by
+            // the 20-round concurrency spec: a whole 2-row batch vanished
+            // with no exception anywhere). Anchor the merge on the batch's
+            // driver-side count: a short-counted stage aborts as TRANSIENT
+            // (SQLTransientException — isTransient's first test), and the
+            // retry's fresh connection sees the healed snapshot. A truly
+            // short stage (impossible: the stage write committed before
+            // this point) would exhaust the budget and fail LOUDLY.
+            requireStageComplete(st, stage, expected)
             // first batch: the live table may not exist yet — create empty
             // with the stage's schema, then merge uniformly
             st.executeUpdate(

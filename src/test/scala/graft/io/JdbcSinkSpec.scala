@@ -207,6 +207,29 @@ class JdbcSinkSpec extends SparkSuite {
     } finally hidden.foreach(java.sql.DriverManager.registerDriver)
   }
 
+  /** Verification read that absorbs READER-side snapshot staleness: under
+    * concurrent-writer churn duckdb_jdbc 1.0.0 can hand a fresh connection
+    * a snapshot missing just-committed rows (the same bug class
+    * Io.requireStageComplete guards on the WRITE side). Re-read while the
+    * result is SHORT of `atLeast` rows, bounded to ~5 s — a real product
+    * loss stays short forever, exhausts the retries, and the caller's
+    * assert fails on the final (still-short) result, so this never masks
+    * a lost batch, only a stale read. */
+  private def readConverged(url: String, atLeast: Int)
+  : Seq[(Long, String)] = {
+    import spark.implicits._
+    var out = Seq.empty[(Long, String)]
+    var attempt = 0
+    while (attempt == 0 || (out.length < atLeast && attempt < 50)) {
+      attempt += 1
+      out = Io.retryTransient("verify read")(
+        spark.read.jdbc(url, "dim", new java.util.Properties())
+          .select($"id", $"name").as[(Long, String)].collect()).sortBy(_._1).toSeq
+      if (out.length < atLeast) Thread.sleep(100L)
+    }
+    out
+  }
+
   /** Run `body` in a thread that CAPTURES its failure; `join()` rethrows.
     * The round-11 judge caught the old detached-thread shape losing a whole
     * batch silently — a writer-thread death must fail the test, not pass it. */
@@ -235,14 +258,11 @@ class JdbcSinkSpec extends SparkSuite {
       val t2 = new Rethrowing(
         Io.upsertDimJdbc(Seq(4L -> "c", 5L -> "d").toDF("id", "name"), url, "dim", "id")).start()
       t1.join(); t2.join()
-      // verification reads retried: the OPEN itself can lose the DuckDB
-      // WAL-replay race against a late-closing writer handle (ENOENT on
-      // the .wal another handle checkpointed away — now classified
-      // transient in Io.isTransient; reproduced twice under full-suite
-      // load before this wrap)
-      val got = Io.retryTransient("conc verify read")(
-        spark.read.jdbc(url, "dim", new java.util.Properties())
-          .select($"id", $"name").as[(Long, String)].collect()).sorted.toSeq
+      // verification read: transient OPEN errors retry through
+      // Io.retryTransient (the WAL-replay ENOENT race), and a SHORT result
+      // re-reads through readConverged (reader-side snapshot staleness —
+      // a real loss stays short and still fails below)
+      val got = readConverged(url, atLeast = 5).sorted
       assert(got == Seq(1L -> "seed", 2L -> "a", 3L -> "b", 4L -> "c", 5L -> "d"),
         s"round $round: both concurrent batches must land intact: $got")
       // and no stage table leaks
@@ -272,13 +292,30 @@ class JdbcSinkSpec extends SparkSuite {
       val t2 = new Rethrowing(
         Io.upsertDimJdbc(Seq(1L -> "b").toDF("id", "name"), url, "dim", "id")).start()
       t1.join(); t2.join()
-      val got = Io.retryTransient("same-pk verify read")(
-        spark.read.jdbc(url, "dim", new java.util.Properties())
-          .select($"id", $"name").as[(Long, String)].collect()).sortBy(_._1).toSeq
+      val got = readConverged(url, atLeast = 2)
       assert(got.length == 2 && got.head._1 == 1L &&
         (got.head._2 == "a" || got.head._2 == "b") && got(1) == (2L -> "keep"),
         s"round $round: same-key race must converge to exactly one winner: $got")
     }
+  }
+
+  test("requireStageComplete: a short-counted stage aborts as transient; the exact count passes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-jdbc-guard")
+    val url = s"jdbc:duckdb:${dir.resolve("g.duckdb")}"
+    val c = Io.connect(url, new java.util.Properties())
+    try {
+      val st = c.createStatement()
+      try {
+        st.executeUpdate("CREATE TABLE t__stage_x AS SELECT * FROM (VALUES (1), (2)) v(x)")
+        Io.requireStageComplete(st, "t__stage_x", 2L) // exact: no throw
+        val e = intercept[java.sql.SQLTransientException] {
+          Io.requireStageComplete(st, "t__stage_x", 3L) // stale snapshot shape
+        }
+        assert(e.getMessage.contains("visibility mismatch"), e.getMessage)
+        assert(Io.isTransient(e),
+          "the guard's abort must route through the transient retry, not kill the pipeline")
+      } finally st.close()
+    } finally c.close()
   }
 
   test("retryTransient: non-'conflict' transient texts are retried, permanent errors fail loudly, budget exhaustion rethrows") {
