@@ -250,44 +250,52 @@ object Io {
                   newBuckets: Int): Unit = {
     require(newBuckets > 0, s"rebucketDim: newBuckets must be positive, got $newBuckets")
     require(dimStoreHasData(path), s"rebucketDim: $path is not a dim store with data")
-    val tmp = new java.io.File(path + ".rebucket_tmp")
-    if (tmp.exists()) org.apache.commons.io.FileUtils.deleteDirectory(tmp) // stale crash leftover
-    readDim(spark, path)
-      .withColumn("__bucket",
-        pmod(xxhash64(col(pk).cast("string")), lit(newBuckets.toLong)))
-      .repartition(col("__bucket")) // one file per bucket, the upsertDim layout
-      .write.partitionBy("__bucket").parquet(tmp.getPath)
-    java.nio.file.Files.writeString(tmp.toPath.resolve("_buckets"), newBuckets.toString)
-    swapDir(tmp, new java.io.File(path))
+    buildAndSwap(spark, path, pk, readDim(spark, path), newBuckets, ".rebucket_tmp")
   }
 
   /** Rewrite a dim store's CONTENT wholesale (same pk, same bucket count) —
     * the SHRINK primitive: [[upsertDim]] can only add or overwrite by key,
     * never remove, so compaction/retention for stores whose rows can be
     * superseded as a set (e.g. [[graft.streaming.KCenterStream.compact]])
-    * goes through this instead. Same crash discipline as [[rebucketDim]]:
-    * the replacement builds COMPLETELY in a sibling tmp (marker + all
-    * buckets, one write job) and lands via the checked rename-aside swap —
-    * a crash before the swap leaves the old store live; a stale crash
-    * leftover tmp is cleaned. The write job reads `rows` (which may derive
-    * from the store itself) fully into the tmp BEFORE the swap touches the
-    * live directory. */
+    * goes through this instead. Same crash discipline as [[rebucketDim]]
+    * (the two share [[buildAndSwap]]): the replacement builds COMPLETELY in
+    * a sibling tmp (marker + all buckets, one write job) and lands via the
+    * checked rename-aside swap — a crash before the swap leaves the old
+    * store live; a stale crash leftover tmp is cleaned. The write job reads
+    * `rows` (which may derive from the store itself) fully into the tmp
+    * BEFORE the swap touches the live directory. */
   def rewriteDim(spark: SparkSession, path: String, pk: String,
                  rows: DataFrame): Unit = {
     require(dimStoreHasData(path), s"rewriteDim: $path is not a dim store with data")
     val buckets = java.nio.file.Files
       .readString(java.nio.file.Paths.get(path, "_buckets")).trim.toInt
-    val tmp = new java.io.File(path + ".rewrite_tmp")
-    if (tmp.exists()) org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+    buildAndSwap(spark, path, pk, rows, buckets, ".rewrite_tmp")
+  }
+
+  /** The one definition of the whole-store replace: bucket `rows` by the
+    * SAME `pmod(xxhash64(cast))` routing [[upsertDim]] uses (a layout
+    * invariant — three hand-maintained copies of this expression would let
+    * one drift and silently mis-route keys in the others), build the
+    * complete store in a sibling tmp, and swap. Refuses an EMPTY
+    * replacement (a marker-only store wedges readers: [[readDim]] has no
+    * parquet to infer a schema from) and removes its tmp before throwing so
+    * a refused call leaves no residue next to the live store. */
+  private def buildAndSwap(spark: SparkSession, path: String, pk: String,
+                           rows: DataFrame, buckets: Int, tmpSuffix: String): Unit = {
+    val tmp = new java.io.File(path + tmpSuffix)
+    if (tmp.exists()) org.apache.commons.io.FileUtils.deleteDirectory(tmp) // stale crash leftover
     rows
       .withColumn("__bucket",
         pmod(xxhash64(col(pk).cast("string")), lit(buckets.toLong)))
       .repartition(col("__bucket")) // one file per bucket, the upsertDim layout
       .write.partitionBy("__bucket").parquet(tmp.getPath)
-    require(Option(tmp.listFiles())
-      .exists(_.exists(_.getName.startsWith("__bucket="))),
-      s"rewriteDim: refusing to swap an EMPTY replacement into $path — " +
-        "a marker-only store wedges readers (readDim has no schema to infer)")
+    if (!Option(tmp.listFiles())
+        .exists(_.exists(_.getName.startsWith("__bucket=")))) {
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+      throw new IllegalArgumentException(
+        s"refusing to swap an EMPTY replacement into $path — " +
+          "a marker-only store wedges readers (readDim has no schema to infer)")
+    }
     java.nio.file.Files.writeString(tmp.toPath.resolve("_buckets"), buckets.toString)
     swapDir(tmp, new java.io.File(path))
   }
@@ -528,17 +536,17 @@ object Io {
     // batch died in a detached writer thread). Gated by JdbcSinkSpec's
     // repeated two-thread concurrency test, which makes the conflict real.
     // Ground-truth row count BEFORE anything lands: the merge transaction
-    // anchors on it (below). persist() so the count and the stage write
-    // compute the batch once.
-    val anchored = batch.persist()
-    val expected =
-      try {
-        val n = anchored.count()
-        retryTransient(s"upsertDimJdbc stage $stage") {
-          anchored.write.mode("overwrite").jdbc(url, stage, props)
-        }
-        n
-      } finally { anchored.unpersist(); () }
+    // anchors on it (below). Deliberately NOT persist()-ed: Spark's cache
+    // manager keys entries by plan, so a sink-side persist/unpersist pair
+    // would silently drop a cache the CALLER installed on the same frame.
+    // The price is one extra computation of the batch lineage (dim batches
+    // are small by this sink's contract, and foreachBatch deltas are
+    // usually materialized shuffle output anyway) — callers with an
+    // expensive lineage can persist before calling.
+    val expected = batch.count()
+    retryTransient(s"upsertDimJdbc stage $stage") {
+      batch.write.mode("overwrite").jdbc(url, stage, props)
+    }
     retryTransient(s"upsertDimJdbc merge $table") {
       val conn = connect(url, props)
       // Once conn.commit() returns the batch is durably in the live table

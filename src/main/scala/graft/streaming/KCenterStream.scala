@@ -34,9 +34,13 @@ import org.apache.spark.sql.streaming.StreamingQuery
 object KCenterStream {
 
   /** Select ≤ k candidate centers from one micro-batch of
-    * (vec_id, embedding float[]) rows and upsert them by vec_id. */
+    * (vec_id, embedding float[]) rows and upsert them by vec_id, then run
+    * the cap check ([[compact]]) so a long-running stream's store stays
+    * bounded WITHOUT the driver remembering to schedule compaction — the
+    * cap is part of the maintenance step, not a separate chore. */
   def applyBatch(spark: SparkSession, delta: DataFrame, storePath: String,
-                 epoch: Long, k: Int = 8): Unit = {
+                 epoch: Long, k: Int = 8, capRows: Long = 1L << 16,
+                 keep: Int = 64): Unit = {
     val pts = Similarity.kcenterPts(delta).persist()
     try {
       // an empty micro-batch is a normal no-op; kcenterSelect itself clamps
@@ -47,6 +51,7 @@ object KCenterStream {
         val cand = spark.createDataFrame(rows)
           .toDF("vec_id", "q", "batch_round", "sel_d2", "last_epoch")
         Io.upsertDim(spark, cand, storePath, "vec_id", "last_epoch")
+        compact(spark, storePath, capRows, keep)
       }
     } finally { pts.unpersist(); () }
   }
@@ -85,7 +90,10 @@ object KCenterStream {
     if (!Io.dimStoreHasData(storePath)) return
     val cand = Io.readDim(spark, storePath).select("vec_id", "q").persist()
     try {
-      if (cand.count() > capRows) {
+      // trigger only when compaction can actually SHRINK: a store already
+      // at ≤ keep rows would be rewritten byte-identically forever if the
+      // check were capRows alone (pure swap churn)
+      if (cand.count() > math.max(capRows, keep.toLong)) {
         val kept = Similarity.kcenterSelect(cand, keep)
         val rows = kept.map(c => (c.vecId, c.qv, c.round, c.selD2, -1L))
         Io.rewriteDim(spark, storePath, "vec_id",
@@ -102,13 +110,15 @@ object KCenterStream {
     Similarity.kcenterSelect(
       Io.readDim(spark, storePath).select("vec_id", "q"), k)
 
-  /** Drive the maintenance from a streaming (vec_id, embedding) frame. */
+  /** Drive the maintenance from a streaming (vec_id, embedding) frame —
+    * each batch runs the full maintenance step including the cap check. */
   def run(spark: SparkSession, rows: DataFrame, storePath: String,
-          checkpoint: String, k: Int = 8): StreamingQuery =
+          checkpoint: String, k: Int = 8, capRows: Long = 1L << 16,
+          keep: Int = 64): StreamingQuery =
     rows.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (delta: DataFrame, epoch: Long) =>
-        applyBatch(spark, delta, storePath, epoch, k)
+        applyBatch(spark, delta, storePath, epoch, k, capRows, keep)
       }
       .start()
 }

@@ -146,6 +146,8 @@ class ScaleLayoutSpec extends SparkSuite {
     assert(err.getMessage.contains("EMPTY replacement"), err.getMessage)
     assert(Io.readDim(spark, dir).count() == 20,
       "a refused rewrite must not have touched the live store")
+    assert(!new java.io.File(dir + ".rewrite_tmp").exists(),
+      "a refused rewrite must clean its tmp, not strand it next to the store")
   }
 
   test("upsertDim writes ALL touched buckets in ONE job (no per-bucket job loop)") {

@@ -135,6 +135,26 @@ class KCenterStreamSpec extends SparkSuite {
       "post-compaction cover must stay within the approximation headroom")
   }
 
+  test("applyBatch itself triggers the cap: a tiny cap compacts in-stream, deterministically") {
+    val store = tmp("store-t")
+    val bs = batches
+    // cap small enough that maintenance compacts after batches 2 and 3 —
+    // the driver never calls compact() itself; the cap is part of the step
+    bs.zipWithIndex.foreach { case (b, i) =>
+      KCenterStream.applyBatch(spark, b, store, epoch = i.toLong,
+        capRows = 4L, keep = 12)
+    }
+    val picks = bs.map(b => greedy(collected(b), 8).map(c => c._2 -> c._4))
+    val k1 = greedy(picks(0) ++ picks(1), 12) // after batch 2: 16 > max(4,12)
+    val k2 = greedy(k1.map(c => c._2 -> c._4) ++ picks(2), 12) // after batch 3: 20 > 12
+    val want = k2.map(c => (c._1, c._2, c._3)).toSet
+    val got = graft.io.Io.readDim(spark, store)
+      .select("batch_round", "vec_id", "sel_d2")
+      .as[(Int, Long, Long)].collect().toSet
+    assert(got == want,
+      "in-stream compaction must leave exactly the deterministic two-level chain")
+  }
+
   test("replay of the last epoch is a no-op; partial candidate commit heals on replay") {
     val (a, b) = (tmp("store-p"), tmp("store-f"))
     val bs = batches
