@@ -15,8 +15,9 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * traversal again over the stored candidate union. Per-batch selection is
   * a constant-factor k-center approximation of the batch, so the union is
   * a constant-factor composable coreset of everything absorbed — the read
-  * answers from O(k · batches) control-plane rows, never re-scanning the
-  * corpus.
+  * answers from the candidate store (O(k) rows per absorbed batch, BOUNDED
+  * by the cap check every maintenance step runs — see [[compact]]), never
+  * re-scanning the corpus.
   *
   * This is the fifteenth maintained measure class and the first with a
   * BOUNDED-APPROXIMATION read instead of an exact one: the streamed trace
