@@ -233,6 +233,48 @@ object Oracles {
        |GROUP BY 1, 2, 3""".stripMargin
   }
 
+  /** q200 (facilityLocation): the greedy submodular selection unrolled —
+    * the md5-ordered candidate pool, all pool dots precomputed once, each
+    * round's marginal gains over the running per-point coverage `cur`,
+    * (gain DESC, cid) argmax, already-chosen candidates excluded. The
+    * per-round total is derived DIFFERENTLY from the Spark side (direct
+    * Σ cur_i here vs the accumulation identity there), so the gate also
+    * checks the identity Σ new_cur = Σ cur + gain. HUGEINT sums mirror the
+    * decimal(38,0) Spark aggregation. */
+  private def facilitySql(k: Int, pool: Int): String = {
+    val rounds = (1 to k).map { i =>
+      val excl =
+        if (i == 1) ""
+        else "WHERE d.c NOT IN (" +
+          (1 until i).map(j => s"SELECT cid FROM s$j").mkString(" UNION ALL ") +
+          ")\n  "
+      s"g$i AS (SELECT d.c, sum(greatest(d.dot - u.cur, 0)) AS gain\n" +
+        s"  FROM dots d JOIN cur${i - 1} u ON u.x = d.x\n" +
+        s"  ${excl}GROUP BY 1),\n" +
+        s"s$i AS (SELECT c AS cid, gain FROM g$i ORDER BY gain DESC, c LIMIT 1),\n" +
+        s"cur$i AS (SELECT u.x, greatest(u.cur, d.dot) AS cur FROM cur${i - 1} u\n" +
+        s"  JOIN dots d ON d.x = u.x AND d.c = (SELECT cid FROM s$i))"
+    }.mkString(",\n")
+    val out = (1 to k).map(i =>
+      s"SELECT cast(${i - 1} as int) AS sel_round, cid AS rep_vec_id, " +
+        s"cast(gain as decimal(38,0)) AS gain, " +
+        s"cast((SELECT sum(cur) FROM cur$i) as decimal(38,0)) AS total_cov FROM s$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH p0 AS (SELECT vec_id, embedding,
+       |    unnest(generate_series(1, len(embedding))) AS d FROM embeddings),
+       |pts AS MATERIALIZED (SELECT vec_id, d,
+       |    cast(floor(embedding[d]::DOUBLE * 1048576) as bigint) AS x FROM p0),
+       |ids AS (SELECT DISTINCT vec_id FROM pts),
+       |pool AS MATERIALIZED (SELECT vec_id FROM ids
+       |  ORDER BY md5(cast(vec_id as varchar)), vec_id LIMIT $pool),
+       |dots AS MATERIALIZED (SELECT p.vec_id AS x, c.vec_id AS c, sum(p.x * q.x) AS dot
+       |  FROM pts p JOIN pool c ON true JOIN pts q ON q.vec_id = c.vec_id AND q.d = p.d
+       |  GROUP BY 1, 2),
+       |cur0 AS (SELECT vec_id AS x, cast(0 as hugeint) AS cur FROM ids),
+       |$rounds
+       |SELECT * FROM ($out)""".stripMargin
+  }
+
   /** q108 (kmeansAssign): the distributed full-corpus Lloyd run replayed as
     * an unrolled CTE chain — same integer grid, truncated `//` means,
     * (dist, cid) tie order, and seed rule (cid = vec_id < k) as the Spark
@@ -4487,5 +4529,9 @@ object Oracles {
     // as unrolled CTE rounds — same 2²⁰ integer grid, (d² DESC, vec_id)
     // selection and (d², round) assignment tie orders as the Spark loop.
     "q199_kcenter_coreset" -> kcenterSql(8),
+
+    // q200 (facilityLocation): greedy submodular representative selection
+    // replayed as unrolled rounds — see the facilitySql scaladoc.
+    "q200_facility_location" -> facilitySql(4, 16),
   )
 }

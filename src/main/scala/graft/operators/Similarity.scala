@@ -883,6 +883,77 @@ object Similarity {
     } finally { pts.unpersist(); () }
   }
 
+  /** GREEDY FACILITY-LOCATION SELECTION (q200) — the REPRESENTATIVENESS
+    * member of the data-selection triad [Nemhauser–Wolsey–Fisher '78
+    * (1−1/e) greedy on a monotone submodular objective; CRAIG/submodular
+    * coreset selection, Mirzasoleiman et al. ICML'20]: q181 maximizes
+    * lexical COVERAGE, q199 maximizes geometric SPREAD, this maximizes
+    * f(S) = Σ_x max(0, max_{s∈S} ⟨x, s⟩) — total corpus mass REPRESENTED
+    * by the chosen exemplars, the objective that favors dense-mode
+    * centers over outliers (the mirror image of k-center). Candidates
+    * come from a deterministic bounded pool (the `pool` smallest
+    * md5(vec_id) — the q184/q196 sampling rule: selection quality is set
+    * by pool coverage, not corpus size); each greedy round picks the
+    * pool member with the largest marginal gain, ties to the lowest
+    * vec_id. Output: one row per pick — selection order, the exemplar,
+    * its marginal gain, and the running total coverage (both
+    * decimal(38,0): the gain SUM is corpus-sized, and a 10⁹-vector corpus
+    * at 2⁴⁰-scale dots overflows a long — the q188 HUGEINT-mirror move).
+    *
+    * Scale shape: k bounded rounds, each ONE map-only corpus pass — all
+    * |pool| candidate dots AND the chosen-set coverage ride as literal
+    * `dot_i` expressions, reduced by ONE agg to |pool| partial sums (a
+    * single driver row per round; the corpus never shuffles). The
+    * accumulation identity Σ new_cur = Σ cur + gain (cur ≥ 0 makes
+    * max(cur, dot) = cur + max(0, dot − cur) pointwise) keeps the running
+    * total exact without a second pass. Replays bit-identically as
+    * unrolled SQL: long dots per pair, HUGEINT gain sums, (gain DESC,
+    * vec_id) tie order. */
+  def facilityLocation(spark: SparkSession, dir: String, k: Int = 4,
+                       pool: Int = 16): DataFrame =
+    facilityLocationFrom(emb(spark, dir), k, pool)
+
+  /** Frame form of [[facilityLocation]]: `e` needs vec_id + embedding. */
+  def facilityLocationFrom(e: DataFrame, k: Int = 4, pool: Int = 16): DataFrame = {
+    val spark = e.sparkSession
+    VectorExpressions.register(spark)
+    import spark.implicits._
+    val pts = kcenterPts(e).persist()
+    try {
+      require(pts.count() > 0L, "facilityLocation: empty input frame (no embeddings)")
+      val poolRows = pts
+        .withColumn("h", md5(col("vec_id").cast("string")))
+        .orderBy(col("h"), col("vec_id")).limit(pool)
+        .select(col("vec_id"), col("q")).as[(Long, Seq[Int])].collect().sortBy(_._1)
+      // (vecId, qv, gain, totalCov) in selection order
+      var chosen = Vector.empty[(Long, Seq[Int], BigDecimal, BigDecimal)]
+      for (_ <- 0 until math.min(k, poolRows.length)) {
+        val cands = poolRows.filter(c => !chosen.exists(_._1 == c._1))
+        val cur =
+          if (chosen.isEmpty) lit(0L)
+          else greatest((lit(0L) +: chosen.map(s =>
+            call_function("dot_i", col("q"), typedLit(s._2)))): _*)
+        val gainCols = cands.map { c =>
+          sum(greatest(call_function("dot_i", col("q"), typedLit(c._2)) - cur,
+            lit(0L)).cast("decimal(38,0)")).as(s"g_${c._1}")
+        }
+        val row = pts.agg(gainCols.head, gainCols.tail: _*).head()
+        val gains = cands.indices.map(i =>
+          cands(i)._1 -> BigDecimal(row.getDecimal(i)))
+        val (vid, gain) = gains.maxBy { case (id, g) => (g, -id) }
+        val qv = cands.find(_._1 == vid).get._2
+        val total = (if (chosen.isEmpty) BigDecimal(0) else chosen.last._4) + gain
+        chosen :+= ((vid, qv, gain, total))
+      }
+      spark.createDataFrame(
+        chosen.zipWithIndex.map { case ((vid, _, g, t), r) =>
+          (r, vid, g.bigDecimal, t.bigDecimal) })
+        .toDF("sel_round", "rep_vec_id", "gain", "total_cov")
+        .select(col("sel_round"), col("rep_vec_id"),
+          col("gain").cast("decimal(38,0)"), col("total_cov").cast("decimal(38,0)"))
+    } finally { pts.unpersist(); () }
+  }
+
   /** SSL-prototype data pruning (Sorscher et al. 2022, "Beyond neural
     * scaling laws"): keep, per k-means cluster, the m MOST CENTRAL points —
     * the prototypical examples whose distance-to-centroid ranks lowest.

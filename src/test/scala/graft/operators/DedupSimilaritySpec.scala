@@ -1111,4 +1111,48 @@ class DedupSimilaritySpec extends SparkSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"no window anywhere in the q199 plan:\n$plan")
   }
+
+  test("facilityLocation: matches the driver greedy replay; gains non-increasing (submodularity); coverage accumulates") {
+    import spark.implicits._
+    val raw = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+    val qpts = raw.toSeq.map { case (id, v) => id -> graft.KCenterRef.grid(v) }
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val pool = qpts.sortBy(p => (md5hex(p._1.toString), p._1)).take(16)
+    def dot(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    var cur = qpts.map(p => p._1 -> 0L).toMap
+    var chosen = Vector.empty[(Int, Long, BigInt, BigInt)]
+    for (r <- 0 until 4) {
+      val cands = pool.filterNot(c => chosen.exists(_._2 == c._1))
+      val gains = cands.map { c =>
+        c._1 -> qpts.map(p => BigInt(math.max(0L, dot(p._2, c._2) - cur(p._1)))).sum
+      }
+      val (vid, gain) = gains.maxBy { case (id, g) => (g, -id) }
+      val qv = cands.find(_._1 == vid).get._2
+      cur = qpts.map(p => p._1 -> math.max(cur(p._1), dot(p._2, qv))).toMap
+      val total = (if (chosen.isEmpty) BigInt(0) else chosen.last._4) + gain
+      chosen :+= ((r, vid, gain, total))
+    }
+    val got = Similarity.facilityLocation(spark, sf0001)
+      .as[(Int, Long, BigDecimal, BigDecimal)].collect().toSeq.sortBy(_._1)
+      .map(t => (t._1, t._2, t._3.toBigInt, t._4.toBigInt))
+    assert(got == chosen,
+      s"distributed greedy must equal the driver replay:\n got=$got\nwant=$chosen")
+    // the oracle cross-checks total_cov via direct Σ cur (a DIFFERENT
+    // derivation); here pin the local theorems instead
+    val gs = got.map(_._3)
+    assert(gs.zip(gs.tail).forall { case (a, b) => b <= a },
+      s"greedy marginal gains must be non-increasing (submodularity): $gs")
+    assert(got.map(_._4) == got.map(_._3).scanLeft(BigInt(0))(_ + _).tail,
+      "total coverage must accumulate the gains exactly")
+    val poolIds = pool.map(_._1).toSet
+    assert(got.map(_._2).forall(poolIds.contains) && got.map(_._2).distinct.size == 4,
+      "representatives are distinct pool members")
+  }
 }
