@@ -945,12 +945,20 @@ object Similarity {
         val total = (if (chosen.isEmpty) BigDecimal(0) else chosen.last._4) + gain
         chosen :+= ((vid, qv, gain, total))
       }
+      // explicit decimal(38,0) schema — tuple reflection would infer the
+      // SYSTEM_DEFAULT decimal(38,18), whose integral part caps at 10²⁰
+      // and would null out exactly the ≥2⁶³ values this type exists for
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("sel_round", IntegerType, nullable = false),
+        StructField("rep_vec_id", LongType, nullable = false),
+        StructField("gain", DecimalType(38, 0), nullable = false),
+        StructField("total_cov", DecimalType(38, 0), nullable = false)))
+      val out = chosen.zipWithIndex.map { case ((vid, _, g, t), r) =>
+        org.apache.spark.sql.Row(r, vid,
+          g.bigDecimal.setScale(0), t.bigDecimal.setScale(0)) }
       spark.createDataFrame(
-        chosen.zipWithIndex.map { case ((vid, _, g, t), r) =>
-          (r, vid, g.bigDecimal, t.bigDecimal) })
-        .toDF("sel_round", "rep_vec_id", "gain", "total_cov")
-        .select(col("sel_round"), col("rep_vec_id"),
-          col("gain").cast("decimal(38,0)"), col("total_cov").cast("decimal(38,0)"))
+        java.util.Arrays.asList(out: _*), schema)
     } finally { pts.unpersist(); () }
   }
 
