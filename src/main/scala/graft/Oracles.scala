@@ -207,7 +207,12 @@ object Oracles {
         else
           s"m$i AS MATERIALIZED (SELECT m.vec_id, least(m.mind, n.nd) AS mind\n" +
             s"  FROM m${i - 1} m JOIN (\n  ${distTo(s"s${i - 1}")}) n USING (vec_id))"
+      // already-chosen cids are excluded from each round's argmax — the
+      // duplicate-embedding degenerate fix mirrored from kcenterSelect
+      // (round-14 ADVICE #2)
+      val excl = (0 until i).map(j => s"SELECT cid FROM s$j").mkString(" UNION ALL ")
       val sel = s"s$i AS (SELECT vec_id AS cid, mind AS sel FROM m$i\n" +
+        s"  WHERE vec_id NOT IN ($excl)\n" +
         s"  ORDER BY mind DESC, vec_id LIMIT 1)"
       s"$m,\n$sel"
     }.mkString(",\n")
@@ -240,7 +245,9 @@ object Oracles {
     * per-round total is derived DIFFERENTLY from the Spark side (direct
     * Σ cur_i here vs the accumulation identity there), so the gate also
     * checks the identity Σ new_cur = Σ cur + gain. HUGEINT sums mirror the
-    * decimal(38,0) Spark aggregation. */
+    * decimal(38,0) Spark aggregation; the EDGE columns are emitted as
+    * canonical digit-string VARCHAR on both sides (a decimal edge type is
+    * not driver-hashable — the round-14 q200 incident). */
   private def facilitySql(k: Int, pool: Int): String = {
     val rounds = (1 to k).map { i =>
       val excl =
@@ -257,8 +264,8 @@ object Oracles {
     }.mkString(",\n")
     val out = (1 to k).map(i =>
       s"SELECT cast(${i - 1} as int) AS sel_round, cid AS rep_vec_id, " +
-        s"cast(gain as decimal(38,0)) AS gain, " +
-        s"cast((SELECT sum(cur) FROM cur$i) as decimal(38,0)) AS total_cov FROM s$i")
+        s"cast(cast(gain as hugeint) as varchar) AS gain, " +
+        s"cast(cast((SELECT sum(cur) FROM cur$i) as hugeint) as varchar) AS total_cov FROM s$i")
       .mkString("\n  UNION ALL ")
     s"""WITH p0 AS (SELECT vec_id, embedding,
        |    unnest(generate_series(1, len(embedding))) AS d FROM embeddings),

@@ -233,4 +233,37 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
+
+  /** Driver-proven EDGE types — the only types with green hash precedents
+    * in the driver's parquet-vs-DuckDB compare (199 green rows as of
+    * round 14, each using only these). DECIMAL is explicitly NOT here:
+    * q200 emitted decimal(38,0) in round 14 with values cell-for-cell
+    * equal to the oracle and still hashed RED, because the driver's two
+    * loaders canonicalize decimals differently (`Decimal('…')` vs float64
+    * scientific notation). Interval/binary/struct/map have zero
+    * precedents either way — unproven is rejected the same as disproven.
+    * A query needing ≥2⁶³ integers at the edge emits canonical
+    * digit-string VARCHAR (the q200 fix); keep wide arithmetic internal. */
+  private val DriverSafeEdgeTypes: Set[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    Set(IntegerType, LongType, DoubleType, StringType, BooleanType,
+      DateType, TimestampType)
+  }
+
+  /** Gate (round-15, VERDICT r14 #2): every [[queries]] output schema must
+    * use only [[DriverSafeEdgeTypes]] — enforced over ALL queries by the
+    * RelationalSpec smoke sweep so a future decimal/binary edge fails the
+    * suite before it can fail the driver. Arrays of safe element types are
+    * allowed only if a precedent exists; as of round 15 no query emits
+    * one, so they are rejected too (add the precedent before relaxing). */
+  def assertDriverSafeEdgeTypes(name: String,
+                                schema: org.apache.spark.sql.types.StructType): Unit =
+    schema.fields.foreach { f =>
+      require(DriverSafeEdgeTypes.contains(f.dataType),
+        s"$name column '${f.name}' has edge type ${f.dataType.sql.toLowerCase} — " +
+          "not driver-hashable (see the round-14 q200 decimal incident in " +
+          "VERDICT r14 / NOTES_r15): emit int/bigint/double/varchar/boolean/" +
+          "date/timestamp at the edge; for >2^63 integers use canonical " +
+          "digit-string varchar and keep decimal arithmetic internal")
+    }
 }

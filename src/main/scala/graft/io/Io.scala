@@ -408,6 +408,13 @@ object Io {
   private val StageMissingRe =
     "table with name \\S*__stage_[0-9a-f]{32} does not exist".r
 
+  /** The segment-statistics-race signature, anchored as the exact DuckDB
+    * 1.0.0 phrase (verified against `strings libduckdb_java.so`) — see the
+    * statsRace comment in [[isTransient]]. */
+  private val StatsRaceRe =
+    ("invalid unicode \\(byte sequence mismatch\\) detected in segment " +
+      "statistics update").r
+
   private[io] def isTransient(t: Throwable): Boolean = {
     val msg = Option(t.getMessage).getOrElse("").toLowerCase(java.util.Locale.ROOT)
     val transientTexts = Seq(
@@ -456,10 +463,12 @@ object Io {
     // detected in segment statistics update". Genuinely invalid input
     // cannot reach this path through JDBC (Java's UTF-8 encoder never
     // emits invalid byte sequences), and the abort rolls the transaction
-    // back cleanly — both fragments required so a real invalid-value error
-    // raised at ingestion stays permanent.
-    val statsRace = msg.contains("invalid unicode") &&
-      msg.contains("segment statistics update")
+    // back cleanly. Anchored as ONE contiguous phrase the way
+    // [[StageMissingRe]] is (round-14 ADVICE #4): two loose substrings
+    // would silently retry any future wrapped/aggregated message that
+    // happens to embed both fragments — a real invalid-value error raised
+    // at ingestion must stay permanent.
+    val statsRace = StatsRaceRe.findFirstIn(msg).isDefined
     t.isInstanceOf[java.sql.SQLTransientException] ||
       transientTexts.exists(msg.contains) || walOpenRace ||
       stageCatalogRace || statsRace ||
@@ -501,7 +510,12 @@ object Io {
     if (visible != expected)
       throw new java.sql.SQLTransientException(
         s"stage visibility mismatch: $stage shows $visible of $expected " +
-          "committed rows — stale snapshot, retrying the merge")
+          "committed rows — stale snapshot, retrying the merge. If this " +
+          "exhausts the retry budget, the likely cause is a NONDETERMINISTIC " +
+          "batch lineage (unseeded sample/limit/rand) violating the " +
+          "upsertDimJdbc deterministic-lineage contract: the stage count is " +
+          "fixed after the write, so a count/write divergence never heals — " +
+          "persist() the batch before calling")
   }
 
   /** A6 twin landing in a REAL JDBC database — the production face of the
@@ -513,7 +527,22 @@ object Io {
     * `DELETE t FROM t JOIN s`; engines with real MERGE use that instead) —
     * the SHAPE is portable, the statement text is dialect-bound. Idempotent
     * on replay by construction (re-applying the same batch deletes and
-    * re-inserts the same keys). The stage name carries a per-call unique
+    * re-inserts the same keys).
+    *
+    * DETERMINISTIC-LINEAGE CONTRACT (round-14 ADVICE #1): the snapshot-
+    * visibility guard anchors the merge on `batch.count()`, a SEPARATE
+    * action from the stage write — so the batch's lineage must recompute to
+    * the same rows on every action. An unseeded `sample`/`limit`-over-
+    * unordered-input/`rand` batch can count N but stage M ≠ N rows; the
+    * guard then (correctly) refuses to merge a stage it cannot prove
+    * complete, every retry sees the same fixed stage count, and the budget
+    * exhausts with the named stage-visibility error below — a FAIL-LOUD
+    * false failure of a write that may well be fine, by design: silently
+    * merging an unverifiable stage is the round-14 lost-batch bug again.
+    * Callers with nondeterministic lineage must persist() or checkpoint
+    * the batch first (foreachBatch deltas are already materialized).
+    *
+    * The stage name carries a per-call unique
     * suffix so two pipelines upserting the same dim table cannot clobber
     * each other's stage mid-merge, and the merge transaction means a crash
     * between DELETE and INSERT never exposes readers to the keys' absence.

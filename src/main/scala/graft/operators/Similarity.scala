@@ -811,11 +811,19 @@ object Similarity {
     * composable-coreset maintainer ([[graft.streaming.KCenterStream]]) runs
     * the IDENTICAL traversal per micro-batch and again over the stored
     * candidates at read time. Deterministic: seed = lowest vec_id, each
-    * round the (min-dist² DESC, vec_id) maximum; O(k) driver rows. Rounds
-    * clamp at the point count — with fewer than k points every point IS a
-    * center, and unclamped rounds would re-pick exhausted points as
-    * duplicate sel_d2 = 0 centers (a wrong k-vs-radius table); an empty
-    * frame fails loudly instead of NPE-ing inside the seed decode. */
+    * round the (min-dist² DESC, vec_id) maximum over the NOT-YET-CHOSEN
+    * points — already-chosen vec_ids are excluded from the max_by frame
+    * (round-14 ADVICE #2: with duplicate embeddings every remaining point
+    * can sit at min-dist² 0, and an unfiltered argmax would re-pick the
+    * already-chosen lowest vec_id, emitting the same center twice and
+    * leaving the streamed vec_id-keyed store with fewer than k candidates;
+    * duplicate embeddings are the NORM at corpus scale — duplicate docs
+    * embed identically — so the degenerate case is handled, not
+    * documented away; the oracle and KCenterRef mirror the exclusion).
+    * O(k) driver rows; the exclusion is ≤ k−1 literals, so each round
+    * stays one map-only pass. Rounds clamp at the point count — with
+    * fewer than k points every point IS a center; an empty frame fails
+    * loudly instead of NPE-ing inside the seed decode. */
   private[graft] def kcenterSelect(pts: DataFrame, k: Int): Seq[KCenter] = {
     val spark = pts.sparkSession
     VectorExpressions.register(spark)
@@ -830,6 +838,7 @@ object Similarity {
       val mind2 = call_function("dot_i", col("q"), col("q")) +
         array_min(array(kcenterRds(centers.toSeq).map(_._1): _*))
       val far = pts
+        .filter(!col("vec_id").isin(centers.toSeq.map(_.vecId): _*))
         .select(max_by(struct(col("vec_id"), col("q"), mind2.as("d2")),
           struct(mind2, negate(col("vec_id")))).as("s"))
         .select(col("s.vec_id"), col("s.q"), col("s.d2"))
@@ -896,9 +905,16 @@ object Similarity {
     * by pool coverage, not corpus size); each greedy round picks the
     * pool member with the largest marginal gain, ties to the lowest
     * vec_id. Output: one row per pick — selection order, the exemplar,
-    * its marginal gain, and the running total coverage (both
-    * decimal(38,0): the gain SUM is corpus-sized, and a 10⁹-vector corpus
-    * at 2⁴⁰-scale dots overflows a long — the q188 HUGEINT-mirror move).
+    * its marginal gain, and the running total coverage. The gain SUM is
+    * corpus-sized and a 10⁹-vector corpus at 2⁴⁰-scale dots overflows a
+    * long, so the ARITHMETIC runs in decimal(38,0) (the q188
+    * HUGEINT-mirror move) — but the EDGE columns are emitted as canonical
+    * digit-string VARCHAR: the round-14 driver gate proved that a
+    * decimal(38,0) edge column is exactly where two loaders' canonical
+    * renderings diverge (`Decimal('…')` vs float64 scientific notation)
+    * while the values are cell-for-cell equal; digit strings are the
+    * simplest exact loader-canonical encoding of a ≥2⁶³-capable integer,
+    * and the oracle emits the same `cast(… as varchar)` digits.
     *
     * Scale shape: k bounded rounds, each ONE map-only corpus pass — all
     * |pool| candidate dots AND the chosen-set coverage ride as literal
@@ -945,18 +961,21 @@ object Similarity {
         val total = (if (chosen.isEmpty) BigDecimal(0) else chosen.last._4) + gain
         chosen :+= ((vid, qv, gain, total))
       }
-      // explicit decimal(38,0) schema — tuple reflection would infer the
-      // SYSTEM_DEFAULT decimal(38,18), whose integral part caps at 10²⁰
-      // and would null out exactly the ≥2⁶³ values this type exists for
+      // gain/total_cov leave as canonical digit strings, NOT decimal —
+      // the internal sums stay decimal(38,0) for the ≥2⁶³ headroom, but a
+      // decimal edge type hashes differently under the driver's two
+      // loaders (the round-14 q200 incident; see the scaladoc). BigInteger
+      // .toString is the canonical form: no exponent, no leading zeros.
       import org.apache.spark.sql.types._
       val schema = StructType(Seq(
         StructField("sel_round", IntegerType, nullable = false),
         StructField("rep_vec_id", LongType, nullable = false),
-        StructField("gain", DecimalType(38, 0), nullable = false),
-        StructField("total_cov", DecimalType(38, 0), nullable = false)))
+        StructField("gain", StringType, nullable = false),
+        StructField("total_cov", StringType, nullable = false)))
       val out = chosen.zipWithIndex.map { case ((vid, _, g, t), r) =>
         org.apache.spark.sql.Row(r, vid,
-          g.bigDecimal.setScale(0), t.bigDecimal.setScale(0)) }
+          g.bigDecimal.setScale(0).toBigInteger.toString,
+          t.bigDecimal.setScale(0).toBigInteger.toString) }
       spark.createDataFrame(
         java.util.Arrays.asList(out: _*), schema)
     } finally { pts.unpersist(); () }

@@ -61,11 +61,25 @@ object KCenterStream {
     * the stored candidates — (sel_round, center_vec_id, sel_d2) like the
     * batch trace, read cost independent of absorbed volume. */
   def readCenters(spark: SparkSession, storePath: String, k: Int = 8): DataFrame = {
+    requireStore(storePath)
     val cand = Io.readDim(spark, storePath).select("vec_id", "q")
     val centers = Similarity.kcenterSelect(cand, k)
     spark.createDataFrame(centers.map(c => (c.round, c.vecId, c.selD2)))
       .toDF("sel_round", "center_vec_id", "sel_d2")
   }
+
+  /** Read-path store guard (round-14 ADVICE #3): a stream that has only
+    * absorbed EMPTY batches never creates the store ([[applyBatch]] is a
+    * no-op on zero rows), so an unguarded Io.readDim would die with a raw
+    * parquet path/schema error. [[compact]] already guards this case via
+    * dimStoreHasData; the read paths route through here so they fail with
+    * the named contract error instead. */
+  private def requireStore(storePath: String): Unit =
+    if (!Io.dimStoreHasData(storePath))
+      throw new IllegalStateException(
+        s"KCenterStream: candidate store at $storePath has absorbed no " +
+          "batches yet (empty micro-batches do not create it) — nothing to " +
+          "read; run the stream against non-empty input first")
 
   /** CAP-TRIGGERED COMPACTION — the unbounded-growth fix for a long-running
     * stream: the candidate store grows O(k) per micro-batch (a day of
@@ -107,9 +121,11 @@ object KCenterStream {
   /** The chosen set itself (with grid vectors) — the spec's radius audit
     * assigns the corpus against it. */
   private[graft] def readChosen(spark: SparkSession, storePath: String,
-                                k: Int = 8): Seq[Similarity.KCenter] =
+                                k: Int = 8): Seq[Similarity.KCenter] = {
+    requireStore(storePath)
     Similarity.kcenterSelect(
       Io.readDim(spark, storePath).select("vec_id", "q"), k)
+  }
 
   /** Drive the maintenance from a streaming (vec_id, embedding) frame —
     * each batch runs the full maintenance step including the cap check. */

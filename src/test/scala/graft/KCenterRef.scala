@@ -5,8 +5,9 @@ package graft
   * (DedupSimilaritySpec) and the streaming spec (KCenterStreamSpec) so the
   * reference cannot drift from itself. Semantics mirror the production
   * `Similarity.kcenterSelect` exactly: seed = lowest vec_id, each round the
-  * (min-dist² DESC, vec_id ASC) maximum, rounds clamped at the point
-  * count. */
+  * (min-dist² DESC, vec_id ASC) maximum over the NOT-YET-CHOSEN points
+  * (the duplicate-embedding exclusion, round-14 ADVICE #2), rounds clamped
+  * at the point count. */
 object KCenterRef {
 
   def grid(v: Seq[Float]): Array[Long] =
@@ -27,7 +28,9 @@ object KCenterRef {
     val mind = scala.collection.mutable.Map(
       sorted.map(p => p._1 -> d2(p._2, sorted.head._2)).toSeq: _*)
     for (r <- 1 until math.min(k, sorted.length)) {
-      val (vid, dd) = sorted.map(p => (p._1, mind(p._1)))
+      val chosenIds = chosen.map(_._2).toSet
+      val (vid, dd) = sorted.filterNot(p => chosenIds(p._1))
+        .map(p => (p._1, mind(p._1)))
         .maxBy { case (id, d) => (d, -id) }
       val qv = sorted.find(_._1 == vid).get._2
       chosen += ((r, vid, dd, qv))

@@ -380,6 +380,13 @@ class JdbcSinkSpec extends SparkSuite {
     assert(!Io.isTransient(new java.sql.SQLException(
       "Invalid Input Error: Invalid unicode (byte sequence mismatch) detected in value construction")),
       "invalid unicode outside the stats-update path stays permanent")
+    // round-14 ADVICE #4: the classifier is anchored as ONE contiguous
+    // phrase — a wrapped/aggregated message that merely EMBEDS both loose
+    // fragments must stay permanent
+    assert(!Io.isTransient(new java.sql.SQLException(
+      "batch failed: invalid unicode in value for column note; " +
+        "rollback completed after segment statistics update")),
+      "both fragments scattered across a wrapped message must stay permanent")
 
     // DuckDB's ROW-LEVEL abort texts (strings in libduckdb_java.so 1.0.0):
     // neither contains 'write-write' nor 'transaction', and both must retry

@@ -1112,6 +1112,35 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(!plan.contains("Window"), s"no window anywhere in the q199 plan:\n$plan")
   }
 
+  test("kcenterCoreset: duplicate embeddings yield k DISTINCT centers (round-14 ADVICE #2), matching the mirrored reference") {
+    import spark.implicits._
+    // 3 distinct geometries, each duplicated 4x — duplicate docs embed
+    // identically at corpus scale, so after the 3 distinct modes are chosen
+    // every remaining point sits at min-dist² 0; the exclusion must keep
+    // picking FRESH vec_ids (lowest unchosen) instead of re-emitting the
+    // seed as a duplicate center
+    val geoms = Seq(Seq(0.1f, 0.2f, 0.3f), Seq(0.9f, 0.1f, 0.5f), Seq(0.4f, 0.8f, 0.2f))
+    val dup = (0 until 12).map(i => (i.toLong, geoms(i % 3))).toDF("vec_id", "embedding")
+    val got = Similarity.kcenterSelect(Similarity.kcenterPts(dup), 8)
+      .map(c => (c.round, c.vecId, c.selD2)).sortBy(_._1)
+    assert(got.size == 8 && got.map(_._2).distinct.size == 8,
+      s"8 rounds must pick 8 DISTINCT centers even with duplicate embeddings: $got")
+    assert(got.count(_._3 == 0L) == 8 - 3 + 1,
+      s"after the 3 distinct modes, every pick is a 0-distance duplicate (plus the seed): $got")
+    // the driver reference mirrors the exclusion — exact trace equality
+    val qpts = (0 until 12).map(i => i.toLong -> graft.KCenterRef.grid(geoms(i % 3)))
+    val want = graft.KCenterRef.greedy(qpts, 8).map(c => (c._1, c._2, c._3))
+    assert(got == want, s"got=$got want=$want")
+    // the q199 edge output keeps its established semantics: a 0-distance
+    // duplicate center attracts no Voronoi points (ties go to the earliest
+    // round), so only the 3 distinct-geometry rounds appear in the load
+    // join — same drop on both engine sides
+    val edge = Similarity.kcenterCoresetFrom(dup, k = 8)
+      .select("sel_round").as[Int].collect().toSeq.sorted
+    assert(edge == Seq(0, 1, 2),
+      s"duplicate-center rounds carry no Voronoi load rows: $edge")
+  }
+
   test("facilityLocation: matches the driver greedy replay; gains non-increasing (submodularity); coverage accumulates") {
     import spark.implicits._
     val raw = spark.read.parquet(s"$sf0001/embeddings.parquet")
@@ -1139,9 +1168,11 @@ class DedupSimilaritySpec extends SparkSuite {
       val total = (if (chosen.isEmpty) BigInt(0) else chosen.last._4) + gain
       chosen :+= ((r, vid, gain, total))
     }
+    // the edge columns are canonical digit-string VARCHAR (the round-14
+    // driver-hash incident) — parse them back to BigInt for the replay gate
     val got = Similarity.facilityLocation(spark, sf0001)
-      .as[(Int, Long, BigDecimal, BigDecimal)].collect().toSeq.sortBy(_._1)
-      .map(t => (t._1, t._2, t._3.toBigInt, t._4.toBigInt))
+      .as[(Int, Long, String, String)].collect().toSeq.sortBy(_._1)
+      .map(t => (t._1, t._2, BigInt(t._3), BigInt(t._4)))
     assert(got == chosen,
       s"distributed greedy must equal the driver replay:\n got=$got\nwant=$chosen")
     // the oracle cross-checks total_cov via direct Σ cur (a DIFFERENT

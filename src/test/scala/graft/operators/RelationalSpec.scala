@@ -62,11 +62,30 @@ class RelationalSpec extends SparkSuite {
       "bounded top-k aggregator must reproduce the window exactly")
   }
 
-  test("smoke: every SparkEntry query runs and returns rows at sf0.001") {
+  test("smoke: every SparkEntry query runs, returns rows, and emits only driver-proven edge types at sf0.001") {
     graft.SparkEntry.queries.foreach { case (name, fn) =>
-      val n = fn(spark, sf0001).count()
+      val df = fn(spark, sf0001)
+      graft.SparkEntry.assertDriverSafeEdgeTypes(name, df.schema)
+      val n = df.count()
       assert(n > 0, s"$name returned no rows")
     }
+  }
+
+  test("edge-type gate: a decimal-emitting entry is rejected (the round-14 q200 incident)") {
+    import org.apache.spark.sql.functions._
+    val toy = spark.range(3).select(
+      col("id"), col("id").cast("decimal(38,0)").as("gain"))
+    val e = intercept[IllegalArgumentException] {
+      graft.SparkEntry.assertDriverSafeEdgeTypes("toy_decimal", toy.schema)
+    }
+    assert(e.getMessage.contains("decimal") && e.getMessage.contains("q200"),
+      s"the error must name the offending type and the precedent: ${e.getMessage}")
+    // binary is equally unproven at the edge
+    val toyBin = spark.range(3).select(col("id").cast("string").cast("binary").as("b"))
+    intercept[IllegalArgumentException] {
+      graft.SparkEntry.assertDriverSafeEdgeTypes("toy_binary", toyBin.schema)
+    }
+    ()
   }
 
   test("retentionCohorts: equals a driver-side replay; day-0 row per cohort covers all its users") {

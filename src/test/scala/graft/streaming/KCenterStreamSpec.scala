@@ -88,6 +88,22 @@ class KCenterStreamSpec extends SparkSuite {
       "an empty corpus must fail with a named error, not an encoder NPE")
   }
 
+  test("never-written store: read paths fail with the named contract error, not a raw parquet error (round-14 ADVICE #3)") {
+    val store = tmp("store-never")
+    // a stream of only-empty batches never creates the store
+    KCenterStream.applyBatch(spark, emb.filter(col("vec_id") < 0), store, epoch = 0L)
+    val e1 = intercept[IllegalStateException] {
+      KCenterStream.readCenters(spark, store)
+    }
+    assert(e1.getMessage.contains("absorbed no batches"),
+      s"readCenters must name the empty-store condition: ${e1.getMessage}")
+    val e2 = intercept[IllegalStateException] {
+      KCenterStream.readChosen(spark, store)
+    }
+    assert(e2.getMessage.contains("absorbed no batches"),
+      s"readChosen must name the empty-store condition: ${e2.getMessage}")
+  }
+
   test("compaction: over-cap store is replaced by its own Gonzalez coreset; under-cap is a no-op; store stays a live upsert target") {
     val store = tmp("store-c")
     val bs = batches
