@@ -1,0 +1,348 @@
+package graft.streaming
+
+import graft.io.Io
+import graft.operators.Similarity
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** STREAMING FACILITY-LOCATION MAINTENANCE (q200) — the sixteenth
+  * maintained measure class, completing the data-selection triad's
+  * maintenance story (q181 coverage and q199 spread both have
+  * maintainers; this is representativeness).
+  *
+  * Two stores:
+  *
+  * '''Pool''' — the bottom-`pool`-by-md5(vec_id) candidate sample, the
+  * same MERGEABLE bottom-k rule RedundancyStream keeps per source (k
+  * smallest of a union = k smallest of the per-part k-smallest; the hash
+  * is a pure function of vec_id, so every batch reproduces it). One row,
+  * the members as an array of (vec_id, h, q) structs, replaced whole per
+  * merge.
+  *
+  * '''Cells''' — the EXACT sufficient statistic for greedy facility
+  * location over a fixed pool: for every subset S of the pool with
+  * |S| ≤ k−1 and every candidate c ∉ S, the corpus sum
+  * G(S, c) = Σ_x max(0, ⟨x,c⟩ − cur_S(x)) with
+  * cur_S(x) = max(0, max_{s∈S} ⟨x,s⟩). Greedy only ever evaluates G at
+  * the prefixes of its own trace, but a NEW batch can flip any round's
+  * argmax, so the maintainer must be able to answer G at ANY prefix that
+  * could become the trace — and the set of all (S, c) cells is that
+  * closure. Each cell is ADDITIVE over batches (a per-point function of
+  * the point's 16 dots summed over points), and the cell count is
+  * pool/k-bounded, NOT corpus-bounded: Σ_{j=0}^{k−1} C(m,j)·(m−j)
+  * = 9,216 at the q200 defaults (m = 16, k = 4). Absorb cost is
+  * O(cells) per point — the price of EXACT greedy maintenance; it grows
+  * combinatorially in k, so for large k/m use a KCenterStream-style
+  * bounded-approximation read instead (documented trade, not this
+  * class).
+  *
+  * '''The re-anchor rule (pool churn).''' A new vec_id whose md5 enters
+  * the bottom-16 evicts a candidate. The evicted candidate's cells are
+  * garbage and the NEW candidate's cells require ⟨x, c_new⟩ for every
+  * ALREADY-ABSORBED x — information no bounded store retains (formally:
+  * the new gain sum depends on every absorbed embedding, so no
+  * sublinear-state maintainer can heal it; this is the same
+  * impossibility class as q190's re-chunking, but here the event is
+  * RARE rather than every-batch). The rule: a pool-changing batch
+  * triggers ONE corpus re-scan against the new pool ([[reanchor]] /
+  * the `reanchorWith` accessor — in a lakehouse pipeline the stream's
+  * rows are landed anyway, so the accessor is a read of the landed
+  * table). Expected total re-anchor cost over a stream of N points is
+  * Σ_n P(point n changes the pool)·n = Σ_n (m/n)·n = m·N — amortized
+  * O(pool) per point, the dynamic-array-doubling argument. Without an
+  * accessor a pool-changing batch FAILS LOUDLY (absorbing it into
+  * stale-pool cells would silently corrupt every later read; the
+  * round-14 silent-batch-loss lesson says refuse instead).
+  *
+  * Contract (the additive-cell class contract, as MixtureStream):
+  * deltas are exactly-once disjoint new vectors — foreachBatch +
+  * checkpoint provides it, and a replay of the LAST epoch is gated
+  * wholesale (cells carry one shared last_epoch). A vec_id re-presented
+  * under a NEW epoch double-counts, exactly as it would in the batch
+  * operator run over a corpus containing the row twice.
+  *
+  * Read = the greedy replay over the 9,216-cell table (driver-side
+  * BigInt arithmetic on a bounded frame), emitting the exact q200
+  * output: (gain DESC, vec_id) tie order, accumulation identity, and
+  * the canonical digit-string VARCHAR edge columns. The maintain ≡
+  * batch spec IS the drift gate between this replay and
+  * [[Similarity.facilityLocationFrom]]'s per-round corpus aggregation. */
+object FacilityStream {
+
+  /** One pool member: vec_id, its md5 sampling hash, its 2²⁰-grid
+    * vector. */
+  private final case class Member(vecId: Long, h: String, q: Seq[Int])
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Pool fingerprint: md5 over the sorted member vec_ids — cells carry
+    * it so a read can prove they were all summed against the same pool. */
+  private def poolSig(members: Seq[Member]): String =
+    md5hex(members.map(_.vecId).sorted.mkString(","))
+
+  /** All (subset, candidate) cell keys for a pool of size m, in one
+    * canonical order shared by absorb, re-anchor, and read: subsets of
+    * pool INDICES by size then lexicographic, candidates ascending,
+    * c ∉ S. */
+  private def cellKeys(m: Int, k: Int): IndexedSeq[(Seq[Int], Int)] =
+    (0 until math.min(k, m)).flatMap { j =>
+      (0 until m).combinations(j).flatMap { s =>
+        (0 until m).filterNot(s.contains).map(c => (s: Seq[Int], c))
+      }
+    }
+
+  /** One corpus/batch pass: every cell's gain sum over `pts` against the
+    * pool — mapPartitions (per-point primitive-long inner loop, BigInt
+    * flush every 2¹⁶ rows so 2⁴⁶-scale dots cannot overflow), one
+    * ≤cells-size partial row per partition, driver reduce over ≤
+    * #partitions rows. Bounded control plane: the driver sees
+    * O(partitions × cells), never the corpus. */
+  private def computeCells(pts: DataFrame, members: Seq[Member], k: Int)
+  : Array[BigInt] = {
+    val spark = pts.sparkSession
+    import spark.implicits._
+    val keys = cellKeys(members.size, k)
+    val poolQ = members.map(_.q.map(_.toLong).toArray).toArray
+    val subsets = keys.map(_._1.toArray).toArray
+    val cands = keys.map(_._2).toArray
+    val nc = keys.size
+    val partials = pts.select("q").as[Seq[Int]].mapPartitions { it =>
+      val big = Array.fill(nc)(BigInt(0))
+      val acc = new Array[Long](nc)
+      var pending = 0
+      def flush(): Unit = {
+        var i = 0
+        while (i < nc) { big(i) += acc(i); acc(i) = 0L; i += 1 }
+        pending = 0
+      }
+      it.foreach { qv =>
+        val q = qv.toArray
+        val dots = new Array[Long](poolQ.length)
+        var c = 0
+        while (c < poolQ.length) {
+          val cq = poolQ(c)
+          var s = 0L; var d = 0
+          while (d < cq.length) { s += q(d).toLong * cq(d); d += 1 }
+          dots(c) = s; c += 1
+        }
+        var i = 0
+        while (i < nc) {
+          val sub = subsets(i)
+          var cur = 0L; var j = 0
+          while (j < sub.length) {
+            if (dots(sub(j)) > cur) cur = dots(sub(j)); j += 1
+          }
+          val g = dots(cands(i)) - cur
+          if (g > 0L) acc(i) += g
+          i += 1
+        }
+        pending += 1
+        if (pending == 65536) flush()
+      }
+      flush()
+      Iterator.single(big.map(_.toByteArray).toSeq)
+    }.collect()
+    val total = Array.fill(nc)(BigInt(0))
+    partials.foreach { p =>
+      var i = 0
+      while (i < nc) { total(i) += BigInt(p(i)); i += 1 }
+    }
+    total
+  }
+
+  /** Cells as store rows against `members` (canonical subset_sig =
+    * member vec_ids of S sorted ascending, comma-joined, "" for ∅). */
+  private def cellRows(spark: SparkSession, members: Seq[Member], k: Int,
+                       sums: Array[BigInt], sig: String, epoch: Long)
+  : DataFrame = {
+    import spark.implicits._
+    cellKeys(members.size, k).zipWithIndex.map { case ((s, c), i) =>
+      val subSig = s.map(members(_).vecId).sorted.mkString(",")
+      val cand = members(c).vecId
+      (s"$subSig|$cand", subSig, cand, sums(i).toString, sig, epoch)
+    }.toDF("cell_id", "subset_sig", "cand", "g", "pool_sig", "last_epoch")
+  }
+
+  private def readMembers(spark: SparkSession, poolPath: String): Seq[Member] = {
+    import spark.implicits._
+    Io.readDim(spark, poolPath)
+      .select(explode(col("members")).as("m"))
+      .select(col("m.vec_id"), col("m.h"), col("m.q"))
+      .as[(Long, String, Seq[Int])].collect().toSeq
+      .map(t => Member(t._1, t._2, t._3))
+      .sortBy(m => (m.h, m.vecId))
+  }
+
+  /** Absorb one micro-batch of (vec_id, embedding float[]) rows: merge
+    * the bottom-`pool` candidate sample, then add the batch's cell sums
+    * — or, on a pool-changing batch, re-anchor from `reanchorWith`'s
+    * one corpus scan (fail loudly if no accessor was provided; see the
+    * class doc's re-anchor rule). */
+  def applyBatch(spark: SparkSession, delta: DataFrame, poolPath: String,
+                 cellsPath: String, epoch: Long, k: Int = 4, pool: Int = 16,
+                 reanchorWith: Option[() => DataFrame] = None): Unit = {
+    import spark.implicits._
+    // wholesale replay gate: all cells share one last_epoch, so a replayed
+    // epoch is a no-op; a half-committed epoch (pool written, cells not)
+    // re-runs — the pool merge is set-idempotent, the cells then absorb
+    if (Io.dimStoreHasData(cellsPath)) {
+      val last = Io.readDim(spark, cellsPath)
+        .agg(max("last_epoch")).as[Long].head()
+      if (last == epoch) return
+    }
+    val pts = Similarity.kcenterPts(delta).persist()
+    try {
+      if (pts.count() == 0L) return
+      val batchBottom = pts
+        .withColumn("h", md5(col("vec_id").cast("string")))
+        .orderBy(col("h"), col("vec_id")).limit(pool)
+        .select(col("vec_id"), col("h"), col("q"))
+        .as[(Long, String, Seq[Int])].collect().toSeq
+        .map(t => Member(t._1, t._2, t._3))
+      val oldMembers =
+        if (Io.dimStoreHasData(poolPath)) readMembers(spark, poolPath)
+        else Seq.empty[Member]
+      val merged = (oldMembers ++ batchBottom)
+        .groupBy(_.vecId).map(_._2.head).toSeq
+        .sortBy(m => (m.h, m.vecId)).take(pool)
+      val changed = merged.map(_.vecId).toSet != oldMembers.map(_.vecId).toSet
+      if (changed) {
+        val poolRow = Seq(("pool", merged.map(m => (m.vecId, m.h, m.q)), epoch))
+          .toDF("pk", "members_t", "last_epoch")
+          .select(col("pk"),
+            expr("transform(members_t, m -> named_struct(" +
+              "'vec_id', m._1, 'h', m._2, 'q', m._3))").as("members"),
+            col("last_epoch"))
+        Io.upsertDim(spark, poolRow, poolPath, "pk", "last_epoch")
+      }
+      val sig = poolSig(merged)
+      val hadCells = Io.dimStoreHasData(cellsPath)
+      if (!hadCells) {
+        // first absorb: the pool IS this batch's bottom sample, so the
+        // batch pass covers everything absorbed so far
+        val sums = computeCells(pts, merged, k)
+        Io.upsertDim(spark, cellRows(spark, merged, k, sums, sig, epoch),
+          cellsPath, "cell_id", "last_epoch")
+      } else if (!changed) {
+        val fresh = computeCells(pts, merged, k)
+        val stored = Io.readDim(spark, cellsPath)
+          .select("cell_id", "g", "pool_sig")
+          .as[(String, String, String)].collect()
+        require(stored.forall(_._3 == sig),
+          s"FacilityStream: cells at $cellsPath carry a stale pool_sig — " +
+            "a pool-changing batch was absorbed without re-anchor; call " +
+            "reanchor(corpus) before absorbing further")
+        val byId = stored.map(r => r._1 -> BigInt(r._2)).toMap
+        val keys = cellKeys(merged.size, k)
+        val sums = keys.zipWithIndex.map { case ((s, c), i) =>
+          val subSig = s.map(merged(_).vecId).sorted.mkString(",")
+          byId(s"$subSig|${merged(c).vecId}") + fresh(i)
+        }.toArray
+        Io.upsertDim(spark, cellRows(spark, merged, k, sums, sig, epoch),
+          cellsPath, "cell_id", "last_epoch")
+      } else {
+        val corpus = reanchorWith.getOrElse(throw new IllegalStateException(
+          s"FacilityStream: batch at epoch $epoch changed the candidate " +
+            s"pool at $poolPath and no re-anchor accessor was provided — " +
+            "the new candidate's gain sums against already-absorbed " +
+            "points cannot be derived from bounded state (class doc); " +
+            "pass reanchorWith (a read of the landed corpus) or call " +
+            "reanchor() before the next read"))()
+        reanchorCells(spark, corpus, merged, cellsPath, k, sig, epoch)
+      }
+    } finally { pts.unpersist(); () }
+  }
+
+  /** The one-scan re-anchor: recompute every cell over `corpus` (the
+    * landed table of everything absorbed) against the CURRENT pool and
+    * replace the cell rows whole (rewriteDim — eviction removes keys, so
+    * add-only upsert cannot land it). */
+  def reanchor(spark: SparkSession, corpus: DataFrame, poolPath: String,
+               cellsPath: String, epoch: Long, k: Int = 4): Unit = {
+    requireStore(poolPath, "pool")
+    val members = readMembers(spark, poolPath)
+    reanchorCells(spark, corpus, members, cellsPath, k, poolSig(members), epoch)
+  }
+
+  private def reanchorCells(spark: SparkSession, corpus: DataFrame,
+                            members: Seq[Member], cellsPath: String, k: Int,
+                            sig: String, epoch: Long): Unit = {
+    val pts = Similarity.kcenterPts(corpus).persist()
+    try {
+      val sums = computeCells(pts, members, k)
+      val rows = cellRows(spark, members, k, sums, sig, epoch)
+      if (Io.dimStoreHasData(cellsPath))
+        Io.rewriteDim(spark, cellsPath, "cell_id", rows)
+      else Io.upsertDim(spark, rows, cellsPath, "cell_id", "last_epoch")
+    } finally { pts.unpersist(); () }
+  }
+
+  private def requireStore(path: String, what: String): Unit =
+    if (!Io.dimStoreHasData(path))
+      throw new IllegalStateException(
+        s"FacilityStream: $what store at $path has absorbed no batches " +
+          "yet — nothing to read; run the stream against non-empty input " +
+          "first")
+
+  /** Current q200 selection over everything absorbed: the greedy replay
+    * over the maintained cell table — same schema, tie order,
+    * accumulation identity, and digit-string edge encoding as
+    * [[Similarity.facilityLocationFrom]]. Refuses (named error) if the
+    * cells are anchored on a stale pool. */
+  def readSelection(spark: SparkSession, poolPath: String, cellsPath: String,
+                    k: Int = 4): DataFrame = {
+    import spark.implicits._
+    requireStore(poolPath, "pool")
+    requireStore(cellsPath, "cells")
+    val members = readMembers(spark, poolPath)
+    val sig = poolSig(members)
+    val cells = Io.readDim(spark, cellsPath)
+      .select("subset_sig", "cand", "g", "pool_sig")
+      .as[(String, Long, String, String)].collect()
+    require(cells.forall(_._4 == sig),
+      s"FacilityStream: cells at $cellsPath are anchored on a stale pool " +
+        "— a pool-changing batch was absorbed; call reanchor(corpus) " +
+        "before reading")
+    val g = cells.map(r => (r._1, r._2) -> BigInt(r._3)).toMap
+    var chosen = Vector.empty[(Long, BigInt, BigInt)] // (vecId, gain, total)
+    for (_ <- 0 until math.min(k, members.size)) {
+      val subSig = chosen.map(_._1).sorted.mkString(",")
+      val (vid, gain) = members.map(_.vecId)
+        .filterNot(id => chosen.exists(_._1 == id))
+        .map(id => id -> g((subSig, id)))
+        .maxBy { case (id, gg) => (gg, -id) }
+      val total = (if (chosen.isEmpty) BigInt(0) else chosen.last._3) + gain
+      chosen :+= ((vid, gain, total))
+    }
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("sel_round", IntegerType, nullable = false),
+      StructField("rep_vec_id", LongType, nullable = false),
+      StructField("gain", StringType, nullable = false),
+      StructField("total_cov", StringType, nullable = false)))
+    val out = chosen.zipWithIndex.map { case ((vid, gg, t), r) =>
+      Row(r, vid, gg.toString, t.toString)
+    }
+    spark.createDataFrame(java.util.Arrays.asList(out: _*), schema)
+  }
+
+  /** Drive the maintenance from a streaming (vec_id, embedding) frame.
+    * `corpus` is the re-anchor accessor — REQUIRED here (a long-running
+    * stream WILL eventually absorb a pool-changing batch, and the stream
+    * path must never be one md5 draw away from a poison-pill); ad-hoc
+    * callers that can tolerate the loud failure may use [[applyBatch]]
+    * with None. */
+  def run(spark: SparkSession, rows: DataFrame, poolPath: String,
+          cellsPath: String, checkpoint: String, corpus: () => DataFrame,
+          k: Int = 4, pool: Int = 16): StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (delta: DataFrame, epoch: Long) =>
+        applyBatch(spark, delta, poolPath, cellsPath, epoch, k, pool,
+          Some(corpus))
+      }
+      .start()
+}

@@ -107,6 +107,64 @@ class KnnSaltSpec extends SparkSuite {
     } finally conn.close()
   }
 
+  test("salted branch executed-plan pin: candidate join keys on (bucket, salt), occ dims broadcast, no blowup joins (VERDICT r14 #4)") {
+    // ExecutedPlanSpec's q168 pin runs at sf0.01 where nsalt = 1; this
+    // pins the PHYSICAL shape of the nsalt >= 4 branch on the hot-blob
+    // fixture — the regime KnnSaltSpec otherwise gates only by output.
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit =
+        captured.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      // unique bucketCap -> unique layout name -> the build always executes
+      // (127 still salts the 500-blob: nsalt = ceil(500/127) = 4)
+      Similarity.knnEdges(spark, fixtureDir, k = 3, cap = 1000, bucketCap = 127)
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      def build: Option[String] = {
+        import scala.jdk.CollectionConverters._
+        captured.asScala.find(p =>
+          p.contains("dot_i") && p.contains("knnedges_3_1000_4s127"))
+      }
+      while (build.isEmpty && System.nanoTime() < deadline) Thread.sleep(100)
+      val full = build.getOrElse(fail("no captured plan contains the salted candidate join"))
+      val cut = full.indexOf("== Initial Plan ==")
+      val p = if (cut >= 0) full.substring(0, cut) else full
+      // the salt is an EQUI-JOIN KEY of the candidate join — the whole
+      // point of the fix; a regression that demotes it to a post-filter
+      // (or drops it) re-opens the hot-bucket quadratic
+      val saltKeyed = "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[[^\\]]*salt"
+        .r.findFirstIn(p)
+      assert(saltKeyed.isDefined,
+        s"candidate join must key on (bucket, salt):\n$p")
+      // the two occupancy dims (2^planes rows) are hint-pinned broadcasts
+      assert("BroadcastHashJoin".r.findAllMatchIn(p).length >= 2,
+        s"both occ joins must broadcast the 2^planes occupancy dim:\n$p")
+      assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+        s"no blowup joins in the salted edge build:\n$p")
+      // negative control: the detector is sensitive — the UNSALTED shape
+      // (bucket-only key, the pre-fix pathology) must NOT satisfy the pin
+      import graft.functions.VectorFns
+      val e = spark.read.parquet(s"$fixtureDir/embeddings.parquet")
+        .withColumn("bucket", VectorFns.hyperplaneSigUdf(4)(col("embedding")))
+        .select("vec_id", "bucket")
+      val unsalted = e.join(e.withColumnRenamed("vec_id", "vb"), Seq("bucket"))
+      unsalted.count()
+      val up0 = unsalted.queryExecution.executedPlan.toString
+      val upCut = up0.indexOf("== Initial Plan ==")
+      val up = if (upCut >= 0) up0.substring(0, upCut) else up0
+      assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[[^\\]]*salt"
+        .r.findFirstIn(up).isEmpty,
+        s"the bucket-only join must fail the salt-key pin (detector sensitivity):\n$up")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("salted graph quality: hot-blob nodes keep blob-local neighbors; distances within noise scale") {
     val (e, edges) = Similarity.knnEdges(spark, fixtureDir, k = 3, cap = 1000,
       bucketCap = bucketCap)

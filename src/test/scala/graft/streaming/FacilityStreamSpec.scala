@@ -1,0 +1,125 @@
+package graft.streaming
+
+import graft.SparkSuite
+import graft.operators.Similarity
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming facility-location maintenance (FacilityStream): the bottom-16
+  * candidate pool is a mergeable bottom-k sample, and the (subset,
+  * candidate) gain cells are the exact additive sufficient statistic for
+  * greedy over a FIXED pool — so maintain ≡ batch is gated as EXACT
+  * equality with Similarity.facilityLocationFrom over everything
+  * absorbed. Pool churn is the one event bounded state provably cannot
+  * heal (a new candidate needs dots against already-absorbed points);
+  * the specs pin the whole rule: loud refusal without an accessor, stale
+  * reads refused by pool_sig, and the one-scan re-anchor restoring
+  * exactness. */
+class FacilityStreamSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-fac-$tag").toString
+
+  private def emb: DataFrame =
+    graft.Tables.load(spark, sf0001, "embeddings").select("vec_id", "embedding")
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** vec_ids in md5 sampling order — the pool rule, driver-side. */
+  private def md5Order: Seq[Long] =
+    emb.select("vec_id").as[Long].collect().toSeq
+      .sortBy(id => (md5hex(id.toString), id))
+
+  private def q200(df: DataFrame): Seq[(Int, Long, String, String)] =
+    Similarity.facilityLocationFrom(df)
+      .as[(Int, Long, String, String)].collect().toSeq.sortBy(_._1)
+
+  private def readSel(poolP: String, cellsP: String): Seq[(Int, Long, String, String)] =
+    FacilityStream.readSelection(spark, poolP, cellsP)
+      .as[(Int, Long, String, String)].collect().toSeq.sortBy(_._1)
+
+  test("3-batch maintenance (stable pool) equals the batch operator after every absorb; replay is a no-op") {
+    val (poolP, cellsP) = (tmp("pool"), tmp("cells"))
+    val order = md5Order
+    val bottom = order.take(16).toSet
+    val rest = order.drop(16)
+    // batch 1 carries the whole global bottom-16 (so no later batch can
+    // evict a pool member) plus a third of the rest; 2 and 3 split the rest
+    val parts = Seq(
+      bottom ++ rest.zipWithIndex.collect { case (id, i) if i % 3 == 0 => id },
+      rest.zipWithIndex.collect { case (id, i) if i % 3 == 1 => id }.toSet,
+      rest.zipWithIndex.collect { case (id, i) if i % 3 == 2 => id }.toSet)
+    val batches = parts.map(ids => emb.filter(col("vec_id").isInCollection(ids)))
+    var absorbed = Set.empty[Long]
+    batches.zipWithIndex.foreach { case (b, i) =>
+      FacilityStream.applyBatch(spark, b, poolP, cellsP, epoch = i.toLong)
+      absorbed ++= parts(i)
+      val want = q200(emb.filter(col("vec_id").isInCollection(absorbed)))
+      val got = readSel(poolP, cellsP)
+      assert(got == want,
+        s"after batch $i the maintained selection must equal the batch " +
+          s"operator on everything absorbed:\n got=$got\nwant=$want")
+    }
+    // replay of the last epoch: store bytes-identical, read unchanged
+    val cellsBefore = graft.io.Io.readDim(spark, cellsP)
+      .as[(String, String, Long, String, String, Long)].collect().toSet
+    FacilityStream.applyBatch(spark, batches.last, poolP, cellsP, epoch = 2L)
+    val cellsAfter = graft.io.Io.readDim(spark, cellsP)
+      .as[(String, String, Long, String, String, Long)].collect().toSet
+    assert(cellsAfter == cellsBefore, "replaying the last epoch must not double-add")
+  }
+
+  test("pool churn: loud refusal without an accessor, stale read refused, one-scan re-anchor restores exactness") {
+    val (poolP, cellsP) = (tmp("pool-c"), tmp("cells-c"))
+    val order = md5Order
+    val lowest = order.head // the one id whose arrival must evict a candidate
+    val b1 = emb.filter(col("vec_id") =!= lowest)
+    val b2 = emb.filter(col("vec_id") === lowest)
+    FacilityStream.applyBatch(spark, b1, poolP, cellsP, epoch = 0L)
+    assert(readSel(poolP, cellsP) == q200(b1), "pre-churn maintenance exact")
+    // the churn batch without an accessor: loud, named
+    val e1 = intercept[IllegalStateException] {
+      FacilityStream.applyBatch(spark, b2, poolP, cellsP, epoch = 1L)
+    }
+    assert(e1.getMessage.contains("changed the candidate pool"),
+      s"pool churn without an accessor must name the rule: ${e1.getMessage}")
+    // the pool store already advanced (merge lands before cells) — a read
+    // against the stale cells must refuse, not silently answer off-pool
+    val e2 = intercept[IllegalArgumentException] {
+      FacilityStream.readSelection(spark, poolP, cellsP)
+    }
+    assert(e2.getMessage.contains("stale pool"),
+      s"stale cells must refuse the read: ${e2.getMessage}")
+    // one corpus scan re-anchors; the read is exact again
+    FacilityStream.reanchor(spark, emb, poolP, cellsP, epoch = 1L)
+    assert(readSel(poolP, cellsP) == q200(emb),
+      "post-re-anchor maintenance must equal the batch operator on the full corpus")
+  }
+
+  test("pool churn with the accessor absorbs inline (the run() path)") {
+    val (poolP, cellsP) = (tmp("pool-a"), tmp("cells-a"))
+    val order = md5Order
+    val lowest = order.head
+    val b1 = emb.filter(col("vec_id") =!= lowest)
+    val b2 = emb.filter(col("vec_id") === lowest)
+    FacilityStream.applyBatch(spark, b1, poolP, cellsP, epoch = 0L)
+    FacilityStream.applyBatch(spark, b2, poolP, cellsP, epoch = 1L,
+      reanchorWith = Some(() => emb))
+    assert(readSel(poolP, cellsP) == q200(emb),
+      "an accessor-backed churn batch must land the re-anchor inline")
+  }
+
+  test("never-written stores: read fails with the named contract error") {
+    val (poolP, cellsP) = (tmp("pool-n"), tmp("cells-n"))
+    FacilityStream.applyBatch(spark, emb.filter(col("vec_id") < 0), poolP,
+      cellsP, epoch = 0L)
+    val e = intercept[IllegalStateException] {
+      FacilityStream.readSelection(spark, poolP, cellsP)
+    }
+    assert(e.getMessage.contains("absorbed no batches"),
+      s"an empty-batch-only stream must fail the read by name: ${e.getMessage}")
+  }
+}
