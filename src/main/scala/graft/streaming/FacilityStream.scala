@@ -18,7 +18,9 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * smallest of a union = k smallest of the per-part k-smallest; the hash
   * is a pure function of vec_id, so every batch reproduces it). One row,
   * the members as an array of (vec_id, h, q) structs, replaced whole per
-  * merge.
+  * merge; the row also carries `n_abs`, the running count of absorbed
+  * rows — the ground-truth anchor the re-anchor gate checks a supplied
+  * corpus against (below).
   *
   * '''Cells''' — the EXACT sufficient statistic for greedy facility
   * location over a fixed pool: for every subset S of the pool with
@@ -35,7 +37,9 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * O(cells) per point — the price of EXACT greedy maintenance; it grows
   * combinatorially in k, so for large k/m use a KCenterStream-style
   * bounded-approximation read instead (documented trade, not this
-  * class).
+  * class). Cells carry the `sel_k` they were enumerated under; a
+  * different k at absorb or read fails with a named error, not a raw
+  * map-lookup one.
   *
   * '''The re-anchor rule (pool churn).''' A new vec_id whose md5 enters
   * the bottom-16 evicts a candidate. The evicted candidate's cells are
@@ -45,22 +49,33 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * sublinear-state maintainer can heal it; this is the same
   * impossibility class as q190's re-chunking, but here the event is
   * RARE rather than every-batch). The rule: a pool-changing batch
-  * triggers ONE corpus re-scan against the new pool ([[reanchor]] /
-  * the `reanchorWith` accessor — in a lakehouse pipeline the stream's
-  * rows are landed anyway, so the accessor is a read of the landed
-  * table). Expected total re-anchor cost over a stream of N points is
+  * triggers ONE corpus re-scan against the new pool (the `reanchorWith`
+  * accessor — in a lakehouse pipeline the stream's rows are landed
+  * anyway, so the accessor is a read of the landed table). Expected
+  * total re-anchor cost over a stream of N points is
   * Σ_n P(point n changes the pool)·n = Σ_n (m/n)·n = m·N — amortized
   * O(pool) per point, the dynamic-array-doubling argument. Without an
-  * accessor a pool-changing batch FAILS LOUDLY (absorbing it into
-  * stale-pool cells would silently corrupt every later read; the
-  * round-14 silent-batch-loss lesson says refuse instead).
+  * accessor a pool-changing batch FAILS LOUDLY with NOTHING WRITTEN —
+  * retrying the same epoch with an accessor then succeeds; absorbing it
+  * into stale-pool cells would silently corrupt every later read (the
+  * round-14 silent-batch-loss lesson says refuse instead). And because
+  * an accessor corpus that is NOT exactly "everything absorbed
+  * including this batch" (a landing sink running ahead or behind the
+  * maintainer) would corrupt just as silently, the re-anchor REQUIRES
+  * corpus.count() == n_abs + batch count before it sums anything.
+  *
+  * Crash consistency: cells are written BEFORE the pool row, each
+  * epoch-gated independently. A crash between the two leaves cells one
+  * epoch ahead; the replay skips the cells add (its epoch gate) and
+  * completes the pool row, and a read inside the crash window refuses
+  * on the pool_sig mismatch rather than answering off-pool.
   *
   * Contract (the additive-cell class contract, as MixtureStream):
   * deltas are exactly-once disjoint new vectors — foreachBatch +
   * checkpoint provides it, and a replay of the LAST epoch is gated
-  * wholesale (cells carry one shared last_epoch). A vec_id re-presented
-  * under a NEW epoch double-counts, exactly as it would in the batch
-  * operator run over a corpus containing the row twice.
+  * per store. A vec_id re-presented under a NEW epoch double-counts,
+  * exactly as it would in the batch operator run over a corpus
+  * containing the row twice.
   *
   * Read = the greedy replay over the 9,216-cell table (driver-side
   * BigInt arithmetic on a bounded frame), emitting the exact q200
@@ -73,6 +88,10 @@ object FacilityStream {
   /** One pool member: vec_id, its md5 sampling hash, its 2²⁰-grid
     * vector. */
   private final case class Member(vecId: Long, h: String, q: Seq[Int])
+
+  /** The pool row: members plus the absorbed-row count and epoch gate. */
+  private final case class PoolState(members: Seq[Member], nAbs: Long,
+                                     lastEpoch: Long)
 
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
@@ -162,121 +181,130 @@ object FacilityStream {
     cellKeys(members.size, k).zipWithIndex.map { case ((s, c), i) =>
       val subSig = s.map(members(_).vecId).sorted.mkString(",")
       val cand = members(c).vecId
-      (s"$subSig|$cand", subSig, cand, sums(i).toString, sig, epoch)
-    }.toDF("cell_id", "subset_sig", "cand", "g", "pool_sig", "last_epoch")
+      (s"$subSig|$cand", subSig, cand, sums(i).toString, sig, k, epoch)
+    }.toDF("cell_id", "subset_sig", "cand", "g", "pool_sig", "sel_k",
+      "last_epoch")
   }
 
-  private def readMembers(spark: SparkSession, poolPath: String): Seq[Member] = {
+  private def readPool(spark: SparkSession, poolPath: String): PoolState = {
     import spark.implicits._
-    Io.readDim(spark, poolPath)
-      .select(explode(col("members")).as("m"))
-      .select(col("m.vec_id"), col("m.h"), col("m.q"))
-      .as[(Long, String, Seq[Int])].collect().toSeq
-      .map(t => Member(t._1, t._2, t._3))
-      .sortBy(m => (m.h, m.vecId))
+    val (raw, nAbs, lastEpoch) = Io.readDim(spark, poolPath)
+      .select(col("members"), col("n_abs"), col("last_epoch"))
+      .as[(Seq[(Long, String, Seq[Int])], Long, Long)].head()
+    PoolState(
+      raw.map(t => Member(t._1, t._2, t._3)).sortBy(m => (m.h, m.vecId)),
+      nAbs, lastEpoch)
   }
+
+  private def writePool(spark: SparkSession, poolPath: String,
+                        members: Seq[Member], nAbs: Long, epoch: Long): Unit = {
+    import spark.implicits._
+    val row = Seq(("pool", members.map(m => (m.vecId, m.h, m.q)), nAbs, epoch))
+      .toDF("pk", "members_t", "n_abs", "last_epoch")
+      .select(col("pk"),
+        expr("transform(members_t, m -> named_struct(" +
+          "'vec_id', m._1, 'h', m._2, 'q', m._3))").as("members"),
+        col("n_abs"), col("last_epoch"))
+    Io.upsertDim(spark, row, poolPath, "pk", "last_epoch")
+  }
+
+  private def requireK(storedK: Int, k: Int, where: String): Unit =
+    require(storedK == k,
+      s"FacilityStream: $where called with k = $k but the cells were " +
+        s"enumerated under sel_k = $storedK — the subset closure differs; " +
+        "use the store's k or rebuild the cells store")
 
   /** Absorb one micro-batch of (vec_id, embedding float[]) rows: merge
     * the bottom-`pool` candidate sample, then add the batch's cell sums
     * — or, on a pool-changing batch, re-anchor from `reanchorWith`'s
-    * one corpus scan (fail loudly if no accessor was provided; see the
-    * class doc's re-anchor rule). */
+    * one corpus scan (count-gated against `n_abs`; fails loudly WITH
+    * NOTHING WRITTEN if no accessor was provided — retrying the same
+    * epoch with one succeeds; see the class doc's re-anchor rule). */
   def applyBatch(spark: SparkSession, delta: DataFrame, poolPath: String,
                  cellsPath: String, epoch: Long, k: Int = 4, pool: Int = 16,
                  reanchorWith: Option[() => DataFrame] = None): Unit = {
     import spark.implicits._
-    // wholesale replay gate: all cells share one last_epoch, so a replayed
-    // epoch is a no-op; a half-committed epoch (pool written, cells not)
-    // re-runs — the pool merge is set-idempotent, the cells then absorb
-    if (Io.dimStoreHasData(cellsPath)) {
-      val last = Io.readDim(spark, cellsPath)
-        .agg(max("last_epoch")).as[Long].head()
-      if (last == epoch) return
-    }
     val pts = Similarity.kcenterPts(delta).persist()
     try {
-      if (pts.count() == 0L) return
+      val cnt = pts.count()
+      if (cnt == 0L) return
+      val old =
+        if (Io.dimStoreHasData(poolPath)) Some(readPool(spark, poolPath))
+        else None
       val batchBottom = pts
         .withColumn("h", md5(col("vec_id").cast("string")))
         .orderBy(col("h"), col("vec_id")).limit(pool)
         .select(col("vec_id"), col("h"), col("q"))
         .as[(Long, String, Seq[Int])].collect().toSeq
         .map(t => Member(t._1, t._2, t._3))
-      val oldMembers =
-        if (Io.dimStoreHasData(poolPath)) readMembers(spark, poolPath)
-        else Seq.empty[Member]
+      val oldMembers = old.map(_.members).getOrElse(Seq.empty)
       val merged = (oldMembers ++ batchBottom)
         .groupBy(_.vecId).map(_._2.head).toSeq
         .sortBy(m => (m.h, m.vecId)).take(pool)
       val changed = merged.map(_.vecId).toSet != oldMembers.map(_.vecId).toSet
-      if (changed) {
-        val poolRow = Seq(("pool", merged.map(m => (m.vecId, m.h, m.q)), epoch))
-          .toDF("pk", "members_t", "last_epoch")
-          .select(col("pk"),
-            expr("transform(members_t, m -> named_struct(" +
-              "'vec_id', m._1, 'h', m._2, 'q', m._3))").as("members"),
-            col("last_epoch"))
-        Io.upsertDim(spark, poolRow, poolPath, "pk", "last_epoch")
-      }
       val sig = poolSig(merged)
-      val hadCells = Io.dimStoreHasData(cellsPath)
-      if (!hadCells) {
-        // first absorb: the pool IS this batch's bottom sample, so the
-        // batch pass covers everything absorbed so far
-        val sums = computeCells(pts, merged, k)
-        Io.upsertDim(spark, cellRows(spark, merged, k, sums, sig, epoch),
-          cellsPath, "cell_id", "last_epoch")
-      } else if (!changed) {
-        val fresh = computeCells(pts, merged, k)
-        val stored = Io.readDim(spark, cellsPath)
-          .select("cell_id", "g", "pool_sig")
-          .as[(String, String, String)].collect()
-        require(stored.forall(_._3 == sig),
-          s"FacilityStream: cells at $cellsPath carry a stale pool_sig — " +
-            "a pool-changing batch was absorbed without re-anchor; call " +
-            "reanchor(corpus) before absorbing further")
-        val byId = stored.map(r => r._1 -> BigInt(r._2)).toMap
-        val keys = cellKeys(merged.size, k)
-        val sums = keys.zipWithIndex.map { case ((s, c), i) =>
-          val subSig = s.map(merged(_).vecId).sorted.mkString(",")
-          byId(s"$subSig|${merged(c).vecId}") + fresh(i)
-        }.toArray
-        Io.upsertDim(spark, cellRows(spark, merged, k, sums, sig, epoch),
-          cellsPath, "cell_id", "last_epoch")
-      } else {
-        val corpus = reanchorWith.getOrElse(throw new IllegalStateException(
-          s"FacilityStream: batch at epoch $epoch changed the candidate " +
-            s"pool at $poolPath and no re-anchor accessor was provided — " +
-            "the new candidate's gain sums against already-absorbed " +
-            "points cannot be derived from bounded state (class doc); " +
-            "pass reanchorWith (a read of the landed corpus) or call " +
-            "reanchor() before the next read"))()
-        reanchorCells(spark, corpus, merged, cellsPath, k, sig, epoch)
+      // cells first (pool row after), each epoch-gated independently — the
+      // class doc's crash-consistency rule. All cheap checks run BEFORE
+      // the O(cells)-per-point batch pass.
+      val stored =
+        if (Io.dimStoreHasData(cellsPath))
+          Some(Io.readDim(spark, cellsPath)
+            .select("cell_id", "g", "pool_sig", "sel_k", "last_epoch")
+            .as[(String, String, String, Int, Long)].collect())
+        else None
+      val cellsDone = stored.exists(_.head._5 == epoch)
+      if (!cellsDone) {
+        stored.foreach(s => requireK(s.head._4, k, "applyBatch"))
+        if (stored.isEmpty) {
+          // first absorb: the pool IS this batch's bottom sample, so the
+          // batch pass covers everything absorbed so far
+          val sums = computeCells(pts, merged, k)
+          Io.upsertDim(spark, cellRows(spark, merged, k, sums, sig, epoch),
+            cellsPath, "cell_id", "last_epoch")
+        } else if (!changed && stored.get.head._3 == sig) {
+          val byId = stored.get.map(r => r._1 -> BigInt(r._2)).toMap
+          val fresh = computeCells(pts, merged, k)
+          val keys = cellKeys(merged.size, k)
+          val sums = keys.zipWithIndex.map { case ((s, c), i) =>
+            val subSig = s.map(merged(_).vecId).sorted.mkString(",")
+            byId(s"$subSig|${merged(c).vecId}") + fresh(i)
+          }.toArray
+          Io.upsertDim(spark, cellRows(spark, merged, k, sums, sig, epoch),
+            cellsPath, "cell_id", "last_epoch")
+        } else {
+          // pool churn (or a crash-window sig drift): only a corpus
+          // re-scan can rebuild the cells — count-gated so a landing
+          // sink running ahead/behind cannot silently corrupt the sums
+          val corpus = reanchorWith.getOrElse(throw new IllegalStateException(
+            s"FacilityStream: batch at epoch $epoch changed the candidate " +
+              s"pool at $poolPath and no re-anchor accessor was provided — " +
+              "the new candidate's gain sums against already-absorbed " +
+              "points cannot be derived from bounded state (class doc); " +
+              "nothing was written — retry this epoch with reanchorWith " +
+              "(a read of the landed corpus)"))()
+          val cpts = Similarity.kcenterPts(corpus).persist()
+          try {
+            val expected = old.map(_.nAbs).getOrElse(0L) + cnt
+            val got = cpts.count()
+            require(got == expected,
+              s"FacilityStream: re-anchor corpus holds $got rows but " +
+                s"n_abs + batch = $expected — the landed table is not " +
+                "exactly everything absorbed plus this batch (a landing " +
+                "sink running ahead or behind would silently corrupt the " +
+                "sums); align the corpus accessor with the maintenance " +
+                "stream before re-anchoring")
+            val sums = computeCells(cpts, merged, k)
+            val rows = cellRows(spark, merged, k, sums, sig, epoch)
+            // eviction removes cell keys, so the replacement must land
+            // whole (add-only upsert would leave the evicted candidate's
+            // rows live)
+            Io.rewriteDim(spark, cellsPath, "cell_id", rows)
+          } finally { cpts.unpersist(); () }
+        }
       }
-    } finally { pts.unpersist(); () }
-  }
-
-  /** The one-scan re-anchor: recompute every cell over `corpus` (the
-    * landed table of everything absorbed) against the CURRENT pool and
-    * replace the cell rows whole (rewriteDim — eviction removes keys, so
-    * add-only upsert cannot land it). */
-  def reanchor(spark: SparkSession, corpus: DataFrame, poolPath: String,
-               cellsPath: String, epoch: Long, k: Int = 4): Unit = {
-    requireStore(poolPath, "pool")
-    val members = readMembers(spark, poolPath)
-    reanchorCells(spark, corpus, members, cellsPath, k, poolSig(members), epoch)
-  }
-
-  private def reanchorCells(spark: SparkSession, corpus: DataFrame,
-                            members: Seq[Member], cellsPath: String, k: Int,
-                            sig: String, epoch: Long): Unit = {
-    val pts = Similarity.kcenterPts(corpus).persist()
-    try {
-      val sums = computeCells(pts, members, k)
-      val rows = cellRows(spark, members, k, sums, sig, epoch)
-      if (Io.dimStoreHasData(cellsPath))
-        Io.rewriteDim(spark, cellsPath, "cell_id", rows)
-      else Io.upsertDim(spark, rows, cellsPath, "cell_id", "last_epoch")
+      if (!old.exists(_.lastEpoch == epoch))
+        writePool(spark, poolPath, merged,
+          old.map(_.nAbs).getOrElse(0L) + cnt, epoch)
     } finally { pts.unpersist(); () }
   }
 
@@ -291,21 +319,25 @@ object FacilityStream {
     * over the maintained cell table — same schema, tie order,
     * accumulation identity, and digit-string edge encoding as
     * [[Similarity.facilityLocationFrom]]. Refuses (named error) if the
-    * cells are anchored on a stale pool. */
+    * cells are anchored on a stale pool (the crash window between the
+    * cells and pool writes — heals on the epoch's replay). */
   def readSelection(spark: SparkSession, poolPath: String, cellsPath: String,
                     k: Int = 4): DataFrame = {
     import spark.implicits._
     requireStore(poolPath, "pool")
     requireStore(cellsPath, "cells")
-    val members = readMembers(spark, poolPath)
+    val members = readPool(spark, poolPath).members
     val sig = poolSig(members)
     val cells = Io.readDim(spark, cellsPath)
-      .select("subset_sig", "cand", "g", "pool_sig")
-      .as[(String, Long, String, String)].collect()
+      .select("subset_sig", "cand", "g", "pool_sig", "sel_k")
+      .as[(String, Long, String, String, Int)].collect()
+    requireK(cells.head._5, k, "readSelection")
     require(cells.forall(_._4 == sig),
       s"FacilityStream: cells at $cellsPath are anchored on a stale pool " +
-        "— a pool-changing batch was absorbed; call reanchor(corpus) " +
-        "before reading")
+        "— either the crash window between the cells and pool writes " +
+        "(replay the epoch to heal) or a pool-changing batch absorbed " +
+        "against the wrong corpus; re-absorb with reanchorWith before " +
+        "reading")
     val g = cells.map(r => (r._1, r._2) -> BigInt(r._3)).toMap
     var chosen = Vector.empty[(Long, BigInt, BigInt)] // (vecId, gain, total)
     for (_ <- 0 until math.min(k, members.size)) {
@@ -333,8 +365,8 @@ object FacilityStream {
     * `corpus` is the re-anchor accessor — REQUIRED here (a long-running
     * stream WILL eventually absorb a pool-changing batch, and the stream
     * path must never be one md5 draw away from a poison-pill); ad-hoc
-    * callers that can tolerate the loud failure may use [[applyBatch]]
-    * with None. */
+    * callers that can tolerate the loud nothing-written failure may use
+    * [[applyBatch]] with None and retry the epoch with an accessor. */
   def run(spark: SparkSession, rows: DataFrame, poolPath: String,
           cellsPath: String, checkpoint: String, corpus: () => DataFrame,
           k: Int = 4, pool: Int = 16): StreamingQuery =

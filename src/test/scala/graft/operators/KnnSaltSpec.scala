@@ -148,20 +148,33 @@ class KnnSaltSpec extends SparkSuite {
         s"both occ joins must broadcast the 2^planes occupancy dim:\n$p")
       assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
         s"no blowup joins in the salted edge build:\n$p")
-      // negative control: the detector is sensitive — the UNSALTED shape
-      // (bucket-only key, the pre-fix pathology) must NOT satisfy the pin
+      // negative control: the detector is sensitive to the ACTUAL
+      // regression mode — salt present on both sides but DEMOTED from an
+      // equi-join key to a post-join filter (which re-opens the
+      // hot-bucket quadratic: the join itself matches the whole bucket)
       import graft.functions.VectorFns
       val e = spark.read.parquet(s"$fixtureDir/embeddings.parquet")
         .withColumn("bucket", VectorFns.hyperplaneSigUdf(4)(col("embedding")))
-        .select("vec_id", "bucket")
-      val unsalted = e.join(e.withColumnRenamed("vec_id", "vb"), Seq("bucket"))
-      unsalted.count()
-      val up0 = unsalted.queryExecution.executedPlan.toString
+        .withColumn("salt",
+          conv(substring(md5(col("vec_id").cast("string").cast("binary")),
+            1, 8), 16, 10).cast("long") % lit(4L))
+        .select("vec_id", "bucket", "salt")
+      // abs(a-b) < 1 is long equality the planner CANNOT promote into an
+      // equi-join key (a plain === filter would be pushed into the keys,
+      // making the control vacuous) — the join matches whole buckets and
+      // salt survives only as a post-join condition
+      val demoted = e.join(
+        e.select(col("vec_id").as("vb"), col("bucket"),
+          col("salt").as("salt_b")), Seq("bucket"))
+        .filter(abs(col("salt") - col("salt_b")) < 1)
+      demoted.count()
+      val up0 = demoted.queryExecution.executedPlan.toString
       val upCut = up0.indexOf("== Initial Plan ==")
       val up = if (upCut >= 0) up0.substring(0, upCut) else up0
       assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[[^\\]]*salt"
         .r.findFirstIn(up).isEmpty,
-        s"the bucket-only join must fail the salt-key pin (detector sensitivity):\n$up")
+        s"salt demoted to a post-join filter must fail the salt-key pin " +
+          s"(detector sensitivity):\n$up")
     } finally spark.listenerManager.unregister(listener)
   }
 

@@ -65,14 +65,14 @@ class FacilityStreamSpec extends SparkSuite {
     }
     // replay of the last epoch: store bytes-identical, read unchanged
     val cellsBefore = graft.io.Io.readDim(spark, cellsP)
-      .as[(String, String, Long, String, String, Long)].collect().toSet
+      .as[(String, String, Long, String, String, Int, Long)].collect().toSet
     FacilityStream.applyBatch(spark, batches.last, poolP, cellsP, epoch = 2L)
     val cellsAfter = graft.io.Io.readDim(spark, cellsP)
-      .as[(String, String, Long, String, String, Long)].collect().toSet
+      .as[(String, String, Long, String, String, Int, Long)].collect().toSet
     assert(cellsAfter == cellsBefore, "replaying the last epoch must not double-add")
   }
 
-  test("pool churn: loud refusal without an accessor, stale read refused, one-scan re-anchor restores exactness") {
+  test("pool churn: loud nothing-written refusal without an accessor; retrying the epoch with one re-anchors exactly; a wrong-size corpus is refused") {
     val (poolP, cellsP) = (tmp("pool-c"), tmp("cells-c"))
     val order = md5Order
     val lowest = order.head // the one id whose arrival must evict a candidate
@@ -80,23 +80,60 @@ class FacilityStreamSpec extends SparkSuite {
     val b2 = emb.filter(col("vec_id") === lowest)
     FacilityStream.applyBatch(spark, b1, poolP, cellsP, epoch = 0L)
     assert(readSel(poolP, cellsP) == q200(b1), "pre-churn maintenance exact")
-    // the churn batch without an accessor: loud, named
+    // the churn batch without an accessor: loud, named, and NOTHING
+    // written — the maintained state still answers for what was absorbed
     val e1 = intercept[IllegalStateException] {
       FacilityStream.applyBatch(spark, b2, poolP, cellsP, epoch = 1L)
     }
     assert(e1.getMessage.contains("changed the candidate pool"),
       s"pool churn without an accessor must name the rule: ${e1.getMessage}")
-    // the pool store already advanced (merge lands before cells) — a read
-    // against the stale cells must refuse, not silently answer off-pool
+    assert(readSel(poolP, cellsP) == q200(b1),
+      "a refused churn batch must leave the stores untouched")
+    // an accessor whose corpus is NOT everything-absorbed-plus-this-batch
+    // (a landing sink running behind) is refused by the n_abs count gate
     val e2 = intercept[IllegalArgumentException] {
-      FacilityStream.readSelection(spark, poolP, cellsP)
+      FacilityStream.applyBatch(spark, b2, poolP, cellsP, epoch = 1L,
+        reanchorWith = Some(() => b2))
     }
-    assert(e2.getMessage.contains("stale pool"),
-      s"stale cells must refuse the read: ${e2.getMessage}")
-    // one corpus scan re-anchors; the read is exact again
-    FacilityStream.reanchor(spark, emb, poolP, cellsP, epoch = 1L)
+    assert(e2.getMessage.contains("re-anchor corpus holds"),
+      s"a mis-sized re-anchor corpus must be refused by count: ${e2.getMessage}")
+    assert(readSel(poolP, cellsP) == q200(b1),
+      "a refused re-anchor must leave the stores untouched")
+    // retrying the SAME epoch with the correct accessor succeeds
+    FacilityStream.applyBatch(spark, b2, poolP, cellsP, epoch = 1L,
+      reanchorWith = Some(() => emb))
     assert(readSel(poolP, cellsP) == q200(emb),
       "post-re-anchor maintenance must equal the batch operator on the full corpus")
+  }
+
+  test("crash window (cells ahead of pool): read refuses on pool_sig; wrong read/absorb k fails by name") {
+    val (poolP, cellsP) = (tmp("pool-w"), tmp("cells-w"))
+    FacilityStream.applyBatch(spark, emb, poolP, cellsP, epoch = 0L)
+    // simulate the crash window by rolling the POOL row back one member
+    // (cells stay anchored on the full pool) — the documented stale state
+    val pool = graft.io.Io.readDim(spark, poolP)
+    val rolled = pool.select(col("pk"),
+      expr("slice(members, 1, size(members) - 1)").as("members"),
+      col("n_abs"), (col("last_epoch") + 1).as("last_epoch"))
+    graft.io.Io.upsertDim(spark, rolled, poolP, "pk", "last_epoch")
+    val e = intercept[IllegalArgumentException] {
+      FacilityStream.readSelection(spark, poolP, cellsP)
+    }
+    assert(e.getMessage.contains("stale pool"),
+      s"a cells/pool sig mismatch must refuse the read: ${e.getMessage}")
+    // k is pinned in the cells: a different k at read fails by name
+    val (poolP2, cellsP2) = (tmp("pool-k"), tmp("cells-k"))
+    FacilityStream.applyBatch(spark, emb, poolP2, cellsP2, epoch = 0L)
+    val ek = intercept[IllegalArgumentException] {
+      FacilityStream.readSelection(spark, poolP2, cellsP2, k = 5)
+    }
+    assert(ek.getMessage.contains("sel_k"),
+      s"a k mismatch must name the pinned sel_k contract: ${ek.getMessage}")
+    val ek2 = intercept[IllegalArgumentException] {
+      FacilityStream.applyBatch(spark, emb, poolP2, cellsP2, epoch = 1L, k = 3)
+    }
+    assert(ek2.getMessage.contains("sel_k"),
+      s"a k mismatch at absorb must name the pinned sel_k contract: ${ek2.getMessage}")
   }
 
   test("pool churn with the accessor absorbs inline (the run() path)") {
