@@ -282,6 +282,53 @@ object Oracles {
        |SELECT * FROM ($out)""".stripMargin
   }
 
+  /** q201 (bhFdr): the Benjamini–Hochberg step-up replayed — per-source
+    * one-vs-rest two-proportion z with the q136 mirrored-IEEE expression
+    * tree, (|z| DESC, source) rank, and the rank-i critical z joined from
+    * a VALUES table of Φ⁻¹(1 − α·i/(2K)) literals GENERATED BY THE SAME
+    * Scala function the Spark side calls (TextOps.bhZCrit — the
+    * knnEdgeCtes shared-constant rule; Double.toString literals
+    * round-trip exactly). The table covers K = 1..32 source counts; a
+    * corpus with more sources outruns the oracle, not the operator. */
+  private def bhFdrSql(alpha: Double): String = {
+    // each literal carries an exponent marker so DuckDB parses it as a
+    // DOUBLE directly: a bare numeric literal parses as DECIMAL, and the
+    // decimal→double conversion divides an int64 mantissa that can exceed
+    // 2⁵³ — off by a ulp from the Scala double whose shortest repr the
+    // string is (observed on 2 of 528 thresholds at sf0.01)
+    val tv = (1 to 32).flatMap { k =>
+      (1 to k).map { i =>
+        val z = graft.operators.TextOps.bhZCrit(k, i, alpha).toString
+        val lit = if (z.contains("e") || z.contains("E")) z else z + "e0"
+        s"($k, $i, $lit)"
+      }
+    }.mkString(",\n  ")
+    s"""WITH c AS (SELECT source, count(*) AS n,
+       |    sum(CASE WHEN n_chars > 300 THEN 1 ELSE 0 END) AS x
+       |  FROM documents GROUP BY 1),
+       |t AS (SELECT cast(sum(n) as bigint) AS nn, cast(sum(x) as bigint) AS xx,
+       |    cast(count(*) as int) AS k FROM c),
+       |z AS (SELECT c.source, cast(c.n as bigint) AS n, cast(c.x as bigint) AS x,
+       |    (cast(c.x as double) / c.n - cast(t.xx - c.x as double) / (t.nn - c.n))
+       |      / sqrt((cast(t.xx as double) / t.nn)
+       |        * (1.0 - cast(t.xx as double) / t.nn)
+       |        * (1.0 / c.n + 1.0 / (t.nn - c.n))) AS z, t.k
+       |  FROM c, t),
+       |r AS (SELECT source, n, x, z, k,
+       |    cast(row_number() OVER (ORDER BY abs(z) DESC, source) as int) AS rnk
+       |  FROM z),
+       |tv(k_total, rnk, zcrit) AS (VALUES
+       |  $tv),
+       |-- zcrit is already DOUBLE (e-notation literals above); the cast is
+       |-- a no-op kept as a type pin
+       |j AS (SELECT r.*, cast(tv.zcrit as double) AS zcrit FROM r
+       |  JOIN tv ON tv.k_total = r.k AND tv.rnk = r.rnk),
+       |i AS (SELECT max(CASE WHEN abs(z) >= zcrit THEN rnk END) AS istar FROM j)
+       |SELECT j.source, j.n, j.x AS passes, j.z, j.rnk AS p_rank,
+       |  j.zcrit AS z_crit, (j.rnk <= coalesce(i.istar, 0)) AS reject
+       |FROM j, i""".stripMargin
+  }
+
   /** q108 (kmeansAssign): the distributed full-corpus Lloyd run replayed as
     * an unrolled CTE chain — same integer grid, truncated `//` means,
     * (dist, cid) tie order, and seed rule (cid = vec_id < k) as the Spark
@@ -4540,5 +4587,9 @@ object Oracles {
     // q200 (facilityLocation): greedy submodular representative selection
     // replayed as unrolled rounds — see the facilitySql scaladoc.
     "q200_facility_location" -> facilitySql(4, 16),
+
+    // q201 (bhFdr): the BH step-up replayed with the SAME Scala-generated
+    // z-space threshold constants the Spark side uses — see bhFdrSql.
+    "q201_bh_fdr" -> bhFdrSql(0.05),
   )
 }

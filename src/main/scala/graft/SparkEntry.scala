@@ -230,6 +230,7 @@ object SparkEntry {
     "q198_vocab_coverage"   -> ((s, d) => TextOps.vocabCoverage(s, d)),
     "q199_kcenter_coreset"  -> ((s, d) => Similarity.kcenterCoreset(s, d)),
     "q200_facility_location" -> ((s, d) => Similarity.facilityLocation(s, d)),
+    "q201_bh_fdr"           -> ((s, d) => TextOps.bhFdr(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

@@ -1754,6 +1754,113 @@ object TextOps {
           expr("cast((1048576 * num) div den as bigint)")).as("kappa_q"))
   }
 
+  /** Per-source counts behind [[bhFdr]]: docs and length-filter passes
+    * (n_chars > 300 — a stored integer column, no string-length semantics
+    * to diverge cross-engine). Both are additive cells, so the maintained
+    * twin rides [[graft.streaming.CellStore]] unchanged. */
+  private[graft] def bhCounts(docFrame: DataFrame): DataFrame =
+    docFrame.groupBy("source").agg(
+      count(lit(1)).as("n"),
+      sum(when(col("n_chars") > 300, 1L).otherwise(0L)).as("passes"))
+
+  /** Acklam's rational approximation to the standard normal quantile
+    * Φ⁻¹(p) [P.J. Acklam 2003, the widely-reproduced public algorithm;
+    * |relative error| < 1.15e-9]. Used ONLY to generate the BH threshold
+    * constants — BOTH engine sides consume the same Scala-computed doubles
+    * (the knnEdgeCtes shared-constant rule), so approximation quality
+    * affects statistical sharpness, never the cross-engine gate. */
+  private[graft] def invNorm(p: Double): Double = {
+    require(p > 0.0 && p < 1.0, s"invNorm: p must be in (0,1), got $p")
+    val a = Array(-3.969683028665376e+01, 2.209460984245205e+02,
+      -2.759285104469687e+02, 1.383577518672690e+02,
+      -3.066479806614716e+01, 2.506628277459239e+00)
+    val b = Array(-5.447609879822406e+01, 1.615858368580409e+02,
+      -1.556989798598866e+02, 6.680131188771972e+01, -1.328068155288572e+01)
+    val c = Array(-7.784894002430293e-03, -3.223964580411365e-01,
+      -2.400758277161838e+00, -2.549732539343734e+00,
+      4.374664141464968e+00, 2.938163982698783e+00)
+    val d = Array(7.784695709041462e-03, 3.224671290700398e-01,
+      2.445134137142996e+00, 3.754408661907416e+00)
+    val pl = 0.02425
+    if (p < pl) {
+      val q = math.sqrt(-2.0 * math.log(p))
+      (((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
+        ((((d(0) * q + d(1)) * q + d(2)) * q + d(3)) * q + 1.0)
+    } else if (p <= 1.0 - pl) {
+      val q = p - 0.5; val r = q * q
+      (((((a(0) * r + a(1)) * r + a(2)) * r + a(3)) * r + a(4)) * r + a(5)) * q /
+        (((((b(0) * r + b(1)) * r + b(2)) * r + b(3)) * r + b(4)) * r + 1.0)
+    } else {
+      val q = math.sqrt(-2.0 * math.log(1.0 - p))
+      -(((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
+        ((((d(0) * q + d(1)) * q + d(2)) * q + d(3)) * q + 1.0)
+    }
+  }
+
+  /** The BH rank-i critical z for K two-sided tests at level `alpha`:
+    * Φ⁻¹(1 − α·i/(2K)) — p_(i) ≤ α·i/K rewritten in z-space so neither
+    * engine ever evaluates a normal CDF at runtime. */
+  private[graft] def bhZCrit(kTotal: Int, rnk: Int, alpha: Double): Double =
+    invNorm(1.0 - alpha * rnk / (2.0 * kTotal))
+
+  /** BENJAMINI–HOCHBERG FILTER SIGNIFICANCE (q201) — multiple-testing
+    * control for the pipeline's per-source hypothesis family [Benjamini &
+    * Hochberg 1995, the step-up FDR procedure]: q136/q140/q145 run ONE
+    * test each, but a real curation pass asks "which of my K sources
+    * deviate on this filter" — K simultaneous tests where α-per-test
+    * yields ~αK false alarms. Per source, a one-vs-rest two-proportion
+    * z-test on the length-filter pass rate (pooled p̂ is global, so every
+    * source shares it); BH then rejects ranks 1..i* where i* = max{i :
+    * p_(i) ≤ α·i/K} — equivalently |z|_(i) ≥ Φ⁻¹(1 − α·i/(2K)), the
+    * z-space form both engines evaluate against the SAME Scala-generated
+    * threshold constants. Note the step-up subtlety the spec pins: a rank
+    * BELOW i* is rejected even when its own comparison fails.
+    *
+    * Scale shape: one scan into a K-key partial agg; everything after is
+    * control-plane arithmetic on K rows (z per the q136 mirrored-IEEE
+    * discipline, one bounded window for the rank, a 1-row argmax joined
+    * back). The (source → n, passes) pair is the additive sufficient
+    * statistic — the maintained twin is CellStore's simplest member
+    * ([[graft.streaming.MixtureStream.applyBhBatch]]). */
+  def bhFdr(spark: SparkSession, dir: String, alpha: Double = 0.05): DataFrame =
+    bhFdrFrom(bhCounts(docs(spark, dir)), alpha)
+
+  /** The BH walk from a (source, n, passes) counts frame — shared by the
+    * batch operator and the maintained read path. */
+  def bhFdrFrom(counts: DataFrame, alpha: Double = 0.05): DataFrame = {
+    val spark = counts.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val (nn, xx, k) = {
+      val r = counts.agg(sum(col("n")), sum(col("passes")), count(lit(1))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2).toInt)
+    }
+    require(k >= 2,
+      s"bhFdr: one-vs-rest needs at least 2 sources, found $k")
+    require(xx > 0L && xx < nn,
+      s"bhFdr: degenerate global pass rate ($xx of $nn) — the pooled " +
+        "z-test variance is zero; pick a mid-range filter")
+    val phat = xx.toDouble / nn
+    val z = (col("passes").cast("double") / col("n")
+      - (lit(xx) - col("passes")).cast("double") / (lit(nn) - col("n"))) /
+      sqrt(lit(phat) * (lit(1.0) - lit(phat))
+        * (lit(1.0) / col("n") + lit(1.0) / (lit(nn) - col("n"))))
+    val crit = {
+      import spark.implicits._
+      (1 to k).map(i => (i, bhZCrit(k, i, alpha))).toDF("p_rank", "z_crit")
+    }
+    val ranked = counts
+      .withColumn("z", z)
+      .withColumn("p_rank",
+        row_number().over(Window.orderBy(abs(col("z")).desc, col("source"))))
+      .join(broadcast(crit), Seq("p_rank"))
+    val istar = ranked.agg(
+      max(when(abs(col("z")) >= col("z_crit"), col("p_rank"))).as("istar"))
+    ranked.crossJoin(broadcast(istar))
+      .select(col("source"), col("n"), col("passes"), col("z"),
+        col("p_rank"), col("z_crit"),
+        (col("p_rank") <= coalesce(col("istar"), lit(0))).as("reject"))
+  }
+
   /** CUSUM QUALITY-DRIFT DETECTOR (q190) — [Page 1954; the tabular CUSUM
     * of Montgomery's SPC text]: two one-sided cumulative sums over the
     * corpus's ingest order detect a SUSTAINED shift in mean quality score

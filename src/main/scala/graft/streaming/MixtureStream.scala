@@ -248,6 +248,23 @@ object MixtureStream {
     TextOps.kappaFrom(
       Io.readDim(spark, confStore).select("source", "n11", "n10", "n01", "n00"))
 
+  /** q201 pass-count store: one row per source of (n, passes) — the
+    * simplest member of the additive-cell discipline (two counters, both
+    * doc-pure); the whole BH walk (z, rank, thresholds, step-up) is
+    * read-time arithmetic over the K-row frame
+    * ([[TextOps.bhFdrFrom]]). "Which sources deviate significantly on
+    * this filter, FDR-controlled" re-answered continuously. */
+  def applyBhBatch(spark: SparkSession, delta: DataFrame,
+                   passStore: String, epoch: Long): Unit =
+    mergeAdditive(spark, TextOps.bhCounts(delta), passStore, "source",
+      Seq("n" -> "n", "passes" -> "passes"), Nil, epoch)
+
+  /** Current q201 FDR report over everything absorbed. */
+  def readBhFdr(spark: SparkSession, passStore: String,
+                alpha: Double = 0.05): DataFrame =
+    TextOps.bhFdrFrom(
+      Io.readDim(spark, passStore).select("source", "n", "passes"), alpha)
+
   /** q186 novelty stores: the slice assignment is a PURE md5 of doc_id
     * (TextOps.noveltySlice), so a doc's slice never moves as the corpus
     * grows — (source, slice) token sums are additive cells and the

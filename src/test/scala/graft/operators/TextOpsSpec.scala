@@ -10,6 +10,62 @@ import org.apache.spark.sql.functions._
   */
 class TextOpsSpec extends SparkSuite {
 
+  test("bhFdr: matches a driver BH replay on real docs; step-up rejects below-threshold ranks; named degenerate errors") {
+    import spark.implicits._
+    // 1. exact driver replay on sf0.001
+    val counts = graft.Tables.load(spark, sf0001, "documents")
+      .groupBy("source").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("n_chars") > 300, 1L).otherwise(0L)).as("passes"))
+      .as[(String, Long, Long)].collect().toSeq
+    val nn = counts.map(_._2).sum
+    val xx = counts.map(_._3).sum
+    val k = counts.size
+    val phat = xx.toDouble / nn
+    val zs = counts.map { case (s, n, x) =>
+      val z = (x.toDouble / n - (xx - x).toDouble / (nn - n)) /
+        math.sqrt(phat * (1.0 - phat) * (1.0 / n + 1.0 / (nn - n)))
+      (s, n, x, z)
+    }
+    val ranked = zs.sortBy { case (s, _, _, z) => (-math.abs(z), s) }.zipWithIndex
+      .map { case ((s, n, x, z), i) =>
+        (s, n, x, z, i + 1, TextOps.bhZCrit(k, i + 1, 0.05)) }
+    val istar = ranked.filter { case (_, _, _, z, i, c) => math.abs(z) >= c }
+      .map(_._5).maxOption.getOrElse(0)
+    val want = ranked
+      .map { case (s, n, x, z, i, c) => (s, n, x, z, i, c, i <= istar) }.toSet
+    val got = TextOps.bhFdr(spark, sf0001)
+      .as[(String, Long, Long, Double, Int, Double, Boolean)].collect().toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+    // 2. the STEP-UP subtlety: with K = 2 the one-vs-rest z's are exact
+    // mirrors (|z| equal), so rank 1 compares against the STRICTER
+    // crit_1 and fails while rank 2 passes crit_2 — BH must reject BOTH.
+    // |z| = 2.124 here sits between crit_2 = 1.96 and crit_1 = 2.241.
+    val tie = Seq(("a", 100L, 60L), ("b", 100L, 45L)).toDF("source", "n", "passes")
+    val out = TextOps.bhFdrFrom(tie)
+      .as[(String, Long, Long, Double, Int, Double, Boolean)]
+      .collect().toSeq.sortBy(_._5)
+    assert(math.abs(out.head._4) < out.head._6,
+      "fixture: rank 1 must fail its OWN threshold for the step-up to bite")
+    assert(math.abs(out(1)._4) >= out(1)._6, "fixture: rank 2 passes its threshold")
+    assert(out.forall(_._7), s"step-up must reject BOTH ranks: $out")
+    // 3. a no-signal fixture rejects nothing (istar is empty)
+    val flat = Seq(("a", 100L, 52L), ("b", 100L, 48L)).toDF("source", "n", "passes")
+    assert(TextOps.bhFdrFrom(flat)
+      .as[(String, Long, Long, Double, Int, Double, Boolean)]
+      .collect().forall(!_._7), "near-identical rates must reject nothing")
+    // 4. named degenerate errors
+    val e1 = intercept[IllegalArgumentException] {
+      TextOps.bhFdrFrom(Seq(("a", 10L, 5L)).toDF("source", "n", "passes"))
+    }
+    assert(e1.getMessage.contains("at least 2 sources"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      TextOps.bhFdrFrom(Seq(("a", 10L, 10L), ("b", 10L, 10L))
+        .toDF("source", "n", "passes"))
+    }
+    assert(e2.getMessage.contains("degenerate global pass rate"), e2.getMessage)
+  }
+
   test("langIdFast kernel ≡ the composable column version on real docs") {
     val d = graft.Tables.load(spark, sf001, "documents")
     val mismatches = d

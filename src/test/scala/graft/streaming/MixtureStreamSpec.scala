@@ -29,6 +29,7 @@ class MixtureStreamSpec extends SparkSuite {
   private type CRow = (String, Long, Long, Long, Long, Long, Long, Long, Long)
   private type PRow = (Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)
   private type XRow = (String, Long, Long, Long, Long, Option[Long])
+  private type FRow = (String, Long, Long, Double, Int, Double, Boolean)
   private type NRow = (String, Int, Long, Long, Long, Long, Long, Long)
   private type VcRow = (Long, Long, Long, Long, Long, Long)
 
@@ -161,6 +162,26 @@ class MixtureStreamSpec extends SparkSuite {
     MixtureStream.applyNoveltyBatch(spark, bs.last, ntok, ncell, epoch = 2L)
     assert(confSnap == c0 && tokSnap == t0 && cellSnap == s0,
       "replayed epoch must not change any of the q189/q186 stores")
+  }
+
+  test("3-batch maintenance: q201 BH FDR report equals the batch operator exactly; replay is a no-op") {
+    val store = tmp("bh")
+    val bs = (0 to 2).map(i => graft.Tables.load(spark, sf001, "documents")
+      .filter(col("doc_id") % 3 === i)
+      .select("source", "n_chars"))
+    bs.zipWithIndex.foreach { case (b, i) =>
+      MixtureStream.applyBhBatch(spark, b, store, epoch = i.toLong)
+    }
+    assert(MixtureStream.readBhFdr(spark, store).as[FRow].collect().toSet ==
+      TextOps.bhFdr(spark, sf001).as[FRow].collect().toSet,
+      "maintained q201 FDR report must equal the batch operator exactly")
+    val before = graft.io.Io.readDim(spark, store)
+      .select("source", "n", "passes").as[(String, Long, Long)].collect().toSet
+    MixtureStream.applyBhBatch(spark, bs.last, store, epoch = 2L)
+    assert(graft.io.Io.readDim(spark, store)
+      .select("source", "n", "passes")
+      .as[(String, Long, Long)].collect().toSet == before,
+      "replayed epoch must not double-count the pass cells")
   }
 
   test("q194/q195 stores: full replay of the last epoch is a no-op") {
