@@ -307,7 +307,10 @@ object Oracles {
        |    sum(CASE WHEN n_chars > 300 THEN 1 ELSE 0 END) AS x
        |  FROM documents GROUP BY 1),
        |t AS (SELECT cast(sum(n) as bigint) AS nn, cast(sum(x) as bigint) AS xx,
-       |    cast(count(*) as int) AS k FROM c),
+       |    CASE WHEN count(*) <= 32 THEN cast(count(*) as int)
+       |      ELSE cast(error('q201 oracle: source count exceeds the K=32 '
+       |        || 'threshold table - regenerate bhFdrSql with a larger cap')
+       |        as int) END AS k FROM c),
        |z AS (SELECT c.source, cast(c.n as bigint) AS n, cast(c.x as bigint) AS x,
        |    (cast(c.x as double) / c.n - cast(t.xx - c.x as double) / (t.nn - c.n))
        |      / sqrt((cast(t.xx as double) / t.nn)

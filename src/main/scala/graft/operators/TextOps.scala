@@ -1817,48 +1817,65 @@ object TextOps {
     * BELOW i* is rejected even when its own comparison fails.
     *
     * Scale shape: one scan into a K-key partial agg; everything after is
-    * control-plane arithmetic on K rows (z per the q136 mirrored-IEEE
-    * discipline, one bounded window for the rank, a 1-row argmax joined
-    * back). The (source → n, passes) pair is the additive sufficient
+    * driver arithmetic on the collected K rows (z per the q136
+    * mirrored-IEEE discipline, rank, threshold, step-up — see
+    * [[bhFdrFrom]] for why the walk is deliberately eager). The
+    * (source → n, passes) pair is the additive sufficient
     * statistic — the maintained twin is CellStore's simplest member
     * ([[graft.streaming.MixtureStream.applyBhBatch]]). */
   def bhFdr(spark: SparkSession, dir: String, alpha: Double = 0.05): DataFrame =
     bhFdrFrom(bhCounts(docs(spark, dir)), alpha)
 
   /** The BH walk from a (source, n, passes) counts frame — shared by the
-    * batch operator and the maintained read path. */
+    * batch operator and the maintained read path. ONE action: the K-row
+    * counts land on the driver (bounded control plane — K is the source
+    * count) and every downstream step — z, rank, thresholds, step-up —
+    * is driver arithmetic over that single snapshot. Two reasons this is
+    * deliberately NOT a lazy plan: the corpus cost stays at exactly the
+    * one K-key agg scan (an eager totals head() plus a lazy plan would
+    * re-run the aggregation at collect time), and the maintained read is
+    * snapshot-CONSISTENT — a lazy plan re-reading the store could rank a
+    * source absorbed after the pooled totals were captured, silently
+    * dropping it at the threshold join (round-15 review #1/#4). The
+    * driver z arithmetic is the same IEEE expression tree as the
+    * oracle's SQL, so the doubles hash-compare. */
   def bhFdrFrom(counts: DataFrame, alpha: Double = 0.05): DataFrame = {
     val spark = counts.sparkSession
-    import org.apache.spark.sql.expressions.Window
-    val (nn, xx, k) = {
-      val r = counts.agg(sum(col("n")), sum(col("passes")), count(lit(1))).head()
-      (r.getLong(0), r.getLong(1), r.getLong(2).toInt)
-    }
+    val rows = counts
+      .select(col("source"), col("n").cast("long"), col("passes").cast("long"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val k = rows.length
     require(k >= 2,
       s"bhFdr: one-vs-rest needs at least 2 sources, found $k")
+    val nn = rows.map(_._2).sum
+    val xx = rows.map(_._3).sum
     require(xx > 0L && xx < nn,
       s"bhFdr: degenerate global pass rate ($xx of $nn) — the pooled " +
         "z-test variance is zero; pick a mid-range filter")
     val phat = xx.toDouble / nn
-    val z = (col("passes").cast("double") / col("n")
-      - (lit(xx) - col("passes")).cast("double") / (lit(nn) - col("n"))) /
-      sqrt(lit(phat) * (lit(1.0) - lit(phat))
-        * (lit(1.0) / col("n") + lit(1.0) / (lit(nn) - col("n"))))
-    val crit = {
-      import spark.implicits._
-      (1 to k).map(i => (i, bhZCrit(k, i, alpha))).toDF("p_rank", "z_crit")
+    val zs = rows.map { case (s, n, x) =>
+      val z = (x.toDouble / n - (xx - x).toDouble / (nn - n)) /
+        math.sqrt(phat * (1.0 - phat) * (1.0 / n + 1.0 / (nn - n)))
+      (s, n, x, z)
     }
-    val ranked = counts
-      .withColumn("z", z)
-      .withColumn("p_rank",
-        row_number().over(Window.orderBy(abs(col("z")).desc, col("source"))))
-      .join(broadcast(crit), Seq("p_rank"))
-    val istar = ranked.agg(
-      max(when(abs(col("z")) >= col("z_crit"), col("p_rank"))).as("istar"))
-    ranked.crossJoin(broadcast(istar))
-      .select(col("source"), col("n"), col("passes"), col("z"),
-        col("p_rank"), col("z_crit"),
-        (col("p_rank") <= coalesce(col("istar"), lit(0))).as("reject"))
+    val ranked = zs.sortBy { case (s, _, _, z) => (-math.abs(z), s) }
+      .zipWithIndex.map { case ((s, n, x, z), i) =>
+        (s, n, x, z, i + 1, bhZCrit(k, i + 1, alpha)) }
+    val istar = ranked.filter(t => math.abs(t._4) >= t._6)
+      .map(_._5).maxOption.getOrElse(0)
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("source", StringType, nullable = false),
+      StructField("n", LongType, nullable = false),
+      StructField("passes", LongType, nullable = false),
+      StructField("z", DoubleType, nullable = false),
+      StructField("p_rank", IntegerType, nullable = false),
+      StructField("z_crit", DoubleType, nullable = false),
+      StructField("reject", BooleanType, nullable = false)))
+    val out = ranked.map { case (s, n, x, z, i, c) =>
+      org.apache.spark.sql.Row(s, n, x, z, i, c, i <= istar) }
+    spark.createDataFrame(java.util.Arrays.asList(out: _*), schema)
   }
 
   /** CUSUM QUALITY-DRIFT DETECTOR (q190) — [Page 1954; the tabular CUSUM

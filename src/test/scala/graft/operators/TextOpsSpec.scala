@@ -59,6 +59,13 @@ class TextOpsSpec extends SparkSuite {
       TextOps.bhFdrFrom(Seq(("a", 10L, 5L)).toDF("source", "n", "passes"))
     }
     assert(e1.getMessage.contains("at least 2 sources"), e1.getMessage)
+    // K = 0 (a maintained store whose only absorbed batches were empty)
+    // must hit the same named require, not an NPE unboxing a null sum
+    val e0 = intercept[IllegalArgumentException] {
+      TextOps.bhFdrFrom(
+        Seq.empty[(String, Long, Long)].toDF("source", "n", "passes"))
+    }
+    assert(e0.getMessage.contains("found 0"), e0.getMessage)
     val e2 = intercept[IllegalArgumentException] {
       TextOps.bhFdrFrom(Seq(("a", 10L, 10L), ("b", 10L, 10L))
         .toDF("source", "n", "passes"))
