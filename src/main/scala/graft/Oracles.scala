@@ -332,6 +332,39 @@ object Oracles {
        |FROM j, i""".stripMargin
   }
 
+  /** q202 (powerMde): the per-source power/MDE table replayed — same
+    * counts CTE and mirrored-IEEE expression trees as bhFdrSql, with the
+    * (z_{α/2} + z_β) sum computed ONCE in Scala (TextOps.invNorm) and
+    * embedded as an e-notation double literal on both engine sides.
+    * n_req stays a DOUBLE on purpose: a microscopic observed delta makes
+    * the required sample astronomically large, and a bigint cast would
+    * overflow with DIFFERENT semantics across engines. */
+  private def powerMdeSql(alpha: Double, power: Double): String = {
+    val zsum = graft.operators.TextOps.invNorm(1.0 - alpha / 2.0) +
+      graft.operators.TextOps.invNorm(power)
+    val zs = zsum.toString
+    val z = if (zs.contains("e") || zs.contains("E")) zs else zs + "e0"
+    s"""WITH c AS (SELECT source, count(*) AS n,
+       |    sum(CASE WHEN n_chars > 300 THEN 1 ELSE 0 END) AS x
+       |  FROM documents GROUP BY 1),
+       |t AS (SELECT cast(sum(n) as bigint) AS nn, cast(sum(x) as bigint) AS xx
+       |  FROM c),
+       |m AS (SELECT c.source, cast(c.n as bigint) AS n,
+       |    cast(c.x as double) / c.n AS rate,
+       |    cast(c.x as double) / c.n
+       |      - cast(t.xx - c.x as double) / (t.nn - c.n) AS delta,
+       |    sqrt((cast(t.xx as double) / t.nn)
+       |      * (1.0 - cast(t.xx as double) / t.nn)
+       |      * (1.0 / c.n + 1.0 / (t.nn - c.n))) AS se,
+       |    cast(t.xx as double) / t.nn AS ph
+       |  FROM c, t)
+       |SELECT source, n, rate, delta, se, $z * se AS mde,
+       |  CASE WHEN delta <> 0 THEN
+       |    ceil($z * $z * (2.0 * ph * (1.0 - ph)) / (delta * delta)) END AS n_req,
+       |  (abs(delta) >= $z * se) AS powered
+       |FROM m""".stripMargin
+  }
+
   /** q108 (kmeansAssign): the distributed full-corpus Lloyd run replayed as
     * an unrolled CTE chain — same integer grid, truncated `//` means,
     * (dist, cid) tie order, and seed rule (cid = vec_id < k) as the Spark
@@ -4594,5 +4627,9 @@ object Oracles {
     // q201 (bhFdr): the BH step-up replayed with the SAME Scala-generated
     // z-space threshold constants the Spark side uses — see bhFdrSql.
     "q201_bh_fdr" -> bhFdrSql(0.05),
+
+    // q202 (powerMde): the two-proportion power identity replayed with
+    // the same Scala-computed z-sum constant — see powerMdeSql.
+    "q202_power_mde" -> powerMdeSql(0.05, 0.8),
   )
 }

@@ -231,6 +231,7 @@ object SparkEntry {
     "q199_kcenter_coreset"  -> ((s, d) => Similarity.kcenterCoreset(s, d)),
     "q200_facility_location" -> ((s, d) => Similarity.facilityLocation(s, d)),
     "q201_bh_fdr"           -> ((s, d) => TextOps.bhFdr(s, d)),
+    "q202_power_mde"        -> ((s, d) => TextOps.powerMde(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

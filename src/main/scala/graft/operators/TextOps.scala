@@ -1878,6 +1878,71 @@ object TextOps {
     spark.createDataFrame(java.util.Arrays.asList(out: _*), schema)
   }
 
+  /** POWER / MINIMUM-DETECTABLE-EFFECT TABLE (q202) — the design
+    * companion of [[bhFdr]] [Cohen 1988; the standard two-proportion
+    * power identity n = (z_{α/2}+z_β)²·2p̂(1−p̂)/δ²]: q201 answers "which
+    * sources deviate significantly", this answers the question that must
+    * come FIRST — "is each source's sample even large enough to detect a
+    * deviation worth acting on". Per source: the observed one-vs-rest
+    * rate delta, its pooled standard error, the minimum detectable
+    * effect at (α, power) — MDE = (z_{α/2}+z_β)·se — and the per-group
+    * sample size the OBSERVED delta would need (NULL when the delta is
+    * exactly zero; emitted as double so a microscopic delta cannot
+    * overflow a bigint cast differently across engines). `powered` =
+    * the observed effect clears the MDE. The z-sum is ONE Scala-computed
+    * constant consumed by both engines (the q201 shared-constant rule).
+    *
+    * Same scale shape and eager single-snapshot walk as [[bhFdrFrom]];
+    * rides the SAME (source → n, passes) additive store — one store,
+    * two decision reports (the q191/q198 pattern). */
+  def powerMde(spark: SparkSession, dir: String, alpha: Double = 0.05,
+               power: Double = 0.8): DataFrame =
+    powerMdeFrom(bhCounts(docs(spark, dir)), alpha, power)
+
+  /** The power walk from a (source, n, passes) counts frame — shared by
+    * the batch operator and the maintained read path. */
+  def powerMdeFrom(counts: DataFrame, alpha: Double = 0.05,
+                   power: Double = 0.8): DataFrame = {
+    val spark = counts.sparkSession
+    val rows = counts
+      .select(col("source"), col("n").cast("long"), col("passes").cast("long"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val k = rows.length
+    require(k >= 2,
+      s"powerMde: one-vs-rest needs at least 2 sources, found $k")
+    val nn = rows.map(_._2).sum
+    val xx = rows.map(_._3).sum
+    require(xx > 0L && xx < nn,
+      s"powerMde: degenerate global pass rate ($xx of $nn) — the pooled " +
+        "variance is zero; pick a mid-range filter")
+    val phat = xx.toDouble / nn
+    val zsum = invNorm(1.0 - alpha / 2.0) + invNorm(power)
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("source", StringType, nullable = false),
+      StructField("n", LongType, nullable = false),
+      StructField("rate", DoubleType, nullable = false),
+      StructField("delta", DoubleType, nullable = false),
+      StructField("se", DoubleType, nullable = false),
+      StructField("mde", DoubleType, nullable = false),
+      StructField("n_req", DoubleType, nullable = true),
+      StructField("powered", BooleanType, nullable = false)))
+    val out = rows.sortBy(_._1).map { case (s, n, x) =>
+      val rate = x.toDouble / n
+      val delta = rate - (xx - x).toDouble / (nn - n)
+      val se = math.sqrt(phat * (1.0 - phat) * (1.0 / n + 1.0 / (nn - n)))
+      val mde = zsum * se
+      val nReq =
+        if (delta == 0.0) null
+        else java.lang.Double.valueOf(math.ceil(
+          zsum * zsum * (2.0 * phat * (1.0 - phat)) / (delta * delta)))
+      org.apache.spark.sql.Row(s, n, rate, delta, se, mde, nReq,
+        math.abs(delta) >= mde)
+    }
+    spark.createDataFrame(java.util.Arrays.asList(out: _*), schema)
+  }
+
   /** CUSUM QUALITY-DRIFT DETECTOR (q190) — [Page 1954; the tabular CUSUM
     * of Montgomery's SPC text]: two one-sided cumulative sums over the
     * corpus's ingest order detect a SUSTAINED shift in mean quality score

@@ -265,6 +265,14 @@ object MixtureStream {
     TextOps.bhFdrFrom(
       Io.readDim(spark, passStore).select("source", "n", "passes"), alpha)
 
+  /** Current q202 power/MDE table off the SAME pass-count store — one
+    * store, two decision reports (the q191/q198 pattern). */
+  def readPowerMde(spark: SparkSession, passStore: String,
+                   alpha: Double = 0.05, power: Double = 0.8): DataFrame =
+    TextOps.powerMdeFrom(
+      Io.readDim(spark, passStore).select("source", "n", "passes"),
+      alpha, power)
+
   /** q186 novelty stores: the slice assignment is a PURE md5 of doc_id
     * (TextOps.noveltySlice), so a doc's slice never moves as the corpus
     * grows — (source, slice) token sums are additive cells and the

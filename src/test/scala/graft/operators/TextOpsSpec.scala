@@ -10,6 +10,9 @@ import org.apache.spark.sql.functions._
   */
 class TextOpsSpec extends SparkSuite {
 
+  // class-level so the TypeTag-based encoder derivation sees through it
+  private type PM = (String, Long, Double, Double, Double, Double, Option[Double], Boolean)
+
   test("bhFdr: matches a driver BH replay on real docs; step-up rejects below-threshold ranks; named degenerate errors") {
     import spark.implicits._
     // 1. exact driver replay on sf0.001
@@ -71,6 +74,46 @@ class TextOpsSpec extends SparkSuite {
         .toDF("source", "n", "passes"))
     }
     assert(e2.getMessage.contains("degenerate global pass rate"), e2.getMessage)
+  }
+
+  test("powerMde: matches a driver replay on real docs; identities hold; zero-delta yields null n_req; named degenerate errors") {
+    import spark.implicits._
+    val got = TextOps.powerMde(spark, sf0001).as[PM].collect().toSeq.sortBy(_._1)
+    // driver replay off the same counts
+    val counts = graft.Tables.load(spark, sf0001, "documents")
+      .groupBy("source").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("n_chars") > 300, 1L).otherwise(0L)).as("passes"))
+      .as[(String, Long, Long)].collect().toSeq
+    val nn = counts.map(_._2).sum; val xx = counts.map(_._3).sum
+    val phat = xx.toDouble / nn
+    val zsum = TextOps.invNorm(0.975) + TextOps.invNorm(0.8)
+    val want = counts.sortBy(_._1).map { case (s, n, x) =>
+      val rate = x.toDouble / n
+      val delta = rate - (xx - x).toDouble / (nn - n)
+      val se = math.sqrt(phat * (1.0 - phat) * (1.0 / n + 1.0 / (nn - n)))
+      val nReq = if (delta == 0.0) None
+        else Some(math.ceil(zsum * zsum * (2.0 * phat * (1.0 - phat)) / (delta * delta)))
+      (s, n, rate, delta, se, zsum * se, nReq, math.abs(delta) >= zsum * se)
+    }
+    assert(got == want, s"got=$got\nwant=$want")
+    // identities: mde = zsum*se everywhere; powered ⟺ |delta| clears it;
+    // a bigger sample (one-vs-rest) means a smaller per-source MDE
+    assert(got.forall(r => r._6 == zsum * r._5))
+    assert(got.forall(r => r._8 == (math.abs(r._4) >= r._6)))
+    // zero observed delta: n_req must be NULL, not Infinity — every
+    // source here has exactly its rest's rate (0.4 on both sides, the
+    // same IEEE double from both divisions)
+    val fix = Seq(("a", 100L, 40L), ("b", 100L, 40L), ("c", 200L, 80L))
+      .toDF("source", "n", "passes")
+    val z = TextOps.powerMdeFrom(fix).as[PM].collect().toSeq
+    assert(z.forall(r => r._4 == 0.0 && r._7.isEmpty && !r._8),
+      s"uniform rates must yield delta 0, null n_req, not powered: $z")
+    // named degenerate errors (shared with the q201 contract)
+    val e = intercept[IllegalArgumentException] {
+      TextOps.powerMdeFrom(Seq(("a", 10L, 5L)).toDF("source", "n", "passes"))
+    }
+    assert(e.getMessage.contains("at least 2 sources"), e.getMessage)
   }
 
   test("langIdFast kernel ≡ the composable column version on real docs") {

@@ -30,6 +30,7 @@ class MixtureStreamSpec extends SparkSuite {
   private type PRow = (Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)
   private type XRow = (String, Long, Long, Long, Long, Option[Long])
   private type FRow = (String, Long, Long, Double, Int, Double, Boolean)
+  private type MRow = (String, Long, Double, Double, Double, Double, Option[Double], Boolean)
   private type NRow = (String, Int, Long, Long, Long, Long, Long, Long)
   private type VcRow = (Long, Long, Long, Long, Long, Long)
 
@@ -175,6 +176,10 @@ class MixtureStreamSpec extends SparkSuite {
     assert(MixtureStream.readBhFdr(spark, store).as[FRow].collect().toSet ==
       TextOps.bhFdr(spark, sf001).as[FRow].collect().toSet,
       "maintained q201 FDR report must equal the batch operator exactly")
+    // the q202 power table rides the SAME store — one store, two reports
+    assert(MixtureStream.readPowerMde(spark, store).as[MRow].collect().toSet ==
+      TextOps.powerMde(spark, sf001).as[MRow].collect().toSet,
+      "maintained q202 power/MDE table must equal the batch operator exactly")
     val before = graft.io.Io.readDim(spark, store)
       .select("source", "n", "passes").as[(String, Long, Long)].collect().toSet
     MixtureStream.applyBhBatch(spark, bs.last, store, epoch = 2L)
