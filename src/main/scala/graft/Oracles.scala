@@ -290,22 +290,34 @@ object Oracles {
     * knnEdgeCtes shared-constant rule; Double.toString literals
     * round-trip exactly). The table covers K = 1..32 source counts; a
     * corpus with more sources outruns the oracle, not the operator. */
+  /** A Scala double as a SQL literal DuckDB parses as a DOUBLE directly:
+    * the exponent marker is load-bearing — a bare numeric literal parses
+    * as DECIMAL (VALUES lists then coerce rows to one common decimal
+    * type), and the decimal→double conversion divides an int64 mantissa
+    * that can exceed 2⁵³ — either path lands a ulp off the Scala double
+    * whose shortest repr the string is (observed on 2 of 528 q201
+    * thresholds at sf0.01). ONE definition for every double-embedding
+    * oracle. */
+  private def doubleLit(d: Double): String = {
+    val s = d.toString
+    if (s.contains("e") || s.contains("E")) s else s + "e0"
+  }
+
+  /** The (source → n, passes) counts CTE shared by the q201/q202 oracles
+    * — one copy of the pass-filter definition, mirroring
+    * TextOps.bhCounts. */
+  private val bhCountsCte: String =
+    """c AS (SELECT source, count(*) AS n,
+      |    sum(CASE WHEN n_chars > 300 THEN 1 ELSE 0 END) AS x
+      |  FROM documents GROUP BY 1)""".stripMargin
+
   private def bhFdrSql(alpha: Double): String = {
-    // each literal carries an exponent marker so DuckDB parses it as a
-    // DOUBLE directly: a bare numeric literal parses as DECIMAL, and the
-    // decimal→double conversion divides an int64 mantissa that can exceed
-    // 2⁵³ — off by a ulp from the Scala double whose shortest repr the
-    // string is (observed on 2 of 528 thresholds at sf0.01)
     val tv = (1 to 32).flatMap { k =>
       (1 to k).map { i =>
-        val z = graft.operators.TextOps.bhZCrit(k, i, alpha).toString
-        val lit = if (z.contains("e") || z.contains("E")) z else z + "e0"
-        s"($k, $i, $lit)"
+        s"($k, $i, ${doubleLit(graft.operators.TextOps.bhZCrit(k, i, alpha))})"
       }
     }.mkString(",\n  ")
-    s"""WITH c AS (SELECT source, count(*) AS n,
-       |    sum(CASE WHEN n_chars > 300 THEN 1 ELSE 0 END) AS x
-       |  FROM documents GROUP BY 1),
+    s"""WITH $bhCountsCte,
        |t AS (SELECT cast(sum(n) as bigint) AS nn, cast(sum(x) as bigint) AS xx,
        |    CASE WHEN count(*) <= 32 THEN cast(count(*) as int)
        |      ELSE cast(error('q201 oracle: source count exceeds the K=32 '
@@ -340,13 +352,9 @@ object Oracles {
     * the required sample astronomically large, and a bigint cast would
     * overflow with DIFFERENT semantics across engines. */
   private def powerMdeSql(alpha: Double, power: Double): String = {
-    val zsum = graft.operators.TextOps.invNorm(1.0 - alpha / 2.0) +
-      graft.operators.TextOps.invNorm(power)
-    val zs = zsum.toString
-    val z = if (zs.contains("e") || zs.contains("E")) zs else zs + "e0"
-    s"""WITH c AS (SELECT source, count(*) AS n,
-       |    sum(CASE WHEN n_chars > 300 THEN 1 ELSE 0 END) AS x
-       |  FROM documents GROUP BY 1),
+    val z = doubleLit(graft.operators.TextOps.invNorm(1.0 - alpha / 2.0) +
+      graft.operators.TextOps.invNorm(power))
+    s"""WITH $bhCountsCte,
        |t AS (SELECT cast(sum(n) as bigint) AS nn, cast(sum(x) as bigint) AS xx
        |  FROM c),
        |m AS (SELECT c.source, cast(c.n as bigint) AS n,

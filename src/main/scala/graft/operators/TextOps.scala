@@ -1841,19 +1841,8 @@ object TextOps {
     * oracle's SQL, so the doubles hash-compare. */
   def bhFdrFrom(counts: DataFrame, alpha: Double = 0.05): DataFrame = {
     val spark = counts.sparkSession
-    val rows = counts
-      .select(col("source"), col("n").cast("long"), col("passes").cast("long"))
-      .collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val (rows, nn, xx, phat) = collectSourceCounts(counts, "bhFdr")
     val k = rows.length
-    require(k >= 2,
-      s"bhFdr: one-vs-rest needs at least 2 sources, found $k")
-    val nn = rows.map(_._2).sum
-    val xx = rows.map(_._3).sum
-    require(xx > 0L && xx < nn,
-      s"bhFdr: degenerate global pass rate ($xx of $nn) — the pooled " +
-        "z-test variance is zero; pick a mid-range filter")
-    val phat = xx.toDouble / nn
     val zs = rows.map { case (s, n, x) =>
       val z = (x.toDouble / n - (xx - x).toDouble / (nn - n)) /
         math.sqrt(phat * (1.0 - phat) * (1.0 / n + 1.0 / (nn - n)))
@@ -1899,24 +1888,32 @@ object TextOps {
                power: Double = 0.8): DataFrame =
     powerMdeFrom(bhCounts(docs(spark, dir)), alpha, power)
 
+  /** The shared collect/guard preamble of [[bhFdrFrom]] and
+    * [[powerMdeFrom]] — ONE copy of the load-bearing snapshot rule
+    * (collect the K rows once, compute driver-side; round-15 review) and
+    * of the named degenerate guards. Returns (rows, N, X, p̂). */
+  private def collectSourceCounts(counts: DataFrame, what: String)
+  : (Array[(String, Long, Long)], Long, Long, Double) = {
+    val rows = counts
+      .select(col("source"), col("n").cast("long"), col("passes").cast("long"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    require(rows.length >= 2,
+      s"$what: one-vs-rest needs at least 2 sources, found ${rows.length}")
+    val nn = rows.map(_._2).sum
+    val xx = rows.map(_._3).sum
+    require(xx > 0L && xx < nn,
+      s"$what: degenerate global pass rate ($xx of $nn) — the pooled " +
+        "z-test variance is zero; pick a mid-range filter")
+    (rows, nn, xx, xx.toDouble / nn)
+  }
+
   /** The power walk from a (source, n, passes) counts frame — shared by
     * the batch operator and the maintained read path. */
   def powerMdeFrom(counts: DataFrame, alpha: Double = 0.05,
                    power: Double = 0.8): DataFrame = {
     val spark = counts.sparkSession
-    val rows = counts
-      .select(col("source"), col("n").cast("long"), col("passes").cast("long"))
-      .collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-    val k = rows.length
-    require(k >= 2,
-      s"powerMde: one-vs-rest needs at least 2 sources, found $k")
-    val nn = rows.map(_._2).sum
-    val xx = rows.map(_._3).sum
-    require(xx > 0L && xx < nn,
-      s"powerMde: degenerate global pass rate ($xx of $nn) — the pooled " +
-        "variance is zero; pick a mid-range filter")
-    val phat = xx.toDouble / nn
+    val (rows, nn, xx, phat) = collectSourceCounts(counts, "powerMde")
     val zsum = invNorm(1.0 - alpha / 2.0) + invNorm(power)
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(

@@ -109,11 +109,17 @@ class TextOpsSpec extends SparkSuite {
     val z = TextOps.powerMdeFrom(fix).as[PM].collect().toSeq
     assert(z.forall(r => r._4 == 0.0 && r._7.isEmpty && !r._8),
       s"uniform rates must yield delta 0, null n_req, not powered: $z")
-    // named degenerate errors (shared with the q201 contract)
+    // named degenerate errors — the guards are ONE shared preamble with
+    // q201 (collectSourceCounts), so both cases are pinned here too
     val e = intercept[IllegalArgumentException] {
       TextOps.powerMdeFrom(Seq(("a", 10L, 5L)).toDF("source", "n", "passes"))
     }
     assert(e.getMessage.contains("at least 2 sources"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      TextOps.powerMdeFrom(Seq(("a", 10L, 0L), ("b", 10L, 0L))
+        .toDF("source", "n", "passes"))
+    }
+    assert(e2.getMessage.contains("degenerate global pass rate"), e2.getMessage)
   }
 
   test("langIdFast kernel ≡ the composable column version on real docs") {
