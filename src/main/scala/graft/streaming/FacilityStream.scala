@@ -35,9 +35,12 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * pool/k-bounded, NOT corpus-bounded: Σ_{j=0}^{k−1} C(m,j)·(m−j)
   * = 9,216 at the q200 defaults (m = 16, k = 4). Absorb cost is
   * O(cells) per point — the price of EXACT greedy maintenance; it grows
-  * combinatorially in k, so for large k/m use a KCenterStream-style
-  * bounded-approximation read instead (documented trade, not this
-  * class). Cells carry the `sel_k` they were enumerated under; a
+  * combinatorially in k (~10⁵ at k = 7, 2¹⁸ at k = 8, millions beyond),
+  * so a (pool, k) whose closure exceeds [[MaxCells]] is REFUSED at
+  * configuration with a named error (round-15 VERDICT #5 — a store
+  * explosion must fail before the first absorb, not during it); for
+  * large k/m use a KCenterStream-style bounded-approximation read
+  * instead. Cells carry the `sel_k` they were enumerated under; a
   * different k at absorb or read fails with a named error, not a raw
   * map-lookup one.
   *
@@ -64,11 +67,22 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * maintainer) would corrupt just as silently, the re-anchor REQUIRES
   * corpus.count() == n_abs + batch count before it sums anything.
   *
-  * Crash consistency: cells are written BEFORE the pool row, each
-  * epoch-gated independently. A crash between the two leaves cells one
-  * epoch ahead; the replay skips the cells add (its epoch gate) and
-  * completes the pool row, and a read inside the crash window refuses
-  * on the pool_sig mismatch rather than answering off-pool.
+  * Crash consistency: cells are written BEFORE the pool row. Cell
+  * publishes are WHOLE-STORE (rewriteDim's atomic swap once the store
+  * exists), so a published cells store is all-or-nothing; the one
+  * remaining partial window is the very first upsertDim publish, closed
+  * by the replay's completeness gate — "this epoch is done" requires
+  * EVERY cell row present at this epoch AND this pool_sig, never a
+  * sampled head row (round-16 ADVICE: upsertDim publishes per bucket,
+  * so a head-sampled gate could skip a replay's add and silently lose
+  * the unpublished buckets). A replay against a store that partially
+  * absorbed this epoch merges per ROW (MixtureStream.mergeAdditive's
+  * rule): rows already at this epoch keep their stored sum, older rows
+  * add the recomputed batch sums. A crash between the cells and pool
+  * writes leaves cells one epoch ahead; the replay's completeness gate
+  * skips the cells add and completes the pool row, and a read inside
+  * the crash window refuses on the pool_sig/epoch-uniformity checks
+  * rather than answering off-pool.
   *
   * Contract (the additive-cell class contract, as MixtureStream):
   * deltas are exactly-once disjoint new vectors — foreachBatch +
@@ -111,6 +125,43 @@ object FacilityStream {
       (0 until m).combinations(j).flatMap { s =>
         (0 until m).filterNot(s.contains).map(c => (s: Seq[Int], c))
       }
+    }
+
+  /** Hard cap on the (subset, candidate) closure size — the class doc's
+    * combinatorial trade made a refusal (round-15 VERDICT #5): at the
+    * defaults (16, 4) the closure is 9,216 cells; k = 6 at pool 16 is
+    * 79,104 and still fine; k = 8 is 262,144 and a per-point absorb cost
+    * nobody should pay silently. */
+  private[streaming] val MaxCells = 100000L
+
+  /** |closure| = Σ_{j=0}^{min(k,m)−1} C(m, j)·(m−j), exact in BigInt so a
+    * silly (pool, k) cannot overflow its own guard. */
+  private[streaming] def closureSize(m: Int, k: Int): BigInt =
+    (0 until math.min(k, m)).map { j =>
+      val c = (0 until j).foldLeft(BigInt(1))((a, i) => a * (m - i) / (i + 1))
+      c * (m - j)
+    }.foldLeft(BigInt(0))(_ + _)
+
+  /** Refuse a cell-exploding (pool, k) at CONFIGURATION time — before any
+    * store exists and before the first absorb pays O(cells) per point. */
+  private[streaming] def validateCellBudget(pool: Int, k: Int): Unit = {
+    require(pool > 0 && k > 0,
+      s"FacilityStream: pool and k must be positive, got (pool=$pool, k=$k)")
+    val cells = closureSize(pool, k)
+    require(cells <= MaxCells,
+      s"FacilityStream: (pool=$pool, k=$k) enumerates $cells (subset, " +
+        s"candidate) cells — over the $MaxCells cap; exact greedy " +
+        "maintenance is combinatorial in k (class doc). Lower k or the " +
+        "pool, or maintain a bounded-approximation selection " +
+        "(KCenterStream) instead")
+  }
+
+  /** Canonical cell_id strings for a pool, in [[cellKeys]] order — the ONE
+    * definition absorb, re-anchor, the completeness gates, and the store
+    * rows all share. */
+  private def cellIds(members: Seq[Member], k: Int): IndexedSeq[String] =
+    cellKeys(members.size, k).map { case (s, c) =>
+      s"${s.map(members(_).vecId).sorted.mkString(",")}|${members(c).vecId}"
     }
 
   /** One corpus/batch pass: every cell's gain sum over `pts` against the
@@ -178,13 +229,27 @@ object FacilityStream {
                        sums: Array[BigInt], sig: String, epoch: Long)
   : DataFrame = {
     import spark.implicits._
-    cellKeys(members.size, k).zipWithIndex.map { case ((s, c), i) =>
-      val subSig = s.map(members(_).vecId).sorted.mkString(",")
-      val cand = members(c).vecId
-      (s"$subSig|$cand", subSig, cand, sums(i).toString, sig, k, epoch)
-    }.toDF("cell_id", "subset_sig", "cand", "g", "pool_sig", "sel_k",
-      "last_epoch")
+    cellKeys(members.size, k).zip(cellIds(members, k)).zipWithIndex
+      .map { case (((s, c), id), i) =>
+        val subSig = s.map(members(_).vecId).sorted.mkString(",")
+        val cand = members(c).vecId
+        (id, subSig, cand, sums(i).toString, sig, k, epoch)
+      }.toDF("cell_id", "subset_sig", "cand", "g", "pool_sig", "sel_k",
+        "last_epoch")
   }
+
+  /** Publish a COMPLETE replacement of the cells store: rewriteDim's
+    * atomic whole-store swap once the store exists (no per-bucket
+    * partial-publish window — the store is all-or-nothing on disk),
+    * upsertDim to create it otherwise (that first publish's partial
+    * window is closed by [[applyBatch]]'s completeness gate plus the
+    * pool-row-written-last rule). */
+  private def writeCellsWhole(spark: SparkSession, cellsPath: String,
+                              rows: DataFrame): Unit =
+    if (Io.dimStoreHasData(cellsPath))
+      Io.rewriteDim(spark, cellsPath, "cell_id", rows)
+    else
+      Io.upsertDim(spark, rows, cellsPath, "cell_id", "last_epoch")
 
   private def readPool(spark: SparkSession, poolPath: String): PoolState = {
     import spark.implicits._
@@ -224,6 +289,7 @@ object FacilityStream {
                  cellsPath: String, epoch: Long, k: Int = 4, pool: Int = 16,
                  reanchorWith: Option[() => DataFrame] = None): Unit = {
     import spark.implicits._
+    validateCellBudget(pool, k)
     val pts = Similarity.kcenterPts(delta).persist()
     try {
       val cnt = pts.count()
@@ -243,6 +309,7 @@ object FacilityStream {
         .sortBy(m => (m.h, m.vecId)).take(pool)
       val changed = merged.map(_.vecId).toSet != oldMembers.map(_.vecId).toSet
       val sig = poolSig(merged)
+      val expectedIds = cellIds(merged, k)
       // cells first (pool row after), each epoch-gated independently — the
       // class doc's crash-consistency rule. All cheap checks run BEFORE
       // the O(cells)-per-point batch pass.
@@ -252,39 +319,77 @@ object FacilityStream {
             .select("cell_id", "g", "pool_sig", "sel_k", "last_epoch")
             .as[(String, String, String, Int, Long)].collect())
         else None
-      val cellsDone = stored.exists(_.head._5 == epoch)
+      // store-wide sel_k invariant over ALL rows, never a sampled head
+      // (round-16 ADVICE #2): a mixed-k store is internally inconsistent
+      // and must fail by name, not by a raw map lookup later
+      stored.foreach { s =>
+        val ks = s.map(_._4).distinct.sorted
+        require(ks.size == 1,
+          s"FacilityStream: cells at $cellsPath hold MIXED sel_k values " +
+            s"(${ks.mkString(",")}) — internally inconsistent store; " +
+            "rebuild it (re-absorb with reanchorWith)")
+        requireK(ks.head, k, "applyBatch")
+      }
+      // "this epoch already absorbed" requires EVERY cell present at this
+      // epoch AND this pool_sig — a head-sampled gate could skip a
+      // replay's add after upsertDim's partial first publish and silently
+      // lose the unpublished buckets (round-16 ADVICE #1)
+      val cellsDone = stored.exists { s =>
+        s.forall(r => r._5 == epoch && r._3 == sig) &&
+          s.map(_._1).toSet == expectedIds.toSet
+      }
       if (!cellsDone) {
-        stored.foreach(s => requireK(s.head._4, k, "applyBatch"))
-        if (stored.isEmpty) {
-          // first absorb: the pool IS this batch's bottom sample, so the
-          // batch pass covers everything absorbed so far
+        if (old.isEmpty) {
+          // first absorb, or its replay after a crash anywhere before the
+          // pool row: the pool row is written LAST every epoch, so its
+          // absence proves no prior epoch completed — everything absorbed
+          // IS this batch, and the whole-store publish replaces any
+          // partial first write with identical sums
           val sums = computeCells(pts, merged, k)
-          Io.upsertDim(spark, cellRows(spark, merged, k, sums, sig, epoch),
-            cellsPath, "cell_id", "last_epoch")
-        } else if (!changed && stored.get.head._3 == sig) {
-          val byId = stored.get.map(r => r._1 -> BigInt(r._2)).toMap
+          writeCellsWhole(spark, cellsPath,
+            cellRows(spark, merged, k, sums, sig, epoch))
+        } else if (stored.exists { s =>
+            !changed && s.forall(_._3 == sig) &&
+              expectedIds.forall(s.map(_._1).toSet)
+          }) {
+          // stable absorb (possibly a replay over a partially-published
+          // legacy store): merge per ROW — MixtureStream.mergeAdditive's
+          // epoch gate (round-16 ADVICE #1). A row already at this epoch
+          // keeps its stored sum (it absorbed this batch before the
+          // crash); an older row adds the recomputed batch sums.
+          // computeCells is deterministic and foreachBatch replays the
+          // identical delta, so the two row classes converge exactly.
+          val byId = stored.get.map(r => r._1 -> ((BigInt(r._2), r._5))).toMap
           val fresh = computeCells(pts, merged, k)
-          val keys = cellKeys(merged.size, k)
-          val sums = keys.zipWithIndex.map { case ((s, c), i) =>
-            val subSig = s.map(merged(_).vecId).sorted.mkString(",")
-            byId(s"$subSig|${merged(c).vecId}") + fresh(i)
+          val sums = expectedIds.zipWithIndex.map { case (id, i) =>
+            val (g0, le) = byId(id)
+            if (le == epoch) g0 else g0 + fresh(i)
           }.toArray
-          Io.upsertDim(spark, cellRows(spark, merged, k, sums, sig, epoch),
-            cellsPath, "cell_id", "last_epoch")
+          writeCellsWhole(spark, cellsPath,
+            cellRows(spark, merged, k, sums, sig, epoch))
         } else {
-          // pool churn (or a crash-window sig drift): only a corpus
-          // re-scan can rebuild the cells — count-gated so a landing
-          // sink running ahead/behind cannot silently corrupt the sums
+          // pool churn — or ANY inconsistent store shape (mixed/stale
+          // pool_sig, missing cells from a crashed legacy publish): only
+          // a corpus re-scan can rebuild the cells — count-gated so a
+          // landing sink running ahead/behind cannot silently corrupt
+          // the sums
           val corpus = reanchorWith.getOrElse(throw new IllegalStateException(
             s"FacilityStream: batch at epoch $epoch changed the candidate " +
-              s"pool at $poolPath and no re-anchor accessor was provided — " +
-              "the new candidate's gain sums against already-absorbed " +
-              "points cannot be derived from bounded state (class doc); " +
-              "nothing was written — retry this epoch with reanchorWith " +
-              "(a read of the landed corpus)"))()
+              s"pool at $poolPath (or found an inconsistent cells store) " +
+              "and no re-anchor accessor was provided — the new " +
+              "candidate's gain sums against already-absorbed points " +
+              "cannot be derived from bounded state (class doc); nothing " +
+              "was written — retry this epoch with reanchorWith (a read " +
+              "of the landed corpus)"))()
           val cpts = Similarity.kcenterPts(corpus).persist()
           try {
-            val expected = old.map(_.nAbs).getOrElse(0L) + cnt
+            // "everything absorbed including this batch": when the pool
+            // row already carries this epoch (a replay healing a damaged
+            // or partial cells store), its n_abs already counts the
+            // batch — adding cnt again would refuse the correct corpus
+            val expected = old.map(p =>
+              if (p.lastEpoch == epoch) p.nAbs else p.nAbs + cnt)
+              .getOrElse(cnt)
             val got = cpts.count()
             require(got == expected,
               s"FacilityStream: re-anchor corpus holds $got rows but " +
@@ -294,11 +399,11 @@ object FacilityStream {
                 "sums); align the corpus accessor with the maintenance " +
                 "stream before re-anchoring")
             val sums = computeCells(cpts, merged, k)
-            val rows = cellRows(spark, merged, k, sums, sig, epoch)
             // eviction removes cell keys, so the replacement must land
             // whole (add-only upsert would leave the evicted candidate's
             // rows live)
-            Io.rewriteDim(spark, cellsPath, "cell_id", rows)
+            writeCellsWhole(spark, cellsPath,
+              cellRows(spark, merged, k, sums, sig, epoch))
           } finally { cpts.unpersist(); () }
         }
       }
@@ -329,22 +434,39 @@ object FacilityStream {
     val members = readPool(spark, poolPath).members
     val sig = poolSig(members)
     val cells = Io.readDim(spark, cellsPath)
-      .select("subset_sig", "cand", "g", "pool_sig", "sel_k")
-      .as[(String, Long, String, String, Int)].collect()
-    requireK(cells.head._5, k, "readSelection")
+      .select("subset_sig", "cand", "g", "pool_sig", "sel_k", "last_epoch")
+      .as[(String, Long, String, String, Int, Long)].collect()
+    // ALL-rows validation (round-16 ADVICE #2): head-sampling any of these
+    // would let a partially-published store answer with mixed state
+    val ks = cells.map(_._5).distinct.sorted
+    require(ks.length == 1,
+      s"FacilityStream: cells at $cellsPath hold MIXED sel_k values " +
+        s"(${ks.mkString(",")}) — internally inconsistent store; rebuild " +
+        "it (re-absorb with reanchorWith)")
+    requireK(ks.head, k, "readSelection")
     require(cells.forall(_._4 == sig),
       s"FacilityStream: cells at $cellsPath are anchored on a stale pool " +
         "— either the crash window between the cells and pool writes " +
         "(replay the epoch to heal) or a pool-changing batch absorbed " +
         "against the wrong corpus; re-absorb with reanchorWith before " +
         "reading")
+    require(cells.map(_._6).distinct.length == 1,
+      s"FacilityStream: cells at $cellsPath hold MIXED last_epoch values " +
+        "— the partial-publish crash window; replay the epoch to heal " +
+        "before reading (some gain sums include the last batch, others " +
+        "do not — answering would be silently wrong)")
     val g = cells.map(r => (r._1, r._2) -> BigInt(r._3)).toMap
+    def gAt(subSig: String, id: Long): BigInt =
+      g.getOrElse((subSig, id), throw new IllegalStateException(
+        s"FacilityStream: cells at $cellsPath are missing cell " +
+          s"($subSig | $id) — incomplete store (a crashed publish); " +
+          "replay the epoch (or re-absorb with reanchorWith) to heal"))
     var chosen = Vector.empty[(Long, BigInt, BigInt)] // (vecId, gain, total)
     for (_ <- 0 until math.min(k, members.size)) {
       val subSig = chosen.map(_._1).sorted.mkString(",")
       val (vid, gain) = members.map(_.vecId)
         .filterNot(id => chosen.exists(_._1 == id))
-        .map(id => id -> g((subSig, id)))
+        .map(id => id -> gAt(subSig, id))
         .maxBy { case (id, gg) => (gg, -id) }
       val total = (if (chosen.isEmpty) BigInt(0) else chosen.last._3) + gain
       chosen :+= ((vid, gain, total))
@@ -369,7 +491,8 @@ object FacilityStream {
     * [[applyBatch]] with None and retry the epoch with an accessor. */
   def run(spark: SparkSession, rows: DataFrame, poolPath: String,
           cellsPath: String, checkpoint: String, corpus: () => DataFrame,
-          k: Int = 4, pool: Int = 16): StreamingQuery =
+          k: Int = 4, pool: Int = 16): StreamingQuery = {
+    validateCellBudget(pool, k) // refuse a cell explosion at stream START
     rows.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (delta: DataFrame, epoch: Long) =>
@@ -377,4 +500,5 @@ object FacilityStream {
           Some(corpus))
       }
       .start()
+  }
 }

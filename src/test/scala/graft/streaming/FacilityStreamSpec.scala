@@ -149,6 +149,102 @@ class FacilityStreamSpec extends SparkSuite {
       "an accessor-backed churn batch must land the re-anchor inline")
   }
 
+  test("cell-budget guard: an exploding (pool, k) is refused at configuration, by name") {
+    // round-15 VERDICT #5 red-proof: (16, 8) enumerates 262,144 cells —
+    // the guard must refuse BEFORE any store exists or any absorb runs
+    assert(FacilityStream.closureSize(16, 4) == BigInt(9216),
+      "the documented default closure size is the guard's own arithmetic")
+    assert(FacilityStream.closureSize(16, 8) == BigInt(262144))
+    val (poolP, cellsP) = (tmp("pool-x"), tmp("cells-x"))
+    val e = intercept[IllegalArgumentException] {
+      FacilityStream.applyBatch(spark, emb, poolP, cellsP, epoch = 0L,
+        k = 8, pool = 16)
+    }
+    assert(e.getMessage.contains("262144") && e.getMessage.contains("KCenterStream"),
+      s"the refusal must carry the closure size and the bounded alternative: ${e.getMessage}")
+    assert(!graft.io.Io.dimStoreHasData(poolP) && !graft.io.Io.dimStoreHasData(cellsP),
+      "a refused configuration must write nothing")
+    // and the in-budget default still passes the same guard
+    FacilityStream.validateCellBudget(16, 4)
+  }
+
+  test("partial-publish crash window (mixed last_epoch): read refuses by name; replaying the epoch heals per row") {
+    // round-16 ADVICE #1: upsertDim publishes per bucket, so a crash mid-
+    // publish leaves SOME cells at epoch e (already holding the batch's
+    // sums) and others at e-1 (not yet). A head-sampled done-gate would
+    // skip the replay's add and silently lose the unpublished buckets;
+    // the fix gates per ROW, exactly MixtureStream.mergeAdditive's rule.
+    val (poolP, cellsP) = (tmp("pool-m"), tmp("cells-m"))
+    val order = md5Order
+    val bottom = order.take(16).toSet
+    val rest = order.drop(16)
+    val p1 = bottom ++ rest.zipWithIndex.collect { case (id, i) if i % 2 == 0 => id }
+    val p2 = rest.zipWithIndex.collect { case (id, i) if i % 2 == 1 => id }.toSet
+    val b1 = emb.filter(col("vec_id").isInCollection(p1))
+    val b2 = emb.filter(col("vec_id").isInCollection(p2))
+    FacilityStream.applyBatch(spark, b1, poolP, cellsP, epoch = 0L)
+    val after0 = graft.io.Io.readDim(spark, cellsP)
+      .as[(String, String, Long, String, String, Int, Long)].collect()
+    FacilityStream.applyBatch(spark, b2, poolP, cellsP, epoch = 1L)
+    val after1 = graft.io.Io.readDim(spark, cellsP)
+      .as[(String, String, Long, String, String, Int, Long)].collect()
+    // rebuild the crash state: cells whose xxhash is even kept their
+    // epoch-1 row (published buckets), the rest rolled back to epoch 0
+    val a0 = after0.map(r => r._1 -> r).toMap
+    val mixed = after1.map { r =>
+      if (math.abs(r._1.hashCode) % 2 == 0) r else a0(r._1)
+    }
+    assert(mixed.exists(_._7 == 0L) && mixed.exists(_._7 == 1L),
+      "fixture must actually be mixed-epoch")
+    graft.io.Io.rewriteDim(spark, cellsP, "cell_id",
+      mixed.toSeq.toDF("cell_id", "subset_sig", "cand", "g", "pool_sig",
+        "sel_k", "last_epoch"))
+    // a read inside the window refuses by name — answering would mix sums
+    val e = intercept[IllegalArgumentException] {
+      FacilityStream.readSelection(spark, poolP, cellsP)
+    }
+    assert(e.getMessage.contains("MIXED last_epoch"),
+      s"mixed-epoch store must refuse the read by name: ${e.getMessage}")
+    // replaying epoch 1 heals: epoch-1 rows keep their sums, epoch-0 rows
+    // add the recomputed batch — the store converges to the clean absorb
+    FacilityStream.applyBatch(spark, b2, poolP, cellsP, epoch = 1L)
+    val healed = graft.io.Io.readDim(spark, cellsP)
+      .as[(String, String, Long, String, String, Int, Long)].collect()
+    assert(healed.toSet == after1.toSet,
+      "the per-row gated replay must converge exactly to the clean store")
+    assert(readSel(poolP, cellsP) == q200(emb.filter(col("vec_id")
+      .isInCollection(p1 ++ p2))), "post-heal read equals the batch operator")
+  }
+
+  test("incomplete cells store (missing cell): read refuses by name; replay re-anchors whole") {
+    val (poolP, cellsP) = (tmp("pool-i"), tmp("cells-i"))
+    FacilityStream.applyBatch(spark, emb, poolP, cellsP, epoch = 0L)
+    val clean = graft.io.Io.readDim(spark, cellsP)
+      .as[(String, String, Long, String, String, Int, Long)].collect()
+    // drop one round-0 cell (subset_sig = '') — greedy probes every one
+    val victim = clean.filter(_._2 == "").head._1
+    graft.io.Io.rewriteDim(spark, cellsP, "cell_id",
+      clean.filterNot(_._1 == victim).toSeq
+        .toDF("cell_id", "subset_sig", "cand", "g", "pool_sig", "sel_k",
+          "last_epoch"))
+    val e = intercept[IllegalStateException] {
+      FacilityStream.readSelection(spark, poolP, cellsP)
+    }
+    assert(e.getMessage.contains("missing cell"),
+      s"an incomplete store must refuse the read by name, not NPE/NoSuchElement: ${e.getMessage}")
+    // the replay routes an incomplete store to the corpus re-anchor (the
+    // stable per-row path requires every cell present) and heals exactly;
+    // the pool row already carries this epoch, so the count gate expects
+    // n_abs WITHOUT re-adding the batch
+    FacilityStream.applyBatch(spark, emb, poolP, cellsP, epoch = 0L,
+      reanchorWith = Some(() => emb))
+    val healed = graft.io.Io.readDim(spark, cellsP)
+      .as[(String, String, Long, String, String, Int, Long)].collect()
+    assert(healed.toSet == clean.toSet,
+      "the re-anchor replay must rebuild the exact clean store")
+    assert(readSel(poolP, cellsP) == q200(emb))
+  }
+
   test("never-written stores: read fails with the named contract error") {
     val (poolP, cellsP) = (tmp("pool-n"), tmp("cells-n"))
     FacilityStream.applyBatch(spark, emb.filter(col("vec_id") < 0), poolP,
