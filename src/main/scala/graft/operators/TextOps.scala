@@ -1848,7 +1848,14 @@ object TextOps {
         math.sqrt(phat * (1.0 - phat) * (1.0 / n + 1.0 / (nn - n)))
       (s, n, x, z)
     }
-    val ranked = zs.sortBy { case (s, _, _, z) => (-math.abs(z), s) }
+    // tie-break collation pin (round-16 ADVICE #3): DuckDB's ORDER BY
+    // compares VARCHARs as UTF-8 BYTES while Java String order compares
+    // UTF-16 code units — the two diverge between supplementary-plane
+    // sources and U+E000..U+FFFF ones, which on an exact |z| tie would
+    // flip p_rank/z_crit assignments cross-engine. Rank on UTF-8 bytes so
+    // the tie order is collation-independent.
+    val ranked = zs.sortBy { case (s, _, _, z) => (-math.abs(z), s) }(
+      Ordering.Tuple2(Ordering.Double.TotalOrdering, utf8ByteOrdering))
       .zipWithIndex.map { case ((s, n, x, z), i) =>
         (s, n, x, z, i + 1, bhZCrit(k, i + 1, alpha)) }
     val istar = ranked.filter(t => math.abs(t._4) >= t._6)
@@ -1887,6 +1894,25 @@ object TextOps {
   def powerMde(spark: SparkSession, dir: String, alpha: Double = 0.05,
                power: Double = 0.8): DataFrame =
     powerMdeFrom(bhCounts(docs(spark, dir)), alpha, power)
+
+  /** Unsigned-lexicographic UTF-8 byte order — DuckDB's default VARCHAR
+    * collation, pinned on the Scala side so any driver-side sort that a
+    * DuckDB oracle replays with ORDER BY breaks ties identically for
+    * non-ASCII strings (Java's String order would diverge on
+    * supplementary-plane vs U+E000..U+FFFF code points). */
+  private[graft] val utf8ByteOrdering: Ordering[String] =
+    (a: String, b: String) => {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      var r = 0
+      val n = math.min(x.length, y.length)
+      while (r == 0 && i < n) {
+        r = (x(i) & 0xff) - (y(i) & 0xff)
+        i += 1
+      }
+      if (r != 0) r else x.length - y.length
+    }
 
   /** The shared collect/guard preamble of [[bhFdrFrom]] and
     * [[powerMdeFrom]] — ONE copy of the load-bearing snapshot rule
@@ -2925,7 +2951,12 @@ object TextOps {
   private[graft] def sourceSelectFrom(spark: SparkSession, st0: DataFrame,
                                       k: Int): DataFrame = {
     import spark.implicits._
-    val st = st0.persist()
+    // the persist is LOAD-BEARING: it is what makes each greedy round
+    // shingle-vocab-sized instead of a fresh corpus scan (scaladoc above);
+    // the dev knob lets ExecutedPlanSpec red-prove the re-scan shape
+    val st =
+      if (sys.props.contains("graft.sourcesel.nopersist")) st0
+      else st0.persist()
     val picks = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long, Long)]
     var coveredTotal = 0L
     var done = false

@@ -74,6 +74,24 @@ class TextOpsSpec extends SparkSuite {
         .toDF("source", "n", "passes"))
     }
     assert(e2.getMessage.contains("degenerate global pass rate"), e2.getMessage)
+    // 5. tie-break collation pin (round-16 ADVICE #3): with K = 2 the
+    // one-vs-rest z's are EXACT mirrors (|z| tied), so rank assignment
+    // falls entirely to the source tie-break — which must follow DuckDB's
+    // UTF-8 BYTE order, not Java's UTF-16 code-unit order. The two invert
+    // between supplementary-plane and U+E000..U+FFFF sources: U+1F600
+    // (f0 9f 98 80) sorts AFTER U+E000 (ee 80 80) in bytes but BEFORE it
+    // in code units (its high surrogate D83D < E000).
+    val hi = new String(Character.toChars(0x1F600))
+    val pua = "\uE000"
+    assert(hi.compareTo(pua) < 0 && TextOps.utf8ByteOrdering.compare(hi, pua) > 0,
+      "fixture: the two collations must actually diverge on this pair")
+    val ranksUtf = TextOps.bhFdrFrom(
+      Seq((hi, 100L, 60L), (pua, 100L, 45L)).toDF("source", "n", "passes"))
+      .as[(String, Long, Long, Double, Int, Double, Boolean)]
+      .collect().map(r => r._1 -> r._5).toMap
+    assert(ranksUtf(pua) == 1 && ranksUtf(hi) == 2,
+      s"on an |z| tie the UTF-8-lesser source must take rank 1, as " +
+        s"DuckDB's ORDER BY would assign it: $ranksUtf")
   }
 
   test("powerMde: matches a driver replay on real docs; identities hold; zero-delta yields null n_req; named degenerate errors") {
