@@ -837,10 +837,16 @@ object Similarity {
     for (r <- 1 until math.min(k.toLong, n).toInt) {
       val mind2 = call_function("dot_i", col("q"), col("q")) +
         array_min(array(kcenterRds(centers.toSeq).map(_._1): _*))
+      // d2 is PROJECTED once before the argmax: the max_by form needs it in
+      // both the value and the comparator struct, and relying on codegen
+      // subexpression elimination to dedup r+1 dot products per row across
+      // two agg arguments proved fragile (round-16 q199 adjudication —
+      // the projection alone claws back most of the round-15 slowdown)
       val far = pts
         .filter(!col("vec_id").isin(centers.toSeq.map(_.vecId): _*))
-        .select(max_by(struct(col("vec_id"), col("q"), mind2.as("d2")),
-          struct(mind2, negate(col("vec_id")))).as("s"))
+        .select(col("vec_id"), col("q"), mind2.as("d2"))
+        .select(max_by(struct(col("vec_id"), col("q"), col("d2")),
+          struct(col("d2"), negate(col("vec_id")))).as("s"))
         .select(col("s.vec_id"), col("s.q"), col("s.d2"))
         .as[(Long, Seq[Int], Long)].head()
       centers += KCenter(r, far._1, far._2, far._3)
@@ -949,11 +955,17 @@ object Similarity {
           if (chosen.isEmpty) lit(0L)
           else greatest((lit(0L) +: chosen.map(s =>
             call_function("dot_i", col("q"), typedLit(s._2)))): _*)
+        // cur is PROJECTED once per row: every gain column subtracts the
+        // same covered-so-far max, and inlining it would compute |chosen|
+        // dot products per CANDIDATE per row instead of per row (round-16
+        // q200 adjudication — the projection claws back the round-15
+        // slowdown; same identity, same decimal sums, oracle unchanged)
+        val scored = pts.select(col("q"), cur.as("cur"))
         val gainCols = cands.map { c =>
-          sum(greatest(call_function("dot_i", col("q"), typedLit(c._2)) - cur,
+          sum(greatest(call_function("dot_i", col("q"), typedLit(c._2)) - col("cur"),
             lit(0L)).cast("decimal(38,0)")).as(s"g_${c._1}")
         }
-        val row = pts.agg(gainCols.head, gainCols.tail: _*).head()
+        val row = scored.agg(gainCols.head, gainCols.tail: _*).head()
         val gains = cands.indices.map(i =>
           cands(i)._1 -> BigDecimal(row.getDecimal(i)))
         val (vid, gain) = gains.maxBy { case (id, g) => (g, -id) }
@@ -1519,10 +1531,16 @@ object Similarity {
   def lpaCommunities(spark: SparkSession, dir: String, k: Int = 3,
                      cap: Int = 2000, rounds: Int = 4): DataFrame = {
     val (e, edges) = knnEdges(spark, dir, k, cap)
-    def cut(d: DataFrame): DataFrame = {
-      d.persist(); d.count()
-      spark.createDataFrame(d.rdd, d.schema)
-    }
+    // the per-round plan cut is LOAD-BEARING (the q168 plan-chaining
+    // re-analysis class: without it every round's join re-analyzes the
+    // whole chain and one giant plan executes at the end); the dev knob
+    // exists so ExecutedPlanSpec can red-prove exactly that shape
+    def cut(d: DataFrame): DataFrame =
+      if (sys.props.contains("graft.lpa.nocut")) d
+      else {
+        d.persist(); d.count()
+        spark.createDataFrame(d.rdd, d.schema)
+      }
     var labels = cut(e.select(col("vec_id").as("node"), col("vec_id").as("lbl")))
     for (_ <- 1 to rounds) {
       val cand = edges.join(labels, edges("ea") === labels("node"))

@@ -145,6 +145,116 @@ class ExecutedPlanSpec extends SparkSuite {
       s"expected at most 2 exchanges (segment agg + control plane), got ${shuffles(p)}:\n$p")
   }
 
+  /** Capture every plan executed while `body` runs whose string satisfies
+    * `want` — the q168 listener idiom, factored for the round-16 pins. The
+    * session (and so the listener) is shared across concurrently running
+    * suites, so `want` must identify the target query's plans by tokens
+    * unique to it. */
+  private def capturePlans(want: String => Boolean, atLeast: Int)
+                          (body: => Unit): Seq[String] = {
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit =
+        captured.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      body
+      import scala.jdk.CollectionConverters._
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      def hits = captured.asScala.toSeq.filter(want)
+      while (hits.size < atLeast && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      hits.map(cutInitial)
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("q175 LPA rounds: per-round cut keeps each round one broadcast join + two aggs; final plan is one join") {
+    // round-16 VERDICT #6: lpaCommunities was a top-six-cost query with no
+    // executed-plan gate. Each LPA round (identified by its unique new_lbl
+    // column) must be ONE equi-join edges⋈labels + two partial aggs —
+    // never a sort-merge/nested-loop blowup — and the returned frame must
+    // be cut down to one broadcast size-join over a LogicalRDD, not a
+    // chained re-analysis of every round (the q168 12× class).
+    val rounds = capturePlans(p => p.contains("new_lbl"), atLeast = 2) {
+      val p = finalPlan(
+        Similarity.lpaCommunities(spark, sf001, k = 3, cap = 2000, rounds = 2))
+      assert(n(p, "BroadcastHashJoin") == 1 && n(p, "SortMergeJoin") == 0,
+        s"the final frame is labels ⋈ broadcast(sizes), nothing else:\n$p")
+      assert(shuffles(p) == 1,
+        s"only the community-size agg may shuffle after the cuts:\n$p")
+    }
+    rounds.foreach { p =>
+      // the captured string embeds the round's cached-subtree definition,
+      // so counts run over the whole final section: the invariants are
+      // no blowup joins anywhere and a bounded exchange budget (a chained
+      // re-analysis multiplies exchanges well past this)
+      assert(n(p, "SortMergeJoin") == 0 && n(p, "NestedLoop") == 0 &&
+        n(p, "CartesianProduct") == 0, s"no blowup joins inside a round:\n$p")
+      assert(n(p, "BroadcastHashJoin") >= 1,
+        s"the label-update join must broadcast at this scale:\n$p")
+      assert(shuffles(p) <= 6,
+        s"a round is a bounded set of partial aggs (got ${shuffles(p)} " +
+          s"exchanges) — a blowup here is the chained-plan shape:\n$p")
+    }
+  }
+
+  test("q175 LPA: stripping the per-round cut goes red (the plan-chaining shape)") {
+    sys.props("graft.lpa.nocut") = "1"
+    try {
+      val p = finalPlan(
+        Similarity.lpaCommunities(spark, sf001, k = 3, cap = 2000, rounds = 2))
+      assert(n(p, "BroadcastHashJoin") + n(p, "SortMergeJoin") >= 3 ||
+        shuffles(p) >= 2,
+        s"without the cut the final action must execute the chained rounds " +
+          s"(many joins/shuffles in ONE plan) — if this starts planning " +
+          s"clean, re-evaluate the cut:\n$p")
+    } finally sys.props.remove("graft.lpa.nocut")
+  }
+
+  test("q181 greedy rounds ride the persisted shingle cache — no per-round corpus re-scan; stripping the persist goes red") {
+    // round-16 VERDICT #6: sourceSelect was a top-six-cost query with no
+    // executed-plan gate. Rounds ≥ 2 (identified by the LeftAnti coverage
+    // join + the gain agg) must read the (source, term) frame from the
+    // InMemoryTableScan cache, never re-scan the documents parquet.
+    val want = (p: String) => p.contains("LeftAnti") && p.contains("gain")
+    val rounds = capturePlans(want, atLeast = 2) {
+      graft.operators.TextOps.sourceSelect(spark, sf001, k = 3)
+    }
+    rounds.foreach { p =>
+      assert(n(p, "InMemoryTableScan") >= 1,
+        s"greedy rounds must read the persisted shingle frame:\n$p")
+      // the InMemoryRelation node legitimately PRINTS its child plan
+      // (which contains the one allowed corpus FileScan — the cache's own
+      // definition); the executed operators ABOVE it must not: any
+      // FileScan occurrence must sit inside the cache definition
+      val im = p.indexOf("InMemoryRelation")
+      val fs = p.indexOf("FileScan parquet")
+      assert(fs == -1 || (im >= 0 && fs > im),
+        s"a greedy round must read the cache, never re-scan the corpus:\n$p")
+      assert(n(p, "SortMergeJoin") == 0 && n(p, "CartesianProduct") == 0,
+        s"coverage anti-join must broadcast at this scale:\n$p")
+    }
+    // red-proof: with the persist stripped (dev knob) the rounds re-scan
+    // the corpus as TOP-LEVEL FileScans with no cache in sight — proving
+    // the green assertions above discriminate
+    sys.props("graft.sourcesel.nopersist") = "1"
+    try {
+      val red = capturePlans(want, atLeast = 2) {
+        graft.operators.TextOps.sourceSelect(spark, sf001, k = 3)
+      }
+      assert(red.exists(p => p.contains("FileScan parquet") &&
+        !p.contains("InMemoryTableScan")),
+        "unpersisted rounds should re-scan parquet (the regression shape); " +
+          "if this starts planning clean, re-evaluate the persist")
+    } finally sys.props.remove("graft.sourcesel.nopersist")
+  }
+
   test("q133 market basket: a-priori prune is a broadcast semi-join — no unpinned nested-loop") {
     val p = finalPlan(Relational.marketBasket(spark, sf001))
     // the single allowed BroadcastNestedLoopJoin is the 1-row totals frame
