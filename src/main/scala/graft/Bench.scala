@@ -72,17 +72,45 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       sec
     }
+    // LOAD SENTINEL (round-16 VERDICT #4): a pinned CPU-shaped calibration
+    // probe — 2×10⁸ xxhash64 folds across all cores, no I/O, no data
+    // dependence — run at the START and END of every pass. Its MEDIAN over
+    // the run measures the machine's contention during exactly this run's
+    // wall-clock span, and check_bench anchors its load adjustment on
+    // sentinel/floor("_sentinel") instead of the circular median
+    // got/floor ratio (which a real multi-query regression inflates,
+    // partially masking itself).
+    def sentinelOnce(): Double = {
+      val t0 = System.nanoTime()
+      // bit_xor, not sum: ANSI mode makes a long-sum of full-range hashes
+      // an overflow error; the xor fold does the same per-row work
+      spark.range(0L, 200000000L, 1L, cpus.toInt)
+        .selectExpr("bit_xor(xxhash64(id)) as s").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    sentinelOnce() // codegen/JIT warmup — the samples below measure load
+    val sentinelSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
     val samples = (1 to reps).map { pass =>
       val t0 = System.nanoTime()
+      sentinelSamples += sentinelOnce()
       val passTimes = ordered.map { case (name, fn) =>
         val sec = runOnce(name, fn)
         val usedMb = (rt.totalMemory() - rt.freeMemory()) >> 20
         System.err.println(f"[bench] pass$pass $name $sec%.2fs heapUsed=${usedMb}MB")
         sec
       }
-      System.err.println(f"[bench] pass$pass total ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      sentinelSamples += sentinelOnce()
+      System.err.println(f"[bench] pass$pass total ${(System.nanoTime() - t0) / 1e9}%.1fs " +
+        f"sentinel=${sentinelSamples.takeRight(1).head}%.2fs")
       passTimes
     }
+    val sentinel = {
+      val s = sentinelSamples.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    System.err.println(
+      f"[bench] sentinel median $sentinel%.2fs over ${sentinelSamples.size} samples " +
+        s"(${sentinelSamples.map(v => f"$v%.2f").mkString(",")})")
     // min over passes; any pass failing marks the query failed (-1) so a
     // flaky query can never hide behind one lucky pass
     val results = ordered.zipWithIndex.map { case ((name, _), i) =>
@@ -116,7 +144,8 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val fullQs = results.map { case (k, v) => s""""$k":${s2(v)}""" }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${s2(total)},"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${s2(total)},"unit":"sec",""" +
+        s""""sentinel":${s2(sentinel)},"queries":$fullQs,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_LOCAL.json"), fullLine + "\n")
     catch { case scala.util.control.NonFatal(e) =>
@@ -130,6 +159,7 @@ object Bench {
         s""""${if (stripQ) k.drop(1) else k}":$cv""" }.mkString("{", ",", "}")
       val kp = if (stripQ) """"key_prefix":"q",""" else ""
       s"""{"metric":"total","value":${s2(total)},"unit":"sec",$kp""" +
+        s""""sentinel":${s2(sentinel)},""" +
         s""""queries_unit":"centiseconds","queries":$qs,"sf":"$sfDir"}"""
     }
     val line = {
@@ -139,6 +169,7 @@ object Bench {
         val l1 = compact(stripQ = true)
         if (l1.length <= 1900) l1
         else s"""{"metric":"total","value":${s2(total)},"unit":"sec",""" +
+          s""""sentinel":${s2(sentinel)},""" +
           s""""queries_in":"BENCH_LOCAL.json","n_queries":${results.size},""" +
           s""""failed":${results.count(_._2 < 0)},"sf":"$sfDir"}"""
       }

@@ -6,10 +6,19 @@ Usage: check_bench.py <bench_json_file> [floor_json]
 <bench_json_file> holds the Bench main's JSON line ({"metric":"total",...,
 "queries":{...}}), or a driver BENCH_r*.json whose "tail" contains that line.
 
-The gate is DIFFERENTIAL: each query's floor is first scaled by the run's
-median got/floor ratio (clamped to >= 1), which cancels uniform machine-load
-shifts — measured same-code totals range 34-73 s at sf0.1 depending on
-co-tenant load, and a whole-run multiplier is environment, not regression.
+The gate is DIFFERENTIAL: each query's floor is first scaled by a measured
+load factor (clamped to >= 1), which cancels uniform machine-load shifts —
+measured same-code totals range 34-73 s at sf0.1 depending on co-tenant
+load, and a whole-run multiplier is environment, not regression.
+
+The load factor is anchored on the Bench main's SENTINEL when the artifact
+carries one (round-16): a pinned CPU-shaped calibration probe run at the
+start and end of every pass, compared against the committed "_sentinel"
+floor — a pure measurement of the machine during that run, which a real
+multi-query regression cannot inflate. Artifacts without a sentinel (older
+rounds) fall back to the run's median got/floor ratio, which a broad
+regression partially masks (it still caught q199/q200 in round 15, but the
+sentinel is the honest anchor).
 A query then regresses when it is BOTH >1.5x its load-adjusted floor AND
 >0.4s absolute over it — the absolute guard keeps sub-0.3s queries from
 flagging on timer noise. A genuine single-query regression moves that query
@@ -124,20 +133,32 @@ def normalize(d: dict) -> dict:
 
 
 def main(bench_path: str, floor_path: str = "BENCH_FLOOR.json") -> int:
-    bench = normalize(load_line(bench_path))
-    floor = {k: v for k, v in json.load(open(floor_path)).items()
-             if not k.startswith("_")}
+    line = load_line(bench_path)
+    bench = normalize(line)
+    floor_all = json.load(open(floor_path))
+    floor = {k: v for k, v in floor_all.items() if not k.startswith("_")}
     # Bench emits the short qNN prefix as the key (keeps the driver's
     # 2 KB stdout tail window safe); the floor keeps full names.
     def lookup(name):
         return bench.get(name, bench.get(name.split("_")[0]))
 
-    ratios = [lookup(n) / f for n, f in floor.items()
-              if lookup(n) is not None and lookup(n) > 0]
-    load = max(1.0, statistics.median(ratios)) if ratios else 1.0
+    sent = line.get("sentinel")
+    sfloor = floor_all.get("_sentinel")
+    if isinstance(sent, (int, float)) and sent > 0 \
+            and isinstance(sfloor, (int, float)) and sfloor > 0:
+        load = max(1.0, sent / sfloor)
+        anchor = (f"sentinel {sent:.2f}s vs _sentinel floor {sfloor:.2f}s "
+                  "(measured anchor)")
+    else:
+        ratios = [lookup(n) / f for n, f in floor.items()
+                  if lookup(n) is not None and lookup(n) > 0]
+        load = max(1.0, statistics.median(ratios)) if ratios else 1.0
+        anchor = ("median got/floor ratio — no sentinel in artifact or no "
+                  "_sentinel floor; a broad regression can partially mask "
+                  "itself under this anchor")
     if load > 1.1:
-        print(f"NOTE uniform load factor {load:.2f}x vs floor "
-              "(median ratio; gate is differential)")
+        print(f"NOTE uniform load factor {load:.2f}x via {anchor}; "
+              "gate is differential")
     bad = []
     for name, f in sorted(floor.items()):
         got = lookup(name)

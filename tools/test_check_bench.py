@@ -122,6 +122,61 @@ def test_queries_in_pointer_terminal_tier():
     print("ok  queries_in pointer tier resolves via BENCH_LOCAL.json")
 
 
+def test_sentinel_anchor_flags_masked_regression():
+    # round-16 VERDICT #4 done-criterion: a synthetic "everything 1.5x
+    # slower" artifact must still flag a query that regressed 3x. Floor:
+    # two 1.0s queries, sentinel floor 0.40. Artifact: sentinel 0.60
+    # (machine uniformly 1.5x), q01 at 1.50 (pure load), q02 at 4.40
+    # (~3x beyond the load). Under the OLD median anchor the load factor
+    # would be median(1.5, 4.5) = 3.0 and q02's 1.5x-over-adjusted-floor
+    # test squeaks by (4.4 < 1.5 * median(1.5, 4.4) = 4.425) — the self-masking the
+    # sentinel exists to break; with the sentinel, load = 1.5 and q02 is
+    # 3.0x its adjusted floor.
+    import io
+    from contextlib import redirect_stdout
+    from check_bench import main as gate
+    floor = tmpfile(json.dumps(
+        {"q01_alpha": 1.0, "q02_beta": 1.0, "_sentinel": 0.40,
+         "_note": "test fixture"}))
+    art = tmpfile('{"metric":"total","value":5.90,"unit":"sec",'
+                  '"sentinel":0.60,'
+                  '"queries":{"q01":1.50,"q02":4.40},"sf":"/tmp/sf"}\n')
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = gate(art, floor)
+    out = buf.getvalue()
+    assert rc == 1, f"sentinel anchor must flag the 3x query:\n{out}"
+    assert "SLOW q02_beta" in out and "SLOW q01_alpha" not in out, out
+    # the same artifact WITHOUT a sentinel falls back to the median anchor
+    # and the regression masks itself — the contrast that makes the
+    # sentinel load-bearing, pinned so a future refactor can't drop it
+    art2 = tmpfile('{"metric":"total","value":5.90,"unit":"sec",'
+                   '"queries":{"q01":1.50,"q02":4.40},"sf":"/tmp/sf"}\n')
+    buf2 = io.StringIO()
+    with redirect_stdout(buf2):
+        rc2 = gate(art2, floor)
+    assert rc2 == 0, ("median fallback is expected to mask this shape "
+                      "(documented weakness): " + buf2.getvalue())
+    print("ok  sentinel anchor flags a 3x regression under uniform 1.5x load"
+          " (median fallback masks it)")
+
+
+def test_sentinel_fallback_without_floor():
+    # an artifact WITH a sentinel but a floor file WITHOUT "_sentinel"
+    # (transition window) must fall back to the median anchor, not crash
+    import io
+    from contextlib import redirect_stdout
+    from check_bench import main as gate
+    floor = tmpfile(json.dumps({"q01_alpha": 1.0}))
+    art = tmpfile('{"metric":"total","value":1.00,"unit":"sec",'
+                  '"sentinel":0.60,"queries":{"q01":1.00},"sf":"/x"}\n')
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = gate(art, floor)
+    assert rc == 0, buf.getvalue()
+    print("ok  sentinel without _sentinel floor falls back to median anchor")
+
+
 if __name__ == "__main__":
     test_real_driver_artifact()
     test_real_driver_artifact_r06()
@@ -132,4 +187,6 @@ if __name__ == "__main__":
     test_normalize_compact_stripped_keys()
     test_normalize_full_format_passthrough()
     test_queries_in_pointer_terminal_tier()
+    test_sentinel_anchor_flags_masked_regression()
+    test_sentinel_fallback_without_floor()
     print("all load_line format tests passed")
