@@ -73,18 +73,21 @@ object Bench {
       sec
     }
     // LOAD SENTINEL (round-16 VERDICT #4): a pinned CPU-shaped calibration
-    // probe — 2×10⁸ xxhash64 folds across all cores, no I/O, no data
-    // dependence — run at the START and END of every pass. Its MEDIAN over
-    // the run measures the machine's contention during exactly this run's
-    // wall-clock span, and check_bench anchors its load adjustment on
-    // sentinel/floor("_sentinel") instead of the circular median
-    // got/floor ratio (which a real multi-query regression inflates,
-    // partially masking itself).
+    // probe — 5×10⁸ xxhash64 folds across all cores, no I/O, no data
+    // dependence — run at the START and END of every pass. The emitted
+    // statistic is the MIN over the run's samples, deliberately MATCHING
+    // the per-query statistic (each query reports its min over passes):
+    // if load hits only some passes, the query minima come from the quiet
+    // pass and a median sentinel would inflate the floors against them,
+    // masking real regressions (round-16 self-review #1). check_bench
+    // anchors its load adjustment on sentinel/floor("_sentinel") instead
+    // of the circular median got/floor ratio (which a real multi-query
+    // regression inflates, partially masking itself).
     def sentinelOnce(): Double = {
       val t0 = System.nanoTime()
       // bit_xor, not sum: ANSI mode makes a long-sum of full-range hashes
       // an overflow error; the xor fold does the same per-row work
-      spark.range(0L, 200000000L, 1L, cpus.toInt)
+      spark.range(0L, 500000000L, 1L, cpus.toInt)
         .selectExpr("bit_xor(xxhash64(id)) as s").collect()
       (System.nanoTime() - t0) / 1e9
     }
@@ -104,12 +107,9 @@ object Bench {
         f"sentinel=${sentinelSamples.takeRight(1).head}%.2fs")
       passTimes
     }
-    val sentinel = {
-      val s = sentinelSamples.sorted
-      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
-    }
+    val sentinel = sentinelSamples.min
     System.err.println(
-      f"[bench] sentinel median $sentinel%.2fs over ${sentinelSamples.size} samples " +
+      f"[bench] sentinel min $sentinel%.2fs over ${sentinelSamples.size} samples " +
         s"(${sentinelSamples.map(v => f"$v%.2f").mkString(",")})")
     // min over passes; any pass failing marks the query failed (-1) so a
     // flaky query can never hide behind one lucky pass

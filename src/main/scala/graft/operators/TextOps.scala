@@ -2953,10 +2953,12 @@ object TextOps {
     import spark.implicits._
     // the persist is LOAD-BEARING: it is what makes each greedy round
     // shingle-vocab-sized instead of a fresh corpus scan (scaladoc above);
-    // the dev knob lets ExecutedPlanSpec red-prove the re-scan shape
-    val st =
-      if (sys.props.contains("graft.sourcesel.nopersist")) st0
-      else st0.persist()
+    // the dev knob lets ExecutedPlanSpec red-prove the re-scan shape.
+    // Only unpersist what THIS function persisted: with the knob set, st
+    // aliases the caller's frame and dropping a cache the caller installed
+    // would be the upsertDimJdbc cache-manager hazard (round-16 review #5)
+    val wePersist = !sys.props.contains("graft.sourcesel.nopersist")
+    val st = if (wePersist) st0.persist() else st0
     val picks = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long, Long)]
     var coveredTotal = 0L
     var done = false
@@ -2980,7 +2982,7 @@ object TextOps {
         picks += ((r, src, gain, coveredTotal))
       }
     }
-    st.unpersist() // result below is driver-local; the shingle cache can go
+    if (wePersist) { st.unpersist(); () } // result below is driver-local; the shingle cache can go
     picks.toSeq.toDF("rank", "source", "gain", "covered_total")
       .select(col("rank").cast("int").as("rank"), col("source"),
         col("gain"), col("covered_total"))

@@ -438,6 +438,10 @@ object FacilityStream {
       .as[(String, Long, String, String, Int, Long)].collect()
     // ALL-rows validation (round-16 ADVICE #2): head-sampling any of these
     // would let a partially-published store answer with mixed state
+    require(cells.nonEmpty,
+      s"FacilityStream: cells store at $cellsPath has bucket dirs but ZERO " +
+        "readable rows (a crash-leftover partial publish) — replay the " +
+        "epoch (or re-absorb with reanchorWith) to rebuild it")
     val ks = cells.map(_._5).distinct.sorted
     require(ks.length == 1,
       s"FacilityStream: cells at $cellsPath hold MIXED sel_k values " +

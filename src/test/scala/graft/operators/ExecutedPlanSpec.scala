@@ -170,6 +170,12 @@ class ExecutedPlanSpec extends SparkSuite {
       def hits = captured.asScala.toSeq.filter(want)
       while (hits.size < atLeast && System.nanoTime() < deadline)
         Thread.sleep(100)
+      // a drifted want-token must FAIL the pin, not make every downstream
+      // foreach vacuously green (round-16 self-review #3)
+      assert(hits.size >= atLeast,
+        s"capturePlans: only ${hits.size} of $atLeast expected plans " +
+          s"matched the filter within 30s — the identifying tokens have " +
+          s"drifted; captured ${captured.size} plans total")
       hits.map(cutInitial)
     } finally spark.listenerManager.unregister(listener)
   }

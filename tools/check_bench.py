@@ -13,12 +13,17 @@ load, and a whole-run multiplier is environment, not regression.
 
 The load factor is anchored on the Bench main's SENTINEL when the artifact
 carries one (round-16): a pinned CPU-shaped calibration probe run at the
-start and end of every pass, compared against the committed "_sentinel"
-floor — a pure measurement of the machine during that run, which a real
-multi-query regression cannot inflate. Artifacts without a sentinel (older
-rounds) fall back to the run's median got/floor ratio, which a broad
-regression partially masks (it still caught q199/q200 in round 15, but the
-sentinel is the honest anchor).
+start and end of every pass (its MIN, matching the per-query min-over-pass
+statistic), compared against the committed "_sentinel" floor. A real
+MULTI-QUERY regression cannot inflate it the way it inflates the median
+got/floor ratio — but the sentinel runs through the same Spark engine, so
+an ENGINE-WIDE regression (codegen, scheduler, GC pressure) slows it
+proportionally and loosens the floors with it; an implausibly high load
+factor is therefore flagged loudly below, and "the sentinel says 3x" on a
+machine you know is quiet means the ENGINE regressed, not the machine.
+Artifacts without a sentinel (older rounds) fall back to the run's median
+got/floor ratio, which a broad regression partially masks (it still caught
+q199/q200 in round 15).
 A query then regresses when it is BOTH >1.5x its load-adjusted floor AND
 >0.4s absolute over it — the absolute guard keeps sub-0.3s queries from
 flagging on timer noise. A genuine single-query regression moves that query
@@ -159,6 +164,11 @@ def main(bench_path: str, floor_path: str = "BENCH_FLOOR.json") -> int:
     if load > 1.1:
         print(f"NOTE uniform load factor {load:.2f}x via {anchor}; "
               "gate is differential")
+    if load > 2.5:
+        print(f"WARN load factor {load:.2f}x is beyond plausible co-tenant "
+              "contention for this box — either re-run on a quiet machine "
+              "or suspect an ENGINE-WIDE regression (the sentinel runs "
+              "through the same engine and cannot tell the two apart)")
     bad = []
     for name, f in sorted(floor.items()):
         got = lookup(name)
