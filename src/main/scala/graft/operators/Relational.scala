@@ -3363,34 +3363,38 @@ object Relational {
       conv(substring(md5(concat(lit(tag),
         col("okey").cast("string")).cast("binary")), 1, 13), 16, 10).cast("long")
     val withH = j.withColumn("h_a", h52("bootA_")).withColumn("h_b", h52("bootB_"))
-    val withW = (0 until reps).foldLeft(withH) { (d, r) =>
-      val h = (col("h_a") + lit(r.toLong) * col("h_b")) % P
-      d.withColumn(s"w_$r",
-        thr.map(t => when(h >= t, 1L).otherwise(0L)).reduce(_ + _))
-    }
-    val aggs =
-      Seq(count(lit(1)).as("n"), sum(col("cents")).as("sc")) ++
-        (0 until reps).flatMap { r =>
-          Seq(sum(col(s"w_$r") * col("cents")).as(s"swc_$r"),
-            sum(col(s"w_$r")).as(s"sw_$r"))
-        }
-    val wide0 = withW.groupBy("segment").agg(aggs.head, aggs.tail: _*)
-    // materialize the |segments|-row aggregate ONCE as a local relation
-    // (bounded control plane — strata are a dimension-attribute domain).
-    // The melt below references it twice and q169's read path twice more;
-    // left lazy, each branch re-runs the scan+join+aggregate — measured 4
-    // corpus scans and 10.4 s instead of one scan and 2.6 s at sf0.1 (the
-    // q118 unpersisted-element-frame lesson, solved leak-free here).
-    val spark2 = wide0.sparkSession
-    val wide = spark2.createDataFrame(
-      java.util.Arrays.asList(wide0.collect(): _*), wide0.schema)
-    // melt on the local frame: control-plane
-    val stackArgs = (0 until reps).map(r => s"${r}L, swc_$r, sw_$r").mkString(", ")
-    wide.select(col("segment"),
-      expr(s"stack($reps, $stackArgs) as (rep, swc, sw)"))
-      .select(col("segment"), col("rep"), col("swc"), col("sw"))
-      .unionByName(wide.select(col("segment"), lit(-1L).as("rep"),
-        col("sc").as("swc"), col("n").as("sw")))
+    // ONE pass, replicate index EXPLODED through a tiny codegen body —
+    // not `reps` wide weight columns. The wide form (32 withColumns of a
+    // 9-deep when-chain each, 66 aggregate expressions) blows the
+    // generated projection past the JIT compile threshold and the hot
+    // loop runs interpreted: measured 5.2 s for the weight stage at
+    // sf0.1 vs 0.6 s for this shape (MicrobenchBootstrap; branch-free
+    // casts instead of when-chains changed nothing — it is code SIZE,
+    // not branching). The explode multiplies the in-pipeline row stream
+    // ×(reps+1) but adds NO scan (the old "explode pays a ×reps scan"
+    // concern priced re-reading the table, not exploding post-join), and
+    // the partial agg collapses map-side onto the (segment, rep) domain.
+    // rep = −1 is the EXACT row fused into the same pass: w ≡ 1 there, so
+    // swc = Σcents and sw = count — exactly the old separate branch.
+    val wExpr = when(col("rep") === -1L, lit(1L)).otherwise(
+      thr.map(t => when(col("h") >= t, 1L).otherwise(0L)).reduce(_ + _))
+    val cells0 = withH
+      .select(col("segment"), col("cents"), col("h_a"), col("h_b"),
+        explode(lit((-1 until reps).map(_.toLong).toArray)).as("rep"))
+      // h is only consumed by the rep >= 0 branch, where h_a + rep·h_b is
+      // nonnegative (< 2⁵⁷) and % P stays in [0, P)
+      .withColumn("h", (col("h_a") + col("rep") * col("h_b")) % P)
+      .withColumn("w", wExpr)
+      .groupBy("segment", "rep")
+      .agg(sum(col("w") * col("cents")).as("swc"), sum(col("w")).as("sw"))
+    // materialize the (|segments| × (reps+1))-row aggregate ONCE as a
+    // local relation (bounded control plane — strata are a
+    // dimension-attribute domain). q169's read path references it twice;
+    // left lazy, each branch re-runs the scan+join+aggregate (the q118
+    // unpersisted-element-frame lesson, solved leak-free here).
+    val spark2 = cells0.sparkSession
+    spark2.createDataFrame(
+      java.util.Arrays.asList(cells0.collect(): _*), cells0.schema)
   }
 
   /** Read path: percentile-bootstrap interval for each segment's mean order
