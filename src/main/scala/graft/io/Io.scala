@@ -558,7 +558,20 @@ object Io {
     var rereads = 0
     while (missing != 0L && rereads < 5) {
       rereads += 1
-      Thread.sleep(50L * rereads)
+      // short backoff (30..150 ms, ≤450 ms worst case — the caller holds
+      // the per-(url, table) merge lock through this, so the heal must
+      // stay brief); an interrupt here lands AFTER the merge committed:
+      // restore the flag and fail by NAME — the epoch's replay re-runs
+      // the idempotent unit, never a silent unverified "success"
+      try Thread.sleep(30L * rereads)
+      catch {
+        case _: InterruptedException =>
+          Thread.currentThread().interrupt()
+          throw new java.sql.SQLException(
+            s"post-commit verify of $table interrupted mid-heal (shutdown?) " +
+              "— the merge committed but its durability is UNVERIFIED; " +
+              "replay the epoch (the stage+merge+verify unit is idempotent)")
+      }
       missing = missingCount()
     }
     if (missing != 0L)

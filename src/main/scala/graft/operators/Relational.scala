@@ -3343,6 +3343,15 @@ object Relational {
     * construction, same integers). The exact moments ride as replicate −1.
     * Cells are ADDITIVE LONGS ⇒ the streaming twin maintains them with the
     * shared CellStore merge. */
+  /** The Carter–Wegman affine family's modulus (largest prime < 2⁵²) and
+    * per-row 52-bit md5 digest — private[graft] so MicrobenchBootstrap
+    * decomposes the REAL production expressions, not a copy that can
+    * drift. */
+  private[graft] val bootstrapP = 4503599627370449L
+  private[graft] def bootstrapH52(tag: String): Column =
+    conv(substring(md5(concat(lit(tag),
+      col("okey").cast("string")).cast("binary")), 1, 13), 16, 10).cast("long")
+
   def bootstrapCells(j: DataFrame, reps: Int = 32): DataFrame = {
     val thr = poissonThresholds
     // Replicate hashes come from TWO digests per row, not reps digests:
@@ -3358,11 +3367,9 @@ object Relational {
     // noise the interval already carries dwarfs any higher-order dependence
     // effect. All arithmetic fits a long (a + 31·b < 2⁵⁷) and replays
     // bit-for-bit in SQL.
-    val P = 4503599627370449L
-    def h52(tag: String): Column =
-      conv(substring(md5(concat(lit(tag),
-        col("okey").cast("string")).cast("binary")), 1, 13), 16, 10).cast("long")
-    val withH = j.withColumn("h_a", h52("bootA_")).withColumn("h_b", h52("bootB_"))
+    val P = bootstrapP
+    val withH = j.withColumn("h_a", bootstrapH52("bootA_"))
+      .withColumn("h_b", bootstrapH52("bootB_"))
     // ONE pass, replicate index EXPLODED through a tiny codegen body —
     // not `reps` wide weight columns. The wide form (32 withColumns of a
     // 9-deep when-chain each, 66 aggregate expressions) blows the

@@ -18,9 +18,12 @@ statistic), compared against the committed "_sentinel" floor. A real
 MULTI-QUERY regression cannot inflate it the way it inflates the median
 got/floor ratio — but the sentinel runs through the same Spark engine, so
 an ENGINE-WIDE regression (codegen, scheduler, GC pressure) slows it
-proportionally and loosens the floors with it; an implausibly high load
-factor is therefore flagged loudly below, and "the sentinel says 3x" on a
-machine you know is quiet means the ENGINE regressed, not the machine.
+proportionally and loosens the floors with it; a load factor beyond
+plausible co-tenant contention (> 2.5x) therefore FAILS the gate (exit 1,
+the run is ungateable — re-run quiet), because scaling every floor by it
+would wave through a uniform engine regression of the same size. "The
+sentinel says 3x" on a machine you know is quiet means the ENGINE
+regressed, not the machine.
 Artifacts without a sentinel (older rounds) fall back to the run's median
 got/floor ratio, which a broad regression partially masks (it still caught
 q199/q200 in round 15).
@@ -164,11 +167,18 @@ def main(bench_path: str, floor_path: str = "BENCH_FLOOR.json") -> int:
     if load > 1.1:
         print(f"NOTE uniform load factor {load:.2f}x via {anchor}; "
               "gate is differential")
-    if load > 2.5:
-        print(f"WARN load factor {load:.2f}x is beyond plausible co-tenant "
-              "contention for this box — either re-run on a quiet machine "
-              "or suspect an ENGINE-WIDE regression (the sentinel runs "
-              "through the same engine and cannot tell the two apart)")
+    implausible_load = load > 2.5
+    if implausible_load:
+        cause = ("the sentinel runs through the same engine and cannot tell "
+                 "machine load from an engine-wide regression"
+                 if "sentinel" in anchor.split("(")[0] else
+                 "the median ratio cannot tell machine load from a broad "
+                 "multi-query regression")
+        print(f"SLOW _load_factor: {load:.2f}x is beyond plausible co-tenant "
+              f"contention for this box — re-run on a quiet machine; {cause}. "
+              "This run CANNOT gate (exit 1): scaling every floor by "
+              f"{load:.2f}x would wave through a uniform regression of the "
+              "same size")
     bad = []
     for name, f in sorted(floor.items()):
         got = lookup(name)
@@ -187,8 +197,10 @@ def main(bench_path: str, floor_path: str = "BENCH_FLOOR.json") -> int:
     for extra in sorted(set(bench) - floor_keys):
         print(f"WARN {extra}: in bench run but absent from {floor_path} "
               "(no regression gate)")
-    print(f"\n{len(floor) - len(bad)} ok, {len(bad)} regressed")
-    return 1 if bad else 0
+    print(f"\n{len(floor) - len(bad)} ok, {len(bad)} regressed" +
+          (" (AND load factor implausible — ungateable run)"
+           if implausible_load else ""))
+    return 1 if bad or implausible_load else 0
 
 
 if __name__ == "__main__":

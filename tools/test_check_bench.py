@@ -147,18 +147,43 @@ def test_sentinel_anchor_flags_masked_regression():
     out = buf.getvalue()
     assert rc == 1, f"sentinel anchor must flag the 3x query:\n{out}"
     assert "SLOW q02_beta" in out and "SLOW q01_alpha" not in out, out
-    # the same artifact WITHOUT a sentinel falls back to the median anchor
-    # and the regression masks itself — the contrast that makes the
-    # sentinel load-bearing, pinned so a future refactor can't drop it
+    # the same artifact WITHOUT a sentinel falls back to the median anchor:
+    # the 4.4x query inflates the median to 2.95x, which masks the
+    # PER-QUERY flag — but 2.95x is past the implausible-load bound, so
+    # the run still exits 1 as UNGATEABLE rather than silently green. The
+    # sentinel gives the precise per-query diagnosis; the bound is the
+    # fallback's backstop.
     art2 = tmpfile('{"metric":"total","value":5.90,"unit":"sec",'
                    '"queries":{"q01":1.50,"q02":4.40},"sf":"/tmp/sf"}\n')
     buf2 = io.StringIO()
     with redirect_stdout(buf2):
         rc2 = gate(art2, floor)
-    assert rc2 == 0, ("median fallback is expected to mask this shape "
-                      "(documented weakness): " + buf2.getvalue())
-    print("ok  sentinel anchor flags a 3x regression under uniform 1.5x load"
-          " (median fallback masks it)")
+    out2 = buf2.getvalue()
+    assert rc2 == 1 and "ungateable" in out2 and "SLOW q02_beta" not in out2, \
+        ("median fallback should mask the per-query flag but fail as "
+         "ungateable load: " + out2)
+    print("ok  sentinel anchor flags the 3x query precisely; the no-sentinel"
+          " fallback masks the query but fails on the implausible-load bound")
+
+
+def test_implausible_load_fails_gate():
+    # a 3x sentinel-implied load is beyond plausible co-tenant contention:
+    # scaling every floor by it would wave through a uniform engine-wide
+    # regression of the same size, so the gate must exit 1 even when every
+    # query is "within" its (tripled) adjusted floor
+    import io
+    from contextlib import redirect_stdout
+    from check_bench import main as gate
+    floor = tmpfile(json.dumps({"q01_alpha": 1.0, "_sentinel": 0.40}))
+    art = tmpfile('{"metric":"total","value":3.00,"unit":"sec",'
+                  '"sentinel":1.20,"queries":{"q01":3.00},"sf":"/x"}\n')
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = gate(art, floor)
+    out = buf.getvalue()
+    assert rc == 1 and "ungateable" in out, out
+    print("ok  implausible load factor (3x) fails the gate instead of "
+          "scaling floors past a uniform regression")
 
 
 def test_sentinel_fallback_without_floor():
@@ -188,5 +213,6 @@ if __name__ == "__main__":
     test_normalize_full_format_passthrough()
     test_queries_in_pointer_terminal_tier()
     test_sentinel_anchor_flags_masked_regression()
+    test_implausible_load_fails_gate()
     test_sentinel_fallback_without_floor()
     print("all load_line format tests passed")
