@@ -512,13 +512,39 @@ object Io {
     * stage-count guard can see. For client-server engines the lock is
     * merely a per-JVM narrowing (other processes can still write — there
     * the engine's own MERGE/conflict detection is the contract); it never
-    * changes semantics, only removes in-process merge overlap. Entries are
-    * one monitor Object per distinct (url, table) ever merged — bounded by
-    * the set of dim tables, not by call count. */
-  private val mergeLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
-  private def mergeLock(url: String, table: String): Object =
-    mergeLocks.computeIfAbsent(url + "\u0000" + table, _ => new Object)
+    * changes semantics, only removes in-process merge overlap.
+    *
+    * Lock lifetime: values are WEAK references, so a (url, table) entry
+    * lives exactly as long as some thread holds (or queues on) its
+    * monitor — callers with rotating URLs (JdbcSoak's per-round temp DBs,
+    * any per-epoch temp path) no longer grow the map monotonically in a
+    * long-lived process (round-16 ADVICE #3). Correctness holds because a
+    * monitor is only replaced after it becomes weakly reachable, i.e. no
+    * thread is inside or blocked on `synchronized(it)` (any such thread
+    * keeps a strong stack reference); the strong handle is captured
+    * ATOMICALLY inside compute() so two concurrent callers can never
+    * observe different monitors for one key. Cleared entries are purged
+    * opportunistically once the map exceeds a small watermark. */
+  private val mergeLocks = new java.util.concurrent.ConcurrentHashMap[
+    String, java.lang.ref.WeakReference[Object]]()
+  private def mergeLock(url: String, table: String): Object = {
+    val key = url + "\u0000" + table
+    val holder = new Array[Object](1)
+    mergeLocks.compute(key, (_, old) => {
+      val existing = if (old != null) old.get() else null
+      if (existing != null) { holder(0) = existing; old }
+      else {
+        val fresh = new Object
+        holder(0) = fresh
+        new java.lang.ref.WeakReference[Object](fresh)
+      }
+    })
+    if (mergeLocks.size() > 64) {
+      val it = mergeLocks.entrySet().iterator()
+      while (it.hasNext) if (it.next().getValue.get() == null) it.remove()
+    }
+    holder(0)
+  }
 
   /** The [[upsertDimJdbc]] POST-COMMIT durability verify, on a FRESH
     * connection (factored out so the spec can drive both branches): every
@@ -680,8 +706,22 @@ object Io {
       // commits cannot clobber a waiter's fresh stage); the post-commit
       // verify below catches ANY residual loss class, e.g. cross-table
       // writers on the same database file.
+      //
+      // SCOPE (round-16 ADVICE #4): only EMBEDDED urls need the stage
+      // write under the lock — the clobbered-stage-CREATE class is a
+      // duckdb_jdbc storage-level artifact of two in-process commits
+      // overlapping. A client-server engine (Postgres/MySQL/Phoenix)
+      // provides real cross-transaction catalog isolation, and holding a
+      // JVM-wide lock across a whole DISTRIBUTED Spark stage write there
+      // would serialize concurrent upserts' full write throughput for no
+      // correctness gain — so those stage writes run OUTSIDE the lock (the
+      // pre-round-16 shape; the stage name is per-call unique, the write
+      // is mode(overwrite) and therefore retry-idempotent), and only the
+      // merge transaction + verify + drop serialize.
+      val embedded = url.startsWith("jdbc:duckdb:")
+      if (!embedded) batch.write.mode("overwrite").jdbc(url, stage, props)
       mergeLock(url, table).synchronized {
-        batch.write.mode("overwrite").jdbc(url, stage, props)
+        if (embedded) batch.write.mode("overwrite").jdbc(url, stage, props)
         val conn = connect(url, props)
         // Once conn.commit() returns the batch is durably in the live table
         // and no CLEANUP after that point may fail the retried op: a

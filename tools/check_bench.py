@@ -155,12 +155,14 @@ def main(bench_path: str, floor_path: str = "BENCH_FLOOR.json") -> int:
     if isinstance(sent, (int, float)) and sent > 0 \
             and isinstance(sfloor, (int, float)) and sfloor > 0:
         load = max(1.0, sent / sfloor)
+        sentinel_anchored = True
         anchor = (f"sentinel {sent:.2f}s vs _sentinel floor {sfloor:.2f}s "
                   "(measured anchor)")
     else:
         ratios = [lookup(n) / f for n, f in floor.items()
                   if lookup(n) is not None and lookup(n) > 0]
         load = max(1.0, statistics.median(ratios)) if ratios else 1.0
+        sentinel_anchored = False
         anchor = ("median got/floor ratio — no sentinel in artifact or no "
                   "_sentinel floor; a broad regression can partially mask "
                   "itself under this anchor")
@@ -171,7 +173,7 @@ def main(bench_path: str, floor_path: str = "BENCH_FLOOR.json") -> int:
     if implausible_load:
         cause = ("the sentinel runs through the same engine and cannot tell "
                  "machine load from an engine-wide regression"
-                 if "sentinel" in anchor.split("(")[0] else
+                 if sentinel_anchored else
                  "the median ratio cannot tell machine load from a broad "
                  "multi-query regression")
         print(f"SLOW _load_factor: {load:.2f}x is beyond plausible co-tenant "
