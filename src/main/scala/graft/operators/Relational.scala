@@ -2527,7 +2527,8 @@ object Relational {
     * prefix rank ride ONE shuffle by user_id (two window specs, same
     * partitioning); slot frequencies are a slot-dim-sized broadcast — the
     * q122-axis control-plane argument. */
-  private[graft] def coActivityCandidates(sl: DataFrame, minCo: Long): DataFrame = {
+  private[graft] def coActivityCandidates(sl: DataFrame, minCo: Long,
+                                          nobcast: Boolean = false): DataFrame = {
     val slotFreq = sl.groupBy("slot_id").agg(count(lit(1)).as("sfq"))
     val byUser = Window.partitionBy("user_id")
     // persisted: the frame feeds BOTH self-join sides (without the cache
@@ -2567,11 +2568,13 @@ object Relational {
     // bytes and could really cost 1-1.6 GB near the threshold (round-13
     // ADVICE #2). SPARK_GRAFT_KCORE_NO_BCAST is the dev knob that forces
     // the fallback regime so its plan can be measured (VERDICT r13 #2);
-    // never set outside probes. The sys.props twin exists so ExecutedPlanSpec
-    // can prove its own invariants go red when the hint is stripped
-    // (env vars cannot be set in-process).
+    // never set outside probes. The `nobcast` parameter twin exists so
+    // ExecutedPlanSpec can prove its own invariants go red when the hint
+    // is stripped (env vars cannot be set in-process; a parameter, unlike
+    // the former sys.prop, cannot leak into a concurrent suite's plans on
+    // the shared session — round-16 ADVICE #2).
     val forceFallback = sys.env.contains("SPARK_GRAFT_KCORE_NO_BCAST") ||
-      sys.props.contains("graft.kcore.nobcast")
+      nobcast
     val hinted = !forceFallback && prefix.count() <= (1L << 23)
     val x = if (hinted) broadcast(prefix.as("x")) else prefix.as("x")
     // Fallback regime EXECUTED on dense-10x (VERDICT r13 #2; PLANS.md

@@ -1529,14 +1529,18 @@ object Similarity {
     * O(E) shuffle per round, bounded rounds, no window, per-round plan cut
     * (the Dedup.clusters discipline). Community sizes: one final groupBy. */
   def lpaCommunities(spark: SparkSession, dir: String, k: Int = 3,
-                     cap: Int = 2000, rounds: Int = 4): DataFrame = {
+                     cap: Int = 2000, rounds: Int = 4,
+                     nocut: Boolean = false): DataFrame = {
     val (e, edges) = knnEdges(spark, dir, k, cap)
     // the per-round plan cut is LOAD-BEARING (the q168 plan-chaining
     // re-analysis class: without it every round's join re-analyzes the
-    // whole chain and one giant plan executes at the end); the dev knob
-    // exists so ExecutedPlanSpec can red-prove exactly that shape
+    // whole chain and one giant plan executes at the end); the `nocut`
+    // dev parameter exists so ExecutedPlanSpec can red-prove exactly that
+    // shape — a PARAMETER, not a sys.prop, so a red-proof run cannot
+    // strip the cut out from under a concurrent suite on the shared
+    // session (round-16 ADVICE #2)
     def cut(d: DataFrame): DataFrame =
-      if (sys.props.contains("graft.lpa.nocut")) d
+      if (nocut) d
       else {
         d.persist(); d.count()
         spark.createDataFrame(d.rdd, d.schema)

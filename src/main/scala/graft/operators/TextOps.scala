@@ -2936,12 +2936,13 @@ object TextOps {
     * the running sum of gains (coverage gain IS the new-term count, so no
     * extra action). k is the mixing knob, source count the domain — both
     * control-plane small. */
-  def sourceSelect(spark: SparkSession, dir: String, k: Int = 4): DataFrame =
+  def sourceSelect(spark: SparkSession, dir: String, k: Int = 4,
+                   nopersist: Boolean = false): DataFrame =
     sourceSelectFrom(spark,
       docs(spark, dir)
         .select(col("source"), explode(distinctShinglesUdf(3)(col("text"))).as("term"))
         .distinct(),
-      k)
+      k, nopersist)
 
   /** The greedy max-coverage walk over an arbitrary (source, term) DISTINCT
     * frame — shared verbatim by the batch operator above and
@@ -2949,15 +2950,18 @@ object TextOps {
     * maintained first-seen shingle cells), so maintained ≡ batch is the
     * determinism of this one function. */
   private[graft] def sourceSelectFrom(spark: SparkSession, st0: DataFrame,
-                                      k: Int): DataFrame = {
+                                      k: Int,
+                                      nopersist: Boolean = false): DataFrame = {
     import spark.implicits._
     // the persist is LOAD-BEARING: it is what makes each greedy round
     // shingle-vocab-sized instead of a fresh corpus scan (scaladoc above);
-    // the dev knob lets ExecutedPlanSpec red-prove the re-scan shape.
+    // the `nopersist` dev parameter lets ExecutedPlanSpec red-prove the
+    // re-scan shape without a global sys.prop that could strip a
+    // concurrent suite's persist on the shared session (r16 ADVICE #2).
     // Only unpersist what THIS function persisted: with the knob set, st
     // aliases the caller's frame and dropping a cache the caller installed
     // would be the upsertDimJdbc cache-manager hazard (round-16 review #5)
-    val wePersist = !sys.props.contains("graft.sourcesel.nopersist")
+    val wePersist = !nopersist
     val st = if (wePersist) st0.persist() else st0
     val picks = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long, Long)]
     var coveredTotal = 0L

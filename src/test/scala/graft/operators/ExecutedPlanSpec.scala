@@ -76,13 +76,11 @@ class ExecutedPlanSpec extends SparkSuite {
       val hinted = finalPlan(Relational.coActivityCandidates(slCut, 26))
       assert(n(hinted, "BroadcastHashJoin") >= 1 && shuffles(hinted) == 2,
         s"the explicit hint must override the stats regime:\n$hinted")
-      sys.props("graft.kcore.nobcast") = "1"
-      val p = finalPlan(Relational.coActivityCandidates(slCut, 26))
+      val p = finalPlan(Relational.coActivityCandidates(slCut, 26, nobcast = true))
       assert(shuffles(p) > 2,
         s"unhinted plan should shuffle the pair stream (the round-13 4.6x flip); " +
           s"if this starts planning clean, re-evaluate the hint:\n$p")
     } finally {
-      sys.props.remove("graft.kcore.nobcast")
       saved.foreach { case (k, v) =>
         v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
     }
@@ -211,16 +209,16 @@ class ExecutedPlanSpec extends SparkSuite {
   }
 
   test("q175 LPA: stripping the per-round cut goes red (the plan-chaining shape)") {
-    sys.props("graft.lpa.nocut") = "1"
-    try {
-      val p = finalPlan(
-        Similarity.lpaCommunities(spark, sf001, k = 3, cap = 2000, rounds = 2))
-      assert(n(p, "BroadcastHashJoin") + n(p, "SortMergeJoin") >= 3 ||
-        shuffles(p) >= 2,
-        s"without the cut the final action must execute the chained rounds " +
-          s"(many joins/shuffles in ONE plan) — if this starts planning " +
-          s"clean, re-evaluate the cut:\n$p")
-    } finally sys.props.remove("graft.lpa.nocut")
+    // `nocut = true` is a call-site parameter (not a sys.prop), so a
+    // concurrent suite's lpaCommunities keeps its load-bearing cut
+    val p = finalPlan(
+      Similarity.lpaCommunities(spark, sf001, k = 3, cap = 2000, rounds = 2,
+        nocut = true))
+    assert(n(p, "BroadcastHashJoin") + n(p, "SortMergeJoin") >= 3 ||
+      shuffles(p) >= 2,
+      s"without the cut the final action must execute the chained rounds " +
+        s"(many joins/shuffles in ONE plan) — if this starts planning " +
+        s"clean, re-evaluate the cut:\n$p")
   }
 
   test("q181 greedy rounds ride the persisted shingle cache — no per-round corpus re-scan; stripping the persist goes red") {
@@ -246,19 +244,17 @@ class ExecutedPlanSpec extends SparkSuite {
       assert(n(p, "SortMergeJoin") == 0 && n(p, "CartesianProduct") == 0,
         s"coverage anti-join must broadcast at this scale:\n$p")
     }
-    // red-proof: with the persist stripped (dev knob) the rounds re-scan
-    // the corpus as TOP-LEVEL FileScans with no cache in sight — proving
-    // the green assertions above discriminate
-    sys.props("graft.sourcesel.nopersist") = "1"
-    try {
-      val red = capturePlans(want, atLeast = 2) {
-        graft.operators.TextOps.sourceSelect(spark, sf001, k = 3)
-      }
-      assert(red.exists(p => p.contains("FileScan parquet") &&
-        !p.contains("InMemoryTableScan")),
-        "unpersisted rounds should re-scan parquet (the regression shape); " +
-          "if this starts planning clean, re-evaluate the persist")
-    } finally sys.props.remove("graft.sourcesel.nopersist")
+    // red-proof: with the persist stripped (call-site parameter, so no
+    // concurrent suite loses ITS persist) the rounds re-scan the corpus
+    // as TOP-LEVEL FileScans with no cache in sight — proving the green
+    // assertions above discriminate
+    val red = capturePlans(want, atLeast = 2) {
+      graft.operators.TextOps.sourceSelect(spark, sf001, k = 3, nopersist = true)
+    }
+    assert(red.exists(p => p.contains("FileScan parquet") &&
+      !p.contains("InMemoryTableScan")),
+      "unpersisted rounds should re-scan parquet (the regression shape); " +
+        "if this starts planning clean, re-evaluate the persist")
   }
 
   test("q133 market basket: a-priori prune is a broadcast semi-join — no unpinned nested-loop") {
