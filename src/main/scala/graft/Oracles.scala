@@ -452,6 +452,89 @@ object Oracles {
        |SELECT query_id, neighbor_id, cast(rnk as int) AS rnk FROM s WHERE rnk <= 3""".stripMargin
   }
 
+  /** q204's oracle: recall@3 of the q33 IVF search against the q23 exact
+    * brute-force top-3 — the approximate side is ivfAnnSql's construction
+    * verbatim, the exact side is q23's with rnk <= 3, and recall is the
+    * per-query overlap / 3 (small-int division, exact in double on both
+    * engines). */
+  private val annRecallSql: String = {
+    val nprobe = 4
+    s"""WITH ${ivfRankCtes(k = 16, iters = 5)},
+       |assign AS (SELECT vec_id AS neighbor_id, cell FROM rank_all WHERE rn = 1),
+       |probe AS MATERIALIZED (SELECT vec_id AS query_id, cell FROM rank_all WHERE rn <= $nprobe AND vec_id < 10),
+       |cand AS (SELECT query_id, neighbor_id FROM probe JOIN assign USING (cell)
+       |  WHERE query_id <> neighbor_id),
+       |appr AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY list_cosine_similarity(qe.embedding, ne.embedding) DESC, neighbor_id) AS rnk
+       |  FROM cand JOIN embeddings qe ON qe.vec_id = cand.query_id
+       |  JOIN embeddings ne ON ne.vec_id = cand.neighbor_id) a WHERE rnk <= 3),
+       |exact AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rnk
+       |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < 10) e WHERE rnk <= 3)
+       |SELECT e.query_id, cast(count(a.neighbor_id) as bigint) AS hits,
+       |  cast(count(a.neighbor_id) as double) / cast(3 as double) AS recall
+       |FROM exact e LEFT JOIN appr a
+       |  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+       |GROUP BY 1""".stripMargin
+  }
+
+  /** q203's oracle: the integer-grid DoReMi walk replayed with unrolled
+    * round CTEs (the pcaPowerSql discipline). Same constants as
+    * TextOps.doremiWeights (G = 2²⁰, vocabCap 4095, η = ½ linear MWU,
+    * 8 rounds); ln only on exact integers; `//` ≡ Scala Long `/`
+    * (both truncate toward zero — pinned in OracleSemanticsSpec). */
+  private val doremiSql: String = {
+    val g = 1048576L
+    val lnGq = math.floor(math.log(g.toDouble) * g.toDouble).toLong
+    val rounds = 8
+    val iterCtes = (1 to rounds).map { r =>
+      s"""n$r AS MATERIALIZED (SELECT v, cast(sum(u.u * p.pq) as bigint) AS n
+         |  FROM p JOIN u${r - 1} u USING (source) GROUP BY 1),
+         |d$r AS (SELECT cast(sum(u) as bigint) AS d FROM u${r - 1}),
+         |lm$r AS MATERIALIZED (SELECT v,
+         |    cast(floor(ln(n::DOUBLE) * $g) as bigint)
+         |    - (SELECT cast(floor(ln(d::DOUBLE) * $g) as bigint) FROM d$r)
+         |    - $lnGq AS lmq FROM n$r),
+         |x$r AS MATERIALIZED (SELECT p2.source,
+         |    greatest(-(cast(sum(p2.c * lm.lmq) as bigint) // p2.td) - h.hq, 0) AS x
+         |  FROM p p2 JOIN lm$r lm USING (v) JOIN h USING (source)
+         |  GROUP BY p2.source, p2.td, h.hq),
+         |u$r AS MATERIALIZED (SELECT x.source,
+         |    (u.u * (${2 * g} + (x.x * $g) // greatest((SELECT max(x) FROM x$r), 1))) // ${2 * g} AS u
+         |  FROM u${r - 1} u JOIN x$r x USING (source))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH t AS (SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+       |  FROM documents),
+       |raw AS (SELECT source, tok, cast(count(*) as bigint) AS ct FROM t GROUP BY 1, 2),
+       |keep AS (SELECT tok FROM (
+       |  SELECT tok, row_number() OVER (ORDER BY sum(ct) DESC, tok) AS rn
+       |  FROM raw GROUP BY tok) k WHERE rn <= 4095),
+       |cnt AS MATERIALIZED (SELECT source,
+       |    CASE WHEN k.tok IS NULL THEN '<unk>' ELSE raw.tok END AS v,
+       |    cast(sum(ct) as bigint) AS c
+       |  FROM raw LEFT JOIN keep k ON raw.tok = k.tok GROUP BY 1, 2),
+       |tot AS MATERIALIZED (SELECT source, cast(sum(c) as bigint) AS td FROM cnt GROUP BY 1),
+       |p AS MATERIALIZED (SELECT cnt.source, v, c, (c * $g) // td + 1 AS pq, td
+       |  FROM cnt JOIN tot USING (source)),
+       |h AS MATERIALIZED (SELECT source,
+       |    -(cast(sum(c * (cast(floor(ln(c::DOUBLE) * $g) as bigint)
+       |      - cast(floor(ln(td::DOUBLE) * $g) as bigint))) as bigint) // td) AS hq
+       |  FROM p GROUP BY source, td),
+       |u0 AS (SELECT source, $g::BIGINT AS u FROM tot),
+       |$iterCtes
+       |SELECT t.source, t.td AS t_tokens, h.hq AS entropy_q,
+       |  x$rounds.x AS excess_q, u$rounds.u AS weight_q,
+       |  cast(u$rounds.u as double)
+       |    / cast((SELECT cast(sum(u) as bigint) FROM u$rounds) as double) AS weight
+       |FROM tot t JOIN h USING (source) JOIN x$rounds USING (source)
+       |JOIN u$rounds USING (source)""".stripMargin
+  }
+
   /** q91's oracle: the IVF-PQ pipeline replayed in SQL — the coarse chain
     * (ivfRankCtes), per-cell residuals (differences of grid integers), 8
     * residual-codebook k-means chains (3 Lloyd rounds each, named b/r to
@@ -755,6 +838,32 @@ object Oracles {
     "q91_ivf_pq" -> ivfPqSql,
 
     "q33_ivf_ann" -> ivfAnnSql,
+
+    "q204_ann_recall" -> annRecallSql,
+
+    "q203_doremi_weights" -> doremiSql,
+
+    // q205 (zipfTail): Hill tail-index per source over the top-64 token
+    // counts — ln only on exact integer counts (q103 idiom), the rank-m
+    // count is the top set's min (count-desc ranking), one truncating
+    // division, and the double is a 2²⁰ power-of-2 rescale (IEEE-exact).
+    "q205_zipf_tail" ->
+      """WITH t AS (SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+        |  FROM documents),
+        |c AS (SELECT source, token, count(*) AS ct FROM t GROUP BY 1, 2),
+        |n AS (SELECT source, count(*) AS n_terms FROM c GROUP BY 1),
+        |r AS (SELECT source, ct, token,
+        |    row_number() OVER (PARTITION BY source ORDER BY ct DESC, token) AS rnk FROM c),
+        |top AS (SELECT source, cast(floor(ln(ct::DOUBLE) * 1048576) as bigint) AS lnq
+        |  FROM r WHERE rnk <= 64),
+        |a AS (SELECT source, count(*) AS m_used,
+        |    cast(sum(lnq) - count(*) * min(lnq) as bigint) AS tail_sum_q
+        |  FROM top GROUP BY 1 HAVING count(*) >= 2)
+        |SELECT a.source, n.n_terms, cast(m_used as int) AS m_used, tail_sum_q,
+        |  cast((m_used - 1) * 1099511627776 // greatest(tail_sum_q, 1) as bigint) AS alpha_q,
+        |  cast(cast((m_used - 1) * 1099511627776 // greatest(tail_sum_q, 1) as bigint) as double)
+        |    / cast(1048576 as double) AS alpha
+        |FROM a JOIN n USING (source)""".stripMargin,
 
     "q108_kmeans_assign" ->
       (kmeansSql(k = 8, iters = 4) + "\nSELECT vec_id, cid, dist FROM assign"),

@@ -232,6 +232,9 @@ object SparkEntry {
     "q200_facility_location" -> ((s, d) => Similarity.facilityLocation(s, d)),
     "q201_bh_fdr"           -> ((s, d) => TextOps.bhFdr(s, d)),
     "q202_power_mde"        -> ((s, d) => TextOps.powerMde(s, d)),
+    "q203_doremi_weights"   -> ((s, d) => TextOps.doremiWeights(s, d)),
+    "q204_ann_recall"       -> ((s, d) => Similarity.annRecall(s, d)),
+    "q205_zipf_tail"        -> ((s, d) => TextOps.zipfTail(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

@@ -270,6 +270,34 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rnk"))
   }
 
+  /** ANN RECALL@K EVALUATION (q204) — the measurement that makes an ANN
+    * index trustworthy at scale: recall@3 of the [[ivfAnn]] probed search
+    * against the exact brute-force ground truth ([[knnBruteForce]]), per
+    * query. Every production ANN deployment gates on exactly this number
+    * (FAISS's `nprobe` tuning loop, the recall/latency Pareto curve);
+    * shipping an IVF index without it is flying blind — a recall
+    * regression from a bad centroid train or an undersized nprobe is
+    * invisible in the index's own output.
+    *
+    * Scale shape: the ground truth is ONE corpus scan against a BOUNDED
+    * broadcast query sample (the q23 shape — at 100 TB you evaluate on a
+    * fixed query panel, never all-pairs), the approximate side probes
+    * nprobe/k of the corpus as always, and the recall join is
+    * query-panel-sized (control plane). Evaluation cost is therefore one
+    * extra corpus scan per index build, amortized over its lifetime. */
+  def annRecall(spark: SparkSession, dir: String, k: Int = 16,
+                nprobe: Int = 4): DataFrame = {
+    val exact = knnBruteForce(spark, dir).filter(col("rnk") <= 3)
+      .select(col("query_id"), col("neighbor_id"))
+    val appr = ivfAnn(spark, dir, k, nprobe)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    exact.join(appr, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(col("hit")).as("hits"))
+      .select(col("query_id"), col("hits"),
+        (col("hits").cast("double") / lit(3.0d)).as("recall"))
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic deduplication of
     * the embedding corpus. Vectors are bucketed by the SAME integer-exact
     * coarse quantizer [[ivfAnn]] trains; within each cell, a vector with any

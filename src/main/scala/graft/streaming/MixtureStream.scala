@@ -177,6 +177,34 @@ object MixtureStream {
     TextOps.ksMatrixFromHist(
       Io.readDim(spark, histStore).select("source", "score", "ct"), bins)
 
+  /** q203 token-count cell store: additive (source, tok) unigram counts
+    * under the shared per-key epoch gate — the DoReMi walk's sufficient
+    * statistic. Same LM-count-table store class as q191's gram totals:
+    * vocabulary × source bounded, scalar-additive, replay-idempotent per
+    * cell. The vocab CAP deliberately does NOT live in the store (a
+    * capped store could not re-rank as late mass moves the global top-K);
+    * the cap is a read-time step of the shared walk, so maintained ≡
+    * batch stays definitional. */
+  def applyDoremiBatch(spark: SparkSession, delta: DataFrame,
+                       tokStore: String, epoch: Long): Unit =
+    mergeAdditive(spark,
+      delta
+        .select(col("source"), explode(TextFns.tokensCol(col("text"))).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("__dc"))
+        // composite (source, tok) key; U+0001 cannot occur in either side
+        .withColumn("k", concat_ws("\u0001", col("source"), col("tok"))),
+      tokStore, "k", Seq("ct" -> "__dc"), Seq("source", "tok"), epoch)
+
+  /** Current q203 mixture weights over everything absorbed — the batch
+    * MWU walk ([[TextOps.doremiFrom]]) fed the maintained counts: "what
+    * should the next training run's domain mixture be" re-answered
+    * continuously as ingest absorbs documents, no corpus re-scan. */
+  def readDoremi(spark: SparkSession, tokStore: String,
+                 vocabCap: Int = 4095, rounds: Int = 8): DataFrame =
+    TextOps.doremiFrom(spark,
+      Io.readDim(spark, tokStore).select("source", "tok", "ct"),
+      vocabCap, rounds)
+
   /** q191 count-table store: (source, term) gram totals — the LM
     * count-table class under the shared additive epoch gate. Chao1's
     * n₁/n₂ (hapax/dis counts) CANNOT be stored directly (a term crossing

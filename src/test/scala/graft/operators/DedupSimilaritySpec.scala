@@ -686,6 +686,29 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(again == ivf)
   }
 
+  test("annRecall: per-query hits equal an independent exact∩ivf recount; recall in [0,1]") {
+    val exact = Similarity.knnBruteForce(spark, sf001)
+      .filter(col("rnk") <= 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfAnn(spark, sf001)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = exact.groupBy(_._1).map { case (q, rows) =>
+      val hits = rows.count(ivf.contains).toLong
+      (q, hits, hits.toDouble / 3.0)
+    }.toSet
+    val got = Similarity.annRecall(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want, s"recall recount diverges:\n got  $got\n want $want")
+    assert(got.size == 10 && got.forall(r => r._3 >= 0.0 && r._3 <= 1.0))
+    // the metric must be able to move: the fixture's IVF at nprobe/k=4/16
+    // neither recovers everything nor nothing (else the gate can't see a
+    // recall regression)
+    val mean = got.toSeq.map(_._3).sum / got.size
+    assert(mean > 0.0 && mean < 1.0, s"degenerate fixture: mean recall $mean")
+  }
+
   test("approxDistinctDaily stays within HLL tolerance of the exact count") {
     // the query is now self-checking (emits uv_exact + an approx_ok flag the
     // oracle pins): assert the flag is true everywhere and the exact column

@@ -1710,4 +1710,101 @@ class TextOpsSpec extends SparkSuite {
     assert(!winLines.head.contains("term#"),
       s"the Window must never sort the term table:\n${winLines.head}")
   }
+
+  // ---- shared integer-grid helpers for the q203/q205 driver replays ----
+  private val Grid = 1048576L
+  private def lnq(x: Long): Long =
+    math.floor(math.log(x.toDouble) * Grid.toDouble).toLong
+  private def driverTokens(spark: org.apache.spark.sql.SparkSession, dir: String)
+  : Seq[(String, String)] = {
+    val tok = "[a-z0-9]+".r
+    graft.Tables.load(spark, dir, "documents")
+      .select("source", "text").collect().toSeq
+      .flatMap(r => tok.findAllIn(r.getString(1).toLowerCase).map(r.getString(0) -> _))
+  }
+
+  test("zipfTail: matches a driver Hill-estimator replay on real docs") {
+    val counts = driverTokens(spark, sf0001)
+      .groupBy(identity).map { case ((s, t), xs) => (s, t, xs.size.toLong) }.toSeq
+    val want = counts.groupBy(_._1).map { case (src, rows) =>
+      val top = rows.sortBy { case (_, t, c) => (-c, t) }.take(64).map(_._3)
+      val lnqs = top.map(lnq)
+      val m = top.size
+      val sq = lnqs.sum - m * lnqs.min
+      val alphaQ = ((m - 1).toLong * Grid * Grid) / math.max(sq, 1L)
+      (src, rows.size.toLong, m, sq, alphaQ, alphaQ.toDouble / Grid.toDouble)
+    }.toSet
+    val got = TextOps.zipfTail(spark, sf0001).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5))).toSet
+    assert(got == want, s"Hill replay diverges:\n got  $got\n want $want")
+    // the estimator must discriminate: real sources are not all identical
+    assert(got.map(_._5).size > 1, "fixture must produce distinct tail indexes")
+  }
+
+  test("doremiWeights: matches a full driver MWU replay on real docs; weights positive, sum 1") {
+    val raw = driverTokens(spark, sf0001)
+      .groupBy(identity).map { case ((s, t), xs) => (s, t, xs.size.toLong) }.toSeq
+    // vocab cap replay (top 4095 by global count desc, token asc)
+    val keep = raw.groupBy(_._2).view.mapValues(_.map(_._3).sum).toSeq
+      .sortBy { case (t, g) => (-g, t) }.take(4095).map(_._1).toSet
+    val cnt = raw.map { case (s, t, c) => (s, if (keep(t)) t else "<unk>", c) }
+      .groupBy(r => (r._1, r._2)).map { case ((s, v), xs) => (s, v, xs.map(_._3).sum) }.toSeq
+    val td = cnt.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val pq = cnt.map { case (s, v, c) => (s, v, c, (c * Grid) / td(s) + 1) }
+    val hqM = cnt.groupBy(_._1).map { case (s, rows) =>
+      s -> -(rows.map { case (_, _, c) => c * (lnq(c) - lnq(td(s))) }.sum / td(s))
+    }
+    val domains = td.keys.toSeq.sorted
+    val byV = pq.groupBy(_._2)
+    var u = domains.map(_ -> Grid).toMap
+    var lastX = domains.map(_ -> 0L).toMap
+    val lnGq = lnq(Grid)
+    for (_ <- 1 to 8) {
+      val dsum = domains.map(u).sum
+      val lm = byV.map { case (v, rs) =>
+        v -> (lnq(rs.map(t => u(t._1) * t._4).sum) - lnq(dsum) - lnGq) }
+      val x = domains.map { d =>
+        val ce = -(pq.filter(_._1 == d).map { case (_, v, c, _) => c * lm(v) }.sum / td(d))
+        d -> math.max(0L, ce - hqM(d))
+      }.toMap
+      val xmax = math.max(1L, domains.map(x).max)
+      lastX = x
+      u = domains.map(d => d -> (u(d) * (2 * Grid + (x(d) * Grid) / xmax)) / (2 * Grid)).toMap
+    }
+    val usum = domains.map(u).sum
+    val want = domains.map(d =>
+      (d, td(d), hqM(d), lastX(d), u(d), u(d).toDouble / usum.toDouble)).toSet
+    val got = TextOps.doremiWeights(spark, sf0001).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5))).toSet
+    assert(got == want, s"MWU replay diverges:\n got  $got\n want $want")
+    val ws = got.toSeq.map(_._6)
+    assert(ws.forall(_ > 0.0) && math.abs(ws.sum - 1.0) < 1e-9,
+      s"weights must be a positive distribution, got $ws")
+  }
+
+  test("doremiWeights: the divergent domain is upweighted; vocab cap buckets the tail as <unk>") {
+    import spark.implicits._
+    // twin domains share one distribution; the third is concentrated
+    // elsewhere — Group-DRO must hand it the largest weight
+    val raw = Seq(
+      ("a", "x", 60L), ("a", "y", 30L), ("a", "z", 10L),
+      ("b", "x", 60L), ("b", "y", 30L), ("b", "z", 10L),
+      ("c", "q", 90L), ("c", "x", 10L)
+    ).toDF("source", "tok", "ct")
+    val got = TextOps.doremiFrom(spark, raw, vocabCap = 4095, rounds = 8)
+      .collect().map(r => r.getString(0) -> r.getDouble(5)).toMap
+    assert(got("c") > got("a") && got("c") > got("b"),
+      s"divergent domain must be upweighted: $got")
+    assert(got("a") == got("b"), s"identical twins must tie exactly: $got")
+    // cap = 1: only the globally-heaviest token ('x', 130 occurrences)
+    // survives; everything else buckets into <unk> — a and b stay
+    // identical under the bucketing, and the walk still runs
+    val capped = TextOps.doremiFrom(spark, raw, vocabCap = 1, rounds = 4)
+      .collect().map(r => r.getString(0) -> r.getDouble(5)).toMap
+    assert(capped("a") == capped("b"),
+      s"twins must tie under the <unk> bucketing too: $capped")
+    assert(math.abs(capped.values.sum - 1.0) < 1e-9)
+  }
 }

@@ -33,6 +33,7 @@ class MixtureStreamSpec extends SparkSuite {
   private type MRow = (String, Long, Double, Double, Double, Double, Option[Double], Boolean)
   private type NRow = (String, Int, Long, Long, Long, Long, Long, Long)
   private type VcRow = (Long, Long, Long, Long, Long, Long)
+  private type DRow = (String, Long, Long, Long, Long, Double)
 
   test("3-batch maintenance: q182 allocation and q181 selection equal the batch operators exactly") {
     val (av, sh) = (tmp("avail"), tmp("shingle"))
@@ -260,5 +261,23 @@ class MixtureStreamSpec extends SparkSuite {
       .select("source", "term").as[(String, String)].collect().toSet
     assert(readAvail(avB) == readAvail(avA), "avail must converge to the clean run")
     assert(readCells(shB) == readCells(shA), "cells must converge to the clean run")
+  }
+
+  test("3-batch maintenance: q203 DoReMi weights equal the batch operator exactly; replay no-op") {
+    val tok = tmp("doremi")
+    val bs = batches
+    bs.zipWithIndex.foreach { case (b, i) =>
+      MixtureStream.applyDoremiBatch(spark, b, tok, epoch = i.toLong)
+    }
+    assert(MixtureStream.readDoremi(spark, tok).as[DRow].collect().toSet ==
+      TextOps.doremiWeights(spark, sf001).as[DRow].collect().toSet,
+      "maintained q203 weights must equal the batch operator exactly")
+    // replay no-op on the token cells
+    val before = graft.io.Io.readDim(spark, tok)
+      .select("source", "tok", "ct").as[(String, String, Long)].collect().toSet
+    MixtureStream.applyDoremiBatch(spark, bs.last, tok, epoch = 2L)
+    assert(graft.io.Io.readDim(spark, tok)
+      .select("source", "tok", "ct").as[(String, String, Long)].collect().toSet == before,
+      "replayed epoch must not double-count the token cells")
   }
 }
