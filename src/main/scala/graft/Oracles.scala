@@ -435,41 +435,40 @@ object Oracles {
        |FROM pts p JOIN v$iters vit ON p.d = vit.d GROUP BY 1""".stripMargin
   }
 
+  /** The q33 IVF SEARCH chain on top of [[ivfRankCtes]]'s coarse ranking:
+    * corpus assignment, query-panel probes, candidate pairs, exact-cosine
+    * rerank — emits CTEs `assign`, `probe`, `cand`, `ivf_ranked(query_id,
+    * neighbor_id, rnk)`. Shared by q33's oracle and q204's recall oracle
+    * so a search change (nprobe, panel, tie-break) cannot silently
+    * diverge between them (round-17 self-review #5). */
+  private def ivfSearchCtes(nprobe: Int): String =
+    s"""assign AS (SELECT vec_id AS neighbor_id, cell FROM rank_all WHERE rn = 1),
+       |probe AS MATERIALIZED (SELECT vec_id AS query_id, cell FROM rank_all WHERE rn <= $nprobe AND vec_id < 10),
+       |cand AS (SELECT query_id, neighbor_id FROM probe JOIN assign USING (cell)
+       |  WHERE query_id <> neighbor_id),
+       |ivf_ranked AS (SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY list_cosine_similarity(qe.embedding, ne.embedding) DESC, neighbor_id) AS rnk
+       |  FROM cand JOIN embeddings qe ON qe.vec_id = cand.query_id
+       |  JOIN embeddings ne ON ne.vec_id = cand.neighbor_id)""".stripMargin
+
   /** q33's oracle: the integer-exact IVF pipeline replayed in SQL (same
     * k/iters/nprobe constants as Similarity.ivfAnn). */
-  private val ivfAnnSql: String = {
-    val nprobe = 4
+  private val ivfAnnSql: String =
     s"""WITH ${ivfRankCtes(k = 16, iters = 5)},
-       |assign AS (SELECT vec_id AS neighbor_id, cell FROM rank_all WHERE rn = 1),
-       |probe AS MATERIALIZED (SELECT vec_id AS query_id, cell FROM rank_all WHERE rn <= $nprobe AND vec_id < 10),
-       |cand AS (SELECT query_id, neighbor_id FROM probe JOIN assign USING (cell)
-       |  WHERE query_id <> neighbor_id),
-       |s AS (SELECT query_id, neighbor_id,
-       |    row_number() OVER (PARTITION BY query_id
-       |      ORDER BY list_cosine_similarity(qe.embedding, ne.embedding) DESC, neighbor_id) AS rnk
-       |  FROM cand JOIN embeddings qe ON qe.vec_id = cand.query_id
-       |  JOIN embeddings ne ON ne.vec_id = cand.neighbor_id)
-       |SELECT query_id, neighbor_id, cast(rnk as int) AS rnk FROM s WHERE rnk <= 3""".stripMargin
-  }
+       |${ivfSearchCtes(nprobe = 4)}
+       |SELECT query_id, neighbor_id, cast(rnk as int) AS rnk
+       |FROM ivf_ranked WHERE rnk <= 3""".stripMargin
 
   /** q204's oracle: recall@3 of the q33 IVF search against the q23 exact
-    * brute-force top-3 — the approximate side is ivfAnnSql's construction
-    * verbatim, the exact side is q23's with rnk <= 3, and recall is the
-    * per-query overlap / 3 (small-int division, exact in double on both
-    * engines). */
-  private val annRecallSql: String = {
-    val nprobe = 4
+    * brute-force top-3 — the approximate side is the SHARED
+    * [[ivfSearchCtes]] construction, the exact side is q23's with
+    * rnk <= 3, and recall is the per-query overlap / 3 (small-int
+    * division, exact in double on both engines). */
+  private val annRecallSql: String =
     s"""WITH ${ivfRankCtes(k = 16, iters = 5)},
-       |assign AS (SELECT vec_id AS neighbor_id, cell FROM rank_all WHERE rn = 1),
-       |probe AS MATERIALIZED (SELECT vec_id AS query_id, cell FROM rank_all WHERE rn <= $nprobe AND vec_id < 10),
-       |cand AS (SELECT query_id, neighbor_id FROM probe JOIN assign USING (cell)
-       |  WHERE query_id <> neighbor_id),
-       |appr AS (SELECT query_id, neighbor_id FROM (
-       |  SELECT query_id, neighbor_id,
-       |    row_number() OVER (PARTITION BY query_id
-       |      ORDER BY list_cosine_similarity(qe.embedding, ne.embedding) DESC, neighbor_id) AS rnk
-       |  FROM cand JOIN embeddings qe ON qe.vec_id = cand.query_id
-       |  JOIN embeddings ne ON ne.vec_id = cand.neighbor_id) a WHERE rnk <= 3),
+       |${ivfSearchCtes(nprobe = 4)},
+       |appr AS (SELECT query_id, neighbor_id FROM ivf_ranked WHERE rnk <= 3),
        |exact AS (SELECT query_id, neighbor_id FROM (
        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
        |    row_number() OVER (PARTITION BY q.vec_id
@@ -481,7 +480,6 @@ object Oracles {
        |FROM exact e LEFT JOIN appr a
        |  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
        |GROUP BY 1""".stripMargin
-  }
 
   /** q203's oracle: the integer-grid DoReMi walk replayed with unrolled
     * round CTEs (the pcaPowerSql discipline). Same constants as
@@ -842,6 +840,30 @@ object Oracles {
     "q204_ann_recall" -> annRecallSql,
 
     "q203_doremi_weights" -> doremiSql,
+
+    // q206 (pmiCollocations): top-64 bigram collocations by grid PMI —
+    // ln on products of exact integer counts, min-count floor 5, total
+    // (pmi_q DESC, bigram) order on the cut; the bigram list comprehension
+    // mirrors shinglesCol(toks, 2)
+    "q206_pmi_collocations" ->
+      """WITH t AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+        |uc AS (SELECT w, cast(count(*) as bigint) AS c
+        |  FROM (SELECT unnest(toks) AS w FROM t) u GROUP BY 1),
+        |n AS (SELECT cast(sum(c) as bigint) AS n FROM uc),
+        |bc AS (SELECT bg, cast(count(*) as bigint) AS ct FROM (
+        |  SELECT unnest([toks[i] || ' ' || toks[i + 1]
+        |    FOR i IN generate_series(1, greatest(len(toks) - 1, 0))]) AS bg FROM t) b
+        |  GROUP BY 1 HAVING count(*) >= 5),
+        |j AS (SELECT bg, ct, x.c AS cx, y.c AS cy
+        |  FROM bc JOIN uc x ON x.w = split_part(bg, ' ', 1)
+        |  JOIN uc y ON y.w = split_part(bg, ' ', 2)),
+        |s AS (SELECT bg AS bigram, ct, cx, cy,
+        |    cast(floor(ln((ct * n.n)::DOUBLE) * 1048576) as bigint)
+        |    - cast(floor(ln((cx * cy)::DOUBLE) * 1048576) as bigint) AS pmi_q
+        |  FROM j, n)
+        |SELECT bigram, ct, cx, cy, pmi_q,
+        |  cast(pmi_q as double) / cast(1048576 as double) AS pmi
+        |FROM s ORDER BY pmi_q DESC, bigram LIMIT 64""".stripMargin,
 
     // q205 (zipfTail): Hill tail-index per source over the top-64 token
     // counts — ln only on exact integer counts (q103 idiom), the rank-m

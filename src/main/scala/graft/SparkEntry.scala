@@ -235,6 +235,7 @@ object SparkEntry {
     "q203_doremi_weights"   -> ((s, d) => TextOps.doremiWeights(s, d)),
     "q204_ann_recall"       -> ((s, d) => Similarity.annRecall(s, d)),
     "q205_zipf_tail"        -> ((s, d) => TextOps.zipfTail(s, d)),
+    "q206_pmi_collocations" -> ((s, d) => TextOps.pmiCollocations(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

@@ -541,7 +541,17 @@ object Io {
     })
     if (mergeLocks.size() > 64) {
       val it = mergeLocks.entrySet().iterator()
-      while (it.hasNext) if (it.next().getValue.get() == null) it.remove()
+      while (it.hasNext) {
+        val e = it.next()
+        // VALUE-CONDITIONAL remove, never the iterator's remove(): the
+        // iterator removes by KEY, so between reading a cleared ref and
+        // removing it another thread could install (and be holding!) a
+        // fresh monitor under the same key — the unconditional remove
+        // would strand that live monitor and hand the next caller a
+        // different one, reopening the very overlap this lock closes
+        // (round-17 self-review #1)
+        if (e.getValue.get() == null) mergeLocks.remove(e.getKey, e.getValue)
+      }
     }
     holder(0)
   }

@@ -3173,6 +3173,64 @@ object TextOps {
         (col("alpha_q").cast("double") / lit(1048576.0d)).as("alpha"))
   }
 
+  /** PMI COLLOCATION MINING (q206) — [Church & Hanks, "Word association
+    * norms, mutual information, and lexicography", Comp. Ling. 1990; the
+    * phrase-detection pass of word2vec, Mikolov et al. 2013]: the corpus's
+    * top word-pair collocations by pointwise mutual information,
+    * PMI(x,y) = ln( c_xy·N / (c_x·c_y) ) — the global phrase dictionary a
+    * pipeline seeds tokenizer vocabularies and entity gazetteers from
+    * (q178's RAKE ranks phrases per document; this ranks pairs over the
+    * whole corpus). A min-count floor (c_xy ≥ 5, the standard rare-pair
+    * guard — PMI is maximized by hapax pairs without it) keeps the
+    * ranking statistical rather than noise.
+    *
+    * Integer-grid exact (the q103/q203 discipline): pmi_q =
+    * ⌊ln(c_xy·N)·2²⁰⌋ − ⌊ln(c_x·c_y)·2²⁰⌋ — ln on products of exact
+    * integer counts (exact in double while c_xy·N < 2⁵³; beyond that the
+    * int64→double rounding is itself IEEE-deterministic on both engines),
+    * and the top-64 cut is totally ordered by (pmi_q DESC, bigram).
+    *
+    * Scale shape: ONE corpus scan — the unigrams and the adjacent-pair
+    * shingles explode together as a TAGGED union into one partial-agged
+    * (tag, gram) count (same total shuffle volume as two separate aggs,
+    * half the corpus reads), persisted at vocab size so the unigram
+    * frame's three consumers (N, both join sides) read one
+    * materialization (the q203 branch-re-scan lesson, PLANS r17). The
+    * join back is vocab⋈vocab (never corpus-shaped), N is a 1-row
+    * broadcast, and the global top-64 is a TakeOrdered — no
+    * single-partition window anywhere. */
+  def pmiCollocations(spark: SparkSession, dir: String, minCount: Long = 5L,
+                      topK: Int = 64): DataFrame = {
+    val G = 1048576L
+    val tagged = docs(spark, dir)
+      .select(tokensCol(col("text")).as("toks"))
+      .select(explode(concat(
+        transform(col("toks"), t => struct(lit("u").as("tag"), t.as("g"))),
+        transform(shinglesCol(col("toks"), 2),
+          s => struct(lit("b").as("tag"), s.as("g"))))).as("x"))
+      .select(col("x.tag").as("tag"), col("x.g").as("g"))
+      .groupBy("tag", "g").agg(count(lit(1)).as("c"))
+      .persist()
+    val uni = tagged.filter(col("tag") === "u")
+      .select(col("g").as("w"), col("c"))
+    val n = uni.agg(sum(col("c")).as("n"))
+    val bi = tagged.filter(col("tag") === "b")
+      .select(col("g").as("bigram"), col("c").as("ct"))
+      .filter(col("ct") >= minCount)
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .withColumn("w2", split(col("bigram"), " ").getItem(1))
+    bi.join(uni.select(col("w").as("w1"), col("c").as("cx")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("cy")), Seq("w2"))
+      .crossJoin(broadcast(n))
+      .withColumn("pmi_q",
+        (floor(log((col("ct") * col("n")).cast("double")) * G) -
+          floor(log((col("cx") * col("cy")).cast("double")) * G)).cast("long"))
+      .orderBy(col("pmi_q").desc, col("bigram"))
+      .limit(topK)
+      .select(col("bigram"), col("ct"), col("cx"), col("cy"), col("pmi_q"),
+        (col("pmi_q").cast("double") / lit(1048576.0d)).as("pmi"))
+  }
+
   /** DOREMI DOMAIN REWEIGHTING (q203) — [Xie et al., "DoReMi: Optimizing
     * Data Mixtures Speeds Up Language Model Pretraining", NeurIPS 2023]:
     * compute per-domain mixture weights by iteratively UPWEIGHTING the
@@ -3249,6 +3307,15 @@ object TextOps {
     // same exact integer arithmetic the oracle replays — joining them in
     // Spark would re-reference the count subtree for zero data-plane gain
     val rows = cnt.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // everything below is driver-local, so the count cache can go now.
+    // Caller contract: doremiFrom releases the cache on the frame it was
+    // handed — callers must not rely on a pre-installed cache entry for
+    // the exact same plan (both current callers build fresh frames).
+    rawC.unpersist()
+    if (rows.isEmpty)
+      throw new IllegalArgumentException(
+        "doremiFrom: empty (source, tok, ct) frame — no domains to weight " +
+          "(an empty corpus has no mixture; check the input path/store)")
     val domains = rows.map(_._1).distinct.sorted
     val byDomain = rows.groupBy(_._1)
     val td = domains.map(d => d -> byDomain(d).map(_._3).sum).toMap

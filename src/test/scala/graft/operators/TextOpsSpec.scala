@@ -1742,6 +1742,31 @@ class TextOpsSpec extends SparkSuite {
     assert(got.map(_._5).size > 1, "fixture must produce distinct tail indexes")
   }
 
+  test("pmiCollocations: matches a driver PMI replay on real docs; min-count floor and total-order cut hold") {
+    val tok = "[a-z0-9]+".r
+    val docTokens = graft.Tables.load(spark, sf0001, "documents")
+      .select("text").collect().toSeq
+      .map(r => tok.findAllIn(r.getString(0).toLowerCase).toVector)
+    val uni = docTokens.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = uni.values.sum
+    val bi = docTokens.flatMap(ts => ts.zip(ts.drop(1)).map { case (a, b) => s"$a $b" })
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .filter(_._2 >= 5L)
+    val scored = bi.toSeq.map { case (bg, ct) =>
+      val Array(w1, w2) = bg.split(" ")
+      val pmiQ = lnq(ct * n) - lnq(uni(w1) * uni(w2))
+      (bg, ct, uni(w1), uni(w2), pmiQ, pmiQ.toDouble / Grid.toDouble)
+    }
+    val want = scored.sortBy { case (bg, _, _, _, pq, _) => (-pq, bg) }.take(64)
+    val got = TextOps.pmiCollocations(spark, sf0001).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5))).toSeq
+    assert(got.toSet == want.toSet, s"PMI replay diverges:\n got  $got\n want $want")
+    assert(got.nonEmpty && got.forall(_._2 >= 5L), "min-count floor must hold")
+    // PMI must discriminate (not all pairs tie) or the ranking is vacuous
+    assert(got.map(_._5).distinct.size > 1, "fixture must produce distinct PMI scores")
+  }
+
   test("doremiWeights: matches a full driver MWU replay on real docs; weights positive, sum 1") {
     val raw = driverTokens(spark, sf0001)
       .groupBy(identity).map { case ((s, t), xs) => (s, t, xs.size.toLong) }.toSeq
@@ -1806,5 +1831,10 @@ class TextOpsSpec extends SparkSuite {
     assert(capped("a") == capped("b"),
       s"twins must tie under the <unk> bucketing too: $capped")
     assert(math.abs(capped.values.sum - 1.0) < 1e-9)
+    // empty corpus fails by NAME, not with a bare empty.max crash
+    val ex = intercept[IllegalArgumentException] {
+      TextOps.doremiFrom(spark, raw.filter(lit(false)), vocabCap = 4095, rounds = 2)
+    }
+    assert(ex.getMessage.contains("no domains to weight"))
   }
 }
