@@ -257,6 +257,42 @@ class ExecutedPlanSpec extends SparkSuite {
         "if this starts planning clean, re-evaluate the persist")
   }
 
+  test("q203 DoReMi: the control-plane collect reads the persisted count frame — one corpus materialization, no branch re-scan") {
+    // round-17 PLANS: unpersisted, the branched cap/recount subtrees
+    // re-ran the corpus explode SIX times. The collect plan (identified
+    // by the '<unk>' bucketing literal) must read the cache for every
+    // count-frame reference; a FileScan may print only inside the
+    // InMemoryRelation definition (the cache's own build — the one
+    // corpus scan), never as a top-level operator.
+    // the AQE print wraps cache reads as TableCacheQueryStage and elides
+    // deep subtrees, so the robust invariant is the SCAN count: the whole
+    // collect plan may contain at most the ONE FileScan inside the cache
+    // definition — the unpersisted regression shape printed six
+    val plans = capturePlans(p => p.contains("<unk>") &&
+      (p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage")),
+      atLeast = 1) {
+      graft.operators.TextOps.doremiWeights(spark, sf001)
+    }
+    plans.foreach { p =>
+      assert(n(p, "FileScan parquet") <= 1,
+        s"at most one corpus scan (the cache build) may appear:\n$p")
+    }
+  }
+
+  test("q206 PMI: one tagged-explode materialization feeds all four count-frame consumers; global cut is a TakeOrdered") {
+    val p = finalPlan(graft.operators.TextOps.pmiCollocations(spark, sf001))
+    // the print elides deep broadcast subtrees, so pin the SCAN count:
+    // at most the one FileScan inside the cache definition may appear —
+    // a branch re-scan regression prints one per consumer
+    assert(n(p, "InMemoryTableScan") >= 1,
+      s"the count-frame consumers must read the one materialization:\n$p")
+    assert(n(p, "FileScan parquet") <= 1,
+      s"at most one corpus scan (the cache build) may appear:\n$p")
+    assert(n(p, "TakeOrdered") >= 1,
+      s"the global top-64 must be a TakeOrdered, not a single-partition " +
+        s"sort exchange:\n$p")
+  }
+
   test("q133 market basket: a-priori prune is a broadcast semi-join — no unpinned nested-loop") {
     val p = finalPlan(Relational.marketBasket(spark, sf001))
     // the single allowed BroadcastNestedLoopJoin is the 1-row totals frame
