@@ -3200,17 +3200,31 @@ object TextOps {
     * broadcast, and the global top-64 is a TakeOrdered — no
     * single-partition window anywhere. */
   def pmiCollocations(spark: SparkSession, dir: String, minCount: Long = 5L,
-                      topK: Int = 64): DataFrame = {
+                      topK: Int = 64): DataFrame =
+    pmiFrom(
+      docs(spark, dir)
+        .select(tokensCol(col("text")).as("toks"))
+        .select(explode(concat(
+          transform(col("toks"), t => struct(lit("u").as("tag"), t.as("g"))),
+          transform(shinglesCol(col("toks"), 2),
+            s => struct(lit("b").as("tag"), s.as("g"))))).as("x"))
+        .select(col("x.tag").as("tag"), col("x.g").as("g"))
+        .groupBy("tag", "g").agg(count(lit(1)).as("c")),
+      minCount, topK)
+
+  /** The PMI ranking over an arbitrary aggregated (tag, g, c) count frame
+    * — the shared read path for [[pmiCollocations]] and
+    * [[graft.streaming.MixtureStream]]'s maintained tagged-count store,
+    * so maintained ≡ batch is the determinism of this one function. The
+    * frame is persisted here (vocab-sized; four consumers), the top-K
+    * result is collected (control-plane bounded by construction), and
+    * the cache is released before returning — the [[doremiFrom]]
+    * discipline, so a long-lived maintained read loop never accumulates
+    * cache entries. */
+  private[graft] def pmiFrom(taggedCounts: DataFrame, minCount: Long,
+                             topK: Int): DataFrame = {
     val G = 1048576L
-    val tagged = docs(spark, dir)
-      .select(tokensCol(col("text")).as("toks"))
-      .select(explode(concat(
-        transform(col("toks"), t => struct(lit("u").as("tag"), t.as("g"))),
-        transform(shinglesCol(col("toks"), 2),
-          s => struct(lit("b").as("tag"), s.as("g"))))).as("x"))
-      .select(col("x.tag").as("tag"), col("x.g").as("g"))
-      .groupBy("tag", "g").agg(count(lit(1)).as("c"))
-      .persist()
+    val tagged = taggedCounts.persist()
     val uni = tagged.filter(col("tag") === "u")
       .select(col("g").as("w"), col("c"))
     val n = uni.agg(sum(col("c")).as("n"))
@@ -3219,7 +3233,8 @@ object TextOps {
       .filter(col("ct") >= minCount)
       .withColumn("w1", split(col("bigram"), " ").getItem(0))
       .withColumn("w2", split(col("bigram"), " ").getItem(1))
-    bi.join(uni.select(col("w").as("w1"), col("c").as("cx")), Seq("w1"))
+    val out = bi
+      .join(uni.select(col("w").as("w1"), col("c").as("cx")), Seq("w1"))
       .join(uni.select(col("w").as("w2"), col("c").as("cy")), Seq("w2"))
       .crossJoin(broadcast(n))
       .withColumn("pmi_q",
@@ -3229,6 +3244,14 @@ object TextOps {
       .limit(topK)
       .select(col("bigram"), col("ct"), col("cx"), col("cy"), col("pmi_q"),
         (col("pmi_q").cast("double") / lit(1048576.0d)).as("pmi"))
+    // the top-K dictionary is control-plane tiny: collect it, RELEASE the
+    // cache, return a local frame (the doremiFrom discipline) — a
+    // long-lived maintained read loop (MixtureStream.readPmi) must not
+    // accumulate one cache entry per read
+    val rows = out.collect()
+    val spark = taggedCounts.sparkSession
+    tagged.unpersist()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 
   /** DOREMI DOMAIN REWEIGHTING (q203) — [Xie et al., "DoReMi: Optimizing

@@ -205,6 +205,37 @@ object MixtureStream {
       Io.readDim(spark, tokStore).select("source", "tok", "ct"),
       vocabCap, rounds)
 
+  /** q206 tagged-count cell store: additive (tag, gram) unigram + bigram
+    * counts under the shared per-key epoch gate — the PMI ranking's
+    * sufficient statistic (both counts AND their total N are additive, so
+    * the whole collocation dictionary maintains incrementally). The
+    * min-count floor and the top-K cut stay READ-time steps of the shared
+    * walk: a stored cut could not admit a pair that crosses the floor as
+    * late batches accumulate its count. */
+  def applyPmiBatch(spark: SparkSession, delta: DataFrame,
+                    pmiStore: String, epoch: Long): Unit =
+    mergeAdditive(spark,
+      delta
+        .select(TextFns.tokensCol(col("text")).as("toks"))
+        .select(explode(concat(
+          transform(col("toks"), t => struct(lit("u").as("tag"), t.as("g"))),
+          transform(TextFns.shinglesCol(col("toks"), 2),
+            s => struct(lit("b").as("tag"), s.as("g"))))).as("x"))
+        .select(col("x.tag").as("tag"), col("x.g").as("g"))
+        .groupBy("tag", "g").agg(count(lit(1)).as("__dc"))
+        // composite (tag, gram) key; U+0001 cannot occur in either side
+        .withColumn("k", concat_ws("\u0001", col("tag"), col("g"))),
+      pmiStore, "k", Seq("c" -> "__dc"), Seq("tag", "g"), epoch)
+
+  /** Current q206 collocation dictionary over everything absorbed — the
+    * batch PMI ranking ([[TextOps.pmiFrom]]) fed the maintained tagged
+    * counts: the phrase dictionary re-ranked continuously as ingest
+    * absorbs documents, no corpus re-scan. */
+  def readPmi(spark: SparkSession, pmiStore: String, minCount: Long = 5L,
+              topK: Int = 64): DataFrame =
+    TextOps.pmiFrom(
+      Io.readDim(spark, pmiStore).select("tag", "g", "c"), minCount, topK)
+
   /** q191 count-table store: (source, term) gram totals — the LM
     * count-table class under the shared additive epoch gate. Chao1's
     * n₁/n₂ (hapax/dis counts) CANNOT be stored directly (a term crossing

@@ -280,17 +280,22 @@ class ExecutedPlanSpec extends SparkSuite {
   }
 
   test("q206 PMI: one tagged-explode materialization feeds all four count-frame consumers; global cut is a TakeOrdered") {
-    val p = finalPlan(graft.operators.TextOps.pmiCollocations(spark, sf001))
-    // the print elides deep broadcast subtrees, so pin the SCAN count:
-    // at most the one FileScan inside the cache definition may appear —
-    // a branch re-scan regression prints one per consumer
-    assert(n(p, "InMemoryTableScan") >= 1,
-      s"the count-frame consumers must read the one materialization:\n$p")
-    assert(n(p, "FileScan parquet") <= 1,
-      s"at most one corpus scan (the cache build) may appear:\n$p")
-    assert(n(p, "TakeOrdered") >= 1,
-      s"the global top-64 must be a TakeOrdered, not a single-partition " +
-        s"sort exchange:\n$p")
+    // pmiFrom collects the top-K internally (the doremiFrom leak-free
+    // discipline), so the pin captures the INTERNAL collect's executed
+    // plan — identified by the pmi_q alias. The print elides deep
+    // broadcast subtrees, so pin the SCAN count: at most the one FileScan
+    // inside the cache definition may appear — a branch re-scan
+    // regression prints one per consumer
+    val plans = capturePlans(p => p.contains("pmi_q") &&
+      p.contains("TakeOrdered"), atLeast = 1) {
+      graft.operators.TextOps.pmiCollocations(spark, sf001)
+    }
+    plans.foreach { p =>
+      assert(n(p, "InMemoryTableScan") >= 1,
+        s"the count-frame consumers must read the one materialization:\n$p")
+      assert(n(p, "FileScan parquet") <= 1,
+        s"at most one corpus scan (the cache build) may appear:\n$p")
+    }
   }
 
   test("q133 market basket: a-priori prune is a broadcast semi-join — no unpinned nested-loop") {

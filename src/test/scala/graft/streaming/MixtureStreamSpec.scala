@@ -34,6 +34,7 @@ class MixtureStreamSpec extends SparkSuite {
   private type NRow = (String, Int, Long, Long, Long, Long, Long, Long)
   private type VcRow = (Long, Long, Long, Long, Long, Long)
   private type DRow = (String, Long, Long, Long, Long, Double)
+  private type PmiRow = (String, Long, Long, Long, Long, Double)
 
   test("3-batch maintenance: q182 allocation and q181 selection equal the batch operators exactly") {
     val (av, sh) = (tmp("avail"), tmp("shingle"))
@@ -261,6 +262,24 @@ class MixtureStreamSpec extends SparkSuite {
       .select("source", "term").as[(String, String)].collect().toSet
     assert(readAvail(avB) == readAvail(avA), "avail must converge to the clean run")
     assert(readCells(shB) == readCells(shA), "cells must converge to the clean run")
+  }
+
+  test("3-batch maintenance: q206 PMI collocations equal the batch operator exactly; replay no-op") {
+    val pmi = tmp("pmi")
+    val bs = batches.map(_.select("text"))
+    bs.zipWithIndex.foreach { case (b, i) =>
+      MixtureStream.applyPmiBatch(spark, b, pmi, epoch = i.toLong)
+    }
+    assert(MixtureStream.readPmi(spark, pmi).as[PmiRow].collect().toSet ==
+      TextOps.pmiCollocations(spark, sf001).as[PmiRow].collect().toSet,
+      "maintained q206 collocations must equal the batch operator exactly")
+    // replay no-op on the tagged count cells
+    val before = graft.io.Io.readDim(spark, pmi)
+      .select("tag", "g", "c").as[(String, String, Long)].collect().toSet
+    MixtureStream.applyPmiBatch(spark, bs.last, pmi, epoch = 2L)
+    assert(graft.io.Io.readDim(spark, pmi)
+      .select("tag", "g", "c").as[(String, String, Long)].collect().toSet == before,
+      "replayed epoch must not double-count the tagged cells")
   }
 
   test("3-batch maintenance: q203 DoReMi weights equal the batch operator exactly; replay no-op") {
