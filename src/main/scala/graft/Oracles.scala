@@ -460,15 +460,18 @@ object Oracles {
        |SELECT query_id, neighbor_id, cast(rnk as int) AS rnk
        |FROM ivf_ranked WHERE rnk <= 3""".stripMargin
 
-  /** q204's oracle: recall@3 of the q33 IVF search against the q23 exact
-    * brute-force top-3 — the approximate side is the SHARED
-    * [[ivfSearchCtes]] construction, the exact side is q23's with
-    * rnk <= 3, and recall is the per-query overlap / 3 (small-int
-    * division, exact in double on both engines). */
-  private val annRecallSql: String =
-    s"""WITH ${ivfRankCtes(k = 16, iters = 5)},
-       |${ivfSearchCtes(nprobe = 4)},
-       |appr AS (SELECT query_id, neighbor_id FROM ivf_ranked WHERE rnk <= 3),
+  /** The shared RECALL@3 frame over any approximate-search statement
+    * emitting (query_id, neighbor_id[, …]) rows for the vec_id < 10
+    * panel: exact side is q23's brute force with rnk <= 3, recall is the
+    * per-query overlap / 3 (small-int division, exact in double on both
+    * engines). The approximate statement nests as a derived table
+    * (DuckDB scopes its WITH chain locally), so the q33 and q91 oracle
+    * constructions are consumed VERBATIM — an index change cannot
+    * silently diverge from its recall gate. */
+  private def recallSql(apprBody: String): String =
+    s"""WITH appr AS (SELECT query_id, neighbor_id FROM (
+       |$apprBody
+       |) appr_sub),
        |exact AS (SELECT query_id, neighbor_id FROM (
        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
        |    row_number() OVER (PARTITION BY q.vec_id
@@ -480,6 +483,15 @@ object Oracles {
        |FROM exact e LEFT JOIN appr a
        |  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
        |GROUP BY 1""".stripMargin
+
+  /** q204's oracle: recall@3 of the q33 IVF search against the q23 exact
+    * brute-force top-3 — the approximate side is ivfAnnSql verbatim. */
+  private val annRecallSql: String = recallSql(ivfAnnSql)
+
+  /** q207's oracle: recall@3 of the q91 IVF-PQ search (ADC over the
+    * product-quantized codes) against the same exact ground truth — the
+    * approximate side is ivfPqSql verbatim. */
+  private lazy val pqRecallSql: String = recallSql(ivfPqSql)
 
   /** q203's oracle: the integer-grid DoReMi walk replayed with unrolled
     * round CTEs (the pcaPowerSql discipline). Same constants as
@@ -838,6 +850,8 @@ object Oracles {
     "q33_ivf_ann" -> ivfAnnSql,
 
     "q204_ann_recall" -> annRecallSql,
+
+    "q207_pq_recall" -> pqRecallSql,
 
     "q203_doremi_weights" -> doremiSql,
 

@@ -236,6 +236,7 @@ object SparkEntry {
     "q204_ann_recall"       -> ((s, d) => Similarity.annRecall(s, d)),
     "q205_zipf_tail"        -> ((s, d) => TextOps.zipfTail(s, d)),
     "q206_pmi_collocations" -> ((s, d) => TextOps.pmiCollocations(s, d)),
+    "q207_pq_recall"        -> ((s, d) => Similarity.pqRecall(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

@@ -286,12 +286,30 @@ object Similarity {
     * query-panel-sized (control plane). Evaluation cost is therefore one
     * extra corpus scan per index build, amortized over its lifetime. */
   def annRecall(spark: SparkSession, dir: String, k: Int = 16,
-                nprobe: Int = 4): DataFrame = {
+                nprobe: Int = 4): DataFrame =
+    recallAgainstExact(spark, dir,
+      ivfAnn(spark, dir, k, nprobe).select("query_id", "neighbor_id"))
+
+  /** PQ RECALL@K EVALUATION (q207) — the QUANTIZATION companion of
+    * [[annRecall]]: recall@3 of the [[ivfPq]] ADC search (8-subspace
+    * product codes, ~16× vector compression on top of the same coarse
+    * probing) against the identical exact ground truth. Together with
+    * q204 this is the recall/compression Pareto a deployment actually
+    * tunes: IVF pays only the probe-miss recall loss, IVF-PQ adds the
+    * code-distortion loss — this query measures that delta on the same
+    * panel, same k, same tie-breaks. Scale shape identical to q204. */
+  def pqRecall(spark: SparkSession, dir: String): DataFrame =
+    recallAgainstExact(spark, dir,
+      ivfPq(spark, dir).select("query_id", "neighbor_id"))
+
+  /** Shared recall@3 frame: per-query overlap of an approximate top-3
+    * (query_id, neighbor_id) result with the exact brute-force top-3. */
+  private def recallAgainstExact(spark: SparkSession, dir: String,
+                                 appr: DataFrame): DataFrame = {
     val exact = knnBruteForce(spark, dir).filter(col("rnk") <= 3)
       .select(col("query_id"), col("neighbor_id"))
-    val appr = ivfAnn(spark, dir, k, nprobe)
-      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
-    exact.join(appr, Seq("query_id", "neighbor_id"), "left")
+    exact.join(appr.withColumn("hit", lit(1)),
+        Seq("query_id", "neighbor_id"), "left")
       .groupBy("query_id")
       .agg(count(col("hit")).as("hits"))
       .select(col("query_id"), col("hits"),

@@ -709,6 +709,26 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(mean > 0.0 && mean < 1.0, s"degenerate fixture: mean recall $mean")
   }
 
+  test("pqRecall: per-query hits equal an independent exact∩ivfPq recount; quantization can only lose vs the probe set") {
+    val exact = Similarity.knnBruteForce(spark, sf001)
+      .filter(col("rnk") <= 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.ivfPq(spark, sf001)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = exact.groupBy(_._1).map { case (q, rows) =>
+      val hits = rows.count(pq.contains).toLong
+      (q, hits, hits.toDouble / 3.0)
+    }.toSet
+    val got = Similarity.pqRecall(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want, s"pq recall recount diverges:\n got  $got\n want $want")
+    assert(got.size == 10 && got.forall(r => r._3 >= 0.0 && r._3 <= 1.0))
+    val mean = got.toSeq.map(_._3).sum / got.size
+    assert(mean > 0.0, s"degenerate fixture: pq finds nothing ($mean)")
+  }
+
   test("approxDistinctDaily stays within HLL tolerance of the exact count") {
     // the query is now self-checking (emits uv_exact + an approx_ok flag the
     // oracle pins): assert the flag is true everywhere and the exact column
