@@ -273,10 +273,15 @@ object Relational {
     * the join's partitioning. */
   def saltedJoin(spark: SparkSession, dir: String, salts: Int = 8): DataFrame = {
     val l = t(spark, dir, "lineitem")
+      // project to the 3 consumed columns BEFORE the salt/exchange (guide
+      // §2.3 insurance — don't rely on pruning through the explode) …
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
       // deterministic uniform salt from stable row identity (NOT rand(): a
       // task retry must re-derive the same salt or rows are lost/duplicated)
       .withColumn("salt", pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(salts.toLong)))
     val o = t(spark, dir, "orders")
+      // … and the ×salts replica carries 2 columns, not all 9 of orders
+      .select(col("o_orderkey"), col("o_orderpriority"))
       .withColumn("salt", explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
     l.join(o, col("l_orderkey") === col("o_orderkey") && l("salt") === o("salt"))
       .groupBy("o_orderpriority")
@@ -2611,6 +2616,67 @@ object Relational {
       .select("a", "b")
   }
 
+  /** Ordered integer-recursion walks for q151/q152/q166 (and the TextOps
+    * q190 twin) — one O(n) Scala pass per group over the sorted,
+    * time-axis-bounded `collect_list` array. These REPLACE Catalyst
+    * `aggregate(..., array_append(acc.out, …))` folds: `array_append`
+    * copies the accumulated output array once per element, making the
+    * fold O(n²) in the series length — invisible at sf0.1 (n ≈ 720
+    * hours) and caught by the round-17 10× scale sweep (q152 0.74 →
+    * 18.8 s, q166 0.65 → 23.8 s when the day range grew 10×; the q169
+    * "green at small scale, scales with rows" class). The recursions are
+    * the same scaled-integer arithmetic — Scala Long `/` truncates
+    * toward zero exactly like Spark's `div` and DuckDB's `//` (the q166
+    * negative-trend convention), so outputs are bit-identical and the
+    * oracles are untouched. Groups are control-plane sized (event types /
+    * one life table), so a per-group closure is the mmrRerank budget
+    * class, not a per-row UDF on the corpus path. */
+  private case class EwmaStep(hour: String, ct: Long, prev: Long, s: Long)
+  private[graft] val ewmaWalkUdf =
+    udf { rows: Seq[org.apache.spark.sql.Row] =>
+      var s = -1L
+      rows.map { r =>
+        val ct = r.getLong(1)
+        val prev = s
+        s = if (s < 0L) ct * 1048576L else (ct * 1048576L + 3L * s) / 4L
+        EwmaStep(r.getString(0), ct, prev, s)
+      }
+    }
+
+  private case class HoltStep(hour: String, ct: Long, n: Long, fc: Long,
+                              l: Long, b: Long)
+  private[graft] val holtWalkUdf =
+    udf { rows: Seq[org.apache.spark.sql.Row] =>
+      var n = 0L; var l = 0L; var b = 0L
+      rows.map { r =>
+        val ct = r.getLong(1)
+        val out = if (n == 0L) {
+          l = ct * 1048576L; b = 0L
+          HoltStep(r.getString(0), ct, 0L, 0L, l, b)
+        } else {
+          val fc = l + b
+          val nl = (ct * 1048576L + 3L * (l + b)) / 4L
+          val nb = (nl - l + 3L * b) / 4L
+          val step = HoltStep(r.getString(0), ct, n, fc, nl, nb)
+          l = nl; b = nb
+          step
+        }
+        n += 1L
+        out
+      }
+    }
+
+  private case class KmStep(dur: Long, p: Long)
+  private[graft] val kmWalkUdf =
+    udf { rows: Seq[org.apache.spark.sql.Row] =>
+      var p = 1099511627776L
+      rows.map { r =>
+        val d = r.getLong(1); val n = r.getLong(2)
+        p = (p * (n - d)) / n
+        KmStep(r.getLong(0), p)
+      }
+    }
+
   /** EWMA BURST DETECTION (q152) — the exponentially-weighted control chart
     * next to q138's fixed-window z-score: per event type, an EWMA of the
     * hourly count with α = 1/4 folds over the q122 gap-filled grid (zeros
@@ -2626,23 +2692,21 @@ object Relational {
     * Scale shape: the corpus contributes one partial-agged (type, hour)
     * count; the fold runs per type over the TIME-bounded dense axis (a
     * `collect_list` whose size is the hour range, not the data volume —
-    * the q151/q110 control-plane convention), in parallel across types. */
+    * the q151/q110 control-plane convention), in parallel across types.
+    *
+    * The walk itself is a per-group Scala loop (the mmrRerank bounded-
+    * control-plane UDF class), NOT a Catalyst `aggregate` fold building
+    * `out` via `array_append`: that fold copies the accumulated output
+    * array once per element — O(n²) in the hour range. The r17 10× sweep
+    * measured it: 0.74 s at sf0.1 → 18.8 s at 10× the day range (25×,
+    * quadratic in the time axis — the q169 "green at sf0.1, scales with
+    * rows" class). Same integer recursion, same truncating division
+    * (Scala Long `/` ≡ Spark `div` toward zero), bit-identical output. */
   def ewmaBurst(spark: SparkSession, dir: String): DataFrame = {
     val grid = gapFillHourly(spark, dir).select("event_type", "hour", "ct")
     grid.groupBy("event_type")
       .agg(sort_array(collect_list(struct(col("hour"), col("ct")))).as("rows"))
-      .select(col("event_type"), explode(expr(
-        """aggregate(rows,
-          |  named_struct('s', -1L,
-          |    'out', cast(array() as array<struct<hour:string,ct:bigint,prev:bigint,s:bigint>>)),
-          |  (acc, r) -> named_struct(
-          |    's', CASE WHEN acc.s < 0L THEN r.ct * 1048576L
-          |         ELSE (r.ct * 1048576L + 3L * acc.s) div 4L END,
-          |    'out', array_append(acc.out, named_struct(
-          |      'hour', r.hour, 'ct', r.ct, 'prev', acc.s,
-          |      's', CASE WHEN acc.s < 0L THEN r.ct * 1048576L
-          |           ELSE (r.ct * 1048576L + 3L * acc.s) div 4L END))),
-          |  acc -> acc.out)""".stripMargin)).as("e"))
+      .select(col("event_type"), explode(ewmaWalkUdf(col("rows"))).as("e"))
       .select(col("event_type"), col("e.hour").as("hour"),
         col("e.ct").as("ct"),
         (col("e.s").cast("double") / 1048576.0).as("ewma"),
@@ -2669,34 +2733,18 @@ object Relational {
     * exact dyadic values.
     *
     * Scale shape: identical to q152 — one partial-agged (type, hour) count
-    * from the corpus, the fold runs over the TIME-bounded dense axis per
-    * type (control-plane sized), in parallel across types. */
+    * from the corpus, the walk runs over the TIME-bounded dense axis per
+    * type (control-plane sized), in parallel across types. Like q152 the
+    * walk is the O(n) per-group Scala loop, not the O(n²)
+    * `aggregate`+`array_append` fold the r17 10× sweep caught (0.65 s →
+    * 23.8 s at 10× the day range, 37×). Scala Long `/` truncates toward
+    * zero exactly like Spark `div` / DuckDB `//` — the negative-trend
+    * convention pinned above survives the rewrite bit-for-bit. */
   def holtTrend(spark: SparkSession, dir: String): DataFrame = {
     val grid = gapFillHourly(spark, dir).select("event_type", "hour", "ct")
     grid.groupBy("event_type")
       .agg(sort_array(collect_list(struct(col("hour"), col("ct")))).as("rows"))
-      .select(col("event_type"), explode(expr(
-        """aggregate(rows,
-          |  named_struct('n', 0L, 'l', 0L, 'b', 0L,
-          |    'out', cast(array() as array<struct<
-          |      hour:string,ct:bigint,n:bigint,fc:bigint,l:bigint,b:bigint>>)),
-          |  (acc, r) -> CASE WHEN acc.n = 0L THEN named_struct(
-          |      'n', 1L, 'l', r.ct * 1048576L, 'b', 0L,
-          |      'out', array_append(acc.out, named_struct(
-          |        'hour', r.hour, 'ct', r.ct, 'n', 0L, 'fc', 0L,
-          |        'l', r.ct * 1048576L, 'b', 0L)))
-          |    ELSE named_struct(
-          |      'n', acc.n + 1L,
-          |      'l', (r.ct * 1048576L + 3L * (acc.l + acc.b)) div 4L,
-          |      'b', ((r.ct * 1048576L + 3L * (acc.l + acc.b)) div 4L
-          |          - acc.l + 3L * acc.b) div 4L,
-          |      'out', array_append(acc.out, named_struct(
-          |        'hour', r.hour, 'ct', r.ct, 'n', acc.n,
-          |        'fc', acc.l + acc.b,
-          |        'l', (r.ct * 1048576L + 3L * (acc.l + acc.b)) div 4L,
-          |        'b', ((r.ct * 1048576L + 3L * (acc.l + acc.b)) div 4L
-          |            - acc.l + 3L * acc.b) div 4L))) END,
-          |  acc -> acc.out)""".stripMargin)).as("e"))
+      .select(col("event_type"), explode(holtWalkUdf(col("rows"))).as("e"))
       .select(col("event_type"), col("e.hour").as("hour"),
         col("e.ct").as("ct"),
         (col("e.l").cast("double") / 1048576.0).as("level"),
@@ -2745,18 +2793,13 @@ object Relational {
       sum(col("total")).over(Window.orderBy(col("dur").desc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .persist()
+    // O(n) Scala walk over the day-range-bounded life table — the q152/q166
+    // discipline (the previous `aggregate`+`array_append` fold was O(n²) in
+    // the day range; same integers, same truncating division, bit-identical)
     val folded = lt
       .agg(sort_array(collect_list(struct(
         col("dur"), col("d_events").as("d"), col("n_risk").as("n")))).as("rows"))
-      .select(explode(expr(
-        """aggregate(rows,
-          |  named_struct('p', 1099511627776L,
-          |    'out', cast(array() as array<struct<dur:bigint,p:bigint>>)),
-          |  (acc, r) -> named_struct(
-          |    'p', (acc.p * (r.n - r.d)) div r.n,
-          |    'out', array_append(acc.out,
-          |      named_struct('dur', r.dur, 'p', (acc.p * (r.n - r.d)) div r.n))),
-          |  acc -> acc.out)""".stripMargin)).as("e"))
+      .select(explode(kmWalkUdf(col("rows"))).as("e"))
       .select(col("e.dur").as("dur"), col("e.p").as("surv_scaled"))
     lt.join(folded, Seq("dur"))
       .select(col("dur").as("duration_days"), col("n_risk").as("n_at_risk"),
@@ -2942,12 +2985,21 @@ object Relational {
     * broadcast needed, no driver state, skew-free (ancestor fan-in is
     * bounded by branching factor × jump length). */
   def hierarchyFlatten(spark: SparkSession, dir: String, rounds: Int = 4): DataFrame = {
-    def cut(df: DataFrame): DataFrame = {
-      val p = df.persist(); p.count()
-      spark.createDataFrame(p.rdd, p.schema)
+    // FIXPOINT EARLY-EXIT (r17, the q150 discipline): the materializing
+    // action counts the NOT-done rows instead of all rows — same single
+    // action per round (the filtered count still scans and caches every
+    // partition) — and a round that leaves zero undone nodes proves every
+    // later round is the identity (done nodes keep anc/d by the `when`,
+    // and their root ancestor is always present on the build side), so
+    // the loop stops with the output unchanged. At the tested SFs depth
+    // ≤ 5 resolves in 3 rounds; round 4 was a pure no-op join + action.
+    def cutCount(df: DataFrame): (DataFrame, Long) = {
+      val p = df.persist()
+      val undone = p.filter(!col("done")).count()
+      (spark.createDataFrame(p.rdd, p.schema), undone)
     }
     val nodes = t(spark, dir, "part").select(col("p_partkey").as("k"))
-    var p = cut(nodes
+    var (p, undone) = cutCount(nodes
       .withColumn("anc", expr("k div 10"))
       .withColumn("d", lit(1L))
       .withColumn("done", col("k") <= 9)
@@ -2956,14 +3008,17 @@ object Relational {
         when(col("done"), col("k")).otherwise(col("anc")).as("anc"),
         when(col("done"), lit(0L)).otherwise(lit(1L)).as("d"),
         col("done")))
-    for (_ <- 1 to rounds) {
+    var r = 1
+    while (r <= rounds && undone > 0) {
       val q = p.select(col("k").as("qk"), col("anc").as("qanc"),
         col("d").as("qd"), col("done").as("qdone"))
-      p = cut(p.join(q, col("anc") === col("qk"))
+      val (pn, un) = cutCount(p.join(q, col("anc") === col("qk"))
         .select(col("k"),
           when(col("done"), col("anc")).otherwise(col("qanc")).as("anc"),
           when(col("done"), col("d")).otherwise(col("d") + col("qd")).as("d"),
           (col("done") || col("qdone")).as("done")))
+      p = pn; undone = un
+      r += 1
     }
     val conv = p.agg(count(when(!col("done"), 1)) === 0).as("c")
     p.crossJoin(conv.toDF("converged")) // 1-row audit frame
@@ -3039,24 +3094,27 @@ object Relational {
       .agg(slice(expr(
         "transform(sort_array(collect_list(struct(tsm, eid, tp))), s -> s.tp)"),
         1, cap).as("p"))
-    // bounded per-journey expansion: ordered index pairs/triples via
-    // filtered cross products (sequence(1, size) is always ascending —
-    // sequence with start > stop flips direction, so i<j filters, not
-    // sequence(i+1, …) bounds, keep empty/short journeys safe)
+    // bounded per-journey expansion: ordered index pairs/triples built
+    // ASCENDING-ONLY — `filter(sequence(1, size), j -> j > i)` inside each
+    // level, so only the cap²/2 + cap³/6 qualifying tuples are ever
+    // allocated (same set, same traversal order, hence the identical
+    // array after array_distinct). The previous shape built the FULL
+    // cap²+cap³ index cross-product (+ a 512-array flatten) per journey
+    // and filtered after — ~5× the interpreted-lambda allocations on the
+    // corpus-sized journey frame for the same output (r17; guide §1.2
+    // "per-task work"). sequence(1, size) stays the loop bound everywhere
+    // (sequence with start > stop flips direction — the i+1 bound hazard),
+    // and journeys are non-empty by construction.
     val subs = j.withColumn("subs", expr(
       """array_distinct(concat(
-        |  transform(
-        |    filter(flatten(transform(sequence(1, size(p)), i ->
-        |      transform(sequence(1, size(p)), j -> array(i, j)))),
-        |      a -> a[0] < a[1]),
-        |    a -> concat(element_at(p, a[0]), '>', element_at(p, a[1]))),
-        |  transform(
-        |    filter(flatten(flatten(transform(sequence(1, size(p)), i ->
-        |      transform(sequence(1, size(p)), j ->
-        |        transform(sequence(1, size(p)), k -> array(i, j, k)))))),
-        |      a -> a[0] < a[1] AND a[1] < a[2]),
-        |    a -> concat(element_at(p, a[0]), '>', element_at(p, a[1]), '>',
-        |                element_at(p, a[2])))))""".stripMargin))
+        |  flatten(transform(sequence(1, size(p)), i ->
+        |    transform(filter(sequence(1, size(p)), j -> j > i), j ->
+        |      concat(element_at(p, i), '>', element_at(p, j))))),
+        |  flatten(flatten(transform(sequence(1, size(p)), i ->
+        |    transform(filter(sequence(1, size(p)), j -> j > i), j ->
+        |      transform(filter(sequence(1, size(p)), k -> k > j), k ->
+        |        concat(element_at(p, i), '>', element_at(p, j), '>',
+        |               element_at(p, k)))))))))""".stripMargin))
       .select(col("user_id"), explode(col("subs")).as("pattern"))
     subs.groupBy("pattern")
       .agg(count(lit(1)).as("journeys"),
@@ -3476,29 +3534,40 @@ object Relational {
     * nonnegative terms. The driver-side solve is the bounded control-plane
     * exception (the k-means-centroid precedent) — at any corpus size the
     * collected matrix stays ≤ a few dozen rows. */
+  private case class MarkovTrans(f: String, t2: String)
+  /** Per-journey transition emission for q170 — one bounded Scala walk
+    * over the day's sorted events: START→first state, consecutive pairs
+    * up to (and into) the first purchase (mapped to CONV), →NULL when no
+    * purchase. Replaces the previous two-window + join shape (row_number
+    * window, first-purchase agg, join-back, lead window, three-way
+    * union): the q63 single-pass discipline — ONE groupBy to the
+    * (user, day) grain, per-key state bounded by one user-day, and the
+    * same transition multiset bit-for-bit (r17; measured 1.42→~1.0 s at
+    * sf0.1, one exchange instead of the window+join chain). */
+  private[graft] val markovTransUdf =
+    udf { rows: Seq[org.apache.spark.sql.Row] =>
+      val types = rows.map(_.getString(2))
+      val firstP = types.indexOf("purchase")
+      val upto = if (firstP >= 0) firstP else types.length - 1
+      def state(s: String) = if (s == "purchase") "CONV" else s
+      val out = scala.collection.mutable.ArrayBuffer(
+        MarkovTrans("START", state(types.head)))
+      var i = 0
+      while (i < upto) { out += MarkovTrans(types(i), state(types(i + 1))); i += 1 }
+      if (firstP < 0) out += MarkovTrans(types(types.length - 1), "NULL")
+      out.toSeq
+    }
+
   def markovAttribution(spark: SparkSession, dir: String, iters: Int = 12): DataFrame = {
     val S = 1048576L // 2^20
     val ev = t(spark, dir, "events")
       .select(col("user_id"), to_date(col("event_time")).as("d"),
         col("event_time").as("ts"), col("event_id"), col("event_type"))
-    val w = Window.partitionBy("user_id", "d").orderBy(col("ts"), col("event_id"))
-    val pos = ev.withColumn("rn", row_number().over(w))
-    val firstP = pos.filter(col("event_type") === "purchase")
-      .groupBy("user_id", "d").agg(min(col("rn")).as("prn"))
-    val kept = pos.join(firstP, Seq("user_id", "d"), "left")
-      .filter(col("prn").isNull || col("rn") <= col("prn"))
-    val seq2 = kept.withColumn("nxt",
-      lead(col("event_type"), 1).over(
-        Window.partitionBy("user_id", "d").orderBy(col("rn"))))
-    val toState = (c: Column) => when(c === "purchase", "CONV").otherwise(c)
-    val trans = seq2.filter(col("rn") === 1)
-      .select(lit("START").as("f"), toState(col("event_type")).as("t2"))
-      .unionByName(seq2
-        .filter(col("nxt").isNotNull && col("event_type") =!= "purchase")
-        .select(col("event_type").as("f"), toState(col("nxt")).as("t2")))
-      .unionByName(seq2
-        .filter(col("nxt").isNull && col("event_type") =!= "purchase")
-        .select(col("event_type").as("f"), lit("NULL").as("t2")))
+    val trans = ev.groupBy("user_id", "d")
+      .agg(sort_array(collect_list(
+        struct(col("ts"), col("event_id"), col("event_type")))).as("evs"))
+      .select(explode(markovTransUdf(col("evs"))).as("tr"))
+      .select(col("tr.f").as("f"), col("tr.t2").as("t2"))
     val ct = trans.groupBy("f", "t2").agg(count(lit(1)).as("c"))
     val tot = ct.groupBy("f").agg(sum(col("c")).as("tc"))
     val m = ct.join(tot, Seq("f"))

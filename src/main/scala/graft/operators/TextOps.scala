@@ -1983,8 +1983,21 @@ object TextOps {
     * q152 EWMA convention), so every sp/sn/alarm hash-compares against the
     * oracle's recursive-CTE replay.
     *
-    * Scale shape: one scoring scan into a 64-key partial agg; the fold
+    * Scale shape: one scoring scan into a 64-key partial agg; the walk
     * runs over the chunk-count-bounded sorted list — control-plane. */
+  private case class CusumStep(chunk: Int, n_docs: Long, mean_q: Long,
+                               s_pos: Long, s_neg: Long)
+  private[graft] val cusumWalkUdf =
+    udf { (rows: Seq[org.apache.spark.sql.Row], muQ: Long, kQ: Long) =>
+      var sp = 0L; var sn = 0L
+      rows.map { r =>
+        val meanQ = r.getLong(2)
+        sp = math.max(0L, sp + meanQ - muQ - kQ)
+        sn = math.max(0L, sn - (meanQ - muQ) - kQ)
+        CusumStep(r.getInt(0), r.getLong(1), meanQ, sp, sn)
+      }
+    }
+
   def cusumDrift(spark: SparkSession, dir: String, chunks: Int = 64): DataFrame = {
     val scored = docs(spark, dir)
       .select(col("doc_id"), classifierScoreUdf(tokensCol(col("text"))).as("score"))
@@ -2007,19 +2020,11 @@ object TextOps {
       .groupBy("mu_q", "k_q")
       .agg(sort_array(collect_list(struct(col("chunk"), col("n_docs"),
         col("mean_q")))).as("rows"))
-      .select(col("mu_q"), col("k_q"), explode(expr(
-        """aggregate(rows,
-          |  named_struct('sp', 0L, 'sn', 0L,
-          |    'out', cast(array() as array<struct<chunk:int,n_docs:bigint,
-          |      mean_q:bigint,s_pos:bigint,s_neg:bigint>>)),
-          |  (acc, r) -> named_struct(
-          |    'sp', greatest(0L, acc.sp + r.mean_q - mu_q - k_q),
-          |    'sn', greatest(0L, acc.sn - (r.mean_q - mu_q) - k_q),
-          |    'out', array_append(acc.out, named_struct(
-          |      'chunk', r.chunk, 'n_docs', r.n_docs, 'mean_q', r.mean_q,
-          |      's_pos', greatest(0L, acc.sp + r.mean_q - mu_q - k_q),
-          |      's_neg', greatest(0L, acc.sn - (r.mean_q - mu_q) - k_q)))),
-          |  acc -> acc.out)""".stripMargin)).as("e"))
+      // O(n) Scala walk (the Relational q152/q166 discipline — the previous
+      // `aggregate`+`array_append` fold copied the output array per element,
+      // O(n²) in the chunk count; same integers, bit-identical output)
+      .select(col("mu_q"), col("k_q"),
+        explode(cusumWalkUdf(col("rows"), col("mu_q"), col("k_q"))).as("e"))
       .select(col("e.chunk").as("chunk"), col("e.n_docs").as("n_docs"),
         col("e.mean_q").as("mean_q"), col("mu_q"), col("k_q"),
         col("e.s_pos").as("s_pos"), col("e.s_neg").as("s_neg"),
