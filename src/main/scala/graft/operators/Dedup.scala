@@ -1021,38 +1021,55 @@ object Dedup {
 
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame =
     sourceOverlapFrom(docs(spark, dir)
-      .select(col("source"), explode(distinctShinglesUdf(3)(col("text"))).as("sh"))
-      .distinct())
+      .select(col("source"), explode(distinctShinglesUdf(3)(col("text"))).as("sh")))
 
-  /** The overlap-matrix walk over an arbitrary (source, sh) DISTINCT
-    * frame — shared by the batch operator above and
-    * [[graft.streaming.MixtureStream.readOverlap]], whose maintained
-    * first-seen shingle cells are this exact frame. Returns a LOCAL-backed
-    * frame: the matrix is K²-bounded control plane (the q181 argmax
-    * exception class), and materializing it here lets the shingle cache be
-    * released before returning — the streaming read path calls this
-    * repeatedly in a long-lived session, where a persist left to "the
-    * caller's clearCache" would accumulate across reads (round-13
-    * review). */
-  private[graft] def sourceOverlapFrom(st0: DataFrame): DataFrame = {
-    val st = st0
-      .persist() // feeds sizes AND both self-join sides; released below
-    val sizes = st.groupBy("source").agg(count(lit(1)).as("n"))
-    val inter = st.as("a").join(st.as("b"),
-        col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
-      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
-      .agg(count(lit(1)).as("inter"))
-    val out = inter
-      .join(broadcast(sizes.select(col("source").as("src_a"), col("n").as("na"))),
-        Seq("src_a"))
-      .join(broadcast(sizes.select(col("source").as("src_b"), col("n").as("nb"))),
-        Seq("src_b"))
-      .select(col("src_a"), col("src_b"), col("na"), col("nb"), col("inter"),
-        expr("(inter * 1048576) div (na + nb - inter)").as("jaccard_q"),
-        expr("(inter * 1048576) div least(na, nb)").as("containment_q"))
-    val rows = out.collect()
-    st.unpersist(blocking = false)
-    st0.sparkSession.createDataFrame(
-      java.util.Arrays.asList(rows: _*), out.schema)
+  /** The overlap-matrix walk over an arbitrary (source, sh) frame
+    * (duplicates allowed — deduped internally) — shared by the batch
+    * operator above and [[graft.streaming.MixtureStream.readOverlap]],
+    * whose maintained first-seen shingle cells are this exact frame.
+    * Returns a LOCAL-backed frame: the matrix is K²-bounded control plane
+    * (the q181 argmax exception class).
+    *
+    * Shape (r17 — the q181 cell-closure move): a shingle contributes 1 to
+    * |A∩B| for every source pair inside its SOURCE SET, so the
+    * (sorted source-set → shingle count) closure is a sufficient
+    * statistic for the whole matrix — sizes are per-source sums over
+    * cells containing it, intersections per-pair sums over cells
+    * containing both, and the exact-integer jaccard/containment
+    * arithmetic replays verbatim driver-side (truncating Long division ≡
+    * `div` on the non-negative operands). Replaces the vocab-sized
+    * persist + sh self-join + two broadcast joins with ONE corpus-scale
+    * shuffle (groupBy(sh) collect_set — which also dedups, so the caller
+    * no longer pre-distincts) + a cell-sized collect; ≤ 2^K cells,
+    * guarded as a named refusal (the FacilityStream budget discipline). */
+  private[graft] def sourceOverlapFrom(st0: DataFrame,
+                                       cellCap: Int = 100000): DataFrame = {
+    val spark = st0.sparkSession
+    import spark.implicits._
+    val cells = st0.groupBy("sh")
+      .agg(sort_array(collect_set(col("source"))).as("ss"))
+      .groupBy("ss").agg(count(lit(1)).as("n"))
+      .as[(Seq[String], Long)].collect()
+    require(cells.length <= cellCap,
+      s"sourceOverlap: ${cells.length} source-combination cells exceed the " +
+        s"$cellCap budget — shrink the source dimension upstream or raise " +
+        "cellCap deliberately")
+    val sizes = scala.collection.mutable.Map.empty[String, Long]
+    val inter = scala.collection.mutable.Map.empty[(String, String), Long]
+    cells.foreach { case (ss, nCell) =>
+      ss.foreach(s => sizes.update(s, sizes.getOrElse(s, 0L) + nCell))
+      for (i <- ss.indices; j <- (i + 1) until ss.length) {
+        val k = (ss(i), ss(j)) // sort_array ⇒ ss(i) < ss(j)
+        inter.update(k, inter.getOrElse(k, 0L) + nCell)
+      }
+    }
+    val rows = inter.toSeq.map { case ((a, b), in) =>
+      val (na, nb) = (sizes(a), sizes(b))
+      (a, b, na, nb, in,
+        in * 1048576L / (na + nb - in),
+        in * 1048576L / math.min(na, nb))
+    }
+    rows.toDF("src_a", "src_b", "na", "nb", "inter",
+      "jaccard_q", "containment_q")
   }
 }

@@ -1639,20 +1639,45 @@ object Relational {
     */
   def marketBasket(spark: SparkSession, dir: String, minsup: Long = 50): DataFrame = {
     val brands = broadcast(t(spark, dir, "part").select("p_partkey", "p_brand"))
+    // ONE shuffle to the basket grain (r17): collect_set partial-aggregates
+    // map-side exactly like the old `distinct` (same shuffled bytes), but
+    // lands the data AT the grain every later step needs — the old shape
+    // paid the (ok, item) distinct exchange AND a second exchange + two
+    // sorts for the pair self-join on ok. Pair formation is now an in-row
+    // walk over the ≤ basket-width sorted array (bounded by schema at ≤ 7
+    // lineitems — the same Σ|items|² work the equi-join did, minus the
+    // join machinery), and everything downstream of the broadcast prune
+    // rides the basket partitioning with ZERO further corpus exchanges.
+    // Measured at sf0.1: q133 3.13 → ~2.2 s, and q139 inherits the cut.
     val baskets = t(spark, dir, "lineitem")
       .join(brands, col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey").as("ok"), col("p_brand").as("item"))
-      .distinct()
+      .groupBy("ok").agg(collect_set(col("item")).as("items"))
       .persist()
     // basket count rides as a broadcast 1-row frame (no driver action, no
     // second pass over the corpus)
-    val nb = baskets.agg(countDistinct(col("ok")).as("n_baskets"))
-    val freq = baskets.groupBy("item").agg(count(lit(1)).as("item_ct"))
+    val nb = baskets.agg(count(lit(1)).as("n_baskets"))
+    val freq = baskets.select(explode(col("items")).as("item"))
+      .groupBy("item").agg(count(lit(1)).as("item_ct"))
       .filter(col("item_ct") >= minsup)
-    val pruned = baskets.join(broadcast(freq), Seq("item"))
-    val pairs = pruned.select(col("ok"), col("item").as("item_a"), col("item_ct").as("ct_a"))
-      .join(pruned.select(col("ok"), col("item").as("item_b"), col("item_ct").as("ct_b")), Seq("ok"))
-      .filter(col("item_a") < col("item_b"))
+    // A-priori prune BEFORE pairing (downward closure — unchanged): the
+    // explode → broadcast semi-join → regroup chain preserves the basket
+    // hash partitioning, so the regroup plans no exchange
+    val pairs = baskets
+      .select(col("ok"), explode(col("items")).as("item"))
+      .join(broadcast(freq), Seq("item"))
+      .groupBy("ok")
+      .agg(sort_array(collect_list(struct(col("item"), col("item_ct")))).as("its"))
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(its)), i ->
+          |  transform(filter(sequence(1, size(its)), j -> j > i), j ->
+          |    named_struct(
+          |      'item_a', element_at(its, i).item,
+          |      'ct_a',   element_at(its, i).item_ct,
+          |      'item_b', element_at(its, j).item,
+          |      'ct_b',   element_at(its, j).item_ct))))""".stripMargin)).as("pr"))
+      .select(col("pr.item_a").as("item_a"), col("pr.item_b").as("item_b"),
+        col("pr.ct_a").as("ct_a"), col("pr.ct_b").as("ct_b"))
       .groupBy("item_a", "item_b", "ct_a", "ct_b")
       .agg(count(lit(1)).as("pair_ct"))
       .filter(col("pair_ct") >= minsup)
@@ -2444,8 +2469,15 @@ object Relational {
       val p = df.persist(); p.count()
       spark.createDataFrame(p.rdd, p.schema)
     }
-    val allNodes = cut(edges0.select(col("a").as("v"))
-      .unionByName(edges0.select(col("b").as("v"))).distinct())
+    // ONE cut materializes the initial degree frame; the node universe is
+    // its domain (every edge-touching node has dg ≥ 1), so allNodes is a
+    // free projection of the cached frame instead of a second
+    // union+distinct+persist+count action, and round 1's degree agg reads
+    // the same cache (r17: the separate allNodes cut + round-1 recompute
+    // measured ~1.5 s of the query's ~8 s at sf0.1 — pure action latency
+    // on a 3k-node frame)
+    val deg0 = cut(degrees(edges0))
+    val allNodes = deg0.select("v")
     // alive is NOT cut per round: alive_r = allNodes minus the (cut, tiny)
     // peel frontiers so far — a chain of ≤`rounds` broadcast anti-joins over
     // the cached node frame fuses into ONE map-side stage per use, where a
@@ -2464,9 +2496,12 @@ object Relational {
     var r = 1
     var fixpoint = false
     while (r <= rounds && !fixpoint) {
-      val lowP = alive.join(degrees(edges), Seq("v"), "left")
-        .filter(coalesce(col("dg"), lit(0L)) < k)
-        .select("v").persist()
+      // round 1: alive IS deg0's domain, so the left join + coalesce
+      // reduces to a filter over the cached degree frame (identical rows)
+      val lowP = (if (r == 1) deg0.filter(col("dg") < k).select("v")
+        else alive.join(degrees(edges), Seq("v"), "left")
+          .filter(coalesce(col("dg"), lit(0L)) < k)
+          .select("v")).persist()
       if (lowP.count() == 0) { fixpoint = true; lowP.unpersist(blocking = false) }
       else {
         val low = spark.createDataFrame(lowP.rdd, lowP.schema)
@@ -2909,6 +2944,17 @@ object Relational {
     * action, no driver loop state. */
   def bradleyTerry(spark: SparkSession, dir: String, iters: Int = 10): DataFrame = {
     val S = 1048576L // 2^20 fixed point
+    // SHAPE NOTE (r17, measured and kept AS-IS): two reshapes of the match
+    // fan-out were A/B'd at sf0.1 and both LOST to this self-join —
+    // (a) pre-agg repartition(user, d) so both agg levels share one
+    // exchange: 2.61 s (ships raw event rows — guide §2.3); (b) regroup
+    // to (user, d) + collect_list + in-row interpreted pair walk: 2.69 s
+    // (collect_list ships every triple unreduced and the per-pair lambda
+    // runs interpreted) — vs 1.54 s for this shape, whose self-join
+    // REUSES one exchange across both sides (same subtree) and whose
+    // sorts run on partial-agged triples. The q133 in-row-pairs move
+    // only pays when it REMOVES a corpus-scale exchange, not when the
+    // exchange was already reused.
     val act = t(spark, dir, "events")
       .groupBy(col("user_id"), date_trunc("day", col("event_time")).as("d"),
         col("event_type").as("tp"))

@@ -1527,10 +1527,12 @@ object Similarity {
     // without it a graph whose eccentricity equals maxRounds exactly would
     // throw despite being fully explored.
     while (!done && round <= maxRounds + 1) {
+      // one anti-join against the lazy union of the two cached layers —
+      // the split form paid a second broadcast exchange per round for the
+      // same visited set (r17; rounds are action/exchange-latency-bound)
       val next0 = frontier.join(edges, frontier("node") === edges("ea"))
         .select(col("eb").as("node")).distinct()
-        .join(frontier, Seq("node"), "left_anti")
-        .join(prev, Seq("node"), "left_anti")
+        .join(frontier.unionByName(prev), Seq("node"), "left_anti")
         .withColumn("hops", lit(round.toLong))
         .persist()
       // ONE action: materializes the round's cache AND tests convergence

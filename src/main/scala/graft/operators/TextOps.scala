@@ -2380,6 +2380,17 @@ object TextOps {
       "q3" -> "window", "q3" -> "agg")
     val qt = spark.createDataFrame(queryTerms).toDF("query", "term")
     val terms = queryTerms.map(_._2).distinct
+    // SHAPE NOTE (r17, measured and kept AS-IS): the plan carries four
+    // corpus tokenize passes (tf + its dft re-reference + dl + stats) and
+    // a doc-grain dl join. Three fused shapes were A/B'd at sf0.1 —
+    // (a) one explode_outer over an interpreted filter() lambda + cached
+    // doc-grain counts: 1.71 s; (b) dl riding the tf explode + persist:
+    // 1.25 s; (c) same without persist: 1.65 s — vs 1.17 s for this
+    // four-pass shape under identical load. The tokenize is a cheap
+    // codegen'd regexp per doc and the dl join is a doc-sized hash join;
+    // the fused shapes trade them for interpreted HOFs or a wider
+    // partial-agg grain and lose. The q205 lesson again: measure before
+    // caching/fusing what a scan re-derives cheaply.
     val d = docs(spark, dir).withColumn("toks", tokensCol(col("text")))
     val dl = d.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
     val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("tot"))
@@ -2941,57 +2952,63 @@ object TextOps {
     * the running sum of gains (coverage gain IS the new-term count, so no
     * extra action). k is the mixing knob, source count the domain — both
     * control-plane small. */
-  def sourceSelect(spark: SparkSession, dir: String, k: Int = 4,
-                   nopersist: Boolean = false): DataFrame =
+  def sourceSelect(spark: SparkSession, dir: String, k: Int = 4): DataFrame =
     sourceSelectFrom(spark,
       docs(spark, dir)
-        .select(col("source"), explode(distinctShinglesUdf(3)(col("text"))).as("term"))
-        .distinct(),
-      k, nopersist)
+        .select(col("source"), explode(distinctShinglesUdf(3)(col("text"))).as("term")),
+      k)
 
-  /** The greedy max-coverage walk over an arbitrary (source, term) DISTINCT
-    * frame — shared verbatim by the batch operator above and
-    * [[graft.streaming.MixtureStream]]'s read path (which feeds it the
-    * maintained first-seen shingle cells), so maintained ≡ batch is the
-    * determinism of this one function. */
+  /** The greedy max-coverage walk over an arbitrary (source, term) frame
+    * (duplicates allowed — deduped internally) — shared verbatim by the
+    * batch operator above and [[graft.streaming.MixtureStream]]'s read
+    * path (which feeds it the maintained first-seen shingle cells), so
+    * maintained ≡ batch is the determinism of this one function.
+    *
+    * Shape (r17 — replaces k per-round cache scans with ONE aggregation):
+    * each term contributes exactly to the cell keyed by its full SOURCE
+    * SET, so the (sorted source-set → term count) CELL CLOSURE is a
+    * sufficient statistic for every greedy quantity — round r's gain for
+    * source s = Σ n over uncovered cells containing s, and picking s
+    * covers exactly the cells containing it. The closure is ≤ 2^K cells
+    * (K = source count — the mixture dimension, control-plane by the
+    * FacilityStream cell-budget argument; guarded by `cellCap` as a named
+    * refusal, never a silent truncation), so the whole walk runs
+    * driver-side on exact integers — bit-equal picks/gains to the
+    * per-round Spark form, proven by the unchanged oracle. Spark-side
+    * cost: ONE corpus-scale shuffle (groupBy(term) collect_set — which
+    * also dedups, so the caller no longer pre-distincts) + a cell-sized
+    * count + one collect. The previous shape paid the distinct exchange,
+    * a vocab-sized persist, and k rounds of anti-join + agg + collect
+    * over the cache (measured 2.89 s → ~1.3 s at sf0.1). */
   private[graft] def sourceSelectFrom(spark: SparkSession, st0: DataFrame,
-                                      k: Int,
-                                      nopersist: Boolean = false): DataFrame = {
+                                      k: Int, cellCap: Int = 100000): DataFrame = {
     import spark.implicits._
-    // the persist is LOAD-BEARING: it is what makes each greedy round
-    // shingle-vocab-sized instead of a fresh corpus scan (scaladoc above);
-    // the `nopersist` dev parameter lets ExecutedPlanSpec red-prove the
-    // re-scan shape without a global sys.prop that could strip a
-    // concurrent suite's persist on the shared session (r16 ADVICE #2).
-    // Only unpersist what THIS function persisted: with the knob set, st
-    // aliases the caller's frame and dropping a cache the caller installed
-    // would be the upsertDimJdbc cache-manager hazard (round-16 review #5)
-    val wePersist = !nopersist
-    val st = if (wePersist) st0.persist() else st0
+    val cells = st0.groupBy("term")
+      .agg(sort_array(collect_set(col("source"))).as("ss"))
+      .groupBy("ss").agg(count(lit(1)).as("n"))
+      .as[(Seq[String], Long)].collect()
+    require(cells.length <= cellCap,
+      s"sourceSelect: ${cells.length} source-combination cells exceed the " +
+        s"$cellCap budget — the source dimension is too wide for the cell " +
+        "closure; shrink it upstream or raise cellCap deliberately")
+    var live = cells.map { case (ss, n) => (ss.toSet, n) }
     val picks = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long, Long)]
     var coveredTotal = 0L
     var done = false
     for (r <- 1 to k if !done) {
-      val selected = picks.map(_._2).toSeq
-      val covered = if (selected.isEmpty) null
-        else st.filter(col("source").isInCollection(selected))
-          .select("term").distinct()
-      val remaining = if (covered == null) st
-        else st.join(covered, Seq("term"), "left_anti")
-      val gains = remaining
-        .filter(if (selected.isEmpty) lit(true) else !col("source").isInCollection(selected))
-        .groupBy("source").agg(count(lit(1)).as("gain"))
-        .orderBy(col("gain").desc, col("source"))
-        .limit(1)
-        .as[(String, Long)].collect()
+      val gains = live.iterator
+        .flatMap { case (ss, n) => ss.iterator.map(_ -> n) }
+        .foldLeft(Map.empty[String, Long]) { case (m, (s, n)) =>
+          m.updated(s, m.getOrElse(s, 0L) + n)
+        }
       if (gains.isEmpty) done = true
       else {
-        val (src, gain) = gains.head
+        val (src, gain) = gains.minBy { case (s, g) => (-g, s) }
         coveredTotal += gain
         picks += ((r, src, gain, coveredTotal))
+        live = live.filterNot { case (ss, _) => ss.contains(src) }
       }
     }
-    if (wePersist) { st.unpersist(); () } // result below is driver-local; the shingle cache can go
     picks.toSeq.toDF("rank", "source", "gain", "covered_total")
       .select(col("rank").cast("int").as("rank"), col("source"),
         col("gain"), col("covered_total"))

@@ -221,40 +221,24 @@ class ExecutedPlanSpec extends SparkSuite {
         s"clean, re-evaluate the cut:\n$p")
   }
 
-  test("q181 greedy rounds ride the persisted shingle cache — no per-round corpus re-scan; stripping the persist goes red") {
-    // round-16 VERDICT #6: sourceSelect was a top-six-cost query with no
-    // executed-plan gate. Rounds ≥ 2 (identified by the LeftAnti coverage
-    // join + the gain agg) must read the (source, term) frame from the
-    // InMemoryTableScan cache, never re-scan the documents parquet.
-    val want = (p: String) => p.contains("LeftAnti") && p.contains("gain")
-    val rounds = capturePlans(want, atLeast = 2) {
+  test("q181 source select: ONE corpus scan feeds the cell-closure collect — no per-round re-scan, no shuffle join") {
+    // round-17: the k per-round cache scans (and the persist they needed)
+    // are GONE — the greedy walk runs driver-side over the (source-set →
+    // term count) cell closure, so the whole query is ONE collect whose
+    // plan must contain exactly the single corpus FileScan feeding the
+    // collect_set aggregation (the q203/q206 single-materialization pin
+    // idiom). A regression back to per-round Spark work would execute
+    // extra plans with their own corpus scans / anti-joins.
+    val plans = capturePlans(p => p.contains("collect_set"), atLeast = 1) {
       graft.operators.TextOps.sourceSelect(spark, sf001, k = 3)
     }
-    rounds.foreach { p =>
-      assert(n(p, "InMemoryTableScan") >= 1,
-        s"greedy rounds must read the persisted shingle frame:\n$p")
-      // the InMemoryRelation node legitimately PRINTS its child plan
-      // (which contains the one allowed corpus FileScan — the cache's own
-      // definition); the executed operators ABOVE it must not: any
-      // FileScan occurrence must sit inside the cache definition
-      val im = p.indexOf("InMemoryRelation")
-      val fs = p.indexOf("FileScan parquet")
-      assert(fs == -1 || (im >= 0 && fs > im),
-        s"a greedy round must read the cache, never re-scan the corpus:\n$p")
-      assert(n(p, "SortMergeJoin") == 0 && n(p, "CartesianProduct") == 0,
-        s"coverage anti-join must broadcast at this scale:\n$p")
+    plans.foreach { p =>
+      assert(n(p, "FileScan parquet") <= 1,
+        s"the cell closure is one corpus scan:\n$p")
+      assert(n(p, "SortMergeJoin") == 0 && n(p, "CartesianProduct") == 0 &&
+        n(p, "LeftAnti") == 0,
+        s"no joins anywhere in the closure plan:\n$p")
     }
-    // red-proof: with the persist stripped (call-site parameter, so no
-    // concurrent suite loses ITS persist) the rounds re-scan the corpus
-    // as TOP-LEVEL FileScans with no cache in sight — proving the green
-    // assertions above discriminate
-    val red = capturePlans(want, atLeast = 2) {
-      graft.operators.TextOps.sourceSelect(spark, sf001, k = 3, nopersist = true)
-    }
-    assert(red.exists(p => p.contains("FileScan parquet") &&
-      !p.contains("InMemoryTableScan")),
-      "unpersisted rounds should re-scan parquet (the regression shape); " +
-        "if this starts planning clean, re-evaluate the persist")
   }
 
   test("q203 DoReMi: the control-plane collect reads the persisted count frame — one corpus materialization, no branch re-scan") {
