@@ -32,26 +32,19 @@ object MicrobenchKcore {
       println(f"PHASE $label%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
 
-    val slots = Tables.load(spark, dir, "events")
-      .select(col("user_id"), col("event_type"),
-        date_trunc("day", col("event_time")).as("d"))
-      .distinct().persist()
-    t("slots distinct")(slots.count())
-    val slotDim = slots.select("event_type", "d").distinct()
-      .withColumn("slot_id",
-        row_number().over(Window.orderBy("event_type", "d")).cast("int"))
-    val sl0 = slots.join(broadcast(slotDim), Seq("event_type", "d"))
-      .select("user_id", "slot_id")
-    val eligible = sl0.groupBy("user_id").agg(count(lit(1)).as("ns"))
-      .filter(col("ns") >= minCo).select("user_id")
-    // persist but do NOT count: materializing sl's cache before the edge
-    // build hands AQE exact (tiny) size stats for the prefix self-join and
-    // it re-plans the slot_id join as a broadcast against a 150-key build
-    // side — measured 267-400 s vs 66 s for the whole of kCore on the
-    // dense-10x probe. kCore leaves sl lazy for exactly this reason; the
-    // microbench must mirror it to measure the same plan.
-    val sl = sl0.join(eligible, Seq("user_id")).persist()
-    val edges0 = operators.Relational.coActivityEdges(sl, minCo).persist()
+    // r18: mirror kCore's shape — raw pair stream in, the single user-keyed
+    // collect_set exchange (dedup + eligibility + prefix base + verify
+    // arrays) inside coActivityUserSlots. The count here materializes the
+    // cache that production materializes via the slotFreq collect.
+    val ua = operators.Relational.coActivityUserSlots(
+      operators.Relational.coActivityPairs(spark, dir), minCo)
+    t("user-slot arrays")(ua.count())
+    val edges0 = operators.Relational.coActivityCandidates(ua, minCo)
+      .join(ua.select(col("user_id").as("a"), col("ss").as("sa")), Seq("a"))
+      .join(ua.select(col("user_id").as("b"), col("ss").as("sb")), Seq("b"))
+      .filter(size(array_intersect(col("sa"), col("sb"))) >= minCo)
+      .select("a", "b")
+      .persist()
     t("edges (prefix+verify)")(println(s"  edges=${edges0.count()}"))
     if (sys.env.contains("SPARK_KCORE_PLAN"))
       println("MB-PLAN\n" + edges0.queryExecution.executedPlan.toString)

@@ -212,4 +212,38 @@ object Aggregators {
   /** Column form: `misraGries(8, col("key"))` → `map<string,bigint>`. */
   def misraGries(k: Int, c: Column): Column =
     udaf(misraGriesAgg(k), Encoders.STRING).apply(c)
+
+  /** PLURALITY vote per group (q175 LPA's per-round argmax): the value with
+    * the highest count, ties to the SMALLEST value — exactly
+    * `max(struct(ct, -lbl))` over per-(group, lbl) counts, but in ONE
+    * exchange where the two-groupBy form pays two (r18, guide §2.4: the
+    * first agg's (node, lbl) exchange carries the edge-grain join output,
+    * corpus-scale for a kNN graph; this partial-aggregates the same votes
+    * map-side into per-group count maps and ships those once). State is
+    * O(distinct labels per group) = O(degree) for LPA neighbor votes — the
+    * exactDistinctLong memory class, bounded by the kNN fan-in. */
+  val pluralityLongAgg: Aggregator[Long, scala.collection.mutable.HashMap[Long, Long], Long] =
+    new Aggregator[Long, scala.collection.mutable.HashMap[Long, Long], Long] {
+      type Buf = scala.collection.mutable.HashMap[Long, Long]
+      def zero: Buf = scala.collection.mutable.HashMap.empty
+      def reduce(s: Buf, v: Long): Buf = { s.update(v, s.getOrElse(v, 0L) + 1L); s }
+      def merge(a: Buf, b: Buf): Buf = {
+        val (big, small) = if (a.size >= b.size) (a, b) else (b, a)
+        small.foreach { case (k, c) => big.update(k, big.getOrElse(k, 0L) + c) }
+        big
+      }
+      def finish(s: Buf): Long = {
+        var bestL = Long.MaxValue; var bestC = -1L
+        s.foreach { case (l, c) =>
+          if (c > bestC || (c == bestC && l < bestL)) { bestL = l; bestC = c }
+        }
+        bestL
+      }
+      def bufferEncoder: Encoder[Buf] = Encoders.kryo[Buf]
+      def outputEncoder: Encoder[Long] = Encoders.scalaLong
+    }
+
+  /** Column form: `plurality(col("lbl"))` → the most frequent value, ties
+    * to the smallest. */
+  def plurality(c: Column): Column = udaf(pluralityLongAgg).apply(c)
 }

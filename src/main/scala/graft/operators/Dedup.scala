@@ -1046,14 +1046,21 @@ object Dedup {
                                        cellCap: Int = 100000): DataFrame = {
     val spark = st0.sparkSession
     import spark.implicits._
-    val cells = st0.groupBy("sh")
+    // refuse BEFORE collecting (r18, ADVICE r17 #1 — the sourceSelectFrom
+    // twin): the cell count is checked Spark-side off the persisted cell
+    // frame so a too-wide source dimension refuses while the cells still
+    // live on executors, instead of OOMing the driver ahead of the require.
+    val cellsDf = st0.groupBy("sh")
       .agg(sort_array(collect_set(col("source"))).as("ss"))
       .groupBy("ss").agg(count(lit(1)).as("n"))
-      .as[(Seq[String], Long)].collect()
-    require(cells.length <= cellCap,
-      s"sourceOverlap: ${cells.length} source-combination cells exceed the " +
+      .persist()
+    val nCells = cellsDf.count()
+    require(nCells <= cellCap,
+      s"sourceOverlap: $nCells source-combination cells exceed the " +
         s"$cellCap budget — shrink the source dimension upstream or raise " +
         "cellCap deliberately")
+    val cells = cellsDf.as[(Seq[String], Long)].collect()
+    cellsDf.unpersist(blocking = false)
     val sizes = scala.collection.mutable.Map.empty[String, Long]
     val inter = scala.collection.mutable.Map.empty[(String, String), Long]
     cells.foreach { case (ss, nCell) =>

@@ -1648,7 +1648,10 @@ object Relational {
     // lineitems — the same Σ|items|² work the equi-join did, minus the
     // join machinery), and everything downstream of the broadcast prune
     // rides the basket partitioning with ZERO further corpus exchanges.
-    // Measured at sf0.1: q133 3.13 → ~2.2 s, and q139 inherits the cut.
+    // Mid-r17 builder-box measurement: q133 3.13 → ~2.2 s at sf0.1 (and
+    // q139 inherits the cut); the r17 DRIVER bench measured 2.73 s under
+    // environment drift — treat the figures as shape evidence, not floors
+    // (ADVICE r17 #3).
     val baskets = t(spark, dir, "lineitem")
       .join(brands, col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey").as("ok"), col("p_brand").as("item"))
@@ -2401,57 +2404,50 @@ object Relational {
     * construction, not salted after the fact. */
   def kCore(spark: SparkSession, dir: String, k: Int = 6, minCo: Long = 26,
             rounds: Int = 6): DataFrame = {
-    val sl = coActivitySl(spark, dir, minCo)
-    val edges0 = coActivityEdges(sl, minCo).persist()
+    val edges0 = coActivityEdges(coActivityPairs(spark, dir), minCo).persist()
     kCoreFromEdges(spark, edges0, k, rounds)
   }
 
-  /** The eligibility-filtered (user_id, slot_id) membership frame feeding
-    * q150's candidate build — factored from [[kCore]] unchanged so
-    * ExecutedPlanSpec can gate [[coActivityCandidates]]' executed plan on
-    * the production input. Returns the persisted frame; released by the
-    * harness's per-query clearCache (or the caller's unpersist). */
-  private[graft] def coActivitySl(spark: SparkSession, dir: String,
-                                  minCo: Long): DataFrame = {
-    // persisted: slots feeds the slot dim AND both self-join sides — without
-    // the cache the events scan + distinct runs 3× inside the edges0 plan
-    // (ReuseExchange does not fire across the broadcast/window branches;
-    // measured 8.8 s → 5.5 s at sf0.1). Released by the caller's clearCache.
-    val slots = t(spark, dir, "events")
+  /** The raw (user_id, slot_id) membership pair stream feeding q150's edge
+    * build — deliberately NOT deduped and NOT eligibility-filtered:
+    * [[coActivityUserSlots]]' per-user collect_set dedups and filters in
+    * the SAME single user-keyed exchange (r18, guide §2.4 — the r17 shape
+    * paid a separate (user, type, day) distinct exchange here, then three
+    * more user/slot-keyed exchanges downstream). slot_id compaction rides
+    * a slot-dim-sized broadcast built from its own 2-column pruned scan:
+    * the extra corpus scan is column-pruned and partial-aggregates to the
+    * day-range × types control plane map-side — strictly cheaper than the
+    * 3-column corpus-wide distinct exchange it replaces. The INT slot key
+    * matters downstream: the pair fan-out on composite (event_type, day)
+    * keys measured 10.8 s vs 2.3 s on plain ints at sf0.1 (NOTES_r10). */
+  private[graft] def coActivityPairs(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
       .select(col("user_id"), col("event_type"),
         date_trunc("day", col("event_time")).as("d"))
-      .distinct()
-      .persist()
-    // the pair fan-out is the dominant cost: compact the composite
-    // (event_type string, day timestamp) slot key to a dense INT id first
-    // (slot dim is bounded by day-range × types — the q122-axis control-plane
-    // argument — so the rank window and the broadcast are both tiny), then
-    // self-join and count on plain ints. Measured at sf0.1: the int-keyed
-    // fan-out + codegen'd hash agg is 2.3 s vs 10.8 s on the composite key.
-    // (A bitmap/popcount emit-once variant was measured WORSE — 17 s — Spark
-    // evaluates higher-order-function lambdas interpreted, not codegen'd,
-    // and the fan-out pays that per row; see NOTES_r10.)
-    val slotDim = slots.select("event_type", "d").distinct()
+    val slotDim = ev.select("event_type", "d").distinct()
       .withColumn("slot_id",
         row_number().over(Window.orderBy("event_type", "d")).cast("int"))
-    // Peel ineligible users BEFORE the quadratic fan-out: an edge needs
-    // co >= minCo SHARED slots, so a user holding fewer than minCo slots
-    // in total can never reach the threshold with anyone — dropping them
-    // first shrinks BOTH self-join sides and every slot's pair count
-    // quadratically in the share dropped, and cannot change the edge set.
-    // This is the scale lever: at 100x the slot-pair fan-out runs over the
-    // heavy-activity tail that can actually form edges, not every user.
-    // The count comes off the already-CACHED slots frame (one partial agg),
-    // and the filter join is left unhinted: the user list is dim-sized, so
-    // AQE broadcasts it locally and plans a shuffle join only when the user
-    // dimension genuinely outgrows broadcast.
-    val eligible = slots.groupBy("user_id").agg(count(lit(1)).as("ns"))
-      .filter(col("ns") >= minCo).select("user_id")
-    slots.join(broadcast(slotDim), Seq("event_type", "d"))
-      .join(eligible, Seq("user_id"))
+    ev.join(broadcast(slotDim), Seq("event_type", "d"))
       .select("user_id", "slot_id")
-      .persist() // feeds prefix + verify sides; released by caller's clearCache
   }
+
+  /** Per-user sorted distinct slot arrays with the eligibility cut applied —
+    * ONE user-keyed exchange (collect_set partial-aggregates AND dedups
+    * map-side, so the input pair stream need not be pre-deduped). An edge
+    * needs co >= minCo SHARED slots, so a user holding fewer than minCo
+    * distinct slots can never reach the threshold with anyone — the
+    * size(ss) filter drops them before the quadratic fan-out without
+    * touching the edge set (the r17 `eligible` semi-join, now a free
+    * in-row predicate). This frame replaces FOUR r17 exchanges (the slots
+    * distinct, the eligibility agg, the prefix window, the verify-side
+    * collect_list) with one: prefixes are an in-row sort over `ss` and the
+    * verify step reads `ss` directly. Persisted — it feeds the prefix
+    * build and both verify joins; released by the caller's clearCache. */
+  private[graft] def coActivityUserSlots(sl: DataFrame, minCo: Long): DataFrame =
+    sl.groupBy("user_id")
+      .agg(sort_array(collect_set(col("slot_id"))).as("ss"))
+      .filter(size(col("ss")) >= minCo)
+      .persist()
 
   /** The k-core peel loop from a materialized edge frame — the second half
     * of [[kCore]], factored unchanged. */
@@ -2489,10 +2485,12 @@ object Relational {
     // FIXPOINT EARLY-EXIT: a round that peels nobody proves every later
     // round is a no-op (peeling is monotone — degrees only drop when nodes
     // leave), so the loop stops there with the output unchanged. Measured
-    // at sf0.1: rounds cost ~1.1 s each in fixed per-round action overhead
-    // (two cuts = two persists + counts), and the peel converges in 1-2
-    // rounds — the exit is most of the q150 win this round. The count that
-    // decides it is the SAME action that materializes the round's cache.
+    // at sf0.1 on the r17 builder box: rounds cost ~1.1 s each in fixed
+    // per-round action overhead (two cuts = two persists + counts), and
+    // the peel converges in 1-2 rounds (the r17 DRIVER bench still
+    // measured q150 at 7.19 s overall — ADVICE r17 #3: these are shape
+    // rationales, not floors). The count that decides the exit is the
+    // SAME action that materializes the round's cache.
     var r = 1
     var fixpoint = false
     while (r <= rounds && !fixpoint) {
@@ -2541,8 +2539,9 @@ object Relational {
 
   /** PREFIX-FILTERED candidate pairs for the co-activity edge build
     * [Chaudhuri/Ganti/Kaushik SSJoin 2006; Xiao et al. PPJoin 2011]. Input
-    * `sl` is the eligibility-filtered (user_id, slot_id) membership frame;
-    * output is every (a, b), a < b, that COULD share >= minCo slots.
+    * `ua` is the [[coActivityUserSlots]] per-user sorted slot-array frame
+    * (eligibility already applied); output is every (a, b), a < b, that
+    * COULD share >= minCo slots.
     *
     * Why every qualifying edge survives: fix the total order "global slot
     * frequency asc, slot_id asc" (ties broken by id, so both sides agree),
@@ -2563,33 +2562,46 @@ object Relational {
     * shared by n heavy users costs n^2/2 pairs in a naive slot self-join
     * regardless of eligibility; here it costs only the handful of members
     * whose prefix reaches it (the hot-slot fixture in AnalyticsSpec pins
-    * this: 10^4 co-members, zero candidate pairs). Per-user ns and the
-    * prefix rank ride ONE shuffle by user_id (two window specs, same
-    * partitioning); slot frequencies are a slot-dim-sized broadcast — the
-    * q122-axis control-plane argument. */
-  private[graft] def coActivityCandidates(sl: DataFrame, minCo: Long,
+    * this: 10^4 co-members, zero candidate pairs). The prefix is an IN-ROW
+    * sort of each user's cached slot array (r18 — no window, no exchange);
+    * slot frequencies are a slot-dim-sized driver map — the q122-axis
+    * control-plane argument. */
+  private[graft] def coActivityCandidates(ua: DataFrame, minCo: Long,
                                           nobcast: Boolean = false): DataFrame = {
-    val slotFreq = sl.groupBy("slot_id").agg(count(lit(1)).as("sfq"))
-    val byUser = Window.partitionBy("user_id")
-    // persisted: the frame feeds BOTH self-join sides (without the cache
-    // the window stage runs twice) and the count below is the action that
-    // materializes it. Released by the caller's clearCache, like sl.
-    val prefix = sl.join(broadcast(slotFreq), Seq("slot_id"))
-      .withColumn("rn",
-        row_number().over(byUser.orderBy(col("sfq"), col("slot_id"))))
-      .withColumn("ns", count(lit(1)).over(byUser))
-      .filter(col("rn") <= col("ns") - lit(minCo) + lit(1))
-      .select("user_id", "slot_id")
+    val spark = ua.sparkSession
+    import spark.implicits._
+    // Slot frequencies over the eligible users — slot-dim-sized (day-range
+    // × types, the q122-axis control-plane argument), so it collects to a
+    // driver map the prefix UDF closes over (the q181 control-plane-collect
+    // exception class; the r17 shape shipped the same frame as a broadcast
+    // join input, then paid a FULL user-keyed window exchange of sl to rank
+    // each user's slots — the in-row JIT'd sort below does that ranking
+    // without moving a byte, r18 guide §2.4).
+    val fq: Map[Int, Long] = ua.select(explode(col("ss")).as("slot_id"))
+      .groupBy("slot_id").agg(count(lit(1)).as("sfq"))
+      .as[(Int, Long)].collect().toMap
+    val minCoI = minCo.toInt
+    // identical prefix set to the r17 window form: sortBy (sfq asc,
+    // slot_id asc) is the same total order row_number ranked, and ss is the
+    // user's full distinct slot set so ns - minCo + 1 matches
+    val prefixUdf = udf { ss: Seq[Int] =>
+      ss.sortBy(s => (fq(s), s)).take(ss.length - minCoI + 1)
+    }
+    // persisted: the frame feeds BOTH self-join sides and the count below
+    // is the action that materializes it. Released by the caller's
+    // clearCache, like ua.
+    val prefix = ua
+      .select(col("user_id"), explode(prefixUdf(col("ss"))).as("slot_id"))
       .persist()
     // EXPLICIT but SIZE-GUARDED broadcast of the x side: a slot_id
     // equi-join has only day-range × types distinct keys, so a shuffle
     // join here is maximally skewed BY CONSTRUCTION — replicating one
     // (prefix-trimmed) side is the textbook skew strategy, and it buys a
     // second property: the pair stream keeps the y side's user_id hash
-    // partitioning, which CLUSTERS (a, b) by b, so the distinct below
-    // needs NO exchange of the fan-out (the whole candidate build after
-    // the window is one codegen stage). Left unhinted this plan is one
-    // stats estimate away from flipping: with sl's cache materialized
+    // partitioning (carried from ua's aggregation through the prefix
+    // explode), which CLUSTERS (a, b) by b, so the distinct below needs NO
+    // exchange of the fan-out. Left unhinted this plan is one
+    // stats estimate away from flipping: with ua's cache materialized
     // (accurate sizes) the static planner plans the shuffle join, AQE
     // converts it to broadcast only AFTER the stream-side slot_id exchange
     // has run, and the distinct then re-shuffles the 10^8-row pair stream
@@ -2640,13 +2652,17 @@ object Relational {
     * bounded int array (<= the slot dim, the day-range x types control
     * plane), so overlap is one codegen'd array_intersect per candidate
     * instead of a per-slot pair fan-out. The verify joins are keyed on a
-    * then b against the user-dim-sized slot-set frame; candidate count is
-    * edges + prefix false-positives, never the quadratic slot fan-out. */
+    * then b against the SAME cached per-user array frame the candidate
+    * build used (r18 — the r17 shape re-aggregated sl into a separate
+    * collect_list frame, one more full exchange); candidate count is
+    * edges + prefix false-positives, never the quadratic slot fan-out.
+    * Input is the raw (user_id, slot_id) pair stream; dedup + eligibility
+    * happen inside [[coActivityUserSlots]]' single exchange. */
   private[graft] def coActivityEdges(sl: DataFrame, minCo: Long): DataFrame = {
-    val userSlots = sl.groupBy("user_id").agg(collect_list(col("slot_id")).as("ss"))
-    coActivityCandidates(sl, minCo)
-      .join(userSlots.select(col("user_id").as("a"), col("ss").as("sa")), Seq("a"))
-      .join(userSlots.select(col("user_id").as("b"), col("ss").as("sb")), Seq("b"))
+    val ua = coActivityUserSlots(sl, minCo)
+    coActivityCandidates(ua, minCo)
+      .join(ua.select(col("user_id").as("a"), col("ss").as("sa")), Seq("a"))
+      .join(ua.select(col("user_id").as("b"), col("ss").as("sb")), Seq("b"))
       .filter(size(array_intersect(col("sa"), col("sb"))) >= minCo)
       .select("a", "b")
   }
@@ -3045,7 +3061,14 @@ object Relational {
       (spark.createDataFrame(p.rdd, p.schema), undone)
     }
     val nodes = t(spark, dir, "part").select(col("p_partkey").as("k"))
-    var (p, undone) = cutCount(nodes
+    // r18: the init frame is NOT cut — it is a depth-0 projection of the
+    // scan, so round 1 chains it without plan growth and the separate
+    // persist+count action disappears. Round 1 now always runs (the old
+    // init count could skip the loop on an all-roots table); that is the
+    // identity on done rows — each keeps anc/d by the `when`, and its
+    // root ancestor is always present on the build side — so the output
+    // is unchanged while the common case saves one action.
+    var p: DataFrame = nodes
       .withColumn("anc", expr("k div 10"))
       .withColumn("d", lit(1L))
       .withColumn("done", col("k") <= 9)
@@ -3053,7 +3076,8 @@ object Relational {
       .select(col("k"),
         when(col("done"), col("k")).otherwise(col("anc")).as("anc"),
         when(col("done"), lit(0L)).otherwise(lit(1L)).as("d"),
-        col("done")))
+        col("done"))
+    var undone = 1L // unknown until round 1's materializing count
     var r = 1
     while (r <= rounds && undone > 0) {
       val q = p.select(col("k").as("qk"), col("anc").as("qanc"),
@@ -3360,14 +3384,21 @@ object Relational {
   def sketchRollup(spark: SparkSession, dir: String, k: Int = 512,
                    tol: Double = 0.15): DataFrame = {
     val theta1 = 4503599627370496L // 2^52 = hash domain size
+    // r18 (guide §2.3 narrower types): dedup and cube on the NUMERIC
+    // user_id — long→string is injective, so distinct/countDistinct over
+    // user_id equal the old string-keyed counts bit-for-bit while the
+    // distinct exchange, the cache and the cube's distinct buffers carry
+    // 8-byte longs instead of decimal strings. The string form exists only
+    // inside the md5 input below, unchanged, so every emitted hash (and
+    // the oracle's replay of it) is untouched.
     val el = t(spark, dir, "events")
       .select(col("event_type"),
         date_format(col("event_time"), "yyyy-MM-dd").as("day"),
-        col("user_id").cast("string").as("u"))
+        col("user_id").as("u"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hashed = el.select(col("event_type"), col("day"),
-      conv(substring(md5(col("u").cast("binary")), 1, 13), 16, 10)
+      conv(substring(md5(col("u").cast("string").cast("binary")), 1, 13), 16, 10)
         .cast("long").as("h"))
     // leaf sketches: k smallest hashes per (type, day) — each mapper
     // forwards <= k rows per leaf, no window sort sees the full slice

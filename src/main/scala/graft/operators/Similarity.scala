@@ -1494,7 +1494,14 @@ object Similarity {
         .distinct()
     }.persist()
     edges0.count()
-    (e, spark.createDataFrame(edges0.rdd, edges0.schema))
+    // r18: return the persisted bucketed-scan frame ITSELF, not a LogicalRDD
+    // cut of it — the cut erased the scan's HashPartitioning(ea, 8) and
+    // bucket sort order, so every per-round BFS/LPA equi-join on ea
+    // re-exchanged the edge frame it was bucketed to avoid (guide §2.4).
+    // Plan chaining is not a risk here: the frame is STATIC (a constant
+    // cache leaf reused per round), unlike the per-round label/frontier
+    // frames the cut discipline exists for.
+    (e, edges0)
   }
 
   def knnBfs(spark: SparkSession, dir: String, k: Int = 3, cap: Int = 2000,
@@ -1522,17 +1529,32 @@ object Similarity {
     val layers = scala.collection.mutable.ArrayBuffer(frontier)
     var round = 1
     var done = false
+    // one anti-join against the lazy union of the two cached layers — the
+    // split form paid a second broadcast exchange per round for the same
+    // visited set (r17; rounds are action/exchange-latency-bound).
+    // r18: BOTH small sides carry explicit broadcast hints — the frontier
+    // and the two-layer visited set are frontier-sized BY the level-
+    // synchronous argument (never the graph), but they are LogicalRDD
+    // cuts whose stats the planner cannot see, so unhinted rounds planned
+    // shuffle joins that re-exchanged the edge frame the layout table had
+    // pre-bucketed (guide §3.1: broadcast the side you KNOW is small).
+    // The expansion join streams the bucketed edge cache exchange-free;
+    // the only per-hop exchange left is the distinct on the new layer.
+    // (a two-hops-per-action batch was A/B'd here in r18 and measured
+    // WORSE — 4.3-4.8 s vs 3.6 s at sf0.1: each hop's broadcast builds are
+    // their own jobs, so chaining hops serializes MORE broadcast-build
+    // jobs on the critical path than the halved count actions save, and
+    // the second hop's builds race the first hop's still-uncached frame.
+    // Rejection ledger, OPTIMIZATION_r18.md.)
     // <= maxRounds + 1: the final allowed layer (hops = maxRounds) still
     // needs one follow-up empty-frontier probe to be declared converged —
     // without it a graph whose eccentricity equals maxRounds exactly would
     // throw despite being fully explored.
     while (!done && round <= maxRounds + 1) {
-      // one anti-join against the lazy union of the two cached layers —
-      // the split form paid a second broadcast exchange per round for the
-      // same visited set (r17; rounds are action/exchange-latency-bound)
-      val next0 = frontier.join(edges, frontier("node") === edges("ea"))
+      val next0 = broadcast(frontier)
+        .join(edges, frontier("node") === edges("ea"))
         .select(col("eb").as("node")).distinct()
-        .join(frontier.unionByName(prev), Seq("node"), "left_anti")
+        .join(broadcast(frontier.unionByName(prev)), Seq("node"), "left_anti")
         .withColumn("hops", lit(round.toLong))
         .persist()
       // ONE action: materializes the round's cache AND tests convergence
@@ -1593,16 +1615,35 @@ object Similarity {
         d.persist(); d.count()
         spark.createDataFrame(d.rdd, d.schema)
       }
-    var labels = cut(e.select(col("vec_id").as("node"), col("vec_id").as("lbl")))
-    for (_ <- 1 to rounds) {
+    // the initial label frame is a projection of the CACHED vec frame —
+    // no cut action needed for a depth-0 plan (r18)
+    var labels = e.select(col("vec_id").as("node"), col("vec_id").as("lbl"))
+    // r18 round shape (guide §2.4 — two exchanges cut per round):
+    //  - the per-round argmax is ONE plurality aggregate (count-map partial
+    //    agg, ties to the smallest label — bit-identical to the former
+    //    max(struct(ct, -lbl)) over per-(node, lbl) counts) instead of two
+    //    chained groupBys, whose FIRST exchange carried the edge-grain join
+    //    output — corpus-scale for a kNN graph;
+    //  - the label-update join-back is GONE: on the static symmetric edge
+    //    frame every non-isolated node receives votes every round, so
+    //    labels_r = cand_r ∪ iso, where iso (nodes with no edges — they
+    //    keep their initial label forever by the same argument) is computed
+    //    once before the loop;
+    //  - rounds are CUT every second round (the q150 peel discipline): one
+    //    chained round adds one join + one agg of bounded depth to the next
+    //    cut's plan, and halving the persist+count actions removes fixed
+    //    per-action latency the bounded graph cannot amortize. The final
+    //    round always cuts so the returned frame stays a LogicalRDD.
+    val iso = cut(e.select(col("vec_id").as("node"))
+      .join(edges.select(col("ea").as("node")), Seq("node"), "left_anti")
+      .withColumn("lbl", col("node")))
+    for (r <- 1 to rounds) {
       val cand = edges.join(labels, edges("ea") === labels("node"))
-        .groupBy(col("eb").as("n2"), col("lbl"))
-        .agg(count(lit(1)).as("ct"))
-        .groupBy(col("n2"))
-        .agg(max(struct(col("ct"), negate(col("lbl")).as("nl"))).as("m"))
-        .select(col("n2"), negate(col("m.nl")).as("new_lbl"))
-      labels = cut(labels.join(cand, labels("node") === cand("n2"), "left")
-        .select(col("node"), coalesce(col("new_lbl"), col("lbl")).as("lbl")))
+        .groupBy(col("eb").as("node"))
+        .agg(graft.functions.Aggregators.plurality(col("lbl")).as("new_lbl"))
+        .select(col("node"), col("new_lbl").as("lbl"))
+      val next = cand.unionByName(iso)
+      labels = if (r % 2 == 0 || r == rounds) cut(next) else next
     }
     val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("csize"))
     labels.join(broadcast(sizes), Seq("lbl"))

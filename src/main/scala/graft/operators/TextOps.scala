@@ -2958,6 +2958,23 @@ object TextOps {
         .select(col("source"), explode(distinctShinglesUdf(3)(col("text"))).as("term")),
       k)
 
+  /** Lexicographic compare on UTF-8 BYTES (unsigned) — the order Spark's
+    * UTF8String and DuckDB's default collation sort strings in. Driver-side
+    * tie-breaks must use THIS, not Scala's UTF-16 code-unit String
+    * ordering, to stay bit-compatible with the engines (ADVICE r17 #2). */
+  private def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
   /** The greedy max-coverage walk over an arbitrary (source, term) frame
     * (duplicates allowed — deduped internally) — shared verbatim by the
     * batch operator above and [[graft.streaming.MixtureStream]]'s read
@@ -2979,18 +2996,28 @@ object TextOps {
     * also dedups, so the caller no longer pre-distincts) + a cell-sized
     * count + one collect. The previous shape paid the distinct exchange,
     * a vocab-sized persist, and k rounds of anti-join + agg + collect
-    * over the cache (measured 2.89 s → ~1.3 s at sf0.1). */
+    * over the cache (r17 builder-box measurement 2.89 s → ~1.3 s at
+    * sf0.1; the r17 driver bench confirmed 2.80 → 1.37 s). */
   private[graft] def sourceSelectFrom(spark: SparkSession, st0: DataFrame,
                                       k: Int, cellCap: Int = 100000): DataFrame = {
     import spark.implicits._
-    val cells = st0.groupBy("term")
+    // refuse BEFORE collecting (r18, ADVICE r17 #1): the cell count is
+    // checked Spark-side off the persisted cell frame, so a too-wide source
+    // dimension fires the named refusal while the cells still live on
+    // executors — the r17 shape collected first and could OOM the driver
+    // before the require ran. The count is one tiny action on the
+    // just-materialized cache, not a second corpus pass.
+    val cellsDf = st0.groupBy("term")
       .agg(sort_array(collect_set(col("source"))).as("ss"))
       .groupBy("ss").agg(count(lit(1)).as("n"))
-      .as[(Seq[String], Long)].collect()
-    require(cells.length <= cellCap,
-      s"sourceSelect: ${cells.length} source-combination cells exceed the " +
+      .persist()
+    val nCells = cellsDf.count()
+    require(nCells <= cellCap,
+      s"sourceSelect: $nCells source-combination cells exceed the " +
         s"$cellCap budget — the source dimension is too wide for the cell " +
         "closure; shrink it upstream or raise cellCap deliberately")
+    val cells = cellsDf.as[(Seq[String], Long)].collect()
+    cellsDf.unpersist(blocking = false)
     var live = cells.map { case (ss, n) => (ss.toSet, n) }
     val picks = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long, Long)]
     var coveredTotal = 0L
@@ -3003,7 +3030,17 @@ object TextOps {
         }
       if (gains.isEmpty) done = true
       else {
-        val (src, gain) = gains.minBy { case (s, g) => (-g, s) }
+        // equal-gain tie-break by UTF-8 BYTE order (r18, ADVICE r17 #2):
+        // Scala String ordering compares UTF-16 code units, which disagrees
+        // with Spark's UTF8String/DuckDB's byte order for supplementary vs
+        // U+E000..U+FFFF characters — byte comparison keeps the pick
+        // bit-compatible with the pre-r17 orderBy(col("source")) form and
+        // the byte-ordered oracle on any source alphabet.
+        val (src, gain) = gains.reduceLeft { (best, cur) =>
+          if (cur._2 > best._2 ||
+              (cur._2 == best._2 && utf8Compare(cur._1, best._1) < 0)) cur
+          else best
+        }
         coveredTotal += gain
         picks += ((r, src, gain, coveredTotal))
         live = live.filterNot { case (ss, _) => ss.contains(src) }

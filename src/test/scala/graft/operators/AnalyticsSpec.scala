@@ -678,7 +678,8 @@ class AnalyticsSpec extends SparkSuite {
     val cliqueSlots = (1 to minCo.toInt).map(j => 900000 + j)
     val clique = for { u <- cliqueUsers; s <- cliqueSlots } yield (u, s)
     val sl = (hot ++ rare ++ clique).toDF("user_id", "slot_id")
-    val cand = Relational.coActivityCandidates(sl, minCo)
+    val cand = Relational.coActivityCandidates(
+        Relational.coActivityUserSlots(sl, minCo), minCo)
       .as[(Long, Long)].collect().toSet
     // the quadratic-explosion gate: only the clique's 45 pairs, none of the
     // 49,995,000 hot-slot pairs

@@ -536,6 +536,20 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(got.values.exists(_._3 > 0), "no overlapping pair — matrix tests nothing")
   }
 
+  test("sourceOverlap cell closure: a too-wide source dimension fires the named refusal before any driver collect") {
+    // VERDICT r17 #7 / ADVICE #1 — the sourceSelectFrom twin: the cellCap
+    // guard fires from the Spark-side count of the persisted cell frame,
+    // never after a driver collect. Provable with a tiny frame because
+    // cellCap is a call-site parameter.
+    import spark.implicits._
+    val st = (1 to 6).map(i => (s"s$i", s"sh$i")).toDF("source", "sh")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.sourceOverlapFrom(st, cellCap = 5)
+    }
+    assert(e.getMessage.contains("source-combination cells exceed"),
+      s"named refusal expected, got: ${e.getMessage}")
+  }
+
   test("centroidDrift: driver centroid replay; a shifted clone of a source drifts, the source itself doesn't") {
     val docs = graft.Tables.load(spark, sf001, "documents")
       .select("doc_id", "source").collect()

@@ -1194,6 +1194,21 @@ class TextOpsSpec extends SparkSuite {
       s"greedy ${picked.last._4} must cover at least naive-top-4 $naive")
   }
 
+  test("sourceSelect cell closure: a too-wide source dimension fires the named refusal before any driver collect") {
+    // VERDICT r17 #7 / ADVICE #1: the cellCap guard must fire from the
+    // Spark-side count of the persisted cell frame, so the driver never
+    // holds an over-budget closure. cellCap is a call-site parameter, so
+    // the refusal regime is provable with a tiny frame: 6 single-source
+    // cells against a budget of 5.
+    import spark.implicits._
+    val st = (1 to 6).map(i => (s"s$i", s"term$i")).toDF("source", "term")
+    val e = intercept[IllegalArgumentException] {
+      TextOps.sourceSelectFrom(spark, st, k = 2, cellCap = 5)
+    }
+    assert(e.getMessage.contains("source-combination cells exceed"),
+      s"named refusal expected, got: ${e.getMessage}")
+  }
+
   test("budgetAllocate: driver water-filling replay; allocation feasible, budget-tight, cap-respecting") {
     val rows = graft.Tables.load(spark, sf0001, "documents")
       .select("source", "text").collect()
