@@ -1551,10 +1551,20 @@ object Similarity {
     // without it a graph whose eccentricity equals maxRounds exactly would
     // throw despite being fully explored.
     while (!done && round <= maxRounds + 1) {
-      val next0 = broadcast(frontier)
-        .join(edges, frontier("node") === edges("ea"))
+      // ONE shared broadcast per round (r18): the tagged two-layer union
+      // serves BOTH as the expansion probe source (tag = 1 selects the
+      // frontier as a join condition under the same hashed relation) and
+      // as the visited anti side — the two builds canonicalize equal, so
+      // ReuseExchange ships one broadcast job per round instead of two
+      // (each build is its own job; rounds are job-latency-bound locally).
+      val visited = broadcast(
+        frontier.withColumn("tag", lit(1))
+          .unionByName(prev.withColumn("tag", lit(0)))
+          .select("node", "tag"))
+      val next0 = edges
+        .join(visited, edges("ea") === visited("node") && visited("tag") === 1)
         .select(col("eb").as("node")).distinct()
-        .join(broadcast(frontier.unionByName(prev)), Seq("node"), "left_anti")
+        .join(visited, Seq("node"), "left_anti")
         .withColumn("hops", lit(round.toLong))
         .persist()
       // ONE action: materializes the round's cache AND tests convergence
