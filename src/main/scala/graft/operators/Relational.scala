@@ -2465,14 +2465,14 @@ object Relational {
       val p = df.persist(); p.count()
       spark.createDataFrame(p.rdd, p.schema)
     }
-    // ONE cut materializes the initial degree frame; the node universe is
-    // its domain (every edge-touching node has dg ≥ 1), so allNodes is a
-    // free projection of the cached frame instead of a second
-    // union+distinct+persist+count action, and round 1's degree agg reads
-    // the same cache (r17: the separate allNodes cut + round-1 recompute
-    // measured ~1.5 s of the query's ~8 s at sf0.1 — pure action latency
-    // on a 3k-node frame)
-    val deg0 = cut(degrees(edges0))
+    // the initial degree frame is persisted LAZILY (r18): it is a STATIC
+    // frame, so the plan-growth argument for cut() does not apply, and
+    // folding its materialization into round 1's lowP count removes one
+    // whole action — the count that decides round 1 fills the edges0,
+    // deg0 and lowP caches in one job. The node universe is deg0's domain
+    // (every edge-touching node has dg ≥ 1), so allNodes stays a free
+    // projection of the cached frame (the r17 allNodes-cut removal).
+    val deg0 = degrees(edges0).persist()
     val allNodes = deg0.select("v")
     // alive is NOT cut per round: alive_r = allNodes minus the (cut, tiny)
     // peel frontiers so far — a chain of ≤`rounds` broadcast anti-joins over
@@ -2577,9 +2577,20 @@ object Relational {
     // join input, then paid a FULL user-keyed window exchange of sl to rank
     // each user's slots — the in-row JIT'd sort below does that ranking
     // without moving a byte, r18 guide §2.4).
-    val fq: Map[Int, Long] = ua.select(explode(col("ss")).as("slot_id"))
+    // ONE action returns the frequency map AND the exact prefix row count
+    // (Σ ns − minCo + 1 — the broadcast-guard statistic below), so the
+    // separate prefix.count() action is gone (r18): the union rides the
+    // same cached-ua pass, tagged so fixture slot ids can't collide.
+    val stats = ua.select(explode(col("ss")).as("slot_id"))
       .groupBy("slot_id").agg(count(lit(1)).as("sfq"))
-      .as[(Int, Long)].collect().toMap
+      .select(lit(0).as("t"), col("slot_id"), col("sfq"))
+      .unionByName(ua.agg(coalesce(
+          sum(size(col("ss"))).cast("long") - (lit(minCo) - 1L) * count(lit(1)),
+          lit(0L)).as("sfq"))
+        .select(lit(1).as("t"), lit(0).as("slot_id"), col("sfq")))
+      .as[(Int, Int, Long)].collect()
+    val fq: Map[Int, Long] = stats.collect { case (0, s, c) => s -> c }.toMap
+    val prefixRowCount = stats.collectFirst { case (1, _, c) => c }.getOrElse(0L)
     val minCoI = minCo.toInt
     // identical prefix set to the r17 window form: sortBy (sfq asc,
     // slot_id asc) is the same total order row_number ranked, and ss is the
@@ -2587,9 +2598,9 @@ object Relational {
     val prefixUdf = udf { ss: Seq[Int] =>
       ss.sortBy(s => (fq(s), s)).take(ss.length - minCoI + 1)
     }
-    // persisted: the frame feeds BOTH self-join sides and the count below
-    // is the action that materializes it. Released by the caller's
-    // clearCache, like ua.
+    // persisted: the frame feeds BOTH self-join sides; the cache
+    // materializes inside the first consumer's action. Released by the
+    // caller's clearCache, like ua.
     val prefix = ua
       .select(col("user_id"), explode(prefixUdf(col("ss"))).as("slot_id"))
       .persist()
@@ -2612,8 +2623,8 @@ object Relational {
     // memory cliff at extreme user counts — above the row budget (2^25
     // rows ≈ 0.5 GB) fall back to the unhinted join and accept the
     // pair-stream shuffle; at that scale it is the unavoidable one. The
-    // count is one partial agg over the freshly-cached prefix, not a
-    // corpus pass. Budget is 2^23 rows: a broadcast hashed relation costs
+    // guard statistic rides the stats action above, not its own pass.
+    // Budget is 2^23 rows: a broadcast hashed relation costs
     // ~32-48 B/row for this 2-int-column frame (UnsafeRow + LongToUnsafeRow
     // map overhead, NOT the 16 B of raw payload), so 2^23 ≈ 0.3-0.4 GB on
     // the driver and per executor — the old 2^25 estimate assumed payload
@@ -2627,7 +2638,10 @@ object Relational {
     // the shared session — round-16 ADVICE #2).
     val forceFallback = sys.env.contains("SPARK_GRAFT_KCORE_NO_BCAST") ||
       nobcast
-    val hinted = !forceFallback && prefix.count() <= (1L << 23)
+    // prefixRowCount is exact (Σ per-user prefix lengths, computed in the
+    // stats action above) — the guard no longer needs its own count action;
+    // the prefix cache materializes inside the first consumer's action
+    val hinted = !forceFallback && prefixRowCount <= (1L << 23)
     val x = if (hinted) broadcast(prefix.as("x")) else prefix.as("x")
     // Fallback regime EXECUTED on dense-10x (VERDICT r13 #2; PLANS.md
     // round 14 A/B/A): the natural unhinted plan — shuffle join on slot_id,
